@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Queries are assembled from per-module QuerySpec lists; each spec
+  * colocates the Spark implementation with its DuckDB oracle SQL so the
+  * two can't drift (column names / ordering are part of the compare).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def allSpecs: Seq[QuerySpec] =
+    RelationalQueries.specs ++ EventQueries.specs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's advertised capability class — filter + aggregation
+    * over columnar data (reference README.md:4) — as TPC-H Q1 shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_filter_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allSpecs.map(s => s.name -> s.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allSpecs.collect { case QuerySpec(n, Some(sql), _) => n -> sql }.toMap
 }

@@ -1,0 +1,135 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event analytics over the `events` table — the batch
+  * equivalents of the streaming surface (graft.streaming.EventStreams
+  * holds the readStream forms; these batch forms carry the DuckDB
+  * oracles, and the streaming specs assert equivalence to them).
+  *
+  * The reference's time handling is the Timestamp/Year/Month/Day
+  * derivation of sparkle-v9.py:115-122; windows/sessionization are the
+  * Athena-SQL capability class generalized to event time.
+  */
+object EventQueries {
+  import Tables.table
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q25_tumbling_window",
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*)             AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Tumbling 1h window as a batch groupBy — identical grouping to the
+      // streaming window(ts, "1 hour") form, partial-agg friendly.
+      table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    QuerySpec(
+      "q26_daily_user_activity",
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       ROUND(MAX(value), 2) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(col("day"), col("user_id"))
+    },
+
+    QuerySpec(
+      "q27_sessionize",
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+        |                   > 1800 * 1000000
+        |              OR LAG(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |         CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      // Gaps-and-islands sessionization (30 min inactivity). Gap compare
+      // is in exact integer microseconds so Spark (µs) and DuckDB (ns
+      // cast to µs) agree bit-for-bit. One shuffle on user_id serves the
+      // lag window, the session-sum window, and the final group-by.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    QuerySpec(
+      "q28_event_funnel",
+      """SELECT user_id,
+        |       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        |FROM events
+        |GROUP BY user_id
+        |HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // Pivot-style conditional aggregation — one scan, one shuffle.
+      def cnt(t: String) =
+        sum(when(col("event_type") === t, 1).otherwise(0)).cast("long")
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(cnt("view").as("views"), cnt("click").as("clicks"),
+          cnt("purchase").as("purchases"))
+        .filter(col("purchases") > 0)
+        .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "q29_json_extract",
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE user_id = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // Semi-structured props column (the Athena surface includes JSON
+      // functions); get_json_object is codegen'd, no UDF.
+      table(s, dir, "events")
+        .filter(col("user_id") === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    })
+}

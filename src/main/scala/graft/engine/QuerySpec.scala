@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine capability: a Spark DataFrame/SQL implementation plus
+  * (when SQL-expressible) an equivalent ANSI-SQL oracle that DuckDB runs on
+  * the same parquet tables. Keeping the pair colocated prevents the classic
+  * column-name / ordering drift between implementation and oracle.
+  *
+  * Determinism contract (both sides):
+  *  - explicit total-order ORDER BY (hash compare is row-order-sensitive);
+  *  - double aggregates rounded (ROUND(x, 2..6)) so float summation order
+  *    differences between engines can't flip a hash;
+  *  - integer sums cast to BIGINT in the oracle (DuckDB widens to HUGEINT);
+  *  - date parts cast to INT in the oracle (DuckDB year() yields BIGINT).
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+object QuerySpec {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, Some(oracle), fn)
+
+  /** For capabilities DuckDB SQL can't express (MinHash, HLL sketches,
+    * streaming…) — the driver then records a weaker rows-only check. */
+  def noOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, None, fn)
+}

@@ -1,0 +1,451 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query surface — the capability class the reference
+  * advertised ("queries for data filtering and aggregation",
+  * reference `README.md:4`) and delegated to Athena ANSI SQL
+  * (`README.md:14-16`). Re-expressed natively on Catalyst: filter +
+  * aggregation, joins (broadcast/shuffle/semi/anti/outer), set ops,
+  * rollup/cube, window functions, top-k, subqueries.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`nation`, `region`, small `customer` slices) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins key on the natural join key so AQE + shuffle hash
+  *    join apply; no driver-side collection anywhere;
+  *  - aggregations are partial-agg friendly (plain hash agg over
+  *    codegen'd exprs);
+  *  - filters & projections stay at the head of the plan so Parquet gets
+  *    pushdown + column pruning (verified via explain in BenchSpec).
+  */
+object RelationalQueries {
+  import Tables.table
+
+  private val D = "yyyy-MM-dd"
+  private def tsLit(s: String) = to_timestamp(lit(s), D)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- aggregation family (A4) ---------------------------------------
+    QuerySpec(
+      "q01_filter_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 6)                          AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 6)                     AS avg_price,
+        |       COUNT(*)                                           AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    QuerySpec(
+      "q02_project_scalar",
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+        |       CAST(l_shipdate AS DATE)        AS ship_date,
+        |       CAST(YEAR(l_shipdate) AS INT)   AS ship_year,
+        |       CAST(MONTH(l_shipdate) AS INT)  AS ship_month,
+        |       CAST(DAY(l_shipdate) AS INT)    AS ship_day
+        |FROM lineitem
+        |WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // P5/P6/P7: cast, arithmetic expr, date-part extraction — the derived
+      // Timestamp/Year/Month/Day pattern of reference sparkle-v9.py:115-122.
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 4).as("charge"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          dayofmonth(col("l_shipdate")).as("ship_day"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
+      "q03_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      // A5: sort + limit top-k. Catalyst plans TakeOrderedAndProject —
+      // per-partition heaps, no global sort shuffle. Scale-safe for any N.
+      table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ----- join family (A6) ----------------------------------------------
+    QuerySpec(
+      "q04_join_broadcast",
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |       COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      // Dim tables broadcast: the fact side never shuffles for the join.
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("region_name"), n("n_name").as("nation_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("region_name"), col("nation_name"))
+    },
+
+    QuerySpec(
+      "q05_join_shuffle_agg",
+      """SELECT o.o_orderpriority,
+        |       COUNT(*) AS n_lines,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      // Fact-fact equi-join on the shared key; filter applied before the
+      // join so the shuffle moves only the surviving year of orders.
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1997-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    QuerySpec(
+      "q06_semi_join",
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > 9000
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      val o = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "q07_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "q08_outer_join",
+      """SELECT c.c_custkey,
+        |       COUNT(o.o_orderkey)                       AS n_orders,
+        |       ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(o("o_totalprice")), lit(0)), 2).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ----- distinct / set ops (A1, A3) ------------------------------------
+    QuerySpec(
+      "q09_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    },
+
+    QuerySpec(
+      "q10_union",
+      """SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9500
+        |  UNION
+        |  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 450000
+        |) ORDER BY key""".stripMargin) { (s, dir) =>
+      // A3 union — as set-union (the reference's union+append combo was
+      // defect D1; we expose clean set semantics).
+      val a = table(s, dir, "customer").filter(col("c_acctbal") > 9500)
+        .select(col("c_custkey").as("key"))
+      val b = table(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("key"))
+      a.union(b).distinct().orderBy(col("key"))
+    },
+
+    QuerySpec(
+      "q11_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(table(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    QuerySpec(
+      "q12_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(table(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    },
+
+    // ----- multi-level aggregation ----------------------------------------
+    QuerySpec(
+      "q13_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    QuerySpec(
+      "q14_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    QuerySpec(
+      "q15_count_distinct",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey)  AS n_orders,
+        |       COUNT(DISTINCT l_partkey)   AS n_parts,
+        |       COUNT(*)                    AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ----- window functions -----------------------------------------------
+    QuerySpec(
+      "q16_window_rank",
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         CAST(RANK() OVER (PARTITION BY c_nationkey
+        |              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_rank,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer)
+        |WHERE bal_rank <= 3
+        |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin) { (s, dir) =>
+      // Per-group top-k via rank window — the scalable alternative to a
+      // global sort when k is small and groups are many.
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).cast("long").as("bal_rank"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("bal_rank") <= 3)
+        .orderBy(col("c_nationkey"), col("bal_rank"), col("c_custkey"))
+    },
+
+    QuerySpec(
+      "q17_window_lag",
+      """SELECT user_id, event_id, event_type,
+        |       LAG(event_type)  OVER w AS prev_type,
+        |       LEAD(event_type) OVER w AS next_type
+        |FROM events
+        |WHERE user_id < 3
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    QuerySpec(
+      "q18_window_moving",
+      """SELECT user_id, event_id,
+        |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+        |         AS moving_avg,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_sum
+        |FROM events WHERE user_id < 3
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"),
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("moving_avg"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ----- scalar-function surface (§2.8 + Athena-delegated) ---------------
+    QuerySpec(
+      "q19_string_funcs",
+      """SELECT c_custkey,
+        |       UPPER(c_name)                         AS name_upper,
+        |       LENGTH(c_name)                        AS name_len,
+        |       SUBSTR(c_name, 1, 8)                  AS name_prefix,
+        |       CONCAT(c_mktsegment, ':', c_name)     AS tagged,
+        |       REPLACE(c_name, 'Customer', 'Cust')   AS name_short
+        |FROM customer WHERE c_custkey <= 50
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "q20_case_when_null",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |            WHEN o_totalprice >= 100000 THEN 'mid'
+        |            ELSE 'low' END                       AS price_band,
+        |       COALESCE(NULLIF(o_orderstatus, 'P'), 'X') AS status_or_x
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") >= 300000, "high")
+            .when(col("o_totalprice") >= 100000, "mid")
+            .otherwise("low").as("price_band"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("X"))
+            .as("status_or_x"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "q21_subqueries",
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // EP2 path: the spark.sql surface over registered views (scalar +
+      // IN subqueries; Catalyst rewrites IN → semi join).
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+          |FROM orders
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+          |  AND o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    QuerySpec(
+      "q22_having_grouped",
+      """SELECT l_suppkey, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_extendedprice), 2) AS supp_revenue
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING COUNT(*) > 100
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("supp_revenue"))
+        .filter(col("n_lines") > 100)
+        .orderBy(col("l_suppkey"))
+    },
+
+    // ----- approximate aggregation (scale path: sketch, no exact oracle) ---
+    QuerySpec.noOracle("q23_approx_count_distinct") { (s, dir) =>
+      // HLL++ sketch — the 100 TB answer to COUNT(DISTINCT) when exactness
+      // isn't required: one pass, fixed memory, partial-mergeable.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec.noOracle("q24_approx_quantiles") { (s, dir) =>
+      // percentile_approx = mergeable KLL-style sketch; exact percentiles
+      // at 100 TB require a full sort, the sketch does not.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+        .orderBy(col("l_returnflag"))
+    })
+}
