@@ -3,10 +3,8 @@ package graft.engine
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Time-series / event analytics over the `events` table — the batch
-  * equivalents of the streaming surface (graft.streaming.EventStreams
-  * holds the readStream forms; these batch forms carry the DuckDB
-  * oracles, and the streaming specs assert equivalence to them).
+/** Time-series / event analytics over the `events` table. These batch
+  * forms carry the DuckDB oracles.
   *
   * The reference's time handling is the Timestamp/Year/Month/Day
   * derivation of sparkle-v9.py:115-122; windows/sessionization are the
@@ -55,19 +53,20 @@ object EventQueries {
     QuerySpec(
       "q27_sessionize",
       """WITH gaps AS (
-        |  SELECT user_id, event_id, ts, value,
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
         |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
         |                   - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
         |                   > 1800 * 1000000
         |              OR LAG(ts) OVER w IS NULL
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |),
         |sessions AS (
         |  SELECT user_id, value,
         |         CAST(SUM(new_session) OVER (PARTITION BY user_id
-        |              ORDER BY ts, event_id
+        |              ORDER BY tsu, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |              AS BIGINT) AS session_id
         |  FROM gaps)

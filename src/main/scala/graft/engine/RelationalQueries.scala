@@ -441,11 +441,16 @@ object RelationalQueries {
 
     QuerySpec.noOracle("q24_approx_quantiles") { (s, dir) =>
       // percentile_approx = mergeable KLL-style sketch; exact percentiles
-      // at 100 TB require a full sort, the sketch does not.
+      // at 100 TB require a full sort, the sketch does not. Quartiles are
+      // flattened to scalar columns so the rows-only check can sort them.
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 2).as("p25"),
+          round(element_at(col("q"), 2), 2).as("p50"),
+          round(element_at(col("q"), 3), 2).as("p75"))
         .orderBy(col("l_returnflag"))
     })
 }

@@ -21,15 +21,16 @@ object Tables {
   /** Load one table from the scale-factor directory.
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) does not accept ([PARQUET_TYPE_ILLEGAL]). We read it as a long
-    * (ns since epoch) and convert with integer division — exact for the
-    * µs-resolution data, and the same truncation DuckDB's
+    * (µs) does not accept ([PARQUET_TYPE_ILLEGAL]). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set once at session
+    * construction — see [[graft.Sessions]]; never mutated here) it reads
+    * as a long (ns since epoch) which we convert with integer division —
+    * exact for the µs-resolution data, and the same truncation DuckDB's
     * CAST(ts AS TIMESTAMP) applies on the oracle side.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

@@ -24,7 +24,7 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         res_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"MISSING  {name}: no result parquet"); n_bad += 1; continue
         try:
