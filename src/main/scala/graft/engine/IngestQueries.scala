@@ -1,0 +1,156 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS queries for the ingest/ETL family (SURVEY §2.1-2.3).
+  *
+  * These are *differential* tests, not self-comparisons: each query fn
+  * deterministically (re)generates EEG preamble-CSV fixtures under
+  * [[FixRoot]], runs the real ingest pipeline, and the DuckDB oracle
+  * re-derives the expected result from the RAW CSV text with `read_csv`
+  * — so schema typing, preamble dropping, the 1e5 timestamp recovery,
+  * date-part derivation, partitioned-append row accounting (defect D1)
+  * and category projection are all checked against an independent engine.
+  *
+  * Oracle timestamp arithmetic mimics Spark's double→timestamp cast
+  * exactly: `trunc(d * 100000.0 * 1000000.0)` µs — same IEEE double ops,
+  * same truncation toward zero — so the compare is bit-exact rather than
+  * "close".
+  */
+object IngestQueries {
+
+  /** Fixed fixture root: the DuckDB oracle runs in a separate process
+    * after Verify, so paths must be absolute and stable. */
+  val FixRoot = "/tmp/graft_fixtures"
+
+  private val A = EegFixture.specA
+  private val B = EegFixture.specB
+
+  /** DuckDB read_csv fragment for one fixture (all 8 columns typed). */
+  private def rawCsv(path: String): String =
+    s"""read_csv('$path', header=false, skip=8,
+       |  columns={'ClockDateTime':'DOUBLE','Time':'DOUBLE',
+       |           'I1_1':'DOUBLE','I1_2':'DOUBLE','I1_3':'DOUBLE',
+       |           'I2_1':'DOUBLE','I2_2':'DOUBLE','I2_3':'DOUBLE'})""".stripMargin
+
+  /** Spark's (double * 1e5) cast-to-timestamp, replicated in DuckDB. */
+  private val TsExpr =
+    "make_timestamp(CAST(trunc(ClockDateTime * 100000.0 * 1000000.0) AS BIGINT))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q30_ingest_derive",
+      s"""WITH raw AS (SELECT * FROM ${rawCsv(s"$FixRoot/derive/${A.fileName}")}),
+         |d AS (SELECT *, $TsExpr AS ts FROM raw)
+         |SELECT Time, ClockDateTime, ts AS "Timestamp",
+         |       CAST(year(ts) AS INT) AS Year,
+         |       CAST(month(ts) AS INT) AS Month,
+         |       CAST(day(ts) AS INT) AS Day,
+         |       '${A.patientId}' AS PatientID,
+         |       '${A.patientName}' AS PatientName,
+         |       DATE '1980-02-03' AS PatientBirthDate,
+         |       DATE '2019-07-15' AS TestDate,
+         |       '${A.testTime}' AS TestTime,
+         |       I1_1, I2_3
+         |FROM d ORDER BY Time""".stripMargin) { (s, _) =>
+      // S1+S4+P4-P7+P9+F1: the full single-file pipeline of
+      // reference sparkle-v9.py:92-122 with v5's real preamble values.
+      val path = EegFixture.write(s"$FixRoot/derive", A)
+      Ingest.ingestFile(s, path)
+        .select(col("Time"), col("ClockDateTime"), col("Timestamp"),
+          col("Year"), col("Month"), col("Day"),
+          col("PatientID"), col("PatientName"), col("PatientBirthDate"),
+          col("TestDate"), col("TestTime"),
+          col("I1_1"), col("I2_3"))
+        .orderBy(col("Time"))
+    },
+
+    QuerySpec(
+      "q31_ingest_lake_partitions",
+      s"""WITH raw AS (
+         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/processed/${A.fileName}")}
+         |  UNION ALL
+         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/processed/${B.fileName}")}
+         |), d AS (SELECT $TsExpr AS ts FROM raw)
+         |SELECT CAST(year(ts) AS INT) AS Year,
+         |       CAST(month(ts) AS INT) AS Month,
+         |       CAST(day(ts) AS INT) AS Day,
+         |       count(*) AS n
+         |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, _) =>
+      // K1+K3+S5+S6+F3+F4: two-file batch → per-file partitioned append →
+      // read-back accounting. The oracle counts from the RAW csv text, so
+      // the reference's D1 union+append duplication (sparkle-v9.py:128-138)
+      // would fail this compare (doubled counts).
+      val in = s"$FixRoot/batch_in"
+      Seq("batch_in", "lake", "processed", "registry_q31")
+        .foreach(d => Lake.delete(s, s"$FixRoot/$d"))
+      EegFixture.write(in, A)
+      EegFixture.write(in, B)
+      Ingest.ingestBatch(s, in, s"$FixRoot/lake", s"$FixRoot/registry_q31",
+        s"$FixRoot/processed")
+      Lake.partitionCounts(s, s"$FixRoot/lake")
+    },
+
+    QuerySpec(
+      "q32_schema_registry",
+      """SELECT * FROM (VALUES
+        |  ('ClockDateTime', 'double'), ('Time', 'double'),
+        |  ('I1_1', 'double'), ('I1_2', 'double'), ('I1_3', 'double'),
+        |  ('I2_1', 'double'), ('I2_2', 'double'), ('I2_3', 'double'),
+        |  ('PatientName', 'string'), ('PatientID', 'string'),
+        |  ('PatientBirthDate', 'date'), ('TestDate', 'date'),
+        |  ('TestTime', 'string'), ('Timestamp', 'timestamp'),
+        |  ('Year', 'int'), ('Month', 'int'), ('Day', 'int')
+        |) AS t(Name, Type) ORDER BY Name""".stripMargin) { (s, _) =>
+      // K2: StructType → JSON snapshot (sparkle-v9.py:31-61) and read-back.
+      // The VALUES oracle pins the lake schema contract — enrichment and
+      // derived columns with their exact catalog types.
+      val path = EegFixture.write(s"$FixRoot/reg_in", A)
+      val df = Ingest.ingestFile(s, path)
+      val snap = SchemaRegistry.writeSnapshot(s, df.schema,
+        s"$FixRoot/registry", "q32")
+      SchemaRegistry.readSnapshot(s, snap).orderBy(col("Name"))
+    },
+
+    QuerySpec(
+      "q33_category_projection",
+      s"""SELECT Time, I2_1, I2_2, I2_3
+         |FROM ${rawCsv(s"$FixRoot/cat_in/${A.fileName}")}
+         |ORDER BY Time""".stripMargin) { (s, _) =>
+      // F2 + crawler.py:21-35: build the super-category → column map from
+      // rows 7/8 by forward-fill, round-trip it through mapping.json, and
+      // expand a category into a narrow projection (the reference
+      // platform's column-group query UX; keeps 6,039-col scans narrow).
+      val path = EegFixture.write(s"$FixRoot/cat_in", A)
+      val rawStr = s.read.option("header", "false").csv(path)
+      def strRow(i: Long): Seq[String] = Ingest.rowAt(rawStr, i).toSeq
+        .map(v => Option(v).map(_.toString).getOrElse(""))
+      val m = SchemaRegistry.categoryMap(strRow(6), strRow(7))
+      val mapPath = s"$FixRoot/registry/mapping_q33.json"
+      SchemaRegistry.writeCategoryMap(s, m, mapPath)
+      val loaded = SchemaRegistry.loadCategoryMap(s, mapPath)
+      SchemaRegistry.projectCategory(
+        Ingest.ingestFile(s, path), loaded, "Group 2", keep = Seq("Time"))
+        .orderBy(col("Time"))
+    },
+
+    QuerySpec(
+      "q34_file_discovery",
+      s"""SELECT * FROM (VALUES
+         |  ('${A.fileName}', CAST(${8 + A.nRows} AS BIGINT)),
+         |  ('${B.fileName}', CAST(${8 + B.nRows} AS BIGINT))
+         |) AS t(file, n) ORDER BY file""".stripMargin) { (s, _) =>
+      // S3+P1+P2+A1: the v5 discovery idiom (sparkle-v5.py:55-58) — glob
+      // scan with the 2-col preamble schema, per-file row accounting via
+      // input_file_name(). Expected counts are spec-derived constants
+      // (8 header rows + nRows data rows per file).
+      val dir = s"$FixRoot/disc"
+      EegFixture.write(dir, A)
+      EegFixture.write(dir, B)
+      Ingest.readCsvGlob(s, s"$dir/*.csv", Ingest.kvSchema)
+        .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("file"))
+    })
+}

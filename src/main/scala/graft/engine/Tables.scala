@@ -31,6 +31,11 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
+      // Defensive idempotent set: the driver may pass its own session
+      // (not built via graft.Sessions), and without this conf the NANOS
+      // column is a hard read error. Runtime-settable SQL conf, same
+      // value always — no behavior change for Sessions-built sessions.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
