@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+class IngestSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private val A = EegFixture.specA
+
+  test("parsePreamble extracts trimmed v5 metadata (sparkle-v5.py:65-84)") {
+    val dir = tempDir("ing-pre")
+    val path = EegFixture.write(dir, A)
+    val m = Ingest.parsePreamble(spark, path)
+    assert(m.file == A.fileName)
+    assert(m.patientName == "Alice Smith")
+    assert(m.patientId == "P-00042")
+    assert(m.patientBirthDate == "1980/2/3")
+    assert(m.testDate == "2019/7/15")
+    assert(m.testTime == "13:5:42")
+  }
+
+  test("probeHeader returns row 8 (sparkle-v9.py:92-93)") {
+    val dir = tempDir("ing-hdr")
+    val path = EegFixture.write(dir, A)
+    val h = Ingest.probeHeader(spark, path)
+    assert(h == EegFixture.headers(A))
+    assert(h.take(2) == Seq("ClockDateTime", "Time"))
+  }
+
+  test("ingestFile: preamble dropped, enrichment typed, time derived") {
+    val dir = tempDir("ing-full")
+    val path = EegFixture.write(dir, A)
+    val df = Ingest.ingestFile(spark, path).cache()
+    assert(df.count() == A.nRows) // all 8 preamble rows dropped, no data lost
+    val first = df.orderBy("Time").select(
+      "Time", "Timestamp", "Year", "Month", "Day",
+      "PatientID", "PatientBirthDate", "TestTime").head()
+    assert(first.getDouble(0) == 0.0)
+    // start = 2019-07-15 00:00:00 UTC (UTC session pinned in Sessions)
+    assert(first.getTimestamp(1).toInstant.getEpochSecond == A.startEpochSec)
+    assert((first.getInt(2), first.getInt(3), first.getInt(4)) == ((2019, 7, 15)))
+    assert(first.getString(5) == "P-00042")
+    assert(first.getDate(6).toString == "1980-02-03")
+    assert(first.getString(7) == "13:5:42")
+    df.unpersist()
+  }
+
+  test("ingestFile handles a wide schema (codegen fallback path, ≥1000 cols)") {
+    val wide = A.copy(fileName = "PUH-2021-001_01.csv", nDataCols = 1200, nRows = 5)
+    val dir = tempDir("ing-wide")
+    val path = EegFixture.write(dir, wide)
+    val df = Ingest.ingestFile(spark, path)
+    // 2 + 1200 raw, 5 enrichment, 4 derived
+    assert(df.columns.length == 1211)
+    assert(df.count() == 5)
+    val r = df.orderBy("Time").select("I400_1", "Year").head()
+    assert(r.getDouble(0) == EegFixture.cell(0, (400 - 1) * 3).toDouble)
+    assert(r.getInt(1) == 2019)
+  }
+
+  test("positional row ops F1/F2 (sparkle-v5.py:89-92)") {
+    val dir = tempDir("ing-pos")
+    val path = EegFixture.write(dir, A)
+    val raw = spark.read.option("header", "false").csv(path)
+    val hdr = Ingest.rowAt(raw, 7)
+    assert(hdr.getString(0) == "ClockDateTime")
+    val data = Ingest.rowsAfter(raw, 7)
+    assert(data.count() == A.nRows)
+  }
+
+  test("listCsvFiles filters size>0 and .csv; missing dir is empty (F3/F4/S6)") {
+    val dir = tempDir("ing-list")
+    EegFixture.write(dir, A)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "empty.csv"), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"), "x".getBytes)
+    val files = Ingest.listCsvFiles(spark, dir)
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) == Seq(A.fileName))
+    assert(Ingest.listCsvFiles(spark, dir + "/nope") == Seq.empty)
+  }
+
+  test("discoverFilesViaSpark finds distinct file paths (sparkle-v5.py:55-58)") {
+    val dir = tempDir("ing-disc")
+    EegFixture.write(dir, A)
+    EegFixture.write(dir, EegFixture.specB)
+    val found = Ingest.discoverFilesViaSpark(spark, s"$dir/*.csv")
+    assert(found.length == 2)
+    assert(found.forall(_.endsWith(".csv")))
+  }
+
+  test("moveFile archives atomically; sentinel delete; audit log (K3/K4/K5)") {
+    val dir = tempDir("ing-mv")
+    val path = EegFixture.write(dir, A)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".OK"), Array.emptyByteArray)
+
+    val dst = Ingest.moveFile(spark, path, s"$dir/processed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$dir/processed/${A.fileName}")))
+    assert(dst.endsWith(A.fileName))
+
+    assert(Ingest.deleteSentinel(spark, dir))
+    assert(!Ingest.deleteSentinel(spark, dir)) // already gone
+
+    val log = s"$dir/audit.log"
+    Ingest.auditAppend(spark, log, "t1", Seq("a.csv", "b.csv"))
+    Ingest.auditAppend(spark, log, "t2", Seq("c.csv"))
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(log))).trim.split("\n").toSeq
+    assert(lines == Seq("t1,a.csv,b.csv", "t2,c.csv"))
+  }
+
+  test("inferred-schema scan is supported but distinct from the typed path (S2)") {
+    val dir = tempDir("ing-inf")
+    val path = EegFixture.write(dir, A)
+    val df = Ingest.readCsvInferred(spark, path)
+    assert(df.columns.length == 2 + A.nDataCols)
+    assert(df.count() == 8L + A.nRows) // no schema → preamble rows retained
+  }
+}

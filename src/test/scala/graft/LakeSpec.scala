@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** Regression for reference defect D1 (sparkle-v9.py:128-138): the
+  * reference unioned the existing lake with each new batch and appended
+  * the union, duplicating all pre-existing rows on every ingest. Our
+  * writer appends only the new batch — row accounting must be exactly
+  * additive across repeated ingests. */
+class LakeSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private val A = EegFixture.specA
+  private val B = EegFixture.specB
+
+  test("repeated ingestBatch is additive — no D1 union duplication") {
+    val root = tempDir("lake-d1")
+    val lake = s"$root/lake"
+
+    def batch(specs: EegFileSpec*): Unit = {
+      val in = s"$root/in"
+      specs.foreach(EegFixture.write(in, _))
+      Ingest.ingestBatch(spark, in, lake, s"$root/registry", s"$root/processed")
+    }
+
+    batch(A)
+    assert(Lake.read(spark, lake).count() == A.nRows)
+
+    batch(B)
+    assert(Lake.read(spark, lake).count() == A.nRows + B.nRows)
+
+    // Same content under a new file name — a third batch must add exactly
+    // its own rows again (the D1 bug would re-append the whole lake).
+    batch(A.copy(fileName = "PUH-2019-042_02.csv"))
+    assert(Lake.read(spark, lake).count() == 2L * A.nRows + B.nRows)
+
+    // Partition accounting: every partition count is a multiple of its
+    // single-ingest count (A's partitions doubled, B's unchanged).
+    val counts = Lake.partitionCounts(spark, lake).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(counts((2019, 7, 15)) == 2L * counts.getOrElse((2020, 3, 1), 0L) ||
+      counts((2019, 7, 15)) % 2 == 0) // A rows ingested twice → even counts
+    assert(counts.values.sum == 2L * A.nRows + B.nRows)
+  }
+
+  test("lake layout is Hive-partitioned Year=/Month=/Day= (K1)") {
+    val root = tempDir("lake-layout")
+    val lake = s"$root/lake"
+    val in = s"$root/in"
+    EegFixture.write(in, A)
+    Ingest.ingestBatch(spark, in, lake, s"$root/registry", s"$root/processed")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$lake/Year=2019/Month=7/Day=15")))
+    // empty input dir → F4 guard: no-op, lake untouched
+    val before = Lake.read(spark, lake).count()
+    assert(Ingest.ingestBatch(spark, in, lake, s"$root/registry",
+      s"$root/processed").isEmpty)
+    assert(Lake.read(spark, lake).count() == before)
+    // partition pruning survives the layout: a Day filter reads one partition
+    val pruned = Lake.read(spark, lake)
+      .filter(org.apache.spark.sql.functions.col("Day") === 15)
+    assert(pruned.count() == counts20190715(lake))
+  }
+
+  private def counts20190715(lake: String): Long =
+    Lake.read(spark, lake)
+      .filter("Year = 2019 AND Month = 7 AND Day = 15").count()
+}
