@@ -12,7 +12,8 @@ import graft.engine._
 object SparkEntry {
 
   private def allSpecs: Seq[QuerySpec] =
-    RelationalQueries.specs ++ EventQueries.specs ++ IngestQueries.specs
+    RelationalQueries.specs ++ EventQueries.specs ++ IngestQueries.specs ++
+      TextQueries.specs ++ DedupQueries.specs ++ SimilarityQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's advertised capability class — filter + aggregation

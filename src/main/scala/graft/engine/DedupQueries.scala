@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS queries for the dedup family. Duplicates are PLANTED
+  * deterministically (documents has no natural dups): exact copies at
+  * doc_id+10000 for doc_id ≡ 0 (mod 7), near-copies (3 appended junk
+  * tokens) at doc_id+20000 for doc_id ≡ 0 (mod 5) — the oracle SQL
+  * replicates the same construction, so both engines dedup the same
+  * corpus. Sketch-based operators (MinHash, SimHash — Spark-hash-specific)
+  * are rows-only checked and unit-tested on the planted pairs. */
+object DedupQueries {
+  import Tables.table
+
+  private val NearTail = " zz9 qq8 vv7"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q39_exact_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |f AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         doc_id
+        |  FROM corpus)
+        |SELECT fp, min(doc_id) AS keeper, count(*) AS n
+        |FROM f GROUP BY fp ORDER BY keeper""".stripMargin) { (s, dir) =>
+      // Exact dedup = one hash aggregation on the content fingerprint;
+      // deterministic keep-smallest-id policy. Every planted copy folds
+      // into its original (n=2), everything else survives alone (n=1).
+      Dedup.exactDedup(
+        Dedup.plantedExact(table(s, dir, "documents")), "text", "doc_id")
+        .orderBy(col("keeper"))
+    },
+
+    QuerySpec.noOracle("q40_minhash_lsh") { (s, dir) =>
+      // MinHash(64) + 16×4 banded LSH candidates + exact-Jaccard verify.
+      // Never all-pairs: candidates come from band-hash buckets, and the
+      // verify joins shingles only for candidates. Finds both the planted
+      // pairs (Jaccard ≈ 0.91-0.96) and the corpus's natural near-dups
+      // (≈ 0.89-0.99); xxhash64-based signatures are Spark-specific →
+      // rows-only check, exact-pair assertions live in DedupSpec.
+      Dedup.nearDupPairs(
+        Dedup.plantedNear(table(s, dir, "documents")), "doc_id", "text",
+        threshold = 0.5)
+    },
+
+    QuerySpec.noOracle("q41_simhash") { (s, dir) =>
+      // 64-bit TF-weighted SimHash near-dup detection of the corpus's
+      // NATURAL near-duplicates: candidates by 8-bit chunk equality
+      // (complete for Hamming ≤ 7 ⊇ the 4 used here), verified with
+      // bit_count(xor). Unrelated docs cluster near Hamming 18; near-dups
+      // (trigram Jaccard ≥ 0.9) measure 0-9 with a knee at ~4.
+      Dedup.simhashPairs(
+        Dedup.simhash64(table(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = 4)
+        .orderBy(col("a"), col("b"))
+    },
+
+    QuerySpec(
+      "q42_ngram_jaccard",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w,
+         |         regexp_split_to_array(trim(text || '$NearTail'), '\\s+') AS w2
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa,
+         |    list_distinct(list_transform(range(1, len(w2) - 1),
+         |      i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS sb
+         |  FROM p)
+         |SELECT doc_id,
+         |       CAST(len(sa) AS BIGINT) AS n_a,
+         |       CAST(len(sb) AS BIGINT) AS n_b,
+         |       round(len(list_intersect(sa, sb)) * 1.0
+         |             / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Direct trigram-set Jaccard for known pairs (original vs mutated)
+      // — the exact n-gram similarity metric, DuckDB-verified. Set ops on
+      // array columns are order-insensitive, so the compare is exact.
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("text2", concat(col("text"), lit(NearTail)))
+        .select(col("doc_id"),
+          Dedup.shingleSet("text").as("sa"),
+          Dedup.shingleSet("text2").as("sb"))
+        .select(col("doc_id"),
+          size(col("sa")).cast("long").as("n_a"),
+          size(col("sb")).cast("long").as("n_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q43_embedding_cosine_pairs",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings WHERE vec_id < 60)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_dot_product(a.v, b.v)
+        |             / (sqrt(list_dot_product(a.v, a.v))
+        |                * sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 AS cosine,
+        |       a.label = b.label AS same_label
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Embedding-cosine near-dup metric on a bounded pair set (the
+      // UNbounded scale path is LSH-bucketed — q45). Dot products via
+      // aggregate/zip_with column exprs in double: same sequential sum
+      // order as DuckDB's list_dot_product → bit-comparable after
+      // rounding.
+      def dot(x: String, y: String) = expr(
+        s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("label").as("la"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("label").as("lb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (round(dot("va", "vb") /
+            (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))), 4) + lit(0.0))
+            .as("cosine"),
+          (col("la") === col("lb")).as("same_label"))
+        .orderBy(col("a"), col("b"))
+    })
+}

@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`, cast to
+  * double for arithmetic): brute-force cosine top-k as the exactness
+  * baseline, and a sign-random-hyperplane LSH bucketed variant as the
+  * scale path.
+  *
+  * All vector arithmetic is built-in higher-order column functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, and the sequential
+  * fold order matches DuckDB's `list_dot_product` so oracles compare
+  * bit-for-bit after rounding.
+  *
+  * 100 TB shape:
+  *  - brute force is a single linear scan + `TakeOrderedAndProject`
+  *    (per-partition heaps; no global sort) — the right baseline, and
+  *    already optimal for one-off queries;
+  *  - the LSH path attaches a small integer bucket signature to every
+  *    row; a query probes only its bucket neighborhood (Hamming ≤ r),
+  *    which on a real lake becomes a partition/cluster key so the scan
+  *    prunes instead of filters. Hyperplanes are a pure function of
+  *    (plane, dim) — no RNG state to ship, any executor recomputes them.
+  */
+object Similarity {
+
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(x: Column, y: Column): Column =
+    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 — components
+    * uniform in [-1, 1], reproducible everywhere (no seed shipping). */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nPlanes, dim)((p, j) =>
+      mix(p.toLong * 100003L + j).toDouble / Long.MaxValue)
+  }
+
+  /** Sign-LSH bucket signature: bit p = [v · plane_p > 0]. */
+  def signature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, i) =>
+      when(dot(v, array(pl.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embeddings table normalized to (vec_id, v: array<double>, label). */
+  def prep(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      col("label"))
+
+  /** Brute-force cosine top-k against the vector of `queryId`: broadcast
+    * one query row, linear scan, TakeOrdered. Rounded score + vec_id
+    * tie-break for a deterministic result set. */
+  def bruteForceTopK(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val d = prep(e)
+    val q = d.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    d.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-table ANN top-k — the standard OR-of-ANDs LSH amplification:
+    * L independent tables of b hyperplane bits each; a row is a candidate
+    * if it matches the query's bucket in ANY table. b controls per-table
+    * selectivity (~corpus/2^b rows scanned per table), L controls recall
+    * (1-(1-p^b)^L for per-bit agreement p). One bounded single-row driver
+    * read for the query. At lake scale the (table, bucket) pairs form an
+    * inverted index / partition key, so the probe prunes instead of
+    * filtering — here the row-local OR filter models it.
+    */
+  def annTopK(e: DataFrame, queryId: Long, k: Int,
+      nTables: Int = 24, bitsPerTable: Int = 6): DataFrame = {
+    val allPlanes = hyperplanes(nTables * bitsPerTable, 64)
+    def tableSig(v: Column, t: Int): Column =
+      signature(v, allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
+    val d = prep(e).withColumn("sigs",
+      array((0 until nTables).map(t => tableSig(col("v"), t)): _*))
+    val qRow = d.filter(col("vec_id") === queryId)
+      .select(col("v"), col("sigs")).head()
+    val qv = array(qRow.getSeq[Double](0).map(lit): _*)
+    val qSigs = qRow.getSeq[Int](1)
+    val anyTableMatch = (0 until nTables)
+      .map(t => col("sigs")(t) === lit(qSigs(t)))
+      .reduce(_ || _)
+    d.filter(col("vec_id") =!= queryId)
+      .filter(anyTableMatch)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), qv), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}

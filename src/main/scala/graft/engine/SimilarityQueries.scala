@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS queries for similarity search over `embeddings`. */
+object SimilarityQueries {
+  import Tables.table
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q44_cosine_topk",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       round(list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v))
+        |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      // Brute-force cosine top-k baseline: broadcast the single query
+      // row, one linear scan, TakeOrderedAndProject (no global sort).
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    QuerySpec.noOracle("q45_ann_lsh") { (s, dir) =>
+      // Sign-hyperplane LSH ANN: 12-bit bucket signature, probe radius 1
+      // (13 of 4096 buckets scanned). Deterministic hyperplanes → stable
+      // buckets; recall vs the exact top-k is asserted in SimilaritySpec.
+      Similarity.annTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
+    QuerySpec(
+      "q46_blocked_pairwise_topk",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+        |         round(list_dot_product(a.v, b.v)
+        |               / (sqrt(list_dot_product(a.v, a.v))
+        |                  * sqrt(list_dot_product(b.v, b.v))), 4) + 0.0 AS score
+        |  FROM e a, e b
+        |  WHERE a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a
+        |            ORDER BY score DESC, b) AS BIGINT) AS rn
+        |  FROM p)
+        |SELECT a, b, label, score, rn FROM r WHERE rn <= 3
+        |ORDER BY a, rn""".stripMargin) { (s, dir) =>
+      // Blocked pairwise similarity join: pairs only WITHIN a label block
+      // (the metadata-blocking pattern — join keyed on the block, never a
+      // global cross join), then per-vector top-3 via rank window.
+      val e = Similarity.prep(table(s, dir, "embeddings"))
+        .filter(col("vec_id") < 100)
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("label"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("label").as("lb"))
+      val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b"))
+      a.join(b, col("label") === col("lb") && col("a") =!= col("b"))
+        .select(col("a"), col("b"), col("label"),
+          (round(Similarity.cosine(col("va"), col("vb")), 4) + lit(0.0)).as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("a"), col("rn"))
+    })
+}

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus — the
+  * training-data-pipeline extension surface (BASELINE north star): token
+  * accounting, quality scoring, stopword-profile language ID, word
+  * frequency, and content fingerprinting.
+  *
+  * All operators are pure column expressions (codegen'd, no UDFs) so they
+  * stay inside whole-stage codegen and scale linearly with the corpus:
+  * per-document expressions shuffle nothing; the word top-k is a
+  * partial-agg-friendly hash aggregation.
+  *
+  * Every expression here has an exact DuckDB equivalent (the q35-q38
+  * oracles) — regex syntax is kept to the RE2 ∩ java.util.regex subset.
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized, lowercased, trimmed text — the canonical form
+    * for fingerprinting and dedup. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** MD5 content fingerprint of the normalized text (deterministic,
+    * engine-portable — unlike xxhash64 which is Spark-specific). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword count proxy: whitespace tokens plus intra-word
+    * letter↔digit/underscore transitions. On plain prose this equals the
+    * token count; on code/markup it grows like a subword tokenizer's
+    * piece count. No lookahead — RE2 (DuckDB) doesn't support it, and the
+    * oracle must count the same matches. */
+  def tokenCountBpeIsh(c: Column): Column =
+    (size(tokens(c)) +
+      regexp_count(c, lit("[a-zA-Z][0-9_]|[0-9_][a-zA-Z]"))).cast("long")
+
+  // Stopword profiles for the language-ID heuristic. Word-boundary
+  // alternations — supported identically by java.util.regex and RE2.
+  val EnStops = "\\b(the|a|of|and|to|in|is|it)\\b"
+  val DeStops = "\\b(der|die|das|und|ist|nicht|ein|zu)\\b"
+  val EsStops = "\\b(el|la|los|de|que|es|un|y)\\b"
+  val FrStops = "\\b(le|la|les|des|et|est|une|dans)\\b"
+  val CjkChars = "[\\x{4e00}-\\x{9fff}]"
+
+  def stopHits(c: Column, pattern: String): Column =
+    regexp_count(lower(c), lit(pattern)).cast("long")
+
+  /** Stopword-profile language ID: CJK characters dominate, otherwise the
+    * profile with the most hits wins (fixed tie order en>de>es>fr). A
+    * per-row expression — no shuffle, no model, the classic n-gram/stopword
+    * heuristic shape. */
+  def langId(c: Column): Column = {
+    val (en, de, es, fr) = (stopHits(c, EnStops), stopHits(c, DeStops),
+      stopHits(c, EsStops), stopHits(c, FrStops))
+    when(regexp_count(c, lit(CjkChars)) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality band from length + lexical diversity + stopword density —
+    * the length/punct/stopword-ratio scoring family. */
+  def qualityBand(nTokens: Column, diversity: Column, stopRatio: Column): Column =
+    when(nTokens >= 30 && nTokens <= 90 && diversity >= 0.25 && stopRatio <= 0.3, "good")
+      .when(nTokens >= 15, "fair")
+      .otherwise("low")
+}

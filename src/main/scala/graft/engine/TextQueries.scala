@@ -1,0 +1,121 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS queries for the text-analysis family over `documents`.
+  * Every metric is replicated verbatim in the DuckDB oracle (regex kept
+  * to the RE2 ∩ java.util.regex subset; ratios rounded before any
+  * comparison so both engines band identically). */
+object TextQueries {
+  import Tables.table
+  import TextAnalysis._
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q35_text_stats",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |         length(text) AS n_chars,
+         |         len(regexp_extract_all(lower(text), '$EnStops')) AS hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         len(toks) AS n_tokens, n_chars,
+         |         round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS diversity,
+         |         round(hits * 1.0 / len(toks), 4) AS stop_ratio
+         |  FROM t)
+         |SELECT *,
+         |       CASE WHEN n_tokens BETWEEN 30 AND 90
+         |                 AND diversity >= 0.25 AND stop_ratio <= 0.3 THEN 'good'
+         |            WHEN n_tokens >= 15 THEN 'fair'
+         |            ELSE 'low' END AS quality
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Per-document quality scoring: length, lexical diversity, stopword
+      // density → band. Pure row-local expressions — zero shuffles, scales
+      // with the scan.
+      val toks = tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("diversity"),
+          round(stopHits(col("text"), EnStops).cast("double") / size(toks), 4)
+            .as("stop_ratio"))
+        .withColumn("quality",
+          qualityBand(col("n_tokens"), col("diversity"), col("stop_ratio")))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q36_lang_id",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         len(regexp_extract_all(lower(text), '$EnStops')) AS en_hits,
+         |         len(regexp_extract_all(lower(text), '$DeStops')) AS de_hits,
+         |         len(regexp_extract_all(lower(text), '$EsStops')) AS es_hits,
+         |         len(regexp_extract_all(lower(text), '$FrStops')) AS fr_hits,
+         |         len(regexp_extract_all(text, '$CjkChars')) AS cjk_hits
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN cjk_hits > 0 THEN 'zh'
+         |            WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |                 AND en_hits >= fr_hits THEN 'en'
+         |            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |            WHEN es_hits >= fr_hits THEN 'es'
+         |            ELSE 'fr' END AS predicted,
+         |       en_hits, de_hits, es_hits, fr_hits
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Stopword-profile language ID (n-gram-heuristic family). The
+      // heuristic itself is the operator under test — Spark and DuckDB
+      // must agree row-for-row on hits and the argmax tie order.
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          langId(col("text")).as("predicted"),
+          stopHits(col("text"), EnStops).as("en_hits"),
+          stopHits(col("text"), DeStops).as("de_hits"),
+          stopHits(col("text"), EsStops).as("es_hits"),
+          stopHits(col("text"), FrStops).as("fr_hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q37_word_topk",
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      // Corpus word frequency top-k: explode → hash agg (partial-agg
+      // friendly, one shuffle on word) → TakeOrdered. Total order via
+      // (n DESC, word) so ties can't flip the hash compare.
+      table(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+
+    QuerySpec(
+      "q38_fingerprint",
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       len(regexp_split_to_array(trim(text), '\s+'))
+        |         + len(regexp_extract_all(text, '[a-zA-Z][0-9_]|[0-9_][a-zA-Z]'))
+        |         AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Content fingerprinting (dedup key) + BPE-ish piece counting. md5
+      // over normalized text is engine-portable, unlike xxhash64.
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          tokenCountBpeIsh(col("text")).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    })
+}

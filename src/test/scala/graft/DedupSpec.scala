@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Planted-duplicate assertions for the sketch-based dedup operators
+  * (MinHash-LSH, SimHash) that the DuckDB oracle can't replay. The
+  * corpus ALSO contains natural near-duplicates (trigram Jaccard
+  * 0.89-0.99), so recall assertions are subset-based, plus precision
+  * assertions on the verified metric. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.table(spark, sf, "documents")
+
+  private def plantedPairs(mod: Int, offset: Long): Set[(Long, Long)] =
+    docs.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(d => (d, d + offset)).toSet
+
+  test("exactDedup folds planted copies and keeps the smallest id") {
+    val out = Dedup.exactDedup(Dedup.plantedExact(docs), "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = docs.count()
+    val planted = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(out.length == total) // every planted copy folded into its original
+    assert(out.count(_._3 == 2L) == planted)
+    assert(out.forall(_._2 < 10000L)) // keeper is always the original
+  }
+
+  test("MinHash-LSH finds every planted near-dup pair; survivors verify") {
+    val pairs = Dedup.nearDupPairs(Dedup.plantedNear(docs), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = plantedPairs(5, 20000L)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+    // precision: everything reported passed the EXACT Jaccard verify
+    assert(pairs.forall(_._3 >= 0.5))
+    // 3 junk tokens on the shortest (~10-token) docs still give ≥ 0.65
+    assert(pairs.filter(p => expected((p._1, p._2))).forall(_._3 >= 0.65))
+    // the extras are the corpus's natural near-dups, e.g. 474↔498
+    assert(found((474L, 498L)))
+  }
+
+  test("SimHash finds the strong natural near-dups within Hamming 4") {
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash64(docs, "doc_id", "text"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // near-identical natural pairs (measured TF-simhash Hamming ≤ 1)
+    val strong = Set((474L, 498L), (110L, 467L), (260L, 391L), (144L, 161L))
+    assert(strong.subsetOf(found), s"missing: ${strong -- found}")
+    assert(pairs.forall(_._3 <= 4)) // banding contract: verify bound holds
+    // unrelated docs (TF-simhash Hamming ~18) never pass; the measured
+    // corpus-wide count at Hamming ≤ 4 is 42
+    assert(pairs.length < 60)
+  }
+
+  test("LSH bucket cap prevents quadratic pair blowup on degenerate corpora") {
+    import spark.implicits._
+    // 200 identical docs → one bucket of 200 → capped out entirely
+    val degenerate = (0 until 200).map(i => (i.toLong, "same text every time"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleDf(degenerate, "doc_id", "text")
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(sh), maxBucket = 64)
+    assert(cand.count() == 0)
+  }
+}

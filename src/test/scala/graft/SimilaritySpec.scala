@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = Tables.table(spark, sf, "embeddings")
+
+  test("hyperplanes are deterministic and bounded") {
+    val a = Similarity.hyperplanes(12, 64)
+    val b = Similarity.hyperplanes(12, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    // not degenerate: planes differ from each other
+    assert(a.map(_.toSeq).distinct.length == 12)
+  }
+
+  test("brute-force top-k is ordered and self-excluded") {
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val scores = top.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("multi-table ANN reaches useful recall on weakly-clustered data") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val annIds = Similarity.annTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(annIds.size <= 10)
+    // 24 tables × 6 bits: for a cosine-0.4 neighbor the per-table match
+    // probability is ~(1 - acos(.4)/π)^6 ≈ 6%, amplified over 24 tables
+    // to ~0.8 expected recall. Random embeddings are LSH's worst case —
+    // assert well above the random-pick floor with margin for variance.
+    val recall = (exact & annIds).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall vs exact $exact, got $annIds")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("x", "y")
+      .select(round(Similarity.cosine(col("x"), col("y")), 6).as("c"))
+    assert(df.head().getDouble(0) == 1.0)
+  }
+}
