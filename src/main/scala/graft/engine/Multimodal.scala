@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Typed rows for the partition-wise batch decode path (the Scala-native
+  * analogue of a Pandas-UDF `mapInPandas` stage: a typed Dataset walked
+  * partition-by-partition through a codec). Top-level case classes so
+  * implicit Encoders resolve. */
+final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
+final case class FeatureRow(media_id: Long, dim: Int, feature: Array[Float])
+
+/** Multimodal column plumbing (BASELINE north star): image/audio/video
+  * as opaque `binary` payloads with a typed metadata struct, plus
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[FakeCodec]]) — everything
+  * Spark-side is real and tested: the schema (binary + struct), the
+  * frame chunking arithmetic, the partition-wise typed-Dataset batch
+  * shape, and the metadata algebra. Swapping [[FakeCodec.decode]] for a
+  * real codec changes no plan shape.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver
+  * collection, no base64 blowup); frame explosion is bounded by
+  * ceil(len/frameBytes) per row; the batch decode is `mapPartitions` —
+  * one codec instance per partition, streaming iterator, no
+  * per-row setup cost.
+  */
+object Multimodal {
+
+  /** STUB CODEC — stands in for libjpeg/ffmpeg-style decoding, which
+    * this environment cannot run. Deterministic FNV-1a over the payload
+    * per feature slot, so tests and rows-only checks are stable. */
+  object FakeCodec {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim) { j =>
+        var h = 0xcbf29ce484222325L ^ j.toLong
+        var i = 0
+        while (i < payload.length) {
+          h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        ((h >>> 11) % 1000L) / 1000.0f
+      }
+  }
+
+  /** Synthesize the media table from `documents` (deterministic:
+    * format/width/height derived from doc_id, payload = text bytes).
+    * This is the SCHEMA under test: opaque binary + typed metadata. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      struct(
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("wav").as("format"),
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height")).as("meta"),
+      col("text").cast("binary").as("payload"),
+      // byte length of the payload, not char length — differs under
+      // multibyte UTF-8, and the frame math is in bytes
+      length(col("text").cast("binary")).cast("long").as("payload_len"))
+
+  /** Metadata-only resize: recompute width/height for a bounding box,
+    * preserving aspect ratio (integer floor). The pixel transform itself
+    * is codec territory — metadata algebra is the engine's part. */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("meta.height"), lit(maxH) * col("meta.width"))
+    val newW = floor(col("meta.width") * scaleNum /
+      (col("meta.width") * col("meta.height"))).cast("int")
+    val newH = floor(col("meta.height") * scaleNum /
+      (col("meta.width") * col("meta.height"))).cast("int")
+    media.withColumn("meta",
+      struct(col("meta.format").as("format"), newW.as("width"), newH.as("height")))
+  }
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size
+    * frames, keep every `every`-th, fingerprint each. Row-local
+    * explosion bounded by payload size. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, every: Int = 5): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        posexplode(expr(
+          s"sequence(0, CAST(ceil(payload_len / $frameBytes.0) AS INT) - 1)"))
+          .as(Seq("pos", "frame_idx")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(payload, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+          .as("frame_md5"))
+
+  /** Partition-wise batch decode through a typed Dataset — the
+    * mapInPandas-equivalent stage. Returns (media_id, dim, feature)
+    * with `feature: array<float>`. */
+  def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("meta.format").as("format"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // one codec per partition; streaming — no materialization
+        rows.map(m => FeatureRow(m.media_id, dim, FakeCodec.decode(m.payload, dim)))
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,101 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics (SURVEY §7.3 step 5):
+  * tumbling-window aggregation and session windows over a file stream,
+  * executed with `Trigger.AvailableNow` so a bounded input drains
+  * deterministically and the result equals the batch form (asserted in
+  * StreamingSpec, and by sharing the batch queries' DuckDB oracles).
+  *
+  * Design notes:
+  *  - file streams need an explicit schema; `events.ts` is parquet
+  *    TIMESTAMP(NANOS), read as long (nanosAsLong) then converted to µs —
+  *    identical to the batch path in [[Tables.table]];
+  *  - watermark bounds state at real streaming scale; with AvailableNow +
+  *    COMPLETE output it does not gate emission, so the tail windows are
+  *    present (append mode would hold back the last watermark-delay of
+  *    windows — the classic bounded-replay pitfall);
+  *  - `session_window` merges events with gaps STRICTLY under the gap
+  *    duration; the batch gaps-and-islands form (q27) breaks at
+  *    `> gap` — equivalent unless a gap is exactly the threshold (none
+  *    in this dataset at any sf, checked to the microsecond).
+  *
+  * At scale the memory-sink materialization below is a test/serving
+  * harness; production sinks are `writeStream.format("parquet"/"kafka")`
+  * with the same plan.
+  */
+object Streaming {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `events` as a file stream (S7's in-engine analogue: the drop-folder
+    * micro-batch source). The file source requires a DIRECTORY; the
+    * testdata table is a single parquet file, so it is staged (copied
+    * once, size-checked) into a per-sf stream directory — exactly the
+    * drop-folder layout a production stream would watch. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = src.getFileSystem(conf)
+    val streamDir =
+      if (fs.getFileStatus(src).isDirectory) src.toString
+      else {
+        val dir = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream/${new java.io.File(sfDir).getName}")
+        fs.mkdirs(dir)
+        val dst = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+        if (!fs.exists(dst) ||
+          fs.getFileStatus(dst).getLen != fs.getFileStatus(src).getLen)
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+        dir.toString
+      }
+    spark.readStream.schema(eventsSchema).parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1h window aggregation (the streaming form of q25). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** 30-minute-gap session windows per user (streaming form of q27). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Drain a bounded stream with AvailableNow into a memory sink and
+    * return the materialized result. Query names are namespaced per call
+    * so warmup+timed reruns don't collide. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val qn = s"${name}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .queryName(qn)
+      .outputMode("complete")
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    spark.table(qn)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS queries for Structured Streaming — each drains the
+  * bounded events stream with AvailableNow and must match a BATCH oracle
+  * (the same DuckDB SQL family as q25/q27), which is the strongest
+  * equivalence check available for streaming semantics. */
+object StreamingQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q50_stream_tumbling",
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*)             AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Streaming tumbling window == batch hour-truncated groupBy: 1h
+      // epoch-aligned windows start exactly at date_trunc('hour').
+      Streaming.runAvailableNow(
+        Streaming.tumblingCounts(Streaming.eventsStream(s, dir)),
+        "q50_tumbling")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    QuerySpec(
+      "q51_stream_sessionize",
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+        |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+        |                   > 1800 * 1000000
+        |              OR LAG(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |),
+        |sessions AS (
+        |  SELECT user_id, tsu, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |              ORDER BY tsu, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS session_id
+        |  FROM gaps)
+        |SELECT user_id, MIN(tsu) AS session_start,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      // session_window(30 min) == the batch gaps-and-islands oracle
+      // keyed by session start (no exact-1800s gaps exist at any sf, so
+      // the strict-< vs > boundary conventions coincide).
+      Streaming.runAvailableNow(
+        Streaming.sessionize(Streaming.eventsStream(s, dir)),
+        "q51_sessionize")
+        .orderBy(col("user_id"), col("session_start"))
+    })
+}
