@@ -67,9 +67,13 @@ object RelationalQueries {
         |       CAST(DAY(l_shipdate) AS INT)    AS ship_day
         |FROM lineitem
         |WHERE l_quantity >= 49
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, charge, ship_date
+        |LIMIT 1000""".stripMargin) { (s, dir) =>
       // P5/P6/P7: cast, arithmetic expr, date-part extraction — the derived
       // Timestamp/Year/Month/Day pattern of reference sparkle-v9.py:115-122.
+      // Bounded output: sort+limit plans TakeOrderedAndProject (per-
+      // partition heaps), not a global sort of a linear-size projection —
+      // an unbounded ordered dump is a driver bottleneck at 100 TB.
       table(s, dir, "lineitem")
         .filter(col("l_quantity") >= 49)
         .select(
@@ -80,7 +84,11 @@ object RelationalQueries {
           year(col("l_shipdate")).as("ship_year"),
           month(col("l_shipdate")).as("ship_month"),
           dayofmonth(col("l_shipdate")).as("ship_day"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // charge + ship_date complete the total order so LIMIT is stable.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge"),
+          col("ship_date"))
+        .limit(1000)
     },
 
     QuerySpec(
@@ -182,14 +190,20 @@ object RelationalQueries {
         |       ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey
-        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+        |ORDER BY n_orders, c_custkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      // Outer join + per-key agg (one shuffle each), then a BOUNDED
+      // ordered result via TakeOrdered — no global sort of O(customers)
+      // output. Ordering by n_orders ASC surfaces the outer-join rows
+      // (customers with zero orders) first.
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy(c("c_custkey"))
         .agg(count(o("o_orderkey")).as("n_orders"),
           round(coalesce(sum(o("o_totalprice")), lit(0)), 2).as("total_spent"))
-        .orderBy(col("c_custkey"))
+        .orderBy(col("n_orders"), col("c_custkey"))
+        .limit(100)
     },
 
     // ----- distinct / set ops (A1, A3) ------------------------------------
@@ -299,11 +313,24 @@ object RelationalQueries {
         |  FROM customer)
         |WHERE bal_rank <= 3
         |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin) { (s, dir) =>
-      // Per-group top-k via rank window — the scalable alternative to a
-      // global sort when k is small and groups are many.
+      // Per-group top-k, two-phase: only 25 nations exist, so a single
+      // window partitioned by nation caps parallelism at 25 and sorts
+      // 1/25th of ALL customers per task. Phase 1 salts each nation into
+      // 32 subgroups and takes a local top-3 (parallelism 25×32, each
+      // task sorting a small slice); phase 2 ranks the ≤ 25×32×3
+      // candidates — provably containing every global top-3 row, since
+      // (c_acctbal DESC, c_custkey) is a total order. Same result and
+      // oracle as the single-window form.
+      val salted = table(s, dir, "customer")
+        .withColumn("salt", pmod(hash(col("c_custkey")), lit(32)))
+      val w1 = Window.partitionBy(col("c_nationkey"), col("salt"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val candidates = salted
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= 3)
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      table(s, dir, "customer")
+      candidates
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
           rank().over(w).cast("long").as("bal_rank"),
           row_number().over(w).cast("long").as("rn"))
