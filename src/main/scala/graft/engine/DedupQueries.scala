@@ -85,10 +85,12 @@ object DedupQueries {
       // array columns are order-insensitive, so the compare is exact.
       table(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
-        .withColumn("text2", concat(col("text"), lit(NearTail)))
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .withColumn("w2",
+          split(trim(concat(col("text"), lit(NearTail))), "\\s+"))
         .select(col("doc_id"),
-          Dedup.shingleSet("text").as("sa"),
-          Dedup.shingleSet("text2").as("sb"))
+          Dedup.shingleSet("w").as("sa"),
+          Dedup.shingleSet("w2").as("sb"))
         .select(col("doc_id"),
           size(col("sa")).cast("long").as("n_a"),
           size(col("sb")).cast("long").as("n_b"),
@@ -114,8 +116,7 @@ object DedupQueries {
       // aggregate/zip_with column exprs in double: same sequential sum
       // order as DuckDB's list_dot_product → bit-comparable after
       // rounding.
-      def dot(x: String, y: String) = expr(
-        s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+      def dot(x: String, y: String) = Similarity.dot(col(x), col(y))
       val e = table(s, dir, "embeddings")
         .filter(col("vec_id") < 60)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),

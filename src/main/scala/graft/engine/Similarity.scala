@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd dot product ([[org.apache.spark.sql.graft.DotProduct]]) —
+    * same sequential-sum semantics as the HOF form (kept below for
+    * differential testing) and as DuckDB's list_dot_product. */
   def dot(x: Column, y: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.dotNative(x, y)
+
+  /** The higher-order-function formulation — allocation-heavy but
+    * built-in-only; retained as the reference implementation the native
+    * expression is tested against. */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
 
   def cosine(x: Column, y: Column): Column =
