@@ -12,13 +12,21 @@ object Bench {
     val spark = Sessions.local("graft-bench")
     def force(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Harness hygiene, outside the timed region: no query is allowed to
+      // leak cached data into the next query's measurement. Operators
+      // don't persist anymore, so this is a cheap no-op guard against
+      // future regressions rather than a cleanup of known leaks.
+      spark.catalog.clearCache()
+      elapsed
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(force) // warmup (untimed)

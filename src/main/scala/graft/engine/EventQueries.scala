@@ -34,6 +34,33 @@ object EventQueries {
     },
 
     QuerySpec(
+      "q52_hopping_window",
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |w AS (
+        |  SELECT make_timestamp((epoch_us(tsu) // 900000000) * 900000000
+        |                        - o * 900000000) AS window_start,
+        |         event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS o) offsets)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Hopping 1h window sliding every 15 min: window() expands each
+      // event to its 4 overlapping window assignments (epoch-aligned, so
+      // start = floor15(ts) - {0,1,2,3}·15min — exactly the oracle's
+      // generate-offsets construction), then one partial-agg-friendly
+      // groupBy. SURVEY §7.3 step 5's tumbling/SLIDING/session promise.
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    QuerySpec(
       "q26_daily_user_activity",
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
         |       COUNT(*) AS n_events,

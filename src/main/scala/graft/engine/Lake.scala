@@ -25,9 +25,17 @@ object Lake {
 
   val PartitionCols: Seq[String] = Seq("Year", "Month", "Day")
 
-  /** K1: append the new batch only (no read-modify-write of the lake). */
-  def append(df: DataFrame, dir: String): Unit =
-    df.write.partitionBy(PartitionCols: _*).mode("append").parquet(dir)
+  /** K1: append the new batch only (no read-modify-write of the lake).
+    *
+    * `codec` is the explicit storage-cost lever the reference called out
+    * (gzip ≈ 2× smaller than snappy at ≈ 2-3× the write CPU, reference
+    * README.md:25-27): snappy (default) for hot, frequently-queried
+    * partitions; gzip for cold archives. Parquet tolerates mixed codecs
+    * per file, so the choice can change batch-to-batch without rewriting
+    * the lake. */
+  def append(df: DataFrame, dir: String, codec: String = "snappy"): Unit =
+    df.write.option("compression", codec)
+      .partitionBy(PartitionCols: _*).mode("append").parquet(dir)
 
   /** S5: scan the lake (partition columns come back from the layout). */
   def read(spark: SparkSession, dir: String): DataFrame =

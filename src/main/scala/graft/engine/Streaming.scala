@@ -70,6 +70,19 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) 1h windows every 15 min — each event lands in 4
+    * overlapping windows (streaming form of q52). Same partial-agg-friendly
+    * shape as tumbling: the window expression expands each row to its 4
+    * window assignments BEFORE the shuffle, so map-side combine still
+    * applies and state is keyed on (window, event_type). */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** 30-minute-gap session windows per user (streaming form of q27). */
   def sessionize(events: DataFrame): DataFrame =
     events
@@ -82,7 +95,16 @@ object Streaming {
 
   /** Drain a bounded stream with AvailableNow into a memory sink and
     * return the materialized result. Query names are namespaced per call
-    * so warmup+timed reruns don't collide. */
+    * so warmup+timed reruns don't collide.
+    *
+    * The memory sink buffers the full result on the driver and the temp
+    * view pins that buffer for the session's lifetime — so the rows are
+    * copied out into a plain local relation and the sink view is DROPPED
+    * before returning (an earlier version leaked one sink table per call,
+    * which accumulated across bench warmup+timed passes). The copy is
+    * driver-bounded by construction: a COMPLETE-mode memory sink is
+    * already a driver-side materialization of the (windowed-aggregate,
+    * i.e. cardinality-reduced) result. */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def runAvailableNow(df: DataFrame, name: String): DataFrame = {
@@ -96,6 +118,10 @@ object Streaming {
       .start()
     try q.awaitTermination(120000)
     finally q.stop()
-    spark.table(qn)
+    val sunk = spark.table(qn)
+    val rows = java.util.Arrays.asList(sunk.collect(): _*)
+    val out = spark.createDataFrame(rows, sunk.schema)
+    spark.catalog.dropTempView(qn)
+    out
   }
 }

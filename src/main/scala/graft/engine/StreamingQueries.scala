@@ -28,6 +28,27 @@ object StreamingQueries {
     },
 
     QuerySpec(
+      "q53_stream_hopping",
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |w AS (
+        |  SELECT make_timestamp((epoch_us(tsu) // 900000000) * 900000000
+        |                        - o * 900000000) AS window_start,
+        |         event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS o) offsets)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Streaming hopping window == the batch q52 oracle: 1h windows
+      // sliding 15 min, epoch-aligned, drained with AvailableNow.
+      Streaming.runAvailableNow(
+        Streaming.hoppingCounts(Streaming.eventsStream(s, dir)),
+        "q53_hopping")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    QuerySpec(
       "q51_stream_sessionize",
       """WITH gaps AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,

@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.4: custom
   * Expression only where the built-in form costs — the higher-order
@@ -68,6 +69,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Carter–Wegman MinHash slot vector: hash the input string ONCE into two
+  * independent 64-bit base hashes (XXH64 under two seeds), then derive the
+  * k permutation approximations as affine combinations `h1 + i * h2` (h2
+  * forced odd so every map is a bijection mod 2^64). Replaces k salted
+  * string re-hashes (`xxhash64(concat(sh, salt_i))` — k string
+  * concatenations + k variable-length hashes per row) with 2 string hashes
+  * + k wrapping long multiply-adds, the standard MinHash trick (Indyk;
+  * also how DataSketches derives its k minhash slots).
+  *
+  * Wrapping arithmetic is REQUIRED here, which is why this is a native
+  * expression: SQL-level `h1 + i * h2` under ANSI mode (the Spark 4
+  * default) throws ARITHMETIC_OVERFLOW, while Java long arithmetic wraps —
+  * the intended modular semantics.
+  *
+  * Output is `array<long>` of length k (never null elements); a null
+  * input string yields a null array via UnaryExpression null-intolerance.
+  */
+case class MinHashSlots(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, s"k must be positive: $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash_slots"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val h1 = XXH64.hashUTF8String(s, MinHashSlots.Seed1)
+    val h2 = XXH64.hashUTF8String(s, MinHashSlots.Seed2) | 1L
+    val arr = new Array[Long](k)
+    var i = 0
+    while (i < k) { arr(i) = h1 + i * h2; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
+      val xxh = classOf[XXH64].getName
+      val uad = classOf[UnsafeArrayData].getName
+      s"""
+         |long $h1 = $xxh.hashUTF8String($s, ${MinHashSlots.Seed1}L);
+         |long $h2 = $xxh.hashUTF8String($s, ${MinHashSlots.Seed2}L) | 1L;
+         |long[] $arr = new long[$k];
+         |for (int $i = 0; $i < $k; $i++) { $arr[$i] = $h1 + $i * $h2; }
+         |${ev.value} = $uad.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSlots {
+  /** Spark's conventional xxhash64 seed — slot 0 therefore matches what a
+    * plain `xxhash64(sh)` family would produce, handy when debugging. */
+  val Seed1: Long = 42L
+  /** 2^64 / golden ratio, the splitmix64 increment — a fixed, public,
+    * maximally-irrational odd constant for the second hash stream. */
+  val Seed2: Long = 0x9E3779B97F4A7C15L
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -80,4 +148,9 @@ object VectorFunctions {
   def cosineNative(x: Column, y: Column): Column =
     dotNative(x, y) / (org.apache.spark.sql.functions.sqrt(dotNative(x, x)) *
       org.apache.spark.sql.functions.sqrt(dotNative(y, y)))
+
+  /** k Carter–Wegman MinHash slot values for a string column, as
+    * `array<long>` (see [[MinHashSlots]]). */
+  def minhashSlots(s: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSlots(ExpressionUtils.expression(s), k))
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ENFORCED physical-plan gate (the reference's "avoid full scan"
+  * cost checks, reference README.md:29-31, promoted from the PlanAudit
+  * report to a failing test): a future query that plans an unapproved
+  * cartesian product, drops a bounded query's top-k into a global sort,
+  * or leaks cached data past its return breaks the build, not the next
+  * benchmark round.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Deliberately-bounded nested-loop joins: q43 pairs a vec_id<60 grid
+    * (≤1770 rows by construction); q44 broadcasts a single query row. */
+  private val cartesianAllowed =
+    Set("q43_embedding_cosine_pairs", "q44_cosine_topk")
+
+  /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  private val mustTopK = Set(
+    "q02_project_scalar", "q03_topk", "q08_outer_join",
+    "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh")
+
+  test("no query plans an unapproved cartesian; bounded queries keep top-k") {
+    val feats = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> PlanAudit.features(spark, sf, fn)
+    }
+    val badCartesian = feats.collect {
+      case (n, f) if f.cartesian && !cartesianAllowed(n) => n
+    }
+    assert(badCartesian.isEmpty,
+      s"cartesian/nested-loop outside the allow-list: $badCartesian")
+    val missingTopK = feats.collect {
+      case (n, f) if mustTopK(n) && !f.topk => n
+    }
+    assert(missingTopK.isEmpty,
+      s"bounded-output queries without TakeOrderedAndProject: $missingTopK")
+    // every declared top-k query must exist (guards the set against renames)
+    val known = feats.map(_._1).toSet
+    assert((mustTopK ++ cartesianAllowed).subsetOf(known))
+  }
+
+  test("multi-consumer pipelines leave no cached RDDs after returning") {
+    // The round-3 regression class: Dedup persisted its shingle/signature
+    // tables and never unpersisted, so every bench query after q40/q41 ran
+    // against a polluted executor heap. The pipelines now rely on
+    // ReuseExchange/AQE stage reuse instead — run them to completion and
+    // assert nothing stayed cached.
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    graft.engine.Dedup.nearDupPairs(
+      graft.engine.Dedup.plantedNear(docs), "doc_id", "text", 0.5).count()
+    graft.engine.Dedup.simhashPairs(
+      graft.engine.Dedup.simhash64(docs, "doc_id", "text"), maxHamming = 4)
+      .count()
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"cached RDDs survived a query's return: ${leaked.values.map(_.name)}")
+    // the streaming memory sinks must be dropped by runAvailableNow, not
+    // accumulate one temp view per call
+    graft.engine.Streaming.runAvailableNow(
+      graft.engine.Streaming.tumblingCounts(
+        graft.engine.Streaming.eventsStream(spark, sf)), "gate_tumbling")
+      .count()
+    val sinkViews = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("gate_tumbling"))
+    assert(sinkViews.isEmpty,
+      s"memory-sink temp views leaked: ${sinkViews.map(_.name).toSeq}")
+  }
+}

@@ -26,6 +26,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming hopping window equals the batch window() form") {
+    val stream = Streaming.runAvailableNow(
+      Streaming.hoppingCounts(Streaming.eventsStream(spark, sf)), "t_hopping")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(stream == batch)
+    // every event lands in exactly windowDuration/slide = 4 windows
+    val events = Tables.table(spark, sf, "events").count()
+    assert(batch.toSeq.map(_._3).sum == 4 * events)
+  }
+
   test("streaming session windows equal the batch gaps-and-islands form") {
     val stream = Streaming.runAvailableNow(
       Streaming.sessionize(Streaming.eventsStream(spark, sf)), "t_sessions")
