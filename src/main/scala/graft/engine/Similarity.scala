@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`, cast to
@@ -76,6 +77,33 @@ object Similarity {
         round(cosine(col("v"), col("qv")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Blocked pairwise similarity top-k: cosine pairs only WITHIN a label
+    * block (metadata blocking — the join keys on the block, never a global
+    * cross join), then per-vector top-k via a rank window.
+    *
+    * `maxBlock` bounds the quadratic term: a block of B rows yields B²
+    * pair candidates, so a degenerate block (one label dominating the
+    * corpus) is truncated to its first `maxBlock` members by vec_id — the
+    * same discipline as Dedup's LSH `maxBucket` cap. The truncation pass
+    * is a row_number window: O(B log B) in one shuffle on the block key,
+    * versus the O(B²) join it prevents. */
+  def blockedPairwiseTopK(e: DataFrame, k: Int,
+      maxBlock: Int = 10000): DataFrame = {
+    val bw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val bounded = e.withColumn("bn", row_number().over(bw))
+      .filter(col("bn") <= maxBlock).drop("bn")
+    val a = bounded.select(col("vec_id").as("a"), col("v").as("va"),
+      col("label"))
+    val b = bounded.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("label").as("lb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b"))
+    a.join(b, col("label") === col("lb") && col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("label"),
+        (round(cosine(col("va"), col("vb")), 4) + lit(0.0)).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
   }
 
   /** Multi-table ANN top-k — the standard OR-of-ANDs LSH amplification:

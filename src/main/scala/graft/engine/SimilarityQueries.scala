@@ -1,6 +1,5 @@
 package graft.engine
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CORRECTNESS queries for similarity search over `embeddings`. */
@@ -50,20 +49,14 @@ object SimilarityQueries {
         |  FROM p)
         |SELECT a, b, label, score, rn FROM r WHERE rn <= 3
         |ORDER BY a, rn""".stripMargin) { (s, dir) =>
-      // Blocked pairwise similarity join: pairs only WITHIN a label block
-      // (the metadata-blocking pattern — join keyed on the block, never a
-      // global cross join), then per-vector top-3 via rank window.
-      val e = Similarity.prep(table(s, dir, "embeddings"))
-        .filter(col("vec_id") < 100)
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("label"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("label").as("lb"))
-      val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b"))
-      a.join(b, col("label") === col("lb") && col("a") =!= col("b"))
-        .select(col("a"), col("b"), col("label"),
-          (round(Similarity.cosine(col("va"), col("vb")), 4) + lit(0.0)).as("score"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
+      // Blocked pairwise similarity join ([[Similarity.blockedPairwiseTopK]]):
+      // pairs only WITHIN a label block, per-vector top-3 via rank window,
+      // degenerate blocks capped (cap doesn't bind on this bounded slice,
+      // so the exact oracle above still applies; the cap's own semantics
+      // are regression-tested in SimilaritySpec).
+      Similarity.blockedPairwiseTopK(
+        Similarity.prep(table(s, dir, "embeddings"))
+          .filter(col("vec_id") < 100), k = 3)
         .orderBy(col("a"), col("rn"))
     })
 }

@@ -59,6 +59,26 @@ class IngestSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2019)
   }
 
+  test("ingestFile at the reference's true width (6,039 raw columns)") {
+    // The reference's defining trait: column_type_mapping.json carries
+    // 6,039 column→type entries. 2 time columns + 6,037 measurements,
+    // plus 5 enrichment + 4 derived = 6,048 out.
+    val wide = A.copy(fileName = "PUH-2022-001_01.csv",
+      nDataCols = 6037, nRows = 3)
+    val dir = tempDir("ing-truewidth")
+    val path = EegFixture.write(dir, wide)
+    val df = Ingest.ingestFile(spark, path)
+    assert(df.columns.length == 6048)
+    assert(df.count() == 3)
+    val r = df.orderBy("Time")
+      .select("I1_1", "I2012_1", "I2013_1", "Year", "PatientID").head()
+    assert(r.getDouble(0) == EegFixture.cell(0, 0).toDouble)
+    assert(r.getDouble(1) == EegFixture.cell(0, (2012 - 1) * 3).toDouble)
+    assert(r.getDouble(2) == EegFixture.cell(0, (2013 - 1) * 3).toDouble)
+    assert(r.getInt(3) == 2019)
+    assert(r.getString(4) == "P-00042")
+  }
+
   test("positional row ops F1/F2 (sparkle-v5.py:89-92)") {
     val dir = tempDir("ing-pos")
     val path = EegFixture.write(dir, A)

@@ -66,4 +66,33 @@ class LakeSpec extends AnyFunSuite {
   private def counts20190715(lake: String): Long =
     Lake.read(spark, lake)
       .filter("Year = 2019 AND Month = 7 AND Day = 15").count()
+
+  test("append codec option: snappy vs gzip file suffixes, identical read-back") {
+    val root = tempDir("lake-codec")
+    val in = s"$root/in"
+    val path = EegFixture.write(in, A)
+    val df = Ingest.ingestFile(spark, path)
+
+    Lake.append(df, s"$root/lake_snappy") // default codec
+    Lake.append(df, s"$root/lake_gzip", codec = "gzip")
+
+    def parquetFiles(dir: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq
+    }
+    val snappyFiles = parquetFiles(s"$root/lake_snappy")
+    val gzipFiles = parquetFiles(s"$root/lake_gzip")
+    assert(snappyFiles.nonEmpty && snappyFiles.forall(_.endsWith(".snappy.parquet")))
+    assert(gzipFiles.nonEmpty && gzipFiles.forall(_.endsWith(".gz.parquet")))
+
+    // codec changes bytes, never data: identical rows and schema back
+    def key(dir: String) = Lake.read(spark, dir)
+      .select("Time", "ClockDateTime", "I1_1", "Year", "Month", "Day")
+      .collect().map(_.toSeq).toSet
+    assert(key(s"$root/lake_snappy") == key(s"$root/lake_gzip"))
+    assert(Lake.read(spark, s"$root/lake_gzip").count() == A.nRows)
+  }
 }

@@ -40,6 +40,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall vs exact $exact, got $annIds")
   }
 
+  test("blockedPairwiseTopK caps degenerate blocks (no quadratic blowup)") {
+    import spark.implicits._
+    // 300 vectors all sharing ONE label — uncapped this is a 300² pair
+    // join; the cap must truncate the block to its first 40 members.
+    val degenerate = (0 until 300).map(i =>
+      (i.toLong, Seq(1.0, i.toDouble / 300.0, 0.5), "same_label"))
+      .toDF("vec_id", "v", "label")
+    val out = Similarity.blockedPairwiseTopK(degenerate, k = 3, maxBlock = 40)
+      .collect()
+    // every surviving vector keeps exactly k neighbors, and NOTHING
+    // beyond the cap participates on either side of a pair
+    assert(out.length == 40 * 3)
+    assert(out.forall(r => r.getLong(0) < 40 && r.getLong(1) < 40))
+    // sanity on the uncapped default with a small healthy block
+    val healthy = (0 until 10).map(i =>
+      (i.toLong, Seq(1.0, i.toDouble, 2.0), s"lbl_${i % 2}"))
+      .toDF("vec_id", "v", "label")
+    val pairs = Similarity.blockedPairwiseTopK(healthy, k = 2).collect()
+    assert(pairs.length == 10 * 2)
+    assert(pairs.forall(r => r.getLong(0) % 2 == r.getLong(1) % 2)) // block-local
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
