@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *  - aggregations are partial-agg friendly (plain hash agg over
   *    codegen'd exprs);
   *  - filters & projections stay at the head of the plan so Parquet gets
-  *    pushdown + column pruning (verified via explain in BenchSpec).
+  *    pushdown + column pruning (plan features enforced by PlanAuditSpec;
+  *    human-readable report via `runMain graft.PlanAudit`).
   */
 object RelationalQueries {
   import Tables.table
