@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// PlanAuditSpec and QueryCacheSpec assert on GLOBAL shared-session state
+// (sparkContext.getPersistentRDDs). That is only sound when suites run
+// sequentially — pin it so enabling parallel execution elsewhere can't
+// make those gates fail spuriously.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

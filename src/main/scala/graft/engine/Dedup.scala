@@ -62,7 +62,11 @@ object Dedup {
     * which ANSI-mode SQL `+`/`*` would reject). Signature h_i = min over
     * shingles — one aggregation keyed on id, partial-agg friendly. This
     * replaced k salted `xxhash64(concat(sh, salt_i))` string re-hashes:
-    * ~k× less hash work per shingle row, identical MinHash guarantees. */
+    * ~k× less hash work per shingle row. The k slot functions share two
+    * base hashes (standard 2-universal approximation, pairwise- not
+    * mutually-independent) — a slightly weaker independence assumption
+    * than k salted hashes; the banded-LSH threshold behavior it feeds is
+    * pinned empirically by DedupSpec's planted-pair recall test. */
   def minhashSignatures(shingles: DataFrame, k: Int = 64): DataFrame = {
     val slots = org.apache.spark.sql.graft.VectorFunctions
       .minhashSlots(col("sh"), k)

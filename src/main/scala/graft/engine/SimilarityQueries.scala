@@ -25,8 +25,9 @@ object SimilarityQueries {
     },
 
     QuerySpec.noOracle("q45_ann_lsh") { (s, dir) =>
-      // Sign-hyperplane LSH ANN: 12-bit bucket signature, probe radius 1
-      // (13 of 4096 buckets scanned). Deterministic hyperplanes → stable
+      // Sign-hyperplane LSH ANN: 24 tables × 6 bits, OR-of-ANDs — a
+      // candidate matches the query's exact 6-bit signature in ANY of the
+      // 24 tables (no multiprobe). Deterministic hyperplanes → stable
       // buckets; recall vs the exact top-k is asserted in SimilaritySpec.
       Similarity.annTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },

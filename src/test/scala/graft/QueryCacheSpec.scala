@@ -17,7 +17,7 @@ class QueryCacheSpec extends AnyFunSuite {
   private def withCleanCache(body: => Unit): Unit =
     try body finally QueryCache.clear(spark)
 
-  test("put/get/invalidate lifecycle, plans read the cache, no block leak") = withCleanCache {
+  test("put/get/invalidate lifecycle, plans read the cache, no block leak")(withCleanCache {
     val agg = Tables.table(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
@@ -28,8 +28,10 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.entries(spark) == Seq("q_flag_qty"))
 
     // a cache hit must plan against the InMemoryRelation, not the scan
+    // (Spark 4 renders the cached scan as `Scan In-memory table` over an
+    // InMemoryRelation; assert on the relation, which both versions print)
     val hit = QueryCache.get(spark, "q_flag_qty").get
-    assert(hit.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(hit.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
     assert(hit.collect().toSeq == cached.collect().toSeq)
 
     // compute-through: second call must NOT recompute (same cached rows)
@@ -47,9 +49,9 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.entries(spark).isEmpty)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "invalidate left pinned RDD blocks behind")
-  }
+  })
 
-  test("clear releases only cache-owned views") {
+  test("clear releases only cache-owned views")(withCleanCache {
     val df = Tables.table(spark, sf, "nation")
     df.createOrReplaceTempView("user_owned_view")
     QueryCache.put(df, "a")
@@ -60,9 +62,9 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("user_owned_view"))
     spark.catalog.dropTempView("user_owned_view")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-  }
+  })
 
-  test("put replaces a stale entry for the same name") {
+  test("put replaces a stale entry for the same name")(withCleanCache {
     val small = Tables.table(spark, sf, "region")
     QueryCache.put(small.limit(2), "r")
     assert(QueryCache.get(spark, "r").get.count() == 2)
@@ -70,5 +72,5 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.get(spark, "r").get.count() == small.count())
     QueryCache.invalidate(spark, "r")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-  }
+  })
 }
