@@ -44,6 +44,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_._3).sum == 4 * events)
   }
 
+  test("append mode: watermark admits late rows, drops too-late rows, bounds state") {
+    // The AvailableNow+COMPLETE equivalence tests above can't see watermark
+    // semantics (complete mode never gates emission). This drives the SAME
+    // tumblingCounts operator in append mode through a scripted MemoryStream:
+    // 1h windows, 1h watermark delay, timestamps in epoch seconds.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc = org.apache.spark.sql.Encoders.product[(String, Long)]
+    val mem = MemoryStream[(String, Long)](spark)
+    def hm(h: Int, m: Int): Long = h * 3600L + m * 60L
+    val events = mem.toDF().toDF("event_type", "sec")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("event_type"),
+        lit(1.0).as("value"))
+    val q = Streaming.tumblingCounts(events).writeStream
+      .queryName("t_watermark").outputMode("append").format("memory").start()
+    def drain(): Unit = { q.processAllAvailable(); q.processAllAvailable() }
+    def sink(): Map[(java.sql.Timestamp, String), Long] =
+      spark.table("t_watermark").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    def tsOf(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hm(h, 0)))
+    try {
+      // b0: on-time rows; max event 03:30 → watermark becomes 02:30,
+      // which closes+emits window [01:00,02:00) on the no-data batch.
+      mem.addData(("a", hm(1, 10)), ("a", hm(2, 20)), ("b", hm(3, 30)))
+      drain()
+      assert(sink().get((tsOf(1), "a")).contains(1L))
+      assert(!sink().contains((tsOf(2), "a"))) // [02:00,03:00) still open
+      // b1: LATE row (50 min behind max event) but within the watermark:
+      // window [02:00,03:00) ends after wm 02:30 → must be admitted.
+      mem.addData(("a", hm(2, 40)))
+      drain()
+      // b2: advance wm to 04:00 → [02:00,03:00) closes; its count of 2
+      // proves the late row landed in its window before emission.
+      mem.addData(("b", hm(5, 0)))
+      drain()
+      assert(sink().get((tsOf(2), "a")).contains(2L))
+      // b3: TOO-late row — [02:00,03:00) ended before wm 04:00 → dropped;
+      // the already-emitted result must not change or duplicate.
+      mem.addData(("a", hm(2, 10)))
+      drain()
+      assert(sink().get((tsOf(2), "a")).contains(2L))
+      assert(sink().count(_._1 == ((tsOf(2), "a"))) == 1)
+      // State is bounded by the watermark: closed windows are evicted, so
+      // live state holds only windows ending after wm 04:00 — not the 4+
+      // windows touched over the stream's history.
+      val state = q.recentProgress.reverse.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten).headOption
+      assert(state.exists(_.numRowsTotal <= 2), s"state not bounded: $state")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("t_watermark")
+    }
+  }
+
   test("streaming session windows equal the batch gaps-and-islands form") {
     val stream = Streaming.runAvailableNow(
       Streaming.sessionize(Streaming.eventsStream(spark, sf)), "t_sessions")
