@@ -79,6 +79,37 @@ class IngestSpec extends AnyFunSuite {
     assert(r.getString(4) == "P-00042")
   }
 
+  test("category projection scans ONLY its columns at true width (6,039)") {
+    // The 6,039-column scale lever: projecting a super-category (q33's
+    // UX, mapping.json's name → column-list) must reach the parquet
+    // reader as a narrow ReadSchema — at reference width a scan that
+    // decodes all 6k columns for a 6-column projection is three orders
+    // of magnitude of wasted IO. Asserted on the physical scan node, not
+    // the (truncated) plan string.
+    val wide = A.copy(fileName = "PUH-2023-001_01.csv",
+      nDataCols = 6037, nRows = 3)
+    val dir = tempDir("ing-narrowscan")
+    val lake = s"$dir/lake"
+    Lake.append(Ingest.ingestFile(spark, EegFixture.write(dir, wide)), lake)
+
+    val category = "aEEG, Left Hemisphere" -> Seq(
+      "I101_1", "I102_1", "I103_1", "I104_1", "I105_1")
+    val projected = SchemaRegistry.projectCategory(
+      Lake.read(spark, lake), Map(category), category._1,
+      keep = Seq("ClockDateTime"))
+
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = projected.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScan in the projected plan")
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read == (category._2 :+ "ClockDateTime").toSet,
+      s"scan reads ${read.size} columns instead of the projected 6: " +
+        read.take(10).mkString(", "))
+    // and the projection still computes: values round-trip at full width
+    assert(projected.count() == 3)
+  }
+
   test("positional row ops F1/F2 (sparkle-v5.py:89-92)") {
     val dir = tempDir("ing-pos")
     val path = EegFixture.write(dir, A)

@@ -44,6 +44,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert((mustTopK ++ cartesianAllowed).subsetOf(known))
   }
 
+  test("lake queries with Year/Month/Day predicates plan partition pruning") {
+    // The one cost rule the reference states outright (README.md:29-31):
+    // avoid full scans — partition so queries read only matching data.
+    // Enforce its physical form: a Year/Month/Day-filtered lake scan must
+    // carry the predicate as PartitionFilters (directories skipped at
+    // planning), and a data-column predicate must reach the parquet reader
+    // as PushedFilters — at 100 TB these are the difference between
+    // reading one day and reading the lake.
+    import graft.engine.{EegFixture, Ingest, Lake}
+    val root = TestSpark.tempDir("plan-prune")
+    EegFixture.write(s"$root/in", EegFixture.specA)
+    Ingest.ingestBatch(spark, s"$root/in", s"$root/lake", s"$root/registry",
+      s"$root/processed")
+
+    def scanLine(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n")
+
+    val pruned = scanLine(Lake.read(spark, s"$root/lake")
+      .filter("Year = 2019 AND Month = 7 AND Day = 15"))
+    assert(pruned.matches("(?s).*PartitionFilters: \\[[^\\]]*Year[^\\]]*\\].*"),
+      s"partition predicate did not become PartitionFilters:\n$pruned")
+
+    val pushed = scanLine(Lake.read(spark, s"$root/lake")
+      .filter("Time > 100.0"))
+    assert(pushed.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(Time[^\\]]*\\].*"),
+      s"data predicate did not reach the parquet reader:\n$pushed")
+    // control: the data-column filter must NOT populate PartitionFilters
+    assert(pushed.matches("(?s).*PartitionFilters: \\[\\].*"),
+      s"control: data filter unexpectedly in PartitionFilters:\n$pushed")
+  }
+
   test("multi-consumer pipelines leave no cached RDDs after returning") {
     // The round-3 regression class: Dedup persisted its shingle/signature
     // tables and never unpersisted, so every bench query after q40/q41 ran
