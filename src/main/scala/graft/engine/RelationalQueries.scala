@@ -480,5 +480,35 @@ object RelationalQueries {
           round(element_at(col("q"), 2), 2).as("p50"),
           round(element_at(col("q"), 3), 2).as("p75"))
         .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "q54_cache_hit",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      // The reference planned a result cache in front of its query layer
+      // (README.md:24,48); here the same aggregate is served THROUGH
+      // QueryCache: put pins+materializes it, get plans the read against
+      // the InMemoryRelation (plan asserted in QueryCacheSpec), so this
+      // entry verifies cache-hit VALUES against the oracle. Rows are
+      // copied out and the entry invalidated before returning — the cache
+      // owns an explicit lifecycle, nothing stays pinned (the leak class
+      // PlanAuditSpec gates). The copy is driver-bounded: a cached named
+      // result is cardinality-reduced by construction.
+      val name = "q54_orders_by_priority"
+      QueryCache.invalidate(s, name) // rerun hygiene: never serve stale
+      val agg = table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+      QueryCache.put(agg, name)
+      val hit = QueryCache.get(s, name).get.orderBy(col("o_orderpriority"))
+      val rows = java.util.Arrays.asList(hit.collect(): _*)
+      val out = s.createDataFrame(rows, hit.schema)
+      QueryCache.invalidate(s, name)
+      out
     })
 }
