@@ -106,17 +106,23 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Multi-table ANN top-k — the standard OR-of-ANDs LSH amplification:
-    * L independent tables of b hyperplane bits each; a row is a candidate
-    * if it matches the query's bucket in ANY table. b controls per-table
-    * selectivity (~corpus/2^b rows scanned per table), L controls recall
-    * (1-(1-p^b)^L for per-bit agreement p). One bounded single-row driver
-    * read for the query. At lake scale the (table, bucket) pairs form an
-    * inverted index / partition key, so the probe prunes instead of
-    * filtering — here the row-local OR filter models it.
+  /** Multi-table ANN top-k — OR-of-ANDs LSH amplification with Hamming-1
+    * multiprobe: L independent tables of b hyperplane bits each; a row is
+    * a candidate if its bucket is within `probeRadius` bits of the query's
+    * bucket in ANY table. Multiprobe trades signature width for probe
+    * width: each table's effective bucket neighborhood is 1+b of 2^b
+    * buckets (radius 1), so the same recall needs fewer tables — and the
+    * per-row cost IS the signature (b·L hyperplane dot products), so
+    * fewer planes is the lever (12×8 multiprobe = 96 dots vs the 144 of
+    * exact-match 24×6 at matching recall/selectivity). One bounded
+    * single-row driver read for the query. At lake scale the
+    * (table, bucket) pairs form an inverted index / partition key: a
+    * radius-1 probe reads 1+b buckets per table, so the scan still prunes
+    * instead of filtering — here the row-local popcount filter models it.
     */
   def annTopK(e: DataFrame, queryId: Long, k: Int,
-      nTables: Int = 24, bitsPerTable: Int = 6): DataFrame = {
+      nTables: Int = 12, bitsPerTable: Int = 8,
+      probeRadius: Int = 1): DataFrame = {
     val allPlanes = hyperplanes(nTables * bitsPerTable, 64)
     def tableSig(v: Column, t: Int): Column =
       signature(v, allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
@@ -127,7 +133,8 @@ object Similarity {
     val qv = array(qRow.getSeq[Double](0).map(lit): _*)
     val qSigs = qRow.getSeq[Int](1)
     val anyTableMatch = (0 until nTables)
-      .map(t => col("sigs")(t) === lit(qSigs(t)))
+      .map(t => bit_count(col("sigs")(t).bitwiseXOR(lit(qSigs(t))))
+        <= probeRadius)
       .reduce(_ || _)
     d.filter(col("vec_id") =!= queryId)
       .filter(anyTableMatch)

@@ -25,10 +25,10 @@ object SimilarityQueries {
     },
 
     QuerySpec.noOracle("q45_ann_lsh") { (s, dir) =>
-      // Sign-hyperplane LSH ANN: 24 tables × 6 bits, OR-of-ANDs — a
-      // candidate matches the query's exact 6-bit signature in ANY of the
-      // 24 tables (no multiprobe). Deterministic hyperplanes → stable
-      // buckets; recall vs the exact top-k is asserted in SimilaritySpec.
+      // Sign-hyperplane LSH ANN: 12 tables × 8 bits with Hamming-1
+      // multiprobe — a candidate's bucket is within 1 bit of the query's
+      // in ANY table. Deterministic hyperplanes → stable buckets; recall
+      // vs the exact top-k is asserted in SimilaritySpec.
       Similarity.annTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 

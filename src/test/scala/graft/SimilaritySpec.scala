@@ -32,10 +32,11 @@ class SimilaritySpec extends AnyFunSuite {
     val annIds = Similarity.annTopK(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSet
     assert(annIds.size <= 10)
-    // 24 tables × 6 bits: for a cosine-0.4 neighbor the per-table match
-    // probability is ~(1 - acos(.4)/π)^6 ≈ 6%, amplified over 24 tables
-    // to ~0.8 expected recall. Random embeddings are LSH's worst case —
-    // assert well above the random-pick floor with margin for variance.
+    // 12 tables × 8 bits, Hamming-1 multiprobe: for a cosine-0.4
+    // neighbor the per-bit agreement is p = 1 - acos(.4)/π ≈ 0.63, so a
+    // table matches with p^8 + 8·p^7·(1-p) ≈ 14%, amplified over 12
+    // tables to ~0.84 expected recall. Random embeddings are LSH's worst
+    // case — assert well above the random-pick floor with variance margin.
     val recall = (exact & annIds).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall vs exact $exact, got $annIds")
   }
