@@ -14,7 +14,8 @@ object SparkEntry {
   private def allSpecs: Seq[QuerySpec] =
     RelationalQueries.specs ++ EventQueries.specs ++ IngestQueries.specs ++
       TextQueries.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
-      MultimodalQueries.specs ++ StreamingQueries.specs
+      MultimodalQueries.specs ++ StreamingQueries.specs ++
+      TemporalQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's advertised capability class — filter + aggregation
