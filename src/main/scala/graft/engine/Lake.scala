@@ -37,6 +37,38 @@ object Lake {
     df.write.option("compression", codec)
       .partitionBy(PartitionCols: _*).mode("append").parquet(dir)
 
+  /** Idempotent merge-append: append only batch rows whose `keyCol` is not
+    * already present in the lake partitions the batch touches — making
+    * re-delivery of the same drop a no-op instead of a duplication (the
+    * reference's event-driven loop redelivers on Lambda retry,
+    * emr-no-vpc.py:18-189; its writer would duplicate, defect D1 family).
+    *
+    * Scale shape: the batch's distinct (Year, Month, Day) set is collected
+    * (driver-bounded — a drop touches few partitions), the existing-key
+    * scan is restricted to exactly those partitions (partition pruning cuts
+    * it from O(lake) to O(touched partitions)), and the dedup is a
+    * left-anti join on the key — broadcastable when the touched partitions
+    * are small, shuffle otherwise; never a read-modify-write of the lake.
+    */
+  def mergeAppend(df: DataFrame, dir: String, keyCol: String,
+      codec: String = "snappy"): Unit = {
+    val spark = df.sparkSession
+    val fresh =
+      if (!exists(spark, dir)) df
+      else {
+        val touched = df.select(PartitionCols.map(col): _*).distinct.collect()
+        val touchedPred = touched.map(r =>
+          PartitionCols.zipWithIndex
+            .map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val existingKeys = read(spark, dir)
+          .filter(touchedPred).select(col(keyCol)).distinct
+        df.join(existingKeys, Seq(keyCol), "left_anti")
+      }
+    append(fresh, dir, codec)
+  }
+
   /** S5: scan the lake (partition columns come back from the layout). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

@@ -510,5 +510,25 @@ object RelationalQueries {
       val out = s.createDataFrame(rows, hit.schema)
       QueryCache.invalidate(s, name)
       out
+    },
+
+    QuerySpec(
+      "q58_salted_join",
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Skew-resistant join ([[Skew.saltedJoin]]): events concentrate on
+      // few users (the hot-key shape), so the fact side scatters over 8
+      // salted sub-keys and the dimension replicates 8× — the oracle is
+      // the PLAIN join, proving salting is result-invariant.
+      val ev = table(s, dir, "events").select(col("user_id"), col("value"))
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, cust, "user_id", nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
     })
 }

@@ -71,4 +71,22 @@ object TextAnalysis {
     when(nTokens >= 30 && nTokens <= 90 && diversity >= 0.25 && stopRatio <= 0.3, "good")
       .when(nTokens >= 15, "fair")
       .otherwise("low")
+
+  /** Corpus-relative quality gate: keep rows at or above the global
+    * `q`-quantile of `metric` — "drop the worst quartile" style filtering,
+    * where the threshold is a property of the corpus, not a constant.
+    *
+    * Plan shape: ONE single-row aggregate over the metric, broadcast back,
+    * then a row-local filter — the corpus itself is never shuffled. Exact
+    * interpolated `percentile` here because the oracle must agree
+    * bit-for-bit (threshold rounded to 6 before comparing); its state is
+    * O(distinct metric values), bounded for a rounded score. At raw
+    * 100 TB swap in `percentile_approx` — identical plan shape, sketch
+    * state instead. */
+  def quantileThresholdFilter(df: org.apache.spark.sql.DataFrame,
+      metric: String, q: Double): org.apache.spark.sql.DataFrame = {
+    val thr = df.agg(round(expr(s"percentile($metric, $q)"), 6).as("_thr"))
+    df.crossJoin(broadcast(thr)).filter(col(metric) >= col("_thr"))
+      .drop("_thr")
+  }
 }

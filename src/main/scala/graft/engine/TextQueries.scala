@@ -117,5 +117,30 @@ object TextQueries {
           fingerprint(col("text")).as("fp"),
           tokenCountBpeIsh(col("text")).as("n_pieces"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q57_quality_quantile_filter",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         round(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0
+        |               / len(regexp_split_to_array(trim(text), '\s+')), 4) AS diversity
+        |  FROM documents),
+        |thr AS (SELECT round(quantile_cont(diversity, 0.25), 6) AS thr FROM r)
+        |SELECT r.doc_id, r.lang, r.diversity
+        |FROM r, thr
+        |WHERE r.diversity >= thr.thr
+        |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      // Corpus-relative quality gate ([[TextAnalysis.quantileThresholdFilter]]):
+      // drop the worst quartile by lexical diversity. The threshold is a
+      // single-row aggregate broadcast back over the corpus — the
+      // documents themselves are never shuffled.
+      val toks = tokens(col("text"))
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("diversity"))
+      quantileThresholdFilter(scored, "diversity", 0.25)
+        .orderBy(col("doc_id"))
     })
 }

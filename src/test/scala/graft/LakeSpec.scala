@@ -67,6 +67,29 @@ class LakeSpec extends AnyFunSuite {
     Lake.read(spark, lake)
       .filter("Year = 2019 AND Month = 7 AND Day = 15").count()
 
+  test("mergeAppend is idempotent on redelivery, additive on new keys") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-merge")}/lake"
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, s"row_$i", 2019, 7, 15)).toDF("id", "payload", "Year", "Month", "Day")
+
+    Lake.mergeAppend(batch(0 until 100), lake, "id")
+    assert(Lake.read(spark, lake).count() == 100)
+    // exact redelivery (Lambda-retry shape) → no-op
+    Lake.mergeAppend(batch(0 until 100), lake, "id")
+    assert(Lake.read(spark, lake).count() == 100)
+    // overlapping batch → only the genuinely new keys land
+    Lake.mergeAppend(batch(50 until 150), lake, "id")
+    assert(Lake.read(spark, lake).count() == 150)
+    assert(Lake.read(spark, lake).select("id").distinct.count() == 150)
+    // a batch for an untouched partition must not scan/dedup against it:
+    // same ids, different day → appends fully (key scope is per-partition)
+    val otherDay = batch(0 until 10)
+      .withColumn("Day", org.apache.spark.sql.functions.lit(16))
+    Lake.mergeAppend(otherDay, lake, "id")
+    assert(Lake.read(spark, lake).count() == 160)
+  }
+
   test("append codec option: snappy vs gzip file suffixes, identical read-back") {
     val root = tempDir("lake-codec")
     val in = s"$root/in"
