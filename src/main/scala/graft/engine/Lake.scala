@@ -47,8 +47,12 @@ object Lake {
     * (driver-bounded — a drop touches few partitions), the existing-key
     * scan is restricted to exactly those partitions (partition pruning cuts
     * it from O(lake) to O(touched partitions)), and the dedup is a
-    * left-anti join on the key — broadcastable when the touched partitions
-    * are small, shuffle otherwise; never a read-modify-write of the lake.
+    * left-anti join on (key, Year, Month, Day) — key scope is PER
+    * PARTITION, so a multi-partition batch dedups each row only against
+    * its own partition's keys, never against keys that happen to exist in
+    * a sibling partition the same batch touches. Broadcastable when the
+    * touched partitions are small, shuffle otherwise; never a
+    * read-modify-write of the lake.
     */
   def mergeAppend(df: DataFrame, dir: String, keyCol: String,
       codec: String = "snappy"): Unit = {
@@ -63,8 +67,9 @@ object Lake {
             .reduce(_ && _))
           .reduceOption(_ || _).getOrElse(lit(false))
         val existingKeys = read(spark, dir)
-          .filter(touchedPred).select(col(keyCol)).distinct
-        df.join(existingKeys, Seq(keyCol), "left_anti")
+          .filter(touchedPred)
+          .select((keyCol +: PartitionCols).map(col): _*).distinct
+        df.join(existingKeys, keyCol +: PartitionCols, "left_anti")
       }
     append(fresh, dir, codec)
   }

@@ -20,10 +20,17 @@ object Skew {
 
   /** Salted inner equi-join, result-identical to
     * `left.join(right, key)`: each left row scatters to one of `nSalts`
-    * sub-keys (a deterministic hash of the whole row — no RNG state, so
-    * retries/speculative tasks stay consistent), the right side
-    * replicates `nSalts`×, and the join keys on (key, salt). A hot key's
-    * rows then spread over `nSalts` reducers instead of one.
+    * sub-keys, the right side replicates `nSalts`×, and the join keys on
+    * (key, salt). A hot key's rows then spread over `nSalts` reducers
+    * instead of one.
+    *
+    * The salt hashes a `monotonically_increasing_id()` (partition-id ×
+    * row-position — deterministic within a run for a deterministic input,
+    * so retried/speculative tasks of the same partition re-derive the
+    * same salts): unlike hashing the row's columns, this never throws on
+    * un-hashable column types (MapType) and spreads IDENTICAL left rows
+    * across salts instead of collapsing them onto one reducer — duplicate
+    * hot-key rows are exactly the skew case that matters.
     *
     * Cost model: right side is duplicated `nSalts`× through the shuffle —
     * use when `right` is the SMALL side (dimension-sized, but too big or
@@ -36,7 +43,7 @@ object Skew {
       nSalts: Int = 8): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
     val l = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toSeq: _*), lit(nSalts)))
+      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
     val r = right.withColumnRenamed(key, "_rk")
       .withColumn("_salt", explode(array((0 until nSalts).map(lit): _*)))
     l.join(r, col(key) === col("_rk") && l("_salt") === r("_salt"))

@@ -115,7 +115,14 @@ object Streaming {
     * (measured: commit 1.5+4.6 s at 32 partitions vs 0.26+0.32 s at 8 for
     * identical results). Production sizing is the same rule at different
     * numbers: partitions scale with STATE volume — millions of session
-    * keys want hundreds of partitions — not with input cores. */
+    * keys want hundreds of partitions — not with input cores.
+    *
+    * NOT THREAD-SAFE: the shuffle-partition override mutates the SHARED
+    * session conf for the drain's duration (restored in `finally`), so a
+    * query planned concurrently on the same SparkSession would observe
+    * the temporary value. Fine under the sequential test/bench harness
+    * (`Test / parallelExecution := false`); concurrent callers should
+    * pass a cloned session (`spark.newSession()`) per drain. */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def runAvailableNow(df: DataFrame, name: String,

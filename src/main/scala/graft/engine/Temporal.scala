@@ -81,25 +81,38 @@ object Temporal {
     * behavior than keying on `key` alone, and the reason this scales where
     * a raw `l.key = r.key AND r.t BETWEEN ...` join (key-only shuffle +
     * per-key cross product) would not.
+    *
+    * The right key and time columns are aliased internally before the
+    * join, so `leftTime` and `rightTime` may share a name (the right time
+    * comes back as `right_<name>` in that case, else under its own name).
+    * Any OTHER column name shared by both sides is rejected up front —
+    * it would silently produce duplicate output columns.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       beforeSec: Long, afterSec: Long): DataFrame = {
     require(beforeSec >= 0 && afterSec >= 0 && beforeSec + afterSec > 0,
       "window must have positive length")
+    val shared = (right.columns.toSet - key - rightTime)
+      .intersect(left.columns.toSet - key - leftTime)
+    require(shared.isEmpty, "ambiguous non-key/time columns on both " +
+      s"sides: ${shared.mkString(", ")} — rename before joining")
+    val rtOut = if (rightTime == leftTime) s"right_$rightTime" else rightTime
     val widthUs = (beforeSec + afterSec) * 1000000L
     def bucket(t: Column): Column = floor(unix_micros(t) / widthUs)
     val lBuckets = explode(sequence(
       bucket(col(leftTime) - expr(s"INTERVAL $beforeSec SECOND")),
       bucket(col(leftTime) + expr(s"INTERVAL $afterSec SECOND"))))
     val l = left.withColumn("_b", lBuckets)
-    val r = right.withColumn("_b", bucket(col(rightTime)))
-      .withColumnRenamed(key, "_rk")
+    val r = right.withColumnRenamed(key, "_rk")
+      .withColumnRenamed(rightTime, "_rt")
+      .withColumn("_b", bucket(col("_rt")))
     l.join(r, col(key) === col("_rk") && l("_b") === r("_b"))
-      .filter(col(rightTime) >= col(leftTime) -
+      .filter(col("_rt") >= col(leftTime) -
           expr(s"INTERVAL $beforeSec SECOND") &&
-        col(rightTime) <= col(leftTime) +
+        col("_rt") <= col(leftTime) +
           expr(s"INTERVAL $afterSec SECOND"))
       .drop("_b", "_rk")
+      .withColumnRenamed("_rt", rtOut)
   }
 }

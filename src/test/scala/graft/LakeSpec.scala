@@ -88,6 +88,20 @@ class LakeSpec extends AnyFunSuite {
       .withColumn("Day", org.apache.spark.sql.functions.lit(16))
     Lake.mergeAppend(otherDay, lake, "id")
     assert(Lake.read(spark, lake).count() == 160)
+
+    // Key scope is per (key, partition) even WITHIN one batch: a batch
+    // spanning two days where the key already exists on Day 15 but not on
+    // Day 17 must drop the Day-15 duplicate and land the Day-17 row — a
+    // key-only anti-join would pool Day 15's keys and silently drop the
+    // new Day-17 row too.
+    val spanning = batch(0 until 5) // dup on Day 15
+      .union(batch(0 until 5).withColumn("Day",
+        org.apache.spark.sql.functions.lit(17))) // new on Day 17
+    Lake.mergeAppend(spanning, lake, "id")
+    assert(Lake.read(spark, lake).count() == 165)
+    assert(Lake.read(spark, lake).filter("Day = 17").count() == 5)
+    assert(Lake.read(spark, lake).filter("Day = 15")
+      .groupBy("id").count().filter("count > 1").count() == 0)
   }
 
   test("append codec option: snappy vs gzip file suffixes, identical read-back") {

@@ -15,9 +15,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Deliberately-bounded nested-loop joins: q43 pairs a vec_id<60 grid
-    * (≤1770 rows by construction); q44 broadcasts a single query row. */
+    * (≤1770 rows by construction); q44 broadcasts a single query row;
+    * q57 broadcasts a ONE-ROW quantile threshold back over the corpus
+    * (crossJoin(broadcast(agg)) — the scalable scalar-threshold shape). */
   private val cartesianAllowed =
-    Set("q43_embedding_cosine_pairs", "q44_cosine_topk")
+    Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
+      "q57_quality_quantile_filter")
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */

@@ -28,10 +28,27 @@ class SkewSpec extends AnyFunSuite {
     // the point of the exercise: the hot key's rows must spread over
     // (nearly) all salt values instead of landing on one reducer
     val salts = fact.withColumn("_salt",
-        pmod(hash(fact.columns.map(col): _*), lit(8)))
+        pmod(hash(monotonically_increasing_id()), lit(8)))
       .filter(col("k") === 0L)
       .select(countDistinct(col("_salt"))).head().getLong(0)
     assert(salts >= 6, s"hot key only reached $salts of 8 salts")
+  }
+
+  test("identical duplicate rows still spread across salts") {
+    // a row-content hash collapses duplicates onto ONE salt — exactly
+    // wrong for a hot key made of repeated rows
+    val dupes = Seq.fill(800)((0L, 1.0)).toDF("k", "v")
+    val salts = Skew.saltedJoin(dupes, dim, "k", nSalts = 8)
+    assert(salts.count() == 800)
+    val spread = dupes.withColumn("_salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .select(countDistinct(col("_salt"))).head().getLong(0)
+    assert(spread >= 6, s"duplicate rows reached only $spread of 8 salts")
+  }
+
+  test("saltedJoin tolerates un-hashable (MapType) payload columns") {
+    val withMap = fact.withColumn("m", map(lit("a"), col("v")))
+    assert(Skew.saltedJoin(withMap, dim, "k").count() == 2000)
   }
 
   test("saltedJoin shuffles on (key, salt) when the dim can't broadcast") {

@@ -60,6 +60,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2.0), (2L, 2.0), (2L, 3.0)))
   }
 
+  test("rangeJoin supports identical time-column names on both sides") {
+    // asOfJoin already allows leftTime == rightTime (q55 uses ts/ts);
+    // rangeJoin must too — the right time comes back as right_<name>.
+    val r2 = right.withColumnRenamed("rt", "t")
+    val out = Temporal.rangeJoin(left, r2, "k", "t", "t",
+        beforeSec = 300L, afterSec = 0L)
+      .select("id", "right_t", "v").orderBy("id", "right_t").collect()
+    val got = out.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2.0), (2L, 2.0), (2L, 3.0)))
+  }
+
+  test("rangeJoin rejects ambiguous shared payload columns up front") {
+    val r2 = right.withColumnRenamed("v", "tag") // collides with left's tag
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(left, r2, "k", "t", "rt", 300L, 0L)
+    }
+    assert(e.getMessage.contains("tag"))
+  }
+
   test("rangeJoin bucket expansion never duplicates a pair") {
     // windows straddling bucket borders: every (left, right) pair must
     // appear exactly once even when the left row expands to 2 buckets
