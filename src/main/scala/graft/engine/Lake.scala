@@ -74,6 +74,30 @@ object Lake {
     append(fresh, dir, codec)
   }
 
+  /** Bucketed catalog table (K1 variant): hash-bucket rows by `bucketCol`
+    * into `nBuckets` pre-sorted files per bucket. A join or aggregation
+    * keyed on the bucket column then reads co-located buckets and plans
+    * ZERO Exchange for that key (enforced in PlanAuditSpec) — the write
+    * pays the shuffle once so every subsequent join/agg on the key pays
+    * none. At 100 TB this is the lever for a fact table joined
+    * repeatedly on the same key (orders⋈customer on custkey): bucket
+    * both sides with the SAME bucket count and the nightly join moves no
+    * data across the cluster. Bucket count is a cluster-sizing choice
+    * (≈ total size / target partition size), NOT data-derived. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — clear a stale location or the create fails
+    // with LOCATION_ALREADY_EXISTS
+    delete(spark, spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + s"/$table")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** S5: scan the lake (partition columns come back from the layout). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

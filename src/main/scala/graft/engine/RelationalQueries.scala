@@ -530,5 +530,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    QuerySpec(
+      "q61_bucketed_join",
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS total_price
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Shuffle-free co-located join ([[Lake.writeBucketed]]): both sides
+      // bucketed by the join key with the same bucket count, so the
+      // sort-merge join (forced via merge hint — a broadcast would not
+      // exercise the bucketing) reads matching buckets in place and
+      // plans NO Exchange for the join (gated in PlanAuditSpec); the
+      // only shuffle left is the small post-join segment aggregation.
+      // The oracle is the plain unbucketed join — bucketing must be
+      // result-invariant.
+      Lake.writeBucketed(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        "bt_customer", "c_custkey", nBuckets = 8)
+      Lake.writeBucketed(table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")),
+        "bt_orders", "o_custkey", nBuckets = 8)
+      val c = s.table("bt_customer")
+      val o = s.table("bt_orders")
+      c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("mktsegment"))
     })
 }

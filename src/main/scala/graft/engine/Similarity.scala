@@ -120,6 +120,69 @@ object Similarity {
     * radius-1 probe reads 1+b buckets per table, so the scan still prunes
     * instead of filtering — here the row-local popcount filter models it.
     */
+  /** IVF (inverted-file) coarse quantizer: spherical k-means centroids
+    * over the corpus (MLlib KMeans, cosine distance, fixed seed — same
+    * input ⇒ same centroids). The centroid table is nLists × dim doubles
+    * — driver-tiny at any corpus scale; the EXPENSIVE part (assignment)
+    * stays distributed in [[ivfAssign]]. */
+  def ivfCentroids(e: DataFrame, nLists: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = prep(e).select(array_to_vector(col("v")).as("features"))
+    new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setDistanceMeasure("cosine").setFeaturesCol("features")
+      .fit(feats).clusterCenters.map(_.toArray)
+  }
+
+  /** Assign every vector to its nearest centroid (cosine argmax) — the
+    * inverted-list id. Pure codegen'd column arithmetic: nLists native
+    * dot products per row against literal centroid arrays, argmax via a
+    * descending struct sort (score, then list id breaks exact ties).
+    * At lake scale this column is written once and becomes the partition
+    * key, so probes PRUNE partitions instead of filtering rows. */
+  def ivfAssign(e: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("v"), array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    prep(e).withColumn("list",
+      sort_array(scored, asc = false).getItem(0).getField("i"))
+  }
+
+  /** IVF ANN top-k: rank centroids by cosine to the query (driver-side —
+    * nLists numbers), scan only the `nProbe` nearest inverted lists,
+    * exact cosine + TakeOrdered within them. Tunable recall/cost knob:
+    * nProbe/nLists is the scanned fraction (nProbe=nLists degenerates to
+    * exact brute force). Complements the LSH path ([[annTopK]]): IVF
+    * adapts its partitions to the DATA distribution where LSH's
+    * hyperplanes are data-oblivious — better pruning on clustered
+    * corpora, at the cost of a training pass when centroids drift. */
+  def ivfTopK(e: DataFrame, queryId: Long, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(e, nLists)
+    val indexed = ivfAssign(e, cents)
+    val qRow = indexed.filter(col("vec_id") === queryId)
+      .select(col("v")).head()
+    val qv = qRow.getSeq[Double](0).toArray
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (cosLocal(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    indexed
+      .filter(col("vec_id") =!= queryId && col("list").isin(probes: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), array(qv.map(lit): _*)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def annTopK(e: DataFrame, queryId: Long, k: Int,
       nTables: Int = 12, bitsPerTable: Int = 8,
       probeRadius: Int = 1): DataFrame = {

@@ -32,6 +32,15 @@ object SimilarityQueries {
       Similarity.annTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
+    QuerySpec.noOracle("q59_ann_ivf") { (s, dir) =>
+      // IVF ANN ([[Similarity.ivfTopK]]): spherical-k-means coarse
+      // quantizer (16 lists, seeded), probe the 4 nearest inverted
+      // lists, exact cosine within — scans ~nProbe/nLists of the corpus.
+      // Recall + pruning are asserted in SimilaritySpec; no SQL oracle
+      // (DuckDB has no k-means).
+      Similarity.ivfTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    },
+
     QuerySpec(
       "q46_blocked_pairwise_topk",
       """WITH e AS (

@@ -123,6 +123,33 @@ object Streaming {
     * the temporary value. Fine under the sequential test/bench harness
     * (`Test / parallelExecution := false`); concurrent callers should
     * pass a cloned session (`spark.newSession()`) per drain. */
+  /** Production sink shape: drain a stream into the partitioned lake via
+    * `foreachBatch` + [[Lake.mergeAppend]]. Structured Streaming runs
+    * `foreachBatch` at-least-once — a crash between the sink write and
+    * the checkpoint commit REDELIVERS the batch on restart — so the sink
+    * must be idempotent to get effective exactly-once: mergeAppend's
+    * per-(key, partition) anti-join makes redelivery a no-op. This is
+    * the engine-native form of the reference's retrying event-driven
+    * ingest loop (emr-no-vpc.py:18-189, Lambda redelivers on failure;
+    * its writer would duplicate — defect D1 family). At scale each
+    * micro-batch is one bounded mergeAppend: a partition-pruned dedup
+    * scan over only the partitions the batch touches, then an append.
+    *
+    * The input must already carry the lake's partition columns
+    * (Year/Month/Day); `checkpoint` persists source progress so a
+    * restarted drain resumes instead of re-reading. */
+  def streamToLake(df: DataFrame, dir: String, keyCol: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Lake.mergeAppend(batch, dir, keyCol)
+      }
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def runAvailableNow(df: DataFrame, name: String,

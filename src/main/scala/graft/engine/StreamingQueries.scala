@@ -80,5 +80,35 @@ object StreamingQueries {
         Streaming.sessionize(Streaming.eventsStream(s, dir)),
         "q51_sessionize")
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    QuerySpec(
+      "q60_stream_to_lake",
+      """SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS Year,
+        |       CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS Month,
+        |       CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS Day,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, dir) =>
+      // Stream→lake sink ([[Streaming.streamToLake]]): the events stream
+      // drained through foreachBatch + mergeAppend into a partitioned
+      // lake, then the WHOLE INPUT REDELIVERED under a fresh checkpoint
+      // (the Lambda-retry / checkpoint-replay shape) — per-partition
+      // row accounting must equal a single clean delivery, or the sink
+      // is not idempotent. The oracle recounts per day from the raw
+      // events table, so both a dropped batch and a duplicated redelivery
+      // fail the compare.
+      val root = "/tmp/graft_fixtures/stream_lake_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, root)
+      def enriched = Streaming.eventsStream(s, dir)
+        .withColumn("Year", year(col("ts")))
+        .withColumn("Month", month(col("ts")))
+        .withColumn("Day", dayofmonth(col("ts")))
+      Streaming.streamToLake(enriched, s"$root/lake", "event_id",
+        s"$root/cp_delivery")
+      Streaming.streamToLake(enriched, s"$root/lake", "event_id",
+        s"$root/cp_redelivery")
+      Lake.partitionCounts(s, s"$root/lake")
     })
 }

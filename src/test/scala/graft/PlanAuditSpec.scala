@@ -79,6 +79,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"control: data filter unexpectedly in PartitionFilters:\n$pushed")
   }
 
+  test("bucketed tables join with zero exchanges; unbucketed form shuffles") {
+    // The pay-the-shuffle-once contract of Lake.writeBucketed: a
+    // sort-merge join of two tables bucketed on the join key with equal
+    // bucket counts must move NO data (no Exchange on either side),
+    // where the same join on raw frames shuffles both. Broadcast is
+    // disabled so the comparison is SMJ-vs-SMJ, not SMJ-vs-broadcast.
+    import graft.engine.{Lake, Tables}
+    val cust = Tables.table(spark, sf, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))
+    val ord = Tables.table(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+    Lake.writeBucketed(cust, "gate_bt_customer", "c_custkey", 8)
+    Lake.writeBucketed(ord, "gate_bt_orders", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val c = spark.table("gate_bt_customer")
+      val o = spark.table("gate_bt_orders")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val bucketed = exchanges(c.join(o, c("c_custkey") === o("o_custkey")))
+      assert(bucketed == 0, s"bucketed join planned $bucketed exchanges")
+      val raw = exchanges(cust.join(ord,
+        cust("c_custkey") === ord("o_custkey")))
+      assert(raw >= 2, s"control: raw join planned only $raw exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS gate_bt_customer")
+      spark.sql("DROP TABLE IF EXISTS gate_bt_orders")
+    }
+  }
+
   test("multi-consumer pipelines leave no cached RDDs after returning") {
     // The round-3 regression class: Dedup persisted its shingle/signature
     // tables and never unpersisted, so every bench query after q40/q41 ran

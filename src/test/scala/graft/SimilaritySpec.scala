@@ -41,6 +41,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall vs exact $exact, got $annIds")
   }
 
+  test("IVF ANN reaches useful recall while scanning a corpus fraction") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivfIds = Similarity.ivfTopK(emb, 0L, 10, nLists = 16, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivfIds).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall vs exact $exact, got $ivfIds")
+
+    // the point of IVF: the probe scans a FRACTION of the corpus, not
+    // all of it — 4 of 16 lists must cover well under the whole table
+    // (lists are uneven on weakly-clustered data; 60% is the guard rail)
+    val cents = Similarity.ivfCentroids(emb, nLists = 16)
+    assert(cents.length == 16)
+    val indexed = Similarity.ivfAssign(emb, cents)
+    val total = indexed.count().toDouble
+    val biggest4 = indexed.groupBy("list").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc)
+      .limit(4).collect().map(_.getLong(1)).sum.toDouble
+    assert(biggest4 / total <= 0.6,
+      s"4 largest lists hold ${biggest4 / total} of the corpus — no pruning")
+
+    // centroids are deterministic (fixed seed, same input)
+    val again = Similarity.ivfCentroids(emb, nLists = 16)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("blockedPairwiseTopK caps degenerate blocks (no quadratic blowup)") {
     import spark.implicits._
     // 300 vectors all sharing ONE label — uncapped this is a 300² pair

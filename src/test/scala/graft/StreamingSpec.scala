@@ -98,6 +98,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamToLake: multi-batch drain + full redelivery stays exactly-once per key") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("stream-lake")
+    // two source files → with maxFilesPerTrigger=1, TWO micro-batches,
+    // so sequential mergeAppends compose (batch 2 dedups against what
+    // batch 1 just wrote); files share key 5 to make that observable
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, s"p_$i", 2024, 1, 1 + (i % 2))).toDF("id", "payload",
+      "Year", "Month", "Day")
+    rows(0 to 5).write.parquet(s"$root/in/f0")
+    rows(5 to 9).write.parquet(s"$root/in/f1")
+    val schema = rows(0 to 0).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    Streaming.streamToLake(src, s"$root/lake", "id", s"$root/cp0")
+    assert(Lake.read(spark, s"$root/lake").count() == 10) // key 5 once
+    // crash-replay shape: the SAME input under a fresh checkpoint
+    Streaming.streamToLake(src, s"$root/lake", "id", s"$root/cp1")
+    val lake = Lake.read(spark, s"$root/lake")
+    assert(lake.count() == 10)
+    assert(lake.select("id").distinct.count() == 10)
+  }
+
   test("streaming session windows equal the batch gaps-and-islands form") {
     val stream = Streaming.runAvailableNow(
       Streaming.sessionize(Streaming.eventsStream(spark, sf)), "t_sessions")
