@@ -152,5 +152,31 @@ object IngestQueries {
         .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("file"))
+    },
+
+    QuerySpec(
+      "q62_compact",
+      """SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS Year,
+        |       CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS Month,
+        |       CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS Day,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, dir) =>
+      // Small-file compaction ([[Lake.compact]]): the events table lands
+      // in 4 incremental appends (ingest fragmentation), the lake is
+      // rewritten to ≈1 file per partition, and per-partition accounting
+      // must still equal a recount from the raw table — compaction is a
+      // LAYOUT change, never a data change. File-count collapse itself
+      // is asserted in LakeSpec (not SQL-expressible).
+      val lake = s"$FixRoot/compact_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          year(col("ts")).as("Year"), month(col("ts")).as("Month"),
+          dayofmonth(col("ts")).as("Day"))
+      (0 until 4).foreach(b =>
+        Lake.append(ev.filter(pmod(col("event_id"), lit(4)) === b), lake))
+      Lake.compact(s, lake, targetRowsPerFile = 10000000L)
+      Lake.partitionCounts(s, lake)
     })
 }

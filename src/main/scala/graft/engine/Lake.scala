@@ -107,6 +107,46 @@ object Lake {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Small-file compaction: rewrite the lake so each (Year, Month, Day)
+    * partition holds ≈ `ceil(rows / targetRowsPerFile)` files instead of
+    * one file per historical append — the operational fix for the
+    * many-small-appends fragmentation that incremental ingest
+    * ([[append]]/[[mergeAppend]]/streaming micro-batches) accumulates.
+    * At 100 TB fragmentation is a first-order cost: scan planning,
+    * footer reads, and task scheduling all scale with FILE count, not
+    * byte count.
+    *
+    * Shape: per-partition row counts (one partial-agg scan) size each
+    * partition's target file count; every row gets a salt in
+    * [0, files_p) and the rewrite repartitions on (partition cols, salt)
+    * — one shuffle sized by the data, each reducer writes whole output
+    * files, no driver-side per-partition loop. The rewrite lands in a
+    * sibling directory and swaps in atomically-per-rename; a production
+    * deployment would swap per-partition to narrow the window, same
+    * plan per partition. Data is byte-identical in content (asserted in
+    * LakeSpec), only the file layout changes. */
+  def compact(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    val df = read(spark, dir)
+    val sizes = df.groupBy(PartitionCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_files",
+        greatest(lit(1), ceil(col("_n") / targetRowsPerFile)).cast("int"))
+      .drop("_n")
+    val salted = df.join(broadcast(sizes), PartitionCols)
+      .withColumn("_salt",
+        pmod(hash(monotonically_increasing_id()), col("_files")))
+    val tmp = s"${dir}_compacting"
+    delete(spark, tmp)
+    salted.repartition((PartitionCols :+ "_salt").map(col): _*)
+      .drop("_salt", "_files")
+      .write.partitionBy(PartitionCols: _*).parquet(tmp)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+  }
+
   /** Recursive delete — test/fixture hygiene only, never on the hot path. */
   def delete(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)

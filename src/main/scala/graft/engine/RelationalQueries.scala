@@ -467,6 +467,27 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    QuerySpec.noOracle("q63_hll_sketch_union") { (s, dir) =>
+      // The mergeable-sketch PERSISTENCE pattern — incremental distinct
+      // stats at 100 TB: each data slice is sketched once (DataSketches
+      // HLL, binary column), sketches land in parquet, and the corpus
+      // estimate is an O(sketch-bytes) hll_union_agg over the slice
+      // table — new data re-sketches only its slice, history is never
+      // rescanned. Estimates are impl-specific → rows-only; union ==
+      // single-pass equivalence and accuracy are pinned in SketchSpec.
+      val p = "/tmp/graft_fixtures/hll_slices_" + new java.io.File(dir).getName
+      table(s, dir, "events")
+        .withColumn("slice", pmod(col("event_id"), lit(4)))
+        .groupBy(col("slice"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
     QuerySpec.noOracle("q24_approx_quantiles") { (s, dir) =>
       // percentile_approx = mergeable KLL-style sketch; exact percentiles
       // at 100 TB require a full sort, the sketch does not. Quartiles are

@@ -104,6 +104,35 @@ class LakeSpec extends AnyFunSuite {
       .groupBy("id").count().filter("count > 1").count() == 0)
   }
 
+  test("compact collapses small files per partition, data-identical") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-compact")}/lake"
+    // 8 small appends × 2 days: incremental-ingest fragmentation
+    (0 until 8).foreach { b =>
+      Lake.append((0 until 250).map(i =>
+        (b * 1000L + i, s"p${b}_$i", 2024, 5, 1 + (i % 2)))
+        .toDF("id", "payload", "Year", "Month", "Day"), lake)
+    }
+    def files(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(lake)).iterator()
+        .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    def snapshot() = Lake.read(spark, lake)
+      .select("id", "payload", "Year", "Month", "Day")
+      .collect().map(_.toSeq).toSet
+    val before = snapshot()
+    assert(files().size >= 16, s"fixture not fragmented: ${files().size}")
+
+    Lake.compact(spark, lake, targetRowsPerFile = 1000L)
+    // 1000 rows per partition / 1000 target → 1 file per day (2 total);
+    // allow the salt-in-same-task merge slack of the docs, not more
+    assert(files().size <= 4, s"still fragmented: ${files().size} files")
+    assert(snapshot() == before, "compaction changed data")
+    // still a partitioned lake: pruning keeps working after the rewrite
+    assert(Lake.read(spark, lake).filter("Day = 2").count() == 1000)
+  }
+
   test("append codec option: snappy vs gzip file suffixes, identical read-back") {
     val root = tempDir("lake-codec")
     val in = s"$root/in"

@@ -54,4 +54,35 @@ class SketchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("persisted HLL sketch slices union to the single-pass estimate") {
+    // the q63 contract: sketch-per-slice → parquet binary round-trip →
+    // union must estimate like sketching the whole corpus in one pass
+    // (HLL insertion is order/partition-independent), and land within
+    // the sketch's error bound of the exact distinct count
+    val ev = Tables.table(spark, sf, "events")
+    val single = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p = TestSpark.tempDir("hll-slices") + "/slices"
+    ev.withColumn("slice", pmod(col("event_id"), lit(4)))
+      .groupBy(col("slice"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.parquet(p)
+    val merged = spark.read.parquet(p).groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((g, e) <- exact) {
+      val relMerge = math.abs(merged(g) - single(g)).toDouble / single(g)
+      assert(relMerge <= 0.02,
+        s"group $g: union ${merged(g)} vs single-pass ${single(g)}")
+      val relExact = math.abs(merged(g) - e).toDouble / e
+      assert(relExact <= 0.05,
+        s"group $g: union ${merged(g)} vs exact $e (relErr $relExact)")
+    }
+  }
 }
