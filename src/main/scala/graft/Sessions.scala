@@ -23,8 +23,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed tables (Lake.writeBucketed) land under the warehouse
-      // dir; keep catalog artifacts out of the repo working tree
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // dir; keep catalog artifacts out of the repo working tree, and
+      // key the dir by PID — table names are fixed (bt_*, gate_bt_*),
+      // so two concurrent JVMs on a shared dir would clobber each
+      // other's warehouse files mid-query
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -120,10 +120,21 @@ object Lake {
     * partition's target file count; every row gets a salt in
     * [0, files_p) and the rewrite repartitions on (partition cols, salt)
     * — one shuffle sized by the data, each reducer writes whole output
-    * files, no driver-side per-partition loop. The rewrite lands in a
-    * sibling directory and swaps in atomically-per-rename; a production
-    * deployment would swap per-partition to narrow the window, same
-    * plan per partition. Data is byte-identical in content (asserted in
+    * files, no driver-side per-partition loop. The salt is a CONTENT
+    * hash ([[Skew.contentHash]]), not a positional id: the rewrite's
+    * contract is "never a data change", and a positional salt re-derived
+    * differently by a retried task after the join shuffle could dup or
+    * drop rows (SPARK-23207 class). Byte-identical duplicate rows share
+    * a file — a layout skew, never a data change.
+    *
+    * The rewrite lands in a sibling `_compacting` directory and swaps in
+    * via rename-aside: live dir → `_old`, rewrite → live, then delete
+    * `_old`. At every instant one complete copy of the data exists under
+    * a well-known name — a crash between the renames leaves the lake
+    * recoverable from `<dir>_old` (unlike delete-then-rename, which has
+    * a window with NO live copy). A production deployment would swap
+    * per-partition to narrow the reader-visible window, same plan per
+    * partition. Data is byte-identical in content (asserted in
     * LakeSpec), only the file layout changes. */
   def compact(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
@@ -134,8 +145,7 @@ object Lake {
         greatest(lit(1), ceil(col("_n") / targetRowsPerFile)).cast("int"))
       .drop("_n")
     val salted = df.join(broadcast(sizes), PartitionCols)
-      .withColumn("_salt",
-        pmod(hash(monotonically_increasing_id()), col("_files")))
+      .withColumn("_salt", pmod(Skew.contentHash(df), col("_files")))
     val tmp = s"${dir}_compacting"
     delete(spark, tmp)
     salted.repartition((PartitionCols :+ "_salt").map(col): _*)
@@ -143,8 +153,12 @@ object Lake {
       .write.partitionBy(PartitionCols: _*).parquet(tmp)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val old = new Path(s"${dir}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not move $dir aside")
+    require(fs.rename(new Path(tmp), p),
+      s"compact: swap failed; original lake preserved at $old")
+    fs.delete(old, true)
   }
 
   /** Recursive delete — test/fixture hygiene only, never on the hot path. */

@@ -1,7 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Key-salting for skewed shuffles — the standard remedy when one join/agg
   * key carries a pathological share of the rows, so its single reducer
@@ -18,19 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Types `hash`/`xxhash64` accept: everything except maps (and
+    * containers holding maps). */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType    => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType  => hashable(a.elementType)
+    case _             => true
+  }
+
+  /** xxhash64 over every hashable column of `df` — a salt source that is
+    * a PURE FUNCTION OF ROW CONTENT, so a retried or speculative task
+    * re-derives byte-identical salts no matter how the rows were
+    * re-ordered. Positional ids (`monotonically_increasing_id`) look
+    * attractive here but are a correctness trap: when the input is itself
+    * the output of a shuffle, a re-executed map task can observe a
+    * different row order, derive different salts, and duplicate or drop
+    * join rows while other reducers already consumed the old outputs
+    * (the SPARK-23207 failure class). Content hashing trades that away
+    * at one cost: byte-identical duplicate rows share a salt, so a hot
+    * key composed of EXACT duplicates still lands on one reducer. Hot
+    * keys whose rows differ in any hashable column — the overwhelmingly
+    * common case — spread fully.
+    */
+  private[graft] def contentHash(df: DataFrame): Column = {
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    require(cols.nonEmpty, "no hashable columns to derive a salt from")
+    xxhash64(cols: _*)
+  }
+
+  private[graft] def contentSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(contentHash(df), lit(nSalts.toLong)).cast("int")
+
   /** Salted inner equi-join, result-identical to
     * `left.join(right, key)`: each left row scatters to one of `nSalts`
     * sub-keys, the right side replicates `nSalts`×, and the join keys on
     * (key, salt). A hot key's rows then spread over `nSalts` reducers
     * instead of one.
     *
-    * The salt hashes a `monotonically_increasing_id()` (partition-id ×
-    * row-position — deterministic within a run for a deterministic input,
-    * so retried/speculative tasks of the same partition re-derive the
-    * same salts): unlike hashing the row's columns, this never throws on
-    * un-hashable column types (MapType) and spreads IDENTICAL left rows
-    * across salts instead of collapsing them onto one reducer — duplicate
-    * hot-key rows are exactly the skew case that matters.
+    * The salt is [[contentSalt]] — deterministic under task retry and
+    * speculative execution even when `left` is the output of an earlier
+    * shuffle (see [[contentHash]] for why positional ids are unsafe
+    * here). MapType columns are excluded from the hash automatically, so
+    * un-hashable payloads never throw.
     *
     * Cost model: right side is duplicated `nSalts`× through the shuffle —
     * use when `right` is the SMALL side (dimension-sized, but too big or
@@ -42,8 +74,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int = 8): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val l = left.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+    val l = left.withColumn("_salt", contentSalt(left, nSalts))
     val r = right.withColumnRenamed(key, "_rk")
       .withColumn("_salt", explode(array((0 until nSalts).map(lit): _*)))
     l.join(r, col(key) === col("_rk") && l("_salt") === r("_salt"))

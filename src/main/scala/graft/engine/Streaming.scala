@@ -147,7 +147,12 @@ object Streaming {
         Lake.mergeAppend(batch, dir, keyCol)
       }
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    // awaitTermination(timeout) returns FALSE on timeout — without the
+    // check, the finally-stop would kill the query mid-flight and a
+    // partial drain would be indistinguishable from success
+    try require(q.awaitTermination(120000),
+      s"stream drain into $dir still running after 120 s — aborted")
+    finally q.stop()
   }
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -83,10 +83,13 @@ object Temporal {
     * per-key cross product) would not.
     *
     * The right key and time columns are aliased internally before the
-    * join, so `leftTime` and `rightTime` may share a name (the right time
-    * comes back as `right_<name>` in that case, else under its own name).
-    * Any OTHER column name shared by both sides is rejected up front —
-    * it would silently produce duplicate output columns.
+    * join, so `leftTime` and `rightTime` may share a name. The right time
+    * comes back as `right_<name>` whenever its own name would collide
+    * with ANY left column (not just `leftTime` — a left payload column
+    * named `rightTime` would otherwise duplicate in the output), else
+    * under its own name. Any OTHER column name shared by both sides is
+    * rejected up front — it would silently produce duplicate output
+    * columns.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -97,7 +100,12 @@ object Temporal {
       .intersect(left.columns.toSet - key - leftTime)
     require(shared.isEmpty, "ambiguous non-key/time columns on both " +
       s"sides: ${shared.mkString(", ")} — rename before joining")
-    val rtOut = if (rightTime == leftTime) s"right_$rightTime" else rightTime
+    val rtOut =
+      if (left.columns.contains(rightTime)) s"right_$rightTime"
+      else rightTime
+    require(!left.columns.contains(rtOut),
+      s"right-time output name $rtOut collides with a left column — " +
+        "rename before joining")
     val widthUs = (beforeSec + afterSec) * 1000000L
     def bucket(t: Column): Column = floor(unix_micros(t) / widthUs)
     val lBuckets = explode(sequence(

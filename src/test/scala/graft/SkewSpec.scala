@@ -27,23 +27,31 @@ class SkewSpec extends AnyFunSuite {
   test("salting scatters the hot key across sub-keys") {
     // the point of the exercise: the hot key's rows must spread over
     // (nearly) all salt values instead of landing on one reducer
-    val salts = fact.withColumn("_salt",
-        pmod(hash(monotonically_increasing_id()), lit(8)))
+    val salts = fact.withColumn("_salt", Skew.contentSalt(fact, 8))
       .filter(col("k") === 0L)
       .select(countDistinct(col("_salt"))).head().getLong(0)
     assert(salts >= 6, s"hot key only reached $salts of 8 salts")
   }
 
-  test("identical duplicate rows still spread across salts") {
-    // a row-content hash collapses duplicates onto ONE salt — exactly
-    // wrong for a hot key made of repeated rows
+  test("byte-identical duplicate rows still join correctly") {
+    // content salting collapses exact duplicates onto one salt (the
+    // documented residual-skew trade for retry determinism) — the join
+    // RESULT must still be exact
     val dupes = Seq.fill(800)((0L, 1.0)).toDF("k", "v")
-    val salts = Skew.saltedJoin(dupes, dim, "k", nSalts = 8)
-    assert(salts.count() == 800)
-    val spread = dupes.withColumn("_salt",
-        pmod(hash(monotonically_increasing_id()), lit(8)))
-      .select(countDistinct(col("_salt"))).head().getLong(0)
-    assert(spread >= 6, s"duplicate rows reached only $spread of 8 salts")
+    assert(Skew.saltedJoin(dupes, dim, "k", nSalts = 8).count() == 800)
+  }
+
+  test("salt is a pure function of row content — stable across re-orderings") {
+    // the ADVICE-flagged failure class (SPARK-23207): a positional-id
+    // salt re-derived by a retried task after a shuffle can differ per
+    // attempt. A content salt must be invariant to how the rows arrive.
+    val a = fact.withColumn("_salt", Skew.contentSalt(fact, 8))
+    val b = fact.repartition(13).sortWithinPartitions(col("v").desc)
+    val bSalted = b.withColumn("_salt", Skew.contentSalt(b, 8))
+    val diff = a.withColumnRenamed("_salt", "_sa")
+      .join(bSalted.withColumnRenamed("_salt", "_sb"), Seq("k", "v"))
+      .filter(col("_sa") =!= col("_sb")).count()
+    assert(diff == 0, s"$diff rows changed salt under re-partitioning")
   }
 
   test("saltedJoin tolerates un-hashable (MapType) payload columns") {

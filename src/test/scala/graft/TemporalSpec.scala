@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 import graft.engine._
 
 class TemporalSpec extends AnyFunSuite {
@@ -68,6 +69,19 @@ class TemporalSpec extends AnyFunSuite {
         beforeSec = 300L, afterSec = 0L)
       .select("id", "right_t", "v").orderBy("id", "right_t").collect()
     val got = out.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2.0), (2L, 2.0), (2L, 3.0)))
+  }
+
+  test("rangeJoin aliases right time when a LEFT payload column shares its name") {
+    // leftTime != rightTime, but left carries an unrelated column named
+    // `rt` — without the alias the output would hold two `rt` columns
+    val l2 = left.withColumn("rt", lit("left_payload"))
+    val out = Temporal.rangeJoin(l2, right, "k", "t", "rt",
+        beforeSec = 300L, afterSec = 0L)
+    assert(out.columns.count(_ == "rt") == 1, out.columns.mkString(","))
+    assert(out.columns.contains("right_rt"))
+    val got = out.select("id", "right_rt", "v").orderBy("id", "right_rt")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(got == Seq((1L, 2.0), (2L, 2.0), (2L, 3.0)))
   }
 
