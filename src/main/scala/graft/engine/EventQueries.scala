@@ -157,5 +157,71 @@ object EventQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "q69_map_explode",
+      """SELECT event_id, k.key AS key,
+        |       CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)
+        |         AS value
+        |FROM events, unnest(json_keys(props)) AS k(key)
+        |WHERE user_id < 5
+        |ORDER BY event_id, key""".stripMargin) { (s, dir) =>
+      // Semi-structured → relational: parse the whole props object to a
+      // MapType and explode to (key, value) rows — schema-on-read over
+      // open-ended keys, where q29's path extraction needs the key known
+      // up front. from_json + generator both run inside the scan stage
+      // (narrow, no shuffle); the filter is pushed below the explode so
+      // fan-out applies only to surviving rows.
+      table(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType))))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy(col("event_id"), col("key"))
+    },
+
+    QuerySpec(
+      "q70_typed_maxgap",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(LAG(ts) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS TIMESTAMP))
+        |           AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Typed per-group imperative logic (KeyValueGroupedDataset.mapGroups
+      // — SURVEY §2.7's custom-logic surface): max inter-event gap needs
+      // the group's events in time order, the shape you reach for the
+      // typed API instead of a hash aggregate. One shuffle on the key
+      // (same as any groupBy); per-group memory is one user's history —
+      // the bound a 100 TB run sizes partitions for. The oracle computes
+      // the same thing via LAG, proving the imperative form equals the
+      // declarative one.
+      import s.implicits._
+      table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.map(t => (t._2, t._3)).toArray.sorted
+          var maxGap = 0L
+          var i = 1
+          while (i < evs.length) {
+            val g = evs(i)._1 - evs(i - 1)._1
+            if (g > maxGap) maxGap = g
+            i += 1
+          }
+          (uid, evs.length.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us")
+        .orderBy(col("user_id"))
     })
 }

@@ -580,5 +580,119 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("mktsegment"))
+    },
+
+    QuerySpec(
+      "q64_pivot",
+      """SELECT CAST(user_id % 10 AS INT) AS bucket,
+        |       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Pivot (long→wide): per-bucket event-type counts. The pivot values
+      // are EXPLICIT, so Catalyst skips the extra distinct-values job an
+      // un-enumerated pivot needs and the plan is ONE partial-agg-friendly
+      // hash aggregation — at 100 TB an implicit pivot's values scan is a
+      // full extra pass. Absent (bucket, type) cells are 0-filled to match
+      // SQL's FILTER semantics.
+      table(s, dir, "events")
+        .withColumn("bucket", pmod(col("user_id"), lit(10)).cast("int"))
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
+      "q65_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+        |       ROUND(l_discount, 2) AS value
+        |FROM lineitem WHERE l_orderkey <= 30
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |       ROUND(l_extendedprice, 2)
+        |FROM lineitem WHERE l_orderkey <= 30
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'quantity', ROUND(l_quantity, 2)
+        |FROM lineitem WHERE l_orderkey <= 30
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin) {
+      (s, dir) =>
+      // Unpivot/melt (wide→long) — the inverse of q64, and the shape that
+      // turns a metrics-wide table into (entity, metric, value) training
+      // rows. Dataset.unpivot expands each row to one row per value column
+      // BEFORE any shuffle (a Generate, narrow), so it composes with
+      // partial aggregation downstream; the reference's 6,039-column EEG
+      // rows are exactly the width this matters for.
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_discount"), 2).as("discount"),
+          round(col("l_extendedprice"), 2).as("extendedprice"),
+          round(col("l_quantity"), 2).as("quantity"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("discount"), col("extendedprice"), col("quantity")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("value"))
+    },
+
+    QuerySpec(
+      "q66_percentiles_exact",
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       ROUND(median(l_extendedprice), 4)              AS med
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Exact interpolated percentiles + median — the oracle-checked
+      // member of the quantile family (q24's approx_percentile is
+      // sketch-based, rows-only by design). Spark `percentile` and DuckDB
+      // `quantile_cont` share linear-interpolation semantics, so values
+      // compare bit-for-bit after rounding. Exact percentile state is
+      // O(group values) — right for grouped mid-cardinality aggregates;
+      // at raw 100 TB the same query swaps to the q24 sketch.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))")
+          .as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 4).as("p25"),
+          round(element_at(col("q"), 2), 4).as("p50"),
+          round(element_at(col("q"), 3), 4).as("p75"),
+          round(element_at(col("q"), 2), 4).as("med"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "q67_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS total,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      // Arbitrary GROUPING SETS (rollup/cube are the fixed-shape special
+      // cases, q13/q14) + the GROUPING() marker that disambiguates "null
+      // because super-aggregate" from "null in the data". One Expand +
+      // one hash agg — the Expand multiplies rows by the set count BEFORE
+      // the shuffle, so partial aggregation still collapses each set.
+      table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
     })
 }

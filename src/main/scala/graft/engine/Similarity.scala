@@ -106,33 +106,33 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Multi-table ANN top-k — OR-of-ANDs LSH amplification with Hamming-1
-    * multiprobe: L independent tables of b hyperplane bits each; a row is
-    * a candidate if its bucket is within `probeRadius` bits of the query's
-    * bucket in ANY table. Multiprobe trades signature width for probe
-    * width: each table's effective bucket neighborhood is 1+b of 2^b
-    * buckets (radius 1), so the same recall needs fewer tables — and the
-    * per-row cost IS the signature (b·L hyperplane dot products), so
-    * fewer planes is the lever (12×8 multiprobe = 96 dots vs the 144 of
-    * exact-match 24×6 at matching recall/selectivity). One bounded
-    * single-row driver read for the query. At lake scale the
-    * (table, bucket) pairs form an inverted index / partition key: a
-    * radius-1 probe reads 1+b buckets per table, so the scan still prunes
-    * instead of filtering — here the row-local popcount filter models it.
-    */
   /** IVF (inverted-file) coarse quantizer: spherical k-means centroids
-    * over the corpus (MLlib KMeans, cosine distance, fixed seed — same
-    * input ⇒ same centroids). The centroid table is nLists × dim doubles
-    * — driver-tiny at any corpus scale; the EXPENSIVE part (assignment)
-    * stays distributed in [[ivfAssign]]. */
-  def ivfCentroids(e: DataFrame, nLists: Int,
-      seed: Long = 42L): Array[Array[Double]] = {
+    * (MLlib KMeans, cosine distance, fixed seed — same input ⇒ same
+    * centroids) trained on a DETERMINISTIC HASH SAMPLE of ≈ `maxTrain`
+    * vectors, not the corpus: k-means centroid quality saturates far
+    * below corpus size, and at 100 TB an iterative trainer over the full
+    * table would re-scan it per iteration. The sample filter is
+    * `xxhash64(vec_id) % keep == 0` — a pure function of row content, so
+    * the training set (hence the centroids) is reproducible regardless
+    * of partitioning; it is persisted for KMeans' iterations and
+    * unpersisted before return. The centroid table is nLists × dim
+    * doubles — driver-tiny at any corpus scale; the EXPENSIVE part
+    * (assignment) stays distributed in [[ivfAssign]]. */
+  def ivfCentroids(e: DataFrame, nLists: Int, seed: Long = 42L,
+      maxTrain: Long = 4096L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = prep(e).select(array_to_vector(col("v")).as("features"))
-    new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
-      .setDistanceMeasure("cosine").setFeaturesCol("features")
-      .fit(feats).clusterCenters.map(_.toArray)
+    val d = prep(e)
+    val keep = math.max(1L, d.count() / maxTrain)
+    val train = d
+      .filter(pmod(xxhash64(col("vec_id")), lit(keep)) === 0)
+      .select(array_to_vector(col("v")).as("features"))
+      .persist()
+    try
+      new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+        .setDistanceMeasure("cosine").setFeaturesCol("features")
+        .fit(train).clusterCenters.map(_.toArray)
+    finally { train.unpersist(blocking = true); () }
   }
 
   /** Assign every vector to its nearest centroid (cosine argmax) — the
@@ -162,7 +162,10 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = ivfCentroids(e, nLists)
     val indexed = ivfAssign(e, cents)
-    val qRow = indexed.filter(col("vec_id") === queryId)
+    // query vector comes from the UN-assigned prep — fetching it through
+    // `indexed` would pay a full nLists-dots-per-row assignment scan for
+    // one row
+    val qRow = prep(e).filter(col("vec_id") === queryId)
       .select(col("v")).head()
     val qv = qRow.getSeq[Double](0).toArray
     def cosLocal(a: Array[Double], b: Array[Double]): Double = {
@@ -183,6 +186,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-table ANN top-k — OR-of-ANDs LSH amplification with Hamming-1
+    * multiprobe: L independent tables of b hyperplane bits each; a row is
+    * a candidate if its bucket is within `probeRadius` bits of the query's
+    * bucket in ANY table. Multiprobe trades signature width for probe
+    * width: each table's effective bucket neighborhood is 1+b of 2^b
+    * buckets (radius 1), so the same recall needs fewer tables — and the
+    * per-row cost IS the signature (b·L hyperplane dot products), so
+    * fewer planes is the lever (12×8 multiprobe = 96 dots vs the 144 of
+    * exact-match 24×6 at matching recall/selectivity). One bounded
+    * single-row driver read for the query. At lake scale the
+    * (table, bucket) pairs form an inverted index / partition key: a
+    * radius-1 probe reads 1+b buckets per table, so the scan still prunes
+    * instead of filtering — here the row-local popcount filter models it.
+    */
   def annTopK(e: DataFrame, queryId: Long, k: Int,
       nTables: Int = 12, bitsPerTable: Int = 8,
       probeRadius: Int = 1): DataFrame = {

@@ -61,6 +61,105 @@ object Streaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** `events` staged `copies`× into a fresh drop folder — the REDELIVERY
+    * shape (the reference's Lambda retries re-deliver whole drops,
+    * emr-no-vpc.py:18-189): every event arrives `copies` times and the
+    * consumer must dedup. Distinct file names, so the file source treats
+    * each copy as new input. */
+  def eventsStreamDuplicated(spark: SparkSession, sfDir: String,
+      copies: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = src.getFileSystem(conf)
+    val dir = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_stream_dup/${new java.io.File(sfDir).getName}_x$copies")
+    fs.mkdirs(dir)
+    (0 until copies).foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(dir, s"events_$i.parquet")
+      if (!fs.exists(dst) ||
+        fs.getFileStatus(dst).getLen != fs.getFileStatus(src).getLen)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+    }
+    spark.readStream.schema(eventsSchema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming exactly-once-per-key dedup over the redelivered stream:
+    * watermark-scoped duplicate drop on `event_id`. State holds only keys
+    * younger than the watermark — the eviction contract that makes
+    * streaming dedup viable at all at scale (an unscoped dropDuplicates
+    * keeps every key ever seen). */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary custom state (SURVEY §2.7's
+    * `flatMapGroupsWithState` surface): per-user running (count, sum)
+    * maintained imperatively across micro-batches, emitting the UPDATED
+    * state for each user seen in a batch. State is two numbers per key —
+    * the O(1)-mergeable shape that stays bounded at any history length;
+    * the final emission per key equals the batch GROUP BY (q72's oracle).
+    */
+  def userRunningStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)],
+         st: GroupState[(Long, Double)]) =>
+          var (n, total) = st.getOption.getOrElse((0L, 0.0))
+          it.foreach { case (_, v) => n += 1; total += v }
+          st.update((n, total))
+          Iterator((uid, n, total))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Drain an UPDATE-mode stream (the memory sink only supports
+    * append/complete) by accumulating each micro-batch's update rows via
+    * foreachBatch, then keeping the LAST update per key — i.e. the final
+    * state. Driver-bounded: update rows are key-cardinality ×
+    * batch-count (state results are cardinality-reduced by
+    * construction), the same bound the memory sink already implies. */
+  def runUpdatesLastWins(df: DataFrame, keyCols: Seq[String],
+      statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val rows = batch.collect()
+          buf.synchronized {
+            buf ++= rows.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ id))
+          }
+          ()
+        }
+        .start()
+      try require(q.awaitTermination(120000),
+        "update-mode drain still running after 120 s — aborted")
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_batch", org.apache.spark.sql.types.LongType))
+    val withBatch = spark.createDataFrame(
+      java.util.Arrays.asList(buf.toSeq: _*), schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_batch").desc)
+    withBatch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_batch")
+  }
+
   /** Tumbling 1h window aggregation (the streaming form of q25). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -158,7 +257,8 @@ object Streaming {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def runAvailableNow(df: DataFrame, name: String,
-                      statePartitions: Int = 8): DataFrame = {
+                      statePartitions: Int = 8,
+                      outputMode: String = "complete"): DataFrame = {
     val spark = df.sparkSession
     val qn = s"${name}_${runSeq.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -166,7 +266,7 @@ object Streaming {
     try {
       val q = df.writeStream
         .queryName(qn)
-        .outputMode("complete")
+        .outputMode(outputMode)
         .format("memory")
         .trigger(Trigger.AvailableNow())
         .start()

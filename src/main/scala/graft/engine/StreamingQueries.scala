@@ -110,5 +110,45 @@ object StreamingQueries {
       Streaming.streamToLake(enriched, s"$root/lake", "event_id",
         s"$root/cp_redelivery")
       Lake.partitionCounts(s, s"$root/lake")
+    },
+
+    QuerySpec(
+      "q71_stream_dedup",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Streaming dedup ([[Streaming.dedupByKey]]): the whole input is
+      // staged TWICE (redelivery), the stream drops watermark-scoped
+      // duplicates on event_id, and the per-type accounting must equal
+      // counts from a SINGLE clean copy — a duplicate surviving doubles
+      // n, an over-drop loses one. Append mode: dedup emits rows as they
+      // arrive; only the duplicate-drop is stateful.
+      val deduped = Streaming.runAvailableNow(
+        Streaming.dedupByKey(Streaming.eventsStreamDuplicated(s, dir, 2)),
+        "q71_dedup", outputMode = "append")
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q72_stream_custom_state",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Custom state machine ([[Streaming.userRunningStats]]):
+      // flatMapGroupsWithState maintains per-user (count, sum) across
+      // micro-batches and emits the updated state per batch; the
+      // last-wins drain keeps each user's FINAL state, which must equal
+      // the batch GROUP BY. This is the surface for logic window aggregates
+      // can't express (custom eviction, per-key decisions) — state here
+      // is O(1) per key, the only shape that survives unbounded streams.
+      Streaming.runUpdatesLastWins(
+        Streaming.userRunningStats(Streaming.eventsStream(s, dir)),
+        Seq("user_id"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"))
     })
 }

@@ -142,5 +142,38 @@ object TextQueries {
             .as("diversity"))
       quantileThresholdFilter(scored, "diversity", 0.25)
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q68_array_hofs",
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(len(list_filter(
+        |              list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |              w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT)
+        |         AS n_uniq_alpha,
+        |       array_to_string(
+        |         list_sort(list_filter(
+        |           list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |           w -> regexp_full_match(w, '[a-z]+')))[1:5], ',')
+        |         AS first5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Array higher-order functions — split/distinct/lambda-filter/sort/
+      // slice/join composed per row, ZERO shuffles and no UDF: every HOF
+      // is a codegen'd expression, so the whole projection rides one
+      // whole-stage-codegen span over the scan. The lambda keeps only
+      // all-ASCII-alpha words so Spark's and DuckDB's binary string sort
+      // orders agree on every language slice of the corpus (collation on
+      // non-ASCII would otherwise be engine-specific).
+      val uniqAlpha = org.apache.spark.sql.functions.filter(
+        array_distinct(split(lower(trim(col("text"))), "\\s+")),
+        w => w.rlike("^[a-z]+$"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          size(uniqAlpha).cast("long").as("n_uniq_alpha"),
+          array_join(slice(array_sort(uniqAlpha), 1, 5), ",").as("first5"))
+        .orderBy(col("doc_id"))
     })
 }
