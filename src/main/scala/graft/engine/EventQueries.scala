@@ -223,5 +223,32 @@ object EventQueries {
         }
         .toDF("user_id", "n_events", "max_gap_us")
         .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "q74_range_frame",
+      """SELECT user_id, event_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP)
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        |             2) AS rolling_1h
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      // RANGE (time-interval) window frame — the VALUE-based sibling of
+      // q18's row-count frame: the frame is "everything in the trailing
+      // hour", however many rows that is. Spark's range frame needs a
+      // numeric order key, so the frame is ±µs on unix_micros — exactly
+      // INTERVAL 1 HOUR inclusive. Rows tied on ts share a frame in BOTH
+      // engines (RANGE includes peers), so the result is deterministic
+      // under tie reordering.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0)
+      table(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("rolling_1h"))
+        .orderBy(col("user_id"), col("event_id"))
     })
 }

@@ -178,5 +178,37 @@ object IngestQueries {
         Lake.append(ev.filter(pmod(col("event_id"), lit(4)) === b), lake))
       Lake.compact(s, lake, targetRowsPerFile = 10000000L)
       Lake.partitionCounts(s, lake)
+    },
+
+    QuerySpec(
+      "q75_json_source",
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(SUM(value), 2) AS total_value
+         |FROM read_json('$FixRoot/json_src/*.json',
+         |               columns={'event_id':'BIGINT','user_id':'BIGINT',
+         |                        'event_type':'VARCHAR','value':'DOUBLE'})
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // JSON-lines source scan (third source format after CSV and
+      // parquet): a slice of events is staged as .json, then read back
+      // with an EXPLICIT schema — the same no-inference discipline the
+      // reference learned for CSV (sparkle-v8.py:14, "REALLY slow"):
+      // schema inference on JSON is a full extra pass over the data.
+      // The oracle re-reads the same files with DuckDB's read_json, so
+      // the round-trip (write → scan → aggregate) is engine-checked.
+      val out = s"$FixRoot/json_src"
+      Lake.delete(s, out)
+      Tables.table(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .coalesce(1)
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(s"$out/*.json")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
     })
 }

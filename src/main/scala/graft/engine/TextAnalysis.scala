@@ -72,6 +72,26 @@ object TextAnalysis {
       .when(nTokens >= 15, "fair")
       .otherwise("low")
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the rolling-hash fingerprint family): slide a window of `w`
+    * consecutive character `k`-grams over the normalized text and keep
+    * each window's MINIMUM gram; the distinct minima are the document's
+    * fingerprint set. Guarantees every match of length ≥ w+k-1 shares a
+    * fingerprint, while keeping O(n/w) expected fingerprints — the
+    * near-dup detection primitive that, unlike MinHash, localizes WHERE
+    * the overlap is. Minima are taken by binary string order (order
+    * embedding of a rolling hash — deterministic and oracle-portable
+    * where engine hash functions are not). Pure codegen'd HOFs:
+    * transform/sequence/slice/array_min, no UDF, no shuffle. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    val norm = normText(c)
+    val grams = transform(sequence(lit(1), length(norm) - (k - 1)),
+      i => norm.substr(i, lit(k)))
+    val minima = transform(sequence(lit(1), length(norm) - (k + w - 2)),
+      j => array_min(slice(grams, j, lit(w))))
+    array_distinct(minima)
+  }
+
   /** Corpus-relative quality gate: keep rows at or above the global
     * `q`-quantile of `metric` — "drop the worst quartile" style filtering,
     * where the threshold is a property of the corpus, not a constant.

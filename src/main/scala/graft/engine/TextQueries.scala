@@ -175,5 +175,44 @@ object TextQueries {
           size(uniqAlpha).cast("long").as("n_uniq_alpha"),
           array_join(slice(array_sort(uniqAlpha), 1, 5), ",").as("first5"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q73_winnowing",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         [substring(norm, i, 8) FOR i IN range(1, length(norm) - 6)]
+        |           AS grams,
+        |         length(norm) AS n
+        |  FROM d WHERE length(norm) >= 16),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_min(grams[j:j+3])
+        |                        FOR j IN range(1, n - 9)]) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       array_to_string(list_sort(fps)[1:3], '|') AS first3
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]],
+      // k=8-char grams, w=4 windows): both engines take window minima by
+      // binary string order, so the fingerprint SETS compare exactly —
+      // summarized as (count, 3 smallest) for a bounded result. DuckDB's
+      // range(1, x) is exclusive: x = n-6 gives grams 1..n-7 and
+      // x = n-9 gives windows 1..n-10, matching Spark's inclusive
+      // sequence(1, n-7) / sequence(1, n-10).
+      table(s, dir, "documents")
+        .withColumn("_norm_len",
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .filter(col("_norm_len") >= 16)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_join(slice(array_sort(col("fps")), 1, 3), "|").as("first3"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -121,6 +121,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.select("id").distinct.count() == 10)
   }
 
+  test("custom state accumulates across micro-batches, last-wins drain returns final state") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("stream-state")
+    // user 1 spans BOTH files → with maxFilesPerTrigger=1 its state must
+    // carry from batch 0 into batch 1, and the drain must keep only the
+    // batch-1 (final) update
+    Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("user_id", "value")
+      .write.parquet(s"$root/in/f0")
+    Seq((1L, 4.0), (3L, 5.0)).toDF("user_id", "value")
+      .write.parquet(s"$root/in/f1")
+    val src = spark.readStream
+      .schema("user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    val out = Streaming.runUpdatesLastWins(
+      Streaming.userRunningStats(src), Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(1L -> ((3L, 7.0)), 2L -> ((1L, 3.0)),
+      3L -> ((1L, 5.0))))
+  }
+
+  test("streaming dedup drops duplicates that arrive in a LATER micro-batch") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("stream-dedup")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def rows(ids: Range) = ids.map(i => (i.toLong, t0, s"e_$i"))
+      .toDF("event_id", "ts", "event_type")
+    rows(1 to 5).write.parquet(s"$root/in/f0")
+    rows(4 to 8).write.parquet(s"$root/in/f1") // 4,5 re-delivered
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    val out = Streaming.runAvailableNow(Streaming.dedupByKey(src),
+      "t_dedup", outputMode = "append")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (1L to 8L), s"got $out")
+  }
+
   test("streaming session windows equal the batch gaps-and-islands form") {
     val stream = Streaming.runAvailableNow(
       Streaming.sessionize(Streaming.eventsStream(spark, sf)), "t_sessions")
