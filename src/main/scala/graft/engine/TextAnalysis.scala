@@ -81,15 +81,41 @@ object TextAnalysis {
     * near-dup detection primitive that, unlike MinHash, localizes WHERE
     * the overlap is. Minima are taken by binary string order (order
     * embedding of a rolling hash — deterministic and oracle-portable
-    * where engine hash functions are not). Pure codegen'd HOFs:
-    * transform/sequence/slice/array_min, no UDF, no shuffle. */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
-    val norm = normText(c)
-    val grams = transform(sequence(lit(1), length(norm) - (k - 1)),
-      i => norm.substr(i, lit(k)))
-    val minima = transform(sequence(lit(1), length(norm) - (k + w - 2)),
-      j => array_min(slice(grams, j, lit(w))))
-    array_distinct(minima)
+    * where engine hash functions are not).
+    *
+    * Evaluation shape is the whole point of this signature. Higher-order
+    * -function lambdas are INTERPRETED (no whole-stage codegen, no
+    * common-subexpression elimination across lambda boundaries), so a
+    * single nested expression `transform(.., j => array_min(slice(
+    * transform(..), j, w)))` re-evaluates the entire gram array — and
+    * the full-document regex normalization under it — for EVERY outer
+    * window element: O(n²) evals × O(n) regex per document (this hung
+    * an earlier bench for 20+ minutes on one core). Instead each level
+    * is STAGED as its own projection, so when the minima lambda reads
+    * `grams` it is a bound attribute: one array build per row, O(n·w)
+    * total. Each staged column is deliberately referenced TWICE by its
+    * consumer (`length(norm)`+`substr(norm)`, `size(grams)`+
+    * `slice(grams)`), which stops Catalyst's CollapseProject from
+    * inlining the non-cheap producer back into the lambda — the staging
+    * survives optimization (verified by plan in TextSpec).
+    *
+    * Precondition: rows must satisfy `length(normText(text)) ≥ k+w-1`
+    * (shorter rows would hit `sequence(1, non-positive)`, which counts
+    * DOWN). Still shuffle-free and row-local; callers should
+    * `repartition` a single-file scan first so the per-row work spreads
+    * across cores. */
+  def winnowStaged(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      k: Int, w: Int, out: String): org.apache.spark.sql.DataFrame = {
+    val norm = col("__winnow_norm")
+    val grams = col("__winnow_grams")
+    df.withColumn("__winnow_norm", normText(textCol))
+      .withColumn("__winnow_grams",
+        transform(sequence(lit(1), length(norm) - (k - 1)),
+          i => norm.substr(i, lit(k))))
+      .withColumn(out,
+        array_distinct(transform(sequence(lit(1), size(grams) - (w - 1)),
+          j => array_min(slice(grams, j, lit(w))))))
+      .drop("__winnow_norm", "__winnow_grams")
   }
 
   /** Corpus-relative quality gate: keep rows at or above the global

@@ -197,19 +197,22 @@ object TextQueries {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |       array_to_string(list_sort(fps)[1:3], '|') AS first3
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]],
-      // k=8-char grams, w=4 windows): both engines take window minima by
-      // binary string order, so the fingerprint SETS compare exactly —
+      // Winnowing fingerprints ([[TextAnalysis.winnowStaged]], k=8-char
+      // grams, w=4 windows): both engines take window minima by binary
+      // string order, so the fingerprint SETS compare exactly —
       // summarized as (count, 3 smallest) for a bounded result. DuckDB's
       // range(1, x) is exclusive: x = n-6 gives grams 1..n-7 and
       // x = n-9 gives windows 1..n-10, matching Spark's inclusive
-      // sequence(1, n-7) / sequence(1, n-10).
-      table(s, dir, "documents")
-        .withColumn("_norm_len",
-          length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-        .filter(col("_norm_len") >= 16)
-        .select(col("doc_id"),
-          TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+      // sequence(1, n-7) / sequence(1, n-10). The documents table is a
+      // single parquet file (one task); the per-row work is the heaviest
+      // in the suite, so spread it across cores first — at cluster scale
+      // the same round-robin repartition turns one hot scan task into a
+      // balanced, shuffle-once fan-out.
+      TextAnalysis.winnowStaged(
+          table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
+            .filter(length(TextAnalysis.normText(col("text"))) >= 16),
+          col("text"), k = 8, w = 4, out = "fps")
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),
           array_join(slice(array_sort(col("fps")), 1, 3), "|").as("first3"))
