@@ -14,7 +14,35 @@ import org.apache.spark.sql.SparkSession
   *    (see [[graft.engine.Tables.table]]).
   */
 object Sessions {
+
+  /** Per-PID scratch roots (warehouse, staged stream drop-folders) would
+    * otherwise accumulate one directory per run, unboundedly — bucketed
+    * bt_* tables alone can be large. On clean exit the JVM removes its
+    * own roots; on startup it sweeps roots left by PIDs that are no
+    * longer alive (a crashed run can't clean up after itself). */
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerScratchCleanup(): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val pid = ProcessHandle.current().pid()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Seq(s"/tmp/graft_warehouse_$pid", s"/tmp/graft_stream_$pid")
+          .foreach(p => rm(new java.io.File(p)))))
+      val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          val n = f.getName
+          (n.startsWith("graft_warehouse_") || n.startsWith("graft_stream_")) &&
+            n.split("_").last.toLongOption.exists(p =>
+              p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        }
+      stale.foreach(rm)
+    }
+
   def local(appName: String = "graft"): SparkSession = {
+    registerScratchCleanup()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .appName(appName)

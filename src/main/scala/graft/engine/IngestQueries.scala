@@ -187,7 +187,7 @@ object IngestQueries {
          |FROM read_json('$FixRoot/json_src/*.json',
          |               columns={'event_id':'BIGINT','user_id':'BIGINT',
          |                        'event_type':'VARCHAR','value':'DOUBLE'})
-         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
       // JSON-lines source scan (third source format after CSV and
       // parquet): a slice of events is staged as .json, then read back
       // with an EXPLICIT schema — the same no-inference discipline the
@@ -195,14 +195,31 @@ object IngestQueries {
       // schema inference on JSON is a full extra pass over the data.
       // The oracle re-reads the same files with DuckDB's read_json, so
       // the round-trip (write → scan → aggregate) is engine-checked.
+      //
+      // The slice is a WRITE-ONCE fixture from a FIXED sf (like the EEG
+      // fixtures, the sfDir argument is ignored): an earlier version
+      // deleted and rewrote a shared dir from the run's own sf at
+      // query-execution time, so correctness depended on Spark always
+      // executing before the oracle read, and two concurrent runs could
+      // rewrite the files out from under each other's scan. Now a run
+      // stages into a PID-suffixed temp dir and atomically renames it
+      // into place; the loser of a publish race discards its copy and
+      // reads the winner's (byte-identical — fixed source, fixed order).
       val out = s"$FixRoot/json_src"
-      Lake.delete(s, out)
-      Tables.table(s, dir, "events")
-        .filter(col("user_id") < 50)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
-        .coalesce(1)
-        .write.mode("overwrite").json(out)
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(outPath)) {
+        val tmp = s"$out._staging_${ProcessHandle.current().pid()}"
+        Lake.delete(s, tmp)
+        Tables.table(s, "/root/testdata/sf0.001", "events")
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .coalesce(1)
+          .write.json(tmp)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), outPath))
+          Lake.delete(s, tmp)
+      }
       s.read
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
         .json(s"$out/*.json")

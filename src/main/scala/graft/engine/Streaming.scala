@@ -35,28 +35,48 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Stage `src` into `dir` as `copies` distinctly-named files, copy-once
+    * per JVM. The staging root is keyed by PID (same isolation argument
+    * as the per-PID warehouse in [[graft.Sessions]]): a SHARED path let
+    * one JVM's stream read another JVM's half-copied parquet file, and a
+    * regenerated fixture with identical byte length silently reused
+    * stale staged copies. Within one JVM the existence check makes
+    * restaging a no-op; each copy lands under a temp name and is RENAMED
+    * into place (atomic on a local fs), so even a crashed stager never
+    * leaves a truncated file where a reader looks. [[graft.Sessions]]
+    * sweeps the per-PID root on JVM exit. */
+  private def stageCopies(spark: SparkSession, src: org.apache.hadoop.fs.Path,
+      dirName: String, copies: Int): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(conf)
+    val dir = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_stream_${ProcessHandle.current().pid()}/$dirName")
+    fs.mkdirs(dir)
+    (0 until copies).foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(dir, s"events_$i.parquet")
+      if (!fs.exists(dst)) {
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".events_$i.tmp")
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
+        require(fs.rename(tmp, dst), s"stage: could not publish $dst")
+      }
+    }
+    dir.toString
+  }
+
   /** `events` as a file stream (S7's in-engine analogue: the drop-folder
     * micro-batch source). The file source requires a DIRECTORY; the
     * testdata table is a single parquet file, so it is staged (copied
-    * once, size-checked) into a per-sf stream directory — exactly the
-    * drop-folder layout a production stream would watch. */
+    * once per JVM, atomically published) into a per-PID, per-sf stream
+    * directory — exactly the drop-folder layout a production stream
+    * would watch. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val fs = src.getFileSystem(conf)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamDir =
       if (fs.getFileStatus(src).isDirectory) src.toString
-      else {
-        val dir = new org.apache.hadoop.fs.Path(
-          s"/tmp/graft_stream/${new java.io.File(sfDir).getName}")
-        fs.mkdirs(dir)
-        val dst = new org.apache.hadoop.fs.Path(dir, "events.parquet")
-        if (!fs.exists(dst) ||
-          fs.getFileStatus(dst).getLen != fs.getFileStatus(src).getLen)
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
-        dir.toString
-      }
+      else stageCopies(spark, src,
+        new java.io.File(sfDir).getName, copies = 1)
     spark.readStream.schema(eventsSchema).parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -69,19 +89,10 @@ object Streaming {
   def eventsStreamDuplicated(spark: SparkSession, sfDir: String,
       copies: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val fs = src.getFileSystem(conf)
-    val dir = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft_stream_dup/${new java.io.File(sfDir).getName}_x$copies")
-    fs.mkdirs(dir)
-    (0 until copies).foreach { i =>
-      val dst = new org.apache.hadoop.fs.Path(dir, s"events_$i.parquet")
-      if (!fs.exists(dst) ||
-        fs.getFileStatus(dst).getLen != fs.getFileStatus(src).getLen)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
-    }
-    spark.readStream.schema(eventsSchema).parquet(dir.toString)
+    val dir = stageCopies(spark, src,
+      s"${new java.io.File(sfDir).getName}_x$copies", copies)
+    spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -270,7 +281,12 @@ object Streaming {
         .format("memory")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(120000)
+      // awaitTermination(timeout) returns FALSE on timeout — without the
+      // check the finally-stop kills the query mid-flight and the PARTIAL
+      // memory sink would be returned as the result (same contract as
+      // streamToLake / runUpdatesLastWins)
+      try require(q.awaitTermination(120000),
+        s"availableNow drain '$qn' still running after 120 s — aborted")
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val sunk = spark.table(qn)
