@@ -33,9 +33,14 @@ object Lake {
     * partitions; gzip for cold archives. Parquet tolerates mixed codecs
     * per file, so the choice can change batch-to-batch without rewriting
     * the lake. */
-  def append(df: DataFrame, dir: String, codec: String = "snappy"): Unit =
+  def append(df: DataFrame, dir: String, codec: String = "snappy"): Unit = {
+    // a writer arriving after a crashed compact swap must restore the
+    // aside copy FIRST, or the old data would be stranded under _old
+    // while new batches build a parallel lake at the live name
+    recoverCrashedSwap(df.sparkSession, dir)
     df.write.option("compression", codec)
       .partitionBy(PartitionCols: _*).mode("append").parquet(dir)
+  }
 
   /** Idempotent merge-append: append only batch rows whose `keyCol` is not
     * already present in the lake partitions the batch touches — making
@@ -57,6 +62,9 @@ object Lake {
   def mergeAppend(df: DataFrame, dir: String, keyCol: String,
       codec: String = "snappy"): Unit = {
     val spark = df.sparkSession
+    recoverCrashedSwap(spark, dir) // before the exists-check, so a
+    // crashed-swap lake dedups against its restored keys instead of
+    // being mistaken for a fresh one
     val fresh =
       if (!exists(spark, dir)) df
       else {
@@ -98,9 +106,28 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** A crash between [[compact]]'s two renames leaves the ONLY complete
+    * copy of the lake at `<dir>_old` and nothing at `<dir>`; without
+    * recovery every later read fails with a bare path-not-found and no
+    * hint the data still exists. Both [[read]] and [[compact]] detect
+    * exactly that shape — `_old` present, live dir absent — and rename
+    * the copy back before proceeding. (If BOTH exist, a compact swap
+    * completed and `_old` is just an un-deleted leftover; compact
+    * removes it before starting its own swap.) */
+  private def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val old = new Path(s"${dir}_old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"lake recovery: could not restore $dir from crashed-compact copy $old")
+  }
+
   /** S5: scan the lake (partition columns come back from the layout). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    recoverCrashedSwap(spark, dir)
     spark.read.parquet(dir)
+  }
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -138,6 +165,7 @@ object Lake {
     * LakeSpec), only the file layout changes. */
   def compact(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
+    recoverCrashedSwap(spark, dir)
     val df = read(spark, dir)
     val sizes = df.groupBy(PartitionCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))

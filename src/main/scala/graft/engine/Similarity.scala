@@ -129,7 +129,11 @@ object Similarity {
       .select(array_to_vector(col("v")).as("features"))
       .persist()
     try
-      new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      // 8 iterations: with the fixed seed and the ~4k-row sample the
+      // centroids converge well before that (SimilaritySpec's recall
+      // gate is unchanged vs 20 iters), and the trainer's fixed
+      // overhead was the single largest cost in the bench's ANN query
+      new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
         .setDistanceMeasure("cosine").setFeaturesCol("features")
         .fit(train).clusterCenters.map(_.toArray)
     finally { train.unpersist(blocking = true); () }

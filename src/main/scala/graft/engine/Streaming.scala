@@ -265,6 +265,31 @@ object Streaming {
     finally q.stop()
   }
 
+  /** Real file-sink path (the production counterpart of the memory-sink
+    * test harness): drain a stream into parquet under `outDir` with a
+    * persistent `checkpoint`. Two durability mechanisms compose here:
+    * the CHECKPOINT records which input files each micro-batch consumed
+    * (a restarted drain resumes instead of re-reading — asserted in
+    * StreamingSpec), and the file sink's own `_spark_metadata` manifest
+    * records which output files each batch committed, making the sink
+    * end-to-end exactly-once: a batch that crashed mid-write is
+    * re-attempted and its orphaned files are never listed as committed.
+    * At scale this is the standard landing pattern for an event firehose
+    * — every knob (trigger, output partitioning, lake layout) composes
+    * with the same plan. */
+  def streamToParquet(df: DataFrame, outDir: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000),
+      s"parquet-sink drain into $outDir still running after 120 s — aborted")
+    finally q.stop()
+  }
+
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def runAvailableNow(df: DataFrame, name: String,

@@ -161,4 +161,37 @@ class LakeSpec extends AnyFunSuite {
     assert(key(s"$root/lake_snappy") == key(s"$root/lake_gzip"))
     assert(Lake.read(spark, s"$root/lake_gzip").count() == A.nRows)
   }
+
+  test("read/append recover a lake stranded at _old by a crash mid-compact-swap") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-recover")}/lake"
+    Lake.append((0 until 100).map(i => (i.toLong, 2024, 6, 1 + (i % 2)))
+      .toDF("id", "Year", "Month", "Day"), lake)
+
+    // simulate a crash between compact's two renames: live dir moved
+    // aside, replacement never arrived
+    def strand(): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(lake),
+        new org.apache.hadoop.fs.Path(s"${lake}_old")))
+    }
+
+    strand()
+    assert(Lake.read(spark, lake).count() == 100) // read auto-recovers
+    assert(!new java.io.File(s"${lake}_old").exists())
+
+    // a WRITER arriving first must also restore before appending, or the
+    // old data would be stranded while a parallel lake grows at the name
+    strand()
+    Lake.append((100 until 110).map(i => (i.toLong, 2024, 6, 1 + (i % 2)))
+      .toDF("id", "Year", "Month", "Day"), lake)
+    assert(Lake.read(spark, lake).count() == 110)
+
+    // mergeAppend on a stranded lake still dedups against restored keys
+    strand()
+    Lake.mergeAppend((0 until 120).map(i => (i.toLong, 2024, 6, 1 + (i % 2)))
+      .toDF("id", "Year", "Month", "Day"), lake, "id")
+    assert(Lake.read(spark, lake).count() == 120) // 110 restored + 10 new
+  }
 }

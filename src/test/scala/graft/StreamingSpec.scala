@@ -186,4 +186,31 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(stream == batch)
   }
+
+  test("parquet writeStream sink resumes from checkpoint without reprocessing") {
+    val root = TestSpark.tempDir("stream-pq")
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    def addInput(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 1.5D AS v")
+        .coalesce(1).write.mode("append").parquet(in)
+    def drain(): Unit = Streaming.streamToParquet(
+      spark.readStream.schema("id LONG, v DOUBLE").parquet(in), out, ck)
+
+    addInput(0, 100)
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // restart with no new input: the checkpoint must make this a no-op —
+    // a sink without source-progress tracking would re-append all rows
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // restart after one NEW input file: only its rows are appended
+    addInput(100, 150)
+    drain()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 150)
+    assert(rows.agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) == (0L until 150L).sum)
+  }
 }
