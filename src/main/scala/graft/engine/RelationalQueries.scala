@@ -28,6 +28,55 @@ object RelationalQueries {
   private val D = "yyyy-MM-dd"
   private def tsLit(s: String) = to_timestamp(lit(s), D)
 
+  // EP2 surface (SQL strings over registered views, reference
+  // README.md:14-16): q77-q79 run ONE text through both engines —
+  // spark.sql on the temp-view registry and the DuckDB oracle verbatim —
+  // so the parser/analyzer path itself is under test, kept to the
+  // ANSI ∩ (Spark, DuckDB) dialect subset.
+
+  /** TPC-H Q3 shape: 3-way join, filtered fact, grouped revenue, top-k.
+    * Catalyst broadcasts both dims and orders a single shuffle on the
+    * group key; revenue ties are broken by key so LIMIT is total-order
+    * deterministic. */
+  private val SqlJoin3 =
+    """SELECT o.o_orderkey,
+      |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |       o.o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o.o_orderkey, o.o_orderpriority
+      |ORDER BY revenue DESC, o.o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** CTE + window in SQL text: top-3 accounts per segment. ROW_NUMBER is
+    * INT in Spark and BIGINT in DuckDB — cast in the text so both
+    * engines emit the same schema. */
+  private val SqlWindowCte =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_name, c_acctbal,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |SELECT c_mktsegment, c_name, ROUND(c_acctbal, 2) AS acctbal,
+      |       CAST(rn AS BIGINT) AS rn
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Correlated EXISTS in SQL text (Catalyst rewrites to a left-semi
+    * join; 82 of 100 suppliers qualify at sf0.01 — selective enough to
+    * prove the predicate correlates). */
+  private val SqlExists =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey
+      |                AND l.l_quantity > 49 AND l.l_extendedprice > 90000)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- aggregation family (A4) ---------------------------------------
@@ -440,6 +489,21 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    QuerySpec("q77_sql_join3", SqlJoin3) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlJoin3)
+    },
+
+    QuerySpec("q78_sql_window_cte", SqlWindowCte) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlWindowCte)
+    },
+
+    QuerySpec("q79_sql_exists", SqlExists) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlExists)
+    },
+
     QuerySpec(
       "q22_having_grouped",
       """SELECT l_suppkey, COUNT(*) AS n_lines,
@@ -550,6 +614,28 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    QuerySpec(
+      "q76_salted_dup_join",
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT user_id, event_type FROM events) e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Duplicate-heavy salted join ([[Skew.saltedJoinDupHeavy]]): the
+      // fact side is events projected to (user_id, event_type) — mostly
+      // byte-identical duplicate rows, the one hot-key shape a content
+      // salt cannot spread. Copies collapse map-side before the shuffle,
+      // join salted, and the count re-expands each survivor; the oracle
+      // is the PLAIN join, so the grouped counts verify the multiset
+      // re-expansion exactly.
+      val ev = table(s, dir, "events").select(col("user_id"), col("event_type"))
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoinDupHeavy(ev, cust, "user_id", nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
         .orderBy(col("c_mktsegment"))
     },
 

@@ -80,4 +80,26 @@ object Skew {
     l.join(r, col(key) === col("_rk") && l("_salt") === r("_salt"))
       .drop("_salt", "_rk")
   }
+
+  /** Salted join for DUPLICATE-HEAVY hot keys — the one shape
+    * [[saltedJoin]]'s content salt cannot spread: byte-identical rows
+    * share a hash, hence a salt, hence a reducer. Instead of spreading
+    * the copies, COLLAPSE them before the shuffle: a group-by over every
+    * left column combines duplicates map-side (partial aggregation), so
+    * a key with millions of identical copies reaches the exchange as at
+    * most one row per map task with a count. The collapsed rows go
+    * through the regular salted join (hot DISTINCT contents still
+    * spread), and the count re-expands each surviving row afterwards —
+    * generation on the consuming task, no extra shuffle. Multiset-
+    * identical to `left.join(right, key)`; requires all-hashable left
+    * columns (same constraint as the group-by itself).
+    */
+  def saltedJoinDupHeavy(left: DataFrame, right: DataFrame, key: String,
+      nSalts: Int = 8): DataFrame = {
+    val collapsed = left.groupBy(left.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_dup"))
+    saltedJoin(collapsed, right, key, nSalts)
+      .withColumn("_i", explode(sequence(lit(1L), col("_dup"))))
+      .drop("_dup", "_i")
+  }
 }

@@ -54,6 +54,26 @@ class SkewSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows changed salt under re-partitioning")
   }
 
+  test("saltedJoinDupHeavy: exact-duplicate hot key collapses pre-shuffle, result multiset-identical") {
+    // 5000 byte-identical copies of the hot row + a distinct-row tail:
+    // the shape where content salting is a no-op (all copies share a
+    // salt). The dup-heavy variant must (a) reproduce the plain join's
+    // multiset exactly and (b) reach the join with the copies collapsed.
+    val dupes = Seq.fill(5000)((0L, 1.0)).toDF("k", "v")
+      .union((1 until 100).map(i => ((i % 7).toLong + 1, i.toDouble)).toDF("k", "v"))
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "v", "seg").count().collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val plain = multiset(dupes.join(dim, "k").select("k", "v", "seg"))
+    val deduped = multiset(
+      Skew.saltedJoinDupHeavy(dupes, dim, "k").select("k", "v", "seg"))
+    assert(deduped == plain)
+    // the collapse is real: pre-join cardinality is distinct contents
+    val collapsed = dupes.groupBy("k", "v").count()
+    assert(collapsed.count() == 100) // 1 hot content + 99 tail rows
+  }
+
   test("saltedJoin tolerates un-hashable (MapType) payload columns") {
     val withMap = fact.withColumn("m", map(lit("a"), col("v")))
     assert(Skew.saltedJoin(withMap, dim, "k").count() == 2000)

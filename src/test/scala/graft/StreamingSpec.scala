@@ -187,6 +187,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("long-lived processing-time trigger consumes files dropped while running") {
+    // The reference's production loop is event-driven and long-lived
+    // (emr-no-vpc.py:18-189); AvailableNow drains model its bounded
+    // replay, this models the RESIDENT form: a ProcessingTime trigger
+    // that keeps polling and picks up files dropped after start.
+    val root = TestSpark.tempDir("stream-pt")
+    val in = s"$root/in"
+    spark.range(0, 10).write.parquet(in)
+    val q = spark.readStream.schema("id LONG").parquet(in)
+      .writeStream.queryName("pt_sink").outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("pt_sink").count() != n) {
+        assert(System.nanoTime() < deadline,
+          s"sink stuck at ${spark.table("pt_sink").count()} of $n after 30 s")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      awaitCount(10)
+      // drop more input while the query is live — a new trigger tick,
+      // not a restart, must pick it up
+      spark.range(10, 25).write.mode("append").parquet(in)
+      awaitCount(25)
+    } finally q.stop()
+    spark.catalog.dropTempView("pt_sink")
+  }
+
   test("parquet writeStream sink resumes from checkpoint without reprocessing") {
     val root = TestSpark.tempDir("stream-pq")
     val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
