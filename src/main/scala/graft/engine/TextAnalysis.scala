@@ -118,6 +118,61 @@ object TextAnalysis {
       .drop("__winnow_norm", "__winnow_grams")
   }
 
+  /** Corpus-wide TF-IDF, top-`k` terms per document. Classic shape:
+    * tokenize → explode → two hash aggregations (term frequency per doc,
+    * document frequency per term) → score join → per-doc top-k window.
+    * Both aggregations are partial-agg friendly (map-side combine on the
+    * exploded tokens); the doc-count is ONE scalar broadcast back; the
+    * tf⋈df join shuffles on `term` — at 100 TB the vocabulary side is
+    * orders of magnitude smaller than the posting side, and AQE picks a
+    * broadcast when it fits. Natural log, rounded to 6 before compare
+    * (DuckDB `ln` ≡ Spark `log`). Tokens restricted to [a-z]+ after
+    * lower/trim so both engines tokenize identically. */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t.rlike("^[a-z]+$"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("doc_id"), col("term"), col("score"))
+  }
+
+  /** Gopher/C4-family repetition signal: fraction of duplicate word
+    * `n`-grams in a document (`1 - distinct/total`). Highly repetitive
+    * machine-generated or boilerplate text scores near 1, natural prose
+    * near 0 — the standard cheap pre-training quality filter. Staged
+    * projections (same discipline as [[winnowStaged]]): `words` and
+    * `grams` are bound attributes, each consumer references its producer
+    * at least twice, so no O(n²) lambda re-evaluation survives
+    * optimization. Row-local, shuffle-free. Rows need ≥ n words —
+    * filter first. */
+  def duplicateGramRatio(df: org.apache.spark.sql.DataFrame, n: Int,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val words = col("__rep_words")
+    val grams = col("__rep_grams")
+    df.withColumn("__rep_words", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(words) >= n)
+      .withColumn("__rep_grams",
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+      .withColumn("n_grams", size(grams).cast("long"))
+      .withColumn(out,
+        round(lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams), 6))
+      .drop("__rep_words", "__rep_grams")
+  }
+
   /** Corpus-relative quality gate: keep rows at or above the global
     * `q`-quantile of `metric` — "drop the worst quartile" style filtering,
     * where the threshold is a property of the corpus, not a constant.

@@ -217,5 +217,101 @@ object TextQueries {
           size(col("fps")).cast("long").as("n_fp"),
           array_join(slice(array_sort(col("fps")), 1, 3), "|").as("first3"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q80_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                            t -> regexp_full_match(t, '[a-z]+'))) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      // Corpus-wide TF-IDF, top-3 terms/doc ([[TextAnalysis.tfIdfTopK]]).
+      TextAnalysis.tfIdfTopK(table(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    QuerySpec(
+      "q81_repetition",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         [array_to_string(words[i:i+2], ' ')
+        |          FOR i IN range(1, len(words) - 1)] AS grams
+        |  FROM w WHERE len(words) >= 3)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |             / len(grams), 6) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Gopher/C4-family repetition quality rule: duplicate word-trigram
+      // fraction per doc ([[TextAnalysis.duplicateGramRatio]]). DuckDB's
+      // range(1, x) is exclusive and words[i:i+2] is a 1-based inclusive
+      // 3-slice, matching Spark's sequence(1, size-2)/slice(words, i, 3).
+      TextAnalysis.duplicateGramRatio(
+          table(s, dir, "documents"), n = 3, out = "dup_ratio")
+        .select(col("doc_id"), col("n_grams"), col("dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q82_stratified_sample",
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM h
+        |WHERE bucket < CASE source WHEN 'src0' THEN 50
+        |                           WHEN 'src1' THEN 20 ELSE 10 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Deterministic stratified sample ([[Sampling.stratifiedSample]]):
+      // membership is a pure function of content (md5 bucket), so the
+      // oracle re-derives the EXACT same set — count + id-sum per
+      // stratum hash-verify it without dumping rows.
+      Sampling.stratifiedSample(table(s, dir, "documents"), "source",
+          Map("src0" -> 50, "src1" -> 20), defaultPct = 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("source"))
+    },
+
+    QuerySpec(
+      "q83_split_assign",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Content-hash train/val/test split ([[Sampling.assignSplit]],
+      // 80/10/10): growing the corpus never moves an existing doc
+      // between splits — the contamination-safety property. Verified by
+      // per-split count + id-sum.
+      Sampling.assignSplit(table(s, dir, "documents"), trainPct = 80,
+          valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy(col("split"))
     })
 }
