@@ -212,4 +212,60 @@ object Dedup {
       docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 20000L).as("doc_id"),
           concat(col("text"), lit(" zz9 qq8 vv7")).as("text")))
+
+  /** Connected components over an undirected similarity-pair graph — the
+    * step that turns near-dup PAIRS into dedup DECISIONS: pairs are not
+    * transitive (A~B, B~C does not imply the pair A~C was emitted), so
+    * keep-one-per-pair under-deletes chains; the component is the true
+    * duplicate cluster and `min(id)` its canonical survivor.
+    *
+    * Iterative min-label propagation: every node repeatedly takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds — near-dup clusters are stars/short
+    * chains, so 2-4 rounds in practice, `maxIter` bounds pathology. Each
+    * round is one shuffle (join on dst + min-agg) and each round's
+    * labels are eagerly localCheckpoint'ed: the iteration would
+    * otherwise stack one join-plan per round into an ever-deeper
+    * lineage (re-planned and re-codegen'd each round). On a real
+    * cluster use `sparkContext.setCheckpointDir` + `checkpoint()` for
+    * the fault-tolerant variant — same loop. The convergence check is
+    * an exact integer count — no tolerance, fully deterministic. At
+    * 100 TB the same loop holds (it is the standard Pregel-style CC);
+    * for graphs with giant components swap in large-star/small-star
+    * (Kiveris et al., 2014) — same interface, fewer rounds.
+    *
+    * `nodes` fixes the vertex set (isolated nodes keep themselves as
+    * canonical); edges whose endpoints are outside `nodes` are ignored.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val nodeIds = nodes.select(col(nodes.columns.head).as("node"))
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .join(nodeIds.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodeIds.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .persist()
+    var labels = nodeIds.withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = labels
+        .join(sym
+          .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("_nmin")),
+          Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("_nmin"), col("label")))
+            .as("_next"))
+        .localCheckpoint(true)
+      changed = next.filter(col("_next") < col("label")).count()
+      labels = next.select(col("node"), col("_next").as("label"))
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels.withColumnRenamed("label", "canonical")
+  }
 }

@@ -13,6 +13,7 @@ object DedupQueries {
   import Tables.table
 
   private val NearTail = " zz9 qq8 vv7"
+  private val FarTail = " kk6 jj5 hh4"
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -130,5 +131,72 @@ object DedupQueries {
             .as("cosine"),
           (col("la") === col("lb")).as("same_label"))
         .orderBy(col("a"), col("b"))
+    },
+
+    QuerySpec(
+      "q84_dedup_clusters",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || '$NearTail' FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || '$NearTail$FarTail' FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sa, b.sa)) * 1.0
+         |        / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.5),
+         |sym AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT b, a FROM edges
+         |  UNION SELECT doc_id, doc_id FROM corpus),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc_id, min(b) AS canonical
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Near-dup CLUSTERING ([[Dedup.connectedComponents]]): pairs are
+      // not transitive, so dedup decisions need components, not pairs. A
+      // planted two-level family (original → +3 junk tokens → +6) yields
+      // chain edges A-B and B-C from exact trigram Jaccard ≥ 0.5; the
+      // component {A,B,C} must collapse to canonical A whether or not
+      // the weaker A-C edge clears the threshold. The oracle replays the
+      // same edges and closes them with a recursive CTE; Spark closes
+      // them with Pregel-style min-label propagation — two engines, two
+      // algorithms, one fixpoint. Edge generation here is all-pairs on a
+      // BOUNDED planted subset (the operator under test is the closure;
+      // unbounded candidate generation is LSH's job, q40/q45).
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(NearTail)).as("text")))
+        .unionByName(base.select((col("doc_id") + 30000L).as("doc_id"),
+          concat(col("text"), lit(NearTail + FarTail)).as("text")))
+      val sh = corpus
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), Dedup.shingleSet("w").as("sa"))
+      val a = sh.select(col("doc_id").as("a"), col("sa").as("sha"))
+      val b = sh.select(col("doc_id").as("b"), col("sa").as("shb"))
+      val edges = a.crossJoin(b).filter(col("a") < col("b"))
+        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / size(array_union(col("sha"), col("shb"))) >= 0.5)
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(corpus.select(col("doc_id")), edges, "a", "b")
+        .select(col("node").as("doc_id"), col("canonical"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -265,6 +265,34 @@ object Streaming {
     finally q.stop()
   }
 
+  /** Stream-stream inner self-join with a time-range condition: for each
+    * high-value "trigger" event, the events of the SAME user that follow
+    * within `within`. The canonical funnel/attribution shape. Both sides
+    * carry a watermark and the join predicate bounds r.ts relative to
+    * l.ts, which is exactly what lets Structured Streaming EVICT join
+    * state: a buffered left row can stop waiting once the right
+    * watermark passes l.ts + within, so state is bounded by (rate ×
+    * window), not by history. Inner join in append mode emits each
+    * match as soon as both sides arrive — with an AvailableNow drain
+    * the result equals the batch self-join (q85's DuckDB oracle). */
+  def followWithin(events: DataFrame, threshold: Double,
+      within: String = "30 minutes"): DataFrame = {
+    val l = events
+      .select(col("event_id").as("trigger_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("value"))
+      .filter(col("value") > threshold)
+      .withWatermark("l_ts", "1 hour")
+    val r = events
+      .select(col("event_id").as("follow_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("trigger_id"), col("follow_id"))
+  }
+
   /** Real file-sink path (the production counterpart of the memory-sink
     * test harness): drain a stream into parquet under `outDir` with a
     * persistent `checkpoint`. Two durability mechanisms compose here:

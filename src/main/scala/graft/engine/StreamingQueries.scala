@@ -150,5 +150,30 @@ object StreamingQueries {
         .select(col("user_id"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "q85_stream_stream_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events)
+        |SELECT l.event_id AS trigger_id, r.event_id AS follow_id
+        |FROM e l JOIN e r
+        |  ON l.user_id = r.user_id
+        | AND r.us > l.us AND r.us <= l.us + 1800000000
+        |WHERE l.value > 95
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Stream-stream self-join ([[Streaming.followWithin]]): triggers
+      // (value > 95) matched to same-user events in the following 30
+      // minutes. The time-range predicate both defines the semantics and
+      // bounds the join STATE (left rows evict once the right watermark
+      // passes l_ts + 30 min); the drained append stream must equal the
+      // batch self-join, in µs arithmetic on both engines.
+      val ev = Streaming.eventsStream(s, dir)
+      Streaming.runAvailableNow(
+        Streaming.followWithin(ev, threshold = 95.0),
+        "q85_ssjoin", outputMode = "append")
+        .orderBy(col("trigger_id"), col("follow_id"))
     })
 }

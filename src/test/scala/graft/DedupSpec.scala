@@ -68,4 +68,22 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashSignatures(sh), maxBucket = 64)
     assert(cand.count() == 0)
   }
+
+  test("connectedComponents: chain, star, isolated node, diameter > 1") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3 — needs >1 propagation
+    // round), star 10-{11,12,13}, isolated 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L).toDF("node")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L))
+    // edges mentioning nodes outside the vertex set are ignored
+    val withStray = edges.union(Seq((4L, 99L)).toDF("a", "b"))
+    val got2 = Dedup.connectedComponents(nodes, withStray, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
 }
