@@ -17,10 +17,14 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Deliberately-bounded nested-loop joins: q43 pairs a vec_id<60 grid
     * (≤1770 rows by construction); q44 broadcasts a single query row;
     * q57 broadcasts a ONE-ROW quantile threshold back over the corpus
-    * (crossJoin(broadcast(agg)) — the scalable scalar-threshold shape). */
+    * (crossJoin(broadcast(agg)) — the scalable scalar-threshold shape);
+    * q80 broadcasts a ONE-ROW corpus count into the tf⋈df join; q84
+    * generates edges all-pairs over a ≤300-doc planted subset (the
+    * operator under test is the transitive closure — unbounded candidate
+    * generation is LSH's job). */
   private val cartesianAllowed =
     Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
-      "q57_quality_quantile_filter")
+      "q57_quality_quantile_filter", "q80_tfidf", "q84_dedup_clusters")
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
