@@ -250,5 +250,72 @@ object EventQueries {
         .select(col("user_id"), col("event_id"),
           round(sum(col("value")).over(w), 2).as("rolling_1h"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    QuerySpec(
+      "q86_funnel",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click'
+        |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(t_view) AS BIGINT) AS n_view,
+        |       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+        |         AS n_view_click,
+        |       CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |                       THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM f""".stripMargin) { (s, dir) =>
+      // Ordered conversion funnel (view → click → purchase, strictly
+      // increasing first-occurrence times) via conditional-min
+      // aggregation: ONE partial-agg-friendly groupBy per user then one
+      // scalar rollup — no self-join, no explode, no window. The classic
+      // product-analytics shape at its cheapest plan: at 100 TB this is
+      // two map-side-combining aggregations and nothing else.
+      val us = unix_micros(col("ts"))
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, us)).as(s"t_$t")
+      table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+    },
+
+    QuerySpec(
+      "q87_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |firstd AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT cohort_day,
+        |       CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM act JOIN firstd USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Cohort retention: users grouped by first-active day, activity
+      // counted per day-offset. Distinct-days first (cardinality
+      // reduction BEFORE any join), the cohort dimension is derived from
+      // the same reduced set, and the join is a co-partitioned equi-join
+      // on user_id — both sides arrive already shuffled on the key, so
+      // AQE plans the cheapest exchange; nothing touches raw events
+      // twice at full width.
+      val act = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val firstd = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      act.join(firstd, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
 }
