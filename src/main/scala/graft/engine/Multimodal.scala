@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * implicit Encoders resolve. */
 final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 final case class FeatureRow(media_id: Long, dim: Int, feature: Array[Float])
+final case class DimsRow(media_id: Long, width: Int, height: Int)
 
 /** Multimodal column plumbing (BASELINE north star): image/audio/video
   * as opaque `binary` payloads with a typed metadata struct, plus
@@ -88,6 +89,25 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         md5(expr(s"substring(payload, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
           .as("frame_md5"))
+
+  /** JPEG dimensions via the REAL marker-scan parser
+    * ([[ImageHeaders.jpegDimensions]]) in the partition-wise typed
+    * stage: JPEG's SOF segment sits at a variable offset, so unlike
+    * PNG/GIF/BMP ([[ImageHeaders.parse]], fixed-offset column
+    * expressions) it needs imperative per-row code — which belongs
+    * exactly here, next to the codec. Payloads without a valid JPEG
+    * frame header are dropped (flatMap), not errors. */
+  def jpegDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("meta.format").as("format"),
+        col("payload"))
+      .as[MediaRow]
+      .mapPartitions(rows => rows.flatMap(m =>
+        ImageHeaders.jpegDimensions(m.payload)
+          .map { case (w, h) => DimsRow(m.media_id, w, h) }))
+      .toDF()
+  }
 
   /** Partition-wise batch decode through a typed Dataset — the
     * mapInPandas-equivalent stage. Returns (media_id, dim, feature)

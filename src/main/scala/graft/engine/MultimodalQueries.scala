@@ -60,5 +60,37 @@ object MultimodalQueries {
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
           round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
         .orderBy(col("media_id"))
+    },
+
+    QuerySpec(
+      "q88_image_headers",
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |            ELSE 'bmp' END AS format,
+        |       CAST(doc_id % 8 * 160 + 320 AS INT) AS width,
+        |       CAST(doc_id % 8 * 90 + 180 AS INT) AS height
+        |FROM documents ORDER BY 1""".stripMargin) { (s, dir) =>
+      // REAL container-header round-trip ([[ImageHeaders]]): each doc's
+      // payload gets an actual PNG/GIF/BMP header (spec-layout bytes,
+      // dimensions encoded at their true offsets) prepended to the text
+      // body, then the METADATA IS PARSED BACK FROM THE BYTES — format
+      // by magic sniff, width/height from the header fields, all in
+      // codegen'd binary expressions. The oracle recomputes the planted
+      // dimensions from the doc_id formulas, so a single wrong byte
+      // offset, endianness, or magic in EITHER the encoder or the
+      // parser breaks the hash. Row-local end to end — no shuffle
+      // before the final order.
+      val w = (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int")
+      val h = (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int")
+      val header = when(col("doc_id") % 3 === 0, ImageHeaders.pngHeader(w, h))
+        .when(col("doc_id") % 3 === 1, ImageHeaders.gifHeader(w, h))
+        .otherwise(ImageHeaders.bmpHeader(w, h))
+      table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          concat(header, col("text").cast("binary")).as("payload"))
+        .select(col("media_id"), ImageHeaders.parse(col("payload")).as("m"))
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy(col("media_id"))
     })
 }

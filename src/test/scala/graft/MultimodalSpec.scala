@@ -55,4 +55,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) <= 320 && r.getInt(1) <= 180))
     assert(out.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0))
   }
+
+  /** A REAL, complete 1×1 RGBA PNG (valid signature, IHDR, zlib IDAT,
+    * IEND — decodes in any viewer), byte-for-byte. */
+  private val realPng: Array[Byte] = Array(
+    -119, 80, 78, 71, 13, 10, 26, 10, 0, 0, 0, 13, 73, 72, 68, 82,
+    0, 0, 0, 1, 0, 0, 0, 1, 8, 6, 0, 0, 0, 31, 21, -60, -119, 0, 0, 0,
+    11, 73, 68, 65, 84, 120, -100, 99, 96, 0, 2, 0, 0, 5, 0, 1, 122,
+    94, -85, 63, 0, 0, 0, 0, 73, 69, 78, 68, -82, 66, 96, -126)
+    .map(_.toByte)
+
+  /** Minimal JFIF: SOI, APP0 (16-byte JFIF segment), SOF0 declaring
+    * 640×480, EOI — the variable-offset shape the marker scan exists
+    * for. */
+  private val realJpeg: Array[Byte] = {
+    val soi = Array(0xff, 0xd8)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    // SOF0 len 17: precision 8, height 480 (0x01E0), width 640 (0x0280),
+    // 3 components
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02,
+      0x80, 0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    val eoi = Array(0xff, 0xd9)
+    (soi ++ app0 ++ sof0 ++ eoi).map(i => i.asInstanceOf[Int].toByte)
+  }
+
+  test("ImageHeaders.parse reads a real PNG's dimensions from its bytes") {
+    import spark.implicits._
+    val df = Seq((1L, realPng)).toDF("media_id", "payload")
+      .select(col("media_id"), ImageHeaders.parse(col("payload")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.width"), col("m.height"))
+    val r = df.head()
+    assert((r.getString(1), r.getInt(2), r.getInt(3)) == (("png", 1, 1)))
+  }
+
+  test("ImageHeaders encode→parse round-trips GIF and BMP at spec offsets") {
+    import spark.implicits._
+    val dims = Seq((1L, 640, 480), (2L, 65535, 1), (3L, 1, 65535))
+    val gif = dims.toDF("id", "w", "h")
+      .select(col("id"),
+        ImageHeaders.parse(ImageHeaders.gifHeader(col("w"), col("h"))).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(gif.toSeq == dims.map { case (_, w, h) => ("gif", w, h) })
+    val bmp = dims.toDF("id", "w", "h")
+      .select(col("id"),
+        ImageHeaders.parse(ImageHeaders.bmpHeader(col("w"), col("h"))).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(bmp.toSeq == dims.map { case (_, w, h) => ("bmp", w, h) })
+  }
+
+  test("parse returns null format for unknown payloads, not an error") {
+    import spark.implicits._
+    val r = Seq((1L, "not an image".getBytes)).toDF("media_id", "payload")
+      .select(ImageHeaders.parse(col("payload")).as("m"))
+      .select(col("m.format"), col("m.width")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("jpegDimensions scans past APP segments to SOF0; jpegDims stage drops non-JPEG") {
+    assert(ImageHeaders.jpegDimensions(realJpeg) == Some((640, 480)))
+    assert(ImageHeaders.jpegDimensions(realPng).isEmpty)
+    assert(ImageHeaders.jpegDimensions(Array[Byte](1, 2, 3)).isEmpty)
+    import spark.implicits._
+    val media = Seq((1L, realJpeg), (2L, realPng))
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("jpeg").as("format")))
+    val out = Multimodal.jpegDims(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 640, 480)))
+  }
 }
