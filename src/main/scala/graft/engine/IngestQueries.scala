@@ -181,6 +181,33 @@ object IngestQueries {
     },
 
     QuerySpec(
+      "q89_zorder",
+      """SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Z-order rewrite ([[Lake.writeZordered]]) is a LAYOUT change,
+      // never a data change: events rewritten clustered on
+      // (user_id, event_id%256) must re-aggregate identically to the
+      // raw table. The multi-dimension min/max collapse that makes the
+      // layout worth paying for is measured in LakeSpec (per-file
+      // ranges vs a single-column sort).
+      val lake = s"$FixRoot/zorder_lake_${new java.io.File(dir).getName}"
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(256)).cast("int").as("_za"),
+          pmod(col("event_id"), lit(256)).cast("int").as("_zb"))
+        .transform(df => {
+          Lake.writeZordered(df, lake, "_za", "_zb", nFiles = 8, bits = 8)
+          Lake.read(s, lake)
+        })
+        .groupBy(pmod(col("event_id"), lit(16)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
       "q75_json_source",
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |       ROUND(SUM(value), 2) AS total_value

@@ -162,6 +162,42 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.read(spark, s"$root/lake_gzip").count() == A.nRows)
   }
 
+  test("z-ordered layout clusters BOTH dimensions; single-column sort only one") {
+    import spark.implicits._
+    val root = tempDir("lake-zorder")
+    // uniform 2-D grid, both dims in [0, 256)
+    val data = (0 until 20000).map(i =>
+      ((i * 7919) % 256, (i * 104729) % 256, i.toLong))
+      .toDF("a", "b", "payload")
+
+    def perFileRanges(dir: String): Seq[(Long, Long)] = {
+      import org.apache.spark.sql.functions.{input_file_name, max, min}
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+        .collect().map(r => (r.getInt(1).toLong, r.getInt(2).toLong)).toSeq
+    }
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+
+    data.repartitionByRange(8, data("a")).sortWithinPartitions("a")
+      .write.parquet(s"$root/by_a")
+    Lake.writeZordered(data, s"$root/zorder", "a", "b", nFiles = 8, bits = 8)
+
+    val byA = perFileRanges(s"$root/by_a")
+    val z = perFileRanges(s"$root/zorder")
+    // sort-by-a: a clusters (range ~32) but b stays full-width (~255)
+    assert(avg(byA.map(_._1)) < 64, s"by_a a-ranges: $byA")
+    assert(avg(byA.map(_._2)) > 200, s"by_a b-ranges: $byA")
+    // z-order: BOTH dims collapse to sub-stripes
+    assert(avg(z.map(_._1)) < 160, s"zorder a-ranges: $z")
+    assert(avg(z.map(_._2)) < 160, s"zorder b-ranges: $z")
+    // layout only — the data itself is unchanged
+    assert(spark.read.parquet(s"$root/zorder").agg(
+      org.apache.spark.sql.functions.sum("payload")).head().getLong(0)
+      == (0L until 20000L).sum)
+    assert(spark.read.parquet(s"$root/zorder").count() == 20000)
+  }
+
   test("read/append recover a lake stranded at _old by a crash mid-compact-swap") {
     import spark.implicits._
     val lake = s"${tempDir("lake-recover")}/lake"
