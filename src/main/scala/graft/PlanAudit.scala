@@ -30,10 +30,12 @@ object PlanAudit {
 
   final case class Features(
       exchanges: Int, reusedExchanges: Int, topk: Boolean,
-      globalSorts: Int, codegen: Int, cartesian: Boolean) {
+      globalSorts: Int, codegen: Int, cartesian: Boolean,
+      broadcastJoins: Int, sortMergeJoins: Int) {
     override def toString: String =
       s"exchanges=$exchanges reused=$reusedExchanges topk=$topk " +
-        s"global_sorts=$globalSorts codegen=$codegen cartesian=$cartesian"
+        s"global_sorts=$globalSorts codegen=$codegen cartesian=$cartesian " +
+        s"bcast_joins=$broadcastJoins smj=$sortMergeJoins"
   }
 
   /** Build (and for streaming queries: run) the query, return the
@@ -50,7 +52,9 @@ object PlanAudit {
       globalSorts = count("""Sort \[[^\]]*\], true"""),
       codegen = math.max(count("""\*\(\d+\)"""), count("WholeStageCodegen")),
       cartesian = plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin"))
+        plan.contains("BroadcastNestedLoopJoin"),
+      broadcastJoins = count("BroadcastHashJoin"),
+      sortMergeJoins = count("SortMergeJoin"))
   }
 
   def main(args: Array[String]): Unit = {

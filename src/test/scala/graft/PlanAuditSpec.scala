@@ -32,6 +32,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q02_project_scalar", "q03_topk", "q08_outer_join",
     "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh")
 
+  /** Dimension-join queries MUST broadcast their dims: a fact⋈dim that
+    * plans a SortMergeJoin shuffles the fact side — the single most
+    * expensive wrong plan at 100 TB. (q61 is exempt BY DESIGN: it forces
+    * a merge join to prove the bucketed layout removes the exchange.) */
+  private val mustBroadcastOnly = Set(
+    "q04_join_broadcast", "q06_semi_join", "q07_anti_join",
+    "q77_sql_join3")
+
   test("no query plans an unapproved cartesian; bounded queries keep top-k") {
     val feats = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> PlanAudit.features(spark, sf, fn)
@@ -46,9 +54,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(missingTopK.isEmpty,
       s"bounded-output queries without TakeOrderedAndProject: $missingTopK")
-    // every declared top-k query must exist (guards the set against renames)
+    val factShuffled = feats.collect {
+      case (n, f) if mustBroadcastOnly(n) &&
+        (f.broadcastJoins == 0 || f.sortMergeJoins > 0) => n -> f
+    }
+    assert(factShuffled.isEmpty,
+      s"dimension joins planning a fact-side shuffle: $factShuffled")
+    // every declared query must exist (guards the sets against renames)
     val known = feats.map(_._1).toSet
-    assert((mustTopK ++ cartesianAllowed).subsetOf(known))
+    assert((mustTopK ++ cartesianAllowed ++ mustBroadcastOnly).subsetOf(known))
   }
 
   test("lake queries with Year/Month/Day predicates plan partition pruning") {
