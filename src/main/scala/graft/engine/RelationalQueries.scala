@@ -640,6 +640,54 @@ object RelationalQueries {
     },
 
     QuerySpec(
+      "q90_scd2",
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey % 10 = 5 THEN round(c_acctbal + 100, 2)
+        |              ELSE round(c_acctbal, 2) END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 IN (0, 3, 5)),
+        |chg AS (
+        |  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+        |  WHERE u.c_mktsegment <> c.c_mktsegment
+        |     OR u.c_acctbal <> c.c_acctbal)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |       CAST(0 AS BIGINT) AS valid_from,
+        |       CAST(CASE WHEN c.c_custkey IN (SELECT c_custkey FROM chg)
+        |                 THEN 1 ELSE 99999999 END AS BIGINT) AS valid_to
+        |FROM cur c
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |       CAST(1 AS BIGINT) AS valid_from,
+        |       CAST(99999999 AS BIGINT) AS valid_to
+        |FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+        |ORDER BY 1, 4""".stripMargin) { (s, dir) =>
+      // SCD type-2 dimension maintenance ([[Scd.scd2Apply]]): a planted
+      // update batch (segment change for keys ≡0 mod 10, balance change
+      // for ≡5, NO-OP rows for ≡3 — change detection must drop them)
+      // closes the changed rows' current versions and appends new open
+      // ones. The oracle reconstructs the full versioned table
+      // independently; a missed close, a phantom version from a no-op
+      // update, or a wrong interval all break the hash.
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      val upd = dim.filter(pmod(col("c_custkey"), lit(10)).isin(0, 3, 5))
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "MOVED")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          when(col("c_custkey") % 10 === 5, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      Scd.scd2Apply(Scd.initial(dim), upd, "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), batchTs = 1L)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    QuerySpec(
       "q61_bucketed_join",
       """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
         |       round(sum(o.o_totalprice), 2) AS total_price

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Multi-batch SCD2 properties beyond q90's single-batch oracle:
+  * version chains across sequential batches, and no-op idempotence. */
+class ScdSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def snapshot(rows: (Long, String, Double)*) =
+    rows.toSeq.toDF("id", "seg", "bal")
+
+  private def collectVersions(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("two sequential batches build a three-version chain with closed intervals") {
+    val t0 = Scd.initial(snapshot((1L, "A", 10.0), (2L, "B", 20.0)))
+    val t1 = Scd.scd2Apply(t0, snapshot((1L, "A2", 10.0)), "id",
+      Seq("seg", "bal"), batchTs = 1L)
+    val t2 = Scd.scd2Apply(t1, snapshot((1L, "A3", 11.0)), "id",
+      Seq("seg", "bal"), batchTs = 2L)
+    assert(collectVersions(t2) == Seq(
+      (1L, "A", 10.0, 0L, 1L),
+      (1L, "A2", 10.0, 1L, 2L),
+      (1L, "A3", 11.0, 2L, Scd.OpenSentinel),
+      (2L, "B", 20.0, 0L, Scd.OpenSentinel)))
+  }
+
+  test("no-op updates create no versions; re-applying a batch is idempotent") {
+    val t0 = Scd.initial(snapshot((1L, "A", 10.0), (2L, "B", 20.0)))
+    val upd = snapshot((1L, "A2", 10.0), (2L, "B", 20.0)) // row 2 unchanged
+    val t1 = Scd.scd2Apply(t0, upd, "id", Seq("seg", "bal"), batchTs = 1L)
+    assert(t1.count() == 3) // one close+reopen for id 1, id 2 untouched
+    // same batch again: values now match the open versions — nothing moves
+    val t2 = Scd.scd2Apply(t1, upd, "id", Seq("seg", "bal"), batchTs = 2L)
+    assert(collectVersions(t2) == collectVersions(t1))
+  }
+
+  test("updates for unknown keys are ignored (dimension inserts are a separate path)") {
+    val t0 = Scd.initial(snapshot((1L, "A", 10.0)))
+    val t1 = Scd.scd2Apply(t0, snapshot((9L, "X", 1.0)), "id",
+      Seq("seg", "bal"), batchTs = 1L)
+    assert(collectVersions(t1) == Seq((1L, "A", 10.0, 0L, Scd.OpenSentinel)))
+  }
+
+  test("point-in-time lookup: as-of join against the version intervals") {
+    val t0 = Scd.initial(snapshot((1L, "A", 10.0)))
+    val t1 = Scd.scd2Apply(t0, snapshot((1L, "A2", 10.0)), "id",
+      Seq("seg", "bal"), batchTs = 5L)
+    def segAt(ts: Long): String = t1
+      .filter(col("valid_from") <= ts && col("valid_to") > ts)
+      .select("seg").head().getString(0)
+    assert(segAt(3L) == "A")
+    assert(segAt(7L) == "A2")
+  }
+}
