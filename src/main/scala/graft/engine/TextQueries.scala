@@ -294,6 +294,95 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q91_chunking",
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest([{'idx': (i - 1) // 30,
+        |                  'chunk': array_to_string(words[i:i+39], ' ')}
+        |                 FOR i IN range(1, len(words) + 1, 30)]) AS u
+        |  FROM w)
+        |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+        |       CAST(len(string_split_regex(u.chunk, '\s+')) AS BIGINT)
+        |         AS n_tokens,
+        |       md5(u.chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      // RAG-style document chunking: overlapping windows of ≤40 tokens
+      // at stride 30 (10-token overlap so no boundary sentence is lost
+      // to retrieval). Staged words projection, then a row-local
+      // posexplode over the arithmetic start sequence — output row count
+      // is Σ ceil(n/30), linear in the corpus, no shuffle before the
+      // final order. Chunks are md5-summarized so the compare stays
+      // byte-exact without dumping text.
+      val words = col("__ck_words")
+      table(s, dir, "documents")
+        .withColumn("__ck_words", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), words.as("words"),
+          posexplode(sequence(lit(1), size(words), lit(30)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          size(slice(col("words"), col("start"), lit(40))).cast("long")
+            .as("n_tokens"),
+          md5(concat_ws(" ", slice(col("words"), col("start"), lit(40))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    QuerySpec(
+      "q92_redact",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || doc_id ||
+        |         '@example.com or 555-123-4567 at 10.0.0.' ||
+        |         (doc_id % 256) AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |      AS red,
+        |    text
+        |  FROM planted)
+        |SELECT doc_id, md5(red) AS redacted_md5,
+        |       CAST(len(regexp_extract_all(red, '<EMAIL>')) AS BIGINT)
+        |         AS n_email,
+        |       CAST(len(regexp_extract_all(red, '<PHONE>')) AS BIGINT)
+        |         AS n_phone,
+        |       CAST(len(regexp_extract_all(red, '<IP>')) AS BIGINT) AS n_ip
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // PII redaction (emails, phone numbers, IPv4) — the scrub pass
+      // every pre-training corpus makes. PII is PLANTED deterministically
+      // (the synthetic corpus has none) so both engines scrub the same
+      // bytes; patterns stay in the RE2 ∩ java.util.regex subset and the
+      // scrubbed text is md5-compared byte-exact, with per-kind counts.
+      // Row-local regex chain — scales with the scan.
+      val planted = concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or 555-123-4567 at 10.0.0."),
+        pmod(col("doc_id"), lit(256)))
+      val red =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(planted,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+      table(s, dir, "documents")
+        .withColumn("__red", red)
+        .select(col("doc_id"), md5(col("__red")).as("redacted_md5"),
+          regexp_count(col("__red"), lit("<EMAIL>")).cast("long").as("n_email"),
+          regexp_count(col("__red"), lit("<PHONE>")).cast("long").as("n_phone"),
+          regexp_count(col("__red"), lit("<IP>")).cast("long").as("n_ip"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q83_split_assign",
       """WITH h AS (
         |  SELECT doc_id,
