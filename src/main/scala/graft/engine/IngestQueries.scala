@@ -181,6 +181,47 @@ object IngestQueries {
     },
 
     QuerySpec(
+      "q93_upsert",
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |final AS (
+        |  SELECT event_id, t, value FROM base WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_id, t, value + 1000 FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, t, value FROM base
+        |  WHERE event_id % 13 = 0)
+        |SELECT CAST(year(t) AS INT) AS Year, CAST(month(t) AS INT) AS Month,
+        |       CAST(day(t) AS INT) AS Day, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM final GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, dir) =>
+      // Keyed upsert ([[Lake.upsert]], MERGE semantics): the events lake
+      // gets a batch that UPDATES every event_id ≡ 0 (mod 7) (value
+      // +1000, same key+partition → replaces) and INSERTS shifted copies
+      // of ≡ 0 (mod 13) (new keys → appended). Per-partition accounting
+      // must equal the oracle's reconstruction — a doubled update (old
+      // row surviving), a lost insert, or a clobbered untouched row all
+      // break the hash.
+      val lake = s"$FixRoot/upsert_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"),
+          year(col("ts")).as("Year"), month(col("ts")).as("Month"),
+          dayofmonth(col("ts")).as("Day"))
+      Lake.append(ev, lake)
+      val batch = ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") + 1000)
+        .unionByName(ev.filter(col("event_id") % 13 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L))
+      Lake.upsert(batch, lake, "event_id")
+      Lake.read(s, lake)
+        .groupBy(col("Year"), col("Month"), col("Day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("Year"), col("Month"), col("Day"))
+    },
+
+    QuerySpec(
       "q89_zorder",
       """SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n,

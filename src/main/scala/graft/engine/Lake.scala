@@ -82,6 +82,45 @@ object Lake {
     append(fresh, dir, codec)
   }
 
+  /** Keyed upsert (MERGE semantics): batch rows REPLACE existing rows
+    * with the same (key, partition) and insert otherwise — the mutable
+    * counterpart of [[mergeAppend]] (which drops re-deliveries instead
+    * of applying them). Same partition-pruned scale shape: only the
+    * partitions the batch touches are read (anti-join keeps their
+    * unmatched survivors) and only those partitions are rewritten, via
+    * DYNAMIC partition overwrite — untouched partitions are never read
+    * or written. The replacement slice is eagerly localCheckpoint'ed
+    * before the write because it is derived from the very files the
+    * overwrite replaces (Spark otherwise refuses the self-referential
+    * write; a production lakehouse does the same thing with snapshot
+    * isolation instead of materialization). Key scope is per partition,
+    * like mergeAppend: a row "moves" partitions only as delete+insert
+    * issued by the caller. */
+  def upsert(batch: DataFrame, dir: String, keyCol: String,
+      codec: String = "snappy"): Unit = {
+    val spark = batch.sparkSession
+    recoverCrashedSwap(spark, dir)
+    if (!exists(spark, dir)) append(batch, dir, codec)
+    else {
+      val touched = batch.select(PartitionCols.map(col): _*).distinct.collect()
+      val touchedPred = touched.map(r =>
+        PartitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val survivors = read(spark, dir)
+        .filter(touchedPred)
+        .join(batch.select((keyCol +: PartitionCols).map(col): _*).distinct,
+          keyCol +: PartitionCols, "left_anti")
+      val replacement = survivors.unionByName(batch)
+        .localCheckpoint(true)
+      replacement.write
+        .option("compression", codec)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartitionCols: _*).mode("overwrite").parquet(dir)
+    }
+  }
+
   /** Bucketed catalog table (K1 variant): hash-bucket rows by `bucketCol`
     * into `nBuckets` pre-sorted files per bucket. A join or aggregation
     * keyed on the bucket column then reads co-located buckets and plans

@@ -198,6 +198,29 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/zorder").count() == 20000)
   }
 
+  test("upsert replaces matched keys, inserts new, leaves untouched partitions' files alone") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-upsert")}/lake"
+    Lake.append(Seq(
+      (1L, 10.0, 2024, 7, 1), (2L, 20.0, 2024, 7, 1),
+      (3L, 30.0, 2024, 7, 2))
+      .toDF("id", "v", "Year", "Month", "Day"), lake)
+    def day2Files() = Option(new java.io.File(s"$lake/Year=2024/Month=7/Day=2")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = day2Files()
+
+    // batch touches ONLY day 1: update id 1, insert id 9
+    Lake.upsert(Seq((1L, 11.0, 2024, 7, 1), (9L, 90.0, 2024, 7, 1))
+      .toDF("id", "v", "Year", "Month", "Day"), lake, "id")
+
+    val rows = Lake.read(spark, lake).select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 9L -> 90.0))
+    // dynamic overwrite must not have rewritten the untouched partition
+    assert(day2Files() == before, "untouched partition was rewritten")
+  }
+
   test("read/append recover a lake stranded at _old by a crash mid-compact-swap") {
     import spark.implicits._
     val lake = s"${tempDir("lake-recover")}/lake"
