@@ -176,6 +176,44 @@ object Ingest {
   def readCsvGlob(spark: SparkSession, glob: String, schema: StructType): DataFrame =
     spark.read.option("header", "false").schema(schema).csv(glob)
 
+  /** CSV scan with corrupt-row quarantine: rows that fail the typed
+    * schema (wrong arity, unparseable numerics) land with their RAW LINE
+    * in `_corrupt_record` instead of failing the job or silently turning
+    * into nulls — semi-trusted instrument drops (the reference's EEG
+    * feeds) always contain a few. Returns (good, quarantined): `good`
+    * carries the typed columns of clean rows; `quarantined` the raw
+    * lines for a side-channel audit sink ([[auditLog]]-style). PERMISSIVE
+    * is per-row and row-local — one pass, no driver involvement; at
+    * 100 TB the quarantine stream is the tiny side of the split and the
+    * job never stops for a bad record.
+    *
+    * Spark caveat, handled here: `_corrupt_record` is populated lazily
+    * and cannot be filtered from the same un-materialized scan
+    * (SPARK-21610's required-columns interaction) — the split caches
+    * the parsed frame for its two consumers. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
+    val parsed = spark.read
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record").localCheckpoint(true)
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line")).localCheckpoint(true)
+    // both splits are materialized off the one-pass cache, which is then
+    // released — callers hold checkpoint-backed frames, no cache leaks
+    // past the return (PlanAuditSpec's cached-RDD gate). Per staged
+    // file/batch, so the materialization is drop-sized, not lake-sized.
+    parsed.unpersist(blocking = false)
+    (good, bad)
+  }
+
   // ---- positional row ops (F1/F2) ------------------------------------------
 
   /** F1: drop the first `n+1` physical rows (indices 0..n) — the v5

@@ -181,6 +181,54 @@ object IngestQueries {
     },
 
     QuerySpec(
+      "q94_quarantine",
+      s"""WITH g AS (
+         |  -- count(*) must share a SELECT with the column aggregates:
+         |  -- a standalone count over an ignore_errors read takes a
+         |  -- projection-less fast path where cast errors never fire
+         |  SELECT count(*) AS n_good, sum(id) AS sum_id,
+         |         round(sum(v), 2) AS sum_v
+         |  FROM read_csv('$FixRoot/quarantine/mixed.csv', header=false,
+         |                columns={'id':'INTEGER','v':'DOUBLE'},
+         |                ignore_errors=true)),
+         |a AS (
+         |  SELECT count(*) AS n_all
+         |  FROM read_csv('$FixRoot/quarantine/mixed.csv', header=false,
+         |                columns={'raw':'VARCHAR'}, delim='|', quote=''))
+         |SELECT CAST(g.n_good AS BIGINT) AS n_good,
+         |       CAST(g.sum_id AS BIGINT) AS sum_id, g.sum_v AS sum_v,
+         |       CAST(a.n_all - g.n_good AS BIGINT) AS n_bad
+         |FROM g, a""".stripMargin) {
+      (s, _) =>
+      // Corrupt-row quarantine ([[Ingest.readCsvQuarantine]]): a mixed
+      // fixture (type errors every 17th line, arity errors every 23rd)
+      // splits into typed good rows and quarantined raw lines; the
+      // oracle classifies the SAME file with read_csv ignore_errors, so
+      // a row landing on the wrong side of the split moves a count or a
+      // checksum. The 1×1 summary crossJoin is driver-bounded.
+      val dir = new java.io.File(s"$FixRoot/quarantine")
+      dir.mkdirs()
+      val lines = (0 until 200).map { i =>
+        if (i % 17 == 0) s"bad$i,$i.5"
+        else if (i % 23 == 0) s"$i,$i.5,extra"
+        else s"$i,$i.25"
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$FixRoot/quarantine/mixed.csv"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      val (good, bad) =
+        Ingest.readCsvQuarantine(s, s"$FixRoot/quarantine/mixed.csv", schema)
+      good.agg(count(lit(1)).as("n_good"), sum(col("id")).as("sum_id"),
+          round(sum(col("v")), 2).as("sum_v"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+    },
+
+    QuerySpec(
       "q93_upsert",
       """WITH base AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),

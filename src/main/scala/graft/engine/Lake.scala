@@ -162,10 +162,20 @@ object Lake {
         s"lake recovery: could not restore $dir from crashed-compact copy $old")
   }
 
-  /** S5: scan the lake (partition columns come back from the layout). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  /** S5: scan the lake (partition columns come back from the layout).
+    *
+    * `mergeSchema = true` is the schema-evolution read: files written
+    * before a column existed coexist with files written after — the
+    * merged schema is the union and old rows surface NULL for the new
+    * column (asserted in LakeSpec). Off by default because schema merge
+    * reads every file's footer at planning time — at 100 TB turn it on
+    * only for lakes that actually evolve, or pin the merged schema
+    * explicitly once known. */
+  def read(spark: SparkSession, dir: String,
+      mergeSchema: Boolean = false): DataFrame = {
     recoverCrashedSwap(spark, dir)
-    spark.read.parquet(dir)
+    if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(dir)
+    else spark.read.parquet(dir)
   }
 
   def exists(spark: SparkSession, dir: String): Boolean = {

@@ -198,6 +198,22 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/zorder").count() == 20000)
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas, old rows null-filled") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-evolve")}/lake"
+    Lake.append(Seq((1L, 10.0, 2024, 8, 1)).toDF("id", "v", "Year", "Month", "Day"), lake)
+    // a new column appears in later ingests — old files stay as written
+    Lake.append(Seq((2L, 20.0, "eu", 2024, 8, 2))
+      .toDF("id", "v", "region", "Year", "Month", "Day"), lake)
+    val merged = Lake.read(spark, lake, mergeSchema = true)
+    assert(merged.columns.contains("region"))
+    val byId = merged.select("id", "region").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("eu")))
+    // the default read still works (first-file schema wins for data cols)
+    assert(Lake.read(spark, lake).count() == 2)
+  }
+
   test("upsert replaces matched keys, inserts new, leaves untouched partitions' files alone") {
     import spark.implicits._
     val lake = s"${tempDir("lake-upsert")}/lake"

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * generation is LSH's job). */
   private val cartesianAllowed =
     Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
-      "q57_quality_quantile_filter", "q80_tfidf", "q84_dedup_clusters")
+      "q57_quality_quantile_filter", "q80_tfidf", "q84_dedup_clusters",
+      "q94_quarantine") // q94: 1×1 summary crossJoin of two aggregates
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
