@@ -317,5 +317,67 @@ object EventQueries {
           datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    QuerySpec(
+      "q95_decayed_features",
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value, us,
+        |         max(us) OVER (PARTITION BY user_id) AS last_us
+        |  FROM e)
+        |SELECT user_id,
+        |       ROUND(SUM(value * pow(0.5, (last_us - us) / 86400000000.0)),
+        |             4) AS decayed_value,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Time-decayed user feature (half-life 1 day, anchored at each
+      // user's LAST event) — the standard recency-weighted aggregate of
+      // feature-store pipelines. One window (max per user, no join) and
+      // one grouped sum, both on the same user_id partitioning, so the
+      // second shuffle reuses the first's exchange.
+      val w = Window.partitionBy(col("user_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("last_us", max(col("us")).over(w))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") *
+            pow(lit(0.5), (col("last_us") - col("us")) / 86400000000.0)), 4)
+            .as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "q96_mode_per_group",
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Per-group mode (most frequent event_type per user). Built-in
+      // max_by/arg_max leave ties UNDEFINED — unacceptable under a
+      // hash-compare oracle and a correctness trap in general — so the
+      // deterministic form is count + rank with an explicit tie order.
+      // Counts first (cardinality-reduced to users × types) so the
+      // window sees small input.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("n"))
+        .orderBy(col("user_id"))
     })
 }
