@@ -353,6 +353,41 @@ object EventQueries {
     },
 
     QuerySpec(
+      "q97_histogram",
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Equi-width histogram (25-unit bins) by plain arithmetic rather
+      // than width_bucket — identical floor/divide semantics in every
+      // engine, so bin edges can't drift. One map-side-combining
+      // aggregation; the profiling query that sizes everything else.
+      table(s, dir, "events")
+        .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+        .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
+      "q98_correlation",
+      """SELECT event_type,
+        |       ROUND(corr(value, CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)),
+        |             4) AS corr_value_hour,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Pearson correlation of value vs hour-of-day per event type —
+      // the drift/leakage scan run over feature columns before
+      // training. corr is a single mergeable aggregate (co-moments), so
+      // this is one partial-agg pass, no join, no window.
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), hour(col("ts")).cast("double")), 4)
+            .as("corr_value_hour"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
       "q96_mode_per_group",
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n

@@ -110,7 +110,8 @@ object RelationalQueries {
     QuerySpec(
       "q02_project_scalar",
       """SELECT l_orderkey, l_linenumber,
-        |       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+        |       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |             * 10000 + 0.5) / 10000 AS charge,
         |       CAST(l_shipdate AS DATE)        AS ship_date,
         |       CAST(YEAR(l_shipdate) AS INT)   AS ship_year,
         |       CAST(MONTH(l_shipdate) AS INT)  AS ship_month,
@@ -128,8 +129,13 @@ object RelationalQueries {
         .filter(col("l_quantity") >= 49)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax")), 4).as("charge"),
+          // round-half-up spelled as floor(x*1e4 + 0.5)/1e4 in BOTH
+          // texts: engine ROUND implementations disagree by 1 ulp on
+          // decimal midpoints (seen at sf0.1 — 36350.40465 rounded .4047
+          // by Spark, .4046 by DuckDB); an explicit identical IEEE op
+          // sequence is bit-equal everywhere
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")) * 10000 + 0.5) / 10000).as("charge"),
           col("l_shipdate").cast("date").as("ship_date"),
           year(col("l_shipdate")).as("ship_year"),
           month(col("l_shipdate")).as("ship_month"),
