@@ -222,17 +222,34 @@ object Dedup {
     * Iterative min-label propagation: every node repeatedly takes the
     * minimum label among itself and its neighbors; converges in
     * O(component diameter) rounds — near-dup clusters are stars/short
-    * chains, so 2-4 rounds in practice, `maxIter` bounds pathology. Each
-    * round is one shuffle (join on dst + min-agg) and each round's
-    * labels are eagerly localCheckpoint'ed: the iteration would
-    * otherwise stack one join-plan per round into an ever-deeper
-    * lineage (re-planned and re-codegen'd each round). On a real
-    * cluster use `sparkContext.setCheckpointDir` + `checkpoint()` for
-    * the fault-tolerant variant — same loop. The convergence check is
-    * an exact integer count — no tolerance, fully deterministic. At
-    * 100 TB the same loop holds (it is the standard Pregel-style CC);
-    * for graphs with giant components swap in large-star/small-star
-    * (Kiveris et al., 2014) — same interface, fewer rounds.
+    * chains, so 2-4 rounds in practice, `maxIter` bounds pathology.
+    * Self-loops are unioned into the edge set so one round is a SINGLE
+    * join + min-agg that references the label frame exactly once (min
+    * over neighbors ∪ self ≡ least(own, neighbor-min)) — that keeps the
+    * final plan linear in rounds where a two-reference step would double
+    * the plan tree every round. Each round's labels are eagerly
+    * localCheckpoint'ed (the iteration would otherwise re-plan and
+    * re-codegen an ever-deeper lineage) and the PREVIOUS round's blocks
+    * are released the moment the new round materializes, so storage
+    * holds exactly one label set at any time regardless of round count.
+    * On a real cluster use `sparkContext.setCheckpointDir` +
+    * `checkpoint()` for the fault-tolerant variant — same loop.
+    *
+    * Convergence: labels only ever decrease, so the label SUM (exact,
+    * decimal — no overflow, no tolerance) is strictly monotone and
+    * stalls exactly at the fixpoint — one cheap agg per round instead
+    * of a compare-join.
+    *
+    * The RETURNED frame is a lazy, UNCACHED rebuild of the converged
+    * iteration chain (rounds are known once the loop stops): the
+    * consumer re-executes `rounds-1` propagation steps, but the edge
+    * side's exchange is identical every round (ReusedExchange dedups
+    * it) and each step's agg output is already partitioned on `node`
+    * for the next step — and nothing the caller holds pins executor
+    * storage (PlanAuditSpec's per-query cached-RDD gate). At 100 TB the
+    * same loop holds (it is the standard Pregel-style CC); for graphs
+    * with giant components swap in large-star/small-star (Kiveris et
+    * al., 2014) — same interface, fewer rounds.
     *
     * `nodes` fixes the vertex set (isolated nodes keep themselves as
     * canonical); edges whose endpoints are outside `nodes` are ignored.
@@ -240,32 +257,42 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     val nodeIds = nodes.select(col(nodes.columns.head).as("node"))
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val symSelf = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .join(nodeIds.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeIds.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .unionByName(nodeIds.select(col("node").as("src"), col("node").as("dst")))
       .persist()
+    def step(labels: DataFrame): DataFrame = symSelf
+      .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(min(col("label")).as("label"))
+    def labelSum(labels: DataFrame): Any =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
     var labels = nodeIds.withColumn("label", col("node")).localCheckpoint(true)
-    var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val next = labels
-        .join(sym
-          .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-          .groupBy(col("src").as("node"))
-          .agg(min(col("label")).as("_nmin")),
-          Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("_nmin"), col("label")))
-            .as("_next"))
-        .localCheckpoint(true)
-      changed = next.filter(col("_next") < col("label")).count()
-      labels = next.select(col("node"), col("_next").as("label"))
-      iter += 1
+    var converged = false
+    try {
+      var prevSum = labelSum(labels)
+      while (!converged && iter < maxIter) {
+        val next = step(labels).localCheckpoint(true)
+        val nextSum = labelSum(next)
+        Caching.unpersistCheckpoint(labels)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+    } finally {
+      symSelf.unpersist(blocking = false)
+      Caching.unpersistCheckpoint(labels)
     }
-    sym.unpersist(blocking = false)
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
-    labels.withColumnRenamed("label", "canonical")
+    // converged at round iter-1 (the last round changed nothing) —
+    // rebuild that state lazily with no checkpoints
+    var out = nodeIds.withColumn("label", col("node"))
+    for (_ <- 1 until iter) out = step(out)
+    out.withColumnRenamed("label", "canonical")
   }
 }

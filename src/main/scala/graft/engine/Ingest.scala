@@ -183,34 +183,41 @@ object Ingest {
     * feeds) always contain a few. Returns (good, quarantined): `good`
     * carries the typed columns of clean rows; `quarantined` the raw
     * lines for a side-channel audit sink ([[auditLog]]-style). PERMISSIVE
-    * is per-row and row-local — one pass, no driver involvement; at
+    * is per-row and row-local — no driver involvement; at
     * 100 TB the quarantine stream is the tiny side of the split and the
     * job never stops for a bad record.
     *
-    * Spark caveat, handled here: `_corrupt_record` is populated lazily
-    * and cannot be filtered from the same un-materialized scan
-    * (SPARK-21610's required-columns interaction) — the split caches
-    * the parsed frame for its two consumers. */
+    * Spark caveat, handled here: a PERMISSIVE csv scan refuses queries
+    * whose required columns reduce to `_corrupt_record` alone
+    * (SPARK-21610 — with the data columns pruned away the parser never
+    * attempts the full parse, so "corrupt" would be undefined). The
+    * GOOD side references every data column, so it filters the typed
+    * scan directly; the BAD side re-reads the file as raw text and
+    * re-parses each line with `from_csv` under the same schema+mode,
+    * keeping the line exactly when the typed parse fails. Both frames
+    * are fully LAZY — no cache, no checkpoint, nothing for the caller
+    * to release (an earlier version cached the scan and leaked the
+    * checkpointed splits past the return); the second scan is per
+    * staged file/batch, drop-sized, and both sides stay inside
+    * whole-stage codegen. */
   def readCsvQuarantine(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
-    val parsed = spark.read
+    val good = spark.read
       .option("header", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache()
-    val good = parsed.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record").localCheckpoint(true)
-    val bad = parsed.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line")).localCheckpoint(true)
-    // both splits are materialized off the one-pass cache, which is then
-    // released — callers hold checkpoint-backed frames, no cache leaks
-    // past the return (PlanAuditSpec's cached-RDD gate). Per staged
-    // file/batch, so the materialization is drop-sized, not lake-sized.
-    parsed.unpersist(blocking = false)
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = spark.read.text(path)
+      .filter(from_csv(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .getField("_corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"))
     (good, bad)
   }
 

@@ -114,10 +114,14 @@ object Lake {
           keyCol +: PartitionCols, "left_anti")
       val replacement = survivors.unionByName(batch)
         .localCheckpoint(true)
-      replacement.write
+      // the checkpoint exists only to carry the slice across the
+      // self-referential overwrite — release its blocks as soon as the
+      // write lands (or fails); nothing reads the frame afterwards
+      try replacement.write
         .option("compression", codec)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartitionCols: _*).mode("overwrite").parquet(dir)
+      finally Caching.unpersistCheckpoint(replacement)
     }
   }
 
@@ -157,9 +161,15 @@ object Lake {
     val p = new Path(dir)
     val old = new Path(s"${dir}_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p),
+    if (!fs.exists(p) && fs.exists(old)) {
+      val renamed = fs.rename(old, p)
+      // check-then-act race: a concurrent reader may have completed the
+      // SAME recovery between our probe and the rename — then our rename
+      // reports failure but the lake is healthy. Only abort when the
+      // live dir is truly still absent.
+      require(renamed || fs.exists(p),
         s"lake recovery: could not restore $dir from crashed-compact copy $old")
+    }
   }
 
   /** S5: scan the lake (partition columns come back from the layout).

@@ -86,4 +86,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == got)
   }
+
+  test("connectedComponents: long path converges by diameter; maxIter fires") {
+    import spark.implicits._
+    // A 50-node path is the diameter-bound pathology the star-shaped q84
+    // fixture never exercises: the min label crosses ONE hop per round,
+    // so convergence takes 49 propagation rounds + 1 no-change round —
+    // and a maxIter below that must abort loudly, never return a
+    // half-propagated labeling as if it were components.
+    val n = 50
+    val nodes = (1 to n).map(_.toLong).toDF("node")
+    val edges = (1 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges, "a", "b", maxIter = n + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to n).map(_.toLong -> 1L).toMap)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, "a", "b", maxIter = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "connectedComponents leaked cached RDDs on the failure path")
+  }
 }

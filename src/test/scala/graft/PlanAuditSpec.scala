@@ -43,7 +43,19 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no query plans an unapproved cartesian; bounded queries keep top-k") {
     val feats = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> PlanAudit.features(spark, sf, fn)
+      case (name, fn) =>
+        val f = PlanAudit.features(spark, sf, fn)
+        // Per-query cache hygiene (the round-8 lesson: the dedup-only
+        // check let Lake.upsert's and readCsvQuarantine's checkpoints
+        // slip through): building ANY query — including the eager
+        // fixture/iteration work some builders do — must leave zero
+        // persistent RDDs behind, or every later query in a bench run
+        // executes against a polluted executor heap.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        assert(leaked.isEmpty,
+          s"$name left cached RDDs behind: " +
+            leaked.values.map(_.toString).mkString("; "))
+        name -> f
     }
     val badCartesian = feats.collect {
       case (n, f) if f.cartesian && !cartesianAllowed(n) => n
