@@ -54,10 +54,14 @@ object Bench {
     val names = queries.keys.toSeq.sorted
 
     def run(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
       val fut = Future {
         sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
         try {
+          // fixture staging is the operator's INPUT, not the operator —
+          // untimed, but inside the same job group and timeout so a hung
+          // setup is cancelled like a hung query
+          SparkEntry.benchSetup.get(name).foreach(_(spark, dir))
+          val t0 = System.nanoTime()
           queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
@@ -88,6 +92,11 @@ object Bench {
       val done = names.flatMap(results.get)
       val total = done.filter(_ >= 0).sum
       val failures = done.count(_ < 0)
+      // headline-first, and also on stderr: the driver tails stdout, and
+      // with 98 queries the per-query map can push the total past the
+      // truncation point — a short summary line survives either way
+      System.err.println(
+        s"""[bench-total] {"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures}""")
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     }
     // The driver kills a stuck bench with SIGTERM; partial numbers beat

@@ -29,12 +29,14 @@ object Sessions {
         f.delete(); ()
       }
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        Seq(s"/tmp/graft_warehouse_$pid", s"/tmp/graft_stream_$pid")
+        Seq(s"/tmp/graft_warehouse_$pid", s"/tmp/graft_stream_$pid",
+          s"/tmp/graft_scratch_$pid")
           .foreach(p => rm(new java.io.File(p)))))
       val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val n = f.getName
-          (n.startsWith("graft_warehouse_") || n.startsWith("graft_stream_")) &&
+          (n.startsWith("graft_warehouse_") || n.startsWith("graft_stream_") ||
+            n.startsWith("graft_scratch_")) &&
             n.split("_").last.toLongOption.exists(p =>
               p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
         }

@@ -30,5 +30,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allSpecs.collect { case QuerySpec(n, Some(sql), _) => n -> sql }.toMap
+    allSpecs.collect { case s if s.oracle.isDefined => s.name -> s.oracle.get }
+      .toMap
+
+  /** Untimed fixture staging (see [[QuerySpec.withBenchSetup]]): the
+    * bench runs these before starting a query's clock so measured time
+    * is the operator, not its input-lake construction. */
+  def benchSetup: Map[String, (SparkSession, String) => Unit] =
+    allSpecs.collect {
+      case s if s.benchSetup.isDefined => s.name -> s.benchSetup.get
+    }.toMap
 }

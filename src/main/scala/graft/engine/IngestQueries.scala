@@ -23,6 +23,54 @@ object IngestQueries {
     * after Verify, so paths must be absolute and stable. */
   val FixRoot = "/tmp/graft_fixtures"
 
+  /** Per-PID root for lakes the queries BUILD AND MUTATE in place
+    * (compact / upsert / z-order): unlike the write-once oracle
+    * fixtures, these are deleted and rebuilt per run, so a SHARED path
+    * would let two concurrent runs rip each other's lake out mid-query.
+    * Swept by [[graft.Sessions]] — own root on clean exit, stale-PID
+    * roots at startup. (The oracle never reads these: their queries
+    * oracle against the source tables, not the lake files.) */
+  private def scratchRoot: String =
+    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
+
+  // ---- staged lake fixtures (bench-setup split) ---------------------------
+  // q62/q93 mutate a lake they first have to build; the build is the
+  // operator's INPUT, so it is factored out as QuerySpec.benchSetup —
+  // untimed in the bench — while the builders stage it themselves when
+  // absent (Verify/tests call only the builder). Both operators are
+  // idempotent over their own output (re-compacting a compacted lake and
+  // re-applying the same upsert batch change nothing), so "stage only
+  // when absent" is safe within the per-PID scratch root.
+
+  private def compactLakePath(dir: String): String =
+    s"$scratchRoot/compact_lake_${new java.io.File(dir).getName}"
+
+  private def eventsForLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.table(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        year(col("ts")).as("Year"), month(col("ts")).as("Month"),
+        dayofmonth(col("ts")).as("Day"))
+
+  private def stageCompactLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = compactLakePath(dir)
+    Lake.delete(s, lake)
+    val ev = eventsForLake(s, dir)
+    (0 until 4).foreach(b =>
+      Lake.append(ev.filter(pmod(col("event_id"), lit(4)) === b), lake))
+  }
+
+  private def upsertLakePath(dir: String): String =
+    s"$scratchRoot/upsert_lake_${new java.io.File(dir).getName}"
+
+  private def stageUpsertLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = upsertLakePath(dir)
+    Lake.delete(s, lake)
+    Lake.append(eventsForLake(s, dir).drop("user_id"), lake)
+  }
+
   private val A = EegFixture.specA
   private val B = EegFixture.specB
 
@@ -168,17 +216,11 @@ object IngestQueries {
       // must still equal a recount from the raw table — compaction is a
       // LAYOUT change, never a data change. File-count collapse itself
       // is asserted in LakeSpec (not SQL-expressible).
-      val lake = s"$FixRoot/compact_lake_${new java.io.File(dir).getName}"
-      Lake.delete(s, lake)
-      val ev = Tables.table(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
-          year(col("ts")).as("Year"), month(col("ts")).as("Month"),
-          dayofmonth(col("ts")).as("Day"))
-      (0 until 4).foreach(b =>
-        Lake.append(ev.filter(pmod(col("event_id"), lit(4)) === b), lake))
+      val lake = compactLakePath(dir)
+      if (!Lake.exists(s, lake)) stageCompactLake(s, dir)
       Lake.compact(s, lake, targetRowsPerFile = 10000000L)
       Lake.partitionCounts(s, lake)
-    },
+    }.withBenchSetup(stageCompactLake),
 
     QuerySpec(
       "q94_quarantine",
@@ -206,16 +248,31 @@ object IngestQueries {
       // oracle classifies the SAME file with read_csv ignore_errors, so
       // a row landing on the wrong side of the split moves a count or a
       // checksum. The 1×1 summary crossJoin is driver-bounded.
-      val dir = new java.io.File(s"$FixRoot/quarantine")
-      dir.mkdirs()
-      val lines = (0 until 200).map { i =>
-        if (i % 17 == 0) s"bad$i,$i.5"
-        else if (i % 23 == 0) s"$i,$i.5,extra"
-        else s"$i,$i.25"
+      // WRITE-ONCE fixture, atomically published (the q75 discipline):
+      // an unconditional truncate+write let a concurrent run tear the
+      // file out from under this run's scan or the oracle's read. The
+      // content is a pure function of the loop below, so if the file
+      // exists it is already byte-correct; a racing writer stages under
+      // its own PID and the rename loser just discards its copy.
+      new java.io.File(s"$FixRoot/quarantine").mkdirs()
+      val target = java.nio.file.Paths.get(s"$FixRoot/quarantine/mixed.csv")
+      if (!java.nio.file.Files.exists(target)) {
+        val lines = (0 until 200).map { i =>
+          if (i % 17 == 0) s"bad$i,$i.5"
+          else if (i % 23 == 0) s"$i,$i.5,extra"
+          else s"$i,$i.25"
+        }
+        val tmp = java.nio.file.Paths.get(
+          s"$FixRoot/quarantine/.mixed_${ProcessHandle.current().pid()}.tmp")
+        java.nio.file.Files.write(tmp,
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.deleteIfExists(tmp); ()
+        }
       }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$FixRoot/quarantine/mixed.csv"),
-        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.IntegerType),
@@ -251,13 +308,9 @@ object IngestQueries {
       // must equal the oracle's reconstruction — a doubled update (old
       // row surviving), a lost insert, or a clobbered untouched row all
       // break the hash.
-      val lake = s"$FixRoot/upsert_lake_${new java.io.File(dir).getName}"
-      Lake.delete(s, lake)
-      val ev = Tables.table(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("value"),
-          year(col("ts")).as("Year"), month(col("ts")).as("Month"),
-          dayofmonth(col("ts")).as("Day"))
-      Lake.append(ev, lake)
+      val lake = upsertLakePath(dir)
+      if (!Lake.exists(s, lake)) stageUpsertLake(s, dir)
+      val ev = eventsForLake(s, dir).drop("user_id")
       val batch = ev.filter(col("event_id") % 7 === 0)
         .withColumn("value", col("value") + 1000)
         .unionByName(ev.filter(col("event_id") % 13 === 0)
@@ -267,7 +320,7 @@ object IngestQueries {
         .groupBy(col("Year"), col("Month"), col("Day"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("Year"), col("Month"), col("Day"))
-    },
+    }.withBenchSetup(stageUpsertLake),
 
     QuerySpec(
       "q89_zorder",
@@ -281,7 +334,7 @@ object IngestQueries {
       // raw table. The multi-dimension min/max collapse that makes the
       // layout worth paying for is measured in LakeSpec (per-file
       // ranges vs a single-column sort).
-      val lake = s"$FixRoot/zorder_lake_${new java.io.File(dir).getName}"
+      val lake = s"$scratchRoot/zorder_lake_${new java.io.File(dir).getName}"
       Tables.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           pmod(col("user_id"), lit(256)).cast("int").as("_za"),

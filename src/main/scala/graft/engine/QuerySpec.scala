@@ -17,7 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame,
+    benchSetup: Option[(SparkSession, String) => Unit] = None) {
+
+  /** Mark the fixture-staging part of this query as UNTIMED bench
+    * setup: the bench runs it before starting the clock, so the timed
+    * region measures the operator (compact, upsert, …), not the
+    * construction of its input lake. The builder itself must stay
+    * self-contained — it stages the same fixture when absent, so
+    * Verify/tests need no setup call and a bench-setup run just finds
+    * the staging already done. */
+  def withBenchSetup(setup: (SparkSession, String) => Unit): QuerySpec =
+    copy(benchSetup = Some(setup))
+}
 
 object QuerySpec {
   def apply(name: String, oracle: String)(

@@ -46,8 +46,17 @@ object Scd {
     val closedNow = open.join(changedKeys, Seq(key), "left_semi")
       .withColumn("valid_to", lit(batchTs))
     val stillOpen = open.join(changedKeys, Seq(key), "left_anti")
+    // UNtracked attribute columns (the mixed type-1/type-2 dimension
+    // shape) ride along from the matched OPEN row: they are not
+    // versioned, so the new version inherits them unchanged — without
+    // this, the final positional select threw an unresolved-column
+    // error for any dimension column outside `tracked`. `changed`
+    // carries every `open` column, so the carry is a projection.
+    val untracked = current.columns.filterNot(c =>
+      c == key || tracked.contains(c) || c == "valid_from" || c == "valid_to")
     val newVersions = changed
       .select(col(key) +: (tracked.map(c => col(s"_u_$c").as(c)) ++
+        untracked.map(col(_)) ++
         Seq(lit(batchTs).as("valid_from"), lit(OpenSentinel).as("valid_to"))): _*)
 
     val cols = current.columns.map(col).toIndexedSeq

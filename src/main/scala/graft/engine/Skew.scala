@@ -93,13 +93,29 @@ object Skew {
     * generation on the consuming task, no extra shuffle. Multiset-
     * identical to `left.join(right, key)`; requires all-hashable left
     * columns (same constraint as the group-by itself).
-    */
+    *
+    * Re-expansion is TWO staged explodes, not one: a single
+    * `sequence(1, _dup)` materializes the whole count as one in-memory
+    * array before exploding — for the motivating hot key (millions of
+    * byte-identical copies) that is tens of MB in a single row, and a
+    * hard failure past the 2^31 array-element cap. Exploding
+    * ceil(_dup/B) block ids first and then ≤B elements per block bounds
+    * every intermediate array: the outer array stays ≤ _dup/B entries
+    * (a billion dups → 256k elements at the default B=4096) and the
+    * inner one ≤ B, while generation still happens on the consuming
+    * task with no extra shuffle. */
   def saltedJoinDupHeavy(left: DataFrame, right: DataFrame, key: String,
-      nSalts: Int = 8): DataFrame = {
+      nSalts: Int = 8, expandBlock: Long = 4096L): DataFrame = {
+    require(expandBlock > 0, "expandBlock must be positive")
     val collapsed = left.groupBy(left.columns.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("_dup"))
     saltedJoin(collapsed, right, key, nSalts)
-      .withColumn("_i", explode(sequence(lit(1L), col("_dup"))))
-      .drop("_dup", "_i")
+      // block b of ceil(_dup/B) carries min(B, _dup - b*B) copies
+      .withColumn("_blk",
+        explode(sequence(lit(0L), (col("_dup") - 1L).divide(expandBlock)
+          .cast("long"))))
+      .withColumn("_i", explode(sequence(lit(1L),
+        least(lit(expandBlock), col("_dup") - col("_blk") * expandBlock))))
+      .drop("_dup", "_blk", "_i")
   }
 }

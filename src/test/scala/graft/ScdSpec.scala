@@ -48,6 +48,29 @@ class ScdSpec extends AnyFunSuite {
     assert(collectVersions(t1) == Seq((1L, "A", 10.0, 0L, Scd.OpenSentinel)))
   }
 
+  test("untracked attribute columns carry into new versions (mixed type-1/type-2 shape)") {
+    // `country` is NOT in tracked: a tracked change must still version
+    // the row, and the new version inherits country from the open row —
+    // the untracked column neither errors out nor triggers versions.
+    val t0 = Scd.initial(Seq((1L, "A", 10.0, "SE"), (2L, "B", 20.0, "DK"))
+      .toDF("id", "seg", "bal", "country"))
+    val t1 = Scd.scd2Apply(t0,
+      Seq((1L, "A2", 10.0, "NO")).toDF("id", "seg", "bal", "country"),
+      "id", Seq("seg", "bal"), batchTs = 1L)
+    val got = t1.orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, "A", "SE", 1L),               // closed
+      (1L, "A2", "SE", Scd.OpenSentinel), // new version keeps open row's country
+      (2L, "B", "DK", Scd.OpenSentinel)))
+    // a change ONLY in the untracked column is a no-op
+    val t2 = Scd.scd2Apply(t1,
+      Seq((2L, "B", 20.0, "FI")).toDF("id", "seg", "bal", "country"),
+      "id", Seq("seg", "bal"), batchTs = 2L)
+    assert(t2.count() == t1.count())
+  }
+
   test("point-in-time lookup: as-of join against the version intervals") {
     val t0 = Scd.initial(snapshot((1L, "A", 10.0)))
     val t1 = Scd.scd2Apply(t0, snapshot((1L, "A2", 10.0)), "id",

@@ -72,6 +72,13 @@ class SkewSpec extends AnyFunSuite {
     // the collapse is real: pre-join cardinality is distinct contents
     val collapsed = dupes.groupBy("k", "v").count()
     assert(collapsed.count() == 100) // 1 hot content + 99 tail rows
+    // blocked re-expansion: counts that straddle many blocks (B=7 →
+    // 5000 copies = 714 full blocks + a 2-element tail) re-expand to
+    // exactly the plain multiset — off-by-one in the block math would
+    // drop or duplicate tail copies
+    val blocked = multiset(Skew.saltedJoinDupHeavy(dupes, dim, "k",
+      expandBlock = 7L).select("k", "v", "seg"))
+    assert(blocked == plain)
   }
 
   test("saltedJoin tolerates un-hashable (MapType) payload columns") {
