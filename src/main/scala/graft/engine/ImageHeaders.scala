@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   * JPEG's dimensions sit in a SOF marker segment at a VARIABLE offset
   * (after arbitrarily many APPn/COM segments), so it cannot be a fixed
   * -offset expression — [[jpegDimensions]] is the marker-scan parser,
-  * run in the same partition-wise typed stage as
-  * [[Multimodal.decodeFeatures]] (the mapInPandas-analogue slot where
+  * run in the partition-wise typed stage of
+  * [[Multimodal.headerFeatures]] (the mapInPandas-analogue slot where
   * scan-shaped codecs belong).
   */
 object ImageHeaders {
@@ -71,6 +71,19 @@ object ImageHeaders {
     // for a header-only fixture) + DIB header size 40 LE
     val fileHeaderPad = Array.fill[Byte](12)(0) ++ Array[Byte](40, 0, 0, 0)
     concat(lit(BmpMagic ++ fileHeaderPad), swap(be(w, 4), 4), swap(be(h, 4), 4))
+  }
+
+  /** Minimal valid JPEG frame header: SOI, then a baseline SOF0 segment
+    * (ISO/IEC 10918 B.2.2) — marker FFC0, length 17 (8+3·3), precision
+    * 8, height u16 BE at segment offset 3, width at 5, then 3 components
+    * (id, 1×1 sampling, quant-table id). Dimensions land exactly where
+    * [[jpegDimensions]]'s marker scan reads them, so the encoder and
+    * the scan parser round-trip through real bytes. */
+  def jpegHeader(w: Column, h: Column): Column = {
+    val soiSof0 = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08)
+      .map(_.toByte)
+    val components = Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    concat(lit(soiSof0), be(h, 2), be(w, 2), lit(components))
   }
 
   // ---- parser ---------------------------------------------------------

@@ -8,19 +8,19 @@ import org.apache.spark.sql.functions._
   * partition-by-partition through a codec). Top-level case classes so
   * implicit Encoders resolve. */
 final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
-final case class FeatureRow(media_id: Long, dim: Int, feature: Array[Float])
 final case class DimsRow(media_id: Long, width: Int, height: Int)
 
 /** Multimodal column plumbing (BASELINE north star): image/audio/video
   * as opaque `binary` payloads with a typed metadata struct, plus
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[FakeCodec]]) — everything
-  * Spark-side is real and tested: the schema (binary + struct), the
-  * frame chunking arithmetic, the partition-wise typed-Dataset batch
-  * shape, and the metadata algebra. Swapping [[FakeCodec.decode]] for a
-  * real codec changes no plan shape.
+  * The decode surface works from REAL payload bytes ([[ImageHeaders]]):
+  * container headers are parsed with codegen'd fixed-offset binary
+  * expressions (PNG/GIF/BMP) or the partition-wise JPEG marker scan —
+  * no stub codec remains on the query surface. PIXEL decode
+  * (libjpeg/ffmpeg territory) is out of scope for this environment; the
+  * partition-wise typed stage here is exactly the slot such a codec
+  * plugs into, with no plan-shape change.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collection, no base64 blowup); frame explosion is bounded by
@@ -29,22 +29,6 @@ final case class DimsRow(media_id: Long, width: Int, height: Int)
   * per-row setup cost.
   */
 object Multimodal {
-
-  /** STUB CODEC — stands in for libjpeg/ffmpeg-style decoding, which
-    * this environment cannot run. Deterministic FNV-1a over the payload
-    * per feature slot, so tests and rows-only checks are stable. */
-  object FakeCodec {
-    def decode(payload: Array[Byte], dim: Int): Array[Float] =
-      Array.tabulate(dim) { j =>
-        var h = 0xcbf29ce484222325L ^ j.toLong
-        var i = 0
-        while (i < payload.length) {
-          h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
-          i += 1
-        }
-        ((h >>> 11) % 1000L) / 1000.0f
-      }
-  }
 
   /** Synthesize the media table from `documents` (deterministic:
     * format/width/height derived from doc_id, payload = text bytes).
@@ -109,18 +93,34 @@ object Multimodal {
       .toDF()
   }
 
-  /** Partition-wise batch decode through a typed Dataset — the
-    * mapInPandas-equivalent stage. Returns (media_id, dim, feature)
-    * with `feature: array<float>`. */
-  def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+  /** REAL batch decode over mixed image containers — the
+    * mapInPandas-equivalent stage fused with the codegen'd fixed-offset
+    * parser. PNG/GIF/BMP payloads resolve through
+    * [[ImageHeaders.parse]] column expressions (whole-stage codegen, no
+    * UDF); payloads no fixed magic matches fall through to the JPEG
+    * marker scan inside `mapPartitions` (one scan per row, streaming
+    * iterator — the slot a pixel codec would occupy). Returns
+    * (media_id, format, width, height), every value derived from the
+    * payload BYTES; unparseable payloads are dropped, not errors. Both
+    * branches read one column of the same scan and neither shuffles —
+    * at 100 TB this is a single pass over the media lake. */
+  def headerFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("meta.format").as("format"), col("payload"))
+    val parsed = media.select(col("media_id"), col("payload"),
+      ImageHeaders.parse(col("payload")).as("m"))
+    val fixed = parsed.filter(col("m.format").isNotNull)
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+    val jpeg = parsed.filter(col("m.format").isNull)
+      .select(col("media_id"), lit("jpeg").as("format"), col("payload"))
       .as[MediaRow]
-      .mapPartitions { rows =>
-        // one codec per partition; streaming — no materialization
-        rows.map(m => FeatureRow(m.media_id, dim, FakeCodec.decode(m.payload, dim)))
-      }
+      .mapPartitions(rows => rows.flatMap(r =>
+        ImageHeaders.jpegDimensions(r.payload)
+          .map { case (w, h) => DimsRow(r.media_id, w, h) }))
       .toDF()
+      .select(col("media_id"), lit("jpeg").as("format"),
+        col("width"), col("height"))
+    fixed.unionByName(jpeg)
   }
 }

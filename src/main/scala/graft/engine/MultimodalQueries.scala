@@ -50,15 +50,47 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
-    QuerySpec.noOracle("q49_decode_features") { (s, dir) =>
-      // Partition-wise batch decode (mapInPandas-analogue) through the
-      // STUB codec — deterministic, so the rows-only check is stable;
-      // batch-shape and determinism assertions live in MultimodalSpec.
-      Multimodal.decodeFeatures(
-        Multimodal.mediaTable(table(s, dir, "documents")), dim = 8)
-        .select(col("media_id"), col("dim"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
-          round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
+    QuerySpec(
+      "q49_decode_features",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |              WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |         CAST(doc_id % 8 * 160 + 320 AS INT) AS width,
+        |         CAST(doc_id % 5 * 64 + 128 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id AS media_id, format, width, height,
+        |       CAST((width * 10) // height AS INT) AS aspect_band,
+        |       md5(format || ':' || CAST(width AS VARCHAR) || 'x' ||
+        |           CAST(height AS VARCHAR)) AS sig
+        |FROM m ORDER BY 1""".stripMargin) { (s, dir) =>
+      // REAL batch decode — retires the stub codec from the query
+      // surface. Every doc payload gets an actual container header
+      // prepended to its text bytes (PNG/GIF/BMP at their spec offsets;
+      // JPEG as SOI + a real SOF0 segment), and every output value is
+      // parsed BACK FROM THOSE BYTES: fixed-offset formats through
+      // codegen'd binary expressions, JPEG through the partition-wise
+      // marker scan (the mapInPandas slot a pixel codec would fill).
+      // The oracle recomputes the planted dimensions from the doc_id
+      // formulas, so one wrong byte offset, endianness, magic, or
+      // segment length in EITHER the encoders or the parsers moves a
+      // width/height and breaks the hash. Feature derivation (aspect
+      // band, content signature) runs on the PARSED values — the
+      // decode → feature-extract pipeline shape, end to end on bytes.
+      val w = (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int")
+      val h = (pmod(col("doc_id"), lit(5)) * 64 + 128).cast("int")
+      val header = when(col("doc_id") % 4 === 0, ImageHeaders.pngHeader(w, h))
+        .when(col("doc_id") % 4 === 1, ImageHeaders.gifHeader(w, h))
+        .when(col("doc_id") % 4 === 2, ImageHeaders.bmpHeader(w, h))
+        .otherwise(ImageHeaders.jpegHeader(w, h))
+      Multimodal.headerFeatures(
+        table(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            concat(header, col("text").cast("binary")).as("payload")))
+        .withColumn("aspect_band", expr("CAST((width * 10) div height AS INT)"))
+        .withColumn("sig", md5(concat(col("format"), lit(":"),
+          col("width").cast("string"), lit("x"),
+          col("height").cast("string")).cast("binary")))
         .orderBy(col("media_id"))
     },
 

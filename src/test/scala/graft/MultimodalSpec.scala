@@ -22,20 +22,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == text)
   }
 
-  test("decodeFeatures: partition-batch shape, fixed dim, deterministic") {
-    val f1 = Multimodal.decodeFeatures(media, dim = 8)
-    assert(f1.schema("feature").dataType.simpleString == "array<float>")
-    val rows = f1.orderBy("media_id").collect()
-    assert(rows.forall(_.getInt(1) == 8))
-    assert(rows.forall(_.getSeq[Float](2).length == 8))
-    // determinism across independent runs (fresh plan, fresh partitions)
-    val again = Multimodal.decodeFeatures(media, dim = 8)
-      .orderBy("media_id").collect()
-    assert(rows.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+  test("headerFeatures routes formats to the right parser and drops junk") {
+    import spark.implicits._
+    // one of each: fixed-offset path (png), marker-scan path (jpeg),
+    // synthesized headers from both encoders, and an unparseable payload
+    val mixed = Seq(
+      (1L, realPng),
+      (2L, realJpeg),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .union(Seq((4L, 800, 600)).toDF("id", "w", "h")
+        .select(col("id"),
+          ImageHeaders.jpegHeader(col("w"), col("h")).as("payload")))
+      .union(Seq((5L, 320, 200)).toDF("id", "w", "h")
+        .select(col("id"),
+          ImageHeaders.gifHeader(col("w"), col("h")).as("payload")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.headerFeatures(df).orderBy("media_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+        .toSeq
+    val got = run(mixed)
+    assert(got == Seq(
+      (1L, "png", 1, 1),
+      (2L, "jpeg", 640, 480),
+      (4L, "jpeg", 800, 600),
+      (5L, "gif", 320, 200))) // id 3 dropped: no container parses it
     // repartitioning must not change per-row results (batch independence)
-    val shuffled = Multimodal.decodeFeatures(media.repartition(7), dim = 8)
-      .orderBy("media_id").collect()
-    assert(rows.map(_.getSeq[Float](2)).toSeq == shuffled.map(_.getSeq[Float](2)).toSeq)
+    assert(run(mixed.repartition(7)) == got)
   }
 
   test("frameSample covers every payload with ceil(len/64) frames") {
