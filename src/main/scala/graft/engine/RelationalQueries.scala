@@ -77,6 +77,29 @@ object RelationalQueries {
       |                AND l.l_quantity > 49 AND l.l_extendedprice > 90000)
       |ORDER BY s.s_suppkey""".stripMargin
 
+  /** EP2 breadth (round-8 advice): GROUPING SETS + GROUPING() + EXCEPT
+    * as ONE ANSI text through both engines. Counts only in the EXCEPT
+    * key — a float aggregate there would make the set-diff depend on
+    * summation order across two CTE evaluations. The EXCEPT removes the
+    * grand-total slice (g_nation = 1), leaving the per-nation and
+    * per-(nation, status) sets; NULLS FIRST is spelled out because the
+    * engines' ASC defaults differ. */
+  private val SqlGroupingSets =
+    """WITH agg AS (
+      |  SELECT n_name, o_orderstatus,
+      |         CAST(GROUPING(n_name) AS INT)       AS g_nation,
+      |         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |         CAST(COUNT(*) AS BIGINT)            AS n
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ()))
+      |SELECT n_name, o_orderstatus, g_nation, g_status, n FROM agg
+      |EXCEPT
+      |SELECT n_name, o_orderstatus, g_nation, g_status, n FROM agg
+      |WHERE g_nation = 1
+      |ORDER BY g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- aggregation family (A4) ---------------------------------------
@@ -508,6 +531,11 @@ object RelationalQueries {
     QuerySpec("q79_sql_exists", SqlExists) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(SqlExists)
+    },
+
+    QuerySpec("q99_sql_grouping_sets", SqlGroupingSets) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlGroupingSets)
     },
 
     QuerySpec(

@@ -65,6 +65,28 @@ object Similarity {
     e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       col("label"))
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× memory lever for similarity search at scale (float32 →
+    * int8 plus ONE per-vector scale): `q_i = round(x_i / scale · 127)`,
+    * `scale = max|x_i|`. Pure codegen'd higher-order functions, map-only
+    * (no shuffle, no UDF) — at 100 TB one pass that shrinks the
+    * candidate-verification working set 4×, often the difference between
+    * an in-memory and a spilled stage. Zero vectors are dropped
+    * (quantization is undefined for them). `_scale` is STAGED and
+    * referenced twice by its consumer so CollapseProject cannot inline
+    * the array fold back into the per-element lambda — the
+    * [[TextAnalysis.winnowStaged]] discipline; inlined, the fold would
+    * re-run per element, O(dim²). */
+  def quantizeInt8(e: DataFrame): DataFrame =
+    e.withColumn("_scale",
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      .filter(col("_scale") > 0)
+      .select(col("vec_id"),
+        (round(col("_scale"), 6) + lit(0.0)).as("scale"),
+        expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) / _scale * 127.0) AS INT))").as("q"))
+
   /** Brute-force cosine top-k against the vector of `queryId`: broadcast
     * one query row, linear scan, TakeOrdered. Rounded score + vec_id
     * tie-break for a deterministic result set. */

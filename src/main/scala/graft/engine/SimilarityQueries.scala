@@ -68,5 +68,40 @@ object SimilarityQueries {
         Similarity.prep(table(s, dir, "embeddings"))
           .filter(col("vec_id") < 100), k = 3)
         .orderBy(col("a"), col("rn"))
+    },
+
+    QuerySpec(
+      "q100_embedding_quantize",
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS sc
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, round(sc, 6) + 0.0 AS scale,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) / sc * 127.0) AS INT)) AS qv
+        |  FROM s WHERE sc > 0)
+        |SELECT vec_id, scale,
+        |       CAST(len(qv) AS INT) AS dim,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS INT) AS q_min,
+        |       CAST(list_max(qv) AS INT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // Int8 scalar quantization ([[Similarity.quantizeInt8]]): both
+      // engines run the IDENTICAL IEEE op sequence per element
+      // (float→double, /scale, ·127, round-half-away, int cast), so the
+      // compare is element-exact — summarized per vector as
+      // (dim, sum, min, max) over the quantized codes plus the rounded
+      // scale. A drifted rounding mode, a wrong scale fold, or a
+      // float-order-dependent max would all move q_sum or an extremum.
+      Similarity.quantizeInt8(table(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          size(col("q")).as("dim"),
+          expr("CAST(aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)")
+            .as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy(col("vec_id"))
     })
 }

@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     * plans a SortMergeJoin shuffles the fact side — the single most
     * expensive wrong plan at 100 TB. (q61 is exempt BY DESIGN: it forces
     * a merge join to prove the bucketed layout removes the exchange.) */
+  // q99's dimension joins DO broadcast (4 in-plan), but its EXCEPT
+  // anti-join of two same-sized aggregates legitimately plans SMJ
+  // pre-AQE, so it doesn't fit this gate's "no SMJ anywhere" form.
   private val mustBroadcastOnly = Set(
     "q04_join_broadcast", "q06_semi_join", "q07_anti_join",
     "q77_sql_join3")

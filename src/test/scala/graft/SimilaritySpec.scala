@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayTransform, Expression}
 import graft.engine._
 
 class SimilaritySpec extends AnyFunSuite {
@@ -8,6 +9,36 @@ class SimilaritySpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private def emb = Tables.table(spark, sf, "embeddings")
+
+  test("quantizeInt8: exact codes, zero-vector drop, scale fold stays staged") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0), // zero vector: quantization undefined
+      (3L, Array(2.0f, 1.0f, -2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(e)
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(rows(0).getDouble(1) == 1.0) // scale = max|x|
+    // hand-computed: round(63.5)=64 (half away from zero), -127, round(31.75)=32
+    assert(rows(0).getSeq[Int](2) == Seq(64, -127, 32))
+    assert(rows(1).getSeq[Int](2) == Seq(127, 64, -127))
+    // the max-abs fold must stay a STAGED column — inlined into the
+    // per-element lambda it re-runs per element, O(dim²) (the same
+    // CollapseProject hazard TextSpec gates for winnowing)
+    def nestedFold(ex: Expression): Boolean = ex match {
+      case ArrayTransform(_, fn) =>
+        fn.exists(_.isInstanceOf[ArrayAggregate]) ||
+          fn.children.exists(nestedFold)
+      case other => other.children.exists(nestedFold)
+    }
+    val nested = out.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.exists(nestedFold)
+    }.exists(identity)
+    assert(!nested,
+      "max-abs fold was inlined into the quantize lambda — O(dim²) evals")
+  }
 
   test("hyperplanes are deterministic and bounded") {
     val a = Similarity.hyperplanes(12, 64)
