@@ -295,4 +295,25 @@ object Dedup {
     for (_ <- 1 until iter) out = step(out)
     out.withColumnRenamed("label", "canonical")
   }
+
+  /** Survivor selection per duplicate cluster — the dedup DECISION that
+    * follows [[connectedComponents]]: from each component keep the
+    * member with the best `score` (ascending by default: "prefer the
+    * shortest/cleanest copy"; ties broken by smallest node id, so the
+    * choice is deterministic and oracle-checkable — the C4/RefinedWeb
+    * keep-policy shape, where near-dup families keep the original and
+    * drop the padded variants). One hash aggregation on `canonical`:
+    * `min(struct(score, node))` is the lexicographic argmin, partial-agg
+    * friendly (map-side combine), so at 100 TB the cluster table never
+    * materializes per-member rows past the shuffle.
+    *
+    * `components`: (node, canonical) as returned by
+    * [[connectedComponents]]; `scores`: (node, score). */
+  def keepBest(components: DataFrame, scores: DataFrame): DataFrame =
+    components.join(scores, "node")
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct(col("score"), col("node"))).as("_best"))
+      .select(col("canonical"), col("cluster_size"),
+        col("_best.node").as("keeper"), col("_best.score").as("keeper_score"))
 }

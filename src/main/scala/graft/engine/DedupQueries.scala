@@ -15,6 +15,38 @@ object DedupQueries {
   private val NearTail = " zz9 qq8 vv7"
   private val FarTail = " kk6 jj5 hh4"
 
+  /** Planted two-level near-dup families shared by q84/q101 (Spark side;
+    * the oracle texts replicate the same construction): original →
+    * +3 junk tokens → +6, so trigram Jaccard ≥ 0.5 yields chain edges
+    * A-B and B-C and the transitive closure must merge {A,B,C}. */
+  private def plantedClusterCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = table(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(NearTail)).as("text")))
+      .unionByName(base.select((col("doc_id") + 30000L).as("doc_id"),
+        concat(col("text"), lit(NearTail + FarTail)).as("text")))
+  }
+
+  /** Exact trigram-Jaccard edges over the BOUNDED planted corpus
+    * (all-pairs by design — the operators under test are closure and
+    * survivor policy; unbounded candidate generation is LSH's job). */
+  private def trigramEdges(
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = corpus
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), Dedup.shingleSet("w").as("sa"))
+    val a = sh.select(col("doc_id").as("a"), col("sa").as("sha"))
+    val b = sh.select(col("doc_id").as("b"), col("sa").as("shb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
+        / size(array_union(col("sha"), col("shb"))) >= 0.5)
+      .select(col("a"), col("b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -168,35 +200,84 @@ object DedupQueries {
          |SELECT a AS doc_id, min(b) AS canonical
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       // Near-dup CLUSTERING ([[Dedup.connectedComponents]]): pairs are
-      // not transitive, so dedup decisions need components, not pairs. A
-      // planted two-level family (original → +3 junk tokens → +6) yields
-      // chain edges A-B and B-C from exact trigram Jaccard ≥ 0.5; the
-      // component {A,B,C} must collapse to canonical A whether or not
-      // the weaker A-C edge clears the threshold. The oracle replays the
-      // same edges and closes them with a recursive CTE; Spark closes
-      // them with Pregel-style min-label propagation — two engines, two
-      // algorithms, one fixpoint. Edge generation here is all-pairs on a
-      // BOUNDED planted subset (the operator under test is the closure;
-      // unbounded candidate generation is LSH's job, q40/q45).
-      val base = table(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-      val corpus = base
-        .unionByName(base.select((col("doc_id") + 20000L).as("doc_id"),
-          concat(col("text"), lit(NearTail)).as("text")))
-        .unionByName(base.select((col("doc_id") + 30000L).as("doc_id"),
-          concat(col("text"), lit(NearTail + FarTail)).as("text")))
-      val sh = corpus
-        .withColumn("w", split(trim(col("text")), "\\s+"))
-        .select(col("doc_id"), Dedup.shingleSet("w").as("sa"))
-      val a = sh.select(col("doc_id").as("a"), col("sa").as("sha"))
-      val b = sh.select(col("doc_id").as("b"), col("sa").as("shb"))
-      val edges = a.crossJoin(b).filter(col("a") < col("b"))
-        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
-          / size(array_union(col("sha"), col("shb"))) >= 0.5)
-        .select(col("a"), col("b"))
-      Dedup.connectedComponents(corpus.select(col("doc_id")), edges, "a", "b")
+      // not transitive, so dedup decisions need components, not pairs.
+      // The planted chain edges A-B and B-C ([[plantedClusterCorpus]])
+      // must collapse {A,B,C} to canonical A whether or not the weaker
+      // A-C edge clears the threshold. The oracle replays the same
+      // edges and closes them with a recursive CTE; Spark closes them
+      // with Pregel-style min-label propagation — two engines, two
+      // algorithms, one fixpoint.
+      val corpus = plantedClusterCorpus(s, dir)
+      Dedup.connectedComponents(corpus.select(col("doc_id")),
+          trigramEdges(corpus), "a", "b")
         .select(col("node").as("doc_id"), col("canonical"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q101_dedup_keep_best",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || '$NearTail' FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || '$NearTail$FarTail' FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 500),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sa
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sa, b.sa)) * 1.0
+         |        / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.5),
+         |sym AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT b, a FROM edges
+         |  UNION SELECT doc_id, doc_id FROM corpus),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (
+         |  SELECT a AS doc_id, min(b) AS canonical FROM reach GROUP BY 1),
+         |tc AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |           AS n_tokens
+         |  FROM corpus),
+         |ranked AS (
+         |  SELECT c.canonical, c.doc_id, t.n_tokens,
+         |         ROW_NUMBER() OVER (PARTITION BY c.canonical
+         |                            ORDER BY t.n_tokens, c.doc_id) AS rn
+         |  FROM comp c JOIN tc t USING (doc_id))
+         |SELECT canonical,
+         |       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper,
+         |       CAST(MIN(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+         |         AS keeper_score
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Survivor POLICY on top of the components ([[Dedup.keepBest]]):
+      // each near-dup family keeps its member with the fewest tokens
+      // (the unpadded original beats the junk-appended variants —
+      // C4/RefinedWeb-style "keep the cleanest copy", with the id
+      // tie-break making the choice deterministic). The oracle closes
+      // the same edges recursively and picks the same member with a
+      // rank window; a nondeterministic argmin, a lost cluster member,
+      // or a wrong component boundary all move a keeper or a count.
+      val corpus = plantedClusterCorpus(s, dir)
+      val comps = Dedup.connectedComponents(corpus.select(col("doc_id")),
+        trigramEdges(corpus), "a", "b")
+      val scores = corpus.select(col("doc_id").as("node"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+      Dedup.keepBest(comps, scores)
+        .orderBy(col("canonical"))
     })
 }

@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val cartesianAllowed =
     Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
       "q57_quality_quantile_filter", "q80_tfidf", "q84_dedup_clusters",
+      "q101_dedup_keep_best", // same bounded planted subset as q84
       "q94_quarantine") // q94: 1×1 summary crossJoin of two aggregates
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
