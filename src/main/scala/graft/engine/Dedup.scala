@@ -237,8 +237,10 @@ object Dedup {
     *
     * Convergence: labels only ever decrease, so the label SUM (exact,
     * decimal — no overflow, no tolerance) is strictly monotone and
-    * stalls exactly at the fixpoint — one cheap agg per round instead
-    * of a compare-join.
+    * stalls exactly at the fixpoint — one cheap agg per barrier instead
+    * of a compare-join, and the loop takes TWO propagation steps per
+    * barrier (see the in-body note) so the job/sync count is half the
+    * round count.
     *
     * The RETURNED frame is a lazy, UNCACHED rebuild of the converged
     * iteration chain (rounds are known once the loop stops): the
@@ -269,19 +271,29 @@ object Dedup {
       .agg(min(col("label")).as("label"))
     def labelSum(labels: DataFrame): Any =
       labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
+    // TWO propagation steps per materialization: each checkpoint+sum is
+    // a cluster-wide barrier (a job round-trip locally, a full stage
+    // sync on a real cluster), and monotonicity makes the stall check
+    // just as sound across a double step — the sum stalls over steps
+    // (2k-1, 2k) only if step 2k-1 changed nothing, i.e. the fixpoint
+    // was already reached by step 2(k-1). Halves the barrier count for
+    // the same round budget.
     var labels = nodeIds.withColumn("label", col("node")).localCheckpoint(true)
-    var iter = 0
+    var iter = 0 // completed double-step iterations
     var converged = false
     try {
       var prevSum = labelSum(labels)
-      while (!converged && iter < maxIter) {
-        val next = step(labels).localCheckpoint(true)
+      // not converged after k iterations ⇒ step 2k-1 changed ⇒ the
+      // fixpoint is past 2k-2 — keep going only while 2·iter-2 < maxIter,
+      // so a failure genuinely means "not converged within maxIter rounds"
+      while (!converged && 2 * iter - 2 < maxIter) {
+        val next = step(step(labels)).localCheckpoint(true)
         val nextSum = labelSum(next)
         Caching.unpersistCheckpoint(labels)
         labels = next
+        iter += 1
         converged = nextSum == prevSum
         prevSum = nextSum
-        iter += 1
       }
     } finally {
       symSelf.unpersist(blocking = false)
@@ -289,10 +301,10 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
-    // converged at round iter-1 (the last round changed nothing) —
-    // rebuild that state lazily with no checkpoints
+    // fixpoint reached by step 2(iter-1) — rebuild that state lazily,
+    // no checkpoints
     var out = nodeIds.withColumn("label", col("node"))
-    for (_ <- 1 until iter) out = step(out)
+    for (_ <- 1 to 2 * (iter - 1)) out = step(out)
     out.withColumnRenamed("label", "canonical")
   }
 
