@@ -242,22 +242,28 @@ object Dedup {
     * barrier (see the in-body note) so the job/sync count is half the
     * round count.
     *
-    * The RETURNED frame is a lazy, UNCACHED rebuild of the converged
-    * iteration chain (rounds are known once the loop stops): the
-    * consumer re-executes `rounds-1` propagation steps, but the edge
-    * side's exchange is identical every round (ReusedExchange dedups
-    * it) and each step's agg output is already partitioned on `node`
-    * for the next step — and nothing the caller holds pins executor
-    * storage (PlanAuditSpec's per-query cached-RDD gate). At 100 TB the
-    * same loop holds (it is the standard Pregel-style CC); for graphs
-    * with giant components swap in large-star/small-star (Kiveris et
-    * al., 2014) — same interface, fewer rounds.
+    * The RETURNED frame never pins executor storage (PlanAuditSpec's
+    * per-query cached-RDD gate). Two shapes, chosen by `materializeDir`:
+    * with a directory, the converged labels SPILL to parquet there and
+    * a plain file-backed frame comes back — one |V|-row write+read, the
+    * production shape (durable shared path on a real cluster; local
+    * callers use the swept per-PID scratch root). Without one, the
+    * frame is a lazy, UNCACHED rebuild of the converged iteration
+    * chain: the consumer re-executes the propagation steps, but the
+    * edge side's exchange is identical every round (ReusedExchange
+    * dedups it) and each step's agg output is already partitioned on
+    * `node` for the next step — zero storage needed, right for small
+    * diameters. At 100 TB the same loop holds (it is the standard
+    * Pregel-style CC); for graphs with giant components swap in
+    * large-star/small-star (Kiveris et al., 2014) — same interface,
+    * fewer rounds.
     *
     * `nodes` fixes the vertex set (isolated nodes keep themselves as
     * canonical); edges whose endpoints are outside `nodes` are ignored.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 20,
+      materializeDir: Option[String] = None): DataFrame = {
     val nodeIds = nodes.select(col(nodes.columns.head).as("node"))
     val symSelf = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -295,18 +301,39 @@ object Dedup {
         converged = nextSum == prevSum
         prevSum = nextSum
       }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      materializeDir match {
+        case Some(root) =>
+          // SPILL the converged labels to storage and hand back a plain
+          // file-backed frame: one |V|-row write+read instead of
+          // re-running the propagation chain in the consumer, and still
+          // nothing cached. This is the production shape for big graphs
+          // (pass a durable shared path on a real cluster); the default
+          // lazy rebuild below needs no storage at all.
+          val out = s"$root/cc_${ProcessHandle.current().pid()}_" +
+            s"${CcSeq.incrementAndGet()}"
+          labels.withColumnRenamed("label", "canonical")
+            .write.mode("overwrite").parquet(out)
+          labels.sparkSession.read.parquet(out)
+        case None =>
+          // fixpoint reached by step 2(iter-1) — rebuild that state
+          // lazily, no checkpoints (the consumer re-executes the chain;
+          // ReusedExchange dedups the edge side)
+          var out = nodeIds.withColumn("label", col("node"))
+          for (_ <- 1 to 2 * (iter - 1)) out = step(out)
+          out.withColumnRenamed("label", "canonical")
+      }
     } finally {
+      // post-write/post-plan: the Some-branch frame reads files and the
+      // None-branch plan references no checkpoint, so the final
+      // checkpoint's blocks are dead either way
       symSelf.unpersist(blocking = false)
       Caching.unpersistCheckpoint(labels)
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds")
-    // fixpoint reached by step 2(iter-1) — rebuild that state lazily,
-    // no checkpoints
-    var out = nodeIds.withColumn("label", col("node"))
-    for (_ <- 1 to 2 * (iter - 1)) out = step(out)
-    out.withColumnRenamed("label", "canonical")
   }
+
+  private val CcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Survivor selection per duplicate cluster — the dedup DECISION that
     * follows [[connectedComponents]]: from each component keep the

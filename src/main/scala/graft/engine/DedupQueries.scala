@@ -15,6 +15,13 @@ object DedupQueries {
   private val NearTail = " zz9 qq8 vv7"
   private val FarTail = " kk6 jj5 hh4"
 
+  /** Per-PID scratch for the CC label spill ([[Dedup.connectedComponents]]
+    * `materializeDir`) — same swept root family as the mutable lake
+    * fixtures (graft.Sessions cleans own root on exit, stale PIDs on
+    * startup). */
+  private def ccScratch: String =
+    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/cc"
+
   /** Planted two-level near-dup families shared by q84/q101 (Spark side;
     * the oracle texts replicate the same construction): original →
     * +3 junk tokens → +6, so trigram Jaccard ≥ 0.5 yields chain edges
@@ -209,7 +216,7 @@ object DedupQueries {
       // algorithms, one fixpoint.
       val corpus = plantedClusterCorpus(s, dir)
       Dedup.connectedComponents(corpus.select(col("doc_id")),
-          trigramEdges(corpus), "a", "b")
+          trigramEdges(corpus), "a", "b", materializeDir = Some(ccScratch))
         .select(col("node").as("doc_id"), col("canonical"))
         .orderBy(col("doc_id"))
     },
@@ -274,7 +281,7 @@ object DedupQueries {
       // or a wrong component boundary all move a keeper or a count.
       val corpus = plantedClusterCorpus(s, dir)
       val comps = Dedup.connectedComponents(corpus.select(col("doc_id")),
-        trigramEdges(corpus), "a", "b")
+        trigramEdges(corpus), "a", "b", materializeDir = Some(ccScratch))
       val scores = corpus.select(col("doc_id").as("node"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
       Dedup.keepBest(comps, scores)

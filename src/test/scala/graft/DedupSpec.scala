@@ -87,6 +87,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("connectedComponents: materialized spill equals the lazy rebuild, no cache") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("node")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lazyForm = asMap(Dedup.connectedComponents(nodes, edges, "a", "b"))
+    val spilled = asMap(Dedup.connectedComponents(nodes, edges, "a", "b",
+      materializeDir = Some(TestSpark.tempDir("cc-spill"))))
+    assert(spilled == lazyForm)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "CC spill path leaked cached RDDs")
+  }
+
   test("connectedComponents: long path converges by diameter; maxIter fires") {
     import spark.implicits._
     // A 50-node path is the diameter-bound pathology the star-shaped q84
