@@ -235,6 +235,17 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 9L -> 90.0))
     // dynamic overwrite must not have rewritten the untouched partition
     assert(day2Files() == before, "untouched partition was rewritten")
+
+    // an EMPTY batch is a no-op: no partitions match, nothing is
+    // rewritten, nothing cached stays behind (the degenerate-input path
+    // builds a lit(false) predicate and an empty replacement slice)
+    val allBefore = Lake.read(spark, lake).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    Lake.upsert(Seq.empty[(Long, Double, Int, Int, Int)]
+      .toDF("id", "v", "Year", "Month", "Day"), lake, "id")
+    assert(Lake.read(spark, lake).orderBy("id")
+      .collect().map(_.toSeq).toSeq == allBefore)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("read/append recover a lake stranded at _old by a crash mid-compact-swap") {
