@@ -81,6 +81,14 @@ object Bench {
       // Harness hygiene, outside the timed region: no query is allowed to
       // leak cached data into the next query's measurement.
       spark.catalog.clearCache()
+      // clearCache cannot release directly-persisted RDDs (local
+      // checkpoints) — PlanAuditSpec gates this per query at test time;
+      // here just surface a leak loudly so a polluted-heap run is
+      // attributable from the bench log alone.
+      val leaked = sc.getPersistentRDDs
+      if (leaked.nonEmpty)
+        System.err.println(s"[bench] WARNING: $name left " +
+          s"${leaked.size} persistent RDD(s) on the executor heap")
       elapsed
     }
 
