@@ -187,36 +187,34 @@ object Ingest {
     * 100 TB the quarantine stream is the tiny side of the split and the
     * job never stops for a bad record.
     *
-    * Spark caveat, handled here: a PERMISSIVE csv scan refuses queries
-    * whose required columns reduce to `_corrupt_record` alone
-    * (SPARK-21610 — with the data columns pruned away the parser never
-    * attempts the full parse, so "corrupt" would be undefined). The
-    * GOOD side references every data column, so it filters the typed
-    * scan directly; the BAD side re-reads the file as raw text and
-    * re-parses each line with `from_csv` under the same schema+mode,
-    * keeping the line exactly when the typed parse fails. Both frames
+    * Spark caveat, handled here: a PERMISSIVE csv FILE scan classifies
+    * per CONSUMER — corrupt detection runs against the columns the
+    * query requires, so `select("id")` from a 2-column schema silently
+    * accepts arity-excess rows that the full projection quarantines
+    * (the SPARK-21610 family; the old workaround was caching the scan,
+    * which leaked). Both sides therefore come from ONE raw-text scan
+    * re-parsed with `from_csv` under the full schema+mode: the
+    * classification expression is identical on both sides by
+    * construction, and the csv-expression pruning rule leaves
+    * `from_csv` alone when options are present, so the full schema
+    * always parses no matter what the caller projects. Blank lines are
+    * dropped up front (the csv file reader skips them too). Both frames
     * are fully LAZY — no cache, no checkpoint, nothing for the caller
-    * to release (an earlier version cached the scan and leaked the
-    * checkpointed splits past the return); the second scan is per
-    * staged file/batch, drop-sized, and both sides stay inside
-    * whole-stage codegen. */
+    * to release; per staged file/batch the double execution of the
+    * text scan is drop-sized, and everything stays inside whole-stage
+    * codegen. */
   def readCsvQuarantine(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
-    val good = spark.read
-      .option("header", "false")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(withCorrupt)
-      .csv(path)
-      .filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record")
-    val bad = spark.read.text(path)
-      .filter(from_csv(col("value"), withCorrupt,
+    val parsed = spark.read.text(path)
+      .filter(col("value") =!= "")
+      .select(col("value"), from_csv(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record"))
-        .getField("_corrupt_record").isNotNull)
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+    val good = parsed.filter(col("p._corrupt_record").isNull)
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(s"p.`$f`").as(f)): _*)
+    val bad = parsed.filter(col("p._corrupt_record").isNotNull)
       .select(col("value").as("raw_line"))
     (good, bad)
   }

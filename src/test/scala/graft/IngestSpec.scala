@@ -168,4 +168,39 @@ class IngestSpec extends AnyFunSuite {
     assert(df.columns.length == 2 + A.nDataCols)
     assert(df.count() == 8L + A.nRows) // no schema → preamble rows retained
   }
+
+  test("quarantine split is an exact partition, stable under column pruning") {
+    // Both sides classify through ONE from_csv expression, so a line
+    // lands on exactly one side by construction. The regression this
+    // pins: a typed csv FILE scan classifies per consumer — under
+    // column pruning (`select("id")`) it silently accepted arity-excess
+    // rows that the full projection quarantined, so the good-set
+    // depended on what the caller projected. Exercised on the nasty
+    // shapes: quoted delimiter inside a failing field, arity excess,
+    // arity shortfall, type error, blank line.
+    import org.apache.spark.sql.types._
+    val dir = tempDir("ing-quar")
+    val lines = Seq(
+      "1,1.5",          // clean
+      "oops,2.5",       // type error in id        → quarantined
+      "3,3.5,extra",    // arity excess            → quarantined
+      "4",              // arity shortfall         → quarantined
+      "",               // blank line              → not a record at all
+      "\"5,5\",9.9",    // quoted comma in int col → type error, quarantined
+      "6,6.25")         // clean
+    val f = s"$dir/mixed.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType)))
+    val (good, bad) = Ingest.readCsvQuarantine(spark, f, schema)
+    val badLines = bad.collect().map(_.getString(0)).toSet
+    assert(badLines == Set("oops,2.5", "3,3.5,extra", "4", "\"5,5\",9.9"))
+    assert(good.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((1, 1.5), (6, 6.25)))
+    assert(good.count() + bad.count() == lines.length - 1) // blank not a record
+    // the pruning hazard: a consumer projecting ONE column must see the
+    // same good-set as the full projection
+    assert(good.select("id").collect().map(_.getInt(0)).toSet == Set(1, 6))
+  }
 }
