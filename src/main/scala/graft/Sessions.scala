@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** THE per-PID scratch root for engine-managed mutable state (lake
+    * fixtures, CC label spills). Single definition: the sweep below
+    * matches this prefix, so a path built anywhere else could silently
+    * decouple writes from cleanup. */
+  val ScratchPrefix = "graft_scratch_"
+  def scratchRoot: String =
+    s"/tmp/$ScratchPrefix${ProcessHandle.current().pid()}"
+
   /** Per-PID scratch roots (warehouse, staged stream drop-folders) would
     * otherwise accumulate one directory per run, unboundedly — bucketed
     * bt_* tables alone can be large. On clean exit the JVM removes its
@@ -30,13 +38,13 @@ object Sessions {
       }
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         Seq(s"/tmp/graft_warehouse_$pid", s"/tmp/graft_stream_$pid",
-          s"/tmp/graft_scratch_$pid")
+          scratchRoot)
           .foreach(p => rm(new java.io.File(p)))))
       val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val n = f.getName
           (n.startsWith("graft_warehouse_") || n.startsWith("graft_stream_") ||
-            n.startsWith("graft_scratch_")) &&
+            n.startsWith(ScratchPrefix)) &&
             n.split("_").last.toLongOption.exists(p =>
               p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
         }

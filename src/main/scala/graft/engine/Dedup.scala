@@ -265,6 +265,16 @@ object Dedup {
       aCol: String, bCol: String, maxIter: Int = 20,
       materializeDir: Option[String] = None): DataFrame = {
     val nodeIds = nodes.select(col(nodes.columns.head).as("node"))
+    // the label-sum convergence check is exact ONLY for integral ids:
+    // string ids would cast to null (sum null == null → false
+    // convergence after one barrier) and fractional ids could change
+    // by less than the decimal's granularity — fail loudly up front
+    // instead of returning silently wrong components
+    require(Seq("long", "int", "integer", "bigint", "short", "byte")
+      .contains(nodeIds.schema.head.dataType.typeName),
+      s"connectedComponents needs integral node ids, got " +
+        s"${nodeIds.schema.head.dataType.typeName} — hash string ids to " +
+        "long (xxhash64) before clustering")
     val symSelf = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .join(nodeIds.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
@@ -294,10 +304,13 @@ object Dedup {
       // so a failure genuinely means "not converged within maxIter rounds"
       while (!converged && 2 * iter - 2 < maxIter) {
         val next = step(step(labels)).localCheckpoint(true)
-        val nextSum = labelSum(next)
+        // release the old round and point `labels` at the new one
+        // BEFORE the sum job: if labelSum throws, the finally block
+        // must be holding the checkpoint that actually exists
         Caching.unpersistCheckpoint(labels)
         labels = next
         iter += 1
+        val nextSum = labelSum(labels)
         converged = nextSum == prevSum
         prevSum = nextSum
       }

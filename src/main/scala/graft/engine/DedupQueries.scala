@@ -16,11 +16,9 @@ object DedupQueries {
   private val FarTail = " kk6 jj5 hh4"
 
   /** Per-PID scratch for the CC label spill ([[Dedup.connectedComponents]]
-    * `materializeDir`) — same swept root family as the mutable lake
-    * fixtures (graft.Sessions cleans own root on exit, stale PIDs on
-    * startup). */
-  private def ccScratch: String =
-    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}/cc"
+    * `materializeDir`) — under the one swept root (graft.Sessions cleans
+    * its own root on exit, stale PIDs on startup). */
+  private def ccScratch: String = s"${graft.Sessions.scratchRoot}/cc"
 
   /** Planted two-level near-dup families shared by q84/q101 (Spark side;
     * the oracle texts replicate the same construction): original →

@@ -30,8 +30,7 @@ object IngestQueries {
     * Swept by [[graft.Sessions]] — own root on clean exit, stale-PID
     * roots at startup. (The oracle never reads these: their queries
     * oracle against the source tables, not the lake files.) */
-  private def scratchRoot: String =
-    s"/tmp/graft_scratch_${ProcessHandle.current().pid()}"
+  private def scratchRoot: String = graft.Sessions.scratchRoot
 
   // ---- staged lake fixtures (bench-setup split) ---------------------------
   // q62/q93 mutate a lake they first have to build; the build is the

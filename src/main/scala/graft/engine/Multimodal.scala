@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * implicit Encoders resolve. */
 final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 final case class DimsRow(media_id: Long, width: Int, height: Int)
+final case class ParsedMediaRow(media_id: Long, format: Option[String],
+    width: Option[Int], height: Option[Int], payload: Array[Byte])
 
 /** Multimodal column plumbing (BASELINE north star): image/audio/video
   * as opaque `binary` payloads with a typed metadata struct, plus
@@ -95,32 +97,34 @@ object Multimodal {
 
   /** REAL batch decode over mixed image containers — the
     * mapInPandas-equivalent stage fused with the codegen'd fixed-offset
-    * parser. PNG/GIF/BMP payloads resolve through
-    * [[ImageHeaders.parse]] column expressions (whole-stage codegen, no
-    * UDF); payloads no fixed magic matches fall through to the JPEG
-    * marker scan inside `mapPartitions` (one scan per row, streaming
-    * iterator — the slot a pixel codec would occupy). Returns
+    * parser, in ONE pass. The projection evaluates
+    * [[ImageHeaders.parse]] (whole-stage codegen, no UDF) in the same
+    * scan that feeds the typed stage; inside `mapPartitions`, rows the
+    * fixed magics matched pass straight through (no byte work), and
+    * only the remainder runs the JPEG marker scan (streaming iterator —
+    * the slot a pixel codec would occupy). Returns
     * (media_id, format, width, height), every value derived from the
-    * payload BYTES; unparseable payloads are dropped, not errors. Both
-    * branches read one column of the same scan and neither shuffles —
-    * at 100 TB this is a single pass over the media lake. */
+    * payload BYTES; unparseable payloads are dropped, not errors. No
+    * shuffle, one scan — an earlier two-branch union form read the
+    * media source TWICE. */
   def headerFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val parsed = media.select(col("media_id"), col("payload"),
-      ImageHeaders.parse(col("payload")).as("m"))
-    val fixed = parsed.filter(col("m.format").isNotNull)
+    media.select(col("media_id"), col("payload"),
+        ImageHeaders.parse(col("payload")).as("m"))
       .select(col("media_id"), col("m.format").as("format"),
-        col("m.width").as("width"), col("m.height").as("height"))
-    val jpeg = parsed.filter(col("m.format").isNull)
-      .select(col("media_id"), lit("jpeg").as("format"), col("payload"))
-      .as[MediaRow]
-      .mapPartitions(rows => rows.flatMap(r =>
-        ImageHeaders.jpegDimensions(r.payload)
-          .map { case (w, h) => DimsRow(r.media_id, w, h) }))
-      .toDF()
-      .select(col("media_id"), lit("jpeg").as("format"),
-        col("width"), col("height"))
-    fixed.unionByName(jpeg)
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("payload"))
+      .as[ParsedMediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        r.format match {
+          case Some(f) =>
+            for (w <- r.width; h <- r.height) yield (r.media_id, f, w, h)
+          case None =>
+            ImageHeaders.jpegDimensions(r.payload)
+              .map { case (w, h) => (r.media_id, "jpeg", w, h) }
+        }
+      })
+      .toDF("media_id", "format", "width", "height")
   }
 }

@@ -38,7 +38,10 @@ object Scd {
     val history = current.filter(col("valid_to") =!= OpenSentinel)
 
     val u = updates.select(col(key) +: tracked.map(c => col(c).as(s"_u_$c")): _*)
-    val changeFilter = tracked.map(c => col(s"_u_$c") =!= col(c)).reduce(_ || _)
+    // null-SAFE inequality: a tracked column transitioning NULL→value
+    // (or back) is a change — plain =!= evaluates to NULL there, the
+    // filter drops the row, and the update is silently lost
+    val changeFilter = tracked.map(c => !(col(s"_u_$c") <=> col(c))).reduce(_ || _)
     // updates for keys that exist and actually differ in a tracked column
     val changed = open.join(u, key).filter(changeFilter)
     val changedKeys = changed.select(col(key)).distinct()

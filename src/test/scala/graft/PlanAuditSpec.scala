@@ -22,10 +22,14 @@ class PlanAuditSpec extends AnyFunSuite {
     * generates edges all-pairs over a ≤300-doc planted subset (the
     * operator under test is the transitive closure — unbounded candidate
     * generation is LSH's job). */
+  // q84/q101 are NOT listed: their clustering pipeline (bounded planted
+  // crossJoin + CC loop) executes eagerly during build and spills, so
+  // the audited plan is just the spilled-label file scan — the bounded-
+  // cartesian discipline for them lives in DedupQueries (fixed planted
+  // subset) and DedupSpec, not here.
   private val cartesianAllowed =
     Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
-      "q57_quality_quantile_filter", "q80_tfidf", "q84_dedup_clusters",
-      "q101_dedup_keep_best", // same bounded planted subset as q84
+      "q57_quality_quantile_filter", "q80_tfidf",
       "q94_quarantine") // q94: 1×1 summary crossJoin of two aggregates
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan

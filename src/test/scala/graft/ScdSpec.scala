@@ -71,6 +71,22 @@ class ScdSpec extends AnyFunSuite {
     assert(t2.count() == t1.count())
   }
 
+  test("NULL→value and value→NULL transitions in tracked columns create versions") {
+    // =!= is null-unsafe: it evaluates to NULL on these transitions and
+    // the change filter silently dropped the update
+    val t0 = Scd.initial(Seq((1L, Option.empty[String], 10.0),
+      (2L, Some("B"), 20.0)).toDF("id", "seg", "bal"))
+    val t1 = Scd.scd2Apply(t0,
+      Seq((1L, Some("A"), 10.0), (2L, Option.empty[String], 20.0))
+        .toDF("id", "seg", "bal"),
+      "id", Seq("seg", "bal"), batchTs = 1L)
+    val open = t1.filter(col("valid_to") === Scd.OpenSentinel)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toSeq
+    assert(open == Seq(1L -> Some("A"), 2L -> None))
+    assert(t1.count() == 4) // both rows closed + reopened
+  }
+
   test("point-in-time lookup: as-of join against the version intervals") {
     val t0 = Scd.initial(snapshot((1L, "A", 10.0)))
     val t1 = Scd.scd2Apply(t0, snapshot((1L, "A2", 10.0)), "id",
