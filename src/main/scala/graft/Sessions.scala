@@ -23,6 +23,12 @@ object Sessions {
   def scratchRoot: String =
     s"/tmp/$ScratchPrefix${ProcessHandle.current().pid()}"
 
+  /** Per-PID staging root for file-stream drop folders — same
+    * single-definition rule (the sweep matches this prefix). */
+  val StreamPrefix = "graft_stream_"
+  def streamRoot: String =
+    s"/tmp/$StreamPrefix${ProcessHandle.current().pid()}"
+
   /** Per-PID scratch roots (warehouse, staged stream drop-folders) would
     * otherwise accumulate one directory per run, unboundedly — bucketed
     * bt_* tables alone can be large. On clean exit the JVM removes its
@@ -37,13 +43,12 @@ object Sessions {
         f.delete(); ()
       }
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        Seq(s"/tmp/graft_warehouse_$pid", s"/tmp/graft_stream_$pid",
-          scratchRoot)
+        Seq(s"/tmp/graft_warehouse_$pid", streamRoot, scratchRoot)
           .foreach(p => rm(new java.io.File(p)))))
       val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val n = f.getName
-          (n.startsWith("graft_warehouse_") || n.startsWith("graft_stream_") ||
+          (n.startsWith("graft_warehouse_") || n.startsWith(StreamPrefix) ||
             n.startsWith(ScratchPrefix)) &&
             n.split("_").last.toLongOption.exists(p =>
               p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))

@@ -41,27 +41,37 @@ object Streaming {
     * one JVM's stream read another JVM's half-copied parquet file, and a
     * regenerated fixture with identical byte length silently reused
     * stale staged copies. Within one JVM the existence check makes
-    * restaging a no-op; each copy lands under a temp name and is RENAMED
-    * into place (atomic on a local fs), so even a crashed stager never
-    * leaves a truncated file where a reader looks. [[graft.Sessions]]
-    * sweeps the per-PID root on JVM exit. */
+    * restaging a no-op; each copy lands under an ATTEMPT-UNIQUE temp
+    * name and is RENAMED into place (atomic on a local fs), so neither
+    * a crashed stager nor two threads staging the same dir concurrently
+    * can leave a truncated file where a reader looks — a rename loser
+    * just discards its copy (a shared tmp name here would let one
+    * thread publish a file another thread is still writing).
+    * [[graft.Sessions]] sweeps the per-PID root on JVM exit. */
   private def stageCopies(spark: SparkSession, src: org.apache.hadoop.fs.Path,
       dirName: String, copies: Int): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = src.getFileSystem(conf)
     val dir = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft_stream_${ProcessHandle.current().pid()}/$dirName")
+      s"${graft.Sessions.streamRoot}/$dirName")
     fs.mkdirs(dir)
     (0 until copies).foreach { i =>
       val dst = new org.apache.hadoop.fs.Path(dir, s"events_$i.parquet")
       if (!fs.exists(dst)) {
-        val tmp = new org.apache.hadoop.fs.Path(dir, s".events_$i.tmp")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".events_${i}_${stageSeq.incrementAndGet()}.tmp")
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
-        require(fs.rename(tmp, dst), s"stage: could not publish $dst")
+        if (!fs.rename(tmp, dst)) {
+          require(fs.exists(dst), s"stage: could not publish $dst")
+          fs.delete(tmp, false) // lost the publish race; content identical
+          ()
+        }
       }
     }
     dir.toString
   }
+
+  private val stageSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `events` as a file stream (S7's in-engine analogue: the drop-folder
     * micro-batch source). The file source requires a DIRECTORY; the
@@ -70,15 +80,13 @@ object Streaming {
     * directory — exactly the drop-folder layout a production stream
     * would watch. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val src = eventsSource(spark, sfDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val streamDir =
       if (fs.getFileStatus(src).isDirectory) src.toString
       else stageCopies(spark, src,
         new java.io.File(sfDir).getName, copies = 1)
-    spark.readStream.schema(eventsSchema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    readEventsStream(spark, streamDir)
   }
 
   /** `events` staged `copies`× into a fresh drop folder — the REDELIVERY
@@ -88,13 +96,24 @@ object Streaming {
     * each copy as new input. */
   def eventsStreamDuplicated(spark: SparkSession, sfDir: String,
       copies: Int): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val src = eventsSource(spark, sfDir)
     val dir = stageCopies(spark, src,
       s"${new java.io.File(sfDir).getName}_x$copies", copies)
+    readEventsStream(spark, dir)
+  }
+
+  /** Shared read tail for both event streams — ONE definition of the
+    * schema + nanos→µs conversion, so the clean and redelivered streams
+    * cannot silently diverge (q71 compares them via one oracle). */
+  private def eventsSource(spark: SparkSession,
+      sfDir: String): org.apache.hadoop.fs.Path = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+  }
+
+  private def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Streaming exactly-once-per-key dedup over the redelivered stream:
     * watermark-scoped duplicate drop on `event_id`. State holds only keys
@@ -117,7 +136,13 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    // the primitive encoder CRASHES on null user_id/value (the schema is
+    // nullable even though the fixture never produces one) — exclude
+    // such rows explicitly so a bad record surfaces as a visible count
+    // mismatch against the oracle, not a stream abort
+    events.select(col("user_id"), col("value"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -156,17 +181,26 @@ object Streaming {
           ()
         }
         .start()
-      try require(q.awaitTermination(120000),
-        "update-mode drain still running after 120 s — aborted")
-      finally q.stop()
+      drain(q, "update-mode drain")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_batch", org.apache.spark.sql.types.LongType))
     val withBatch = spark.createDataFrame(
       java.util.Arrays.asList(buf.toSeq: _*), schema)
+    // last-wins per key by batch id; SAME-batch duplicates (a caller
+    // emitting >1 update row per key per batch) tie on _batch, so break
+    // by a content hash — a contract violation then yields a
+    // DETERMINISTIC winner instead of a run-to-run coin flip
+    val nonKey = df.schema.fields
+      .filterNot(f => keyCols.contains(f.name))
+      .filterNot(_.dataType.isInstanceOf[MapType]) // un-hashable, skip
+      .map(_.name)
+    val order = col("_batch").desc +:
+      (if (nonKey.isEmpty) Nil
+       else Seq(xxhash64(nonKey.map(col).toIndexedSeq: _*).desc))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col("_batch").desc)
+      .partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     withBatch.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_batch")
   }
@@ -203,36 +237,6 @@ object Streaming {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
-  /** Drain a bounded stream with AvailableNow into a memory sink and
-    * return the materialized result. Query names are namespaced per call
-    * so warmup+timed reruns don't collide.
-    *
-    * The memory sink buffers the full result on the driver and the temp
-    * view pins that buffer for the session's lifetime — so the rows are
-    * copied out into a plain local relation and the sink view is DROPPED
-    * before returning (an earlier version leaked one sink table per call,
-    * which accumulated across bench warmup+timed passes). The copy is
-    * driver-bounded by construction: a COMPLETE-mode memory sink is
-    * already a driver-side materialization of the (windowed-aggregate,
-    * i.e. cardinality-reduced) result.
-    *
-    * `statePartitions` sets `spark.sql.shuffle.partitions` for the drain
-    * (restored after): the stateful-agg partition count is fixed at the
-    * first micro-batch, and each partition's HDFS-backed state store pays
-    * a fixed commit cost (delta file + CRC + fsync) per batch. State here
-    * is cardinality-reduced (windows/sessions, not events), so 32
-    * near-empty stores spent 10× more time in fsync than in aggregation
-    * (measured: commit 1.5+4.6 s at 32 partitions vs 0.26+0.32 s at 8 for
-    * identical results). Production sizing is the same rule at different
-    * numbers: partitions scale with STATE volume — millions of session
-    * keys want hundreds of partitions — not with input cores.
-    *
-    * NOT THREAD-SAFE: the shuffle-partition override mutates the SHARED
-    * session conf for the drain's duration (restored in `finally`), so a
-    * query planned concurrently on the same SparkSession would observe
-    * the temporary value. Fine under the sequential test/bench harness
-    * (`Test / parallelExecution := false`); concurrent callers should
-    * pass a cloned session (`spark.newSession()`) per drain. */
   /** Production sink shape: drain a stream into the partitioned lake via
     * `foreachBatch` + [[Lake.mergeAppend]]. Structured Streaming runs
     * `foreachBatch` at-least-once — a crash between the sink write and
@@ -257,13 +261,19 @@ object Streaming {
         Lake.mergeAppend(batch, dir, keyCol)
       }
       .start()
-    // awaitTermination(timeout) returns FALSE on timeout — without the
-    // check, the finally-stop would kill the query mid-flight and a
-    // partial drain would be indistinguishable from success
-    try require(q.awaitTermination(120000),
-      s"stream drain into $dir still running after 120 s — aborted")
-    finally q.stop()
+    drain(q, s"stream drain into $dir")
   }
+
+  /** Await a bounded AvailableNow drain and stop the query. ONE
+    * definition of the partial-drain contract shared by every drain
+    * path: `awaitTermination(timeout)` returns FALSE on timeout, and
+    * without the check the finally-stop would kill the query mid-flight
+    * and a PARTIAL drain would be indistinguishable from success. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String): Unit =
+    try require(q.awaitTermination(120000),
+      s"$what still running after 120 s — aborted")
+    finally q.stop()
 
   /** Stream-stream inner self-join with a time-range condition: for each
     * high-value "trigger" event, the events of the SAME user that follow
@@ -313,13 +323,42 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    try require(q.awaitTermination(120000),
-      s"parquet-sink drain into $outDir still running after 120 s — aborted")
-    finally q.stop()
+    drain(q, s"parquet-sink drain into $outDir")
   }
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain a bounded stream with AvailableNow into a memory sink and
+    * return the materialized result. Query names are namespaced per call
+    * so warmup+timed reruns don't collide.
+    *
+    * The memory sink buffers the full result on the driver and the temp
+    * view pins that buffer for the session's lifetime — so the rows are
+    * copied out into a plain local relation and the sink view is DROPPED
+    * in a finally, on the timeout/failure paths too (an earlier version
+    * leaked one sink table per call, and then one per FAILED drain,
+    * which accumulated across bench warmup+timed passes). The copy is
+    * driver-bounded by construction: a COMPLETE-mode memory sink is
+    * already a driver-side materialization of the (windowed-aggregate,
+    * i.e. cardinality-reduced) result.
+    *
+    * `statePartitions` sets `spark.sql.shuffle.partitions` for the drain
+    * (restored after): the stateful-agg partition count is fixed at the
+    * first micro-batch, and each partition's HDFS-backed state store pays
+    * a fixed commit cost (delta file + CRC + fsync) per batch. State here
+    * is cardinality-reduced (windows/sessions, not events), so 32
+    * near-empty stores spent 10× more time in fsync than in aggregation
+    * (measured: commit 1.5+4.6 s at 32 partitions vs 0.26+0.32 s at 8 for
+    * identical results). Production sizing is the same rule at different
+    * numbers: partitions scale with STATE volume — millions of session
+    * keys want hundreds of partitions — not with input cores.
+    *
+    * NOT THREAD-SAFE: the shuffle-partition override mutates the SHARED
+    * session conf for the drain's duration (restored in `finally`), so a
+    * query planned concurrently on the same SparkSession would observe
+    * the temporary value. Fine under the sequential test/bench harness
+    * (`Test / parallelExecution := false`); concurrent callers should
+    * pass a cloned session (`spark.newSession()`) per drain. */
   def runAvailableNow(df: DataFrame, name: String,
                       statePartitions: Int = 8,
                       outputMode: String = "complete"): DataFrame = {
@@ -334,18 +373,14 @@ object Streaming {
         .format("memory")
         .trigger(Trigger.AvailableNow())
         .start()
-      // awaitTermination(timeout) returns FALSE on timeout — without the
-      // check the finally-stop kills the query mid-flight and the PARTIAL
-      // memory sink would be returned as the result (same contract as
-      // streamToLake / runUpdatesLastWins)
-      try require(q.awaitTermination(120000),
-        s"availableNow drain '$qn' still running after 120 s — aborted")
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val sunk = spark.table(qn)
-    val rows = java.util.Arrays.asList(sunk.collect(): _*)
-    val out = spark.createDataFrame(rows, sunk.schema)
-    spark.catalog.dropTempView(qn)
-    out
+      drain(q, s"availableNow drain '$qn'")
+      val sunk = spark.table(qn)
+      val rows = java.util.Arrays.asList(sunk.collect(): _*)
+      spark.createDataFrame(rows, sunk.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.catalog.dropTempView(qn) // also on failure — the view pins its buffer
+      ()
+    }
   }
 }
