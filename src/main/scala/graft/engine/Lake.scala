@@ -38,9 +38,36 @@ object Lake {
     // aside copy FIRST, or the old data would be stranded under _old
     // while new batches build a parallel lake at the live name
     recoverCrashedSwap(df.sparkSession, dir)
+    writeAppend(df, dir, codec)
+  }
+
+  /** The append proper, for internal callers that already recovered —
+    * a second recover probe per operation is wasted fs RPCs on an
+    * object store. */
+  private def writeAppend(df: DataFrame, dir: String, codec: String): Unit =
     df.write.option("compression", codec)
       .partitionBy(PartitionCols: _*).mode("append").parquet(dir)
-  }
+
+  /** Disjunction of the batch's distinct partition tuples — null-SAFE:
+    * `===` against a null partition value evaluates to NULL, which made
+    * every caller silently skip the `__HIVE_DEFAULT_PARTITION__` slice
+    * (dedup misses → duplication in [[mergeAppend]]; missing survivors →
+    * data loss in [[upsert]]). Driver-bounded: a drop touches few
+    * partitions. */
+  private def touchedPredicate(batch: DataFrame): Column =
+    batch.select(PartitionCols.map(col): _*).distinct.collect()
+      .map(r => PartitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Null-safe (key, Year, Month, Day) equi-condition between two aliased
+    * frames — using-column joins compare with `===`, which never matches
+    * a null partition value. */
+  private def keyPartitionMatch(l: String, r: String, keyCol: String): Column =
+    (keyCol +: PartitionCols)
+      .map(c => col(s"$l.`$c`") <=> col(s"$r.`$c`"))
+      .reduce(_ && _)
 
   /** Idempotent merge-append: append only batch rows whose `keyCol` is not
     * already present in the lake partitions the batch touches — making
@@ -68,18 +95,14 @@ object Lake {
     val fresh =
       if (!exists(spark, dir)) df
       else {
-        val touched = df.select(PartitionCols.map(col): _*).distinct.collect()
-        val touchedPred = touched.map(r =>
-          PartitionCols.zipWithIndex
-            .map { case (c, i) => col(c) === lit(r.get(i)) }
-            .reduce(_ && _))
-          .reduceOption(_ || _).getOrElse(lit(false))
-        val existingKeys = read(spark, dir)
-          .filter(touchedPred)
+        val existingKeys = readRaw(spark, dir)
+          .filter(touchedPredicate(df))
           .select((keyCol +: PartitionCols).map(col): _*).distinct
-        df.join(existingKeys, keyCol +: PartitionCols, "left_anti")
+          .alias("ex")
+        df.alias("b")
+          .join(existingKeys, keyPartitionMatch("b", "ex", keyCol), "left_anti")
       }
-    append(fresh, dir, codec)
+    writeAppend(fresh, dir, codec)
   }
 
   /** Keyed upsert (MERGE semantics): batch rows REPLACE existing rows
@@ -100,19 +123,21 @@ object Lake {
       codec: String = "snappy"): Unit = {
     val spark = batch.sparkSession
     recoverCrashedSwap(spark, dir)
-    if (!exists(spark, dir)) append(batch, dir, codec)
+    if (!exists(spark, dir)) writeAppend(batch, dir, codec)
     else {
-      val touched = batch.select(PartitionCols.map(col): _*).distinct.collect()
-      val touchedPred = touched.map(r =>
-        PartitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
-          .reduce(_ && _))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      val survivors = read(spark, dir)
-        .filter(touchedPred)
-        .join(batch.select((keyCol +: PartitionCols).map(col): _*).distinct,
-          keyCol +: PartitionCols, "left_anti")
-      val replacement = survivors.unionByName(batch)
+      val batchKeys = batch
+        .select((keyCol +: PartitionCols).map(col): _*).distinct.alias("bk")
+      // mergeSchema: survivors must carry EVERY column any lake file has —
+      // a single sampled footer would make the rewrite's schema (hence
+      // which evolved columns survive) depend on file listing order
+      val survivors = readRaw(spark, dir, mergeSchema = true)
+        .filter(touchedPredicate(batch))
+        .alias("sv")
+        .join(batchKeys, keyPartitionMatch("sv", "bk", keyCol), "left_anti")
+      // allowMissingColumns: an old-schema batch upserting into an
+      // evolved lake (or vice versa) null-fills the absent side, the
+      // same semantics the schema-evolution read gives old files
+      val replacement = survivors.unionByName(batch, allowMissingColumns = true)
         .localCheckpoint(true)
       // the checkpoint exists only to carry the slice across the
       // self-referential overwrite — release its blocks as soon as the
@@ -141,9 +166,10 @@ object Lake {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // the in-memory catalog forgets tables across JVMs but the warehouse
     // directory persists — clear a stale location or the create fails
-    // with LOCATION_ALREADY_EXISTS
+    // with LOCATION_ALREADY_EXISTS. The catalog lowercases table names
+    // for the location, so the delete must too.
     delete(spark, spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:") + s"/$table")
+      .stripPrefix("file:") + s"/${table.toLowerCase(java.util.Locale.ROOT)}")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
@@ -162,13 +188,34 @@ object Lake {
     val old = new Path(s"${dir}_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) && fs.exists(old)) {
-      val renamed = fs.rename(old, p)
-      // check-then-act race: a concurrent reader may have completed the
-      // SAME recovery between our probe and the rename — then our rename
-      // reports failure but the lake is healthy. Only abort when the
-      // live dir is truly still absent.
-      require(renamed || fs.exists(p),
-        s"lake recovery: could not restore $dir from crashed-compact copy $old")
+      // (live absent, _old present) is ALSO what a healthy in-flight
+      // compact swap looks like between its two renames — resurrecting
+      // _old then would break the swap's second rename (or nest the
+      // rewrite INSIDE the live dir under HDFS rename semantics). The
+      // marker names the swapping PID: if it is alive, wait for the
+      // swap to finish instead of recovering.
+      val owner = swapOwner(fs, dir)
+      val ownerAlive = owner.exists(pid =>
+        pid != ProcessHandle.current().pid() &&
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+      if (ownerAlive) {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!fs.exists(p) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        require(fs.exists(p),
+          s"lake $dir: concurrent compact swap by PID ${owner.get} did not " +
+            "complete within 10 s — refusing to recover mid-swap")
+      } else {
+        val renamed = fs.rename(old, p)
+        // check-then-act race: a concurrent reader may have completed the
+        // SAME recovery between our probe and the rename — then our rename
+        // reports failure but the lake is healthy. Only abort when the
+        // live dir is truly still absent.
+        require(renamed || fs.exists(p),
+          s"lake recovery: could not restore $dir from crashed-compact copy $old")
+        fs.delete(swapMarker(dir), false) // stale marker from the dead owner
+        ()
+      }
     }
   }
 
@@ -184,9 +231,14 @@ object Lake {
   def read(spark: SparkSession, dir: String,
       mergeSchema: Boolean = false): DataFrame = {
     recoverCrashedSwap(spark, dir)
+    readRaw(spark, dir, mergeSchema)
+  }
+
+  /** The scan proper, for internal callers that already recovered. */
+  private def readRaw(spark: SparkSession, dir: String,
+      mergeSchema: Boolean = false): DataFrame =
     if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(dir)
     else spark.read.parquet(dir)
-  }
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -223,30 +275,71 @@ object Lake {
     * partition. Data is byte-identical in content (asserted in
     * LakeSpec), only the file layout changes. */
   def compact(spark: SparkSession, dir: String,
-      targetRowsPerFile: Long = 4000000L): Unit = {
+      targetRowsPerFile: Long = 4000000L, codec: String = "snappy"): Unit = {
     recoverCrashedSwap(spark, dir)
-    val df = read(spark, dir)
+    // mergeSchema: compaction is "never a data change" — reading a single
+    // sampled footer from an evolved lake would silently DROP an evolved
+    // column from the rewrite (and the swap then deletes the only copy)
+    val df = readRaw(spark, dir, mergeSchema = true)
     val sizes = df.groupBy(PartitionCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .withColumn("_files",
         greatest(lit(1), ceil(col("_n") / targetRowsPerFile)).cast("int"))
       .drop("_n")
-    val salted = df.join(broadcast(sizes), PartitionCols)
+      .alias("sz")
+    // null-safe join: === would drop every __HIVE_DEFAULT_PARTITION__ row
+    // from the rewrite — permanent data loss after the swap
+    val salted = df.alias("d")
+      .join(broadcast(sizes),
+        PartitionCols.map(c => col(s"d.`$c`") <=> col(s"sz.`$c`"))
+          .reduce(_ && _))
+      .select(df.columns.map(c => col(s"d.`$c`")).toIndexedSeq :+
+        col("sz.`_files`"): _*)
       .withColumn("_salt", pmod(Skew.contentHash(df), col("_files")))
     val tmp = s"${dir}_compacting"
     delete(spark, tmp)
     salted.repartition((PartitionCols :+ "_salt").map(col): _*)
       .drop("_salt", "_files")
-      .write.partitionBy(PartitionCols: _*).parquet(tmp)
+      .write.option("compression", codec)
+      .partitionBy(PartitionCols: _*).parquet(tmp)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(s"${dir}_old")
     if (fs.exists(old)) fs.delete(old, true)
+    // publish the swap's liveness marker BEFORE the live dir disappears:
+    // a concurrent reader seeing (live absent, _old present) consults it
+    // to distinguish "crashed long ago — recover" from "swap in flight —
+    // wait", instead of resurrecting _old mid-swap and breaking the
+    // second rename
+    writeSwapMarker(fs, dir)
     require(fs.rename(p, old), s"compact: could not move $dir aside")
     require(fs.rename(new Path(tmp), p),
       s"compact: swap failed; original lake preserved at $old")
     fs.delete(old, true)
+    fs.delete(swapMarker(dir), false)
+    ()
   }
+
+  private def swapMarker(dir: String): Path = new Path(s"${dir}_swap_owner")
+
+  private def writeSwapMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val out = fs.create(swapMarker(dir), true)
+    try out.write(ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** PID in the swap marker, if present and parseable. */
+  private def swapOwner(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Long] =
+    if (!fs.exists(swapMarker(dir))) None
+    else {
+      val in = fs.open(swapMarker(dir))
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toLongOption
+      finally in.close()
+    }
 
   /** Morton (Z-order) interleave of two non-negative dimension columns,
     * `bits` bits each: bit i of `a` lands at z-bit 2i, bit i of `b` at

@@ -248,6 +248,53 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("null partition values survive mergeAppend dedup, upsert, and compact") {
+    // null Year/Month/Day lands under __HIVE_DEFAULT_PARTITION__; ===
+    // never matches null, so before the null-safe predicates this slice
+    // was silently DUPLICATED by mergeAppend redelivery, its survivors
+    // DELETED by upsert's dynamic overwrite, and its rows DROPPED
+    // entirely by compact's size join — all unrecoverable after the swap.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val lake = s"${tempDir("lake-nullpart")}/lake"
+    val none = Option.empty[Int]
+    // mixed lake: a real partition plus null-partition rows (an all-null
+    // lake is unreadable anyway — partition inference yields VOID)
+    val batch = Seq(
+      (1L, 10.0, Some(2024), Some(7), Some(1)),
+      (2L, 20.0, none, none, none),
+      (3L, 30.0, none, none, none))
+      .toDF("id", "v", "Year", "Month", "Day")
+    Lake.mergeAppend(batch, lake, "id")
+    Lake.mergeAppend(batch, lake, "id") // redelivery must be a no-op
+    assert(Lake.read(spark, lake).count() == 3)
+    // upsert: update id 2, keep id 3 as survivor of the null partition
+    Lake.upsert(batch.filter(col("id") === 2).withColumn("v", lit(22.0)),
+      lake, "id")
+    val afterUpsert = Lake.read(spark, lake).select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(afterUpsert == Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0))
+    Lake.compact(spark, lake, targetRowsPerFile = 1000L)
+    val afterCompact = Lake.read(spark, lake).select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(afterCompact == afterUpsert, "compact lost the null partition")
+  }
+
+  test("compact preserves schema-evolved columns (merged read, not one footer)") {
+    import spark.implicits._
+    val lake = s"${tempDir("lake-evolve-compact")}/lake"
+    Lake.append(Seq((1L, 10.0, 2024, 7, 1))
+      .toDF("id", "v", "Year", "Month", "Day"), lake)
+    Lake.append(Seq((2L, 20.0, "new", 2024, 7, 2))
+      .toDF("id", "v", "w", "Year", "Month", "Day"), lake)
+    Lake.compact(spark, lake, targetRowsPerFile = 1000L)
+    val rows = Lake.read(spark, lake, mergeSchema = true)
+      .select("id", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some("new")),
+      "compaction dropped an evolved column")
+  }
+
   test("read/append recover a lake stranded at _old by a crash mid-compact-swap") {
     import spark.implicits._
     val lake = s"${tempDir("lake-recover")}/lake"
