@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash signatures are one partial-agg-friendly aggregation over
   *    exploded shingles (64 `min` columns — mergeable, fixed width);
   *  - candidate generation shuffles on (band, band-hash) buckets only;
-  *    degenerate buckets are capped (`maxBucket`) so a pathological key
-  *    can't produce a quadratic pair blowup;
+  *    degenerate buckets are capped (`maxBucket`) BEFORE any aggregation
+  *    buffer forms (window truncation, [[boundedBuckets]]) so a
+  *    pathological key can't produce a quadratic pair blowup OR a
+  *    single-buffer OOM;
   *  - Jaccard verification joins shingles ONLY for candidate pairs
   *    (keyed equi-joins, no cross join anywhere);
   *  - SimHash candidates come from 16-bit chunk equality (pigeonhole: any
@@ -81,24 +83,58 @@ object Dedup {
   /** Banded LSH: hash each band of rowsPerBand signature slots; docs
     * sharing a (band, hash) bucket are candidates. Bucket size capped —
     * a bucket of B docs yields B² pairs, so degenerate content (empty
-    * docs, boilerplate) must not explode the join. */
+    * docs, boilerplate) must not explode the join.
+    *
+    * The cap is applied BEFORE any aggregation buffer forms: membership
+    * is truncated to `maxBucket + 1` rows per bucket by a `row_number`
+    * window ([[boundedBuckets]]), so on a real corpus where boilerplate
+    * lands millions of ids in one (band, hash) bucket, no executor ever
+    * holds the full bucket in memory — sort-based windows stream and
+    * spill, single-row aggregation state does not. */
   def lshCandidatePairs(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 64): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
     }
-    val buckets = sig
+    val exploded = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    val buckets = boundedBuckets(exploded, Seq("band", "bh"), maxBucket)
     buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Shared bucket-capping discipline for candidate generation: truncate
+    * each bucket's MEMBERSHIP to `maxBucket + 1` ids with a per-bucket
+    * `row_number` window BEFORE collecting, then keep buckets whose
+    * (now-bounded) size is in [2, maxBucket]. Equivalent semantics to
+    * filtering on the true bucket size — a bucket larger than
+    * `maxBucket` retains exactly `maxBucket + 1` rows, fails the size
+    * filter, and is dropped whole — but the worst-case per-bucket state
+    * anywhere in the plan is `maxBucket + 1` ids: the window's sort is
+    * the spillable ExternalSorter (same discipline as
+    * [[Similarity.blockedPairwiseTopK]]), where the previous
+    * `groupBy.agg(collect_list)`-then-filter shape materialized the
+    * ENTIRE degenerate bucket in one in-memory aggregation buffer
+    * before the filter could drop it — at 100 TB, an executor OOM.
+    * No extra shuffle: the window exchange on the bucket key replaces
+    * the aggregation exchange, and the post-window `collect_list` sees
+    * data already partitioned on its grouping key. */
+  private def boundedBuckets(exploded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("id"))
+    exploded
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket + 1)
+      .groupBy(keys: _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
   }
 
   /** Exact Jaccard for candidate pairs only: keyed joins against the
@@ -178,12 +214,13 @@ object Dedup {
     val chunkCols = (0 until chunks).map(c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask)).as("v")))
-    val buckets = sig
+    // same pre-collect membership cap as the LSH path ([[boundedBuckets]]):
+    // degenerate chunk values (e.g. every empty doc sharing one signature)
+    // must never materialize a full bucket in one aggregation buffer
+    val exploded = sig
       .select(col("id"), explode(array(chunkCols: _*)).as("k"))
       .select(col("id"), col("k.c").as("c"), col("k.v").as("v"))
-      .groupBy(col("c"), col("v"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    val buckets = boundedBuckets(exploded, Seq("c", "v"), maxBucket)
     val pairs = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))

@@ -69,6 +69,50 @@ class DedupSpec extends AnyFunSuite {
     assert(cand.count() == 0)
   }
 
+  test("bucket caps truncate membership BEFORE any aggregation buffer") {
+    import spark.implicits._
+    // The 100 TB failure mode this guards: boilerplate/empty documents
+    // all hash to ONE (band, hash) bucket — here 12k identical docs, so
+    // the former collect_list-then-filter shape would gather 12k ids
+    // (×16 bands) into single aggregation buffers before the size
+    // filter could drop them. The capped pipeline must (a) still return
+    // zero candidates, and (b) show the row_number window truncation
+    // ABOVE the scan and BELOW the collect aggregation in the physical
+    // plan, proving per-bucket state is bounded at maxBucket + 1.
+    val degenerate = (0 until 12000)
+      .map(i => (i.toLong, "boilerplate header text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(Dedup.shingleDf(degenerate, "doc_id", "text")),
+      maxBucket = 64)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("row_number"),
+      "LSH candidate plan lost the pre-collect window truncation")
+    assert(lsh.count() == 0)
+    val sim = Dedup.simhashPairs(
+      Dedup.simhash64(degenerate, "doc_id", "text"))
+    val simPlan = sim.queryExecution.executedPlan.toString
+    assert(simPlan.contains("row_number"),
+      "SimHash candidate plan lost the pre-collect window truncation")
+    assert(sim.count() == 0)
+  }
+
+  test("degenerate flood does not drown real near-dup pairs") {
+    import spark.implicits._
+    // planted near-dups + a 10k-doc empty flood: every empty doc shares
+    // one whole-text shingle → identical signatures → one degenerate
+    // bucket per band, dropped by the cap; the planted pairs' buckets
+    // are untouched, so recall on real content is unaffected.
+    val flood = (0 until 10000).map(i => (100000L + i, "")).toDF("doc_id", "text")
+    val corpus = Dedup.plantedNear(docs).unionByName(flood)
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = plantedPairs(5, 20000L)
+    assert(expected.subsetOf(pairs.toSet), s"missing: ${expected -- pairs.toSet}")
+    assert(pairs.forall { case (a, b) => a < 100000L && b < 100000L },
+      "flood ids leaked into the candidate pairs")
+  }
+
   test("connectedComponents: chain, star, isolated node, diameter > 1") {
     import spark.implicits._
     // components: chain 1-2-3-4 (diameter 3 — needs >1 propagation
