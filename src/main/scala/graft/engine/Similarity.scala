@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,6 +176,27 @@ object Similarity {
       sort_array(scored, asc = false).getItem(0).getField("i"))
   }
 
+  /** Persist a trained centroid table (train once → probe many): one
+    * parquet of (list, centroid) rows — nLists × dim doubles, tiny at
+    * any corpus scale. This is the production split [[ivfTopK]]'s doc
+    * promises: at 100 TB the k-means pass runs when the corpus drifts,
+    * not per query; every probe loads the table (or gets it handed in)
+    * and pays only assignment + the probed-list scan. */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Double]],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] table back into probe form. Bounded driver
+    * read by construction (nLists rows). */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("list"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
   /** IVF ANN top-k: rank centroids by cosine to the query (driver-side —
     * nLists numbers), scan only the `nProbe` nearest inverted lists,
     * exact cosine + TakeOrdered within them. Tunable recall/cost knob:
@@ -183,10 +204,15 @@ object Similarity {
     * exact brute force). Complements the LSH path ([[annTopK]]): IVF
     * adapts its partitions to the DATA distribution where LSH's
     * hyperplanes are data-oblivious — better pruning on clustered
-    * corpora, at the cost of a training pass when centroids drift. */
+    * corpora, at the cost of a training pass when centroids drift.
+    *
+    * `centroids`: prebuilt coarse quantizer ([[ivfCentroids]] persisted
+    * via [[saveCentroids]]) — the production path; when absent, trains
+    * fresh on `e` (self-contained exploratory form). */
   def ivfTopK(e: DataFrame, queryId: Long, k: Int,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(e, nLists)
+      nLists: Int = 16, nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(e, nLists))
     val indexed = ivfAssign(e, cents)
     // query vector comes from the UN-assigned prep — fetching it through
     // `indexed` would pay a full nLists-dots-per-row assignment scan for
@@ -246,6 +272,55 @@ object Similarity {
       .filter(anyTableMatch)
       .select(col("vec_id"), col("label"),
         round(cosine(col("v"), qv), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---- partition-pruned ANN lake ----------------------------------------
+  // The scale claim the row-local LSH/IVF filters only MODEL — "at lake
+  // scale the bucket becomes the partition key, so probes PRUNE
+  // partitions instead of filtering rows" — made real: the bucket IS a
+  // parquet partition directory, the probe predicate is a literal IN
+  // list over it, and the scan's PartitionFilters skip every other
+  // directory at planning time (gated as a failing test in
+  // PlanAuditSpec). Pruning must be result-invariant: q102's oracle
+  // recomputes the same buckets in SQL over the UNpartitioned table.
+
+  /** The query's bucket, computed driver-side with the same sequential
+    * dot-product fold the column form uses ([[signature]] / DuckDB
+    * list_dot_product) — sign agreement is what keys the partition, so
+    * the fold order must match bit-for-bit. */
+  def localSignature(v: Array[Double], planes: Array[Array[Double]]): Int =
+    planes.zipWithIndex.map { case (pl, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { d += v(j) * pl(j); j += 1 }
+      if (d > 0) 1 << i else 0
+    }.sum
+
+  /** Write the embeddings as a lake PARTITIONED by the `nPlanes`-bit
+    * sign-LSH bucket — one directory per bucket value, the write-once
+    * half of the prune contract. */
+  def writeBucketPartitionedLake(e: DataFrame, dir: String,
+      nPlanes: Int): Unit =
+    prep(e)
+      .withColumn("bucket", signature(col("v"), hyperplanes(nPlanes, 64)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Probe a [[writeBucketPartitionedLake]] lake: exact cosine top-k
+    * over the query bucket's Hamming-1 neighborhood only. The bucket
+    * predicate is literal values on the partition column, so planning
+    * prunes to 1 + nPlanes of 2^nPlanes directories — the scan never
+    * opens the rest. */
+  def prunedBucketTopK(spark: SparkSession, dir: String, queryId: Long,
+      qv: Array[Double], nPlanes: Int, k: Int): DataFrame = {
+    val qBucket = localSignature(qv, hyperplanes(nPlanes, 64))
+    val neighborhood = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1 << p))
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(neighborhood.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("bucket").cast("int").as("bucket"),
+        (round(cosine(col("v"), array(qv.map(lit): _*)), 4) + lit(0.0)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

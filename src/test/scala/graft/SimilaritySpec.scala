@@ -98,6 +98,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("IVF probe from persisted centroids equals probe from fresh training") {
+    val dir = TestSpark.tempDir("ivf-centroids")
+    val cents = Similarity.ivfCentroids(emb, nLists = 16)
+    Similarity.saveCentroids(spark, cents, dir)
+    val loaded = Similarity.loadCentroids(spark, dir)
+    // the parquet round-trip is exact (doubles, ordered by list id)…
+    assert(loaded.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // …so the production probe (train once → persist → probe) returns
+    // byte-identical results to self-contained fresh training
+    val fresh = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.toSeq).toSeq
+    val persisted = Similarity.ivfTopK(emb, 0L, 10, centroids = Some(loaded))
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == fresh)
+  }
+
+  test("bucket-partitioned lake probe prunes partitions and is result-invariant") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tempDir("ann-bucket-lake")
+    val nPlanes = 4
+    Similarity.writeBucketPartitionedLake(emb, dir, nPlanes)
+    // one directory per bucket value actually present
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= (1 << nPlanes))
+    val qv = Similarity.prep(emb).filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probe = Similarity.prunedBucketTopK(spark, dir, 0L, qv, nPlanes, k = 10)
+    // the partition-key predicate must prune at PLANNING time: literal
+    // bucket values in PartitionFilters, nothing on the data columns
+    val scan = probe.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"bucket predicate did not become PartitionFilters:\n$scan")
+    // result-invariance (the q102 oracle's claim, locally): the same
+    // computation over the UNpartitioned frame with a row filter on a
+    // recomputed bucket column returns identical rows
+    val planes = Similarity.hyperplanes(nPlanes, 64)
+    val qb = Similarity.localSignature(qv, planes)
+    val neighborhood = (qb +: (0 until nPlanes).map(p => qb ^ (1 << p))).toSet
+    val unpruned = Similarity.prep(emb)
+      .withColumn("bucket", Similarity.signature(col("v"), planes))
+      .filter(col("vec_id") =!= 0L)
+      .filter(col("bucket").isin(neighborhood.toSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("label"), col("bucket").cast("int").as("bucket"),
+        (round(Similarity.cosine(col("v"),
+          array(qv.map(lit): _*)), 4) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+    assert(probe.collect().map(_.toSeq).toSeq ==
+      unpruned.collect().map(_.toSeq).toSeq)
+  }
+
   test("blockedPairwiseTopK caps degenerate blocks (no quadratic blowup)") {
     import spark.implicits._
     // 300 vectors all sharing ONE label — uncapped this is a 300² pair
