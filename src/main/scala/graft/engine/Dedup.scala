@@ -284,7 +284,11 @@ object Dedup {
     * with a directory, the converged labels SPILL to parquet there and
     * a plain file-backed frame comes back — one |V|-row write+read, the
     * production shape (durable shared path on a real cluster; local
-    * callers use the swept per-PID scratch root). Without one, the
+    * callers use the swept per-PID scratch root). Each call writes a
+    * NEW `cc_<pid>_<seq>` spill — never reused or deleted here, because
+    * a previously returned frame still reads its own spill; repeated
+    * calls (bench warmup + timed) therefore accumulate one |V|-row
+    * directory per call until the per-PID sweep reclaims the root. Without one, the
     * frame is a lazy, UNCACHED rebuild of the converged iteration
     * chain: the consumer re-executes the propagation steps, but the
     * edge side's exchange is identical every round (ReusedExchange

@@ -40,6 +40,35 @@ object IngestQueries {
   // idempotent over their own output (re-compacting a compacted lake and
   // re-applying the same upsert batch change nothing), so "stage only
   // when absent" is safe within the per-PID scratch root.
+  //
+  // The staged check is a _STAGED completion marker, not bare
+  // Lake.exists: a compact/upsert that throws mid-mutation leaves a
+  // half-mutated lake that exists() would hand to a same-JVM retry as
+  // "already staged". The marker is written only after staging
+  // completes and dropped when a mutation fails ([[mutateOrRestage]]),
+  // so the retry restages from source. It sits NEXT to the lake dir
+  // (inside it, a compact rewrite would delete it) under the same
+  // swept scratch root.
+
+  private def stagedMarker(lake: String): java.nio.file.Path =
+    java.nio.file.Path.of(lake + "_STAGED")
+
+  private def ensureStaged(lake: String)(stage: => Unit): Unit =
+    if (!java.nio.file.Files.exists(stagedMarker(lake))) {
+      stage // stage fns Lake.delete first — a half-staged dir restages clean
+      java.nio.file.Files.createFile(stagedMarker(lake))
+      ()
+    }
+
+  /** Run an in-place lake mutation; on failure drop the staging marker
+    * so the next same-JVM attempt rebuilds the fixture instead of
+    * mutating a half-mutated lake. */
+  private def mutateOrRestage[T](lake: String)(body: => T): T =
+    try body
+    catch { case e: Throwable =>
+      java.nio.file.Files.deleteIfExists(stagedMarker(lake))
+      throw e
+    }
 
   private def compactLakePath(dir: String): String =
     s"$scratchRoot/compact_lake_${new java.io.File(dir).getName}"
@@ -216,10 +245,11 @@ object IngestQueries {
       // LAYOUT change, never a data change. File-count collapse itself
       // is asserted in LakeSpec (not SQL-expressible).
       val lake = compactLakePath(dir)
-      if (!Lake.exists(s, lake)) stageCompactLake(s, dir)
-      Lake.compact(s, lake, targetRowsPerFile = 10000000L)
+      ensureStaged(lake)(stageCompactLake(s, dir))
+      mutateOrRestage(lake)(Lake.compact(s, lake, targetRowsPerFile = 10000000L))
       Lake.partitionCounts(s, lake)
-    }.withBenchSetup(stageCompactLake),
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(compactLakePath(dir))(stageCompactLake(s, dir))),
 
     QuerySpec(
       "q94_quarantine",
@@ -308,18 +338,19 @@ object IngestQueries {
       // row surviving), a lost insert, or a clobbered untouched row all
       // break the hash.
       val lake = upsertLakePath(dir)
-      if (!Lake.exists(s, lake)) stageUpsertLake(s, dir)
+      ensureStaged(lake)(stageUpsertLake(s, dir))
       val ev = eventsForLake(s, dir).drop("user_id")
       val batch = ev.filter(col("event_id") % 7 === 0)
         .withColumn("value", col("value") + 1000)
         .unionByName(ev.filter(col("event_id") % 13 === 0)
           .withColumn("event_id", col("event_id") + 10000000L))
-      Lake.upsert(batch, lake, "event_id")
+      mutateOrRestage(lake)(Lake.upsert(batch, lake, "event_id"))
       Lake.read(s, lake)
         .groupBy(col("Year"), col("Month"), col("Day"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("Year"), col("Month"), col("Day"))
-    }.withBenchSetup(stageUpsertLake),
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(upsertLakePath(dir))(stageUpsertLake(s, dir))),
 
     QuerySpec(
       "q89_zorder",

@@ -195,17 +195,18 @@ object Lake {
       // marker names the swapping PID: if it is alive, wait for the
       // swap to finish instead of recovering.
       val owner = swapOwner(fs, dir)
-      val ownerAlive = owner.exists(pid =>
+      def ownerAlive: Boolean = owner.exists(pid =>
         pid != ProcessHandle.current().pid() &&
           ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
-      if (ownerAlive) {
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (!fs.exists(p) && System.nanoTime() < deadline)
-          Thread.sleep(50)
-        require(fs.exists(p),
-          s"lake $dir: concurrent compact swap by PID ${owner.get} did not " +
-            "complete within 10 s — refusing to recover mid-swap")
-      } else {
+      // A swap has no bounded duration (a large lake's rename window, a
+      // GC pause), only a bounded owner lifetime — so wait while the
+      // owner STAYS ALIVE, re-probing liveness each tick. The loop ends
+      // either because the swap completed (live dir back) or because
+      // the owner died mid-swap — and a dead owner with `_old` present
+      // IS the crashed state this function exists to repair, so fall
+      // through to the recovery rename rather than failing the reader.
+      while (!fs.exists(p) && ownerAlive) Thread.sleep(50)
+      if (!fs.exists(p)) {
         val renamed = fs.rename(old, p)
         // check-then-act race: a concurrent reader may have completed the
         // SAME recovery between our probe and the rename — then our rename

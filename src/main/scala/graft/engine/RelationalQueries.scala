@@ -573,7 +573,11 @@ object RelationalQueries {
       // table — new data re-sketches only its slice, history is never
       // rescanned. Estimates are impl-specific → rows-only; union ==
       // single-pass equivalence and accuracy are pinned in SketchSpec.
-      val p = "/tmp/graft_fixtures/hll_slices_" + new java.io.File(dir).getName
+      // per-PID scratch (not the shared fixtures dir): two concurrent
+      // JVMs overwriting one path can tear each other's read-back —
+      // the same cross-process discipline as the q93/q89/q94 fixtures
+      val p = s"${graft.Sessions.scratchRoot}/hll_slices_" +
+        new java.io.File(dir).getName
       table(s, dir, "events")
         .withColumn("slice", pmod(col("event_id"), lit(4)))
         .groupBy(col("slice"), col("event_type"))

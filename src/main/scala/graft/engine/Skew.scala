@@ -110,10 +110,11 @@ object Skew {
     val collapsed = left.groupBy(left.columns.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("_dup"))
     saltedJoin(collapsed, right, key, nSalts)
-      // block b of ceil(_dup/B) carries min(B, _dup - b*B) copies
+      // block b of ceil(_dup/B) carries min(B, _dup - b*B) copies;
+      // `div` is integral long division — Column.divide goes through
+      // double, exact only below 2^53
       .withColumn("_blk",
-        explode(sequence(lit(0L), (col("_dup") - 1L).divide(expandBlock)
-          .cast("long"))))
+        explode(sequence(lit(0L), expr(s"(_dup - 1) div $expandBlock"))))
       .withColumn("_i", explode(sequence(lit(1L),
         least(lit(expandBlock), col("_dup") - col("_blk") * expandBlock))))
       .drop("_dup", "_blk", "_i")
