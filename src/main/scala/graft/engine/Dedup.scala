@@ -294,17 +294,28 @@ object Dedup {
     * edge side's exchange is identical every round (ReusedExchange
     * dedups it) and each step's agg output is already partitioned on
     * `node` for the next step — zero storage needed, right for small
-    * diameters. At 100 TB the same loop holds (it is the standard
+    * diameters. (The lazy shape is min-label-only; the alternating
+    * variant always spills — its round operator is multi-reference,
+    * see [[alternatingCc]].) At 100 TB the same loop holds (it is the standard
     * Pregel-style CC); for graphs with giant components swap in
     * large-star/small-star (Kiveris et al., 2014) — same interface,
     * fewer rounds.
     *
     * `nodes` fixes the vertex set (isolated nodes keep themselves as
     * canonical); edges whose endpoints are outside `nodes` are ignored.
+    *
+    * `algorithm` selects the iteration scheme behind the same
+    * interface: `"min-label"` (default) converges in O(diameter)
+    * rounds — right for dedup graphs, whose components are stars and
+    * short chains; `"alternating"` is large-star/small-star (Kiveris
+    * et al., MR-CC 2014, [[alternatingCc]]) — O(log² n) rounds
+    * regardless of diameter, the variant for graphs with giant or
+    * long-path components where min-label would need a round per hop.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
-      materializeDir: Option[String] = None): DataFrame = {
+      materializeDir: Option[String] = None,
+      algorithm: String = "min-label"): DataFrame = {
     val nodeIds = nodes.select(col(nodes.columns.head).as("node"))
     // the label-sum convergence check is exact ONLY for integral ids:
     // string ids would cast to null (sum null == null → false
@@ -316,6 +327,19 @@ object Dedup {
       s"connectedComponents needs integral node ids, got " +
         s"${nodeIds.schema.head.dataType.typeName} — hash string ids to " +
         "long (xxhash64) before clustering")
+    algorithm match {
+      case "min-label" =>
+        minLabelCc(nodeIds, edges, aCol, bCol, maxIter, materializeDir)
+      case "alternating" =>
+        alternatingCc(nodeIds, edges, aCol, bCol, maxIter, materializeDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown CC algorithm '$other' (want min-label or alternating)")
+    }
+  }
+
+  private def minLabelCc(nodeIds: DataFrame, edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int,
+      materializeDir: Option[String]): DataFrame = {
     val symSelf = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .join(nodeIds.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
@@ -385,6 +409,108 @@ object Dedup {
       symSelf.unpersist(blocking = false)
       Caching.unpersistCheckpoint(labels)
     }
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    * round rewires edges instead of propagating labels —
+    *
+    *  - LARGE-STAR, per node u: every strictly-larger neighbor is
+    *    re-attached to m = min(Γ(u) ∪ {u});
+    *  - SMALL-STAR, per node u: u and its smaller neighbors all attach
+    *    to that same minimum.
+    *
+    * The alternation halves long paths instead of walking them, so it
+    * converges in O(log² n) rounds independent of component diameter —
+    * where min-label needs a round per hop — and its only fixpoints are
+    * star graphs centered at component minima, so the converged edge
+    * set IS the (node → canonical) mapping. Each round is two
+    * keyed aggregations + two keyed joins + one distinct — all
+    * partial-agg-friendly shuffles on node ids, never all-pairs, and
+    * per-round state is one checkpointed edge set (previous rounds
+    * released immediately, the [[minLabelCc]] storage discipline).
+    * The final star's center degree is the component size — inherent
+    * to ANY star-contraction output (the result itself is that
+    * mapping) — but intermediate rounds keep degrees balanced, which
+    * is the paper's point versus naive star contraction.
+    *
+    * Convergence: the canonical edge multiset is fingerprinted per
+    * round (count + Σ xxhash64(u,v), order-invariant); an unchanged
+    * fingerprint across a full round means the round was the identity
+    * (w.h.p. — a 64-bit-sum collision at equal counts), i.e. the
+    * fixpoint star state. Unlike min-label's label sums there is no
+    * monotone scalar here, so fixpoint detection is the check, with
+    * `maxIter` bounding pathology exactly as before. */
+  private def alternatingCc(nodeIds: DataFrame, edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int,
+      materializeDir: Option[String]): DataFrame = {
+    // canonical form: directed larger→smaller, no self-loops, deduped,
+    // both endpoints inside the vertex set
+    val input = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .join(nodeIds.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+      .join(nodeIds.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val centers = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.join(centers, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (u > v): the group at u holds exactly the
+      // smaller neighbors; u and all of them attach to the minimum
+      val centers = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(centers, "u")
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+    }
+    def round(e: DataFrame): DataFrame =
+      smallStar(largeStar(e)).distinct()
+    def fingerprint(e: DataFrame): (Long, Any) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.get(1))
+    }
+    def labelsFrom(e: DataFrame): DataFrame =
+      nodeIds.join(
+        e.groupBy(col("u").as("node")).agg(min(col("v")).as("lbl")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("canonical"))
+    var e = input.localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    try {
+      var prev = fingerprint(e)
+      while (!converged && iter < maxIter) {
+        val next = round(e).localCheckpoint(true)
+        Caching.unpersistCheckpoint(e)
+        e = next
+        iter += 1
+        val cur = fingerprint(e)
+        converged = cur == prev
+        prev = cur
+      }
+      require(converged,
+        s"connectedComponents(alternating) did not converge in $maxIter rounds")
+      // ALWAYS spill (defaulting to the swept per-PID scratch root):
+      // min-label's lazy-rebuild alternative is closed here because one
+      // alternating round references its input ~4 times (the symmetric
+      // union, then the join against the per-center minima), so a lazy
+      // replay of k rounds is a 4^k-reference plan tree — Catalyst
+      // analysis blows up long before the data does. The spill is one
+      // |V|-row write+read and the returned frame pins no storage.
+      val root = materializeDir.getOrElse(graft.Sessions.scratchRoot)
+      val out = s"$root/cc_${ProcessHandle.current().pid()}_" +
+        s"${CcSeq.incrementAndGet()}"
+      labelsFrom(e).write.mode("overwrite").parquet(out)
+      nodeIds.sparkSession.read.parquet(out)
+    } finally Caching.unpersistCheckpoint(e)
   }
 
   private val CcSeq = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -165,4 +165,53 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "connectedComponents leaked cached RDDs on the failure path")
   }
+
+  test("alternating CC matches min-label on mixed components") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L).toDF("node")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L)).toDF("a", "b")
+    def asMap(algo: String) =
+      Dedup.connectedComponents(nodes, edges, "a", "b", algorithm = algo)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap("alternating") == asMap("min-label"))
+    // stray-edge filtering holds for the alternating path too
+    val withStray = edges.union(Seq((4L, 99L), (99L, 98L)).toDF("a", "b"))
+    val got = Dedup.connectedComponents(nodes, withStray, "a", "b",
+      algorithm = "alternating")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == asMap("min-label"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "alternating CC leaked cached RDDs")
+  }
+
+  test("alternating CC converges on a long path where min-label exhausts maxIter") {
+    import spark.implicits._
+    // The giant-component pathology ([[Dedup.connectedComponents]]'s
+    // scaladoc): a 300-node path has diameter 299, so min-label needs
+    // ~150 double-steps — far past the default budget — while
+    // large-star/small-star halves the path each alternation and must
+    // land within the SAME default maxIter = 20.
+    val n = 300
+    val nodes = (1 to n).map(_.toLong).toDF("node")
+    val edges = (1 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val minLabelFails = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, "a", "b")
+    }
+    assert(minLabelFails.getMessage.contains("did not converge"))
+    val got = Dedup.connectedComponents(nodes, edges, "a", "b",
+      algorithm = "alternating")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to n).map(_.toLong -> 1L).toMap)
+    // spilled shape agrees with the lazy rebuild
+    val spilled = Dedup.connectedComponents(nodes, edges, "a", "b",
+      algorithm = "alternating",
+      materializeDir = Some(TestSpark.tempDir("cc-alt-spill")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spilled == got)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "alternating CC leaked cached RDDs")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "connectedComponents leaked cached RDDs on the failure path")
+  }
 }
