@@ -426,5 +426,97 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
-    })
+    },
+
+    QuerySpec(
+      "q103_wide_schema",
+      q103Oracle) { (s, _) =>
+      // The reference's TRUE WIDTH in the oracle loop: a 6,037-data-col
+      // EEG file (column_type_mapping.json's 6,039 raw columns) runs
+      // the full ingest pipeline into a parquet lake, and the query
+      // aggregates a category's columns PLUS a full-width row checksum
+      // — the sum over all 6,037 measurement columns — so a wrong cast,
+      // a dropped column, or a codegen-fallback miscompile ANYWHERE
+      // across the width moves the hash (the reference's own hard-won
+      // width lesson, sparkle-v8.py:14-15; plans this wide exceed
+      // JVM/Janino method limits and exercise the interpreted
+      // fallback). The oracle re-reads the same CSV with DuckDB header
+      // inference. Every rounded sum is a multiple of 10^-3 in exact
+      // arithmetic (3-decimal cells), so the 1e-10-scale float-order
+      // differences between engines sit ~0.0005 from any rounding
+      // boundary — the compare is exact, not "close".
+      val lake = wideLakePath
+      ensureStaged(lake)(stageWideLake(s))
+      val checksum = aggregate(
+        array(wideDataCols.map(col): _*), lit(0.0), (a, x) => a + x)
+      Lake.read(s, lake)
+        .filter(col("Time") >= 20)
+        .withColumn("row_total", checksum)
+        .groupBy((col("Time") % 4).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("I700_1")), 3).as("s1"),
+          round(sum(col("I700_2")), 3).as("s2"),
+          round(sum(col("row_total")), 3).as("checksum"))
+        .orderBy(col("bucket"))
+    }.withBenchSetup((s, _) =>
+      ensureStaged(wideLakePath)(stageWideLake(s))))
+
+  // ---- q103 wide-schema fixture ----------------------------------------
+
+  /** The reference's real shape: 2 time columns + 6,037 measurements
+    * (column_type_mapping.json). 200 rows keeps the fixture ~8 MB —
+    * enough to execute every generated code path, cheap to stage.
+    * (lazy: `specs` above references this during object init.) */
+  private lazy val WideSpec = A.copy(fileName = "PUH-2024-001_01.csv",
+    nDataCols = 6037, nRows = 200, stepSec = 3600L)
+
+  private def wideDataCols: Seq[String] =
+    EegFixture.headers(WideSpec).drop(2)
+
+  private def wideCsvPath: String = s"$FixRoot/wide/${WideSpec.fileName}"
+
+  /** Write-once, atomically-published CSV (the q75/q94 discipline): the
+    * oracle reads this path from a separate process, so a concurrent
+    * run must never observe a half-written file. Content is a pure
+    * function of [[WideSpec]] — the publish-race loser's copy is
+    * byte-identical, so it just discards it. */
+  private def ensureWideCsv(): String = {
+    val target = java.nio.file.Paths.get(wideCsvPath)
+    if (!java.nio.file.Files.exists(target)) {
+      val stage = s"$FixRoot/wide_staging_${ProcessHandle.current().pid()}"
+      val tmp = java.nio.file.Paths.get(EegFixture.write(stage, WideSpec))
+      java.nio.file.Files.createDirectories(target.getParent)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stage))
+      ()
+    }
+    wideCsvPath
+  }
+
+  private def wideLakePath: String = s"$scratchRoot/wide_lake"
+
+  private def stageWideLake(s: org.apache.spark.sql.SparkSession): Unit = {
+    val lake = wideLakePath
+    Lake.delete(s, lake)
+    Lake.append(Ingest.ingestFile(s, ensureWideCsv()), lake)
+  }
+
+  private def q103Oracle: String = {
+    // 6,037-entry list_sum over header-inferred doubles; the SQL text is
+    // ~50 KB of generated column references — DuckDB parses it fine, and
+    // generating it (rather than hand-writing) keeps it in lockstep with
+    // EegFixture.headers
+    val lst = wideDataCols.mkString("[", ", ", "]")
+    s"""SELECT CAST(Time % 4 AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       round(sum(I700_1), 3) AS s1,
+       |       round(sum(I700_2), 3) AS s2,
+       |       round(sum(list_sum($lst)), 3) AS checksum
+       |FROM read_csv('$wideCsvPath', header=true, skip=7)
+       |WHERE Time >= 20
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
