@@ -106,6 +106,11 @@ object Bench {
       System.err.println(
         s"""[bench-total] {"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures}""")
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+      // belt-and-braces AFTER the full line, on stdout too: a stdout
+      // TAIL capture that truncates away the big per-query line (the
+      // round-9 archive lost q01-q36 and the headline that way) still
+      // ends with the totals — and a head capture keeps the full line
+      println(s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures}""")
     }
     // The driver kills a stuck bench with SIGTERM; partial numbers beat
     // none, so emit whatever completed before dying.

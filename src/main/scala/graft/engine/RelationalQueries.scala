@@ -100,6 +100,42 @@ object RelationalQueries {
       |WHERE g_nation = 1
       |ORDER BY g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** ONE ANSI text through both engines (the EP2/Athena-delegation
+    * surface, like q99): the remaining common idiom class — windowed
+    * dedup without QUALIFY (`ROW_NUMBER() ... WHERE rn = 1`) over a
+    * UNION ALL of two differently-shaped sources, finished with
+    * GROUP BY + HAVING gated on a scalar subquery (buckets above the
+    * average bucket total — genuinely selective at EVERY sf, where a
+    * constant threshold degenerates to all-or-nothing because
+    * sequential custkeys make `k % 100` buckets uniform). The rank's
+    * ORDER BY is a total order within each key (amount, then source
+    * tag, then id), so the kept row — and therefore every aggregate —
+    * is engine-independent. */
+  private val SqlWindowedDedup =
+    """WITH u AS (
+      |  SELECT o_custkey AS k, o_totalprice AS amount,
+      |         'o' AS src, o_orderkey AS id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT c_custkey AS k, c_acctbal AS amount,
+      |         'c' AS src, c_custkey AS id
+      |  FROM customer),
+      |r AS (
+      |  SELECT k, amount, src,
+      |         ROW_NUMBER() OVER (PARTITION BY k
+      |                            ORDER BY amount DESC, src, id) AS rn
+      |  FROM u),
+      |d AS (SELECT k, amount, src FROM r WHERE rn = 1)
+      |SELECT CAST(k % 100 AS INT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |       CAST(SUM(CASE WHEN src = 'o' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_from_orders,
+      |       ROUND(SUM(amount), 2) AS total_best
+      |FROM d
+      |GROUP BY k % 100
+      |HAVING SUM(amount) > (SELECT SUM(amount) / 100.0 FROM d)
+      |ORDER BY bucket""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- aggregation family (A4) ---------------------------------------
@@ -536,6 +572,11 @@ object RelationalQueries {
     QuerySpec("q99_sql_grouping_sets", SqlGroupingSets) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(SqlGroupingSets)
+    },
+
+    QuerySpec("q104_sql_windowed_dedup", SqlWindowedDedup) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlWindowedDedup)
     },
 
     QuerySpec(
