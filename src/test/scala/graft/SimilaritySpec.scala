@@ -113,6 +113,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(persisted == fresh)
   }
 
+  test("IVF-partitioned lake probe prunes lists and matches the assign-scan form") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tempDir("ivf-lake")
+    val cents = Similarity.ivfCentroids(emb, nLists = 16)
+    Similarity.writeIvfPartitionedLake(emb, cents, dir)
+    val qv = Similarity.prep(emb).filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probe = Similarity.ivfProbePartitioned(spark, dir, 0L, qv, cents, k = 10)
+    // literal list predicates must land in PartitionFilters — the probe
+    // opens nProbe of nLists directories, never the rest
+    val scan = probe.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"),
+      s"list predicate did not become PartitionFilters:\n$scan")
+    // the lake changes which FILES are read, not the answer: identical
+    // rows to the self-contained assignment-scan form on the same
+    // centroids
+    val viaAssign = Similarity.ivfTopK(emb, 0L, 10, centroids = Some(cents))
+      .collect().map(_.toSeq).toSeq
+    assert(probe.collect().map(_.toSeq).toSeq == viaAssign)
+  }
+
   test("bucket-partitioned lake probe prunes partitions and is result-invariant") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.tempDir("ann-bucket-lake")
