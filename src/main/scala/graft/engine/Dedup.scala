@@ -124,7 +124,7 @@ object Dedup {
     * No extra shuffle: the window exchange on the bucket key replaces
     * the aggregation exchange, and the post-window `collect_list` sees
     * data already partitioned on its grouping key. */
-  private def boundedBuckets(exploded: DataFrame, keyCols: Seq[String],
+  private[engine] def boundedBuckets(exploded: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val keys = keyCols.map(col)
     val w = org.apache.spark.sql.expressions.Window

@@ -311,6 +311,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup PAIRS at scale — the unbounded-safe
+    * counterpart of the bounded cross-join pair metric (q43): candidate
+    * pairs come from shared sign-LSH buckets across `nTables`
+    * independent tables (a pair is a candidate iff its bucket matches
+    * in ANY table — the [[annTopK]] amplification, used here for pair
+    * GENERATION), then exact cosine verification keeps pairs ≥ `tau`.
+    * Never all-pairs: the shuffle is on (table, bucket) keys, bucket
+    * membership is capped BEFORE any aggregation buffer forms
+    * ([[Dedup.boundedBuckets]] — the same window-truncation discipline
+    * as text LSH, so a degenerate embedding cluster cannot OOM an
+    * executor or blow up quadratically), and verification joins vectors
+    * only for surviving candidates. `maxBucket` defaults high enough
+    * that it never binds on healthy corpora — it is the safety rail,
+    * not a recall knob; DedupSpec pins the truncation semantics. */
+  def lshCosinePairs(e: DataFrame, tau: Double, nTables: Int = 4,
+      bitsPerTable: Int = 8, maxBucket: Int = 1024): DataFrame = {
+    val planes = hyperplanes(nTables * bitsPerTable, 64)
+    val d = prep(e).select(col("vec_id"), col("v"))
+    val keyCols = (0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        signature(col("v"),
+          planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("b"))
+    }
+    val exploded = d
+      .select(col("vec_id").as("id"), explode(array(keyCols: _*)).as("k"))
+      .select(col("id"), col("k.t").as("t"), col("k.b").as("b"))
+    val cand = Dedup.boundedBuckets(exploded, Seq("t", "b"), maxBucket)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val va = d.select(col("vec_id").as("a"), col("v").as("va"))
+    val vb = d.select(col("vec_id").as("b"), col("v").as("vb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        (round(cosine(col("va"), col("vb")), 4) + lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---- partition-pruned ANN lake ----------------------------------------
   // The scale claim the row-local LSH/IVF filters only MODEL — "at lake
   // scale the bucket becomes the partition key, so probes PRUNE

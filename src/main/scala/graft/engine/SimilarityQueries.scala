@@ -95,6 +95,48 @@ object SimilarityQueries {
        |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin
   }
 
+  /** q105 oracle: recompute the 4×8-bit table signatures in SQL from
+    * the same hyperplane literals (q102's discipline — q44 establishes
+    * the dot-product folds agree bit-for-bit), generate candidates by
+    * (table, bucket) self-join, verify with exact rounded cosine. The
+    * Spark side's bucket cap never binds at test scale (maxBucket ≫
+    * any healthy bucket; DedupSpec pins the truncation), so the
+    * UNcapped SQL closure is the exact expected result. */
+  private val PairTables = 4
+  private val PairBits = 8
+
+  private val q105Oracle: String = {
+    val planes = Similarity.hyperplanes(PairTables * PairBits, 64)
+    def bucketExpr(t: Int): String =
+      (0 until PairBits).map { i =>
+        val pl = planes(t * PairBits + i)
+        s"(CASE WHEN list_dot_product(v, ${planeLit(pl)}) > 0.0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val sigCols = (0 until PairTables)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(", ")
+    val keyUnion = (0 until PairTables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS b FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, $sigCols FROM e),
+       |k AS ($keyUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM k x JOIN k y ON x.t = y.t AND x.b = y.b
+       |  WHERE x.vec_id < y.vec_id),
+       |v AS (
+       |  SELECT c.a, c.b,
+       |         round(list_dot_product(ea.v, eb.v)
+       |               / (sqrt(list_dot_product(ea.v, ea.v))
+       |                  * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0.0
+       |           AS cosine
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a
+       |  JOIN e eb ON eb.vec_id = c.b)
+       |SELECT a, b, cosine FROM v WHERE cosine >= 0.3
+       |ORDER BY a, b""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -187,6 +229,22 @@ object SimilarityQueries {
         Similarity.prep(table(s, dir, "embeddings"))
           .filter(col("vec_id") < 100), k = 3)
         .orderBy(col("a"), col("rn"))
+    },
+
+    QuerySpec(
+      "q105_lsh_cosine_pairs",
+      q105Oracle) { (s, dir) =>
+      // Embedding near-dup PAIRS via LSH buckets
+      // ([[Similarity.lshCosinePairs]]): the scale path for
+      // embedding-space dedup — candidates from shared (table, bucket)
+      // keys across 4 independent 8-bit sign-LSH tables (shuffle on
+      // bucket keys, membership capped pre-collect — never all-pairs),
+      // exact rounded cosine ≥ 0.3 verification on candidates only.
+      // The oracle regenerates the same buckets from hyperplane
+      // literals and closes them UNcapped: hash-green means candidate
+      // generation, capping (non-binding here), and verification all
+      // agree with an independent engine.
+      Similarity.lshCosinePairs(table(s, dir, "embeddings"), tau = 0.3)
     },
 
     QuerySpec(

@@ -171,6 +171,27 @@ class SimilaritySpec extends AnyFunSuite {
       unpruned.collect().map(_.toSeq).toSeq)
   }
 
+  test("lshCosinePairs finds high-cosine pairs, capped against degenerate clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus: every reported pair passed the exact verify, and the
+    // strongest brute-force neighbor pairs that share a bucket appear
+    val pairs = Similarity.lshCosinePairs(emb, tau = 0.3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+    // degenerate cluster: 300 copies of ONE vector share every bucket
+    // of every table — the pre-collect cap must drop the bucket whole
+    // (0 pairs) instead of materializing it or emitting 300² candidates
+    val one = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val degenerate = (0 until 300).map(i => (i.toLong, one, 0))
+      .toDF("vec_id", "embedding", "label")
+    val capped = Similarity.lshCosinePairs(degenerate, tau = 0.3,
+      maxBucket = 64)
+    assert(capped.queryExecution.executedPlan.toString.contains("row_number"),
+      "lshCosinePairs lost the pre-collect window truncation")
+    assert(capped.count() == 0)
+  }
+
   test("blockedPairwiseTopK caps degenerate blocks (no quadratic blowup)") {
     import spark.implicits._
     // 300 vectors all sharing ONE label — uncapped this is a 300² pair
