@@ -41,34 +41,14 @@ object IngestQueries {
   // re-applying the same upsert batch change nothing), so "stage only
   // when absent" is safe within the per-PID scratch root.
   //
-  // The staged check is a _STAGED completion marker, not bare
-  // Lake.exists: a compact/upsert that throws mid-mutation leaves a
-  // half-mutated lake that exists() would hand to a same-JVM retry as
-  // "already staged". The marker is written only after staging
-  // completes and dropped when a mutation fails ([[mutateOrRestage]]),
-  // so the retry restages from source. It sits NEXT to the lake dir
-  // (inside it, a compact rewrite would delete it) under the same
-  // swept scratch root.
+  // The staged check is a _STAGED completion marker ([[Staging]]), not
+  // bare Lake.exists: a compact/upsert that throws mid-mutation leaves
+  // a half-mutated lake that exists() would hand to a same-JVM retry
+  // as "already staged". The marker is written only after staging
+  // completes and dropped when a mutation fails, so the retry
+  // restages from source.
 
-  private def stagedMarker(lake: String): java.nio.file.Path =
-    java.nio.file.Path.of(lake + "_STAGED")
-
-  private def ensureStaged(lake: String)(stage: => Unit): Unit =
-    if (!java.nio.file.Files.exists(stagedMarker(lake))) {
-      stage // stage fns Lake.delete first — a half-staged dir restages clean
-      java.nio.file.Files.createFile(stagedMarker(lake))
-      ()
-    }
-
-  /** Run an in-place lake mutation; on failure drop the staging marker
-    * so the next same-JVM attempt rebuilds the fixture instead of
-    * mutating a half-mutated lake. */
-  private def mutateOrRestage[T](lake: String)(body: => T): T =
-    try body
-    catch { case e: Throwable =>
-      java.nio.file.Files.deleteIfExists(stagedMarker(lake))
-      throw e
-    }
+  import Staging.{ensureStaged, mutateOrRestage}
 
   private def compactLakePath(dir: String): String =
     s"$scratchRoot/compact_lake_${new java.io.File(dir).getName}"

@@ -205,7 +205,19 @@ object Lake {
       // the owner died mid-swap — and a dead owner with `_old` present
       // IS the crashed state this function exists to repair, so fall
       // through to the recovery rename rather than failing the reader.
-      while (!fs.exists(p) && ownerAlive) Thread.sleep(50)
+      // The absolute deadline is a BACKSTOP, not the expected exit:
+      // compact rolls a failed swap back and clears its marker, so a
+      // live owner in this state should be mid-rename — the deadline
+      // only fires on pathologies liveness can't see (the owner's pid
+      // reused by an unrelated long-lived process, a hung owner), and
+      // then fails loudly like the pre-round-10 fixed wait did.
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!fs.exists(p) && ownerAlive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(fs.exists(p) || !ownerAlive,
+        s"lake $dir: swap owner PID ${owner.get} still alive after 120 s " +
+          "with the lake missing — hung owner or reused pid; refusing to " +
+          "recover mid-swap")
       if (!fs.exists(p)) {
         val renamed = fs.rename(old, p)
         // check-then-act race: a concurrent reader may have completed the
@@ -313,9 +325,23 @@ object Lake {
     // wait", instead of resurrecting _old mid-swap and breaking the
     // second rename
     writeSwapMarker(fs, dir)
-    require(fs.rename(p, old), s"compact: could not move $dir aside")
-    require(fs.rename(new Path(tmp), p),
-      s"compact: swap failed; original lake preserved at $old")
+    if (!fs.rename(p, old)) {
+      fs.delete(swapMarker(dir), false) // no swap started — retract the claim
+      throw new IllegalStateException(s"compact: could not move $dir aside")
+    }
+    if (!fs.rename(new Path(tmp), p)) {
+      // ROLL BACK, don't just throw: if this process catches the failure
+      // and lives on (a bench loop, a service), leaving (live absent,
+      // _old present) would park every concurrent reader in
+      // recoverCrashedSwap's owner-liveness wait for our whole lifetime.
+      // Restore the aside copy and clear the marker so readers proceed.
+      val restored = fs.rename(old, p)
+      fs.delete(swapMarker(dir), false)
+      require(restored,
+        s"compact: swap AND rollback failed; original lake preserved at $old")
+      throw new IllegalStateException(
+        s"compact: swap failed; lake $dir restored, rewrite left at $tmp")
+    }
     fs.delete(old, true)
     fs.delete(swapMarker(dir), false)
     ()
