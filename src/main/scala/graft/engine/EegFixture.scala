@@ -80,11 +80,19 @@ object EegFixture {
     (meta ++ Seq(cat, hdr) ++ data).mkString("", "\n", "\n")
   }
 
-  /** Write the fixture CSV under `dir` (overwrites); returns the path. */
+  /** Write the fixture CSV under `dir`; returns the path. Published
+    * ATOMICALLY (per-PID temp + rename) because several queries stage
+    * into SHARED oracle-visible dirs: a plain truncate-then-write would
+    * let a concurrent run's scan read a half-written file. Content is a
+    * pure function of the spec, so a replace swaps identical bytes and
+    * the race winner is irrelevant. */
   def write(dir: String, spec: EegFileSpec): String = {
     Files.createDirectories(Paths.get(dir))
     val p = Paths.get(dir, spec.fileName)
-    Files.write(p, contents(spec).getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(dir,
+      s".${spec.fileName}.${ProcessHandle.current().pid()}.tmp")
+    Files.write(tmp, contents(spec).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     p.toString
   }
 

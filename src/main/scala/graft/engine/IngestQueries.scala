@@ -125,9 +125,9 @@ object IngestQueries {
     QuerySpec(
       "q31_ingest_lake_partitions",
       s"""WITH raw AS (
-         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/processed/${A.fileName}")}
+         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/eeg_src/${A.fileName}")}
          |  UNION ALL
-         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/processed/${B.fileName}")}
+         |  SELECT ClockDateTime FROM ${rawCsv(s"$FixRoot/eeg_src/${B.fileName}")}
          |), d AS (SELECT $TsExpr AS ts FROM raw)
          |SELECT CAST(year(ts) AS INT) AS Year,
          |       CAST(month(ts) AS INT) AS Month,
@@ -138,14 +138,27 @@ object IngestQueries {
       // read-back accounting. The oracle counts from the RAW csv text, so
       // the reference's D1 union+append duplication (sparkle-v9.py:128-138)
       // would fail this compare (doubled counts).
-      val in = s"$FixRoot/batch_in"
-      Seq("batch_in", "lake", "processed", "registry_q31")
-        .foreach(d => Lake.delete(s, s"$FixRoot/$d"))
+      //
+      // The pipeline's whole mutable footprint (inputs, lake, archive,
+      // registry) lives under the per-PID scratch root: an earlier
+      // version deleted+rebuilt these in the SHARED fixture root, and two
+      // concurrent Verify JVMs ripped each other's lake out mid-write
+      // (B's task write died on A's overwrite deleting its _temporary
+      // dir — observed, not hypothetical). The oracle can't read scratch
+      // (swept on JVM exit, before DuckDB runs), so it reads write-once
+      // atomically-published copies of the SAME spec-derived bytes in
+      // eeg_src; archive integrity (K3) stays covered by IngestSpec.
+      val root = scratchRoot
+      val in = s"$root/batch_in"
+      Seq("batch_in", "lake_q31", "processed_q31", "registry_q31")
+        .foreach(d => Lake.delete(s, s"$root/$d"))
       EegFixture.write(in, A)
       EegFixture.write(in, B)
-      Ingest.ingestBatch(s, in, s"$FixRoot/lake", s"$FixRoot/registry_q31",
-        s"$FixRoot/processed")
-      Lake.partitionCounts(s, s"$FixRoot/lake")
+      EegFixture.write(s"$FixRoot/eeg_src", A)
+      EegFixture.write(s"$FixRoot/eeg_src", B)
+      Ingest.ingestBatch(s, in, s"$root/lake_q31", s"$root/registry_q31",
+        s"$root/processed_q31")
+      Lake.partitionCounts(s, s"$root/lake_q31")
     },
 
     QuerySpec(
@@ -162,10 +175,13 @@ object IngestQueries {
       // K2: StructType → JSON snapshot (sparkle-v9.py:31-61) and read-back.
       // The VALUES oracle pins the lake schema contract — enrichment and
       // derived columns with their exact catalog types.
+      // Registry JSONs are rewritten per run (not write-once), so they
+      // live in the per-PID scratch root — a shared path would let a
+      // concurrent run's readSnapshot see a half-rewritten file.
       val path = EegFixture.write(s"$FixRoot/reg_in", A)
       val df = Ingest.ingestFile(s, path)
       val snap = SchemaRegistry.writeSnapshot(s, df.schema,
-        s"$FixRoot/registry", "q32")
+        s"$scratchRoot/registry_q32", "q32")
       SchemaRegistry.readSnapshot(s, snap).orderBy(col("Name"))
     },
 
@@ -183,7 +199,8 @@ object IngestQueries {
       def strRow(i: Long): Seq[String] = Ingest.rowAt(rawStr, i).toSeq
         .map(v => Option(v).map(_.toString).getOrElse(""))
       val m = SchemaRegistry.categoryMap(strRow(6), strRow(7))
-      val mapPath = s"$FixRoot/registry/mapping_q33.json"
+      // Per-PID for the same reason as q32's snapshot: rewritten per run.
+      val mapPath = s"$scratchRoot/registry_q33/mapping_q33.json"
       SchemaRegistry.writeCategoryMap(s, m, mapPath)
       val loaded = SchemaRegistry.loadCategoryMap(s, mapPath)
       SchemaRegistry.projectCategory(

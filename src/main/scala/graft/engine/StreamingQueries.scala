@@ -98,7 +98,10 @@ object StreamingQueries {
       // is not idempotent. The oracle recounts per day from the raw
       // events table, so both a dropped batch and a duplicated redelivery
       // fail the compare.
-      val root = "/tmp/graft_fixtures/stream_lake_" +
+      // Per-PID: this lake is deleted+rebuilt per run and never read by
+      // the oracle; a shared path let two concurrent Verify JVMs rip
+      // each other's in-flight foreachBatch writes out (observed).
+      val root = s"${graft.Sessions.scratchRoot}/stream_lake_" +
         new java.io.File(dir).getName
       Lake.delete(s, root)
       def enriched = Streaming.eventsStream(s, dir)
