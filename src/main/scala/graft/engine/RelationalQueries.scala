@@ -907,5 +907,113 @@ object RelationalQueries {
           grouping(col("o_orderpriority")).cast("int").as("g_pri"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
+    },
+
+    QuerySpec(
+      "q106_bloom_join_prune",
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Runtime bloom-filter join pruning — Spark's InjectRuntimeFilter:
+      // the selective dimension leg (filtered orders) builds a bloom
+      // filter once, and the FACT side applies might_contain(xxhash64(
+      // l_orderkey)) BEFORE its shuffle, so rows that cannot join never
+      // enter the exchange. At 100 TB this is the difference between
+      // shuffling all of lineitem and shuffling the ~20% that survives —
+      // the semi-join-reduction idea without a second join.
+      //
+      // Cloned session, not shared conf mutation: injection happens at
+      // OPTIMIZATION time (when the returned frame executes, after this
+      // builder returns), so the conf must live on the frame's own
+      // session. Thresholds are floored to make the filter fire at test
+      // scale — at production scale the defaults (probe scan > 10 GB)
+      // fire on their own; broadcast is disabled because Spark rightly
+      // skips bloom injection for broadcast joins (their probe side
+      // never shuffles). PlanAuditSpec gates might_contain + SMJ in the
+      // plan; the oracle proves the filter is result-invariant (bloom
+      // has no false negatives).
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = table(s2, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = table(s2, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "q107_cms_heavy_hitters",
+      """WITH remapped AS (
+        |  SELECT CASE WHEN user_id % 4 = 1 THEN 900001
+        |              WHEN user_id % 8 = 2 THEN 900002
+        |              WHEN user_id % 16 = 4 THEN 900003
+        |              ELSE user_id END AS k
+        |  FROM events
+        |), counts AS (SELECT k, count(*) AS cnt FROM remapped GROUP BY k),
+        |cands AS (SELECT * FROM (VALUES (0),(3),(7),(15),
+        |                                (900001),(900002),(900003)) v(k))
+        |SELECT CAST(c.k AS BIGINT) AS k,
+        |       CAST(CASE WHEN COALESCE(ct.cnt, 0) * 10 >=
+        |                      (SELECT count(*) FROM events)
+        |                 THEN 1 ELSE 0 END AS INT) AS is_heavy
+        |FROM cands c LEFT JOIN counts ct ON c.k = ct.k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      // Count-Min heavy hitters — the frequency member of the mergeable-
+      // sketch family (q63 = distinct/HLL, q24 = quantiles/KLL): find
+      // keys above a share threshold WITHOUT a full groupBy of the key
+      // space. Each slice is sketched once (count_min_sketch agg,
+      // order-independent counter sums), sketches persist to parquet,
+      // and the corpus sketch is a counter-wise merge — new data
+      // re-sketches only its slice, like q63. Spark ships no CMS PROBE
+      // function, so the point query is the native codegen'd
+      // [[org.apache.spark.sql.graft.CmsEstimate]] over the merged
+      // sketch as a literal — probing stays distributed (here 7 rows;
+      // at scale, candidates come from a side channel and the same
+      // expression probes them WHERE they live).
+      //
+      // The driver crossing is bounded by construction: 8 slice rows of
+      // ~160 KB sketch each (no per-key data moves). Heavy keys are
+      // planted as constant FRACTIONS via pmod-class remapping (25%,
+      // 12.5%, and a deliberately sub-threshold 6.25%), so margins scale
+      // with N — the regime where the CMS ±eps·N guarantee (eps=0.001
+      // here, margin >= 2.5% of N) makes the approximate heavy set EXACT,
+      // which is what lets a sketch query carry a hash-green SQL oracle
+      // instead of rows-only. SketchSpec pins est>=exact, the error
+      // bound, and merged == single-pass.
+      import org.apache.spark.util.sketch.CountMinSketch
+      val k = when(pmod(col("user_id"), lit(4)) === 1, lit(900001L))
+        .when(pmod(col("user_id"), lit(8)) === 2, lit(900002L))
+        .when(pmod(col("user_id"), lit(16)) === 4, lit(900003L))
+        .otherwise(col("user_id"))
+      val slices = s"${graft.Sessions.scratchRoot}/cms_slices_" +
+        new java.io.File(dir).getName
+      table(s, dir, "events")
+        .select(k.cast("long").as("k"), col("event_id"))
+        .groupBy(pmod(col("event_id"), lit(8)).as("slice"))
+        .agg(expr("count_min_sketch(k, 0.001D, 0.999D, 42)").as("sk"))
+        .write.mode("overwrite").parquet(slices)
+      val merged = s.read.parquet(slices).select(col("sk")).collect()
+        .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        .reduce((a, b) => a.mergeInPlace(b))
+      val total = merged.totalCount
+      val out = new java.io.ByteArrayOutputStream()
+      merged.writeTo(out)
+      val cands = Seq(0L, 3L, 7L, 15L, 900001L, 900002L, 900003L)
+      s.createDataFrame(cands.map(Tuple1.apply)).toDF("k")
+        .select(col("k"),
+          (org.apache.spark.sql.graft.SketchFunctions
+            .cmsEstimate(out.toByteArray, col("k")) * 10 >= lit(total))
+            .cast("int").as("is_heavy"))
+        .orderBy(col("k"))
     })
 }

@@ -179,4 +179,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sinkViews.isEmpty,
       s"memory-sink temp views leaked: ${sinkViews.map(_.name).toSeq}")
   }
+
+  test("q106 injects a runtime bloom filter on the fact side of the join") {
+    // The demonstrated form of semi-join reduction: the selective orders
+    // leg must produce a bloom filter that the lineitem side applies as
+    // might_contain(...) BEFORE its shuffle — at 100 TB that filter is
+    // the difference between shuffling the whole fact table and
+    // shuffling the surviving fraction. The q106 oracle already proves
+    // result-invariance; this gate pins the plan shape so a Spark or
+    // builder change that silently stops injecting the filter fails the
+    // build, not a benchmark round.
+    val df = SparkEntry.queries("q106_bloom_join_prune")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no runtime bloom filter in the optimized plan:\n$opt")
+    // and the join is the shuffle join the filter exists to protect
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("SortMergeJoin") || exec.contains("ShuffledHashJoin"),
+      s"expected a shuffle join under the bloom filter:\n$exec")
+  }
 }

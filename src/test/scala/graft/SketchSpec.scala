@@ -85,4 +85,60 @@ class SketchSpec extends AnyFunSuite {
         s"group $g: union ${merged(g)} vs exact $e (relErr $relExact)")
     }
   }
+
+  test("CMS slices merge to the single-pass sketch; estimates dominate " +
+      "exact within eps*N; native probe == driver probe") {
+    // the q107 contract, three layers:
+    //  1. counter-wise merge of per-slice sketches == sketching the whole
+    //     corpus in one pass (CMS counters sum, so this is EXACT equality
+    //     per key, not approximate agreement);
+    //  2. estimates never undercount, and overcount by at most eps*N on
+    //     this fixed input (deterministic for a fixed seed — a strict
+    //     assertion, not a tolerance);
+    //  3. the codegen'd CmsEstimate expression returns bit-identical
+    //     estimates to driver-side CountMinSketch.estimateCount — i.e.
+    //     the aggregate's long-item hash and the probe's agree, and the
+    //     codegen path is faithful.
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.001
+    val k = when(pmod(col("user_id"), lit(4)) === 1, lit(900001L))
+      .when(pmod(col("user_id"), lit(8)) === 2, lit(900002L))
+      .when(pmod(col("user_id"), lit(16)) === 4, lit(900003L))
+      .otherwise(col("user_id")).cast("long").as("k")
+    val keyed = Tables.table(spark, sf, "events")
+      .select(k, col("event_id"))
+    val p = TestSpark.tempDir("cms-slices") + "/slices"
+    keyed.groupBy(pmod(col("event_id"), lit(8)).as("slice"))
+      .agg(expr("count_min_sketch(k, 0.001D, 0.999D, 42)").as("sk"))
+      .write.parquet(p)
+    val merged = spark.read.parquet(p).select(col("sk")).collect()
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val single = CountMinSketch.readFrom(
+      keyed.agg(expr("count_min_sketch(k, 0.001D, 0.999D, 42)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0))
+    val exact = keyed.groupBy(col("k")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(merged.totalCount == n, "merged sketch lost rows")
+    val bound = math.ceil(eps * n).toLong
+    for ((key, e) <- exact.toSeq.sortBy(_._1)) {
+      val est = merged.estimateCount(java.lang.Long.valueOf(key))
+      assert(est == single.estimateCount(java.lang.Long.valueOf(key)),
+        s"key $key: merged est $est != single-pass est")
+      assert(est >= e, s"key $key: CMS undercounted ($est < $e)")
+      assert(est <= e + bound,
+        s"key $key: overcount $est vs exact $e exceeds eps*N=$bound")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    val viaExpr = spark
+      .createDataFrame(exact.keys.toSeq.sorted.map(Tuple1.apply)).toDF("k")
+      .select(col("k"), org.apache.spark.sql.graft.SketchFunctions
+        .cmsEstimate(out.toByteArray, col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((key, est) <- viaExpr)
+      assert(est == merged.estimateCount(java.lang.Long.valueOf(key)),
+        s"key $key: native expression est $est != driver est")
+  }
 }
