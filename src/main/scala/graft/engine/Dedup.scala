@@ -35,6 +35,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
 
+  /** Full-row exact dedup: keep the lowest-`idCol` row per normalized-
+    * text fingerprint. Unlike [[exactDedup]] (whose output is the
+    * fingerprint summary), rows keep ALL their columns — the form a
+    * curation pipeline needs between filter stages, where the payload
+    * must flow through. One sort-window shuffle on the fingerprint;
+    * window state is one row (rank 1 survives), so a pathological
+    * duplicate group streams instead of buffering. */
+  def dedupKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__dd_rn", row_number().over(w))
+      .filter(col("__dd_rn") === 1)
+      .drop("__dd_rn")
+  }
+
   /** Word n-gram shingle set: (id, sh) distinct rows. Documents shorter
     * than `n` tokens contribute their whole text as one shingle. */
   def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

@@ -173,6 +173,38 @@ object TextAnalysis {
       .drop("__rep_words", "__rep_grams")
   }
 
+  /** [[duplicateGramRatio]] as a single pushdown-proof Column — for
+    * COMPOSED pipelines where the ratio feeds a filter.
+    *
+    * The staged-projection discipline protects a standalone query, but
+    * it cannot protect a pipeline: `PushDownPredicates` substitutes a
+    * filter on the ratio THROUGH the staging projections (the alias is
+    * inlined into the pushed predicate, the now-unreferenced staging
+    * columns are pruned away), and the rebuilt predicate evaluates
+    * `split(...)` INSIDE the gram lambda — O(n) tokenizations × O(n)
+    * gram elements = O(n²) per row, the exact pathology staging
+    * prevents (observed in q108's collapsed filter before this form).
+    *
+    * This form is immune BY CONSTRUCTION, not by optimizer cooperation:
+    * a single-element `transform` is a let-binding — the words array is
+    * the ARGUMENT of the outer lambda, so however far the optimizer
+    * inlines the whole expression, `ws`/`gs` stay lambda variables
+    * (O(1) bound references) and the split and gram build each run once
+    * per row: O(n·w) inlined anywhere, filter included. Total function:
+    * rows with < `n` words score 0.0 (no duplicate grams), so conjunct
+    * reordering can't hit the descending-`sequence` trap. */
+  def dupGramRatioExpr(text: Column, n: Int): Column =
+    element_at(transform(array(split(lower(trim(text)), "\\s+")), ws =>
+      element_at(transform(array(
+        when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array())), gs =>
+        when(size(gs) > 0,
+          round(lit(1.0) -
+            size(array_distinct(gs)).cast("double") / size(gs), 6))
+          .otherwise(lit(0.0))), lit(1))), lit(1))
+
   /** Corpus-relative quality gate: keep rows at or above the global
     * `q`-quantile of `metric` — "drop the worst quartile" style filtering,
     * where the threshold is a property of the corpus, not a constant.

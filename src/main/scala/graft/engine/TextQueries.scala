@@ -402,5 +402,131 @@ object TextQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
         .orderBy(col("split"))
+    },
+
+    QuerySpec(
+      "q108_curation_pipeline",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g') || '  ',
+         |         lang
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, lang,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |         round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+         |               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS diversity,
+         |         round(len(regexp_extract_all(lower(text), '$EnStops')) * 1.0
+         |               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stop_ratio,
+         |         len(regexp_extract_all(lower(text), '$EnStops')) AS en_hits,
+         |         len(regexp_extract_all(lower(text), '$DeStops')) AS de_hits,
+         |         len(regexp_extract_all(lower(text), '$EsStops')) AS es_hits,
+         |         len(regexp_extract_all(lower(text), '$FrStops')) AS fr_hits,
+         |         len(regexp_extract_all(text, '$CjkChars')) AS cjk_hits
+         |  FROM base),
+         |lang_pass AS (
+         |  SELECT doc_id, text, n_tokens, diversity, stop_ratio FROM scored
+         |  WHERE lang = CASE WHEN cjk_hits > 0 THEN 'zh'
+         |                    WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |                         AND en_hits >= fr_hits THEN 'en'
+         |                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |                    WHEN es_hits >= fr_hits THEN 'es'
+         |                    ELSE 'fr' END),
+         |qual AS (
+         |  SELECT doc_id, text, n_tokens, diversity FROM lang_pass
+         |  WHERE n_tokens BETWEEN 30 AND 90
+         |        AND diversity >= 0.25 AND stop_ratio <= 0.3),
+         |rep AS (
+         |  SELECT doc_id, text, n_tokens, diversity FROM (
+         |    SELECT doc_id, text, n_tokens, diversity,
+         |           [array_to_string(words[i:i+2], ' ')
+         |            FOR i IN range(1, len(words) - 1)] AS grams
+         |    FROM (SELECT doc_id, text, n_tokens, diversity,
+         |                 string_split_regex(lower(trim(text)), '\\s+') AS words
+         |          FROM qual))
+         |  WHERE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |              / len(grams), 6) <= 0.05),
+         |dedup AS (
+         |  SELECT doc_id, text, n_tokens, diversity FROM (
+         |    SELECT doc_id, text, n_tokens, diversity,
+         |           row_number() OVER (
+         |             PARTITION BY md5(regexp_replace(lower(trim(text)),
+         |                                             '\\s+', ' ', 'g'))
+         |             ORDER BY doc_id) AS rn
+         |    FROM rep)
+         |  WHERE rn = 1),
+         |assigned AS (
+         |  SELECT CASE WHEN b < 80 THEN 'train'
+         |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |         doc_id, n_tokens, diversity
+         |  FROM (SELECT doc_id, text, n_tokens, diversity,
+         |               ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+         |        FROM dedup))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(CAST(round(diversity * 10000, 0) AS BIGINT)) AS BIGINT)
+         |         AS sum_div_1e4
+         |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // END-TO-END corpus curation — the five pipeline stages every
+      // pre-training dataset goes through, composed as ONE declarative
+      // plan: lang-agreement filter (declared lang must match the
+      // stopword-profile prediction) → quality band (length + lexical
+      // diversity + stopword density, keep 'good') → repetition rule
+      // (duplicate-trigram ratio, Gopher/C4 family) → exact dedup
+      // (normalized-fingerprint keep-first) → content-hash train/val/
+      // test split → per-split accounting. The point being graded is
+      // COMPOSITION: each stage is the already-oracle-verified library
+      // operator (q36/q35/q81/q39/q83), and the composed plan keeps the
+      // shape the stages promise individually — every filter is
+      // row-local and runs IN THE SCAN's codegen stage before the
+      // pipeline's only wide operators (the dedup window and the final
+      // 3-group aggregate). At 100 TB the ordering is the cost model:
+      // cheap row-local gates drop ~2/3 of the corpus before anything
+      // shuffles, and what shuffles is one slim projection, not text.
+      //
+      // The corpus has no natural exact duplicates, so the dedup stage
+      // is made load-bearing the q92 way: every document is PLANTED a
+      // whitespace-mutated near-copy (doubled inner spaces + trailing
+      // pad, doc_id + 100000) in the same single scan via explode —
+      // normalization-equal, so every stage scores it identically and
+      // the keep-first window must drop exactly the planted half. A
+      // diversity checksum rides as an exact integer sum (round to the
+      // 4-decimal lattice × 1e4 per row, THEN sum longs) so float
+      // summation order can't smear the hash.
+      val mutated = concat(regexp_replace(col("text"), " ", "  "), lit("  "))
+      val base = table(s, dir, "documents")
+        .select(explode(array(
+            struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 100000L).as("doc_id"),
+              mutated.as("text")))).as("r"),
+          col("lang"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("lang"))
+      val toks = tokens(col("text"))
+      val qual = base
+        .filter(langId(col("text")) === col("lang"))
+        .select(col("doc_id"), col("text"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("diversity"),
+          round(stopHits(col("text"), EnStops).cast("double") / size(toks), 4)
+            .as("stop_ratio"))
+        .filter(qualityBand(col("n_tokens"), col("diversity"),
+          col("stop_ratio")) === "good")
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("diversity"))
+      // dupGramRatioExpr, NOT duplicateGramRatio: the filter is pushed
+      // through any staging, and this form stays O(n·w) when inlined.
+      val rep = qual
+        .filter(TextAnalysis.dupGramRatioExpr(col("text"), n = 3) <= 0.05)
+      val kept = Dedup.dedupKeepFirst(rep, "text", "doc_id")
+      Sampling.assignSplit(kept, trainPct = 80, valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(round(col("diversity") * 10000).cast("long")).as("sum_div_1e4"))
+        .orderBy(col("split"))
     })
 }

@@ -180,6 +180,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"memory-sink temp views leaked: ${sinkViews.map(_.name).toSeq}")
   }
 
+  test("q108 pipeline: row-local gates before 3 exchanges, rank-1 " +
+      "pre-shuffle, no per-element re-tokenization") {
+    // The composed-pipeline cost model at 100 TB: every filter stage
+    // (lang agreement, quality band, repetition) must run in the scan's
+    // stage, so the only wide operators are the dedup window, the
+    // 3-group aggregate, and the final order — exactly 3 exchanges.
+    // WindowGroupLimit's Partial pass must sit BELOW the window
+    // exchange (each map task forwards at most one row per fingerprint
+    // — the dedup shuffle moves survivors, not duplicates). And the
+    // collapsed filter must not contain `slice(split(...))`: that is
+    // the pushed-predicate O(n²) re-tokenization q108 had before
+    // dupGramRatioExpr (TextSpec holds the expression-level contract;
+    // this holds the end-to-end plan).
+    val df = SparkEntry.queries("q108_curation_pipeline")(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange [a-z]".r.findAllIn(exec).length
+    assert(nExchanges <= 3, s"expected <=3 exchanges, got $nExchanges:\n$exec")
+    assert(exec.contains("WindowGroupLimit") && exec.contains("Partial"),
+      s"no partial rank-1 pushdown below the dedup window:\n$exec")
+    assert(!exec.contains("slice(split("),
+      "per-element re-tokenization is back in the collapsed filter")
+  }
+
   test("q106 injects a runtime bloom filter on the fact side of the join") {
     // The demonstrated form of semi-join reduction: the selective orders
     // leg must produce a bloom filter that the lineitem side applies as

@@ -69,4 +69,48 @@ class TextSpec extends AnyFunSuite {
       "gram transform was inlined into the window-minima lambda — " +
         "O(n²) re-evaluation (the round-7 bench killer)")
   }
+
+  test("dupGramRatioExpr == duplicateGramRatio on >=n-word docs; 0.0 below") {
+    val corpus = docs ++ Seq(
+      (4L, "spam spam spam spam spam spam spam spam"),
+      (5L, "one two"), // < 3 words: expr scores 0.0, staged form drops it
+      (6L, "a b a b a b a b a b a b"))
+    val viaExpr = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.dupGramRatioExpr(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaStaged = TextAnalysis
+      .duplicateGramRatio(corpus.toDF("doc_id", "text"), 3, "r")
+      .select(col("doc_id"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!viaStaged.contains(5L) && viaExpr(5L) == 0.0)
+    viaStaged.foreach { case (id, r) =>
+      assert(viaExpr(id) == r, s"doc $id: expr ${viaExpr(id)} != staged $r")
+    }
+    assert(viaExpr(4L) > 0.8 && viaExpr(6L) > 0.5) // planted repetition seen
+  }
+
+  test("a filter on dupGramRatioExpr never evaluates split inside a lambda") {
+    // The pushdown-immunity contract: push this filter through any
+    // projection stack, inline it anywhere — the tokenization must stay
+    // the outer lambda's ARGUMENT (once per row), never migrate into a
+    // lambda body (once per element = O(n²), the q108 pre-fix plan).
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(TextAnalysis.dupGramRatioExpr(col("text"), 3) <= 0.05)
+      .select(col("doc_id"), col("n"))
+    def splitInLambda(e: Expression): Boolean = e match {
+      case ArrayTransform(_, fn) =>
+        fn.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.StringSplit]) ||
+          fn.children.exists(splitInLambda)
+      case other => other.children.exists(splitInLambda)
+    }
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.exists(splitInLambda)
+    }.exists(identity)
+    assert(!bad,
+      "split() migrated inside a lambda body — per-element " +
+        "re-tokenization (O(n²) per row) survived optimization")
+  }
 }
