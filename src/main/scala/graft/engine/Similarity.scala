@@ -273,6 +273,180 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup — semantic deduplication via embedding clustering (Abbas
+    * et al. 2023, arXiv:2303.09540): k-means partitions the corpus into
+    * semantic clusters, pairwise cosine runs WITHIN a cluster only, and
+    * of any pair scoring ≥ `tau` the higher-id member is dropped
+    * (deterministic keep-lowest-id survivor — the paper keeps the
+    * member with lowest cosine TO the centroid; same shape, different
+    * argmin key, and an id key makes the survivor set oracle-checkable).
+    * Returns the KEPT rows with all their columns.
+    *
+    * This is the dedup family's semantic member: exact dedup catches
+    * byte-equal text, MinHash/SimHash catch lexical overlap, and
+    * embedding clusters catch PARAPHRASES — near-identical meaning with
+    * disjoint n-grams — which none of the lexical operators see.
+    *
+    * 100 TB shape, mirroring the paper's own scaling argument: the
+    * quadratic term is per-cluster, so nLists grows with the corpus
+    * (the paper uses 50k clusters for LAION) keeping cluster population
+    * roughly constant; assignment is one codegen'd linear scan
+    * ([[ivfAssign]]), the pair join shuffles on the cluster id only,
+    * and `maxCluster` is the same safety rail as LSH's `maxBucket` —
+    * a degenerate cluster is truncated by a streaming rank window
+    * BEFORE the join, never materialized in one buffer. Rows past the
+    * cap are KEPT (under-dedup, never data loss). Centroids come
+    * prebuilt ([[ivfCentroids]]/[[saveCentroids]]) — train once, dedup
+    * per ingest batch. */
+  def semDedup(e: DataFrame, centroids: Array[Array[Double]], tau: Double,
+      maxCluster: Int = 10000): DataFrame = {
+    val assigned = ivfAssign(e, centroids)
+    val bw = Window.partitionBy(col("list")).orderBy(col("vec_id"))
+    val bounded = assigned.withColumn("_cn", row_number().over(bw))
+      .filter(col("_cn") <= maxCluster)
+      .select(col("list"), col("vec_id"), col("v"))
+    val a = bounded.select(col("list").as("la"), col("vec_id").as("a"),
+      col("v").as("va"))
+    val b = bounded.select(col("list").as("lb"), col("vec_id").as("b"),
+      col("v").as("vb"))
+    val dropped = a
+      .join(b, col("la") === col("lb") && col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  // ---- product quantization (IVF-PQ's compression half) -----------------
+  // Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011) — the FAISS-family memory lever: split each
+  // vector into `m` subvectors, k-means each subspace independently
+  // (`codes` centroids), store only the m code ids. 64 float32 dims
+  // become 8 small ints (4-bit code space) — a 32× logical compression
+  // against float32, which at 100 TB is the difference between an
+  // index that fits hot storage and one that doesn't. Queries score
+  // compressed rows WITHOUT decompressing: per subspace the query
+  // precomputes a `codes`-entry lookup table, and the asymmetric
+  // distance (ADC) is m table lookups + a sum per row.
+
+  /** Train the per-subspace codebooks on a deterministic hash sample
+    * (the [[ivfCentroids]] discipline — quality saturates far below
+    * corpus size; seeded per subspace, so same input ⇒ same books).
+    * Returns books(s)(j) = codeword j of subspace s, each `dim/m`
+    * doubles — driver-tiny (m·codes·dim/m = dim·codes values). Plain
+    * L2 k-means per subspace, per the paper. */
+  def pqCodebooks(e: DataFrame, m: Int = 8, codes: Int = 16,
+      seed: Long = 42L, maxTrain: Long = 4096L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = prep(e)
+    val dim = d.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val keep = math.max(1L, d.count() / maxTrain)
+    val train = d
+      .filter(pmod(xxhash64(col("vec_id")), lit(keep)) === 0)
+      .select((0 until m).map(s =>
+        array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as(s"sub$s")): _*)
+      .persist()
+    try
+      (0 until m).map { s =>
+        new KMeans().setK(codes).setSeed(seed + s).setMaxIter(8)
+          .setFeaturesCol(s"sub$s")
+          .fit(train).clusterCenters.map(_.toArray)
+      }.toArray
+    finally { train.unpersist(blocking = true); () }
+  }
+
+  /** Encode every vector as its m nearest-codeword ids — the write-once
+    * compression pass. Argmin L2 per subspace via the identity
+    * `argmin ‖x−c‖² = argmax (x·c − ½‖c‖²)` so each candidate is ONE
+    * native dot against a literal codeword plus a precomputed constant;
+    * argmax by descending struct sort (score, then code id breaks exact
+    * ties — deterministic, the [[ivfAssign]] pattern). Subvector slices
+    * are STAGED as projections, each referenced `codes` times, so the
+    * slice runs m times per row, not m·codes. Map-only: no shuffle, no
+    * UDF, all codegen'd. */
+  def pqEncode(e: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val staged = prep(e).select(
+      Seq(col("vec_id"), col("label")) ++
+        (0 until m).map(s =>
+          slice(col("v"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
+    val codeCols = (0 until m).map { s =>
+      val scored = array(books(s).zipWithIndex.map { case (c, j) =>
+        struct(
+          (dot(col(s"_sub$s"), array(c.map(lit): _*))
+            - lit(0.5 * c.map(x => x * x).sum)).as("s"),
+          lit(j).as("j"))
+      }: _*)
+      sort_array(scored, asc = false).getItem(0).getField("j")
+    }
+    staged.select(col("vec_id"), col("label"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** Persist codebooks (train once → encode/probe many): one tiny
+    * parquet of (sub, code, centroid) rows. */
+  def savePqCodebooks(spark: SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePqCodebooks]] table (bounded: m·codes rows). */
+  def loadPqCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).orderBy(col("sub"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+  /** ADC top-k with exact rerank — the standard PQ probe: score the
+    * COMPRESSED lake via per-subspace lookup tables (query-side
+    * constants: dot and squared-norm of every codeword, 2·m·codes
+    * literals), approximate `cos(q, x) ≈ q·x̂ / (‖q‖·‖x̂‖)` from the
+    * reconstruction x̂ in m lookups + two sums per row, TakeOrdered the
+    * best `rerank` candidates, then broadcast them against the full
+    * table for exact cosine and the final `k`. The timed scan touches
+    * only (vec_id, codes) — the 32×-smaller index; full vectors are
+    * read for `rerank` rows, not the corpus. */
+  def pqAdcTopK(encoded: DataFrame, full: DataFrame, queryId: Long,
+      qv: Array[Double], books: Array[Array[Array[Double]]], k: Int,
+      rerank: Int = 50): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qSub = Array.tabulate(m)(s => qv.slice(s * dsub, (s + 1) * dsub))
+    val qNorm = math.sqrt(dotL(qv, qv))
+    val code = (s: Int) => element_at(col("codes"), s + 1)
+    val num = (0 until m).map { s =>
+      element_at(array(books(s).map(c => lit(dotL(qSub(s), c))): _*),
+        code(s) + 1)
+    }.reduce(_ + _)
+    val recNorm2 = (0 until m).map { s =>
+      element_at(array(books(s).map(c => lit(dotL(c, c))): _*),
+        code(s) + 1)
+    }.reduce(_ + _)
+    val cand = encoded.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        (num / (sqrt(recNorm2) * qNorm)).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank)
+    prep(full).select(col("vec_id"), col("v"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), array(qv.map(lit): _*)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-table ANN top-k — OR-of-ANDs LSH amplification with Hamming-1
     * multiprobe: L independent tables of b hyperplane bits each; a row is
     * a candidate if its bucket is within `probeRadius` bits of the query's

@@ -66,6 +66,37 @@ object SimilarityQueries {
     p
   }
 
+  private def pqBooksPath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/pq_books_${sfName(dir)}"
+
+  private val pqBooksCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+
+  /** Train-once PQ codebooks ([[Similarity.pqCodebooks]]) — per
+    * (JVM, sf), persisted and memoized like [[stagedCentroids]]. */
+  private def stagedPqBooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    pqBooksCache.getOrElseUpdate(pqBooksPath(dir), {
+      val p = pqBooksPath(dir)
+      ensureStaged(p)(Similarity.savePqCodebooks(s,
+        Similarity.pqCodebooks(table(s, dir, "embeddings")), p))
+      Similarity.loadPqCodebooks(s, p)
+    })
+
+  private def pqLakePath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/pq_lake_${sfName(dir)}"
+
+  /** Write-once PQ-encoded lake: the m-codes-per-row compression scan
+    * is paid here, untimed — q110 probes the compressed index. */
+  private def stagedPqLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = pqLakePath(dir)
+    ensureStaged(p)(Similarity.pqEncode(table(s, dir, "embeddings"),
+        stagedPqBooks(s, dir))
+      .write.mode("overwrite").parquet(p))
+    p
+  }
+
   private val BucketPlanes = 4
 
   private def bucketLakePath(dir: String): String =
@@ -290,5 +321,57 @@ object SimilarityQueries {
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))
         .orderBy(col("vec_id"))
-    })
+    },
+
+    QuerySpec(
+      "q109_semantic_dedup",
+      """SELECT vec_id, label FROM embeddings ORDER BY vec_id""") { (s, dir) =>
+      // SemDeDup ([[Similarity.semDedup]]) — paraphrase-level dedup the
+      // lexical operators can't see: k-means clusters (the q59 staged
+      // centroids — train once, dedup every batch), pairwise cosine
+      // WITHIN clusters only, higher id of any pair ≥ tau dropped.
+      //
+      // Oracle-able despite k-means, via the planted discipline: every
+      // vector gets an EXACT copy at vec_id + 100000 in the same single
+      // scan. A copy's assignment is bit-identical (same v ⇒ same
+      // argmax), so each pair co-clusters and scores cosine 1.0 ≥ tau
+      // regardless of what the clusters look like — the copy must be
+      // dropped. Natural pairs stay: the corpus-wide max natural cosine
+      // is ≈0.60 at both test scales (measured all-pairs) vs tau 0.9,
+      // and rounding to 4 decimals can't bridge that. Expected output =
+      // exactly the originals — any under-dedup (a surviving copy) or
+      // over-dedup (a dropped original) breaks the hash. Policy
+      // richness (groups of 3, singletons, the cluster cap) is pinned
+      // in SimilaritySpec.
+      val e = table(s, dir, "embeddings")
+        .select(explode(array(
+            struct(col("vec_id"), col("embedding")),
+            struct((col("vec_id") + 100000L).as("vec_id"),
+              col("embedding")))).as("r"),
+          col("label"))
+        .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"),
+          col("label"))
+      Similarity.semDedup(e, stagedCentroids(s, dir), tau = 0.9)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }.withBenchSetup((s, dir) => { stagedCentroids(s, dir); () }),
+
+    QuerySpec.noOracle("q110_pq_adc_topk") { (s, dir) =>
+      // Product quantization + ADC ([[Similarity.pqCodebooks]] /
+      // [[Similarity.pqEncode]] / [[Similarity.pqAdcTopK]]): the
+      // compressed-index probe — codebooks trained once per (JVM, sf),
+      // the corpus encoded once as an m-codes-per-row lake (32× smaller
+      // than float32), and the timed query scans ONLY the compressed
+      // index: per-row cost is m lookup-table reads + a sum, the best
+      // 50 candidates rerank exactly against the full table via a
+      // broadcast join. Recall vs the exact top-k and encode
+      // determinism are pinned in SimilaritySpec; no SQL oracle
+      // (DuckDB: no k-means).
+      val books = stagedPqBooks(s, dir)
+      val lake = stagedPqLake(s, dir)
+      Similarity.pqAdcTopK(s.read.parquet(lake),
+        table(s, dir, "embeddings"), queryId = 0L,
+        queryVec(s, dir, 0L), books, k = 10)
+    }.withBenchSetup((s, dir) =>
+      { stagedPqLake(s, dir); queryVec(s, dir, 0L); () }))
 }

@@ -222,4 +222,61 @@ class SimilaritySpec extends AnyFunSuite {
       .select(round(Similarity.cosine(col("x"), col("y")), 6).as("c"))
     assert(df.head().getDouble(0) == 1.0)
   }
+
+  test("semDedup: copy groups collapse to min-id survivors, singletons " +
+      "survive, cluster cap only under-dedups") {
+    import spark.implicits._
+    // Deterministic planted corpus: splitmix vectors (pairwise cosine
+    // concentrates near 0 in 64-dim — far under tau). Bases 0-9 carry
+    // exact copies at +100 and +200 (groups of three, co-clustered by
+    // construction: identical v ⇒ identical assignment); 10-29 are
+    // singletons.
+    val base = Similarity.hyperplanes(30, 64)
+    val rows = (0 until 10).flatMap(i =>
+      Seq((i.toLong, base(i)), (100L + i, base(i)), (200L + i, base(i)))) ++
+      (10 until 30).map(i => (i.toLong, base(i)))
+    val df = rows.map { case (id, v) => (id, v.toSeq.map(_.toFloat), "x") }
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroids(df, nLists = 4)
+    val kept = Similarity.semDedup(df, cents, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // exactly the min id of every group of three + all singletons
+    assert(kept == (0L until 30L).toSet, s"got $kept")
+    // maxCluster = 1: at most one member per cluster enters pair
+    // generation → no pairs → nothing dropped. The cap direction must
+    // be UNDER-dedup (rows kept), never data loss.
+    val capped = Similarity.semDedup(df, cents, tau = 0.9, maxCluster = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == rows.map(_._1).toSet,
+      s"cap dropped rows it must keep: ${rows.map(_._1).toSet -- capped}")
+  }
+
+  test("PQ: codebooks round-trip exactly, codes stay in range and " +
+      "deterministic, ADC+rerank recalls the exact top-k") {
+    import org.apache.spark.sql.functions._
+    val books = Similarity.pqCodebooks(emb)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.length == 8)))
+    val dir = TestSpark.tempDir("pq-books")
+    Similarity.savePqCodebooks(spark, books, dir)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq
+      == books.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = Similarity.pqEncode(emb, books)
+    val codes = enc.orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2))
+    assert(codes.nonEmpty && codes.forall { case (_, cs) =>
+      cs.size == 8 && cs.forall(c => c >= 0 && c < 16) })
+    val again = Similarity.pqEncode(emb, loaded).orderBy(col("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2))
+    assert(codes.toSeq == again.toSeq, "encoding is not deterministic")
+    val qv = Similarity.prep(emb).filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val adc = Similarity.pqAdcTopK(enc, emb, 0L, qv, books, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ADC recall $recall: exact $exact vs $adc")
+  }
 }
