@@ -40,6 +40,32 @@ object Sampling {
     df.filter(contentBucket(col(contentCol)) < threshold)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis, IPL 2006 — the A-ES priority sample): each row draws
+    * u ∈ (0,1) as a pure function of content (52 bits of md5, offset by
+    * ½ulp so u > 0) and is ranked by `ln(u)/w` — the monotone form of
+    * the paper's u^(1/w) key — so the k best-keyed rows are a
+    * without-replacement sample with inclusion odds scaling with
+    * weight. The training-data use: sample k documents biased by a
+    * quality/length score, reproducibly.
+    *
+    * Same guarantees as the other samplers here: membership is a
+    * function of CONTENT, so the drawn set survives repartition,
+    * retries, cluster resize, and engine swap (the oracle replays it in
+    * SQL bit-for-bit — u is exact integer arithmetic and the key gaps
+    * between 52-bit draws dwarf any libm ln() ulp skew). Plan shape:
+    * row-local key + TakeOrderedAndProject (per-partition heaps — no
+    * global sort, no shuffle of the corpus). Weights must be > 0. */
+  def weightedSample(df: DataFrame, weight: Column, k: Int,
+      idCol: String, contentCol: String = "text"): DataFrame = {
+    val u = (conv(substring(md5(col(contentCol)), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.withColumn("_aes_key", log(u) / weight)
+      .orderBy(col("_aes_key").desc, col(idCol))
+      .limit(k)
+      .drop("_aes_key")
+  }
+
   /** Train/val/test assignment by content bucket: [0,trainPct) train,
     * [trainPct, trainPct+valPct) val, rest test. Adding a document
     * never moves an existing one between splits — the property that

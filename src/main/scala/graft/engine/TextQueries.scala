@@ -405,6 +405,38 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q111_weighted_sample",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS weight,
+        |         (('0x' || substr(md5(text), 1, 13))::BIGINT + 0.5)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, weight FROM w
+        |  ORDER BY ln(u) / weight DESC, doc_id LIMIT 25)
+        |SELECT doc_id, weight FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Weighted sample without replacement ([[Sampling.weightedSample]],
+      // Efraimidis–Spirakis A-ES priority keys): 25 documents biased by
+      // token count, drawn deterministically from content hash — the
+      // quality-weighted subset draw a curation pipeline uses where
+      // uniform sampling would waste the budget on short docs. The
+      // oracle replays the draw end-to-end: u is exact 52-bit integer
+      // arithmetic in both engines, and key gaps between distinct draws
+      // (~1e-3 at this corpus size) dwarf any libm ln() ulp skew, so
+      // the selected SET — not just its size — hash-matches. Row-local
+      // key + TakeOrderedAndProject (plan-gated): per-partition heaps,
+      // the corpus never shuffles.
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          tokenCount(col("text")).as("weight"))
+      Sampling.weightedSample(d, col("weight"), k = 25, idCol = "doc_id")
+        .select(col("doc_id"), col("weight"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q108_curation_pipeline",
       s"""WITH base AS (
          |  SELECT doc_id, text, lang FROM documents

@@ -52,4 +52,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(sampled.filter(col("source") =!= "src0").count() == 0)
     assert(sampled.count() == docs.filter(col("source") === "src0").count())
   }
+
+  test("weighted sample favors heavy rows, is size-k, and is invariant " +
+      "under repartition") {
+    import TestSpark.spark.implicits._
+    // 1000:1 weight ratio — a light row outranks a heavy one with
+    // probability 1/1001 per pair (A-ES), so the top-20 is essentially
+    // all heavy class; deterministic content hash makes the assertion
+    // exact and permanent, not statistical per run.
+    val df = (0 until 200).map(i =>
+      (i.toLong, s"document body number $i",
+        if (i < 100) 1000.0 else 1.0)).toDF("doc_id", "text", "w")
+    val s1 = Sampling.weightedSample(df, col("w"), 20, "doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(df.repartition(7), col("w"), 20, "doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 20)
+    assert(s1.sorted == s2.sorted, "sample set moved under repartition")
+    val heavy = s1.count(_ < 100)
+    assert(heavy >= 18, s"heavy-class rows in sample: $heavy/20")
+  }
 }
