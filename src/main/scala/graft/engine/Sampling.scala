@@ -66,6 +66,54 @@ object Sampling {
       .drop("_aes_key")
   }
 
+  /** Proportional source mixing with exact per-source quotas — the
+    * "rebalance the corpus to a target domain mixture" step (the Pile /
+    * Dolma recipe: upweight books, downweight raw crawl). Given a weight
+    * expression over `sourceCol`, draws ⌊budget·w_s/Σw⌋ documents from
+    * each source (budget = ⌊budgetFrac·corpus⌋, capped at the source's
+    * size), selected by content-hash rank so the drawn set is
+    * deterministic and layout-independent.
+    *
+    * Two-phase exact-rank selection, sized for 100 TB:
+    *  1. PREFILTER row-locally to u < (4·quota + 64)/n_s, where u is the
+    *     row's 32-bit content-hash fraction — a Chernoff-safe 4×+64
+    *     margin (underfill odds < e^{-quota}, i.e. never in practice),
+    *     cutting survivors to ~4× the quota during the scan;
+    *  2. exact `row_number` rank-by-(hash, id) over SURVIVORS only, so
+    *     the per-source sort that would otherwise single-task a 10 TB
+    *     source runs over thousands of rows, not billions.
+    * Both phases are pure functions of content, so an oracle replays
+    * them bit-for-bit; phase 1 never changes the result vs a pure rank
+    * unless a source underfills its 4× margin (vanishing probability,
+    * and both engines replay the same two-phase spec either way).
+    * Source counts and quotas are one tiny aggregation broadcast back —
+    * the corpus itself is scanned once and never shuffled. */
+  def proportionalMix(df: DataFrame, sourceCol: String, weight: Column,
+      budgetFrac: Double, idCol: String, contentCol: String = "text")
+      : DataFrame = {
+    val stats = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_n_s"))
+      .withColumn("_w", weight)
+    val totals = stats.agg(sum(col("_w")).as("_sum_w"),
+      sum(col("_n_s")).as("_n_tot"))
+    val quotas = stats.crossJoin(broadcast(totals))
+      .withColumn("_quota",
+        least(col("_n_s"),
+          floor(floor(col("_n_tot") * budgetFrac) * col("_w") / col("_sum_w"))))
+      .select(col(sourceCol), col("_n_s"), col("_quota"))
+    val u = conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("_u").asc, col(idCol).asc)
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("_u", u)
+      .filter(col("_u") < (lit(4.0) * col("_quota") + lit(64.0)) / col("_n_s"))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .filter(col("_rk") <= col("_quota"))
+      .select(col(idCol), col(sourceCol), col("_rk").as("rank"))
+  }
+
   /** Train/val/test assignment by content bucket: [0,trainPct) train,
     * [trainPct, trainPct+valPct) val, rest test. Adding a document
     * never moves an existing one between splits — the property that

@@ -222,4 +222,87 @@ object TextAnalysis {
     df.crossJoin(broadcast(thr)).filter(col(metric) >= col("_thr"))
       .drop("_thr")
   }
+
+  /** Corpus-frequency segment dedup (the C4/CCNet/RefinedWeb cleaning
+    * pass): split each document into sentence segments on `.`, find
+    * segments that occur verbatim in ≥ `minDocs` DISTINCT documents
+    * (boilerplate — nav chrome, legal footers, newsletter prompts), and
+    * rebuild every document from its surviving segments in original
+    * order. Returns one row per input document:
+    * `(id, n_segs, n_removed, clean_md5)` where `clean_md5` hashes the
+    * rebuilt text (". "-joined; empty string when everything was
+    * boilerplate — documents are never dropped, so the caller decides
+    * the min-content policy).
+    *
+    * Plan shape, and why it holds at 100 TB: segments explode the corpus
+    * ~1× (every byte appears in exactly one segment); the frequency pass
+    * is one hash aggregation keyed on the segment md5 — uniformly
+    * distributed, partial-agg friendly (count-distinct-by-doc expands to
+    * (hash, doc) partial dedup map-side). The boilerplate SET is then
+    * small BY DEFINITION — ≤ distinct_segments / minDocs, and in practice
+    * tiny (boilerplate means few unique strings repeated massively) — so
+    * it broadcasts, and the corpus-side pass is a broadcast left join +
+    * one reassembly aggregation on the document key. The corpus never
+    * sort-merge-joins against anything. Skew note: a segment repeated
+    * 10^8× is heavy on ONE reducer only as (hash, doc) pairs in the
+    * count-distinct expand, which partial-aggregates map-side before the
+    * exchange. */
+  def segmentDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val segs = df
+      .select(col(idCol), posexplode(split(textCol, "\\."))
+        .as(Seq("_seg_idx", "_raw")))
+      .withColumn("_seg", trim(col("_raw")))
+      .filter(col("_seg") =!= "")
+      .select(col(idCol), col("_seg_idx"), col("_seg"),
+        md5(col("_seg")).as("_h"))
+    val boilerplate = segs.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"), lit(true).as("_dup"))
+    segs.join(broadcast(boilerplate), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(col("_dup")).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("_dup").isNull,
+            struct(col("_seg_idx"), col("_seg"))))),
+          s => s.getField("_seg")), ". ")).as("clean_md5"))
+  }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C discipline): count,
+    * per candidate training document, how many distinct 13-grams it
+    * shares with an evaluation corpus. A document with any shared
+    * 13-gram is contaminated — it leaks eval content into training and
+    * must be dropped before the loss ever sees it. Returns
+    * `(id, gram_h)` pairs of the candidate's matching grams for the
+    * caller to aggregate (count per doc, or distinct doc ids).
+    *
+    * Plan shape: the EVAL side is small by nature (benchmarks are
+    * megabytes against a 100 TB corpus), so its distinct gram-hash set
+    * broadcasts and the training corpus is filtered by a broadcast
+    * LEFT SEMI join during its own scan — the corpus itself never
+    * shuffles; only the matched grams (≈ the contamination, tiny) reach
+    * the per-document aggregation. Gram generation is a staged-tokens
+    * posexplode over an arithmetic sequence (no nested lambdas — the
+    * O(n²) HOF trap), and documents shorter than n tokens are filtered
+    * BEFORE the sequence so its bound can never go negative (Spark's
+    * `sequence(1, -k)` silently generates a DESCENDING range). */
+  def sharedNgrams(candidates: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(1), size(col("_toks")) - (n - 1)))
+          .as(Seq("_p", "_i")))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("_toks"), col("_i"), lit(n))))
+          .as("gram_h"))
+    val evalSet = grams(evalDocs).select(col("gram_h")).distinct()
+    grams(candidates)
+      .join(broadcast(evalSet), Seq("gram_h"), "left_semi")
+  }
 }

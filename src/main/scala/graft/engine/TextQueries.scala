@@ -437,6 +437,173 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q112_segment_dedup",
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '. subscribe to our newsletter for daily updates'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '. all rights reserved by the site publisher'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |segs0 AS (
+        |  SELECT doc_id,
+        |         unnest([{'i': i - 1, 'seg': trim(parts[i])}
+        |                 FOR i IN range(1, len(parts) + 1)]) AS u
+        |  FROM (SELECT doc_id, string_split(text, '.') AS parts
+        |        FROM planted)),
+        |segs AS (
+        |  SELECT doc_id, u.i AS seg_idx, u.seg AS seg, md5(u.seg) AS h
+        |  FROM segs0 WHERE u.seg <> ''),
+        |boiler AS (
+        |  SELECT h FROM segs GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |flagged AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, (b.h IS NOT NULL) AS dup
+        |  FROM segs s LEFT JOIN boiler b ON s.h = b.h)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_segs,
+        |       CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed,
+        |       md5(coalesce(
+        |         string_agg(seg, '. ' ORDER BY seg_idx)
+        |           FILTER (WHERE NOT dup), '')) AS clean_md5
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Boilerplate segment removal ([[TextAnalysis.segmentDedup]] — the
+      // C4/CCNet/RefinedWeb cleaning pass): sentences occurring verbatim
+      // in ≥ 3 distinct documents are boilerplate; every document is
+      // rebuilt from its surviving sentences. The synthetic corpus has
+      // no cross-document sentences, so two boilerplate tails (a
+      // newsletter prompt on even ids, a rights notice on ids % 3) are
+      // PLANTED deterministically — the operator must strip exactly
+      // those and keep every organic sentence byte-identical (rebuilt
+      // text md5-compared). Plan: one hash agg on segment hash, the
+      // (by-definition small) boilerplate set broadcast back, one
+      // reassembly agg — the corpus never sort-merge-joins.
+      val planted = table(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(". subscribe to our newsletter for daily updates"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(". all rights reserved by the site publisher"))
+            .otherwise(lit(""))))
+      TextAnalysis.segmentDedup(planted, "doc_id", col("text"), minDocs = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q113_decontaminate",
+      """WITH eval AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |train AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN t.doc_id % 50 = 13
+        |              THEN t.text || ' ' || coalesce(e.snip, '')
+        |              ELSE t.text END AS text
+        |  FROM documents t
+        |  LEFT JOIN (SELECT doc_id,
+        |               array_to_string(
+        |                 string_split_regex(trim(text), '\s+')[1:13], ' ')
+        |                 AS snip
+        |             FROM eval) e
+        |    ON e.doc_id = 97 * (t.doc_id % 5)
+        |  WHERE t.doc_id % 97 <> 0),
+        |eg AS (
+        |  SELECT DISTINCT
+        |         unnest([md5(array_to_string(toks[i:i+12], ' '))
+        |                 FOR i IN range(1, len(toks) - 11)]) AS gram_h
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM eval)
+        |  WHERE len(toks) >= 13),
+        |tg AS (
+        |  SELECT doc_id,
+        |         unnest([md5(array_to_string(toks[i:i+12], ' '))
+        |                 FOR i IN range(1, len(toks) - 11)]) AS gram_h
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(trim(text), '\s+') AS toks
+        |        FROM train)
+        |  WHERE len(toks) >= 13)
+        |SELECT t.doc_id, CAST(count(DISTINCT t.gram_h) AS BIGINT) AS n_shared
+        |FROM tg t JOIN eg USING (gram_h)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      // Benchmark decontamination ([[TextAnalysis.sharedNgrams]], the
+      // GPT-3 appendix-C discipline): training documents sharing any
+      // 13-gram with the held-out eval slice (ids % 97) leak eval
+      // content and must be caught before training. Contamination is
+      // PLANTED: every 50th training doc gets an eval doc's opening
+      // 13 tokens appended, so the expected flag set is exactly those
+      // docs with n_shared = 1 — anything more is an organic collision
+      // the operator must also surface. Plan: the eval gram set is tiny
+      // (benchmarks vs corpus), broadcast LEFT SEMI during the corpus
+      // scan — only matched grams (≈ the contamination) ever shuffle.
+      val docs = table(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val snip = evalDocs.select(col("doc_id").as("_pick"),
+        array_join(slice(tokens(col("text")), 1, 13), " ").as("_snip"))
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("_pick", lit(97) * (col("doc_id") % 5))
+        .join(broadcast(snip), Seq("_pick"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 50 === 13,
+            concat(col("text"), lit(" "), coalesce(col("_snip"), lit(""))))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.sharedNgrams(train, evalDocs, "doc_id", "text", n = 13)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram_h")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q114_source_mix",
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n_s,
+        |         CAST(substr(source, 4) AS INT) % 3 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+        |         CAST(sum(n_s) AS BIGINT) AS n_tot
+        |  FROM stats),
+        |quotas AS (
+        |  SELECT source, n_s,
+        |         least(n_s, floor(floor(n_tot * 0.2) * w / sum_w)) AS quota
+        |  FROM stats, tot),
+        |surv AS (
+        |  SELECT d.doc_id, d.source, q.quota,
+        |         (('0x' || substr(md5(d.text), 1, 8))::BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents d JOIN quotas q USING (source)
+        |  WHERE (('0x' || substr(md5(d.text), 1, 8))::BIGINT)
+        |          / 4294967296.0
+        |        < (4.0 * q.quota + 64.0) / q.n_s),
+        |ranked AS (
+        |  SELECT doc_id, source, quota,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY u, doc_id) AS BIGINT)
+        |           AS rank
+        |  FROM surv)
+        |SELECT doc_id, source, rank FROM ranked
+        |WHERE rank <= quota ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Target-mixture rebalancing ([[Sampling.proportionalMix]], the
+      // Pile/Dolma recipe): draw 20% of the corpus with per-source
+      // quotas ∝ a source weight (here hashed from the source name),
+      // selected by content-hash rank so the mixture is deterministic
+      // and layout-independent. The 4×+64 Chernoff prefilter keeps the
+      // exact per-source rank from ever sorting a full source — both
+      // engines replay the same two-phase spec, so the drawn SET
+      // hash-matches. One tiny stats agg broadcast back; the corpus is
+      // scanned once, and only prefilter survivors (~4× the budget)
+      // shuffle into the rank.
+      Sampling.proportionalMix(
+        table(s, dir, "documents"), "source",
+        expr("cast(substring(source, 4, 10) as int) % 3 + 1"),
+        budgetFrac = 0.2, idCol = "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q108_curation_pipeline",
       s"""WITH base AS (
          |  SELECT doc_id, text, lang FROM documents

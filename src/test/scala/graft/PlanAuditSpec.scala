@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val cartesianAllowed =
     Set("q43_embedding_cosine_pairs", "q44_cosine_topk",
       "q57_quality_quantile_filter", "q80_tfidf",
-      "q94_quarantine") // q94: 1×1 summary crossJoin of two aggregates
+      "q94_quarantine", // q94: 1×1 summary crossJoin of two aggregates
+      "q114_source_mix") // ONE-ROW totals crossJoin into the quota calc
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
@@ -46,9 +47,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // q99's dimension joins DO broadcast (4 in-plan), but its EXCEPT
   // anti-join of two same-sized aggregates legitimately plans SMJ
   // pre-AQE, so it doesn't fit this gate's "no SMJ anywhere" form.
+  // q112/q113/q114: curation passes whose corpus side must NEVER
+  // sort-merge — the boilerplate set, eval-gram set, and quota table
+  // are all small by construction and must broadcast.
   private val mustBroadcastOnly = Set(
     "q04_join_broadcast", "q06_semi_join", "q07_anti_join",
-    "q77_sql_join3")
+    "q77_sql_join3", "q112_segment_dedup", "q113_decontaminate",
+    "q114_source_mix")
 
   test("no query plans an unapproved cartesian; bounded queries keep top-k") {
     val feats = SparkEntry.queries.toSeq.sortBy(_._1).map {

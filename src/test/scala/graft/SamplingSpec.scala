@@ -72,4 +72,30 @@ class SamplingSpec extends AnyFunSuite {
     val heavy = s1.count(_ < 100)
     assert(heavy >= 18, s"heavy-class rows in sample: $heavy/20")
   }
+
+  test("proportionalMix fills exact per-source quotas, capped at source " +
+      "size, invariant under repartition") {
+    import TestSpark.spark.implicits._
+    // srcA w=1 n=100, srcB w=3 n=100, srcC w=2 n=4 (forces the cap):
+    // budget = floor(204*0.5) = 102, Σw = 6 → quotas 17 / 51 / min(4,34)=4
+    val docs = ((0 until 100).map(i => (i.toLong, "srcA", s"alpha document $i")) ++
+      (0 until 100).map(i => (i.toLong + 100, "srcB", s"beta document $i")) ++
+      (0 until 4).map(i => (i.toLong + 200, "srcC", s"gamma document $i")))
+      .toDF("doc_id", "source", "text")
+    val weight = when(col("source") === "srcA", 1)
+      .when(col("source") === "srcB", 3).otherwise(2)
+    val out = Sampling.proportionalMix(docs, "source", weight, 0.5, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("srcA" -> 17, "srcB" -> 51, "srcC" -> 4), s"got $bySrc")
+    // ranks are 1..quota within each source
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, src)
+    }
+    val out2 = Sampling.proportionalMix(docs.repartition(13), "source",
+      weight, 0.5, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+      "drawn set moved under repartition")
+  }
 }

@@ -113,4 +113,53 @@ class TextSpec extends AnyFunSuite {
       "split() migrated inside a lambda body — per-element " +
         "re-tokenization (O(n²) per row) survived optimization")
   }
+
+  test("segmentDedup strips cross-document sentences, keeps organic text, " +
+      "never drops a document") {
+    val corpus = Seq(
+      (1L, "unique opening one. shared boilerplate footer. unique tail one"),
+      (2L, "unique opening two. shared boilerplate footer"),
+      (3L, "shared boilerplate footer. unique tail three"),
+      (4L, "entirely original content with no footer"),
+      // every segment boilerplate → rebuilt text must be EMPTY, row kept
+      (5L, "shared boilerplate footer"),
+      // repeated WITHIN one doc only — count is per DISTINCT doc, so a
+      // doc-internal repetition must NOT count toward the threshold
+      (6L, "local echo. local echo. local echo. and something else")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(corpus, "doc_id", col("text"), 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) == ((3L, 1L, m("unique opening one. unique tail one"))))
+    assert(out(2L) == ((2L, 1L, m("unique opening two"))))
+    assert(out(3L) == ((2L, 1L, m("unique tail three"))))
+    assert(out(4L) == ((1L, 0L, m("entirely original content with no footer"))))
+    assert(out(5L) == ((1L, 1L, m(""))), "all-boilerplate doc must survive as empty")
+    assert(out(6L) == ((4L, 0L, m("local echo. local echo. local echo. and something else"))),
+      "doc-internal repetition counted toward the cross-doc threshold")
+  }
+
+  test("sharedNgrams finds planted overlap, ignores clean docs, and is " +
+      "safe on sub-n documents") {
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val candidates = Seq(
+      // contains eval 4-gram "gamma delta epsilon zeta" twice
+      (1L, "x gamma delta epsilon zeta y gamma delta epsilon zeta"),
+      (2L, "totally unrelated words in this candidate document here"),
+      (3L, "eta theta"), // shorter than n — the sequence guard path
+      (4L, "beta gamma delta epsilon mixed")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.sharedNgrams(candidates, evalDocs, "doc_id", "text", 4)
+      .groupBy("doc_id").agg(countDistinct("gram_h").as("n"),
+        count(lit(1)).as("occurrences"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hits.keySet == Set(1L, 4L))
+    assert(hits(1L) == ((1L, 2L)),
+      "both occurrences of the shared gram must surface, one distinct hash")
+    assert(hits(4L) == ((1L, 1L))) // "beta gamma delta epsilon"
+  }
 }
