@@ -271,6 +271,76 @@ object TextAnalysis {
           s => s.getField("_seg")), ". ")).as("clean_md5"))
   }
 
+  /** Unigram cross-entropy quality scoring (the CCNet perplexity
+    * filter's unigram form): score each document by the mean surprisal
+    * −ln p(token) under the corpus's own unigram distribution, with the
+    * vocabulary capped at the `vocabSize` most frequent tokens and
+    * out-of-vocabulary tokens floored at p = 0.5/N (add-half smoothing).
+    * Low scores are templated/common text, high scores are rare-token
+    * garbage — curation keeps the middle band (compose with
+    * [[quantileThresholdFilter]]). Returns
+    * `(id, n_tokens, avg_surprisal)` rounded to 4 so cross-engine float
+    * summation order can't flip a comparison.
+    *
+    * Plan shape at 100 TB: the token explosion is corpus×1; the vocab
+    * is one partial-agg-friendly hash aggregation whose result is
+    * BOUNDED BY CONSTRUCTION (top-`vocabSize` via TakeOrdered heaps, no
+    * global sort) so it always broadcasts — the corpus-side pass is a
+    * broadcast left join plus one per-document aggregation, and the
+    * corpus never sort-merge-joins. The one-row token total rides the
+    * same broadcast pattern as [[quantileThresholdFilter]]. */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("_tok"))
+    val tot = toks.agg(count(lit(1)).as("_n"))
+    val vocab = toks.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_tok"))
+      .limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("_tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_surp",
+        -log(coalesce(col("_c"), lit(0.5)) / col("_n")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("_surp")), 4).as("avg_surprisal"))
+  }
+
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget training bins (the "pack short documents into one
+    * 2048-token context" step every pre-training run does between
+    * curation and tokenization). Documents are sharded by content hash,
+    * ordered within each shard by (hash, id), and assigned to the bin
+    * their running token offset starts in — the greedy sequential fill
+    * with spillover, the semantics used when contexts are packed with
+    * EOS separators and boundary-straddling docs are truncated at
+    * tokenization. Pure function of content: the packing survives
+    * repartition, retries, and engine swap. Returns
+    * `(id, shard, bin, n_toks)`.
+    *
+    * Plan shape at 100 TB: the only non-row-local step is one running
+    * sum per shard — `shards` is chosen ~ the cluster's partition count
+    * (2^14 at 100 TB ⇒ ~6 GB per shard), so the per-shard sort under
+    * the window is a normal distributed sort-within-partition, never a
+    * single-task global sort, and bins stay reproducible because shard
+    * membership and order are content-keyed, not layout-keyed. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, budget: Int, shards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val h = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_toks"),
+        h.as("_h"), pmod(h, lit(shards.toLong)).as("_shard"))
+      .withColumn("_cum", sum(col("n_toks")).over(w))
+      .select(col(idCol), col("_shard").as("shard"),
+        floor((col("_cum") - col("n_toks")) / lit(budget.toDouble))
+          .as("bin"),
+        col("n_toks"))
+  }
+
   /** Benchmark decontamination (the GPT-3 appendix-C discipline): count,
     * per candidate training document, how many distinct 13-grams it
     * shares with an evaluation corpus. A document with any shared

@@ -604,6 +604,65 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q115_unigram_surprisal",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok
+        |  ORDER BY c DESC, tok LIMIT 50000)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(-ln(coalesce(v.c, 0.5) / tot.n)), 4)
+        |         AS avg_surprisal
+        |FROM toks t LEFT JOIN vocab v USING (tok), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      // Unigram cross-entropy scoring ([[TextAnalysis.unigramSurprisal]],
+      // the CCNet LM-filter's unigram form): mean −ln p(token) under the
+      // corpus's own top-50k unigram distribution, OOV floored at
+      // 0.5/N. Both engines compute p from exact integer counts and the
+      // same libm-adjacent ln; the mean is rounded to 4 so summation
+      // order can't flip the hash. Plan: vocab is TakeOrdered-bounded
+      // and broadcasts; the corpus-side pass is broadcast-join +
+      // per-doc agg — no corpus sort-merge anywhere (plan-gated).
+      TextAnalysis.unigramSurprisal(
+        table(s, dir, "documents"), "doc_id", "text", vocabSize = 50000)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q116_sequence_pack",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |              AS BIGINT) AS n_toks,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, h % 8 AS shard, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |       CAST(floor((cum - n_toks) / 2048.0) AS BIGINT) AS bin,
+        |       n_toks
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Sequence packing ([[TextAnalysis.packSequences]]): documents
+      // sharded by content hash and greedily packed into 2048-token
+      // training bins by running offset — the context-assembly step
+      // between curation and tokenization. Content-keyed order makes
+      // the packing reproducible across layouts and engines; the only
+      // shuffle is the per-shard running sum, and shards scale the sort
+      // (at 100 TB, shards ≈ partition count ⇒ ~GB-sized sorts).
+      TextAnalysis.packSequences(
+        table(s, dir, "documents"), "doc_id", "text",
+        budget = 2048, shards = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q108_curation_pipeline",
       s"""WITH base AS (
          |  SELECT doc_id, text, lang FROM documents

@@ -162,4 +162,48 @@ class TextSpec extends AnyFunSuite {
       "both occurrences of the shared gram must surface, one distinct hash")
     assert(hits(4L) == ((1L, 1L))) // "beta gamma delta epsilon"
   }
+
+  test("unigramSurprisal: common tokens score low, rare high, OOV floored, " +
+      "vocab cap binds") {
+    // 10 docs of "common common", one "rare unique" — N = 22 tokens:
+    // common c=20, rare c=1, unique c=1.
+    val corpus = ((1L to 10L).map(i => (i, "common common")) :+
+      ((11L, "rare unique"))).toDF("doc_id", "text")
+    def score(vocabSize: Int): Map[Long, (Long, Double)] =
+      TextAnalysis.unigramSurprisal(corpus, "doc_id", "text", vocabSize)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val full = score(vocabSize = 3)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(full(1L) == ((2L, r4(-math.log(20.0 / 22)))))
+    assert(full(11L) == ((2L, r4(-math.log(1.0 / 22)))))
+    assert(full(1L)._2 < full(11L)._2, "common must score below rare")
+    // vocab capped at 1 → only `common` in vocab; rare/unique fall to
+    // the 0.5/N OOV floor and must score ABOVE every in-vocab token
+    val capped = score(vocabSize = 1)
+    assert(capped(11L) == ((2L, r4(-math.log(0.5 / 22)))))
+    assert(capped(1L) == full(1L), "in-vocab score must not move with the cap")
+  }
+
+  test("packSequences: bins respect the running token budget and the " +
+      "packing is repartition-invariant") {
+    // one shard (shards=1) so the fill order is the full hash order —
+    // budget 10 tokens, docs of 4 tokens each: bins hold offsets
+    // 0,4,8 (bin 0 — doc straddling 10 starts at 8, spillover), 12,...
+    val corpus = (1L to 9L)
+      .map(i => (i, s"tok a b c$i")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .packSequences(corpus, "doc_id", "text", budget = 10, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._4 == 4L))
+    // reconstruct: in hash order, bin must equal floor(offset/10)
+    val binsBySize = out.groupBy(_._3).view.mapValues(_.length).toMap
+    // 9 docs × 4 tokens = offsets 0..32 step 4 → bins 0,0,0,1,1,2,2,2,3
+    assert(binsBySize == Map(0L -> 3, 1L -> 2, 2L -> 3, 3L -> 1), s"$binsBySize")
+    val out2 = TextAnalysis
+      .packSequences(corpus.repartition(5), "doc_id", "text", 10, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+      "packing moved under repartition")
+  }
 }
