@@ -44,18 +44,18 @@ object ImageHeaders {
   val BmpMagic: Array[Byte] = "BM".getBytes("US-ASCII")
 
   /** `n`-byte big-endian binary encoding of a non-negative int column. */
-  private def be(c: Column, n: Int): Column =
+  private[engine] def be(c: Column, n: Int): Column =
     unhex(lpad(hex(c), n * 2, "0"))
 
   /** Reverse the bytes of a fixed-width binary column (BE ↔ LE). */
-  private def swap(bin: Column, n: Int): Column =
+  private[engine] def swap(bin: Column, n: Int): Column =
     concat((n to 1 by -1).map(i => substring(bin, i, 1)): _*)
 
   /** Big-endian int from `n` bytes at 1-based `pos` of a binary column. */
-  private def beInt(payload: Column, pos: Int, n: Int): Column =
+  private[engine] def beInt(payload: Column, pos: Int, n: Int): Column =
     conv(hex(substring(payload, pos, n)), 16, 10).cast("int")
 
-  private def leInt(payload: Column, pos: Int, n: Int): Column =
+  private[engine] def leInt(payload: Column, pos: Int, n: Int): Column =
     conv(hex(swap(substring(payload, pos, n), n)), 16, 10).cast("int")
 
   // ---- encoders (header construction from metadata) -------------------

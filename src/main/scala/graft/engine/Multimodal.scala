@@ -11,6 +11,9 @@ final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 final case class DimsRow(media_id: Long, width: Int, height: Int)
 final case class ParsedMediaRow(media_id: Long, format: Option[String],
     width: Option[Int], height: Option[Int], payload: Array[Byte])
+final case class ParsedAudioRow(media_id: Long, channels: Option[Int],
+    sample_rate: Option[Int], bits_per_sample: Option[Int],
+    data_len: Option[Long], payload: Array[Byte])
 
 /** Multimodal column plumbing (BASELINE north star): image/audio/video
   * as opaque `binary` payloads with a typed metadata struct, plus
@@ -126,5 +129,41 @@ object Multimodal {
         }
       })
       .toDF("media_id", "format", "width", "height")
+  }
+
+  /** Audio counterpart of [[headerFeatures]] — same two-tier decode, on
+    * WAV bytes: [[AudioHeaders.parse]] (codegen'd fixed-offset
+    * expressions) resolves canonical 44-byte-header payloads in the
+    * scan projection; rows it declined (fact/LIST chunk between `fmt `
+    * and `data`) run the [[AudioHeaders.wavInfo]] chunk walk inside the
+    * partition-wise typed stage. One scan, no shuffle; unparseable
+    * payloads are dropped, not errors. Output adds `duration_ms`
+    * derived from the PARSED fields (dataLen·1000 / byte rate, exact
+    * long division) — the decode → feature-extract shape. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"),
+        AudioHeaders.parse(col("payload")).as("a"))
+      .select(col("media_id"), col("a.channels").as("channels"),
+        col("a.sample_rate").as("sample_rate"),
+        col("a.bits_per_sample").as("bits_per_sample"),
+        col("a.data_len").as("data_len"), col("payload"))
+      .as[ParsedAudioRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        r.channels match {
+          case Some(ch) =>
+            for (rate <- r.sample_rate; bits <- r.bits_per_sample;
+                 len <- r.data_len) yield (r.media_id, ch, rate, bits, len)
+          case None =>
+            AudioHeaders.wavInfo(r.payload).map { case (ch, rate, bits, len) =>
+              (r.media_id, ch, rate, bits, len)
+            }
+        }
+      })
+      .toDF("media_id", "channels", "sample_rate", "bits_per_sample",
+        "data_len")
+      .withColumn("duration_ms",
+        expr("data_len * 8000 div (sample_rate * channels * bits_per_sample)"))
   }
 }

@@ -124,5 +124,53 @@ object MultimodalQueries {
         .select(col("media_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
         .orderBy(col("media_id"))
+    },
+
+    QuerySpec(
+      "q117_audio_headers",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 2 AS INT) AS channels,
+        |         CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+        |         CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 16 END AS INT)
+        |           AS bits_per_sample,
+        |         CAST(octet_length(text::BLOB) AS BIGINT) AS data_len
+        |  FROM documents)
+        |SELECT doc_id AS media_id, channels, sample_rate, bits_per_sample,
+        |       data_len,
+        |       data_len * 8000 // (sample_rate * channels * bits_per_sample)
+        |         AS duration_ms
+        |FROM m ORDER BY 1""".stripMargin) { (s, dir) =>
+      // REAL audio-container round-trip ([[AudioHeaders]]), the WAV leg
+      // of the q88/q49 codec family: each doc's payload gets an actual
+      // RIFF/WAVE header (spec-layout bytes, derived byte-rate and
+      // block-align fields) prepended to the text body, and every doc
+      // with doc_id % 5 == 0 additionally gets a `fact` chunk between
+      // `fmt ` and `data` — the non-canonical layout the codegen'd
+      // fixed-offset parser must DECLINE and the partition-wise RIFF
+      // chunk walk must resolve ([[Multimodal.audioFeatures]]'s
+      // two-tier decode, exercised on both tiers by construction). The
+      // oracle recomputes the planted shape from the doc_id formulas,
+      // so one wrong offset, endianness, chunk size, or pad byte in
+      // EITHER the encoder or EITHER parser breaks the hash;
+      // duration_ms is derived from the PARSED fields by exact long
+      // division on both engines. Row-local end to end.
+      val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+      val rate = when(pmod(col("doc_id"), lit(4)) === 0, 8000)
+        .when(pmod(col("doc_id"), lit(4)) === 1, 16000)
+        .when(pmod(col("doc_id"), lit(4)) === 2, 22050)
+        .otherwise(44100).cast("int")
+      val bits = when(pmod(col("doc_id"), lit(3)) === 0, 8)
+        .otherwise(16).cast("int")
+      val dataLen = length(col("text").cast("binary")).cast("long")
+      val header = when(pmod(col("doc_id"), lit(5)) === 0,
+          AudioHeaders.wavHeader(ch, rate, bits, dataLen, withFact = true))
+        .otherwise(AudioHeaders.wavHeader(ch, rate, bits, dataLen))
+      Multimodal.audioFeatures(
+        table(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            concat(header, col("text").cast("binary")).as("payload")))
+        .orderBy(col("media_id"))
     })
 }

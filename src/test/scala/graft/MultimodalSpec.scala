@@ -139,4 +139,65 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(out.toSeq == Seq((1L, 640, 480)))
   }
+
+  test("WAV: canonical headers parse fixed-offset; fact-chunk layouts " +
+      "decline to the chunk walker; both round-trip the encoder") {
+    import spark.implicits._
+    val shapes = Seq((1L, 1, 8000, 8, 123L), (2L, 2, 44100, 16, 4000L))
+    def headers(withFact: Boolean) = shapes
+      .toDF("id", "ch", "rate", "bits", "len")
+      .select(col("id"), AudioHeaders.wavHeader(col("ch"), col("rate"),
+        col("bits"), col("len"), withFact).as("payload"))
+    // canonical: fixed-offset parse resolves every field
+    val fixed = headers(withFact = false)
+      .select(col("id"), AudioHeaders.parse(col("payload")).as("a"))
+      .select(col("id"), col("a.channels"), col("a.sample_rate"),
+        col("a.bits_per_sample"), col("a.data_len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(fixed == shapes.map(s => (s._1, s._2, s._3, s._4, s._5)))
+    // fact chunk: fixed-offset parse must return nulls (data not at 37)
+    val declined = headers(withFact = true)
+      .select(AudioHeaders.parse(col("payload")).as("a"))
+      .select(col("a.channels")).collect()
+    assert(declined.forall(_.isNullAt(0)))
+    // ...and the typed-stage decode resolves BOTH layouts identically
+    val both = headers(withFact = false).union(
+      headers(withFact = true).withColumn("id", col("id") + 10))
+    val out = Multimodal.audioFeatures(
+      both.withColumnRenamed("id", "media_id"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, 1, 8000, 8, 123L, 123L * 8000 / (8000 * 1 * 8)),
+      (2L, 2, 44100, 16, 4000L, 4000L * 8000 / (44100 * 2 * 16)),
+      (11L, 1, 8000, 8, 123L, 123L * 8000 / (8000 * 1 * 8)),
+      (12L, 2, 44100, 16, 4000L, 4000L * 8000 / (44100 * 2 * 16))))
+  }
+
+  test("wavInfo walks LIST chunks with odd sizes (RIFF pad byte) and " +
+      "rejects truncated or non-RIFF payloads") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // fmt, then a LIST chunk with ODD body size 7 (padded to 8), then data
+    val fmt = cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(22050) ++
+      le32(22050 * 2 * 2) ++ le16(4) ++ le16(16)
+    val list = cc("LIST") ++ le32(7) ++ cc("INFOxyz") ++ Array[Byte](0)
+    val data = cc("data") ++ le32(999)
+    val body = fmt ++ list ++ data
+    val wav = cc("RIFF") ++ le32(4L + body.length) ++ cc("WAVE") ++ body
+    assert(AudioHeaders.wavInfo(wav) == Some((2, 22050, 16, 999L)))
+    // without the pad byte the walk lands mid-chunk and must not parse
+    val unpadded = cc("RIFF") ++
+      le32(4L + body.length - 1) ++ cc("WAVE") ++
+      fmt ++ cc("LIST") ++ le32(7) ++ cc("INFOxyz") ++ data
+    assert(AudioHeaders.wavInfo(unpadded).isEmpty)
+    assert(AudioHeaders.wavInfo(cc("RIFF") ++ le32(0)).isEmpty)
+    assert(AudioHeaders.wavInfo("not audio".getBytes).isEmpty)
+  }
 }
