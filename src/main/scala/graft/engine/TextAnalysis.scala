@@ -375,4 +375,38 @@ object TextAnalysis {
     grams(candidates)
       .join(broadcast(evalSet), Seq("gram_h"), "left_semi")
   }
+
+  /** Sharded inverted-index build: `(tok, df, postings)` where `df` is
+    * the EXACT document frequency and `postings` the first
+    * `maxPostings` doc ids in ascending order — the bounded posting
+    * list a retrieval layer actually serves (full lists for stopwords
+    * are useless AND unbuildable). Tokens are lowercased with
+    * non-ASCII-alpha characters stripped ("The," indexes as "the") so
+    * token equality and sort order agree across engines (q68's
+    * collation discipline).
+    *
+    * The 100 TB discipline is cap-BEFORE-collect (the
+    * `blockedPairwiseTopK` / round-10 LSH pattern): `row_number` over
+    * `(tok → id)` ranks postings pre-aggregation, and `collect_list`
+    * only ever sees rank ≤ `maxPostings` rows (`when` feeds it null
+    * past the cap, and collect_list drops nulls) — no aggregation
+    * buffer ever holds a stopword's full posting list, while `count`
+    * still sees every row for the exact df. One shuffle total: the
+    * window's hash partitioning on `tok` is exactly the aggregation's
+    * requirement, so the groupBy adds no exchange. */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(array_distinct(transform(tokens(lower(trim(col(textCol)))),
+          t => regexp_replace(t, "[^a-z]", "")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col(idCol))
+    toks
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(
+          when(col("_rn") <= maxPostings, col(idCol)))).as("postings"))
+  }
 }

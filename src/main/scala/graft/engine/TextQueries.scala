@@ -663,6 +663,42 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q118_inverted_index",
+      """WITH x AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')),
+        |           '[^a-z]', '', 'g') AS tok
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''),
+        |r AS (SELECT doc_id, tok,
+        |             row_number() OVER (PARTITION BY tok ORDER BY doc_id)
+        |               AS rn
+        |      FROM t)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |       array_to_string(
+        |         list_sort(list(doc_id) FILTER (WHERE rn <= 32)), ',')
+        |         AS postings
+        |FROM r GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+      // Inverted-index build ([[TextAnalysis.invertedIndex]]): exact
+      // document frequency + the first 32 postings per token, capped
+      // BEFORE the collect aggregation (row_number feeds collect_list
+      // null past the cap) so no buffer ever materializes a stopword's
+      // full posting list — the discipline that survives 100 TB, where
+      // "the" would otherwise be a multi-GB single aggregation state.
+      // Postings serialize as a comma-joined sorted string (the q68
+      // list-compare pattern). One shuffle total: the ranking window's
+      // hash partitioning on tok is exactly what the groupBy needs
+      // (plan-gated in TextSpec).
+      TextAnalysis.invertedIndex(
+        table(s, dir, "documents"), "doc_id", "text", maxPostings = 32)
+        .select(col("tok"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy(col("tok"))
+    },
+
+    QuerySpec(
       "q108_curation_pipeline",
       s"""WITH base AS (
          |  SELECT doc_id, text, lang FROM documents

@@ -206,4 +206,29 @@ class TextSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
       "packing moved under repartition")
   }
+
+  test("invertedIndex: exact df, postings capped pre-collect, one shuffle") {
+    import spark.implicits._
+    // 'stop' appears in every doc — with maxPostings=2 its buffer must
+    // hold 2 ids while its df still counts all 40
+    val corpus = (1L to 40L).map(i => (i, "stop " + "u" * i.toInt +
+      (if (i <= 3) " shared" else ""))).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(corpus, "doc_id", "text", 2)
+    val got = idx.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+      .toMap
+    assert(got("stop") == ((40L, List(1L, 2L))), s"${got("stop")}")
+    assert(got("shared") == ((3L, List(1L, 2L))))
+    assert(got("u" * 7) == ((1L, List(7L))))
+    assert(got.size == 42)
+    // plan: the ranking window's hashpartitioning(tok) must be REUSED by
+    // the aggregation — exactly one exchange end to end, and the cap is
+    // a pre-aggregation filter, not a post-collect slice
+    // AQE toString prints Final AND Initial sections — count only Final
+    val exec = idx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val nEx = "Exchange [a-z]".r.findAllIn(exec).length
+    assert(nEx == 1, s"expected 1 exchange, got $nEx:\n$exec")
+    assert(exec.contains("row_number"), "cap must rank before the collect")
+  }
 }
