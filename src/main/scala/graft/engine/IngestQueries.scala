@@ -456,7 +456,66 @@ object IngestQueries {
           round(sum(col("row_total")), 3).as("checksum"))
         .orderBy(col("bucket"))
     }.withBenchSetup((s, _) =>
-      ensureStaged(wideLakePath)(stageWideLake(s))))
+      ensureStaged(wideLakePath)(stageWideLake(s))),
+
+    QuerySpec(
+      "q119_time_travel",
+      """WITH v1 AS (SELECT range AS id, range * 3 + 1 AS value
+        |            FROM range(0, 1000)),
+        |     v2 AS (SELECT range AS id, range * 3 + 1 AS value
+        |            FROM range(1000, 2000)),
+        |     v3 AS (SELECT range AS id, range * 7 AS value
+        |            FROM range(0, 500))
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(value) AS BIGINT) AS total FROM v1
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum(value) AS BIGINT)
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum(value) AS BIGINT) FROM v3
+        |UNION ALL SELECT 4, CAST(count(*) AS BIGINT),
+        |       CAST(sum(value) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin) { (s, _) =>
+      // Time travel over the manifest-log lake ([[VersionedLake]]): the
+      // fixture commits two appends, an overwrite, and a compaction —
+      // four published versions — and the query aggregates EVERY
+      // version's snapshot. The oracle recomputes each version's live
+      // set from the commit formulas, so snapshot isolation is what's
+      // differentially checked: v2 must still see both appends after
+      // v3 overwrote them, and v4 (compaction) must equal v3 exactly —
+      // compaction is a layout commit, never a data change. The
+      // version loop is a driver loop over 4 manifest reads (bounded
+      // metadata, the design's point: no size-of-data work to resolve
+      // a snapshot).
+      val lake = ttLakePath
+      ensureStaged(lake)(stageTimeTravelLake(s))
+      VersionedLake.versions(s, lake).map { v =>
+        VersionedLake.readAt(s, lake, v)
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+          .select(lit(v).as("version"), col("n"), col("total"))
+      }.reduce(_ union _).orderBy(col("version"))
+    }.withBenchSetup((s, _) =>
+      ensureStaged(ttLakePath)(stageTimeTravelLake(s))))
+
+  // ---- q119 versioned-lake fixture -------------------------------------
+
+  private def ttLakePath: String = s"$scratchRoot/tt_lake"
+
+  /** Four commits with closed-form contents (ids and `id`-derived
+    * values), so the oracle can rebuild every version from `range()`
+    * with no fixture reads: append 0..999, append 1000..1999,
+    * overwrite with 0..499 re-valued, then compact. */
+  private def stageTimeTravelLake(s: org.apache.spark.sql.SparkSession): Unit = {
+    val lake = ttLakePath
+    Lake.delete(s, lake)
+    def batch(from: Long, to: Long, value: org.apache.spark.sql.Column) =
+      s.range(from, to).select(col("id"), value.cast("long").as("value"))
+    VersionedLake.commit(batch(0, 1000, col("id") * 3 + 1), lake)
+    VersionedLake.commit(batch(1000, 2000, col("id") * 3 + 1), lake)
+    VersionedLake.commit(batch(0, 500, col("id") * 7), lake,
+      mode = "overwrite")
+    VersionedLake.compactVersions(s, lake)
+  }
 
   // ---- q103 wide-schema fixture ----------------------------------------
 

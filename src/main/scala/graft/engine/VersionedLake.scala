@@ -1,0 +1,141 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned lake with snapshot isolation, time travel, and vacuum —
+  * the manifest-log design (Iceberg/Delta shape, reduced to its load-
+  * bearing core) on plain Parquet + a filesystem:
+  *
+  * ```
+  * <dir>/d-<token>/          one immutable data directory per commit
+  * <dir>/_manifests/v00007   one manifest per version: the FULL live
+  *                           set, one data-dir name per line
+  * ```
+  *
+  * A commit writes its data directory FIRST, then publishes a manifest
+  * whose name embeds the next version number, created with
+  * `overwrite = false` — the create is the commit's compare-and-swap:
+  * of two racing writers, exactly one creates `v00008`; the loser
+  * re-reads the new live set and retries at `v00009` (its data dir is
+  * already on disk — only the pointer write repeats). Readers list
+  * manifests and read data dirs that are never mutated after publish,
+  * so every version is a consistent snapshot with no read locks; a
+  * crash before the manifest create leaves an unreferenced data dir
+  * (invisible, swept by [[vacuum]]), never a torn version.
+  *
+  * At 100 TB nothing here is size-of-data: a commit's CAS is one
+  * create RPC, readers resolve a snapshot with one list + one read,
+  * and [[vacuum]] deletes by manifest difference — no directory walk
+  * over data. (On HDFS/local, `create(overwrite=false)` is atomic; an
+  * object store without atomic create would supply its CAS primitive —
+  * conditional PUT — behind the same protocol.)
+  *
+  * The reference keeps one mutable lake with no version history
+  * (sparkle-v9.py:128-138 overwrite-style append); this module is the
+  * missing production discipline: concurrent writers can't corrupt the
+  * lake, and yesterday's training run stays reproducible against
+  * yesterday's version.
+  */
+object VersionedLake {
+
+  private val ManifestDir = "_manifests"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Int): Path =
+    new Path(s"$dir/$ManifestDir/v${"%05d".format(v)}")
+
+  /** Published versions, ascending; empty for a non-existent lake. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val md = new Path(s"$dir/$ManifestDir")
+    val f = fs(spark, dir)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt).sorted
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] = {
+    val in = fs(spark, dir).open(manifestPath(dir, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version. `mode` "append" carries the
+    * previous live set forward plus the new data dir; "overwrite"
+    * replaces it. Returns the published version number. */
+  def commit(df: DataFrame, dir: String, mode: String = "append",
+      codec: String = "snappy"): Int = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val token = java.util.UUID.randomUUID.toString.take(12)
+    val dataDir = s"d-$token"
+    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    var committed = -1
+    while (committed < 0) {
+      val prev = versions(spark, dir)
+      val next = prev.lastOption.getOrElse(0) + 1
+      val live =
+        if (mode == "overwrite" || prev.isEmpty) Seq(dataDir)
+        else readManifest(spark, dir, prev.last) :+ dataDir
+      // the CAS: create-no-overwrite; a racing writer that published
+      // `next` first makes this throw — recompute against the new tip
+      // and retry (data dir already durable, only the pointer repeats)
+      try {
+        val out = f.create(manifestPath(dir, next), false)
+        try out.write(live.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        committed = next
+      } catch {
+        case e: java.io.IOException =>
+          // retry ONLY a lost race (the loser's manifest now exists);
+          // a real IO failure must not spin
+          if (!f.exists(manifestPath(dir, next))) throw e
+      }
+    }
+    committed
+  }
+
+  /** Snapshot read of one published version — fails loudly on a
+    * version that never existed or was vacuumed. */
+  def readAt(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val dirs = readManifest(spark, dir, v)
+    spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+  }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    readAt(spark, dir, vs.last)
+  }
+
+  /** Rewrite the current live set as ONE data directory and publish it
+    * as a new version (small-file compaction as a commit, not a swap:
+    * older versions keep reading their own manifests, so there is no
+    * rename window and nothing to recover — compare
+    * [[Lake.recoverCrashedSwap]], which versioning makes unnecessary). */
+  def compactVersions(spark: SparkSession, dir: String,
+      codec: String = "snappy"): Int =
+    commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
+
+  /** Drop history: delete manifests older than the newest `retain`
+    * versions, then delete data dirs no retained manifest references —
+    * including orphans from crashed commits. Membership math on
+    * manifest CONTENTS, one bounded directory list to find candidates;
+    * data-dir deletes are recursive but only on the garbage set. */
+  def vacuum(spark: SparkSession, dir: String, retain: Int): Unit = {
+    require(retain >= 1, "must retain at least the latest version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    f.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
+      .foreach(p => f.delete(p, true))
+  }
+}

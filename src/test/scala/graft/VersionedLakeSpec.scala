@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** The manifest-log contract: every published version is an immutable
+  * snapshot, the manifest create is the commit CAS, vacuum deletes
+  * exactly the unreferenced difference. */
+class VersionedLakeSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("append/overwrite commits version in order; every version stays " +
+      "a readable snapshot; compaction is a commit, not a mutation") {
+    import spark.implicits._
+    val dir = tempDir("vlake") + "/lake"
+    val v1 = VersionedLake.commit(spark.range(0, 100).toDF("id"), dir)
+    val v2 = VersionedLake.commit(spark.range(100, 200).toDF("id"), dir)
+    val v3 = VersionedLake.commit(
+      spark.range(0, 50).toDF("id"), dir, mode = "overwrite")
+    assert(Seq(v1, v2, v3) == Seq(1, 2, 3))
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2, 3))
+    // time travel: each version is exactly what was live at commit time
+    assert(ids(VersionedLake.readAt(spark, dir, 1)) == (0L until 100L))
+    assert(ids(VersionedLake.readAt(spark, dir, 2)) == (0L until 200L))
+    assert(ids(VersionedLake.readAt(spark, dir, 3)) == (0L until 50L))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 50L))
+    // compaction publishes v4 with the same rows; v1-v3 still read
+    val v4 = VersionedLake.compactVersions(spark, dir)
+    assert(v4 == 4)
+    assert(ids(VersionedLake.readAt(spark, dir, 4)) == (0L until 50L))
+    assert(ids(VersionedLake.readAt(spark, dir, 2)) == (0L until 200L))
+  }
+
+  test("commit CAS: a racing writer's manifest forces a retry that " +
+      "carries the winner's data forward") {
+    import spark.implicits._
+    val dir = tempDir("vlake-cas") + "/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    // simulate a racing writer owning v2: commit it through the real
+    // protocol, then check a subsequent append lands at v3 with BOTH
+    val racer = VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    assert(racer == 2)
+    val mine = VersionedLake.commit(spark.range(20, 30).toDF("id"), dir)
+    assert(mine == 3)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 30L))
+    // and a manifest name that ALREADY exists is never overwritten:
+    // manually occupy v4, then commit — it must land at v5, preserving
+    // the interloper's version as published
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00004")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false)
+    // interloper publishes an overwrite manifest pointing at v1's dir
+    val v1dir = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("d-")).head
+    try out.write(v1dir.getBytes("UTF-8")) finally out.close()
+    val after = VersionedLake.commit(spark.range(30, 40).toDF("id"), dir)
+    assert(after == 5)
+    // the retry appended onto the INTERLOPER's live set (the new tip)
+    val got = ids(VersionedLake.readAt(spark, dir, 5))
+    assert(got.length == 20 && got.containsSlice(30L until 40L))
+  }
+
+  test("vacuum keeps the newest retained versions readable and deletes " +
+      "everything else, including orphaned data dirs") {
+    import spark.implicits._
+    val dir = tempDir("vlake-vac") + "/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir,
+      mode = "overwrite")
+    VersionedLake.commit(spark.range(5, 9).toDF("id"), dir)
+    // orphan: a data dir with no manifest (crash before the CAS)
+    spark.range(900, 950).toDF("id").write.parquet(s"$dir/d-orphan")
+    VersionedLake.vacuum(spark, dir, retain = 2)
+    assert(VersionedLake.versions(spark, dir) == Seq(3, 4))
+    assert(ids(VersionedLake.readAt(spark, dir, 3)) == (0L until 5L))
+    assert(ids(VersionedLake.readAt(spark, dir, 4)) == (0L until 9L))
+    intercept[Exception](VersionedLake.readAt(spark, dir, 2).collect())
+    // v1/v2-only data dirs and the orphan are gone; retained dirs stay
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+    assert(!dataDirs("d-orphan"))
+    assert(dataDirs.size == 2, s"expected exactly v3+v4 dirs: $dataDirs")
+    // a vacuumed lake still accepts commits
+    val v5 = VersionedLake.commit(spark.range(100, 101).toDF("id"), dir)
+    assert(v5 == 5)
+    assert(ids(VersionedLake.readLatest(spark, dir)) ==
+      ((0L until 9L) ++ Seq(100L)))
+  }
+}
