@@ -495,6 +495,43 @@ object IngestQueries {
           .select(lit(v).as("version"), col("n"), col("total"))
       }.reduce(_ union _).orderBy(col("version"))
     }.withBenchSetup((s, _) =>
+      ensureStaged(ttLakePath)(stageTimeTravelLake(s))),
+
+    QuerySpec(
+      "q120_version_changes",
+      """WITH v2b AS (SELECT range AS id, range * 3 + 1 AS value
+        |             FROM range(1000, 2000)),
+        |     s2 AS (SELECT range AS id, range * 3 + 1 AS value
+        |            FROM range(0, 2000)),
+        |     v3 AS (SELECT range AS id, range * 7 AS value
+        |            FROM range(0, 500))
+        |SELECT 1 AS from_v, 2 AS to_v, 'insert' AS op,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(value) AS BIGINT) AS total FROM v2b
+        |UNION ALL SELECT 2, 3, 'delete', CAST(count(*) AS BIGINT),
+        |       CAST(sum(value) AS BIGINT) FROM s2
+        |UNION ALL SELECT 2, 3, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(value) AS BIGINT) FROM v3
+        |ORDER BY from_v, to_v, op""".stripMargin) { (s, _) =>
+      // Incremental change reads ([[VersionedLake.changes]]): v1→v2 is
+      // an append-only step, so the changes are resolved from manifest
+      // metadata and ONLY the added files are read (no row diff, no
+      // shuffle — VersionedLakeSpec pins the plan); v2→v3 crosses an
+      // overwrite, so it falls back to the snapshot multiset diff.
+      // The oracle rebuilds both answers from the commit formulas:
+      // every v2-snapshot row is a delete and every v3 row an insert
+      // across the overwrite (no row survives: 3·id+1 = 7·id has no
+      // integer solution — chosen so the diff is closed-form).
+      val lake = ttLakePath
+      ensureStaged(lake)(stageTimeTravelLake(s))
+      Seq((1, 2), (2, 3)).map { case (f, t) =>
+        VersionedLake.changes(s, lake, f, t)
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+          .select(lit(f).as("from_v"), lit(t).as("to_v"), col("op"),
+            col("n"), col("total"))
+      }.reduce(_ union _).orderBy(col("from_v"), col("to_v"), col("op"))
+    }.withBenchSetup((s, _) =>
       ensureStaged(ttLakePath)(stageTimeTravelLake(s))))
 
   // ---- q119 versioned-lake fixture -------------------------------------

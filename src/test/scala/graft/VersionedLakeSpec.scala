@@ -64,6 +64,35 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(got.length == 20 && got.containsSlice(30L until 40L))
   }
 
+  test("changes: append steps read only added files with no row diff; " +
+      "overwrite steps fall back to the snapshot multiset diff") {
+    import spark.implicits._
+    val dir = tempDir("vlake-chg") + "/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    VersionedLake.commit(spark.range(5, 8).toDF("id"), dir,
+      mode = "overwrite")
+    // fast path: the plan must be a plain scan of the delta — no
+    // exceptAll aggregation, and only ONE data dir in the scan
+    val fast = VersionedLake.changes(spark, dir, 1, 2)
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Except"), s"append step must not row-diff:\n$plan")
+    val scannedDirs = fast.inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(scannedDirs.length == 1, "fast path must read only the delta dir")
+    assert(ids(fast.filter(col("op") === "insert")) == (10L until 20L))
+    assert(fast.count() == 10)
+    // fallback: overwrite crossing — full diff both ways
+    val slow = VersionedLake.changes(spark, dir, 2, 3)
+    assert(ids(slow.filter(col("op") === "delete")) ==
+      ((0L until 5L) ++ (8L until 20L)))
+    assert(slow.filter(col("op") === "insert").count() == 0,
+      "5..7 survive the overwrite — re-inserting identical rows is not a change")
+    // degenerate: identical manifests → empty changes, zero data read
+    val v4 = VersionedLake.commit(spark.range(8, 9).toDF("id"), dir)
+    assert(VersionedLake.changes(spark, dir, 3, v4).count() == 1)
+  }
+
   test("vacuum keeps the newest retained versions readable and deletes " +
       "everything else, including orphaned data dirs") {
     import spark.implicits._
