@@ -409,4 +409,37 @@ object TextAnalysis {
         sort_array(collect_list(
           when(col("_rn") <= maxPostings, col(idCol)))).as("postings"))
   }
+
+  /** BPE merge-pair statistics — the first step of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair weighted
+    * by how often its word occurs, and keep the `topK` candidates
+    * (ties broken by pair ascending, so the result is deterministic).
+    * The highest-frequency pair is exactly what BPE's first merge
+    * would fuse.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table
+    * FIRST (one hash aggregation, output bounded by the vocabulary,
+    * which grows ~log of corpus size — Heaps' law), and the character-
+    * pair explosion runs over VOCAB rows with a `sum(weight)`
+    * aggregation, never over the corpus. At 100 TB that is the
+    * difference between exploding ~10^6 vocab entries and exploding
+    * ~10^13 running words. Words shorter than 2 chars are filtered
+    * BEFORE the index sequence so its bound can never go negative
+    * (Spark's `sequence(1, 0)` silently generates a DESCENDING
+    * range — the [[sharedNgrams]] guard). */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val wordCounts = df
+      .select(explode(tokens(lower(trim(col(textCol))))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    wordCounts
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

@@ -699,6 +699,33 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q121_bpe_pairs",
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |           AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w WHERE w <> '' GROUP BY w),
+        |p AS (
+        |  SELECT wc,
+        |         unnest([substr(w, i, 2) FOR i IN range(1, length(w))])
+        |           AS pair
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        |FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      // BPE merge-pair statistics ([[TextAnalysis.bpePairStats]]): the
+      // tokenizer-training first step. The corpus collapses to the
+      // word-frequency table before the pair explosion, so pairs are
+      // counted over VOCAB rows ×  weight — at 100 TB the explosion
+      // touches ~10^6 vocabulary entries, not ~10^13 running words.
+      // Deterministic across engines: binary string sort on the pair
+      // tiebreak, exact integer weights, bounded output (top-20 plans
+      // TakeOrderedAndProject — per-partition heaps, no global sort).
+      TextAnalysis.bpePairStats(table(s, dir, "documents"), "text",
+        topK = 20)
+    },
+
+    QuerySpec(
       "q108_curation_pipeline",
       s"""WITH base AS (
          |  SELECT doc_id, text, lang FROM documents

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val mustTopK = Set(
     "q02_project_scalar", "q03_topk", "q08_outer_join",
     "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh",
-    "q102_ann_partition_prune", "q111_weighted_sample")
+    "q102_ann_partition_prune", "q111_weighted_sample", "q121_bpe_pairs")
 
   /** Dimension-join queries MUST broadcast their dims: a fact⋈dim that
     * plans a SortMergeJoin shuffles the fact side — the single most

@@ -231,4 +231,35 @@ class TextSpec extends AnyFunSuite {
     assert(nEx == 1, s"expected 1 exchange, got $nEx:\n$exec")
     assert(exec.contains("row_number"), "cap must rank before the collect")
   }
+
+  test("bpePairStats: pair counts weight by word frequency, explode over " +
+      "vocab not corpus, 1-char words safe") {
+    import spark.implicits._
+    // "ab" ×3, "abc" ×2, "a" ×4 (must not explode), "" via whitespace
+    val corpus = Seq(
+      (1L, "ab ab a a"), (2L, "ab abc a"), (3L, "abc a  ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(corpus, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ab: 3 (from "ab") + 2 (from "abc") = 5; bc: 2
+    assert(got == Seq(("ab", 5L), ("bc", 2L)))
+    // the pair explosion's Generate must sit above the word-frequency
+    // aggregate — pairs are counted over VOCAB rows, not corpus rows
+    val plan = TextAnalysis.bpePairStats(corpus, "text", 10)
+      .queryExecution.optimizedPlan
+    def generateAboveAggregate(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        seenGenerate: Boolean): Boolean = p match {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.prettyName == "explode" &&
+            g.output.exists(_.name == "pair") =>
+        g.children.exists(generateAboveAggregate(_, seenGenerate = true))
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        seenGenerate || a.children.exists(generateAboveAggregate(_, false))
+      case other =>
+        other.children.exists(generateAboveAggregate(_, seenGenerate))
+    }
+    assert(generateAboveAggregate(plan, seenGenerate = false),
+      s"pair explode must run over the aggregated vocab:\n$plan")
+  }
 }
