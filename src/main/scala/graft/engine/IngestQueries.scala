@@ -459,6 +459,35 @@ object IngestQueries {
       ensureStaged(wideLakePath)(stageWideLake(s))),
 
     QuerySpec(
+      "q122_orc_source",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // ORC source/sink (fourth format after CSV, parquet, JSON): a
+      // deterministic events slice round-trips through an ORC write +
+      // explicit-schema read, then aggregates. DuckDB has no ORC
+      // reader, so the oracle recomputes the SAME aggregation from the
+      // source parquet — which makes value preservation across the
+      // format boundary the thing under test: a type narrowed, a row
+      // dropped, or a double perturbed by the ORC writer breaks the
+      // hash. Columnar-format parity also pins scan pushdown: the ORC
+      // reader, like parquet's, serves the pruned 4-column projection
+      // from stripe metadata rather than materializing full rows.
+      ensureStaged(orcSrcPath(dir))(stageOrcSrc(s, dir))
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .orc(orcSrcPath(dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(orcSrcPath(dir))(stageOrcSrc(s, dir))),
+
+    QuerySpec(
       "q119_time_travel",
       """WITH v1 AS (SELECT range AS id, range * 3 + 1 AS value
         |            FROM range(0, 1000)),
@@ -533,6 +562,22 @@ object IngestQueries {
       }.reduce(_ union _).orderBy(col("from_v"), col("to_v"), col("op"))
     }.withBenchSetup((s, _) =>
       ensureStaged(ttLakePath)(stageTimeTravelLake(s))))
+
+  // ---- q122 ORC fixture ------------------------------------------------
+
+  private def orcSrcPath(dir: String): String =
+    s"$scratchRoot/orc_src_${new java.io.File(dir).getName}"
+
+  private def stageOrcSrc(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val out = orcSrcPath(dir)
+    Lake.delete(s, out)
+    Tables.table(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.orc(out)
+  }
 
   // ---- q119 versioned-lake fixture -------------------------------------
 

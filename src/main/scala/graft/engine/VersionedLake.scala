@@ -101,10 +101,16 @@ object VersionedLake {
   }
 
   /** Snapshot read of one published version — fails loudly on a
-    * version that never existed or was vacuumed. */
+    * version that never existed or was vacuumed. `mergeSchema` because
+    * commits may add columns over time (schema evolution): a snapshot
+    * whose live set spans the addition reads the union schema, nulls
+    * where old files lack the column. Footer-merge cost is per data
+    * dir in the snapshot, not per row — metadata-bounded like
+    * everything else here. */
   def readAt(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val dirs = readManifest(spark, dir, v)
-    spark.read.parquet(dirs.map(d => s"$dir/$d"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$dir/$d"): _*)
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {

@@ -64,6 +64,21 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(got.length == 20 && got.containsSlice(30L until 40L))
   }
 
+  test("schema evolution: a commit adding a column widens the snapshot; " +
+      "older files read null for it; older versions keep the old schema") {
+    import spark.implicits._
+    val dir = tempDir("vlake-evo") + "/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    VersionedLake.commit(
+      spark.range(5, 8).select(col("id"), lit("en").as("lang")), dir)
+    val latest = VersionedLake.readLatest(spark, dir)
+    assert(latest.columns.sorted.toSeq == Seq("id", "lang"))
+    assert(latest.filter(col("lang").isNull).count() == 5)
+    assert(latest.filter(col("lang") === "en").count() == 3)
+    // time travel predates the column entirely
+    assert(VersionedLake.readAt(spark, dir, 1).columns.toSeq == Seq("id"))
+  }
+
   test("changes: append steps read only added files with no row diff; " +
       "overwrite steps fall back to the snapshot multiset diff") {
     import spark.implicits._
