@@ -264,6 +264,29 @@ object Streaming {
     drain(q, s"stream drain into $dir")
   }
 
+  /** Stream → versioned lake with EXACTLY-ONCE batch commits: each
+    * micro-batch publishes one [[VersionedLake]] version whose data-dir
+    * tag is the batch id, so a foreachBatch replay (checkpoint
+    * recovery re-runs the last uncommitted batch) finds its tag already
+    * referenced and no-ops — the sink is idempotent by the manifest
+    * log, not by row-level dedup (compare [[streamToLake]], which
+    * pays a mergeAppend anti-join per batch for the same guarantee).
+    * Every drained batch is also a readable snapshot: downstream
+    * consumers get [[VersionedLake.changes]]' append fast path per
+    * batch — incremental consumption of a stream's history. */
+  def streamToVersionedLake(df: DataFrame, dir: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        VersionedLake.commitTagged(batch, dir, s"b$id")
+        ()
+      }
+      .start()
+    drain(q, s"stream drain into versioned $dir")
+  }
+
   /** Await a bounded AvailableNow drain and stop the query. ONE
     * definition of the partial-drain contract shared by every drain
     * path: `awaitTermination(timeout)` returns FALSE on timeout, and

@@ -178,5 +178,33 @@ object StreamingQueries {
         Streaming.followWithin(ev, threshold = 95.0),
         "q85_ssjoin", outputMode = "append")
         .orderBy(col("trigger_id"), col("follow_id"))
+    },
+
+    QuerySpec(
+      "q123_stream_versioned",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Stream → versioned lake ([[Streaming.streamToVersionedLake]]):
+      // every micro-batch commits as one manifest-log version tagged
+      // with its batch id, so the EXACTLY-ONCE guarantee is the CAS +
+      // tag membership, not row-level dedup. After the drain, a
+      // simulated foreachBatch REPLAY of batch 0 (the checkpoint-
+      // recovery shape) must no-op — asserted inline, and the final
+      // per-type accounting must equal the raw events table, so a
+      // double-committed or dropped batch breaks the hash either way.
+      val root = s"${graft.Sessions.scratchRoot}/vstream_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, root)
+      Streaming.streamToVersionedLake(Streaming.eventsStream(s, dir),
+        s"$root/lake", s"$root/cp")
+      val replay = VersionedLake.commitTagged(
+        VersionedLake.readLatest(s, s"$root/lake"), s"$root/lake", "b0")
+      require(replay.isEmpty, "replayed batch 0 must not re-commit")
+      VersionedLake.readLatest(s, s"$root/lake")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
     })
 }

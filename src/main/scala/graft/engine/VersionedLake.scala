@@ -70,31 +70,72 @@ object VersionedLake {
   def commit(df: DataFrame, dir: String, mode: String = "append",
       codec: String = "snappy"): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
-    val spark = df.sparkSession
-    val f = fs(spark, dir)
-    val token = java.util.UUID.randomUUID.toString.take(12)
-    val dataDir = s"d-$token"
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    publish(df.sparkSession, dir, dataDir, mode)
+  }
+
+  /** Exactly-once commit for RETRIED writers (foreachBatch replays,
+    * task restarts): the data dir name derives from `tag`, so a replay
+    * of an already-published tag is detected by manifest membership and
+    * no-ops (returns None); a crash AFTER the data write but BEFORE the
+    * manifest publish left an unreferenced dir, which the retry
+    * REWRITES (delete + write) before publishing — either way exactly
+    * one version ever references the tag. The membership scan is over
+    * manifest CONTENTS (bounded metadata); [[vacuum]] retention must
+    * exceed the writer's replay horizon or a resurrected ancient tag
+    * would re-commit (for a streaming checkpoint that horizon is one
+    * batch). */
+  def commitTagged(df: DataFrame, dir: String, tag: String,
+      codec: String = "snappy"): Option[Int] = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe tag $tag")
+    val spark = df.sparkSession
+    val dataDir = s"d-$tag"
+    val published = versions(spark, dir)
+      .exists(v => readManifest(spark, dir, v).contains(dataDir))
+    if (published) None
+    else {
+      val f = fs(spark, dir)
+      f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
+      df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+      Some(publish(spark, dir, dataDir, mode = "append"))
+    }
+  }
+
+  /** The commit CAS: create-no-overwrite of the next manifest; a racing
+    * writer that published first makes the create throw — recompute
+    * against the new tip and retry (the data dir is already durable,
+    * only the pointer write repeats). */
+  private def publish(spark: SparkSession, dir: String, dataDir: String,
+      mode: String): Int = {
+    val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
       val prev = versions(spark, dir)
       val next = prev.lastOption.getOrElse(0) + 1
-      val live =
-        if (mode == "overwrite" || prev.isEmpty) Seq(dataDir)
-        else readManifest(spark, dir, prev.last) :+ dataDir
-      // the CAS: create-no-overwrite; a racing writer that published
-      // `next` first makes this throw — recompute against the new tip
-      // and retry (data dir already durable, only the pointer repeats)
-      try {
-        val out = f.create(manifestPath(dir, next), false)
-        try out.write(live.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        committed = next
-      } catch {
-        case e: java.io.IOException =>
-          // retry ONLY a lost race (the loser's manifest now exists);
-          // a real IO failure must not spin
-          if (!f.exists(manifestPath(dir, next))) throw e
+      val prevLive =
+        if (prev.isEmpty) Seq.empty[String]
+        else readManifest(spark, dir, prev.last)
+      // a CAS-retry (or a racing same-tag replay) may find its dir
+      // already published at the new tip — appending it AGAIN would
+      // double-count the rows; the existing version is the commit
+      if (mode == "append" && prevLive.contains(dataDir)) {
+        committed = prev.last
+      } else {
+        val live =
+          if (mode == "overwrite" || prev.isEmpty) Seq(dataDir)
+          else prevLive :+ dataDir
+        try {
+          val out = f.create(manifestPath(dir, next), false)
+          try out.write(live.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          committed = next
+        } catch {
+          case e: java.io.IOException =>
+            // retry ONLY a lost race (the loser's manifest now
+            // exists); a real IO failure must not spin
+            if (!f.exists(manifestPath(dir, next))) throw e
+        }
       }
     }
     committed

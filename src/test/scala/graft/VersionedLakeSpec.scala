@@ -64,6 +64,50 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(got.length == 20 && got.containsSlice(30L until 40L))
   }
 
+  test("commitTagged: replays no-op, a crash-orphaned data dir is " +
+      "rewritten, and exactly one version ever references the tag") {
+    import spark.implicits._
+    val dir = tempDir("vlake-tag") + "/lake"
+    assert(VersionedLake.commitTagged(
+      spark.range(0, 10).toDF("id"), dir, "b0") == Some(1))
+    // replay with DIFFERENT data must not publish (the tag is the batch
+    // identity — a foreachBatch retry re-offers the same batch)
+    assert(VersionedLake.commitTagged(
+      spark.range(100, 200).toDF("id"), dir, "b0").isEmpty)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 10L))
+    assert(VersionedLake.versions(spark, dir) == Seq(1))
+    // crash shape: data dir written, manifest never published — the
+    // retry must rewrite the orphan and publish exactly once
+    spark.range(500, 510).toDF("id").write.parquet(s"$dir/d-b1")
+    assert(VersionedLake.commitTagged(
+      spark.range(10, 15).toDF("id"), dir, "b1") == Some(2))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 15L),
+      "orphan content must be replaced by the retried batch")
+    intercept[IllegalArgumentException](
+      VersionedLake.commitTagged(spark.range(1).toDF("id"), dir, "../evil"))
+  }
+
+  test("streamToVersionedLake: a drained stream lands as tagged " +
+      "versions; redelivery under the same tags cannot double-commit") {
+    import spark.implicits._
+    val root = tempDir("vlake-stream")
+    val src = s"$root/in"
+    (0L until 20L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.parquet(src)
+    def drain(cp: String): Unit = Streaming.streamToVersionedLake(
+      spark.readStream.schema("id LONG, v LONG").parquet(src),
+      s"$root/lake", cp)
+    drain(s"$root/cp1")
+    assert(ids(VersionedLake.readLatest(spark, s"$root/lake")) ==
+      (0L until 20L))
+    val vsAfterFirst = VersionedLake.versions(spark, s"$root/lake")
+    // whole-input redelivery under a FRESH checkpoint restarts batch
+    // ids at 0 — identical tags, so nothing may re-commit
+    drain(s"$root/cp2")
+    assert(VersionedLake.versions(spark, s"$root/lake") == vsAfterFirst)
+    assert(VersionedLake.readLatest(spark, s"$root/lake").count() == 20)
+  }
+
   test("schema evolution: a commit adding a column widens the snapshot; " +
       "older files read null for it; older versions keep the old schema") {
     import spark.implicits._
