@@ -561,6 +561,35 @@ object IngestQueries {
             col("n"), col("total"))
       }.reduce(_ union _).orderBy(col("from_v"), col("to_v"), col("op"))
     }.withBenchSetup((s, _) =>
+      ensureStaged(ttLakePath)(stageTimeTravelLake(s))),
+
+    QuerySpec(
+      "q124_incremental_agg",
+      """SELECT range % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(range * 7) AS BIGINT) AS total
+        |FROM range(0, 500) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+      // Incremental materialized-view maintenance
+      // ([[MaterializedView.refresh]]): a grouped (count, sum) view is
+      // brought forward across the versioned lake's history ONE VERSION
+      // AT A TIME — the append step applies only the delta files
+      // (manifest fast path), the overwrite step applies the snapshot
+      // diff as negative deltas, the compaction step is a data no-op —
+      // and the final view must equal a from-scratch aggregate of the
+      // latest snapshot, which the oracle rebuilds closed-form. A
+      // wrong sign, a double-applied batch, or a key that failed to
+      // leave at n=0 breaks the hash. The view is itself a versioned
+      // lake tagged upto<N>, so re-running the refresh loop (bench
+      // warmup, replay) no-ops by tag membership.
+      val lake = ttLakePath
+      ensureStaged(lake)(stageTimeTravelLake(s))
+      val mv = s"$scratchRoot/tt_mv"
+      VersionedLake.versions(s, lake).foreach(v =>
+        MaterializedView.refresh(s, lake, mv, "bucket", "value",
+          upTo = Some(v)))
+      VersionedLake.readLatest(s, mv)
+        .select(col("bucket"), col("n"), col("total"))
+        .orderBy(col("bucket"))
+    }.withBenchSetup((s, _) =>
       ensureStaged(ttLakePath)(stageTimeTravelLake(s))))
 
   // ---- q122 ORC fixture ------------------------------------------------
@@ -586,12 +615,14 @@ object IngestQueries {
   /** Four commits with closed-form contents (ids and `id`-derived
     * values), so the oracle can rebuild every version from `range()`
     * with no fixture reads: append 0..999, append 1000..1999,
-    * overwrite with 0..499 re-valued, then compact. */
+    * overwrite with 0..499 re-valued, then compact. `bucket` is the
+    * grouping key q124's materialized view maintains over. */
   private def stageTimeTravelLake(s: org.apache.spark.sql.SparkSession): Unit = {
     val lake = ttLakePath
     Lake.delete(s, lake)
     def batch(from: Long, to: Long, value: org.apache.spark.sql.Column) =
-      s.range(from, to).select(col("id"), value.cast("long").as("value"))
+      s.range(from, to).select(col("id"), value.cast("long").as("value"),
+        pmod(col("id"), lit(10L)).as("bucket"))
     VersionedLake.commit(batch(0, 1000, col("id") * 3 + 1), lake)
     VersionedLake.commit(batch(1000, 2000, col("id") * 3 + 1), lake)
     VersionedLake.commit(batch(0, 500, col("id") * 7), lake,

@@ -87,8 +87,9 @@ object VersionedLake {
     * would re-commit (for a streaming checkpoint that horizon is one
     * batch). */
   def commitTagged(df: DataFrame, dir: String, tag: String,
-      codec: String = "snappy"): Option[Int] = {
+      mode: String = "append", codec: String = "snappy"): Option[Int] = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe tag $tag")
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
     val dataDir = s"d-$tag"
     val published = versions(spark, dir)
@@ -98,9 +99,16 @@ object VersionedLake {
       val f = fs(spark, dir)
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
       df.write.option("compression", codec).parquet(s"$dir/$dataDir")
-      Some(publish(spark, dir, dataDir, mode = "append"))
+      Some(publish(spark, dir, dataDir, mode))
     }
   }
+
+  /** Tags of a version's data dirs (the `d-` prefix stripped) — how
+    * tagged writers recover their own progress from the manifest
+    * itself instead of a side state file. */
+  def readManifestTags(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] =
+    readManifest(spark, dir, v).map(_.stripPrefix("d-"))
 
   /** The commit CAS: create-no-overwrite of the next manifest; a racing
     * writer that published first makes the create throw — recompute
