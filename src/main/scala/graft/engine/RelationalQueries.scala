@@ -136,7 +136,30 @@ object RelationalQueries {
       |HAVING SUM(amount) > (SELECT SUM(amount) / 100.0 FROM d)
       |ORDER BY bucket""".stripMargin
 
+  /** ONE ANSI text through both engines: correlated LATERAL subquery
+    * with per-row ORDER BY + LIMIT — the "top-N related rows per outer
+    * row" idiom (the last common Athena idiom class after q21/q77-q79/
+    * q99/q104). Both engines decorrelate it to a ranked join rather
+    * than executing the subquery per row; the inner ORDER BY is a
+    * total order (price, then key), so the kept pair is engine-
+    * independent. The outer filter keeps the result bounded at any
+    * sf. */
+  private val SqlLateralTopN =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |     LATERAL (SELECT o_orderkey, o_totalprice
+      |              FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey
+      |              LIMIT 2) t
+      |WHERE c.c_custkey % 50 = 0
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q125_sql_lateral", SqlLateralTopN) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(SqlLateralTopN)
+    },
 
     // ----- aggregation family (A4) ---------------------------------------
     QuerySpec(
