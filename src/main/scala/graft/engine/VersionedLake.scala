@@ -91,15 +91,27 @@ object VersionedLake {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe tag $tag")
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
+    val f = fs(spark, dir)
     val dataDir = s"d-$tag"
-    val published = versions(spark, dir)
+    // O(1) replay check: a marker per published tag, written AFTER the
+    // manifest publish. Without it every commit would scan the whole
+    // manifest history for membership — O(versions) per commit,
+    // quadratic over a long-running stream's life. The marker can only
+    // UNDER-report (crash between publish and marker write), so a
+    // marker miss falls back to the exact newest-first manifest scan —
+    // which in that rare case finds the tag in the newest manifests
+    // and still exits early.
+    val marker = new Path(s"$dir/_tags/$tag")
+    lazy val inManifests = versions(spark, dir).reverseIterator
       .exists(v => readManifest(spark, dir, v).contains(dataDir))
-    if (published) None
+    if (f.exists(marker) || inManifests) None
     else {
-      val f = fs(spark, dir)
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
       df.write.option("compression", codec).parquet(s"$dir/$dataDir")
-      Some(publish(spark, dir, dataDir, mode))
+      val v = publish(spark, dir, dataDir, mode)
+      val out = f.create(marker, true)
+      out.close()
+      Some(v)
     }
   }
 
@@ -229,5 +241,12 @@ object VersionedLake {
     f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
       .foreach(p => f.delete(p, true))
+    // drop tag markers whose data dir was just vacuumed, keeping the
+    // marker set aligned with what the manifests can still answer
+    val tagDir = new Path(s"$dir/_tags")
+    if (f.exists(tagDir))
+      f.listStatus(tagDir).toSeq.map(_.getPath)
+        .filter(p => !liveDirs(s"d-${p.getName}"))
+        .foreach(p => f.delete(p, false))
   }
 }

@@ -85,6 +85,15 @@ class VersionedLakeSpec extends AnyFunSuite {
       "orphan content must be replaced by the retried batch")
     intercept[IllegalArgumentException](
       VersionedLake.commitTagged(spark.range(1).toDF("id"), dir, "../evil"))
+    // crash BETWEEN publish and marker write: the marker is gone but
+    // the manifest references the tag — the replay must still no-op
+    // via the manifest-scan fallback
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tags/b1"), false)
+    assert(VersionedLake.commitTagged(
+      spark.range(999, 1000).toDF("id"), dir, "b1").isEmpty)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 15L))
   }
 
   test("streamToVersionedLake: a drained stream lands as tagged " +
