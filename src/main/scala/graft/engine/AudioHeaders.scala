@@ -120,6 +120,10 @@ object AudioHeaders {
       } else if (fourcc(i, Data)) {
         return fmt.map { case (ch, rate, bits) => (ch, rate, bits, size) }
       }
+      // a corrupt size whose Int cast wraps negative would walk the
+      // cursor BACKWARD and spin forever; any non-data chunk claiming
+      // more bytes than remain is equally unparseable — reject both
+      if (size > payload.length - i - 8) return None
       i += 8 + size.toInt + (size.toInt & 1) // odd bodies pad one byte
     }
     None

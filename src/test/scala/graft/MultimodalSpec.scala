@@ -199,5 +199,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioHeaders.wavInfo(unpadded).isEmpty)
     assert(AudioHeaders.wavInfo(cc("RIFF") ++ le32(0)).isEmpty)
     assert(AudioHeaders.wavInfo("not audio".getBytes).isEmpty)
+    // corrupt chunk size near u32 max wraps negative through toInt —
+    // must reject, not walk the cursor backward forever
+    val evil = cc("RIFF") ++ le32(100) ++ cc("WAVE") ++
+      cc("JUNK") ++ le32(0xfffffff0L) ++ fmt ++ data
+    assert(AudioHeaders.wavInfo(evil).isEmpty)
   }
 }
