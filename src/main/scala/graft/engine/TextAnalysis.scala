@@ -410,6 +410,52 @@ object TextAnalysis {
           when(col("_rn") <= maxPostings, col(idCol)))).as("postings"))
   }
 
+  /** Bigram cross-entropy scoring with Jelinek–Mercer interpolation —
+    * the LM-quality filter one order above [[unigramSurprisal]]: each
+    * document scores the mean surprisal −ln p(tᵢ | tᵢ₋₁) where
+    * p(w|u) = λ·c(u,w)/c(u,·) + (1−λ)·c(w)/N, all counts from the
+    * corpus itself. Text that reuses the corpus's common transitions
+    * (fluent prose) scores low; shuffled or boilerplate-joined text
+    * scores high even when its unigrams are ordinary — which is
+    * exactly what the bigram term adds. Documents under 2 tokens have
+    * no transitions and drop out (filtered BEFORE the pair sequence,
+    * the [[sharedNgrams]] negative-bound guard). Returns
+    * `(id, n_bigrams, avg_surprisal)` rounded to 4.
+    *
+    * Plan shape at 100 TB: the bigram explosion is row-local
+    * (element_at over one transform — 1-BASED indexing; `_toks[i]`
+    * would be Spark's 0-based subscript and shift every pair); the
+    * count tables are hash aggregations whose results are bounded by
+    * vocabulary (unigrams ~Heaps-law, bigrams capped in practice by a
+    * frequency floor) and BROADCAST back, so the corpus-side probe
+    * pass never sort-merge-joins. */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val pairs = toks.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(_toks) - 1),
+          |  i -> struct(element_at(_toks, i) AS p,
+          |              element_at(_toks, i + 1) AS c))""".stripMargin))
+        .as("bg"))
+      .select(col(idCol), col("bg.p").as("p"), col("bg.c").as("c"))
+    val bi = pairs.groupBy(col("p"), col("c")).agg(count(lit(1)).as("cb"))
+    val cctx = pairs.groupBy(col("p")).agg(count(lit(1)).as("cc"))
+    pairs
+      .join(broadcast(bi), Seq("p", "c"))
+      .join(broadcast(cctx), Seq("p"))
+      .join(broadcast(uni.withColumnRenamed("w", "c")), Seq("c"))
+      .crossJoin(broadcast(uni.agg(sum(col("cu")).as("N"))))
+      .withColumn("_surp", -log(
+        lit(lambda) * col("cb") / col("cc") +
+          lit(1 - lambda) * col("cu") / col("N")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("_surp")), 4).as("avg_surprisal"))
+  }
+
   /** BPE merge-pair statistics — the first step of byte-pair-encoding
     * tokenizer training: count every adjacent character pair weighted
     * by how often its word occurs, and keep the `topK` candidates

@@ -699,6 +699,48 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q126_bigram_surprisal",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+        |        FROM u GROUP BY w),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS N FROM uni),
+        |pr AS (
+        |  SELECT doc_id,
+        |         unnest([{'p': toks[i], 'c': toks[i+1]}
+        |                 FOR i IN range(1, len(toks))]) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |pairs AS (SELECT doc_id, bg.p AS p, bg.c AS c FROM pr),
+        |bi AS (SELECT p, c, CAST(count(*) AS BIGINT) AS cb
+        |       FROM pairs GROUP BY p, c),
+        |cctx AS (SELECT p, CAST(count(*) AS BIGINT) AS cc
+        |         FROM pairs GROUP BY p)
+        |SELECT pairs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln(0.7 * cb / cc + 0.3 * cu / N)), 4)
+        |         AS avg_surprisal
+        |FROM pairs JOIN bi USING (p, c) JOIN cctx USING (p)
+        |     JOIN uni ON uni.w = pairs.c, tot
+        |GROUP BY pairs.doc_id ORDER BY pairs.doc_id""".stripMargin) {
+      (s, dir) =>
+      // Bigram Jelinek–Mercer scoring
+      // ([[TextAnalysis.bigramSurprisal]], λ = 0.7): the fluency filter
+      // above q115's unigram form — shuffled text keeps its unigram
+      // score but its transition probabilities collapse, so the bigram
+      // term separates what the unigram filter can't. Both engines
+      // compute every probability from exact integer counts, the same
+      // ln, and the same 1-based pair indexing (DuckDB toks[i] is
+      // 1-based, matching element_at); the mean rounds to 4 so float
+      // summation order can't flip the hash. Count tables broadcast;
+      // the corpus probe never sort-merge-joins (plan-gated).
+      TextAnalysis.bigramSurprisal(
+        table(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q121_bpe_pairs",
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))

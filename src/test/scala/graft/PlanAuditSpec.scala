@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q57_quality_quantile_filter", "q80_tfidf",
       "q94_quarantine", // q94: 1×1 summary crossJoin of two aggregates
       "q114_source_mix", // ONE-ROW totals crossJoin into the quota calc
-      "q115_unigram_surprisal") // ONE-ROW token total into the scorer
+      "q115_unigram_surprisal", // ONE-ROW token total into the scorer
+      "q126_bigram_surprisal") // ONE-ROW token total into the scorer
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
@@ -54,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val mustBroadcastOnly = Set(
     "q04_join_broadcast", "q06_semi_join", "q07_anti_join",
     "q77_sql_join3", "q112_segment_dedup", "q113_decontaminate",
-    "q114_source_mix", "q115_unigram_surprisal")
+    "q114_source_mix", "q115_unigram_surprisal", "q126_bigram_surprisal")
 
   test("no query plans an unapproved cartesian; bounded queries keep top-k") {
     val feats = SparkEntry.queries.toSeq.sortBy(_._1).map {

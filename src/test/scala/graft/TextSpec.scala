@@ -232,6 +232,26 @@ class TextSpec extends AnyFunSuite {
     assert(exec.contains("row_number"), "cap must rank before the collect")
   }
 
+  test("bigramSurprisal: interpolated probabilities are closed-form " +
+      "exact; sub-2-token docs drop; common transitions score lower") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c", "a" — uni: a×4 b×2 c×1, N = 7;
+    // pairs: (a,b)×2, (a,c)×1; cc(a) = 3
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(corpus, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAB = -math.log(0.7 * 2.0 / 3 + 0.3 * 2.0 / 7)
+    val sAC = -math.log(0.7 * 1.0 / 3 + 0.3 * 1.0 / 7)
+    assert(got == Map(1L -> ((1L, r4(sAB))), 2L -> ((1L, r4(sAB))),
+      3L -> ((1L, r4(sAC)))), s"$got")
+    assert(!got.contains(4L), "a 1-token doc has no transitions")
+    assert(got(1L)._2 < got(3L)._2, "the common transition must score lower")
+  }
+
   test("bpePairStats: pair counts weight by word frequency, explode over " +
       "vocab not corpus, 1-char words safe") {
     import spark.implicits._
