@@ -64,6 +64,31 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(got.length == 20 && got.containsSlice(30L until 40L))
   }
 
+  test("commit CAS under real concurrency: racing writers all land, " +
+      "every version is consistent, no rows lost or duplicated") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tempDir("vlake-race") + "/lake"
+    val writers = Future.sequence((0 until 4).map(w => Future {
+      (0 until 3).map(i => VersionedLake.commit(
+        spark.range(w * 100L + i * 10L, w * 100L + i * 10L + 10L)
+          .toDF("id"), dir))
+    }))
+    val published = Await.result(writers, 120.seconds).flatten
+    // 12 commits → versions exactly 1..12, each published exactly once
+    assert(published.sorted == (1 to 12))
+    assert(VersionedLake.versions(spark, dir) == (1 to 12))
+    // the tip carries every writer's every batch exactly once
+    val all = ids(VersionedLake.readLatest(spark, dir))
+    assert(all.length == 120 && all.distinct.length == 120)
+    // each intermediate version's live set grows monotonically
+    (1 to 12).foreach(v => assert(
+      VersionedLake.readAt(spark, dir, v).count() == v * 10L,
+      s"version $v should hold exactly ${v * 10} rows"))
+  }
+
   test("commitTagged: replays no-op, a crash-orphaned data dir is " +
       "rewritten, and exactly one version ever references the tag") {
     import spark.implicits._
