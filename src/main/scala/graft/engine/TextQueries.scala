@@ -699,6 +699,43 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q127_index_retrieval",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           t -> regexp_replace(t, '[^a-z]', '', 'g')) AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM n
+        |WHERE list_contains(toks, 'table')
+        |  AND list_contains(toks, 'window')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Boolean AND retrieval THROUGH the inverted index (q118's
+      // artifact, used): candidates come from intersecting the query
+      // terms' posting lists — explode each term's postings, keep doc
+      // ids hit by ALL terms — and the oracle answers the same query
+      // by scanning the corpus, so the index path must be exactly the
+      // scan path. At 100 TB this is the point of the index: the
+      // retrieval touches |postings(term)| rows per term and never the
+      // corpus. (Posting caps trade that exactness for boundedness;
+      // here the cap is set above any sf's document count so lists are
+      // complete — a production engine keeps capped lists for ranking
+      // and full lists for rare terms, which df makes cheap to tell
+      // apart.)
+      val terms = Seq("table", "window")
+      TextAnalysis.invertedIndex(
+          table(s, dir, "documents"), "doc_id", "text",
+          maxPostings = 1000000)
+        .filter(col("tok").isin(terms: _*))
+        .select(explode(col("postings")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_hits"))
+        .filter(col("_hits") === terms.length)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q126_bigram_surprisal",
       """WITH t AS (
         |  SELECT doc_id,
