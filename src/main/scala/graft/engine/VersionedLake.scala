@@ -218,9 +218,21 @@ object VersionedLake {
       else spark.read.parquet(added.map(d => s"$dir/$d"): _*)
         .withColumn("op", org.apache.spark.sql.functions.lit("insert"))
     } else {
-      val a = readAt(spark, dir, fromV)
-      val b = readAt(spark, dir, toV)
-      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.{col, lit}
+      val a0 = readAt(spark, dir, fromV)
+      val b0 = readAt(spark, dir, toV)
+      // schema evolution across the boundary: align both snapshots on
+      // the union of their columns (missing → null, matching the
+      // mergeSchema read semantics) so the multiset diff compares rows,
+      // not shapes — exceptAll throws on mismatched schemas otherwise
+      val cols = (a0.columns ++ b0.columns.filterNot(a0.columns.contains))
+        .toSeq
+      val typeOf = (a0.schema ++ b0.schema)
+        .map(f => f.name -> f.dataType).toMap // newer side wins on both
+      def align(df: DataFrame) = df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c).cast(typeOf(c))
+        else lit(null).cast(typeOf(c)).as(c)): _*)
+      val (a, b) = (align(a0), align(b0))
       b.exceptAll(a).withColumn("op", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
     }

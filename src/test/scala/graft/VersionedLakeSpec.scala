@@ -186,6 +186,23 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(VersionedLake.changes(spark, dir, 3, v4).count() == 1)
   }
 
+  test("changes across an overwrite boundary with schema evolution " +
+      "aligns columns instead of throwing") {
+    import spark.implicits._
+    val dir = tempDir("vlake-chg-evo") + "/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    VersionedLake.commit(
+      spark.range(0, 3).select(col("id"), lit("en").as("lang")), dir,
+      mode = "overwrite")
+    val diff = VersionedLake.changes(spark, dir, 1, 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))
+      .sortBy(r => (r._3, r._1)).toSeq
+    // every v1 row deletes (lang = null), every v2 row inserts
+    assert(diff == (0L until 5L).map(i => (i, null, "delete")) ++
+      (0L until 3L).map(i => (i, "en", "insert")), s"$diff")
+  }
+
   test("vacuum keeps the newest retained versions readable and deletes " +
       "everything else, including orphaned data dirs") {
     import spark.implicits._
