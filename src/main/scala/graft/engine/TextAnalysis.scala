@@ -456,6 +456,54 @@ object TextAnalysis {
         round(avg(col("_surp")), 4).as("avg_surprisal"))
   }
 
+  /** BM25 ranked retrieval (the Okapi/Lucene scoring form): score every
+    * document containing at least one query term by
+    * Σₜ idf(t) · tf·(k₁+1) / (tf + k₁·(1−b+b·|d|/avgdl)) with
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), and keep the `topK`
+    * (ties broken by id ascending). Tokens are normalized like
+    * [[invertedIndex]] (lowercase, non-alpha stripped) so term equality
+    * is engine-portable; |d| counts the normalized non-empty tokens.
+    *
+    * Plan shape at 100 TB: term hits are row-local HOF counts inside
+    * the corpus scan (no token explosion — `filter`/`size` over the
+    * normalized array per query term); the corpus statistics the
+    * formula needs are two broadcast-size tables (per-term df — |query|
+    * rows; N + avgdl — ONE row), so the scoring pass is scan +
+    * broadcast joins + TakeOrdered heaps. Every probability input is
+    * an exact integer count, and the score rounds to 4 before the
+    * top-k so cross-engine float noise (~1e-16 relative) sits far from
+    * any rank boundary a 4-decimal lattice can express. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val norm = filter(transform(tokens(lower(trim(col(textCol)))),
+      t => regexp_replace(t, "[^a-z]", "")), t => t =!= "")
+    val toks = df.select(col(idCol), norm.as("_toks"),
+      size(norm).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("N"),
+      avg(col("dl")).as("avgdl"))
+    // exact df per query term, computed row-locally (array_contains in
+    // the scan) — |terms| counters, no shuffle of the corpus
+    val dfs = terms.map(t => sum(when(array_contains(col("_toks"), t), 1L)
+      .otherwise(0L)).as(s"df_$t"))
+    val termDf = toks.agg(dfs.head, dfs.tail: _*)
+    val scored = toks
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(termDf))
+      .withColumn("_score", terms.map { t =>
+        val tf = size(filter(col("_toks"), x => x === t)).cast("double")
+        val idf = log(lit(1.0) +
+          (col("N") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * tf * (k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _))
+      .filter(col("_score") > 0)
+    scored.select(col(idCol), round(col("_score"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** BPE merge-pair statistics — the first step of byte-pair-encoding
     * tokenizer training: count every adjacent character pair weighted
     * by how often its word occurs, and keep the `topK` candidates

@@ -736,6 +736,54 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q128_bm25_topk",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(
+        |             string_split_regex(lower(trim(text)), '\s+'),
+        |             t -> regexp_replace(t, '[^a-z]', '', 'g')),
+        |           t -> t <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM n),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(dl) AS avgdl
+        |      FROM d),
+        |f AS (SELECT
+        |        CAST(sum(CASE WHEN list_contains(toks, 'table')
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+        |        CAST(sum(CASE WHEN list_contains(toks, 'window')
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+        |      FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, t -> t = 'table')) AS DOUBLE)
+        |           AS tf_t,
+        |         CAST(len(list_filter(toks, t -> t = 'window')) AS DOUBLE)
+        |           AS tf_w
+        |       FROM d),
+        |sc AS (SELECT doc_id,
+        |         ln(1 + (N - df_table + 0.5) / (df_table + 0.5))
+        |           * tf_t * 2.2
+        |           / (tf_t + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |       + ln(1 + (N - df_window + 0.5) / (df_window + 0.5))
+        |           * tf_w * 2.2
+        |           / (tf_w + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |       FROM tf, s, f)
+        |SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      // BM25 ranked retrieval ([[TextAnalysis.bm25TopK]], k1 = 1.2,
+      // b = 0.75, Lucene idf): the ranking layer over q118/q127's
+      // index family, with the full scoring formula mirrored in SQL —
+      // exact integer tf/df/N inputs, identical ln and operator
+      // order, round-4 before rank so float noise can't flip the
+      // top-20 (doc_id tiebreak). Plan: term hits are row-local HOF
+      // counts in the scan; corpus statistics arrive as TWO broadcast
+      // rows; the rank is TakeOrderedAndProject (plan-gated) — scan +
+      // broadcasts + heaps, nothing shuffles the corpus.
+      TextAnalysis.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("table", "window"), topK = 20)
+    },
+
+    QuerySpec(
       "q126_bigram_surprisal",
       """WITH t AS (
         |  SELECT doc_id,

@@ -33,14 +33,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "q94_quarantine", // q94: 1×1 summary crossJoin of two aggregates
       "q114_source_mix", // ONE-ROW totals crossJoin into the quota calc
       "q115_unigram_surprisal", // ONE-ROW token total into the scorer
-      "q126_bigram_surprisal") // ONE-ROW token total into the scorer
+      "q126_bigram_surprisal", // ONE-ROW token total into the scorer
+      "q128_bm25_topk") // TWO ONE-ROW stat frames into the scorer
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
   private val mustTopK = Set(
     "q02_project_scalar", "q03_topk", "q08_outer_join",
     "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh",
-    "q102_ann_partition_prune", "q111_weighted_sample", "q121_bpe_pairs")
+    "q102_ann_partition_prune", "q111_weighted_sample", "q121_bpe_pairs",
+    "q128_bm25_topk")
 
   /** Dimension-join queries MUST broadcast their dims: a fact⋈dim that
     * plans a SortMergeJoin shuffles the fact side — the single most

@@ -252,6 +252,30 @@ class TextSpec extends AnyFunSuite {
     assert(got(1L)._2 < got(3L)._2, "the common transition must score lower")
   }
 
+  test("bm25TopK: scores match the closed-form formula, zero-hit docs " +
+      "drop, rarer terms weigh more") {
+    import spark.implicits._
+    // 4 docs, query = (x, y): x in docs 1,2; y only in doc 2 (rarer);
+    // doc 3 has neither and must not appear; doc 4 pads N and avgdl
+    val corpus = Seq(
+      (1L, "x a b c"), (2L, "x y a b"), (3L, "a b c d"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25TopK(corpus, "doc_id", "text", Seq("x", "y"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def bm25(tf: Double, df: Long, dl: Long): Double = {
+      val n = 4.0; val avgdl = (4 + 4 + 4 + 2) / 4.0
+      math.log(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r4(bm25(1, 2, 4))
+    val s2 = r4(bm25(1, 2, 4) + bm25(1, 1, 4))
+    assert(got == Seq((2L, s2), (1L, s1)), s"$got")
+    assert(bm25(1, 1, 4) > bm25(1, 2, 4), "rarer term must out-weigh")
+  }
+
   test("bpePairStats: pair counts weight by word frequency, explode over " +
       "vocab not corpus, 1-char words safe") {
     import spark.implicits._
