@@ -66,6 +66,36 @@ object Sampling {
       .drop("_aes_key")
   }
 
+  /** Per-group weighted sampling without replacement: k documents PER
+    * GROUP by the same Efraimidis–Spirakis priority keys as
+    * [[weightedSample]] — the "best k per language / per source"
+    * stratified draw that completes the sampling matrix (q82 stratifies
+    * uniformly, q111 weights globally, this weights within strata).
+    * Deterministic: the key is a pure function of content, the
+    * tiebreak is id, so the drawn set survives repartition and engine
+    * swap.
+    *
+    * Plan shape at 100 TB: one shuffle on the group key, then
+    * `row_number` truncation inside each group's partition — the sort
+    * is per-group (distributed across group hashes), never global, and
+    * rows leave the scan with only (key, id, weight) attached. Heavily
+    * skewed strata sort within one partition; if a single stratum is
+    * itself ~TBs, pre-filter on a key threshold from a quantile probe
+    * first (the [[proportionalMix]] two-phase discipline). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+      weight: Column, k: Int, idCol: String,
+      contentCol: String = "text"): DataFrame = {
+    val u = (conv(substring(md5(col(contentCol)), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_aes_key").desc, col(idCol))
+    df.withColumn("_aes_key", log(u) / weight)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_aes_key", "_rn")
+  }
+
   /** Proportional source mixing with exact per-source quotas — the
     * "rebalance the corpus to a target domain mixture" step (the Pile /
     * Dolma recipe: upweight books, downweight raw crawl). Given a weight

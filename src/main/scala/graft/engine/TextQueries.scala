@@ -437,6 +437,40 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q129_weighted_sample_per_group",
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS weight,
+        |         (('0x' || substr(md5(text), 1, 13))::BIGINT + 0.5)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, weight,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY ln(u) / weight DESC, doc_id)
+        |           AS rn
+        |  FROM w)
+        |SELECT lang, doc_id, weight FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      // Per-stratum weighted draw ([[Sampling.weightedSamplePerGroup]],
+      // A-ES keys): the best 5 token-count-weighted docs PER LANGUAGE —
+      // q111's draw applied within strata, the shape a multilingual
+      // curation budget actually uses (a global draw would hand the
+      // whole budget to the majority language). Same exact 52-bit u,
+      // same key-gap-vs-ulp argument as q111, per-group rank truncation
+      // instead of a global heap; the oracle replays the draw
+      // bit-for-bit.
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          tokenCount(col("text")).as("weight"))
+      Sampling.weightedSamplePerGroup(d, "lang", col("weight"), k = 5,
+        idCol = "doc_id")
+        .select(col("lang"), col("doc_id"), col("weight"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    QuerySpec(
       "q112_segment_dedup",
       """WITH planted AS (
         |  SELECT doc_id, text ||

@@ -98,4 +98,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
       "drawn set moved under repartition")
   }
+
+  test("weightedSamplePerGroup draws exactly k per stratum, favors " +
+      "heavy rows, and is repartition-invariant") {
+    import TestSpark.spark.implicits._
+    // two strata; in g1 one row carries 1000× the weight of the rest —
+    // across the content-hash draw it must essentially always survive
+    val docs = ((0 until 50).map(i => (i.toLong, "g1",
+      s"doc one $i", if (i == 7) 1000L else 1L)) ++
+      (0 until 50).map(i => (i.toLong + 100, "g2", s"doc two $i", 1L)))
+      .toDF("doc_id", "grp", "text", "w")
+    def draw(df: org.apache.spark.sql.DataFrame) = Sampling
+      .weightedSamplePerGroup(df, "grp", col("w"), k = 3, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = draw(docs)
+    val byGrp = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp == Map("g1" -> 3, "g2" -> 3), s"$byGrp")
+    assert(got.map(_._1).contains(7L),
+      "the 1000x-weighted row must be drawn")
+    assert(draw(docs.repartition(11)).sortBy(_._1) == got.sortBy(_._1),
+      "drawn set moved under repartition")
+  }
 }
