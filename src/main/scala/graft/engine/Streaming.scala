@@ -30,10 +30,13 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File streams need an explicit schema, and `events.ts` has shipped
+    * as both TIMESTAMP(NANOS) and µs TIMESTAMP_NTZ across testdata
+    * generations (see [[Tables.normalizeEventTs]]) — so the schema is
+    * probed from the staged files' parquet footers (one driver-side
+    * footer read, no data scan), never assumed. */
+  private def probeSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
   /** Stage `src` into `dir` as `copies` distinctly-named files, copy-once
     * per JVM. The staging root is keyed by PID (same isolation argument
@@ -103,8 +106,9 @@ object Streaming {
   }
 
   /** Shared read tail for both event streams — ONE definition of the
-    * schema + nanos→µs conversion, so the clean and redelivered streams
-    * cannot silently diverge (q71 compares them via one oracle). */
+    * schema probe + ts normalization, so the clean and redelivered
+    * streams cannot silently diverge (q71 compares them via one
+    * oracle). */
   private def eventsSource(spark: SparkSession,
       sfDir: String): org.apache.hadoop.fs.Path = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -112,8 +116,8 @@ object Streaming {
   }
 
   private def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(
+      spark.readStream.schema(probeSchema(spark, dir)).parquet(dir))
 
   /** Streaming exactly-once-per-key dedup over the redelivered stream:
     * watermark-scoped duplicate drop on `event_id`. State holds only keys
