@@ -342,10 +342,15 @@ object IngestQueries {
         .unionByName(ev.filter(col("event_id") % 13 === 0)
           .withColumn("event_id", col("event_id") + 10000000L))
       mutateOrRestage(lake)(Lake.upsert(batch, lake, "event_id"))
-      Lake.read(s, lake)
+      val acct = Lake.read(s, lake)
         .groupBy(col("Year"), col("Month"), col("Day"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("Year"), col("Month"), col("Day"))
+      // Accounting over every partition, but O(1 data column): the
+      // narrow-scan half of the README.md:29-31 policy, enforced at
+      // build time like Lake.partitionCounts does internally.
+      ScanGuard.requireNarrow(acct, lake, maxDataCols = 1)
+      acct
     }.withBenchSetup((s, dir) =>
       ensureStaged(upsertLakePath(dir))(stageUpsertLake(s, dir))),
 
@@ -447,14 +452,22 @@ object IngestQueries {
       // compare is exact, not "close".
       val lake = wideLakePath
       ensureStaged(lake)(stageWideLake(s))
-      Lake.read(s, lake)
-        .filter(col("Time") >= 20)
-        .groupBy((col("Time") % 4).cast("int").as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("I700_1")), 3).as("s1"),
-          round(sum(col("I700_2")), 3).as("s2"),
-          round(sum(col("row_total")), 3).as("checksum"))
-        .orderBy(col("bucket"))
+      // Production probe shape: a partition WINDOW (Year/Month — here the
+      // fixture's full extent, so the oracle is unchanged) + a narrow
+      // projection, built through the guarded entry point — Lake.probe
+      // throws at build time if the window doesn't reach PartitionFilters,
+      // and requireNarrow if the 4-of-6,048-column projection widens.
+      val probe = Lake.probe(s, lake)(
+        _.filter(col("Year") === 2019 && col("Month") === 7)
+          .filter(col("Time") >= 20)
+          .groupBy((col("Time") % 4).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("I700_1")), 3).as("s1"),
+            round(sum(col("I700_2")), 3).as("s2"),
+            round(sum(col("row_total")), 3).as("checksum"))
+          .orderBy(col("bucket")))
+      ScanGuard.requireNarrow(probe, lake, maxDataCols = 4)
+      probe
     }.withBenchSetup((s, _) =>
       ensureStaged(wideLakePath)(stageWideLake(s))),
 
@@ -518,11 +531,16 @@ object IngestQueries {
       // a snapshot).
       val lake = ttLakePath
       ensureStaged(lake)(stageTimeTravelLake(s))
-      VersionedLake.versions(s, lake).map { v =>
+      val perVersion = VersionedLake.versions(s, lake).map { v =>
         VersionedLake.readAt(s, lake, v)
           .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
           .select(lit(v).as("version"), col("n"), col("total"))
       }.reduce(_ union _).orderBy(col("version"))
+      // Snapshot accounting reads ONE data column per version (sum over
+      // `value`; the count rides the same scan) — guard the projection
+      // so a pruning regression can't quietly read full rows × versions.
+      ScanGuard.requireNarrow(perVersion, lake, maxDataCols = 1)
+      perVersion
     }.withBenchSetup((s, _) =>
       ensureStaged(ttLakePath)(stageTimeTravelLake(s))),
 

@@ -407,9 +407,28 @@ object Lake {
   }
 
   /** Row accounting per partition — the D1 audit query. */
-  def partitionCounts(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir)
+  def partitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val df = read(spark, dir)
       .groupBy(col("Year"), col("Month"), col("Day"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("Year"), col("Month"), col("Day"))
+    // Accounting reads every partition by design, so the pruning guard
+    // doesn't apply — but it must stay O(metadata): count-by-partition
+    // reads ZERO data columns when column pruning holds. Enforced at
+    // build time, every production call.
+    ScanGuard.requireNarrow(df, dir, maxDataCols = 0)
+    df
+  }
+
+  /** Guarded production probe over a partitioned lake: build the query
+    * with `build`, then enforce the reference's no-full-scan policy
+    * (README.md:29-31) on the physical plan before handing it back —
+    * a probe without a partition window throws at BUILD time instead of
+    * scanning 100 TB. Plan-metadata check only; nothing executes here. */
+  def probe(spark: SparkSession, dir: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val df = build(read(spark, dir))
+    ScanGuard.requirePruned(df, dir)
+    df
+  }
 }

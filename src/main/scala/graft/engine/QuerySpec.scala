@@ -16,9 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class QuerySpec(
     name: String,
-    oracle: Option[String],
+    oracleGen: Option[() => String],
     fn: (SparkSession, String) => DataFrame,
     benchSetup: Option[(SparkSession, String) => Unit] = None) {
+
+  /** The oracle SQL, materialized at CALL time. A thunk rather than a
+    * string because some oracles can only be written after the query
+    * ran (q110 embeds the path of codebooks the builder published);
+    * Verify dumps oracle_sql.json after every query executed, so
+    * late-bound text is safe there. Static oracles cost one closure. */
+  def oracle: Option[String] = oracleGen.map(_())
 
   /** Mark the fixture-staging part of this query as UNTIMED bench
     * setup: the bench runs it before starting the clock, so the timed
@@ -34,7 +41,14 @@ final case class QuerySpec(
 object QuerySpec {
   def apply(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =
-    QuerySpec(name, Some(oracle), fn)
+    QuerySpec(name, Some(() => oracle), fn)
+
+  /** Oracle whose TEXT is computed when dumped, not when the spec is
+    * declared — for SQL that references run-time artifacts (persisted
+    * codebooks, builder-recorded paths). */
+  def lazyOracle(name: String)(oracle: => String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, Some(() => oracle), fn)
 
   /** For capabilities DuckDB SQL can't express (MinHash, HLL sketches,
     * streaming…) — the driver then records a weaker rows-only check. */

@@ -45,4 +45,28 @@ object ScanGuard {
         s"on ${offenders.map(_.relation.partitionSchema.fieldNames.mkString("/"))
           .distinct.mkString(", ")} (reference README.md:29-31 policy)")
   }
+
+  /** The other half of the policy — "derive wide once, scan narrow
+    * many": a query over a guarded lake may read every PARTITION only
+    * when it reads almost no DATA columns (per-partition accounting /
+    * maintenance, where the bytes touched are partition values +
+    * footers, not rows). Rejects any guarded file scan whose pushed
+    * ReadSchema carries more than `maxDataCols` data columns — the
+    * regression this catches is column pruning silently breaking, which
+    * turns an O(metadata) accounting query into an O(total bytes) scan
+    * (catastrophic at 6,037 data columns / 100 TB). */
+  def requireNarrow(df: DataFrame, guardedPath: String,
+      maxDataCols: Int = 2): Unit = {
+    val guard = new org.apache.hadoop.fs.Path(guardedPath).toUri.getPath
+    val offenders = fileScans(df.queryExecution.executedPlan).filter { s =>
+      val underGuard = s.relation.location.rootPaths
+        .exists(_.toUri.getPath.startsWith(guard))
+      underGuard && s.requiredSchema.size > maxDataCols
+    }
+    require(offenders.isEmpty,
+      s"wide scan of guarded lake under $guardedPath — reads " +
+        s"${offenders.map(_.requiredSchema.size).max} data columns " +
+        s"(> $maxDataCols); project only what the query needs " +
+        "(reference README.md:29-31 policy, narrow-scan half)")
+  }
 }

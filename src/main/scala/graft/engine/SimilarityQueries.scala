@@ -66,21 +66,42 @@ object SimilarityQueries {
     p
   }
 
+  /** PUBLISHED (not scratch) books path: the q110 oracle replays ADC in
+    * DuckDB from this parquet AFTER the Verify JVM exits, so the books
+    * must outlive the per-PID scratch sweep — they live under the
+    * shared fixture root with the q75/q94 write-once atomic-publish
+    * discipline. */
   private def pqBooksPath(dir: String): String =
-    s"${graft.Sessions.scratchRoot}/pq_books_${sfName(dir)}"
+    s"${IngestQueries.FixRoot}/pq_books_${sfName(dir)}"
 
   private val pqBooksCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Array[Double]]]]
 
-  /** Train-once PQ codebooks ([[Similarity.pqCodebooks]]) — per
-    * (JVM, sf), persisted and memoized like [[stagedCentroids]]. */
+  /** Train-once PQ codebooks ([[Similarity.pqCodebooks]]), published
+    * once, loaded from the PUBLISHED copy. Loading what was published
+    * (rather than keeping this JVM's freshly-trained array) makes the
+    * published table canonical by construction: Spark's encode/probe
+    * and DuckDB's oracle replay provably share one set of books even
+    * if a concurrent JVM won the publish race with a float-wise
+    * different training run. */
   private def stagedPqBooks(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Array[Double]]] =
     pqBooksCache.getOrElseUpdate(pqBooksPath(dir), {
-      val p = pqBooksPath(dir)
-      ensureStaged(p)(Similarity.savePqCodebooks(s,
-        Similarity.pqCodebooks(table(s, dir, "embeddings")), p))
-      Similarity.loadPqCodebooks(s, p)
+      val target = java.nio.file.Paths.get(pqBooksPath(dir))
+      if (!java.nio.file.Files.exists(target)) {
+        val stage = s"${IngestQueries.FixRoot}/pq_books_staging_" +
+          s"${ProcessHandle.current().pid()}_${sfName(dir)}"
+        Similarity.savePqCodebooks(s,
+          Similarity.pqCodebooks(table(s, dir, "embeddings")), stage)
+        java.nio.file.Files.createDirectories(target.getParent)
+        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            Lake.delete(s, stage) // publish race lost; winner is canonical
+        }
+      }
+      Similarity.loadPqCodebooks(s, pqBooksPath(dir))
     })
 
   private def pqLakePath(dir: String): String =
@@ -179,6 +200,72 @@ object SimilarityQueries {
        |  JOIN e eb ON eb.vec_id = c.b)
        |SELECT a, b, cosine FROM v WHERE cosine >= 0.3
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** sf whose published books the q110 oracle should read — recorded by
+    * the builder at run time (the oracle text is materialized AFTER the
+    * queries ran, via [[QuerySpec.lazyOracle]]); defaults to the
+    * driver's correctness sf. */
+  @volatile private var pqOracleSf: String = "sf0.01"
+
+  /** q110 oracle: DuckDB replays the ENTIRE PQ/ADC probe from the
+    * published codebook table — re-encodes every vector (per-subspace
+    * argmax of `x·c − ½‖c‖²`, ties to the higher code id, exactly
+    * Spark's descending struct sort in [[Similarity.pqEncode]]),
+    * rebuilds the query-side LUTs, sums the m lookups in Spark's
+    * left-fold order (explicit parenthesized adds — SQL SUM() order is
+    * unspecified), takes the same 50 ADC candidates, and reranks with
+    * the exact rounded cosine. Every float op mirrors the Spark path
+    * (q44 establishes the dot-fold bit-agreement), so this is a full
+    * hash compare, closing round 10's only unverified new query. */
+  private def q110Oracle: String = {
+    val m = 8
+    val ds = 8 // dim 64 / m — the pqCodebooks default geometry
+    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
+    def foldSum(c: String): String =
+      (0 until m).map(s => s"$c$s").reduce((a, b) => s"($a + $b)")
+    val nCols = (0 until m).map(s =>
+      s"max(CASE WHEN enc.sub = $s THEN lut.qd END) AS n$s").mkString(", ")
+    val rCols = (0 until m).map(s =>
+      s"max(CASE WHEN enc.sub = $s THEN lut.cn END) AS r$s").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, b.sub, b.code,
+       |         list_dot_product(list_slice(e.v, b.sub*$ds + 1, b.sub*$ds + $ds),
+       |                          b.centroid)
+       |           - 0.5 * list_dot_product(b.centroid, b.centroid) AS s
+       |  FROM e, books b),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY s DESC, code DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |lut AS (
+       |  SELECT b.sub, b.code,
+       |         list_dot_product(list_slice(q.qv, b.sub*$ds + 1, b.sub*$ds + $ds),
+       |                          b.centroid) AS qd,
+       |         list_dot_product(b.centroid, b.centroid) AS cn
+       |  FROM books b, q),
+       |pv AS (
+       |  SELECT enc.vec_id, $nCols, $rCols
+       |  FROM enc JOIN lut ON lut.sub = enc.sub AND lut.code = enc.code
+       |  GROUP BY enc.vec_id),
+       |cand AS (
+       |  SELECT vec_id,
+       |         ${foldSum("n")} / (sqrt(${foldSum("r")})
+       |           * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)) AS approx
+       |  FROM pv WHERE vec_id <> 0
+       |  ORDER BY approx DESC, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label,
+       |       round(list_dot_product(e.v, q.qv)
+       |             / (sqrt(list_dot_product(e.v, e.v))
+       |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
+       |FROM cand JOIN e USING (vec_id), q
+       |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -356,7 +443,7 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }.withBenchSetup((s, dir) => { stagedCentroids(s, dir); () }),
 
-    QuerySpec.noOracle("q110_pq_adc_topk") { (s, dir) =>
+    QuerySpec.lazyOracle("q110_pq_adc_topk")(q110Oracle) { (s, dir) =>
       // Product quantization + ADC ([[Similarity.pqCodebooks]] /
       // [[Similarity.pqEncode]] / [[Similarity.pqAdcTopK]]): the
       // compressed-index probe — codebooks trained once per (JVM, sf),
@@ -365,8 +452,11 @@ object SimilarityQueries {
       // index: per-row cost is m lookup-table reads + a sum, the best
       // 50 candidates rerank exactly against the full table via a
       // broadcast join. Recall vs the exact top-k and encode
-      // determinism are pinned in SimilaritySpec; no SQL oracle
-      // (DuckDB: no k-means).
+      // determinism are pinned in SimilaritySpec; the FULL result is
+      // hash-checked by [[q110Oracle]]'s DuckDB replay of the probe
+      // from the published codebooks (k-means runs only at training —
+      // everything after the books is deterministic arithmetic).
+      pqOracleSf = sfName(dir)
       val books = stagedPqBooks(s, dir)
       val lake = stagedPqLake(s, dir)
       Similarity.pqAdcTopK(s.read.parquet(lake),

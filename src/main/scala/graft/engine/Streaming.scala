@@ -117,7 +117,8 @@ object Streaming {
 
   private def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     Tables.normalizeEventTs(
-      spark.readStream.schema(probeSchema(spark, dir)).parquet(dir))
+      spark.readStream.schema(probeSchema(spark, dir)).parquet(dir),
+      Tables.longTsUnit(spark, dir))
 
   /** Streaming exactly-once-per-key dedup over the redelivered stream:
     * watermark-scoped duplicate drop on `event_id`. State holds only keys

@@ -37,26 +37,76 @@ object Tables {
       // ts column is a hard read error. Runtime-settable SQL conf, same
       // value always — no behavior change for Sessions-built sessions.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(path))
+      // The NTZ branch of normalizeEventTs casts wall time to an instant
+      // through the session timezone; anything but UTC silently shifts
+      // every event by the tz offset relative to the DuckDB oracle. Same
+      // defensive idempotent set as nanosAsLong above.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      normalizeEventTs(spark.read.parquet(path), longTsUnit(spark, path))
     } else spark.read.parquet(path)
   }
 
   /** Normalize `ts` to Spark's µs TimestampType whatever the file schema
-    * delivered: long = epoch NANOS (the nanosAsLong read of
-    * TIMESTAMP(NANOS)) → integer-divide to µs — exact for µs-resolution
-    * data, the same truncation DuckDB's CAST applies; TIMESTAMP_NTZ
-    * (µs/ms files with isAdjustedToUTC=false) → cast, which under the
-    * pinned UTC session timezone maps wall time to the identical
-    * instant DuckDB reads. Already-µs TimestampType passes through. */
-  private[engine] def normalizeEventTs(df: DataFrame): DataFrame = {
+    * delivered. A LongType `ts` is ambiguous post-read: Spark's type
+    * system erases whether it came from a nanosAsLong read of
+    * TIMESTAMP(NANOS) or from a genuine INT64 column (a future
+    * generation shipping raw epoch-micros longs would be silently
+    * divided by 1000 if we assumed nanos). So the long branch dispatches
+    * on `unit`, which [[longTsUnit]] reads off the parquet footer's
+    * logical-type annotation — the one place the distinction survives.
+    * TIMESTAMP_NTZ (µs/ms files with isAdjustedToUTC=false) → cast,
+    * which under the pinned UTC session timezone maps wall time to the
+    * identical instant DuckDB reads. Already-µs TimestampType passes
+    * through. */
+  private[graft] def normalizeEventTs(df: DataFrame,
+      unit: String = "nanos"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        val toMicros = unit match {
+          case "nanos" => "timestamp_micros(ts div 1000)" // DuckDB-identical truncation
+          case "millis" => "timestamp_millis(ts)"
+          case _ => "timestamp_micros(ts)" // raw INT64: documented epoch-µs contract
+        }
+        df.withColumn("ts", expr(toMicros))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
+
+  /** Time unit of a long-read `ts` column, from one parquet footer of
+    * `dir` (driver-side, one small metadata read, cached per path).
+    * Returns "nanos" / "micros" / "millis" for TIMESTAMP-annotated
+    * columns and "micros" for unannotated INT64 (the raw-epoch-µs
+    * contract); any probe failure (empty dir, no ts column) falls back
+    * to "nanos" — the only generation that reaches the long branch
+    * today. */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def longTsUnit(spark: SparkSession, dir: String): String =
+    tsUnitCache.computeIfAbsent(dir, { d =>
+      try {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        val file = fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet")).get
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.getType(schema.getFieldIndex("ts"))
+            .asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit.name.toLowerCase // NANOS / MICROS / MILLIS
+            case _ => "micros"
+          }
+        } finally reader.close()
+      } catch { case _: Exception => "nanos" }
+    })
 
   /** Register every table as a temp view (the Athena-surface analogue:
     * `spark.sql` over named relations, reference `README.md:13-15`). */

@@ -203,4 +203,26 @@ class IngestSpec extends AnyFunSuite {
     // same good-set as the full projection
     assert(good.select("id").collect().map(_.getInt(0)).toSet == Set(1, 6))
   }
+
+  test("longTsUnit dispatches the long-ts conversion on the footer unit") {
+    import org.apache.spark.sql.functions.expr
+    // Footer probe on the real events table: must resolve to a concrete
+    // unit, and table() must deliver µs TimestampType for it.
+    val unit = Tables.longTsUnit(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(Set("nanos", "micros", "millis").contains(unit))
+    val ts = Tables.table(spark, "/root/testdata/sf0.001", "events").schema("ts")
+    assert(ts.dataType == org.apache.spark.sql.types.TimestampType)
+
+    // Dispatch semantics on an in-memory long column: the same raw value
+    // means three different instants depending on the declared unit —
+    // the silent-1000x-corruption hazard the footer probe removes.
+    import spark.implicits._
+    val raw = Seq(1700000000000000L).toDF("ts") // epoch-µs circa 2023-11
+    def micros(unit: String): Long =
+      Tables.normalizeEventTs(raw, unit)
+        .select(expr("unix_micros(ts)")).head().getLong(0)
+    assert(micros("micros") == 1700000000000000L)
+    assert(micros("nanos") == 1700000000000L)   // ÷1000
+    assert(micros("millis") == 1700000000000000000L) // ×1000
+  }
 }

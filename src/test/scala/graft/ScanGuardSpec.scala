@@ -57,4 +57,32 @@ class ScanGuardSpec extends AnyFunSuite {
           "left_semi"),
       s"$root/lake")
   }
+
+  test("Lake.probe is the guarded production entry point: a windowed " +
+      "probe builds, an unwindowed probe throws at build time") {
+    val probed = Lake.probe(spark, s"$root/lake")(
+      _.filter("Year = 2019 AND Month = 7").select(col("Time")))
+    assert(probed.columns.sameElements(Array("Time")))
+    intercept[IllegalArgumentException](
+      Lake.probe(spark, s"$root/lake")(_.select(col("Time"))))
+  }
+
+  test("requireNarrow enforces the scan-narrow half: accounting reads " +
+      "pass, a wide projection of the guarded lake throws") {
+    // partitionCounts guards itself (0 data columns) — must build clean
+    Lake.partitionCounts(spark, s"$root/lake").columns
+    // a 1-data-column accounting scan at the matching bound passes
+    ScanGuard.requireNarrow(
+      Lake.read(spark, s"$root/lake")
+        .groupBy(col("Year")).agg(sum(col("Time"))),
+      s"$root/lake", maxDataCols = 1)
+    // the same lake probed with a full-width projection is rejected,
+    // and the message names the width
+    val e = intercept[IllegalArgumentException](ScanGuard.requireNarrow(
+      Lake.read(spark, s"$root/lake"), s"$root/lake", maxDataCols = 2))
+    assert(e.getMessage.contains("narrow"))
+    // unguarded paths stay untouched whatever their width
+    ScanGuard.requireNarrow(
+      Lake.read(spark, s"$root/lake"), s"$root/other", maxDataCols = 0)
+  }
 }
