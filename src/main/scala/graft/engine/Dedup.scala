@@ -51,6 +51,68 @@ object Dedup {
       .drop("__dd_rn")
   }
 
+  /** Incremental cross-batch exact dedup — the production ingest shape
+    * for the reference's monthly-drop model (reference README.md:4,
+    * sparkle-v9.py:128-138): the corpus-so-far is represented by a
+    * SIGNATURE INDEX (one (fp, id) row per surviving document) kept as
+    * a [[VersionedLake]]; each new batch dedups within itself
+    * ([[dedupKeepFirst]]) and against the index, then commits ONLY its
+    * survivors' signatures as the next index version. Re-deduplicating
+    * the full corpus per drop is O(corpus) per ingest — this is
+    * O(batch) shuffle + one narrow index scan.
+    *
+    * 100 TB shape — the corpus-sized index is NEVER reshuffled:
+    *  - the index side is read with a 1-column projection (`fp`) and
+    *    consumed map-side by a broadcast-hash join whose BUILD side is
+    *    the batch's distinct fingerprints — no Exchange above the index
+    *    scan (gated in PlanAuditSpec);
+    *  - the duplicate-fp set that comes back is ≤ |batch|, broadcast
+    *    into the final anti-join, so the batch never shuffles on the
+    *    index's key either;
+    *  - the index grows by one O(batch) append per drop (and compacts
+    *    through [[VersionedLake.compactVersions]] like any lake).
+    *    For a batch too large to broadcast its fp set, the same plan
+    *    holds with a bloom filter in place of the exact broadcast
+    *    (q106's reduction) plus a shuffled repair join on the ~ε false
+    *    positives — the index scan still never shuffles.
+    *
+    * Exactly-once per batch: the index commit is [[VersionedLake
+    * .commitTagged]] with `tag` = the batch id, and the dedup baseline
+    * is the newest version NOT containing the tag — so a replayed batch
+    * dedups against the same pre-batch snapshot and its commit no-ops.
+    * (Replays older than the last index compaction return conservative
+    * empty survivors — compaction collapses tag lineage into one data
+    * dir; schedule compaction outside the writers' replay horizon, the
+    * same contract as [[VersionedLake.vacuum]].)
+    *
+    * Returns the batch's surviving rows with their full payload. */
+  def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, tag: String): DataFrame = {
+    val spark = batch.sparkSession
+    val inBatch = dedupKeepFirst(batch, textCol, idCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val baseV = VersionedLake.versions(spark, indexDir).reverse
+      .find(v => !VersionedLake.readManifestTags(spark, indexDir, v)
+        .contains(tag))
+    val fresh = baseV match {
+      case None => inBatch // first drop: nothing to dedup against
+      case Some(v) =>
+        val idxFp = VersionedLake.readAt(spark, indexDir, v).select(col("fp"))
+        val batchFps = inBatch.select(col("__fp").as("fp")).distinct()
+        // No distinct on the matched set: the anti-join below only
+        // tests membership, and a distinct here would hang a shuffle
+        // over the index scan's subtree — the matched set is already
+        // ≤ |batch| (the index holds each fp at most once).
+        val dupFps = idxFp.join(broadcast(batchFps), "fp").select(col("fp"))
+        inBatch.join(broadcast(dupFps),
+          inBatch("__fp") === dupFps("fp"), "left_anti")
+    }
+    VersionedLake.commitTagged(
+      fresh.select(col("__fp").as("fp"), col(idCol).as("id")),
+      indexDir, tag)
+    fresh.drop("__fp")
+  }
+
   /** Word n-gram shingle set: (id, sh) distinct rows. Documents shorter
     * than `n` tokens contribute their whole text as one shingle. */
   def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

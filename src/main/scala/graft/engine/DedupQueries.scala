@@ -284,5 +284,72 @@ object DedupQueries {
         size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
       Dedup.keepBest(comps, scores)
         .orderBy(col("canonical"))
+    },
+
+    QuerySpec(
+      "q130_incremental_dedup",
+      """WITH b1 AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000, text FROM documents WHERE doc_id % 11 = 3),
+        |b2 AS (
+        |  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' [v2]' FROM documents
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text || ' [v2]' FROM documents
+        |  WHERE doc_id % 9 = 1),
+        |f1 AS (
+        |  SELECT id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |           AS fp
+        |  FROM b1),
+        |s1 AS (SELECT fp, min(id) AS id FROM f1 GROUP BY fp),
+        |f2 AS (
+        |  SELECT id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |           AS fp
+        |  FROM b2),
+        |s2i AS (SELECT fp, min(id) AS id FROM f2 GROUP BY fp),
+        |s2 AS (
+        |  SELECT fp, id FROM s2i
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.fp = s2i.fp))
+        |SELECT id, 1 AS batch FROM s1
+        |UNION ALL SELECT id, 2 FROM s2
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      // Incremental cross-batch dedup ([[Dedup.dedupAgainstIndex]]): two
+      // ingest drops against a versioned signature index — batch 1 (the
+      // corpus + planted in-batch copies at +2000) commits index v1;
+      // batch 2 carries cross-batch copies (+10000, killed against v1),
+      // genuinely-new " [v2]" revisions (+20000, survive), and in-batch
+      // copies of those (+30000, killed batch-internally) and commits
+      // v2. The oracle REPLAYS the drops batch-by-batch (in-batch
+      // min-id keep-first, then NOT EXISTS against batch 1's survivor
+      // index); because batch-1 ids all precede batch-2 ids, the
+      // incremental result also equals full-corpus keep-first dedup on
+      // the union (asserted in DedupSpec). The index dir is per-PID
+      // scratch, rebuilt per call — the ORACLE never reads it; the
+      // versioned-lake mechanics under it are pinned by
+      // VersionedLakeSpec, and the no-corpus-reshuffle plan by
+      // PlanAuditSpec.
+      val docs = table(s, dir, "documents")
+      val b1 = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 2000L).as("id"), col("text")))
+      val b2 = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000L).as("id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 20000L).as("id"),
+            concat(col("text"), lit(" [v2]")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 30000L).as("id"),
+            concat(col("text"), lit(" [v2]")).as("text")))
+      val idx = s"${graft.Sessions.scratchRoot}/dedup_index_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, idx)
+      val s1 = Dedup.dedupAgainstIndex(b1, "text", "id", idx, "batch1")
+      val s2 = Dedup.dedupAgainstIndex(b2, "text", "id", idx, "batch2")
+      s1.select(col("id"), lit(1).as("batch"))
+        .unionByName(s2.select(col("id"), lit(2).as("batch")))
+        .orderBy(col("id"))
     })
 }

@@ -212,4 +212,61 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "alternating CC leaked cached RDDs")
   }
+
+  test("dedupAgainstIndex: batch-by-batch result equals full-corpus " +
+      "keep-first dedup; a replayed batch is exactly-once") {
+    import spark.implicits._
+    val idx = TestSpark.tempDir("inc-idx") + "/index"
+    // batch ids ordered across drops, so first-arrival == global min id
+    val b1 = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa bb"))
+      .toDF("id", "text") // in-batch dup: 3 folds into 1
+    val b2 = Seq((10L, "aa bb"), (11L, "ee ff"), (12L, "ee ff"))
+      .toDF("id", "text") // 10 dies against the index, 12 in-batch
+    val s1 = Dedup.dedupAgainstIndex(b1, "text", "id", idx, "d1")
+      .select("id").as[Long].collect().toSet
+    val s2 = Dedup.dedupAgainstIndex(b2, "text", "id", idx, "d2")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 2L))
+    assert(s2 == Set(11L))
+    // ≡ full-corpus keep-first on the union
+    val full = Dedup.dedupKeepFirst(b1.unionByName(b2), "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(s1 ++ s2 == full)
+    // replay of drop 2: same survivors (deduped against the PRE-d2
+    // snapshot, not against its own committed fps), and no new version
+    val vsBefore = VersionedLake.versions(spark, idx)
+    val replay = Dedup.dedupAgainstIndex(b2, "text", "id", idx, "d2")
+      .select("id").as[Long].collect().toSet
+    assert(replay == s2)
+    assert(VersionedLake.versions(spark, idx) == vsBefore)
+  }
+
+  test("dedupAgainstIndex survives index compaction: new drops still " +
+      "dedup against the compacted tip, and changes() keeps the " +
+      "append-only fast path after the boundary") {
+    import spark.implicits._
+    val idx = TestSpark.tempDir("inc-idx-compact") + "/index"
+    val b1 = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
+    val b2 = Seq((10L, "ee ff")).toDF("id", "text")
+    Dedup.dedupAgainstIndex(b1, "text", "id", idx, "d1")
+      .write.format("noop").mode("overwrite").save()
+    Dedup.dedupAgainstIndex(b2, "text", "id", idx, "d2")
+      .write.format("noop").mode("overwrite").save()
+    // compaction-as-commit: one data dir, same content, new version
+    val vCompact = VersionedLake.compactVersions(spark, idx)
+    assert(VersionedLake.readAt(spark, idx, vCompact).count() == 3)
+    // a new drop dedups against the compacted tip exactly as before
+    val b3 = Seq((20L, "aa bb"), (21L, "gg hh")).toDF("id", "text")
+    val s3 = Dedup.dedupAgainstIndex(b3, "text", "id", idx, "d3")
+      .select("id").as[Long].collect().toSet
+    assert(s3 == Set(21L))
+    // post-compaction appends stay on the manifest fast path: the d3
+    // commit is a strict superset of the compacted manifest, so
+    // changes() is decided from metadata and yields exactly the delta
+    val v3 = VersionedLake.versions(spark, idx).last
+    val delta = VersionedLake.changes(spark, idx, vCompact, v3)
+    assert(delta.select("id").as[Long].collect().toSet == Set(21L))
+    assert(delta.select("op").distinct().as[String].collect()
+      .sameElements(Array("insert")))
+  }
 }

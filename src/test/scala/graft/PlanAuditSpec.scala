@@ -230,4 +230,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exec.contains("SortMergeJoin") || exec.contains("ShuffledHashJoin"),
       s"expected a shuffle join under the bloom filter:\n$exec")
   }
+
+  test("incremental dedup never reshuffles the signature index: the " +
+      "index scan is narrow and feeds a broadcast join map-side") {
+    // The scale contract of Dedup.dedupAgainstIndex (the corpus-so-far
+    // index is O(corpus); the batch is O(batch)): the index side must be
+    // consumed by a BroadcastHashJoin probe with NO Exchange between its
+    // file scan and the join, reading ONLY the fp column. A plan change
+    // that flips the join to sort-merge (reshuffling the whole corpus
+    // per monthly drop) or widens the scan fails here, not at 100 TB.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val root = TestSpark.tempDir("inc-dedup-plan")
+    val idx = s"$root/index"
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    // drop 1 builds the index; drop 2's plan is what we audit
+    graft.engine.Dedup.dedupAgainstIndex(docs, "text", "id", idx, "b1")
+      .write.format("noop").mode("overwrite").save()
+    val second = graft.engine.Dedup.dedupAgainstIndex(
+      docs.withColumn("id", col("id") + 50000L), "text", "id", idx, "b2")
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val nodes = walk(second.queryExecution.executedPlan)
+    def isIndexScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("index"))
+      case _ => false
+    }
+    val indexScans = nodes.filter(isIndexScan)
+    assert(indexScans.nonEmpty, "expected a scan of the signature index")
+    // narrow: the index scan reads only the fp column
+    indexScans.foreach { s =>
+      val cols = s.asInstanceOf[FileSourceScanExec].requiredSchema.fieldNames
+      assert(cols.sameElements(Array("fp")),
+        s"index scan should read only fp, read ${cols.mkString(",")}")
+    }
+    // never reshuffled: no ShuffleExchange has the index scan beneath it
+    nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!walk(e).exists(isIndexScan),
+        s"signature index is reshuffled:\n${second.queryExecution.executedPlan}")
+    }
+  }
 }
