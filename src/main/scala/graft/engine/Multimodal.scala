@@ -11,6 +11,9 @@ final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 final case class DimsRow(media_id: Long, width: Int, height: Int)
 final case class ParsedMediaRow(media_id: Long, format: Option[String],
     width: Option[Int], height: Option[Int], payload: Array[Byte])
+final case class ParsedVideoRow(media_id: Long, timescale: Option[Int],
+    duration: Option[Long], track_count: Option[Int],
+    mdat_len: Option[Long], payload: Array[Byte])
 final case class ParsedAudioRow(media_id: Long, channels: Option[Int],
     sample_rate: Option[Int], bits_per_sample: Option[Int],
     data_len: Option[Long], payload: Array[Byte])
@@ -165,5 +168,38 @@ object Multimodal {
         "data_len")
       .withColumn("duration_ms",
         expr("data_len * 8000 div (sample_rate * channels * bits_per_sample)"))
+  }
+
+  /** Video counterpart — same two-tier decode, on MP4/ISO-BMFF bytes:
+    * [[VideoHeaders.parse]] (codegen'd fixed-offset expressions)
+    * resolves canonical `ftyp`+`moov`-first payloads in the scan
+    * projection; rows it declined (a `free` box before `moov`, v1
+    * headers) run the [[VideoHeaders.mp4Info]] box walk inside the
+    * partition-wise typed stage. One scan, no shuffle; unparseable
+    * payloads are dropped, not errors. `duration_ms` is derived from
+    * the PARSED movie-header fields by exact long division. */
+  def videoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"),
+        VideoHeaders.parse(col("payload")).as("v"))
+      .select(col("media_id"), col("v.timescale").as("timescale"),
+        col("v.duration").cast("long").as("duration"),
+        col("v.track_count").as("track_count"),
+        col("v.mdat_len").as("mdat_len"), col("payload"))
+      .as[ParsedVideoRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        r.timescale match {
+          case Some(ts) =>
+            for (dur <- r.duration; tc <- r.track_count; len <- r.mdat_len)
+              yield (r.media_id, ts, dur, tc, len)
+          case None =>
+            VideoHeaders.mp4Info(r.payload).map { case (ts, dur, tc, len) =>
+              (r.media_id, ts, dur, tc, len)
+            }
+        }
+      })
+      .toDF("media_id", "timescale", "duration", "track_count", "mdat_len")
+      .withColumn("duration_ms", expr("duration * 1000 div timescale"))
   }
 }

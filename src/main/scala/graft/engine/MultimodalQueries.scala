@@ -172,5 +172,47 @@ object MultimodalQueries {
           .select(col("doc_id").as("media_id"),
             concat(header, col("text").cast("binary")).as("payload")))
         .orderBy(col("media_id"))
+    },
+
+    QuerySpec(
+      "q132_video_headers",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |              ELSE 90000 END AS INT) AS timescale,
+        |         CAST((doc_id % 500 + 1) * 100 AS BIGINT) AS duration,
+        |         CAST(1 + doc_id % 3 AS INT) AS track_count,
+        |         CAST(octet_length(text::BLOB) AS BIGINT) AS mdat_len
+        |  FROM documents)
+        |SELECT doc_id AS media_id, timescale, duration, track_count,
+        |       mdat_len, duration * 1000 // timescale AS duration_ms
+        |FROM m ORDER BY 1""".stripMargin) { (s, dir) =>
+      // REAL video-container round-trip ([[VideoHeaders]]), the
+      // MP4/ISO-BMFF leg completing the q88/q117 codec family: each
+      // doc's text bytes become an `mdat` payload behind actual
+      // `ftyp`+`moov(mvhd, trak×n)` boxes (big-endian sizes, derived
+      // moov size, spec matrix/rate fields), and every doc with
+      // doc_id % 5 == 0 additionally gets a `free` box between `ftyp`
+      // and `moov` — the editor-padding layout the codegen'd
+      // fixed-offset parser must DECLINE and the partition-wise box
+      // walk must resolve ([[Multimodal.videoFeatures]]'s two-tier
+      // decode, exercised on both tiers by construction). The oracle
+      // recomputes the planted shape from the doc_id formulas, so one
+      // wrong offset, box size, endianness, or track-count derivation
+      // in EITHER the encoder or EITHER parser breaks the hash;
+      // duration_ms is exact long division on both engines.
+      val ts = when(pmod(col("doc_id"), lit(3)) === 0, 600)
+        .when(pmod(col("doc_id"), lit(3)) === 1, 1000)
+        .otherwise(90000).cast("int")
+      val dur = ((pmod(col("doc_id"), lit(500)) + 1) * 100).cast("long")
+      val nTracks = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
+      val body = col("text").cast("binary")
+      val payload = when(pmod(col("doc_id"), lit(5)) === 0,
+          VideoHeaders.mp4Payload(ts, dur, nTracks, body, withFree = true))
+        .otherwise(VideoHeaders.mp4Payload(ts, dur, nTracks, body))
+      Multimodal.videoFeatures(
+        table(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), payload.as("payload")))
+        .orderBy(col("media_id"))
     })
 }

@@ -521,6 +521,150 @@ object TextAnalysis {
     * BEFORE the index sequence so its bound can never go negative
     * (Spark's `sequence(1, 0)` silently generates a DESCENDING
     * range — the [[sharedNgrams]] guard). */
+  /** Deterministic weight table for the hashed-n-gram linear scorer:
+    * splitmix64-mixed integers in [-500, 500] (milli-unit weights, so
+    * every score is EXACT integer arithmetic — the practice of shipping
+    * a quantized model). Same generator discipline as
+    * [[Similarity.hyperplanes]]: reproducible everywhere, no seed
+    * shipping, and small enough (D entries) to embed as literals in
+    * both the Spark plan and the DuckDB oracle. */
+  def scorerWeights(d: Int = 1024): Array[Int] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(d)(j => (((mix(j.toLong) % 1001) + 1001) % 1001 - 500).toInt)
+  }
+
+  /** Hashed-n-gram linear quality scorer (the fastText shape: grams →
+    * hash-bucketed embedding/weight lookup → linear score): grams are
+    * word unigrams + bigrams, the bucket is the first 8 md5 hex chars
+    * mod D (md5 so the oracle can replay the hash — xxhash64 has no
+    * DuckDB twin), and the logit is the SUM of the bucket weights —
+    * one `aggregate` fold, entirely row-local: no shuffle anywhere
+    * before a score filter, which is the whole point of model-based
+    * filtering at 100 TB (score-and-drop inside the scan, pay the
+    * shuffle only for survivors). The sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability; keeping
+    * the logit integral keeps the compare exact. Returns (grams count,
+    * logit) columns for a bound `toks` array column. */
+  def hashedNgramLogit(toksColName: String,
+      weights: Array[Int]): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
+    val d = weights.length
+    val grams = s"""concat($toksColName,
+      CASE WHEN size($toksColName) >= 2
+        THEN transform(sequence(1, size($toksColName) - 1),
+          i -> concat(element_at($toksColName, i), ' ',
+                      element_at($toksColName, i + 1)))
+        ELSE array() END)"""
+    val logit = s"""aggregate($grams, 0L, (acc, g) ->
+      acc + element_at(array(${weights.mkString(",")}),
+        cast(pmod(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint),
+                  $d) as int) + 1))"""
+    (expr(s"size($grams)").cast("long"), expr(logit))
+  }
+
+  /** Full BPE training loop on top of [[bpePairStats]]'s shape: starting
+    * from characters, repeat `nMerges` times — count adjacent symbol
+    * pairs weighted by word frequency, take the argmax (ties broken by
+    * (a, b) ascending, deterministic), fuse that pair greedily
+    * left-to-right in every word. Returns the merge table
+    * (step, a, b, freq) — a tokenizer IS its ordered merge list.
+    *
+    * Scale shape (the q121 argument, iterated): every round is ONE
+    * explode+sum aggregation over the VOCABULARY table (bounded, Heaps'
+    * law) — the corpus is collapsed to word frequencies before the loop
+    * and never touched again. The driver holds only the merge list
+    * (nMerges rows) and coordinates the per-round argmax — a bounded
+    * 1-row collect per round, the k-means-iteration discipline, NOT a
+    * data collect. The merge itself is a codegen'd `aggregate` fold
+    * (greedy left-to-right, exactly the reference tokenizer semantics:
+    * "aaa" + (a,a) → ["aa","a"]), so each round's plan is map-only over
+    * vocab rows plus the one pair aggregation. */
+  def bpeTrain(words: org.apache.spark.sql.DataFrame,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = words.sparkSession
+    var cur = words.withColumn("sym",
+      expr("filter(split(w, ''), s -> s <> '')"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = cur.filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(element_at(sym, i) AS a, element_at(sym, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, f))
+        cur = cur.withColumn("sym", mergeFold("sym", a, b))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "a", "b", "freq")
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Greedy left-to-right fusion of adjacent pair (a, b) into ab over a
+    * symbol array — the BPE apply step as a codegen'd fold: the
+    * accumulator's LAST symbol decides, so an element just produced by
+    * a merge participates as the fused symbol, never as its halves. */
+  private def mergeFold(c: String, a: String, b: String)
+      : org.apache.spark.sql.Column = {
+    val (al, bl, ab) = (sqlStr(a), sqlStr(b), sqlStr(a + b))
+    expr(s"""aggregate($c, cast(array() as array<string>), (acc, s) ->
+      CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $al AND s = $bl
+           THEN concat(slice(acc, 1, size(acc) - 1), array($ab))
+           ELSE concat(acc, array(s)) END)""")
+  }
+
+  /** Sequential reference BPE trainer over an in-memory word-frequency
+    * list — an INDEPENDENT implementation (plain Scala collections, no
+    * Spark) that [[bpeTrain]] is differentially tested against (the
+    * [[Similarity.dotHof]] discipline) and that generates the q131
+    * oracle's expected merge table for the planted corpus. */
+  def bpeTrainRef(words: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    def fuse(v: Vector[String], a: String, b: String): Vector[String] =
+      v.foldLeft(Vector.empty[String])((acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s)
+    var syms = words.map { case (w, c) =>
+      (w.map(_.toString).toVector, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var continue = true
+    while (step <= nMerges && continue) {
+      val pairs = syms.flatMap { case (v, c) =>
+        v.zip(v.drop(1)).map(p => p -> c)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) continue = false
+      else {
+        val ((a, b), f) = pairs.minBy { case ((a, b), f) => (-f, a, b) }
+        out += ((step, a, b, f))
+        syms = syms.map { case (v, c) => (fuse(v, a, b), c) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
   def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
       topK: Int): org.apache.spark.sql.DataFrame = {
     val wordCounts = df

@@ -1010,5 +1010,110 @@ object TextQueries {
           sum(col("n_tokens")).as("sum_tokens"),
           sum(round(col("diversity") * 10000).cast("long")).as("sum_div_1e4"))
         .orderBy(col("split"))
+    },
+
+    QuerySpec(
+      "q131_bpe_train",
+      q131Oracle) { (s, _) =>
+      // Full BPE tokenizer training ([[TextAnalysis.bpeTrain]]): 8
+      // merge rounds over the planted Sennrich-style word-frequency
+      // table — each round one vocab-bounded explode+sum, a 1-row
+      // argmax collect, and a codegen'd greedy merge fold. The oracle
+      // is the merge table computed by the INDEPENDENT sequential
+      // reference trainer ([[TextAnalysis.bpeTrainRef]], plain Scala
+      // collections) embedded as VALUES — the q32/q34 spec-derived-
+      // constants discipline — so a wrong pair count, a nondeterministic
+      // argmax tie-break, or a fold that merges overlapping pairs
+      // differently from the reference tokenizer breaks the hash.
+      // Determinism under repartitioning is pinned in TextSpec.
+      import s.implicits._
+      TextAnalysis.bpeTrain(
+        BpeWords.toDF("w", "wc").repartition(4), nMerges = 8)
+        .orderBy(col("step"))
+    },
+
+    QuerySpec(
+      "q133_quality_scorer",
+      q133Oracle) { (s, dir) =>
+      // Model-based quality scoring ([[TextAnalysis.hashedNgramLogit]]),
+      // the fastText shape heuristic filters (q36/q57/q81/q115/q126)
+      // graduate to: word uni+bigrams hash into D=1024 buckets of a
+      // LITERAL quantized weight table and the document's logit is the
+      // bucket-weight sum — one codegen'd `aggregate` fold per row,
+      // md5-bucketed so the oracle replays the identical hash with
+      // integer-only arithmetic (weights are milli-units; the sigmoid
+      // is monotone, so the logit>0 filter IS the probability
+      // threshold). Score and filter are ROW-LOCAL in the scan — the
+      // plan's only exchange is the final presentation sort (gated in
+      // PlanAuditSpec): at 100 TB the model fee is paid map-side and
+      // only survivors ever shuffle. quality_ppm is exact integer
+      // division of positive operands, so the compare is exact.
+      val w = TextAnalysis.scorerWeights()
+      val (nGrams, logit) = TextAnalysis.hashedNgramLogit("toks", w)
+      table(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
+        .withColumn("n_grams", nGrams)
+        .withColumn("logit", logit)
+        .filter(col("logit") > 0)
+        .select(col("doc_id"), col("n_grams"), col("logit"),
+          expr("logit * 1000000 div (1000 * n_grams)").as("quality_ppm"))
+        .orderBy(col("doc_id"))
     })
+
+  /** Planted BPE corpus (word → frequency): the classic subword-NMT
+    * demonstration shape — shared stems and suffixes ("low"/"lower"/
+    * "lowest", "new"/"newer"/"newest", "wide"-family) whose merge
+    * sequence exercises suffix fusion, tie-breaks, and multi-round
+    * symbol growth. Shared between the Spark query and the reference
+    * trainer that generates the oracle. */
+  // lazy: `specs` above references this during object init
+  private lazy val BpeWords: Seq[(String, Long)] = Seq(
+    "low" -> 7L, "lower" -> 5L, "lowest" -> 2L, "newer" -> 6L,
+    "newest" -> 3L, "wider" -> 3L, "new" -> 2L, "widest" -> 1L)
+
+  private def q131Oracle: String = {
+    val rows = TextAnalysis.bpeTrainRef(BpeWords, nMerges = 8)
+      .map { case (step, a, b, f) =>
+        def q(s: String) = "'" + s.replace("'", "''") + "'"
+        s"($step, ${q(a)}, ${q(b)}, CAST($f AS BIGINT))"
+      }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(step, a, b, freq) ORDER BY step""".stripMargin
+  }
+
+  /** q133 oracle: the same weight table as a SQL list literal, the same
+    * md5-hex-to-integer bucket hash (strpos arithmetic over the first 8
+    * hex chars — DuckDB has no conv()), the same gram construction, and
+    * integer-only scoring, so the compare is exact. Positive-operand
+    * integer division keeps Spark's `div` (truncate) and DuckDB's `//`
+    * agreeing. */
+  private def q133Oracle: String = {
+    val wl = TextAnalysis.scorerWeights().mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT $wl AS wl),
+       |t AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_concat(toks,
+       |           CASE WHEN len(toks) >= 2
+       |             THEN [toks[i] || ' ' || toks[i+1]
+       |                   FOR i IN range(1, len(toks))]
+       |             ELSE [] END) AS grams
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |         CAST(list_sum(list_transform(grams, gr ->
+       |           wl[CAST(list_sum(list_transform(range(1, 9), i ->
+       |                 CAST(strpos('0123456789abcdef',
+       |                             substring(md5(gr), i, 1)) - 1 AS BIGINT)
+       |                   * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 1024
+       |               AS INT) + 1])) AS BIGINT) AS logit
+       |  FROM g, w)
+       |SELECT doc_id, n_grams, logit,
+       |       (logit * 1000000) // (1000 * n_grams) AS quality_ppm
+       |FROM s WHERE logit > 0 ORDER BY doc_id""".stripMargin
+  }
 }

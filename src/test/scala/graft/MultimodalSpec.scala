@@ -205,4 +205,56 @@ class MultimodalSpec extends AnyFunSuite {
       cc("JUNK") ++ le32(0xfffffff0L) ++ fmt ++ data
     assert(AudioHeaders.wavInfo(evil).isEmpty)
   }
+
+  test("MP4: canonical layouts parse fixed-offset; free-box layouts " +
+      "are declined there and resolved by the box walk") {
+    import spark.implicits._
+    val media = Seq((1L, 600, 3000L, 2, "hello mp4"),
+        (2L, 90000, 450000L, 3, "second"))
+      .toDF("media_id", "ts", "dur", "n", "body")
+    def payload(withFree: Boolean) = media.select(col("media_id"),
+      VideoHeaders.mp4Payload(col("ts"), col("dur"), col("n"),
+        col("body").cast("binary"), withFree).as("payload"))
+    // canonical: the codegen'd fixed-offset parser resolves everything
+    val fixed = payload(withFree = false)
+      .select(col("media_id"), VideoHeaders.parse(col("payload")).as("v"))
+      .select("media_id", "v.timescale", "v.duration", "v.track_count",
+        "v.mdat_len")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(fixed == Set((1L, 600, 3000, 2, 9L), (2L, 90000, 450000, 3, 6L)))
+    // free box: fixed-offset declines (all-null struct)…
+    val declined = payload(withFree = true)
+      .select(VideoHeaders.parse(col("payload")).as("v"))
+      .collect()
+    assert(declined.forall(_.getStruct(0).isNullAt(0)))
+    // …and the two-tier videoFeatures resolves BOTH layouts identically
+    val viaWalk = Multimodal.videoFeatures(payload(withFree = true))
+    val viaFixed = Multimodal.videoFeatures(payload(withFree = false))
+    assert(viaWalk.orderBy("media_id").collect().toSeq ==
+      viaFixed.orderBy("media_id").collect().toSeq)
+    // v1 mvhd (64-bit times): only the walk understands it
+    def be4(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be8(v: Long): Array[Byte] = be4(v >> 32) ++ be4(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val mvhdV1 = be4(120) ++ cc("mvhd") ++ Array[Byte](1, 0, 0, 0) ++
+      be8(0) ++ be8(0) ++ be4(1000) ++ be8(77000L) ++
+      Array.fill[Byte](80)(0)
+    val trakMin = be4(16) ++ cc("trak") ++ be4(8) ++ cc("tkhd")
+    val moov = be4(8L + mvhdV1.length + trakMin.length) ++ cc("moov") ++
+      mvhdV1 ++ trakMin
+    val ftyp = be4(20) ++ cc("ftyp") ++ cc("isom") ++ be4(0x200) ++ cc("mp41")
+    val mdat = be4(8 + 4) ++ cc("mdat") ++ cc("abcd")
+    assert(VideoHeaders.mp4Info(ftyp ++ moov ++ mdat)
+      == Some((1000, 77000L, 1, 4L)))
+    // corrupt-size guard: a box size that would walk backward or past
+    // the end must reject, not spin
+    val evilBox = be4(3) ++ cc("junk")
+    assert(VideoHeaders.mp4Info(ftyp ++ evilBox ++ moov ++ mdat).isEmpty)
+    val overrun = be4(0xfffffff0L) ++ cc("junk")
+    assert(VideoHeaders.mp4Info(ftyp ++ overrun ++ moov ++ mdat).isEmpty)
+    assert(VideoHeaders.mp4Info("not a movie".getBytes).isEmpty)
+  }
 }

@@ -231,6 +231,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a shuffle join under the bloom filter:\n$exec")
   }
 
+  test("q133 scores and filters row-local: the only exchange is the " +
+      "presentation sort") {
+    // The model-based filter's 100 TB contract: the hashed-n-gram logit
+    // and its threshold run INSIDE the scan stage (map-side), so only
+    // surviving rows ever reach an exchange. One shuffle total — the
+    // final orderBy — and it must sit ABOVE the filter.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = SparkEntry.queries("q133_quality_scorer")(spark, sf)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length == 1,
+      s"expected exactly the sort exchange, got ${shuffles.length}:\n" +
+        df.queryExecution.executedPlan)
+    // the logit filter is beneath that one exchange, not above it
+    assert(walk(shuffles.head).exists(_.toString.contains("Filter")),
+      s"score filter did not run below the exchange:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("incremental dedup never reshuffles the signature index: the " +
       "index scan is narrow and feeds a broadcast join map-side") {
     // The scale contract of Dedup.dedupAgainstIndex (the corpus-so-far

@@ -306,4 +306,24 @@ class TextSpec extends AnyFunSuite {
     assert(generateAboveAggregate(plan, seenGenerate = false),
       s"pair explode must run over the aggregated vocab:\n$plan")
   }
+
+  test("bpeTrain matches the sequential reference trainer and is " +
+      "invariant under repartitioning") {
+    import spark.implicits._
+    // overlapping-pair ("aaaa"), tie-break, and multi-round fusion cases
+    val words = Seq("aaaa" -> 4L, "aab" -> 3L, "abab" -> 3L,
+      "banana" -> 2L, "bandana" -> 2L, "low" -> 5L, "lower" -> 2L)
+    def run(parts: Int): Seq[(Int, String, String, Long)] =
+      TextAnalysis.bpeTrain(words.toDF("w", "wc").repartition(parts), 6)
+        .orderBy("step")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val ref = TextAnalysis.bpeTrainRef(words, 6)
+    assert(run(1) == ref)
+    assert(run(7) == ref) // partitioning must not move any merge
+    // greedy left-to-right fusion: "aaaa" + (a,a) gives aa|aa, never a
+    // 3-wide overlap — visible in the round-2 stats the ref encodes
+    assert(ref.head._2 == "a" && ref.head._3 == "a")
+  }
 }
