@@ -51,7 +51,14 @@ object Bench {
           ((s: org.apache.spark.sql.SparkSession, _: String) =>
             s.range(1000000L).crossJoin(s.range(1000000L)).toDF()))
       else SparkEntry.queries
+    // Attribution hook: run only the named queries (comma-separated
+    // exact names) in an otherwise-identical harness — used to measure
+    // a subset alone vs inside the full suite (codegen-cache pressure,
+    // heap churn) without changing what the driver's full run measures.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def run(name: String, dir: String): Double = {
       val fut = Future {

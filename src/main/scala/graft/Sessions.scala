@@ -65,6 +65,17 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The codegen class cache defaults to 100 entries (LRU). The
+      // bench warms ALL queries' generated code first, then times them
+      // in the same order — with 130+ queries the warmup itself evicts
+      // the early queries' classes, so their Janino compilation lands
+      // INSIDE the timed region (measured: a uniform ~4s elevation
+      // across q01-q29 at the gate conditions as the suite grew past
+      // 100 specs). Size the cache to the query surface; static conf,
+      // so it must be set here at session build. Env-overridable so the
+      // bench can reproduce the default-cache behavior for attribution.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       // bucketed tables (Lake.writeBucketed) land under the warehouse
       // dir; keep catalog artifacts out of the repo working tree, and
       // key the dir by PID — table names are fixed (bt_*, gate_bt_*),
