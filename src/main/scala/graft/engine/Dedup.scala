@@ -113,6 +113,99 @@ object Dedup {
     fresh.drop("__fp")
   }
 
+  /** Incremental cross-batch NEAR-dup ([[dedupAgainstIndex]]'s sibling
+    * for MinHash): the index is TWO versioned lakes under `indexDir` —
+    * `keys` (id, band, bh): the LSH posting list of every surviving
+    * document, and `sigs` (id, sig[64]): their MinHash signatures. A
+    * new batch generates candidates ONLY batch-internally (banded LSH,
+    * [[lshCandidatePairs]]) and batch-vs-index (band-key equality), and
+    * verifies candidates by signature slot agreement (the standard
+    * MinHash Jaccard estimate — fraction of equal slots ≥ `minAgree`),
+    * so verification needs no text fetch: the index carries everything.
+    *
+    * Scale shape, mirroring [[dedupAgainstIndex]]:
+    *  - the index `keys` scan is consumed map-side by a broadcast of
+    *    the batch's distinct (band, bh) keys — the corpus-sized posting
+    *    list is never reshuffled (plan-gated);
+    *  - matched postings are capped per bucket by a rank window BEFORE
+    *    pairing (the [[boundedBuckets]] discipline — a boilerplate
+    *    bucket in the index cannot explode the candidate join; the
+    *    window shuffles only MATCHED rows, and sorts stream/spill);
+    *  - index signatures are fetched by a broadcast of the candidate
+    *    ids (≤ batch × maxBucket), map-side again;
+    *  - survivor policy is greedy first-arrival: a batch doc drops on
+    *    any verified match to the index or to a LOWER-id batch doc
+    *    (transitive families are [[connectedComponents]]' job, on the
+    *    pairs this emits).
+    * Exactly-once per batch: both index commits are tagged; the dedup
+    * baseline is the newest version NOT containing the tag, as in
+    * [[dedupAgainstIndex]]. Returns the surviving batch rows. */
+  def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, tag: String, minAgree: Double = 0.75,
+      maxBucket: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val k = 64
+    val keysDir = s"$indexDir/keys"
+    val sigsDir = s"$indexDir/sigs"
+    val sigsWide = minhashSignatures(shingleDf(batch, idCol, textCol), k)
+    val sigs = sigsWide.select(col("id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val bands = 16; val rowsPerBand = 4
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
+    }
+    val keys = sigsWide
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    def agreeFrac(x: String, y: String) =
+      expr(s"size(filter(zip_with($x, $y, (u, v) -> u = v), t -> t)) / $k.0")
+    val sa = sigs.select(col("id").as("a"), col("sig").as("siga"))
+    val sb = sigs.select(col("id").as("b"), col("sig").as("sigb"))
+    // batch-internal: banded candidates, slot-agreement verify, greedy
+    // drop-the-later-id
+    val inBatchDrops = lshCandidatePairs(sigsWide, bands, rowsPerBand,
+        maxBucket)
+      .join(sa, "a").join(sb, "b")
+      .filter(agreeFrac("siga", "sigb") >= minAgree)
+      .select(col("b").as("drop_id"))
+    val baseV = VersionedLake.versions(spark, keysDir).reverse
+      .find(v => !VersionedLake.readManifestTags(spark, keysDir, v)
+        .contains(tag))
+    val crossDrops = baseV match {
+      case None => inBatchDrops.limit(0)
+      case Some(v) =>
+        val idxKeys = VersionedLake.readAt(spark, keysDir, v)
+        val batchBuckets = keys.select(col("band"), col("bh")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh")).orderBy(col("id"))
+        val matched = idxKeys.join(broadcast(batchBuckets), Seq("band", "bh"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxBucket)
+          .select(col("id").as("a"), col("band"), col("bh"))
+        val pairs = matched
+          .join(broadcast(keys.select(col("id").as("b"),
+            col("band"), col("bh"))), Seq("band", "bh"))
+          .select(col("a"), col("b")).distinct()
+        val aSigs = VersionedLake.readAt(spark, sigsDir, v)
+          .join(broadcast(pairs.select(col("a").as("id")).distinct()), "id")
+          .select(col("id").as("a"), col("sig").as("siga"))
+        pairs.join(broadcast(aSigs), "a").join(sb, "b")
+          .filter(agreeFrac("siga", "sigb") >= minAgree)
+          .select(col("b").as("drop_id"))
+    }
+    val drops = inBatchDrops.unionByName(crossDrops).distinct()
+    val survivors = batch.join(broadcast(drops),
+      batch(idCol) === drops("drop_id"), "left_anti")
+    val survIds = survivors.select(col(idCol).as("id"))
+    VersionedLake.commitTagged(
+      keys.join(broadcast(survIds), "id"), keysDir, tag)
+    VersionedLake.commitTagged(
+      sigs.join(broadcast(survIds), "id"), sigsDir, tag)
+    survivors
+  }
+
   /** Word n-gram shingle set: (id, sh) distinct rows. Documents shorter
     * than `n` tokens contribute their whole text as one shingle. */
   def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

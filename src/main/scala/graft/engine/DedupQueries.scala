@@ -286,6 +286,40 @@ object DedupQueries {
         .orderBy(col("canonical"))
     },
 
+    QuerySpec.noOracle("q134_incremental_neardup") { (s, dir) =>
+      // Incremental cross-batch NEAR-dup ([[Dedup.nearDupAgainstIndex]],
+      // q130's MinHash sibling): drop 1 is the corpus (its own natural
+      // near-dup families collapse to first-arrival survivors); drop 2
+      // carries planted near-copies of index docs (+50000, NearTail —
+      // verified against the index's signatures and dropped), genuinely
+      // new half-documents (+70000, Jaccard ≈ 0.5 to their originals —
+      // below the 0.75 agreement bar, kept), and near-copies of THOSE
+      // (+80000 — in-batch candidates, greedy-dropped). MinHash slots
+      // are Spark-hash-specific → rows-only here; exact planted
+      // assertions, replay exactly-onceness, and the no-index-reshuffle
+      // plan gate live in DedupSpec/PlanAuditSpec.
+      val docs = table(s, dir, "documents")
+      val half = expr(
+        "substring(text, 1, greatest(cast(length(text) / 2 as int), 1))")
+      val b1 = docs.select(col("doc_id").as("id"), col("text"))
+      val b2 = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 50000L).as("id"),
+            concat(col("text"), lit(NearTail)).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 70000L).as("id"), half.as("text")))
+        .unionByName(docs.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 80000L).as("id"),
+            concat(half, lit(NearTail)).as("text")))
+      val idx = s"${graft.Sessions.scratchRoot}/neardup_index_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, idx)
+      val s1 = Dedup.nearDupAgainstIndex(b1, "id", "text", idx, "m1")
+      val s2 = Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
+      s1.select(col("id"), lit(1).as("batch"))
+        .unionByName(s2.select(col("id"), lit(2).as("batch")))
+        .orderBy(col("id"))
+    },
+
     QuerySpec(
       "q130_incremental_dedup",
       """WITH b1 AS (

@@ -105,6 +105,44 @@ object Streaming {
     readEventsStream(spark, dir)
   }
 
+  /** File stream over an existing drop folder, paced ONE file per
+    * micro-batch — the cadence that lands a redelivered copy in a
+    * LATER batch than its original, which is exactly what defeats any
+    * in-memory dedup horizon (watermark state, [[dedupByKey]]) and
+    * what the index-backed [[dedupIngestVersioned]] exists for. */
+  def pacedFileStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeEventTs(
+      spark.readStream.schema(probeSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1").parquet(dir),
+      Tables.longTsUnit(spark, dir))
+
+  /** Streaming ingest with UNBOUNDED-horizon, exactly-once dedup: each
+    * micro-batch dedups against the persistent signature index
+    * ([[Dedup.dedupAgainstIndex]] on the event key) and commits its
+    * survivors to a versioned data lake, both under the batch's tag.
+    * Contrast [[dedupByKey]]: watermark state only remembers keys
+    * younger than the horizon, so a redelivery arriving later silently
+    * survives — here the index IS the horizon (all of history, O(batch)
+    * work per batch), the production contract for at-least-once
+    * upstreams with unbounded redelivery lag. A replayed batch dedups
+    * against its original pre-batch snapshot and both commits no-op
+    * (the [[VersionedLake.commitTagged]] + tag-aware baseline pair). */
+  def dedupIngestVersioned(events: DataFrame, root: String,
+      checkpoint: String): Unit = {
+    val q = events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val keyed = batch.withColumn("k", col("event_id").cast("string"))
+        val survivors = Dedup.dedupAgainstIndex(keyed, "k", "event_id",
+          s"$root/index", s"b$id").drop("k")
+        VersionedLake.commitTagged(survivors, s"$root/lake", s"b$id")
+        ()
+      }
+      .start()
+    drain(q, s"dedup-ingest drain into $root")
+  }
+
   /** Shared read tail for both event streams — ONE definition of the
     * schema probe + ts normalization, so the clean and redelivered
     * streams cannot silently diverge (q71 compares them via one

@@ -206,5 +206,70 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q136_stream_dedup_ingest",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Unbounded-horizon streaming dedup-ingest
+      // ([[Streaming.dedupIngestVersioned]]): the drop folder holds an
+      // OVERLAPPING redelivery — drop A is the user_id<50 slice, drop B
+      // the full table — and the stream is paced one file per
+      // micro-batch, so every drop-A event is redelivered in a LATER
+      // batch. q71's watermark dedup only remembers keys inside its
+      // horizon; here each batch dedups against the persistent
+      // signature index (all of history, O(batch) work) and commits
+      // survivors to a versioned lake under its batch tag. Whatever
+      // order the file source picks the drops in, the surviving set is
+      // the events table exactly once — the oracle is a single clean
+      // copy's accounting, so a cross-batch duplicate surviving OR an
+      // over-drop breaks the hash.
+      val drops = stagedOverlappingDrops(s, dir)
+      val root = s"${graft.Sessions.scratchRoot}/dedup_ingest_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, root)
+      Streaming.dedupIngestVersioned(
+        Streaming.pacedFileStream(s, drops), root, s"$root/cp")
+      require(VersionedLake.versions(s, s"$root/lake").size >= 2,
+        "pacing must produce at least two committed micro-batches")
+      VersionedLake.readLatest(s, s"$root/lake")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
     })
+
+  /** Write-once drop-folder pair with OVERLAPPING content (per-PID
+    * stream root, swept by graft.Sessions): drop_a = the user_id<50
+    * slice, drop_b = the full events table — so whichever file the
+    * stream reads first, the second batch carries both duplicates and
+    * genuinely-new rows (the discriminating shape: an over-dropping
+    * dedup loses the new rows, an under-dropping one doubles the
+    * slice). Single part files, atomically renamed into place. */
+  private def stagedOverlappingDrops(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = s"${graft.Sessions.streamRoot}/overlap_" +
+      new java.io.File(dir).getName
+    Staging.ensureStaged(root) {
+      val ev = Tables.table(s, dir, "events")
+      def publish(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$root/.stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+        require(fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$root/$name.parquet")),
+          s"could not publish $name")
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+      publish(ev.filter(col("user_id") < 50), "drop_a")
+      publish(ev, "drop_b")
+    }
+    root
+  }
 }

@@ -632,6 +632,37 @@ object TextAnalysis {
            ELSE concat(acc, array(s)) END)""")
   }
 
+  /** Tokenizer APPLICATION: piece count per document after running an
+    * ordered merge list over every word — the inference half of
+    * [[bpeTrain]] (training emits the merge list once; encoding runs
+    * over the corpus forever, so THIS is the hot path). Entirely
+    * row-local: per word, characters fold through one codegen'd greedy
+    * merge pass per learned merge (the same [[mergeFold]] semantics,
+    * composed — merge i's output array is merge i+1's input), and the
+    * per-word piece counts sum per document. No UDF, no shuffle — at
+    * 100 TB tokenization is a map-only pass whose cost is the fold
+    * chain, paid inside the scan. Lambda variables are uniquified per
+    * level (`accN`/`sN`) because the merges nest inside the per-word
+    * `transform` lambda. */
+  def bpePieceCount(wordsColName: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val chars = "filter(split(wv, ''), c0 -> c0 <> '')"
+    val folded = merges.zipWithIndex.foldLeft(chars) {
+      case (inner, ((a, b), i)) =>
+        s"""aggregate($inner, cast(array() as array<string>),
+          (acc$i, s$i) ->
+            CASE WHEN size(acc$i) > 0
+                  AND element_at(acc$i, -1) = ${sqlStr(a)}
+                  AND s$i = ${sqlStr(b)}
+                 THEN concat(slice(acc$i, 1, size(acc$i) - 1),
+                             array(${sqlStr(a + b)}))
+                 ELSE concat(acc$i, array(s$i)) END)"""
+    }
+    expr(s"""aggregate(
+      transform($wordsColName, wv -> size($folded)),
+      0L, (pa, px) -> pa + px)""")
+  }
+
   /** Sequential reference BPE trainer over an in-memory word-frequency
     * list — an INDEPENDENT implementation (plain Scala collections, no
     * Spark) that [[bpeTrain]] is differentially tested against (the

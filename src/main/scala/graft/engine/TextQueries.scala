@@ -1033,6 +1033,28 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q135_bpe_tokenize",
+      q135Oracle) { (s, dir) =>
+      // Tokenizer application ([[TextAnalysis.bpePieceCount]]): the 8
+      // merges TRAINED in q131 (a fixed literal list — train once,
+      // encode forever) run over every word of every document as a
+      // composed codegen'd fold chain, row-local in the scan; output is
+      // exact integers (word count, subword piece count, and their
+      // difference = how many merges fired). The oracle replays the
+      // identical greedy fold with nested DuckDB list_reduce over the
+      // same literal merge list — one wrong merge order, tie-fold, or
+      // overlap resolution shifts a piece count and breaks the hash.
+      val merges = TextAnalysis.bpeTrainRef(BpeWords, nMerges = 8)
+        .map { case (_, a, b, _) => (a, b) }
+      table(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextAnalysis.bpePieceCount("toks", merges).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q133_quality_scorer",
       q133Oracle) { (s, dir) =>
       // Model-based quality scoring ([[TextAnalysis.hashedNgramLogit]]),
@@ -1080,6 +1102,37 @@ object TextQueries {
     s"""SELECT * FROM (VALUES
        |  $rows
        |) AS t(step, a, b, freq) ORDER BY step""".stripMargin
+  }
+
+  /** q135 oracle: the identical greedy merge chain in DuckDB — per word
+    * a character comprehension, then one `list_reduce` per learned
+    * merge (elements pre-wrapped in single-element lists so the
+    * accumulator type is VARCHAR[]; DuckDB's reduce seeds from the
+    * first element, which equals Spark's fold after its first step),
+    * nested in training order, summed per document. Empty words guard
+    * to 0 (list_reduce rejects empty input). */
+  private def q135Oracle: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val chars = "[substring(wv, i, 1) FOR i IN range(1, length(wv) + 1)]"
+    val folded = TextAnalysis.bpeTrainRef(BpeWords, nMerges = 8)
+      .zipWithIndex.foldLeft(chars) { case (inner, ((_, a, b, _), i)) =>
+        s"""list_reduce(list_transform($inner, w$i -> [w$i]),
+          (a$i, x$i) ->
+            CASE WHEN len(a$i) > 0 AND a$i[-1] = ${q(a)}
+                  AND x$i[1] = ${q(b)}
+                 THEN list_concat(a$i[1:len(a$i) - 1], [${q(a + b)}])
+                 ELSE list_concat(a$i, x$i) END)"""
+      }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(list_sum(list_transform(toks, wv ->
+       |         CASE WHEN length(wv) = 0 THEN 0
+       |              ELSE len($folded) END)) AS BIGINT) AS n_pieces
+       |FROM t ORDER BY doc_id""".stripMargin
   }
 
   /** q133 oracle: the same weight table as a SQL list literal, the same

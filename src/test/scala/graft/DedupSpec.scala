@@ -241,6 +241,39 @@ class DedupSpec extends AnyFunSuite {
     assert(VersionedLake.versions(spark, idx) == vsBefore)
   }
 
+  test("nearDupAgainstIndex: cross-batch near-copies drop against the " +
+      "index, in-batch near-copies drop greedily, fresh docs survive, " +
+      "and a replay is exactly-once") {
+    import spark.implicits._
+    // synthetic corpus with disjoint per-doc vocab: unrelated pairs have
+    // Jaccard 0, near-copies (3 junk tokens on 30) ≈ 0.84 — both sides
+    // of the 0.75 agreement bar with margin, and fully deterministic
+    def mk(i: Int): String = (0 until 30).map(t => s"w${i}_$t").mkString(" ")
+    val tail = " zz9 qq8 vv7"
+    val idx = TestSpark.tempDir("neardup-idx") + "/index"
+    val b1 = (0 until 10).map(i => (i.toLong, mk(i))).toDF("id", "text")
+    val b2 = (
+      (0 until 5).map(i => (100L + i, mk(i) + tail)) ++ // near index docs
+        (0 until 5).map(i => (200L + i, mk(50 + i))) ++ // fresh
+        Seq((310L, mk(54) + tail)) // in-batch near-copy of 204
+      ).toDF("id", "text")
+    val s1 = Dedup.nearDupAgainstIndex(b1, "id", "text", idx, "m1")
+      .select("id").as[Long].collect().toSet
+    val s2 = Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == (0 until 10).map(_.toLong).toSet)
+    assert(s2 == (0 until 5).map(200L + _).toSet)
+    // replay of drop 2: same survivors, no new index versions
+    val vs = VersionedLake.versions(spark, s"$idx/keys")
+    val replay = Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
+      .select("id").as[Long].collect().toSet
+    assert(replay == s2)
+    assert(VersionedLake.versions(spark, s"$idx/keys") == vs)
+    // the committed index holds exactly the survivors' signatures
+    assert(VersionedLake.readLatest(spark, s"$idx/sigs")
+      .select("id").as[Long].collect().toSet == s1 ++ s2)
+  }
+
   test("dedupAgainstIndex survives index compaction: new drops still " +
       "dedup against the compacted tip, and changes() keeps the " +
       "append-only fast path after the boundary") {

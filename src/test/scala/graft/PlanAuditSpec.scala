@@ -302,4 +302,44 @@ class PlanAuditSpec extends AnyFunSuite {
         s"signature index is reshuffled:\n${second.queryExecution.executedPlan}")
     }
   }
+
+  test("near-dup index postings feed a broadcast join with no exchange " +
+      "on the scan-to-join path") {
+    // nearDupAgainstIndex's posting list is corpus-sized; its scan must
+    // reach its FIRST join un-exchanged, with the batch's bucket keys on
+    // the broadcast side. (Shuffles ABOVE that join — the posting cap
+    // window — touch only matched rows and are allowed.)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val root = TestSpark.tempDir("neardup-plan")
+    val idx = s"$root/index"
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text")).limit(40)
+    graft.engine.Dedup.nearDupAgainstIndex(docs, "id", "text", idx, "p1")
+      .write.format("noop").mode("overwrite").save()
+    val second = graft.engine.Dedup.nearDupAgainstIndex(
+      docs.withColumn("id", col("id") + 90000L), "id", "text", idx, "p2")
+    // path from root to the keys-lake scan
+    def pathTo(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case a: AdaptiveSparkPlanExec => pathTo(a.executedPlan).map(a :: _)
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("index/keys")) => Some(List(s))
+      case other =>
+        (other.children ++ other.subqueries).view.flatMap(pathTo).headOption
+          .map(other :: _)
+    }
+    val path = pathTo(second.queryExecution.executedPlan)
+    assert(path.isDefined, "expected a scan of the posting-list index")
+    val belowJoin = path.get.reverse
+      .takeWhile(!_.isInstanceOf[BroadcastHashJoinExec])
+    assert(belowJoin.length < path.get.length,
+      s"index scan never meets a broadcast join:\n${path.get.head}")
+    assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"exchange between the index scan and its join:\n${path.get.head}")
+  }
 }
