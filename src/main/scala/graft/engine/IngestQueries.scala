@@ -472,6 +472,105 @@ object IngestQueries {
       ensureStaged(wideLakePath)(stageWideLake(s))),
 
     QuerySpec(
+      "q138_data_skipping",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE event_id BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // File-level data skipping ([[VersionedLake.commitWithStats]] /
+      // [[VersionedLake.readSkipping]]) — the pruning lever BEYOND
+      // partition directories: the events slice is committed
+      // range-clustered on event_id (8 files with near-disjoint key
+      // ranges) with per-file min/max recorded from the parquet footers
+      // at commit, and the range probe reads ONLY the intersecting
+      // files — decided from driver-side metadata, asserted inline
+      // (files-read < files-total). The oracle answers the same range
+      // from the raw table, so a file wrongly skipped (lost rows) or a
+      // stats-collection bug (wrong min/max) breaks the hash; a file
+      // needlessly read only costs the require.
+      val lake = skipLakePath(dir)
+      ensureStaged(lake)(stageSkipLake(s, dir))
+      val probe = VersionedLake.readSkipping(s, lake, "event_id",
+        1000d, 3000d)
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      if (total >= 4)
+        require(probe.inputFiles.length < total,
+          s"data skipping read ${probe.inputFiles.length}/$total files")
+      probe.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))),
+
+    QuerySpec(
+      "q139_stats_aggregate",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events""".stripMargin) { (s, dir) =>
+      // Metadata-only aggregation ([[VersionedLake.statsAggregate]]):
+      // count/min/max answered from the commit-time footer stats with
+      // ZERO data scan — the log-structured lake's `SELECT count(*)`
+      // fast path. Coverage is asserted inline (every live file has
+      // stats, so the metadata path actually served the answer), and
+      // the oracle recomputes the same three numbers by scanning the
+      // raw table — a row count drifting from the footer sums or a
+      // min/max lost in the per-file fold breaks the hash. event_id is
+      // integer-exact through the double-typed stats (≪ 2^53).
+      val lake = skipLakePath(dir)
+      ensureStaged(lake)(stageSkipLake(s, dir))
+      require(VersionedLake.statsCovered(s, lake, "event_id"),
+        "stats must cover the snapshot for the metadata-only path")
+      val (n, mn, mx) = VersionedLake.statsAggregate(s, lake, "event_id")
+      import s.implicits._
+      Seq((n, mn.toLong, mx.toLong)).toDF("n_rows", "min_id", "max_id")
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))),
+
+    QuerySpec(
+      "q140_delete_range",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE event_id NOT BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Targeted delete ([[VersionedLake.deleteRange]], the
+      // right-to-be-forgotten shape): the lake is committed as FOUR
+      // range-disjoint data dirs (stats-carrying, one file each), the
+      // delete rewrites ONLY the dir whose stats intersect
+      // [1000, 3000], and the untouched dirs must survive BY REFERENCE
+      // — asserted inline on the physical file sets, the surgical-
+      // rewrite evidence that separates an O(affected-fraction) delete
+      // from an O(lake) one. The oracle recomputes the survivors from
+      // the raw table (NOT BETWEEN), so an over-delete (lost rows in a
+      // carried-forward dir) or an under-delete (a row surviving the
+      // rewrite) breaks the hash either way.
+      val lake = s"$scratchRoot/delete_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Seq(
+        col("event_id") < 1000,
+        col("event_id") >= 1000 && col("event_id") <= 3000,
+        col("event_id") > 3000 && col("event_id") <= 6000,
+        col("event_id") > 6000
+      ).foreach(p => VersionedLake.commitWithStats(
+        ev.filter(p).repartition(1), lake, statsCols = Seq("event_id")))
+      val before = VersionedLake.readLatest(s, lake).inputFiles.toSet
+      VersionedLake.deleteRange(s, lake, "event_id", 1000d, 3000d,
+        statsCols = Seq("event_id"))
+      val after = VersionedLake.readLatest(s, lake).inputFiles.toSet
+      require((before intersect after).size >= 2,
+        s"delete must carry untouched files by reference " +
+          s"(${(before intersect after).size} of ${before.size} kept)")
+      VersionedLake.readLatest(s, lake)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
       "q122_orc_source",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
@@ -624,6 +723,25 @@ object IngestQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
       .write.orc(out)
+  }
+
+  private def skipLakePath(dir: String): String =
+    s"$scratchRoot/skip_lake_${new java.io.File(dir).getName}"
+
+  /** Range-clustered stats commit for q138: 8 files with near-disjoint
+    * event_id ranges (repartitionByRange + in-file sort), footer min/max
+    * recorded at commit so the probe can skip. */
+  private def stageSkipLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = skipLakePath(dir)
+    Lake.delete(s, lake)
+    VersionedLake.commitWithStats(
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions(col("event_id")),
+      lake, statsCols = Seq("event_id"))
+    ()
   }
 
   // ---- q119 versioned-lake fixture -------------------------------------

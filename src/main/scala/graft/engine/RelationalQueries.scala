@@ -155,10 +155,39 @@ object RelationalQueries {
       |WHERE c.c_custkey % 50 = 0
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE — the iterate-until-
+    * fixpoint SQL surface, per-root hierarchy rollup): the customer
+    * keys form a deterministic forest (parent = key div 10, roots
+    * key < 10, depth ≤ 3 at any tested sf since keys are contiguous),
+    * and the walk aggregates size/depth/balance per root. Engine
+    * dialects differ ONLY in the integer-division operator, so the
+    * template takes it as a parameter — the recursion, join shape, and
+    * aggregate text are byte-shared. Each recursion step is one join
+    * of the frontier against the dimension (Spark executes it as an
+    * iterated union with the frontier on the broadcast side at these
+    * cardinalities); the level limit guards runaway recursion. */
+  private def sqlRecursiveRollup(idiv: String) =
+    s"""WITH RECURSIVE chain(custkey, root, depth, bal) AS (
+       |  SELECT c_custkey, c_custkey, 0, c_acctbal
+       |  FROM customer WHERE c_custkey < 10
+       |  UNION ALL
+       |  SELECT c.c_custkey, h.root, h.depth + 1, c.c_acctbal
+       |  FROM customer c JOIN chain h ON (c.c_custkey $idiv 10) = h.custkey
+       |  WHERE c.c_custkey >= 10)
+       |SELECT root, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(MAX(depth) AS INT) AS max_depth,
+       |       ROUND(SUM(bal), 2) AS total_bal
+       |FROM chain GROUP BY root ORDER BY root""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q125_sql_lateral", SqlLateralTopN) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(SqlLateralTopN)
+    },
+
+    QuerySpec("q137_sql_recursive", sqlRecursiveRollup("//")) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sqlRecursiveRollup("DIV"))
     },
 
     // ----- aggregation family (A4) ---------------------------------------

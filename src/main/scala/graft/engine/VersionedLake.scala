@@ -238,6 +238,269 @@ object VersionedLake {
     }
   }
 
+  /** Commit with FILE-LEVEL DATA-SKIPPING STATS (the Delta/Iceberg
+    * data-skipping shape, the pruning lever BEYOND partition dirs):
+    * after the data write, one bounded driver pass over the new part
+    * files' parquet FOOTERS records per-file min/max for `statsCols`
+    * into `_stats/<dataDir>.stats` (tab-separated, one line per
+    * (file, col)); [[readSkipping]] then serves a range probe from only
+    * the files whose range intersects it. Stats are metadata-sized
+    * (files × cols), collected from footers already written — no second
+    * data scan — and a data dir WITHOUT stats (plain [[commit]]) is
+    * simply never skipped, so the two commit paths interoperate.
+    * Cluster the frame (`repartitionByRange` + sort) before committing
+    * or every file spans the full range and nothing can skip. */
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
+      mode: String = "append", codec: String = "snappy"): Int = {
+    val spark = df.sparkSession
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    writeStatsFor(spark, dir, dataDir, statsCols)
+    publish(spark, dir, dataDir, mode)
+  }
+
+  /** Footer-stats pass for one data dir (shared by [[commitWithStats]]
+    * and [[deleteRange]]'s rewrite): per (file, statsCol) one line
+    * `file \t col \t min \t max \t rows`. */
+  private def writeStatsFor(spark: SparkSession, dir: String,
+      dataDir: String, statsCols: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val lines = f.listStatus(new Path(s"$dir/$dataDir")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .flatMap { file =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val rows = blocks.asScala.map(_.getRowCount).sum
+          statsCols.flatMap { c =>
+            val stats = blocks.asScala.toSeq.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == c).map(_.getStatistics))
+              .filter(s => s != null && !s.isEmpty)
+            if (stats.isEmpty) {
+              // a ZERO-ROW file gets an explicit empty range (it can
+              // never intersect a probe and must not be conservatively
+              // rewritten/read); a file with rows but no usable stats
+              // gets NO line — conservative on every path
+              if (rows == 0L) Some(s"${file.getName}\t$c\tInfinity\t-Infinity\t0")
+              else None
+            } else {
+              def num(v: Any): Double = v match {
+                case l: java.lang.Long => l.toDouble
+                case i: java.lang.Integer => i.toDouble
+                case d: java.lang.Double => d
+                case fl: java.lang.Float => fl.toDouble
+                case _ => Double.NaN
+              }
+              val mins = stats.map(s => num(s.genericGetMin))
+              val maxs = stats.map(s => num(s.genericGetMax))
+              if (mins.exists(_.isNaN)) None // non-numeric: no skipping
+              else Some(s"${file.getName}\t$c\t${mins.min}\t${maxs.max}\t$rows")
+            }
+          }
+        } finally reader.close()
+      }
+    val statsOut = f.create(new Path(s"$dir/_stats/$dataDir.stats"), true)
+    try statsOut.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally statsOut.close()
+    ()
+  }
+
+  /** Stats lines of one data dir for column `c`, as
+    * file → (min, max, rows); empty map if the dir has no stats file. */
+  private def statsFor(spark: SparkSession, dir: String, d: String,
+      c: String): Map[String, (Double, Double, Long)] = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/_stats/$d.stats")
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.split('\t')).filter(a => a.length == 5 && a(1) == c)
+        .map(a => a(0) -> ((a(2).toDouble, a(3).toDouble, a(4).toLong)))
+        .toMap
+      finally in.close()
+    }
+  }
+
+  /** Metadata-only count/min/max over the latest snapshot — the
+    * `SELECT count(*), min(c), max(c)` a log-structured lake answers
+    * from its stats without touching a data byte. Dirs whose stats
+    * cover every part file contribute from METADATA (sum of row
+    * counts, min of mins, max of maxs); dirs without full coverage
+    * fall back to one aggregated scan, and the two halves combine —
+    * so the answer is always exact and the data read is proportional
+    * to the UNstatsed fraction only. Returns (rows, min, max); min/max
+    * are NaN for an empty snapshot. */
+  def statsAggregate(spark: SparkSession, dir: String, c: String)
+      : (Long, Double, Double) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    val (meta, scan) = readManifest(spark, dir, vs.last).partition { d =>
+      val stats = statsFor(spark, dir, d, c)
+      val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      files.nonEmpty && files.forall(stats.contains)
+    }
+    val fromMeta = meta.flatMap(d => statsFor(spark, dir, d, c).values)
+    val scanAgg =
+      if (scan.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(scan.map(d => s"$dir/$d"): _*)
+        .agg(count(lit(1)), min(col(c).cast("double")),
+          max(col(c).cast("double")))
+        .head())
+    val rows = fromMeta.map(_._3).sum + scanAgg.map(_.getLong(0)).getOrElse(0L)
+    val nonEmpty = fromMeta.filter(_._3 > 0) // empty files carry (∞, −∞)
+    val mins = nonEmpty.map(_._1) ++
+      scanAgg.filter(!_.isNullAt(1)).map(_.getDouble(1))
+    val maxs = nonEmpty.map(_._2) ++
+      scanAgg.filter(!_.isNullAt(2)).map(_.getDouble(2))
+    if (mins.isEmpty) (rows, Double.NaN, Double.NaN)
+    else (rows, mins.min, maxs.max)
+  }
+
+  /** True iff every part file of the latest snapshot has recorded
+    * stats for `c` — i.e. [[statsAggregate]] will answer from pure
+    * metadata with zero data scan. Production builders require this as
+    * evidence; it is never a correctness precondition. */
+  def statsCovered(spark: SparkSession, dir: String, c: String): Boolean = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    vs.nonEmpty && readManifest(spark, dir, vs.last).forall { d =>
+      val stats = statsFor(spark, dir, d, c)
+      f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .forall(p => stats.contains(p.getName))
+    }
+  }
+
+  /** Targeted delete as a commit (the right-to-be-forgotten shape):
+    * remove every row with `c` in [lo, hi] by REWRITING ONLY the data
+    * dirs whose stats intersect the range — untouched dirs carry
+    * forward by reference, so the blast radius is the intersecting
+    * fraction, not the lake (at 100 TB the difference between a
+    * surgical rewrite and a full-table pass). Dirs without stats are
+    * conservatively rewritten. The rewrite lands as ONE new stats-
+    * carrying data dir and the next manifest references
+    * untouched ∪ rewrite — published through the same CAS as every
+    * commit. Like [[compactVersions]], a delete is a single-logical-
+    * writer maintenance op: a concurrent APPEND that wins the CAS race
+    * is re-read and carried forward by the retry, but two concurrent
+    * DELETES may resurrect each other's rows. Returns the new version,
+    * or the current one if nothing intersects (no-op, no new version).
+    */
+  def deleteRange(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double, statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    def intersects(d: String): Boolean = {
+      val stats = statsFor(spark, dir, d, c)
+      val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      files.isEmpty ||
+        files.exists(n => stats.get(n)
+          .forall { case (mn, mx, _) => mx >= lo && mn <= hi })
+    }
+    val live = readManifest(spark, dir, vs.last)
+    val touched = live.filter(intersects)
+    if (touched.isEmpty) vs.last
+    else {
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(d => s"$dir/$d"): _*)
+        .filter(!(col(c) >= lo && col(c) <= hi))
+      // Min/max ranges cannot see a HOLE a previous delete left, so a
+      // repeated delete would re-rewrite the same dirs forever. When
+      // the touched dirs' stats record their exact row counts, one
+      // count of the survivors proves the delete removes nothing —
+      // no-op without a commit. (Count + write read the touched
+      // fraction twice; the no-op case reads it once.)
+      val touchedRows = touched.map(d =>
+        statsFor(spark, dir, d, c).values.map(_._3).sum)
+      val countsKnown = touched.zip(touchedRows).forall { case (d, _) =>
+        val stats = statsFor(spark, dir, d, c)
+        fs(spark, dir).listStatus(new Path(s"$dir/$d")).toSeq
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .forall(p => stats.contains(p.getName))
+      }
+      if (countsKnown && survivors.count() == touchedRows.sum) vs.last
+      else {
+        val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+        survivors.write.parquet(s"$dir/$dataDir")
+        writeStatsFor(spark, dir, dataDir, statsCols)
+        publishReplacing(spark, dir, touched.toSet, dataDir)
+      }
+    }
+  }
+
+  /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite
+    * pointer swap. A lost race re-reads the new tip, so appends that
+    * landed meanwhile are preserved (they are not in `dropped`). */
+  private def publishReplacing(spark: SparkSession, dir: String,
+      dropped: Set[String], added: String): Int = {
+    val f = fs(spark, dir)
+    var committed = -1
+    while (committed < 0) {
+      val prev = versions(spark, dir)
+      val next = prev.lastOption.getOrElse(0) + 1
+      val live = (if (prev.isEmpty) Seq.empty
+        else readManifest(spark, dir, prev.last))
+        .filterNot(dropped) :+ added
+      try {
+        val out = f.create(manifestPath(dir, next), false)
+        try out.write(live.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        committed = next
+      } catch {
+        case e: java.io.IOException =>
+          if (!f.exists(manifestPath(dir, next))) throw e
+      }
+    }
+    committed
+  }
+
+  /** Range probe served through the file-level stats: of the latest
+    * snapshot's part files, read ONLY those whose recorded [min, max]
+    * for `c` intersects [lo, hi] (files from dirs without stats are
+    * always read — skipping is an optimization, never a correctness
+    * gate, and the row filter is applied regardless). The pruning
+    * decision is driver-side metadata only. */
+  def readSkipping(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    val files = readManifest(spark, dir, vs.last).flatMap { d =>
+      val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val statsPath = new Path(s"$dir/_stats/$d.stats")
+      if (!f.exists(statsPath)) all
+      else {
+        val in = f.open(statsPath)
+        val ranges =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.split('\t')).filter(a => a.length >= 4 && a(1) == c)
+            .map(a => a(0) -> (a(2).toDouble, a(3).toDouble)).toMap
+          finally in.close()
+        // a file with no recorded range for c cannot be skipped
+        all.filter(p => ranges.get(p.getName)
+          .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      }
+    }
+    val snap =
+      if (files.isEmpty) readAt(spark, dir, vs.last).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*)
+    snap.filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** Drop history: delete manifests older than the newest `retain`
     * versions, then delete data dirs no retained manifest references —
     * including orphans from crashed commits. Membership math on

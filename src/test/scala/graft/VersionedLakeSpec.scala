@@ -232,4 +232,83 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ids(VersionedLake.readLatest(spark, dir)) ==
       ((0L until 9L) ++ Seq(100L)))
   }
+
+  test("data skipping: a range probe reads only the intersecting files, " +
+      "stats-less commits are never skipped, and results equal the " +
+      "plain filtered snapshot") {
+    import spark.implicits._
+    val dir = tempDir("vlake-skip") + "/lake"
+    // 4 files with disjoint id ranges [0,99] [100,199] [200,299] [300,399]
+    VersionedLake.commitWithStats(
+      spark.range(0, 400).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      dir, statsCols = Seq("id"))
+    val probe = VersionedLake.readSkipping(spark, dir, "id", 120d, 180d)
+    assert(probe.inputFiles.length == 1,
+      s"expected one file, read ${probe.inputFiles.length}")
+    assert(probe.select("id").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+    // outside every range: zero files, empty result, schema intact
+    val none = VersionedLake.readSkipping(spark, dir, "id", 1e6, 2e6)
+    assert(none.count() == 0 && none.columns.contains("v"))
+    // a plain commit has no stats: its files always read, rows correct
+    VersionedLake.commit(
+      spark.range(1000, 1010).toDF("id").withColumn("v", col("id") * 2), dir)
+    val across = VersionedLake.readSkipping(spark, dir, "id", 150d, 1005d)
+    val expect = VersionedLake.readLatest(spark, dir)
+      .filter(col("id") >= 150 && col("id") <= 1005)
+    assert(across.select("id").as[Long].collect().sorted.toSeq ==
+      expect.select("id").as[Long].collect().sorted.toSeq)
+    // skipped: the [0,99] file at least; unstatsed files never skipped
+    assert(across.inputFiles.length <
+      VersionedLake.readLatest(spark, dir).inputFiles.length)
+  }
+
+  test("statsAggregate answers from metadata when covered and combines " +
+      "with a scan when not") {
+    import spark.implicits._
+    val dir = tempDir("vlake-statsagg") + "/lake"
+    VersionedLake.commitWithStats(
+      spark.range(0, 300).toDF("id")
+        .repartitionByRange(3, col("id")).sortWithinPartitions(col("id")),
+      dir, statsCols = Seq("id"))
+    assert(VersionedLake.statsCovered(spark, dir, "id"))
+    assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+      ((300L, 0.0, 299.0)))
+    // an unstatsed append breaks coverage; the hybrid stays exact
+    VersionedLake.commit(spark.range(500, 510).toDF("id"), dir)
+    assert(!VersionedLake.statsCovered(spark, dir, "id"))
+    assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+      ((310L, 0.0, 509.0)))
+  }
+
+  test("deleteRange rewrites only intersecting dirs, carries the rest " +
+      "by reference, and repeats as a no-op") {
+    import spark.implicits._
+    val dir = tempDir("vlake-del") + "/lake"
+    // three range-disjoint stats-carrying commits, one file each
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (a, b) =>
+      VersionedLake.commitWithStats(
+        spark.range(a, b).toDF("id").repartition(1), dir,
+        statsCols = Seq("id"))
+    }
+    val before = VersionedLake.readLatest(spark, dir).inputFiles.toSet
+    val v = VersionedLake.deleteRange(spark, dir, "id", 120d, 180d,
+      statsCols = Seq("id"))
+    assert(v == 4)
+    val after = VersionedLake.readLatest(spark, dir).inputFiles.toSet
+    // dirs 1 and 3 carried forward physically; dir 2 rewritten
+    assert((before intersect after).size == 2)
+    assert(VersionedLake.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 120L) ++ (181L until 300L)))
+    // the rewrite carries stats, so a REPEATED delete is a metadata
+    // no-op: nothing intersects, no new version
+    assert(VersionedLake.deleteRange(spark, dir, "id", 120d, 180d,
+      statsCols = Seq("id")) == 4)
+    assert(VersionedLake.versions(spark, dir).last == 4)
+    // and time travel still sees the pre-delete snapshot
+    assert(VersionedLake.readAt(spark, dir, 3).count() == 300)
+  }
 }
