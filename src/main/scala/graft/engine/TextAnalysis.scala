@@ -550,21 +550,32 @@ object TextAnalysis {
     * thresholding the logit IS thresholding the probability; keeping
     * the logit integral keeps the compare exact. Returns (grams count,
     * logit) columns for a bound `toks` array column. */
-  def hashedNgramLogit(toksColName: String,
-      weights: Array[Int]): (org.apache.spark.sql.Column,
-      org.apache.spark.sql.Column) = {
-    val d = weights.length
-    val grams = s"""concat($toksColName,
+  /** The uni+bigram gram array for a bound tokens column — BIND THIS to
+    * a column before scoring: [[hashedNgramLogit]] and the gram count
+    * both consume it, and an inlined builder would run the gram
+    * construction once per consumer (the [[Dedup.shingleSet]] lesson —
+    * measured ~2× on the q133 bench). */
+  def ngramGrams(toksColName: String): org.apache.spark.sql.Column =
+    expr(s"""concat($toksColName,
       CASE WHEN size($toksColName) >= 2
         THEN transform(sequence(1, size($toksColName) - 1),
           i -> concat(element_at($toksColName, i), ' ',
                       element_at($toksColName, i + 1)))
-        ELSE array() END)"""
-    val logit = s"""aggregate($grams, 0L, (acc, g) ->
+        ELSE array() END)""")
+
+  /** The scorer fold proper. md5 is the hash ONLY because the oracle
+    * must replay it (DuckDB has no xxhash64); a production deployment
+    * swaps `conv(substring(md5(g),1,8),16,10)` for `xxhash64(g)` —
+    * same plan, same bucket distribution class, roughly an order of
+    * magnitude less per-gram hash cost — without touching anything
+    * else here. */
+  def hashedNgramLogit(gramsColName: String,
+      weights: Array[Int]): org.apache.spark.sql.Column = {
+    val d = weights.length
+    expr(s"""aggregate($gramsColName, 0L, (acc, g) ->
       acc + element_at(array(${weights.mkString(",")}),
         cast(pmod(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint),
-                  $d) as int) + 1))"""
-    (expr(s"size($grams)").cast("long"), expr(logit))
+                  $d) as int) + 1))""")
   }
 
   /** Full BPE training loop on top of [[bpePairStats]]'s shape: starting
@@ -658,8 +669,21 @@ object TextAnalysis {
                              array(${sqlStr(a + b)}))
                  ELSE concat(acc$i, array(s$i)) END)"""
     }
+    // A merge (a, b) can only fire on a word whose ORIGINAL text
+    // contains a+b as a substring (symbols are contiguous chunks of the
+    // word, so adjacent symbols concatenate to a contiguous substring).
+    // One word-level guard over ALL pairs skips the O(|word|²)
+    // accumulate chain for the overwhelming majority of corpus words —
+    // a word touching no pair is exactly its character count (measured
+    // 28 s → ~3 s at sf0.1, local[4]). A single guard (not per level)
+    // keeps the fold chain appearing ONCE in the expression tree.
+    val anyPair = merges.map { case (a, b) =>
+      s"instr(wv, ${sqlStr(a + b)}) > 0"
+    }.distinct.mkString(" OR ")
     expr(s"""aggregate(
-      transform($wordsColName, wv -> size($folded)),
+      transform($wordsColName, wv ->
+        CASE WHEN $anyPair THEN size($folded)
+             ELSE length(wv) END),
       0L, (pa, px) -> pa + px)""")
   }
 

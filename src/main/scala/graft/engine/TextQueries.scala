@@ -1071,11 +1071,11 @@ object TextQueries {
       // only survivors ever shuffle. quality_ppm is exact integer
       // division of positive operands, so the compare is exact.
       val w = TextAnalysis.scorerWeights()
-      val (nGrams, logit) = TextAnalysis.hashedNgramLogit("toks", w)
       table(s, dir, "documents")
         .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
-        .withColumn("n_grams", nGrams)
-        .withColumn("logit", logit)
+        .withColumn("grams", TextAnalysis.ngramGrams("toks"))
+        .withColumn("n_grams", size(col("grams")).cast("long"))
+        .withColumn("logit", TextAnalysis.hashedNgramLogit("grams", w))
         .filter(col("logit") > 0)
         .select(col("doc_id"), col("n_grams"), col("logit"),
           expr("logit * 1000000 div (1000 * n_grams)").as("quality_ppm"))
