@@ -462,6 +462,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ index build — the full FAISS composition: coarse-quantize
+    * every vector to its inverted list ([[ivfAssign]]) AND compress it
+    * to m code ids ([[pqEncode]]), written once as a lake partitioned
+    * by list. A probe then opens only its nProbe list directories and
+    * scans 32×-smaller rows inside them — the two pruning levers
+    * (partition pruning × compression) multiplied. Staging-time only:
+    * the two assignment scans and the join are paid at write, never at
+    * probe. */
+  def writeIvfPqLake(e: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], dir: String): Unit =
+    pqEncode(e, books)
+      .join(ivfAssign(e, cents).select(col("vec_id"), col("list")), "vec_id")
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
+
+  /** Probe a [[writeIvfPqLake]] index: literal `list` predicates prune
+    * to the nProbe nearest inverted lists at planning time, ADC scores
+    * the compressed rows within them ([[pqAdcTopK]]'s lookup-table
+    * path), and the best `rerank` candidates verify exactly against the
+    * full table. Everything after the published centroids/codebooks is
+    * deterministic arithmetic — which is what lets the q141 oracle
+    * replay this whole probe in SQL. */
+  def ivfPqProbe(spark: SparkSession, dir: String, full: DataFrame,
+      queryId: Long, qv: Array[Double], cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val probes = probeLists(qv, cents, nProbe)
+    val encoded = spark.read.parquet(dir)
+      .filter(col("list").isin(probes.map(Integer.valueOf): _*))
+    pqAdcTopK(encoded, full, queryId, qv, books, k, rerank)
+  }
+
   /** Multi-table ANN top-k — OR-of-ANDs LSH amplification with Hamming-1
     * multiprobe: L independent tables of b hyperplane bits each; a row is
     * a candidate if its bucket is within `probeRadius` bits of the query's

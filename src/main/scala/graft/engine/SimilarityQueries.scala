@@ -22,22 +22,40 @@ object SimilarityQueries {
 
   private def sfName(dir: String): String = new java.io.File(dir).getName
 
+  /** PUBLISHED centroid path (the [[pqBooksPath]] discipline): the q141
+    * oracle replays IVF assignment from this parquet after the JVM
+    * exits, so centroids live under the shared fixture root,
+    * write-once. */
   private def centroidPath(dir: String): String =
-    s"${graft.Sessions.scratchRoot}/ivf_centroids_${sfName(dir)}"
+    s"${IngestQueries.FixRoot}/ivf_cents_${sfName(dir)}"
 
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
-  /** Train-once centroids for q59 ([[Similarity.saveCentroids]]): the
-    * k-means pass runs at most once per (JVM, sf), the persisted table
-    * is loaded once and memoized — the production train/probe split. */
+  /** Train-once centroids ([[Similarity.saveCentroids]]), published
+    * once, loaded from the PUBLISHED copy — canonical by construction
+    * for Spark probes AND the DuckDB replay, exactly like
+    * [[stagedPqBooks]] (k-means float drift between racing trainers
+    * cannot desynchronize the two sides). */
   private def stagedCentroids(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] =
     centroidCache.getOrElseUpdate(centroidPath(dir), {
-      val p = centroidPath(dir)
-      ensureStaged(p)(Similarity.saveCentroids(s,
-        Similarity.ivfCentroids(table(s, dir, "embeddings"), nLists = 16), p))
-      Similarity.loadCentroids(s, p)
+      val target = java.nio.file.Paths.get(centroidPath(dir))
+      if (!java.nio.file.Files.exists(target)) {
+        val stage = s"${IngestQueries.FixRoot}/ivf_cents_staging_" +
+          s"${ProcessHandle.current().pid()}_${sfName(dir)}"
+        Similarity.saveCentroids(s,
+          Similarity.ivfCentroids(table(s, dir, "embeddings"), nLists = 16),
+          stage)
+        java.nio.file.Files.createDirectories(target.getParent)
+        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            Lake.delete(s, stage) // publish race lost; winner is canonical
+        }
+      }
+      Similarity.loadCentroids(s, centroidPath(dir))
     })
 
   private val qvCache =
@@ -268,6 +286,97 @@ object SimilarityQueries {
        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
+  private def ivfPqLakePath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/ivfpq_lake_${sfName(dir)}"
+
+  /** Write-once IVF-PQ index ([[Similarity.writeIvfPqLake]]): both
+    * assignment scans paid here, untimed — q141 probes pruned
+    * compressed lists. */
+  private def stagedIvfPqLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = ivfPqLakePath(dir)
+    ensureStaged(p)(Similarity.writeIvfPqLake(table(s, dir, "embeddings"),
+      stagedCentroids(s, dir), stagedPqBooks(s, dir), p))
+    p
+  }
+
+  /** q141 oracle: the ENTIRE IVF-PQ probe replayed in SQL from the two
+    * published tables — coarse assignment (argmax cosine per vector,
+    * ties to the higher list, exactly [[Similarity.ivfAssign]]'s
+    * descending struct sort), the query's nProbe nearest lists (ties to
+    * the LOWER list, [[Similarity.probeLists]]), then q110's ADC
+    * machinery restricted to the probed candidates: re-encode, LUT
+    * lookups summed in Spark's left-fold order, top-50 by approximate
+    * score, exact rounded-cosine rerank. */
+  private def q141Oracle: String = {
+    val m = 8
+    val ds = 8
+    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
+    val centsGlob = s"${IngestQueries.FixRoot}/ivf_cents_$pqOracleSf/*.parquet"
+    def foldSum(c: String): String =
+      (0 until m).map(s => s"$c$s").reduce((a, b) => s"($a + $b)")
+    val nCols = (0 until m).map(s =>
+      s"max(CASE WHEN enc.sub = $s THEN lut.qd END) AS n$s").mkString(", ")
+    val rCols = (0 until m).map(s =>
+      s"max(CASE WHEN enc.sub = $s THEN lut.cn END) AS r$s").mkString(", ")
+    def cosSql(x: String, y: String): String =
+      s"""list_dot_product($x, $y)
+         | / (sqrt(list_dot_product($x, $x))
+         |    * sqrt(list_dot_product($y, $y)))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |cents AS (SELECT list, centroid FROM read_parquet('$centsGlob')),
+       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT e.vec_id, c.list,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosSql("e.v", "c.centroid")} DESC, c.list DESC) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT c.list FROM cents c, q
+       |  ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.list ASC
+       |  LIMIT 4),
+       |cand0 AS (
+       |  SELECT e.vec_id, e.v FROM e JOIN assign a USING (vec_id)
+       |  WHERE a.list IN (SELECT list FROM probes) AND e.vec_id <> 0),
+       |scored AS (
+       |  SELECT c0.vec_id, b.sub, b.code,
+       |         list_dot_product(list_slice(c0.v, b.sub*$ds + 1, b.sub*$ds + $ds),
+       |                          b.centroid)
+       |           - 0.5 * list_dot_product(b.centroid, b.centroid) AS s
+       |  FROM cand0 c0, books b),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY s DESC, code DESC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |lut AS (
+       |  SELECT b.sub, b.code,
+       |         list_dot_product(list_slice(q.qv, b.sub*$ds + 1, b.sub*$ds + $ds),
+       |                          b.centroid) AS qd,
+       |         list_dot_product(b.centroid, b.centroid) AS cn
+       |  FROM books b, q),
+       |pv AS (
+       |  SELECT enc.vec_id, $nCols, $rCols
+       |  FROM enc JOIN lut ON lut.sub = enc.sub AND lut.code = enc.code
+       |  GROUP BY enc.vec_id),
+       |cand AS (
+       |  SELECT vec_id,
+       |         ${foldSum("n")} / (sqrt(${foldSum("r")})
+       |           * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)) AS approx
+       |  FROM pv
+       |  ORDER BY approx DESC, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label,
+       |       round(list_dot_product(e.v, q.qv)
+       |             / (sqrt(list_dot_product(e.v, e.v))
+       |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
+       |FROM cand JOIN e USING (vec_id), q
+       |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -463,5 +572,25 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), queryId = 0L,
         queryVec(s, dir, 0L), books, k = 10)
     }.withBenchSetup((s, dir) =>
-      { stagedPqLake(s, dir); queryVec(s, dir, 0L); () }))
+      { stagedPqLake(s, dir); queryVec(s, dir, 0L); () }),
+
+    QuerySpec.lazyOracle("q141_ivf_pq")(q141Oracle) { (s, dir) =>
+      // IVF-PQ ([[Similarity.writeIvfPqLake]] / [[Similarity.ivfPqProbe]]):
+      // the full FAISS composition — coarse quantizer prunes to 4 of 16
+      // list PARTITIONS at planning time, PQ scores the 32×-compressed
+      // rows within them by lookup table, the best 50 rerank exactly.
+      // Both trained artifacts (centroids, codebooks) are published
+      // write-once, so the ENTIRE probe after training is deterministic
+      // arithmetic and the oracle replays it end to end in SQL —
+      // upgrading this family's verification from q59's rows-only to a
+      // full hash compare. The timed region is the pruned compressed
+      // probe; training and the index write are staged untimed.
+      pqOracleSf = sfName(dir)
+      val cents = stagedCentroids(s, dir)
+      val books = stagedPqBooks(s, dir)
+      val lake = stagedIvfPqLake(s, dir)
+      Similarity.ivfPqProbe(s, lake, table(s, dir, "embeddings"),
+        queryId = 0L, queryVec(s, dir, 0L), cents, books, k = 10)
+    }.withBenchSetup((s, dir) =>
+      { stagedIvfPqLake(s, dir); queryVec(s, dir, 0L); () }))
 }
