@@ -85,7 +85,12 @@ object Dedup {
     * dir; schedule compaction outside the writers' replay horizon, the
     * same contract as [[VersionedLake.vacuum]].)
     *
-    * Returns the batch's surviving rows with their full payload. */
+    * Returns the batch's surviving rows with their full payload. The
+    * survivor pipeline executes twice — once for the index commit here,
+    * once when the CALLER materializes the return — an O(batch) cost,
+    * never O(corpus); a caller that lands survivors in its own sink
+    * (q136's data-lake commit) can persist the batch first if its
+    * source re-read is expensive. */
   def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, tag: String): DataFrame = {
     val spark = batch.sparkSession
@@ -114,14 +119,17 @@ object Dedup {
   }
 
   /** Incremental cross-batch NEAR-dup ([[dedupAgainstIndex]]'s sibling
-    * for MinHash): the index is TWO versioned lakes under `indexDir` —
-    * `keys` (id, band, bh): the LSH posting list of every surviving
-    * document, and `sigs` (id, sig[64]): their MinHash signatures. A
-    * new batch generates candidates ONLY batch-internally (banded LSH,
-    * [[lshCandidatePairs]]) and batch-vs-index (band-key equality), and
-    * verifies candidates by signature slot agreement (the standard
-    * MinHash Jaccard estimate — fraction of equal slots ≥ `minAgree`),
-    * so verification needs no text fetch: the index carries everything.
+    * for MinHash): the index is ONE versioned lake of
+    * (id, keys[bands], sig[64]) rows — the LSH posting keys AND MinHash
+    * signature of every surviving document, one row per doc. A new
+    * batch generates candidates ONLY batch-internally (banded LSH,
+    * [[lshCandidatePairs]]) and batch-vs-index (band-key equality over
+    * the exploded `keys`), and verifies candidates by signature slot
+    * agreement (the standard MinHash Jaccard estimate — fraction of
+    * equal slots ≥ `minAgree`), so verification needs no text fetch:
+    * the index carries everything, and column pruning gives the
+    * candidate scan (id, keys) and the verify scan (id, sig) each only
+    * what it needs.
     *
     * Scale shape, mirroring [[dedupAgainstIndex]]:
     *  - the index `keys` scan is consumed map-side by a broadcast of
@@ -137,32 +145,32 @@ object Dedup {
     *    any verified match to the index or to a LOWER-id batch doc
     *    (transitive families are [[connectedComponents]]' job, on the
     *    pairs this emits).
-    * Exactly-once per batch: both index commits are tagged; the dedup
-    * baseline is the newest version NOT containing the tag, as in
-    * [[dedupAgainstIndex]]. Returns the surviving batch rows. */
+    * Exactly-once per batch: the single index commit is tagged — one
+    * atomic publication per drop, no partial-index crash window — and
+    * the dedup baseline is the newest version NOT containing the tag,
+    * as in [[dedupAgainstIndex]]. Returns the surviving batch rows. */
   def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, tag: String, minAgree: Double = 0.75,
       maxBucket: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     val k = 64
-    val keysDir = s"$indexDir/keys"
-    val sigsDir = s"$indexDir/sigs"
     val sigsWide = minhashSignatures(shingleDf(batch, idCol, textCol), k)
-    val sigs = sigsWide.select(col("id"),
-      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val bands = 16; val rowsPerBand = 4
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until rowsPerBand).map(r =>
-          col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
-    }
+    // ONE index row per doc: (id, keys[16], sig[64]) — a single lake,
+    // so a batch is ONE atomic tagged commit (a two-lake split had a
+    // crash window between the commits that wedged every later batch),
+    // and candidate scans prune to (id, keys) by column projection
+    // while the verify scan prunes to (id, sig).
+    val indexRows = sigsWide.select(col("id"),
+      bandKeyArray(bands, rowsPerBand).as("keys"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val keys = sigsWide
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), explode(bandKeyArray(bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     def agreeFrac(x: String, y: String) =
       expr(s"size(filter(zip_with($x, $y, (u, v) -> u = v), t -> t)) / $k.0")
-    val sa = sigs.select(col("id").as("a"), col("sig").as("siga"))
-    val sb = sigs.select(col("id").as("b"), col("sig").as("sigb"))
+    val sb = indexRows.select(col("id").as("b"), col("sig").as("sigb"))
+    val sa = indexRows.select(col("id").as("a"), col("sig").as("siga"))
     // batch-internal: banded candidates, slot-agreement verify, greedy
     // drop-the-later-id
     val inBatchDrops = lshCandidatePairs(sigsWide, bands, rowsPerBand,
@@ -170,13 +178,15 @@ object Dedup {
       .join(sa, "a").join(sb, "b")
       .filter(agreeFrac("siga", "sigb") >= minAgree)
       .select(col("b").as("drop_id"))
-    val baseV = VersionedLake.versions(spark, keysDir).reverse
-      .find(v => !VersionedLake.readManifestTags(spark, keysDir, v)
+    val baseV = VersionedLake.versions(spark, indexDir).reverse
+      .find(v => !VersionedLake.readManifestTags(spark, indexDir, v)
         .contains(tag))
     val crossDrops = baseV match {
       case None => inBatchDrops.limit(0)
       case Some(v) =>
-        val idxKeys = VersionedLake.readAt(spark, keysDir, v)
+        val idxKeys = VersionedLake.readAt(spark, indexDir, v)
+          .select(col("id"), explode(col("keys")).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
         val batchBuckets = keys.select(col("band"), col("bh")).distinct()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bh")).orderBy(col("id"))
@@ -188,7 +198,8 @@ object Dedup {
           .join(broadcast(keys.select(col("id").as("b"),
             col("band"), col("bh"))), Seq("band", "bh"))
           .select(col("a"), col("b")).distinct()
-        val aSigs = VersionedLake.readAt(spark, sigsDir, v)
+        val aSigs = VersionedLake.readAt(spark, indexDir, v)
+          .select(col("id"), col("sig"))
           .join(broadcast(pairs.select(col("a").as("id")).distinct()), "id")
           .select(col("id").as("a"), col("sig").as("siga"))
         pairs.join(broadcast(aSigs), "a").join(sb, "b")
@@ -200,9 +211,7 @@ object Dedup {
       batch(idCol) === drops("drop_id"), "left_anti")
     val survIds = survivors.select(col(idCol).as("id"))
     VersionedLake.commitTagged(
-      keys.join(broadcast(survIds), "id"), keysDir, tag)
-    VersionedLake.commitTagged(
-      sigs.join(broadcast(survIds), "id"), sigsDir, tag)
+      indexRows.join(broadcast(survIds), "id"), indexDir, tag)
     survivors
   }
 
@@ -262,14 +271,22 @@ object Dedup {
     * lands millions of ids in one (band, hash) bucket, no executor ever
     * holds the full bucket in memory — sort-based windows stream and
     * spill, single-row aggregation state does not. */
+  /** The banded LSH key array for a wide signature frame — ONE
+    * definition of the band geometry/hash shared by [[lshCandidatePairs]]
+    * and the [[nearDupAgainstIndex]] posting index, so the in-batch
+    * buckets and the PERSISTED cross-batch postings can never
+    * silently desynchronize. */
+  private[engine] def bandKeyArray(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
+    }: _*)
+
   def lshCandidatePairs(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 64): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
-    }
     val exploded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), explode(bandKeyArray(bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val buckets = boundedBuckets(exploded, Seq("band", "bh"), maxBucket)
     buckets

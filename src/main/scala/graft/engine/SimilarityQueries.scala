@@ -40,21 +40,10 @@ object SimilarityQueries {
   private def stagedCentroids(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] =
     centroidCache.getOrElseUpdate(centroidPath(dir), {
-      val target = java.nio.file.Paths.get(centroidPath(dir))
-      if (!java.nio.file.Files.exists(target)) {
-        val stage = s"${IngestQueries.FixRoot}/ivf_cents_staging_" +
-          s"${ProcessHandle.current().pid()}_${sfName(dir)}"
+      Staging.publishOnce(centroidPath(dir))(stage =>
         Similarity.saveCentroids(s,
           Similarity.ivfCentroids(table(s, dir, "embeddings"), nLists = 16),
-          stage)
-        java.nio.file.Files.createDirectories(target.getParent)
-        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            Lake.delete(s, stage) // publish race lost; winner is canonical
-        }
-      }
+          stage))
       Similarity.loadCentroids(s, centroidPath(dir))
     })
 
@@ -105,20 +94,9 @@ object SimilarityQueries {
   private def stagedPqBooks(s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Array[Double]]] =
     pqBooksCache.getOrElseUpdate(pqBooksPath(dir), {
-      val target = java.nio.file.Paths.get(pqBooksPath(dir))
-      if (!java.nio.file.Files.exists(target)) {
-        val stage = s"${IngestQueries.FixRoot}/pq_books_staging_" +
-          s"${ProcessHandle.current().pid()}_${sfName(dir)}"
+      Staging.publishOnce(pqBooksPath(dir))(stage =>
         Similarity.savePqCodebooks(s,
-          Similarity.pqCodebooks(table(s, dir, "embeddings")), stage)
-        java.nio.file.Files.createDirectories(target.getParent)
-        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            Lake.delete(s, stage) // publish race lost; winner is canonical
-        }
-      }
+          Similarity.pqCodebooks(table(s, dir, "embeddings")), stage))
       Similarity.loadPqCodebooks(s, pqBooksPath(dir))
     })
 
@@ -220,10 +198,14 @@ object SimilarityQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** sf whose published books the q110 oracle should read — recorded by
-    * the builder at run time (the oracle text is materialized AFTER the
-    * queries ran, via [[QuerySpec.lazyOracle]]); defaults to the
-    * driver's correctness sf. */
+  /** sf whose published artifacts the q110/q141 oracles should read —
+    * recorded by the builders at run time (the oracle text is
+    * materialized AFTER the queries ran, via [[QuerySpec.lazyOracle]]);
+    * defaults to the driver's correctness sf. One JVM-global is
+    * sufficient because oracle dumping only happens in graft.Verify,
+    * which runs every query at a SINGLE sf before dumping — a harness
+    * that mixed sfs in one JVM and then dumped oracles would need this
+    * keyed per (query, sf). */
   @volatile private var pqOracleSf: String = "sf0.01"
 
   /** q110 oracle: DuckDB replays the ENTIRE PQ/ADC probe from the
@@ -236,112 +218,24 @@ object SimilarityQueries {
     * the exact rounded cosine. Every float op mirrors the Spark path
     * (q44 establishes the dot-fold bit-agreement), so this is a full
     * hash compare, closing round 10's only unverified new query. */
-  private def q110Oracle: String = {
+  /** The shared ADC-replay SQL tail — encode candidates against the
+    * published codebooks, build the query-side LUTs, sum in Spark's
+    * left-fold order, top-50 by approximate score, exact rounded-cosine
+    * rerank. ONE definition consumed by q110 (candidates = the whole
+    * table) and q141 (candidates = the probed IVF lists), so a fix to
+    * the float-parity-sensitive fold order or a tie-break cannot
+    * diverge the two verifications of the same arithmetic. Expects
+    * prior CTEs `e`, `books`, `q`, and `cand0(vec_id, v)`. */
+  private def adcSqlTail: String = {
     val m = 8
     val ds = 8 // dim 64 / m — the pqCodebooks default geometry
-    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
     def foldSum(c: String): String =
       (0 until m).map(s => s"$c$s").reduce((a, b) => s"($a + $b)")
     val nCols = (0 until m).map(s =>
       s"max(CASE WHEN enc.sub = $s THEN lut.qd END) AS n$s").mkString(", ")
     val rCols = (0 until m).map(s =>
       s"max(CASE WHEN enc.sub = $s THEN lut.cn END) AS r$s").mkString(", ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |scored AS (
-       |  SELECT e.vec_id, b.sub, b.code,
-       |         list_dot_product(list_slice(e.v, b.sub*$ds + 1, b.sub*$ds + $ds),
-       |                          b.centroid)
-       |           - 0.5 * list_dot_product(b.centroid, b.centroid) AS s
-       |  FROM e, books b),
-       |enc AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT vec_id, sub, code,
-       |           row_number() OVER (PARTITION BY vec_id, sub
-       |                              ORDER BY s DESC, code DESC) AS rn
-       |    FROM scored) WHERE rn = 1),
-       |lut AS (
-       |  SELECT b.sub, b.code,
-       |         list_dot_product(list_slice(q.qv, b.sub*$ds + 1, b.sub*$ds + $ds),
-       |                          b.centroid) AS qd,
-       |         list_dot_product(b.centroid, b.centroid) AS cn
-       |  FROM books b, q),
-       |pv AS (
-       |  SELECT enc.vec_id, $nCols, $rCols
-       |  FROM enc JOIN lut ON lut.sub = enc.sub AND lut.code = enc.code
-       |  GROUP BY enc.vec_id),
-       |cand AS (
-       |  SELECT vec_id,
-       |         ${foldSum("n")} / (sqrt(${foldSum("r")})
-       |           * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)) AS approx
-       |  FROM pv WHERE vec_id <> 0
-       |  ORDER BY approx DESC, vec_id LIMIT 50)
-       |SELECT e.vec_id, e.label,
-       |       round(list_dot_product(e.v, q.qv)
-       |             / (sqrt(list_dot_product(e.v, e.v))
-       |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
-       |FROM cand JOIN e USING (vec_id), q
-       |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
-  }
-
-  private def ivfPqLakePath(dir: String): String =
-    s"${graft.Sessions.scratchRoot}/ivfpq_lake_${sfName(dir)}"
-
-  /** Write-once IVF-PQ index ([[Similarity.writeIvfPqLake]]): both
-    * assignment scans paid here, untimed — q141 probes pruned
-    * compressed lists. */
-  private def stagedIvfPqLake(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val p = ivfPqLakePath(dir)
-    ensureStaged(p)(Similarity.writeIvfPqLake(table(s, dir, "embeddings"),
-      stagedCentroids(s, dir), stagedPqBooks(s, dir), p))
-    p
-  }
-
-  /** q141 oracle: the ENTIRE IVF-PQ probe replayed in SQL from the two
-    * published tables — coarse assignment (argmax cosine per vector,
-    * ties to the higher list, exactly [[Similarity.ivfAssign]]'s
-    * descending struct sort), the query's nProbe nearest lists (ties to
-    * the LOWER list, [[Similarity.probeLists]]), then q110's ADC
-    * machinery restricted to the probed candidates: re-encode, LUT
-    * lookups summed in Spark's left-fold order, top-50 by approximate
-    * score, exact rounded-cosine rerank. */
-  private def q141Oracle: String = {
-    val m = 8
-    val ds = 8
-    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
-    val centsGlob = s"${IngestQueries.FixRoot}/ivf_cents_$pqOracleSf/*.parquet"
-    def foldSum(c: String): String =
-      (0 until m).map(s => s"$c$s").reduce((a, b) => s"($a + $b)")
-    val nCols = (0 until m).map(s =>
-      s"max(CASE WHEN enc.sub = $s THEN lut.qd END) AS n$s").mkString(", ")
-    val rCols = (0 until m).map(s =>
-      s"max(CASE WHEN enc.sub = $s THEN lut.cn END) AS r$s").mkString(", ")
-    def cosSql(x: String, y: String): String =
-      s"""list_dot_product($x, $y)
-         | / (sqrt(list_dot_product($x, $x))
-         |    * sqrt(list_dot_product($y, $y)))""".stripMargin
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-       |cents AS (SELECT list, centroid FROM read_parquet('$centsGlob')),
-       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |assign AS (
-       |  SELECT vec_id, list FROM (
-       |    SELECT e.vec_id, c.list,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             ${cosSql("e.v", "c.centroid")} DESC, c.list DESC) AS rn
-       |    FROM e, cents c) WHERE rn = 1),
-       |probes AS (
-       |  SELECT c.list FROM cents c, q
-       |  ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.list ASC
-       |  LIMIT 4),
-       |cand0 AS (
-       |  SELECT e.vec_id, e.v FROM e JOIN assign a USING (vec_id)
-       |  WHERE a.list IN (SELECT list FROM probes) AND e.vec_id <> 0),
-       |scored AS (
+    s"""scored AS (
        |  SELECT c0.vec_id, b.sub, b.code,
        |         list_dot_product(list_slice(c0.v, b.sub*$ds + 1, b.sub*$ds + $ds),
        |                          b.centroid)
@@ -375,6 +269,66 @@ object SimilarityQueries {
        |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS score
        |FROM cand JOIN e USING (vec_id), q
        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  private def q110Oracle: String = {
+    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand0 AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+       |$adcSqlTail""".stripMargin
+  }
+
+  private def ivfPqLakePath(dir: String): String =
+    s"${graft.Sessions.scratchRoot}/ivfpq_lake_${sfName(dir)}"
+
+  /** Write-once IVF-PQ index ([[Similarity.writeIvfPqLake]]): both
+    * assignment scans paid here, untimed — q141 probes pruned
+    * compressed lists. */
+  private def stagedIvfPqLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = ivfPqLakePath(dir)
+    ensureStaged(p)(Similarity.writeIvfPqLake(table(s, dir, "embeddings"),
+      stagedCentroids(s, dir), stagedPqBooks(s, dir), p))
+    p
+  }
+
+  /** q141 oracle: the ENTIRE IVF-PQ probe replayed in SQL from the two
+    * published tables — coarse assignment (argmax cosine per vector,
+    * ties to the higher list, exactly [[Similarity.ivfAssign]]'s
+    * descending struct sort), the query's nProbe nearest lists (ties to
+    * the LOWER list, [[Similarity.probeLists]]), then q110's ADC
+    * machinery restricted to the probed candidates: re-encode, LUT
+    * lookups summed in Spark's left-fold order, top-50 by approximate
+    * score, exact rounded-cosine rerank. */
+  private def q141Oracle: String = {
+    val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
+    val centsGlob = s"${IngestQueries.FixRoot}/ivf_cents_$pqOracleSf/*.parquet"
+    def cosSql(x: String, y: String): String =
+      s"""list_dot_product($x, $y)
+         | / (sqrt(list_dot_product($x, $x))
+         |    * sqrt(list_dot_product($y, $y)))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |cents AS (SELECT list, centroid FROM read_parquet('$centsGlob')),
+       |books AS (SELECT sub, code, centroid FROM read_parquet('$booksGlob')),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT e.vec_id, c.list,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosSql("e.v", "c.centroid")} DESC, c.list DESC) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT c.list FROM cents c, q
+       |  ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.list ASC
+       |  LIMIT 4),
+       |cand0 AS (
+       |  SELECT e.vec_id, e.v FROM e JOIN assign a USING (vec_id)
+       |  WHERE a.list IN (SELECT list FROM probes) AND e.vec_id <> 0),
+       |$adcSqlTail""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(

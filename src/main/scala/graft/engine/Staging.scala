@@ -34,4 +34,34 @@ object Staging {
         java.nio.file.Files.deleteIfExists(marker(path))
         throw e
     }
+
+  /** Write-once ATOMIC publication of a trained/derived artifact dir to
+    * a SHARED location (one definition of the q75/q94 discipline for
+    * directories): `build` writes into a per-PID staging dir under the
+    * swept scratch root (a crash cannot leak into the shared space),
+    * the result renames into place atomically, and a lost publish race
+    * discards the loser's copy — the WINNER's artifact is canonical for
+    * every subsequent loader. No-op when the target already exists. */
+  private val publishSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  def publishOnce(target: String)(build: String => Unit): Unit = {
+    val targetPath = java.nio.file.Path.of(target)
+    if (!java.nio.file.Files.exists(targetPath)) {
+      val stage = s"${graft.Sessions.scratchRoot}/publish_" +
+        s"${targetPath.getFileName}_${publishSeq.incrementAndGet()}"
+      build(stage)
+      java.nio.file.Files.createDirectories(targetPath.getParent)
+      try {
+        java.nio.file.Files.move(java.nio.file.Path.of(stage), targetPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case _: java.nio.file.FileSystemException =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(stage)) // race lost; winner is canonical
+      }
+    }
+  }
 }

@@ -105,7 +105,17 @@ object Tables {
             case _ => "micros"
           }
         } finally reader.close()
-      } catch { case _: Exception => "nanos" }
+      } catch {
+        // ONLY structurally-expected failures fall back (no parquet
+        // file in the dir, no `ts` field in the schema) — the cases
+        // where "nanos" is the sole generation that can reach the long
+        // branch. A transient IO failure must PROPAGATE: swallowing it
+        // would cache the wrong unit forever (computeIfAbsent) and
+        // silently shift a future raw-micros generation 1000×.
+        case _: NoSuchElementException => "nanos"
+        case _: org.apache.parquet.io.InvalidRecordException => "nanos"
+        case _: IllegalArgumentException => "nanos"
+      }
     })
 
   /** Register every table as a temp view (the Athena-surface analogue:

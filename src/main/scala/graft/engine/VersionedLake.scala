@@ -186,8 +186,14 @@ object VersionedLake {
     * rename window and nothing to recover — compare
     * [[Lake.recoverCrashedSwap]], which versioning makes unnecessary). */
   def compactVersions(spark: SparkSession, dir: String,
-      codec: String = "snappy"): Int =
-    commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
+      codec: String = "snappy", statsCols: Seq[String] = Seq.empty): Int =
+    // pass statsCols on a stats-carrying lake or the compacted dir has
+    // no stats and the metadata-only paths (readSkipping /
+    // statsAggregate) silently degrade to scans after every compaction
+    if (statsCols.isEmpty)
+      commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
+    else commitWithStats(readLatest(spark, dir), dir, statsCols,
+      mode = "overwrite", codec = codec)
 
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
@@ -412,9 +418,13 @@ object VersionedLake {
     val touched = live.filter(intersects)
     if (touched.isEmpty) vs.last
     else {
+      // NULL-keyed rows are OUTSIDE any range — they must survive, and
+      // a bare !(range) would drop them (three-valued logic: !(NULL) is
+      // NULL, and Filter discards NULL). readSkipping has the matching
+      // property: a NULL never matches a probe but is never destroyed.
       val survivors = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(d => s"$dir/$d"): _*)
-        .filter(!(col(c) >= lo && col(c) <= hi))
+        .filter(col(c).isNull || !(col(c) >= lo && col(c) <= hi))
       // Min/max ranges cannot see a HOLE a previous delete left, so a
       // repeated delete would re-rewrite the same dirs forever. When
       // the touched dirs' stats record their exact row counts, one
@@ -480,19 +490,12 @@ object VersionedLake {
     val files = readManifest(spark, dir, vs.last).flatMap { d =>
       val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-      val statsPath = new Path(s"$dir/_stats/$d.stats")
-      if (!f.exists(statsPath)) all
-      else {
-        val in = f.open(statsPath)
-        val ranges =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .map(_.split('\t')).filter(a => a.length >= 4 && a(1) == c)
-            .map(a => a(0) -> (a(2).toDouble, a(3).toDouble)).toMap
-          finally in.close()
+      val ranges = statsFor(spark, dir, d, c) // ONE parser for the format
+      if (ranges.isEmpty) all
+      else
         // a file with no recorded range for c cannot be skipped
         all.filter(p => ranges.get(p.getName)
-          .forall { case (mn, mx) => mx >= lo && mn <= hi })
-      }
+          .forall { case (mn, mx, _) => mx >= lo && mn <= hi })
     }
     val snap =
       if (files.isEmpty) readAt(spark, dir, vs.last).limit(0)
@@ -515,7 +518,14 @@ object VersionedLake {
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
-      .foreach(p => f.delete(p, true))
+      .foreach { p =>
+        f.delete(p, true)
+        // stats metadata lives and dies with its data dir — orphan
+        // .stats files would otherwise accumulate one per vacuumed
+        // commit, unboundedly on a long-lived lake
+        f.delete(new Path(s"$dir/_stats/${p.getName}.stats"), false)
+        ()
+      }
     // drop tag markers whose data dir was just vacuumed, keeping the
     // marker set aligned with what the manifests can still answer
     val tagDir = new Path(s"$dir/_tags")

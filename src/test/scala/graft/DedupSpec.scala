@@ -264,13 +264,14 @@ class DedupSpec extends AnyFunSuite {
     assert(s1 == (0 until 10).map(_.toLong).toSet)
     assert(s2 == (0 until 5).map(200L + _).toSet)
     // replay of drop 2: same survivors, no new index versions
-    val vs = VersionedLake.versions(spark, s"$idx/keys")
+    val vs = VersionedLake.versions(spark, idx)
     val replay = Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
       .select("id").as[Long].collect().toSet
     assert(replay == s2)
-    assert(VersionedLake.versions(spark, s"$idx/keys") == vs)
-    // the committed index holds exactly the survivors' signatures
-    assert(VersionedLake.readLatest(spark, s"$idx/sigs")
+    assert(VersionedLake.versions(spark, idx) == vs)
+    // the committed index holds exactly the survivors' rows (posting
+    // keys + signature in ONE row per doc — a single atomic commit)
+    assert(VersionedLake.readLatest(spark, idx)
       .select("id").as[Long].collect().toSet == s1 ++ s2)
   }
 

@@ -328,7 +328,7 @@ class PlanAuditSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => pathTo(a.executedPlan).map(a :: _)
       case s: FileSourceScanExec
           if s.relation.location.rootPaths.exists(
-            _.toString.contains("index/keys")) => Some(List(s))
+            _.toString.contains("neardup-plan")) => Some(List(s))
       case other =>
         (other.children ++ other.subqueries).view.flatMap(pathTo).headOption
           .map(other :: _)

@@ -287,10 +287,17 @@ class VersionedLakeSpec extends AnyFunSuite {
       "by reference, and repeats as a no-op") {
     import spark.implicits._
     val dir = tempDir("vlake-del") + "/lake"
-    // three range-disjoint stats-carrying commits, one file each
+    // three range-disjoint stats-carrying commits, one file each; the
+    // middle one also carries NULL-keyed rows (no usable range entry
+    // for them, but they must never be DELETED — three-valued logic
+    // made a bare !(range) filter silently drop them)
     Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (a, b) =>
-      VersionedLake.commitWithStats(
-        spark.range(a, b).toDF("id").repartition(1), dir,
+      val part = spark.range(a, b).toDF("id")
+      val withNulls =
+        if (a == 100L) part.unionByName(
+          spark.range(2).select(lit(null).cast("long").as("id")))
+        else part
+      VersionedLake.commitWithStats(withNulls.repartition(1), dir,
         statsCols = Seq("id"))
     }
     val before = VersionedLake.readLatest(spark, dir).inputFiles.toSet
@@ -300,15 +307,17 @@ class VersionedLakeSpec extends AnyFunSuite {
     val after = VersionedLake.readLatest(spark, dir).inputFiles.toSet
     // dirs 1 and 3 carried forward physically; dir 2 rewritten
     assert((before intersect after).size == 2)
-    assert(VersionedLake.readLatest(spark, dir)
-      .select("id").as[Long].collect().sorted.toSeq ==
-      ((0L until 120L) ++ (181L until 300L)))
+    val ids = VersionedLake.readLatest(spark, dir).select("id")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // NULL-keyed rows are outside every range: both survive the delete
+    assert(ids.count(_.isEmpty) == 2)
+    assert(ids.flatten.sorted.toSeq == ((0L until 120L) ++ (181L until 300L)))
     // the rewrite carries stats, so a REPEATED delete is a metadata
     // no-op: nothing intersects, no new version
     assert(VersionedLake.deleteRange(spark, dir, "id", 120d, 180d,
       statsCols = Seq("id")) == 4)
     assert(VersionedLake.versions(spark, dir).last == 4)
     // and time travel still sees the pre-delete snapshot
-    assert(VersionedLake.readAt(spark, dir, 3).count() == 300)
+    assert(VersionedLake.readAt(spark, dir, 3).count() == 302)
   }
 }
