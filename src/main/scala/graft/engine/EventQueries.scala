@@ -414,5 +414,52 @@ object EventQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("top_type"), col("n"))
         .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "q142_session_window",
+      """WITH gaps AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value,
+        |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+        |                   > 1800 * 1000000
+        |              OR LAG(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, tsu, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gaps)
+        |SELECT user_id,
+        |       MIN(tsu) AS session_start,
+        |       MAX(tsu) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      // Spark's NATIVE session_window (the built-in gaps-and-islands the
+      // hand-rolled q27 predates): one groupBy on
+      // (user_id, session_window(ts, gap)) — no explicit lag/cumsum, one
+      // shuffle, and the window's [start, end) carries the semantics
+      // end = last event + gap. The oracle derives the identical
+      // sessions with the q27 lag/running-sum construction and rebuilds
+      // start/end as min(ts) / max(ts) + 30min — so this differentially
+      // pins Spark's session assignment against an independent
+      // formulation of the same definition, including the half-open
+      // end convention.
+      table(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
     })
 }

@@ -257,6 +257,24 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming session windows — the NATIVE gaps-and-islands aggregation
+    * (streaming form of q142, as [[tumblingCounts]] is of q25): state is
+    * keyed per (user, open session) and sessions MERGE when a late row
+    * bridges two of them — the semantics that make hand-rolled
+    * lag/cumsum impossible on an unbounded stream. Watermark-scoped:
+    * a session's state evicts once the watermark passes its end. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes")
+          .as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
   /** Hopping (sliding) 1h windows every 15 min — each event lands in 4
     * overlapping windows (streaming form of q52). Same partial-agg-friendly
     * shape as tumbling: the window expression expands each row to its 4

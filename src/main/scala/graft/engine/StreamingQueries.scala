@@ -209,6 +209,45 @@ object StreamingQueries {
     },
 
     QuerySpec(
+      "q143_stream_session_window",
+      """WITH gaps AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value,
+        |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+        |                   > 1800 * 1000000
+        |              OR LAG(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, tsu, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gaps)
+        |SELECT user_id,
+        |       MIN(tsu) AS session_start,
+        |       MAX(tsu) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      // Streaming NATIVE session windows ([[Streaming.sessionCounts]]):
+      // per-(user, open-session) state that MERGES when a row bridges
+      // two sessions — the semantics no lag/cumsum can express on an
+      // unbounded stream — drained with AvailableNow and compared to
+      // the same batch oracle as q142: the drained stream must produce
+      // the identical 9,549 sessions, ends = last + gap, or a session
+      // split/merged/evicted wrongly moves a boundary and breaks the
+      // hash.
+      Streaming.runAvailableNow(
+        Streaming.sessionCounts(Streaming.eventsStream(s, dir)),
+        "q143_sessions")
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    QuerySpec(
       "q136_stream_dedup_ingest",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       ROUND(SUM(value), 2) AS total_value
