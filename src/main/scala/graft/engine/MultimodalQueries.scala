@@ -214,5 +214,52 @@ object MultimodalQueries {
         table(s, dir, "documents")
           .select(col("doc_id").as("media_id"), payload.as("payload")))
         .orderBy(col("media_id"))
+    },
+
+    QuerySpec(
+      "q145_frame_dedup",
+      """WITH lib AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |fr AS (
+        |  SELECT doc_id AS media_id, i AS frame_idx,
+        |         md5(substr(text, CAST(i*64+1 AS INT), 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT)))
+        |                 AS i
+        |        FROM lib)
+        |  WHERE i % 5 = 0),
+        |k AS (
+        |  SELECT frame_md5, media_id, n FROM (
+        |    SELECT frame_md5, media_id,
+        |           COUNT(*) OVER (PARTITION BY frame_md5) AS n,
+        |           ROW_NUMBER() OVER (PARTITION BY frame_md5
+        |                              ORDER BY media_id, frame_idx) AS rn
+        |    FROM fr) WHERE rn = 1)
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n) AS BIGINT) AS n_refs
+        |FROM k GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      // Frame-level dedup across a media library (the multimodal ×
+      // dedup composition: content-defined storage for video frames) —
+      // the library carries planted whole-media duplicates (+10000
+      // copies of every doc_id % 7 == 0), frames are q48's sampled
+      // 64-byte windows, and each distinct frame hash keeps its
+      // (media, idx)-least owner; the per-media rollup counts owned
+      // frames and total references folded into them. One shuffle on
+      // the frame hash (the frame explosion is row-local), min-struct
+      // keeper = the oracle's (media, idx) row_number — a copy owning
+      // a frame its original should own, or a lost duplicate
+      // reference, moves a count.
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lib = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val frames = Multimodal.frameSample(Multimodal.mediaTable(lib))
+      frames.groupBy(col("frame_md5"))
+        .agg(min(struct(col("media_id"), col("frame_idx"))).as("k"),
+          count(lit(1)).as("n"))
+        .groupBy(col("k.media_id").as("media_id"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("n_refs"))
+        .orderBy(col("media_id"))
     })
 }

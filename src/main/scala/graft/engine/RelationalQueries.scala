@@ -190,6 +190,36 @@ object RelationalQueries {
       s.sql(sqlRecursiveRollup("DIV"))
     },
 
+    QuerySpec(
+      "q144_window_ranks",
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 100 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, dir) =>
+      // The remaining ranked-window surface in one query: NTILE /
+      // PERCENT_RANK / CUME_DIST per priority class. NTILE is
+      // POSITION-based, so the window order carries the unique
+      // (price, orderkey) tie-break — without it equal prices make the
+      // quartile assignment nondeterministic and the hash compare
+      // meaningless. The filter keeps output bounded at any sf and runs
+      // AFTER the windows (QUALIFY on the oracle side, post-window
+      // filter here), so ranks are computed over the FULL partition.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     // ----- aggregation family (A4) ---------------------------------------
     QuerySpec(
       "q01_filter_agg",
