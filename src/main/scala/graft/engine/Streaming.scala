@@ -28,6 +28,33 @@ import org.apache.spark.sql.types._
   * harness; production sinks are `writeStream.format("parquet"/"kafka")`
   * with the same plan.
   */
+/** Per-user (count, sum) as a Spark 4 StatefulProcessor — the typed
+  * state cell is declared by NAME against the handle at init and read/
+  * updated per key-batch in handleInputRows (top-level class: the
+  * processor is serialized to executors). */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var (n, total) = if (st.exists()) st.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; total += v }
+    st.update((n, total))
+    Iterator.single((key, n, total))
+  }
+}
+
 object Streaming {
 
   /** File streams need an explicit schema, and `events.ts` has shipped
@@ -196,6 +223,27 @@ object Streaming {
           st.update((n, total))
           Iterator((uid, n, total))
       }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** [[userRunningStats]] on Spark 4's transformWithState — the
+    * StatefulProcessor API that supersedes flatMapGroupsWithState:
+    * named typed state cells from a handle, explicit TimeMode, TTL and
+    * timer support, and a RocksDB-backed store requirement (set per
+    * session below; the HDFS-backed default store does not implement
+    * the new operator's column-family layout). Same per-user (count,
+    * sum) semantics as q72, so the two custom-state APIs are checked
+    * against ONE oracle. */
+  def userRunningStatsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("value"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
   }
 

@@ -156,6 +156,38 @@ object StreamingQueries {
     },
 
     QuerySpec(
+      "q146_stream_transform_with_state",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // The SAME custom-state semantics as q72, on Spark 4's
+      // transformWithState ([[Streaming.userRunningStatsTws]] /
+      // [[UserStatsProcessor]]) — the successor API with named typed
+      // state cells, explicit TimeMode, and the RocksDB state store.
+      // Both state APIs are drained last-wins against ONE oracle, so a
+      // divergence between the old and new operators' state handling
+      // (a lost update, a key misrouted across column families) shows
+      // up as a hash mismatch on either query. The RocksDB provider is
+      // required by the new operator and is scoped to THIS drain (the
+      // drain inside runUpdatesLastWins is eager), then restored so
+      // sibling streams keep the session default.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      try Streaming.runUpdatesLastWins(
+          Streaming.userRunningStatsTws(Streaming.eventsStream(s, dir)),
+          Seq("user_id"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"))
+      finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    },
+
+    QuerySpec(
       "q85_stream_stream_join",
       """WITH e AS (
         |  SELECT event_id, user_id, value,
