@@ -1061,21 +1061,31 @@ object TextQueries {
       // the fastText shape heuristic filters (q36/q57/q81/q115/q126)
       // graduate to: word uni+bigrams hash into D=1024 buckets of a
       // LITERAL quantized weight table and the document's logit is the
-      // bucket-weight sum — one codegen'd `aggregate` fold per row,
-      // md5-bucketed so the oracle replays the identical hash with
-      // integer-only arithmetic (weights are milli-units; the sigmoid
-      // is monotone, so the logit>0 filter IS the probability
-      // threshold). Score and filter are ROW-LOCAL in the scan — the
+      // bucket-weight sum — md5-bucketed so the oracle replays the
+      // identical hash with integer-only arithmetic (weights are
+      // milli-units; the sigmoid is monotone, so the logit>0 filter IS
+      // the probability threshold). The logit runs as the NATIVE
+      // codegen'd [[HashedNgramLogit]] loop (the declarative
+      // `aggregate` fold it is property-tested equal to is interpreted
+      // — Spark HOFs don't codegen — and was the whole suite's most
+      // expensive query at ~13 s; the native loop streams the md5 over
+      // token bytes with no gram strings, no hex rendering, no base-16
+      // parse). Score and filter are ROW-LOCAL in the scan — the
       // plan's only exchange is the final presentation sort (gated in
       // PlanAuditSpec): at 100 TB the model fee is paid map-side and
       // only survivors ever shuffle. quality_ppm is exact integer
       // division of positive operands, so the compare is exact.
+      // n_grams = unigrams + bigrams = 2n-1 for n ≥ 2 (≡ size of the
+      // ngramGrams array, without building it).
       val w = TextAnalysis.scorerWeights()
       table(s, dir, "documents")
         .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
-        .withColumn("grams", TextAnalysis.ngramGrams("toks"))
-        .withColumn("n_grams", size(col("grams")).cast("long"))
-        .withColumn("logit", TextAnalysis.hashedNgramLogit("grams", w))
+        .withColumn("n_grams", expr(
+          "CASE WHEN size(toks) >= 2 THEN 2 * size(toks) - 1 " +
+            "ELSE size(toks) END").cast("long"))
+        .withColumn("logit",
+          org.apache.spark.sql.graft.ScorerFunctions
+            .ngramLogitNative(col("toks"), w))
         .filter(col("logit") > 0)
         .select(col("doc_id"), col("n_grams"), col("logit"),
           expr("logit * 1000000 div (1000 * n_grams)").as("quality_ppm"))

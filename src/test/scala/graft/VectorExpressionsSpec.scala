@@ -42,6 +42,64 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("native ngram logit == declarative md5 fold on real documents " +
+      "(bit-exact), including edge token arrays") {
+    // The q133 contract: HashedNgramLogit streams md5 over token bytes;
+    // the oracle replays the declarative aggregate() fold. Any drift in
+    // bucket math (hex vs bytes, pmod, bigram join char) breaks here
+    // before it ever reaches the driver's hash compare.
+    import org.apache.spark.sql.graft.ScorerFunctions
+    val w = TextAnalysis.scorerWeights()
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
+      .withColumn("grams", TextAnalysis.ngramGrams("toks"))
+      .select(
+        ScorerFunctions.ngramLogitNative(col("toks"), w).as("native"),
+        TextAnalysis.hashedNgramLogit("grams", w).as("fold"),
+        (expr("CASE WHEN size(toks) >= 2 THEN 2 * size(toks) - 1 " +
+          "ELSE size(toks) END")).cast("long").as("n_fast"),
+        size(col("grams")).cast("long").as("n_grams"))
+    assert(docs.filter(col("native") =!= col("fold")).count() == 0)
+    assert(docs.filter(col("n_fast") =!= col("n_grams")).count() == 0)
+    assert(docs.count() > 100)
+
+    import spark.implicits._
+    // single token (no bigrams), empty-string token (split of blank),
+    // unicode multibyte, repeated tokens
+    val edge = Seq(
+      Seq("solo"), Seq(""), Seq("héllo", "wörld", "héllo"),
+      Seq("a", "b", "a", "b", "a")).toDF("toks")
+      .withColumn("grams", TextAnalysis.ngramGrams("toks"))
+      .select(
+        ScorerFunctions.ngramLogitNative(col("toks"), w).as("native"),
+        TextAnalysis.hashedNgramLogit("grams", w).as("fold"))
+    assert(edge.filter(col("native") =!= col("fold")).count() == 0)
+    // null array and null element both poison to null
+    val nulls = Seq(1).toDF("i").select(
+      ScorerFunctions.ngramLogitNative(
+        lit(null).cast("array<string>"), w).as("na"),
+      ScorerFunctions.ngramLogitNative(
+        array(lit("x"), lit(null).cast("string")), w).as("ne"))
+    val r = nulls.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native ngram logit: codegen == interpreted") {
+    import org.apache.spark.sql.graft.ScorerFunctions
+    import spark.implicits._
+    val w = TextAnalysis.scorerWeights()
+    val df = (0 until 200).map(i =>
+      Seq.tabulate(1 + i % 7)(j => s"tok${i}_$j")).toDF("toks")
+    def total(): Long =
+      df.select(sum(ScorerFunctions.ngramLogitNative(col("toks"), w)))
+        .head().getLong(0)
+    val withCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val expected = total()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(expected == total())
+    finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
+  }
+
   test("whole-stage codegen compiles the native expression (no fallback)") {
     // ExpressionEvalHelper-style check: force both codegen and interpreted
     // paths and compare.
