@@ -144,6 +144,32 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("_rk").as("rank"))
   }
 
+  /** Deterministic training-export shuffle (the "global shuffle then
+    * shard" step that turns a curated corpus into training shards):
+    * every row gets a pseudo-random sort key `_ord = md5(seed:id)` and a
+    * shard `shard_id = bucket(_ord) mod nShards`; a shard's file is its
+    * rows ordered by `(_ord, id)`. Changing the seed reshuffles
+    * everything; keeping it reproduces the byte-identical shard order on
+    * any cluster, any partitioning, any engine — same content-keyed
+    * guarantee as the samplers above.
+    *
+    * Scale shape: both columns are row-local; materializing shards is
+    * ONE hash exchange on `shard_id` with per-shard sorts (what
+    * `repartition(shard_id).sortWithinPartitions(_ord, id)` plans) — no
+    * global total order, no single-partition window. An ntile-style
+    * contiguous sharding would need a corpus-wide `row_number`, which is
+    * exactly the non-scalable plan this avoids; hash sharding gives the
+    * same statistical shuffle with shard sizes uniform to ~sqrt(n). */
+  def exportAssign(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("_ord",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("shard_id",
+        pmod(conv(substring(col("_ord"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+  }
+
   /** Train/val/test assignment by content bucket: [0,trainPct) train,
     * [trainPct, trainPct+valPct) val, rest test. Adding a document
     * never moves an existing one between splits — the property that

@@ -271,6 +271,71 @@ object TextAnalysis {
           s => s.getField("_seg")), ". ")).as("clean_md5"))
   }
 
+  /** Exact substring deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr operator,
+    * re-expressed relationally): any `k`-token span whose text appears
+    * more than once in the corpus is removed from every occurrence but
+    * the first (first = smallest `(doc, position)` — a total order, so
+    * the kept copy is deterministic across partitionings and engines).
+    * Complements [[segmentDedup]] (which drops whole repeated sentences
+    * at sentence boundaries): this catches repeated spans at ANY offset —
+    * the licence-block-mid-page, quoted-paragraph case — the suffix-array
+    * use in the paper, here via rolling k-token windows.
+    *
+    * Plan shape at 100 TB:
+    *  - window hashes are built ROW-LOCALLY (`transform` over the start
+    *    sequence; ~n hashes per n-token doc) and exploded — corpus × 1,
+    *    like the n-gram queries;
+    *  - the only corpus-wide exchange is the hash-partitioned
+    *    `row_number` over gram hash that picks each span's first
+    *    occurrence — same shuffle a `groupBy(hash)` would pay, no
+    *    buffering (streaming rank, the [[Dedup.boundedBuckets]] shape).
+    *    A pathological hash (one span duplicated across a large corpus
+    *    fraction) skews its partition; its occurrence LIST is never
+    *    materialized, only ranked, so the cost is a scan not a buffer;
+    *  - duplicate-span starts flow BACK per document as a bounded array
+    *    (≤ n_tokens entries), and token removal is a row-local indexed
+    *    `filter` with an interval-membership `exists` — no token-level
+    *    corpus explosion, no second corpus shuffle (the starts join is
+    *    id-keyed on an already-id-partitioned projection).
+    *
+    * Returns `(id, n_tokens, n_removed, clean_md5)` per document,
+    * ordered by id; the DuckDB oracle replays the identical md5 window
+    * hashes and first-occurrence rank. */
+  def substringDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "span length must be at least 2 tokens")
+    val id = col(idCol)
+    val toks = df
+      .select(id, split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val grams = toks
+      .withColumn("_ghs",
+        when(col("_n") >= k,
+          transform(sequence(lit(0), col("_n") - k),
+            i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")))
+      .select(id, posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gh")).orderBy(id, col("_pos"))
+    val dupStarts = grams
+      .withColumn("_rn", row_number().over(firstOcc))
+      .filter(col("_rn") > 1)
+      .groupBy(id)
+      .agg(array_sort(collect_list(col("_pos"))).as("_starts"))
+    toks
+      .join(dupStarts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept",
+        filter(col("_toks"),
+          (t, i) => !exists(col("_starts"), s => s <= i && i < s + k)))
+      .select(id, col("_n").cast("long").as("n_tokens"),
+        (col("_n") - size(col("_kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("_kept"))).as("clean_md5"))
+      .orderBy(id)
+  }
+
   /** Unigram cross-entropy quality scoring (the CCNet perplexity
     * filter's unigram form): score each document by the mean surprisal
     * −ln p(token) under the corpus's own unigram distribution, with the

@@ -1090,6 +1090,167 @@ object TextQueries {
         .select(col("doc_id"), col("n_grams"), col("logit"),
           expr("logit * 1000000 div (1000 * n_grams)").as("quality_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q147_substring_dedup",
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos,
+        |         md5(array_to_string(toks[u.i + 1:u.i + 8], ' ')) AS gh
+        |  FROM d, UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+        |  FROM g),
+        |s AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        |t AS (
+        |  SELECT d.doc_id, u.i - 1 AS tpos, d.toks[u.i] AS tok,
+        |         len(d.toks) AS n
+        |  FROM d, UNNEST(range(1, len(d.toks) + 1)) AS u(i)),
+        |f AS (
+        |  SELECT t.doc_id, t.tpos, t.tok, t.n,
+        |         CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END AS st
+        |  FROM t LEFT JOIN s ON s.doc_id = t.doc_id AND s.pos = t.tpos),
+        |c AS (
+        |  SELECT *, MAX(st) OVER (PARTITION BY doc_id ORDER BY tpos
+        |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f)
+        |SELECT doc_id,
+        |       CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(cov) AS BIGINT) AS n_removed,
+        |       md5(coalesce(string_agg(tok, ' ' ORDER BY tpos)
+        |                      FILTER (WHERE cov = 0), '')) AS clean_md5
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Lee et al. exact-substring dedup ([[TextAnalysis.substringDedup]]
+      // — scale notes there): every 8-token span duplicated anywhere in
+      // the corpus is removed from all but its first occurrence. The
+      // oracle replays the rolling md5 window hashes, the
+      // first-occurrence rank, and the interval cover (as a RANGE-frame
+      // window — a different but result-identical formulation of the
+      // Spark side's row-local indexed filter).
+      TextAnalysis.substringDedup(
+        table(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+
+    QuerySpec(
+      "q148_unicode_normalize",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         replace(translate(
+        |             CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+        |             'aeiouAEIOU', 'áéíóúÁÉÍÓÚ'), ' ', '  ') AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |         trim(regexp_replace(strip_accents(lower(dirty)),
+        |                             '\s+', ' ', 'g')) AS norm
+        |  FROM p)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |       CAST(length(norm) AS BIGINT) AS n_chars,
+        |       (dirty <> norm) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Unicode canonicalization via the native codegen'd expression
+      // ([[org.apache.spark.sql.graft.NormalizeUtf8Text]]): the planted
+      // dirty text (accented vowels, every third doc upper-cased,
+      // doubled spaces) must normalize to the DuckDB
+      // strip_accents∘lower∘collapse contract byte-for-byte. Row-local,
+      // zero shuffles before the final order.
+      table(s, dir, "documents")
+        .withColumn("__dirty",
+          WebText.dirtyText(col("doc_id"), col("text")))
+        .withColumn("__norm", WebText.normalizeText(col("__dirty")))
+        .select(col("doc_id"), md5(col("__norm")).as("norm_md5"),
+          length(col("__norm")).cast("long").as("n_chars"),
+          (col("__dirty") =!= col("__norm")).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q149_html_extract",
+      """WITH h AS (
+        |  SELECT doc_id, source, text,
+        |         '<html><head><title>' || source || ' #' || doc_id ||
+        |         '</title><style>body { margin: 0; }</style></head><body>' ||
+        |         '<nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+        |         '<script type="text/javascript">var id=' || doc_id ||
+        |         '; track(id);</script>' ||
+        |         '<h1>Doc ' || doc_id || '</h1><p>' || text ||
+        |         '</p><p>Tom &amp; Jerry wrote &quot;hello&quot; ' ||
+        |         '&lt;tag&gt; &#39;s&nbsp;end.</p>' ||
+        |         '<footer>(c) 2026 ' || source || '</footer></body></html>'
+        |           AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |         regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+        |         len(regexp_extract_all(html, '<a href="[^"]*"')) AS n_links,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(html,
+        |                     '<script[^>]*>.*?</script>', ' ', 'g'),
+        |                   '<style[^>]*>.*?</style>', ' ', 'g'),
+        |                 '<nav[^>]*>.*?</nav>', ' ', 'g'),
+        |               '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS body
+        |  FROM h)
+        |SELECT doc_id, title, CAST(n_links AS BIGINT) AS n_links,
+        |       CAST(length(body) AS BIGINT) AS n_chars, md5(body) AS body_md5
+        |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // HTML extraction round-trip ([[WebText]] — builder and parser in
+      // one plan, the codec-query pattern): title pull, link count,
+      // script/style/nav removal BEFORE tag-stripping, entity decode,
+      // whitespace collapse. The oracle rebuilds the identical page in
+      // SQL and replays every regex (RE2 ∩ java.util.regex) and the
+      // entity-decode order, so the compare is byte-exact.
+      table(s, dir, "documents")
+        .withColumn("__html",
+          WebText.htmlWrap(col("doc_id"), col("source"), col("text")))
+        .withColumn("__body", WebText.htmlVisibleText(col("__html")))
+        .select(col("doc_id"), WebText.htmlTitle(col("__html")).as("title"),
+          WebText.htmlLinkCount(col("__html")).as("n_links"),
+          length(col("__body")).cast("long").as("n_chars"),
+          md5(col("__body")).as("body_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "q150_training_export",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+        |         md5('graft-export-seed42:' || doc_id) AS ord
+        |  FROM documents),
+        |s AS (SELECT *, ('0x' || substr(ord, 1, 8))::BIGINT % 8 AS shard_id
+        |      FROM h)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY ord, doc_id))
+        |         AS order_md5
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Deterministic training-export shuffle ([[Sampling.exportAssign]]
+      // — scale notes there): seeded md5 sort key, hash shard, per-shard
+      // manifest (count, token budget, md5 of the doc order) so the
+      // oracle verifies the exact shard ORDER without dumping rows. One
+      // exchange (the shard groupBy); everything else row-local.
+      Sampling.exportAssign(table(s, dir, "documents"), "doc_id",
+          nShards = 8, seed = "graft-export-seed42")
+        .select(col("doc_id"), col("shard_id"), col("_ord"),
+          TextAnalysis.tokenCount(col("text")).as("__nt"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("_ord"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("order_md5"))
+        .orderBy(col("shard_id"))
     })
 
   /** Planted BPE corpus (word → frequency): the classic subword-NMT

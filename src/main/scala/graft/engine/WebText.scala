@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextNormFunctions
+
+/** Web-crawl text extraction and canonicalization — the front of a
+  * crawl-curation pipeline (what trafilatura/jusText do before any
+  * quality filter runs): strip markup and obvious boilerplate from an
+  * HTML page, decode entities, and canonicalize the unicode so
+  * downstream hashing/dedup sees one spelling per text.
+  *
+  * Every helper is a row-local scalar expression chain — no UDF, no
+  * shuffle, evaluated inside the scan's codegen stage, so extraction
+  * composes with partition pruning exactly like a filter. Regexes stay
+  * inside the RE2 ∩ java.util.regex subset (non-greedy `.*?`, char
+  * classes — no lookahead/backreferences) so the DuckDB oracles replay
+  * them verbatim.
+  *
+  * The corpus fixture has no HTML (TESTDATA.md synthesizes plain words),
+  * so q149 wraps each document in a deterministic page — title, nav,
+  * script, styled body, entity-bearing footer — inside the query itself
+  * and extracts it back, the same encode→parse round-trip pattern as the
+  * image/audio/video codec queries (q88/q117/q132): the oracle rebuilds
+  * the identical page in SQL, so a parser bug cannot hide behind its own
+  * builder.
+  */
+object WebText {
+
+  /** Deterministic HTML page around a document — the encode half of the
+    * q149 round-trip. Uses only entities [[htmlUnescape]] decodes, so
+    * extraction is exact. */
+  def htmlWrap(docId: Column, source: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>"), source, lit(" #"), docId,
+      lit("</title><style>body { margin: 0; }</style></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+      lit("<script type=\"text/javascript\">var id="), docId,
+      lit("; track(id);</script>"),
+      lit("<h1>Doc "), docId, lit("</h1><p>"), text,
+      lit("</p><p>Tom &amp; Jerry wrote &quot;hello&quot; "),
+      lit("&lt;tag&gt; &#39;s&nbsp;end.</p>"),
+      lit("<footer>(c) 2026 "), source, lit("</footer></body></html>"))
+
+  /** `<title>` contents (first match; empty string when absent). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "<title>(.*?)</title>", 1)
+
+  /** Count of anchor tags — the link-density numerator boilerplate
+    * classifiers use. */
+  def htmlLinkCount(html: Column): Column =
+    // group 0 (whole match) — Spark's default group index is 1, which
+    // throws on a group-free pattern; DuckDB's default is already 0.
+    size(regexp_extract_all(html, lit("<a href=\"[^\"]*\""), lit(0)))
+      .cast("long")
+
+  /** Fixed entity set, decoded in an order that keeps `&amp;` from
+    * cascading (ampersand last, so `&amp;lt;` decodes to `&lt;` the
+    * TEXT, not to `<`). */
+  def htmlUnescape(c: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Visible text: drop script/style/nav subtrees (code and chrome are
+    * not training text), strip remaining tags, decode entities, collapse
+    * whitespace. Mirrors the jusText "remove non-content blocks first"
+    * order — tag-stripping before block removal would leak script bodies
+    * into the text. */
+  def htmlVisibleText(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    val noNav = regexp_replace(noStyle, "<nav[^>]*>.*?</nav>", " ")
+    val noTags = regexp_replace(noNav, "<[^>]*>", " ")
+    trim(regexp_replace(htmlUnescape(noTags), "\\s+", " "))
+  }
+
+  /** Unicode canonicalization (the [[org.apache.spark.sql.graft.NormalizeUtf8Text]]
+    * native expression): strip accents, fold case, collapse whitespace —
+    * the "one spelling per text" precondition for exact dedup at crawl
+    * scale. */
+  def normalizeText(c: Column): Column = TextNormFunctions.normalizeText(c)
+
+  /** The q148 planted dirty text: vowels swapped for accented forms,
+    * every third document upper-cased, spaces doubled — each a
+    * transformation [[normalizeText]] must undo, and each exactly
+    * replayable in DuckDB (`translate`/`upper`/`replace`). */
+  def dirtyText(docId: Column, text: Column): Column =
+    replace(
+      translate(
+        when(pmod(docId, lit(3)) === 0, upper(text)).otherwise(text),
+        "aeiouAEIOU", "áéíóúÁÉÍÓÚ"),
+      lit(" "), lit("  "))
+}

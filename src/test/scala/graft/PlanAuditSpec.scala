@@ -342,4 +342,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
       s"exchange between the index scan and its join:\n${path.get.head}")
   }
+
+  test("web-text queries stay row-local: q148/q149 shuffle only for the " +
+      "presentation sort; q150 adds exactly the shard aggregation") {
+    // Extraction and normalization are scan-stage scalar work — at
+    // 100 TB any exchange beneath them would shuffle the raw crawl. The
+    // export manifest may shuffle once on shard_id (the operator's one
+    // inherent exchange) plus the final sort.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    def shuffles(name: String): Seq[ShuffleExchangeExec] =
+      walk(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+    Seq("q148_unicode_normalize", "q149_html_extract").foreach { q =>
+      val s = shuffles(q)
+      assert(s.length == 1, s"$q: expected only the sort exchange, got $s")
+    }
+    val s150 = shuffles("q150_training_export")
+    assert(s150.length <= 2, s"q150: expected shard agg + sort, got $s150")
+    assert(s150.exists(_.outputPartitioning.toString.contains("shard_id")),
+      s"q150: no exchange hash-partitions on shard_id:\n$s150")
+  }
+
+  test("q147 substring dedup plans no corpus self-join: gram rank + " +
+      "starts joinback bound the exchanges") {
+    // The operator's inherent exchanges: gram-hash rank window, starts
+    // per-doc aggregation, the id joinback (both sides), presentation
+    // sort. Anything beyond that — in particular a cartesian or a
+    // token-level corpus explosion shuffle — is a regression.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val df = SparkEntry.queries("q147_substring_dedup")(spark, sf)
+    val nodes = walk(df.queryExecution.executedPlan)
+    val n = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(n <= 5, s"q147: exchange count grew to $n:\n" +
+      df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Cartesian")),
+      "q147 must not plan a cartesian")
+  }
 }
