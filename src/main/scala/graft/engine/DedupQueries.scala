@@ -385,5 +385,88 @@ object DedupQueries {
       s1.select(col("id"), lit(1).as("batch"))
         .unionByName(s2.select(col("id"), lit(2).as("batch")))
         .orderBy(col("id"))
-    })
+    },
+
+    QuerySpec(
+      "q151_pagerank",
+      q151Oracle) { (s, dir) =>
+      // Scaled-integer PageRank over the shared-shingle graph
+      // ([[GraphAnalytics]] — scale notes there): 3-token shingles,
+      // per-gram membership capped at 10 by a streaming rank window,
+      // 5 damped rounds in exact Long nano-rank arithmetic so the
+      // DuckDB replay (chained per-iteration CTEs, `//` ≡ `div` on
+      // positive operands) hash-matches bit-for-bit — a float PR could
+      // only ever be compared approximately. The degree-annotated edge
+      // list is STAGED once per (JVM, sf) as a parquet lake (the
+      // train/probe split q59/q141 use: candidate-edge generation is
+      // its own pass — in production it is LSH's output — and the
+      // operator under test is the ITERATION); the unrolled rounds then
+      // each scan |E| parquet once, join the 5000-row rank frame
+      // broadcast, and partial-agg the contributions. Top 50 via
+      // TakeOrdered heaps.
+      GraphAnalytics.pageRankInt(s.read.parquet(stagedEdges(s, dir)), 5)
+        .select(col("id").as("doc_id"), col("rank_nano"))
+        .orderBy(col("rank_nano").desc, col("doc_id"))
+        .limit(50)
+    }.withBenchSetup((s, dir) => { stagedEdges(s, dir); () }))
+
+  /** Per-(PID, sf) staged PageRank edge lake `(src, dst, deg)` — built
+    * once, reused by warmup and timed runs alike. */
+  private def stagedEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = s"${graft.Sessions.scratchRoot}/pr_edges_" +
+      new java.io.File(dir).getName
+    Staging.ensureStaged(p)(
+      GraphAnalytics.withDegrees(GraphAnalytics.gramEdges(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, capPerGram = 10))
+        .write.mode("overwrite").parquet(p))
+    p
+  }
+
+  /** q151 oracle: the identical gram build, cap rank, symmetric distinct
+    * edge set, and five exact-integer damped rounds — each round one CTE
+    * generated from the same template (DuckDB `//` matches Spark `div`
+    * on positive operands; every rank/teleport term is BIGINT). */
+  private def q151Oracle: String = {
+    def round(prev: String): String =
+      s"""  SELECT r.id, r.tele, r.tele + coalesce(s.in_sum, 0) AS rank_nano
+         |  FROM $prev r LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           sum((p.rank_nano * 85) // (100 * dg.deg)) AS in_sum
+         |    FROM edges e JOIN $prev p ON e.src = p.id
+         |    JOIN deg dg ON dg.id = e.src
+         |    GROUP BY 1) s ON s.id = r.id""".stripMargin
+    val its = (1 to 5)
+      .map(i => s"it$i AS (\n${round(s"it${i - 1}")})")
+      .mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(toks[u.i + 1:u.i + 3], ' ')) AS gh
+       |  FROM d, UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+       |capped AS (
+       |  SELECT doc_id, gh
+       |  FROM (SELECT doc_id, gh,
+       |               row_number() OVER (PARTITION BY gh ORDER BY doc_id) AS rn
+       |        FROM g)
+       |  WHERE rn <= 10),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM capped a JOIN capped b USING (gh)
+       |  WHERE a.doc_id <> b.doc_id),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |consts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |it0 AS (
+       |  SELECT id, (15 * CAST(1000000000 AS BIGINT)) // (100 * n) AS tele,
+       |         CAST(1000000000 AS BIGINT) // n AS rank_nano
+       |  FROM nodes, consts),
+       |$its
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |       CAST(rank_nano AS BIGINT) AS rank_nano
+       |FROM it5 ORDER BY rank_nano DESC, id LIMIT 50""".stripMargin
+  }
 }

@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching — the entity-resolution join (record linkage,
+  * dirty-key joins): match each query string to its best candidate
+  * entity under an edit-distance threshold WITHOUT the quadratic
+  * all-pairs comparison.
+  *
+  * The classic two-phase shape:
+  *  1. BLOCKING — candidates must share a cheap deterministic key (here
+  *     the lowercased `blockLen`-char prefix), turning the cross
+  *     product into an equi-join Spark hash-partitions like any other;
+  *     a length band (`abs(len(q) − len(e)) ≤ maxDist`, a necessary
+  *     condition for edit distance ≤ maxDist) prunes before the DP;
+  *  2. VERIFY — `levenshtein` (codegen'd built-in, the O(n·m) DP) on
+  *     surviving pairs only, then the best match per query by
+  *     `(distance, entity id)` — a total order, so the winner is
+  *     deterministic across engines and partitionings.
+  *
+  * Recall contract (documented, not hidden): corruptions inside the
+  * first `blockLen` characters fall outside the block and are missed —
+  * the standard blocking trade-off; multi-key blocking (prefix +
+  * suffix, phonetic keys) is the recall lever, same plan shape.
+  * Queries with no candidate within `maxDist` surface with null match
+  * columns (left join), so the miss rate is observable.
+  *
+  * Scale shape: two key-partitioned exchanges (block join, per-query
+  * rank) over CANDIDATE pairs only; block sizes are bounded by the key
+  * distribution — for skewed blocks, cap membership with a rank window
+  * first (the boundedBuckets discipline). The DuckDB oracle replays
+  * blocking, banding, the DP, and the tie order exactly. */
+object EntityResolution {
+
+  def fuzzyMatch(queries: DataFrame, entities: DataFrame,
+      qId: String, qText: String, eId: String, eText: String,
+      maxDist: Int, blockLen: Int): DataFrame = {
+    require(maxDist >= 0 && blockLen >= 1, "bad thresholds")
+    val q = queries.select(col(qId), col(qText),
+      lower(substring(col(qText), 1, blockLen)).as("_blk"))
+    val e = entities.select(col(eId), col(eText),
+      lower(substring(col(eText), 1, blockLen)).as("_blk"))
+    val cand = q.join(e, Seq("_blk"))
+      .filter(abs(length(col(qText)) - length(col(eText))) <= maxDist)
+      .withColumn("_d", levenshtein(col(qText), col(eText)))
+      .filter(col("_d") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qId)).orderBy(col("_d"), col(eId))
+    val best = cand
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(qId), col(eId).as("matched_id"),
+        col("_d").cast("long").as("distance"))
+    queries.select(col(qId)).join(best, Seq(qId), "left")
+  }
+}

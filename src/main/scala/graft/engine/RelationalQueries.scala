@@ -1097,5 +1097,208 @@ object RelationalQueries {
             .cmsEstimate(out.toByteArray, col("k")) * 10 >= lit(total))
             .cast("int").as("is_heavy"))
         .orderBy(col("k"))
+    },
+
+    QuerySpec(
+      "q152_profile",
+      """WITH t AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount,
+        |         l_returnflag, l_linestatus,
+        |         CASE WHEN l_orderkey % 13 = 0 THEN NULL
+        |              ELSE l_quantity END AS qty_nullable
+        |  FROM lineitem),
+        |n AS (
+        |  SELECT 'l_quantity' AS c UNION ALL SELECT 'l_extendedprice'
+        |  UNION ALL SELECT 'l_discount' UNION ALL SELECT 'qty_nullable'),
+        |num AS (
+        |  SELECT n.c AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(*) - count(CASE n.c
+        |             WHEN 'l_quantity' THEN l_quantity
+        |             WHEN 'l_extendedprice' THEN l_extendedprice
+        |             WHEN 'l_discount' THEN l_discount
+        |             ELSE qty_nullable END) AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT CASE n.c
+        |             WHEN 'l_quantity' THEN l_quantity
+        |             WHEN 'l_extendedprice' THEN l_extendedprice
+        |             WHEN 'l_discount' THEN l_discount
+        |             ELSE qty_nullable END) AS BIGINT) AS n_distinct,
+        |         round(CAST(min(CASE n.c
+        |             WHEN 'l_quantity' THEN l_quantity
+        |             WHEN 'l_extendedprice' THEN l_extendedprice
+        |             WHEN 'l_discount' THEN l_discount
+        |             ELSE qty_nullable END) AS DOUBLE), 4) AS min_num,
+        |         round(CAST(max(CASE n.c
+        |             WHEN 'l_quantity' THEN l_quantity
+        |             WHEN 'l_extendedprice' THEN l_extendedprice
+        |             WHEN 'l_discount' THEN l_discount
+        |             ELSE qty_nullable END) AS DOUBLE), 4) AS max_num,
+        |         round(avg(CASE n.c
+        |             WHEN 'l_quantity' THEN l_quantity
+        |             WHEN 'l_extendedprice' THEN l_extendedprice
+        |             WHEN 'l_discount' THEN l_discount
+        |             ELSE qty_nullable END), 4) AS mean,
+        |         CAST(NULL AS VARCHAR) AS min_str,
+        |         CAST(NULL AS VARCHAR) AS max_str
+        |  FROM t, n GROUP BY n.c),
+        |str AS (
+        |  SELECT s.c AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(0 AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT CASE s.c WHEN 'l_returnflag'
+        |             THEN l_returnflag ELSE l_linestatus END) AS BIGINT)
+        |           AS n_distinct,
+        |         CAST(NULL AS DOUBLE) AS min_num,
+        |         CAST(NULL AS DOUBLE) AS max_num,
+        |         CAST(NULL AS DOUBLE) AS mean,
+        |         min(CASE s.c WHEN 'l_returnflag' THEN l_returnflag
+        |             ELSE l_linestatus END) AS min_str,
+        |         max(CASE s.c WHEN 'l_returnflag' THEN l_returnflag
+        |             ELSE l_linestatus END) AS max_str
+        |  FROM t, (SELECT 'l_returnflag' AS c
+        |           UNION ALL SELECT 'l_linestatus') s
+        |  GROUP BY s.c)
+        |SELECT * FROM num UNION ALL SELECT * FROM str
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      // Single-pass table profile ([[Profile.profile]] — scale notes
+      // there): null counts, exact distinct cardinality, ranges, and
+      // rounded means for six columns (one with planted nulls) in ONE
+      // aggregation over the scan; per-column rows exploded from the
+      // one aggregate row. The oracle computes the same statistics as
+      // a per-column cross-join aggregate — different formulation,
+      // byte-identical result.
+      import Profile.ColSpec
+      Profile.profile(
+        table(s, dir, "lineitem")
+          .withColumn("qty_nullable",
+            when(col("l_orderkey") % 13 === 0, lit(null))
+              .otherwise(col("l_quantity"))),
+        Seq(ColSpec("l_quantity", numeric = true),
+          ColSpec("l_extendedprice", numeric = true),
+          ColSpec("l_discount", numeric = true),
+          ColSpec("qty_nullable", numeric = true),
+          ColSpec("l_returnflag", numeric = false),
+          ColSpec("l_linestatus", numeric = false)))
+    },
+
+    QuerySpec(
+      "q154_cdc_merge",
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_orderkey AS k, cents AS price_cents
+        |  FROM o WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey AS k, cents AS price_cents,
+        |         1 AS seq, 'I' AS op FROM o WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, (cents * 110) // 100, 2, 'U'
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, 3, 'D' FROM o
+        |  WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, (cents * 120) // 100, 4, 'U'
+        |  FROM o WHERE o_orderkey % 10 = 0),
+        |win AS (
+        |  SELECT k, op, price_cents
+        |  FROM (SELECT *,
+        |          row_number() OVER (PARTITION BY k ORDER BY seq DESC) rn
+        |        FROM ch) WHERE rn = 1),
+        |hi AS (SELECT DISTINCT k, TRUE AS has_i FROM ch WHERE op = 'I'),
+        |j AS (
+        |  SELECT coalesce(b.k, w.k) AS k, b.k IS NOT NULL AS in_base,
+        |         b.price_cents AS bprice, w.op, w.price_cents AS cprice,
+        |         coalesce(h.has_i, FALSE) AS has_i
+        |  FROM base b FULL OUTER JOIN win w ON b.k = w.k
+        |  LEFT JOIN hi h ON coalesce(b.k, w.k) = h.k)
+        |SELECT k AS o_orderkey,
+        |       CAST(CASE WHEN op IN ('I','U') THEN cprice ELSE bprice END
+        |            AS BIGINT) AS price_cents,
+        |       CASE WHEN op = 'I' THEN 'ins' WHEN op = 'U' THEN 'upd'
+        |            ELSE 'base' END AS src
+        |FROM j
+        |WHERE (op IS NULL AND in_base) OR op = 'I'
+        |   OR (op = 'U' AND (in_base OR has_i))
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Relational CDC MERGE ([[Cdc.merge]] — semantics and scale notes
+      // there): a four-wave changelog (insert, update, delete,
+      // superseding update) derived from orders applies onto the base
+      // snapshot under latest-sequence-wins; the oracle replays the
+      // winner rank, the update-needs-existing-row rule, and
+      // insert-or-replace exactly. Prices are EXACT INTEGER CENTS
+      // (floor of the binary double is engine-identical; `round` of a
+      // scaled double is not — Spark rounds the shortest decimal
+      // rendering, DuckDB the binary value, and they disagree on
+      // half-cent knife edges).
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      def wave(cond: org.apache.spark.sql.Column,
+          price: org.apache.spark.sql.Column, seq: Int, op: String) =
+        o.filter(cond).select(k.as("k"), price.as("price_cents"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val base = o.filter(k % 4 =!= 3)
+        .select(k.as("k"), col("cents").as("price_cents"))
+      val ch = wave(k % 4 === 3, col("cents"), 1, "I")
+        .unionByName(wave(k % 5 === 0,
+          expr("(cents * 110) div 100"), 2, "U"))
+        .unionByName(wave(k % 7 === 0, lit(null).cast("long"), 3, "D"))
+        .unionByName(wave(k % 10 === 0,
+          expr("(cents * 120) div 100"), 4, "U"))
+      Cdc.merge(base, ch, "k", "seq", "op", Seq("price_cents"))
+        .select(col("k").as("o_orderkey"), col("price_cents"), col("src"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "q155_fuzzy_join",
+      """WITH e AS (
+        |  SELECT p_partkey, p_name || ' #' || p_partkey AS name FROM part),
+        |q AS (
+        |  SELECT p_partkey AS qid,
+        |         upper(substr(name, 1, 1)) || substr(name, 2) AS qname
+        |  FROM e WHERE p_partkey % 10 = 0
+        |  UNION ALL
+        |  SELECT p_partkey + 100000, 'zzz no such entity #' || p_partkey
+        |  FROM part WHERE p_partkey % 40 = 0),
+        |cand AS (
+        |  SELECT q.qid, e.p_partkey, levenshtein(q.qname, e.name) AS d
+        |  FROM q JOIN e
+        |    ON lower(substr(q.qname, 1, 4)) = lower(substr(e.name, 1, 4))
+        |  WHERE abs(length(q.qname) - length(e.name)) <= 2
+        |    AND levenshtein(q.qname, e.name) <= 2),
+        |best AS (
+        |  SELECT qid, p_partkey AS matched_id, CAST(d AS BIGINT) AS distance
+        |  FROM (SELECT *,
+        |          row_number() OVER (PARTITION BY qid ORDER BY d, p_partkey)
+        |            AS rn
+        |        FROM cand) WHERE rn = 1)
+        |SELECT q.qid, b.matched_id, b.distance
+        |FROM q LEFT JOIN best b ON q.qid = b.qid
+        |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+      // Blocked fuzzy join ([[EntityResolution.fuzzyMatch]] — blocking/
+      // recall contract there): queries are case-corrupted entity names
+      // plus no-match noise; prefix blocking + length banding prune
+      // before the levenshtein DP, best match by (distance, id). Every
+      // corrupted query must resolve to its own entity (distance 1,
+      // pinned in GraphProfileSpec); noise queries surface unmatched.
+      val e = table(s, dir, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" #"), col("p_partkey").cast("string"))
+            .as("name"))
+      val q = e.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("qid"),
+          concat(upper(substring(col("name"), 1, 1)),
+            expr("substring(name, 2)")).as("qname"))
+        .unionByName(table(s, dir, "part")
+          .filter(col("p_partkey") % 40 === 0)
+          .select((col("p_partkey") + 100000L).as("qid"),
+            concat(lit("zzz no such entity #"),
+              col("p_partkey").cast("string")).as("qname")))
+      EntityResolution.fuzzyMatch(q, e, "qid", "qname",
+          "p_partkey", "name", maxDist = 2, blockLen = 4)
+        .orderBy(col("qid"))
     })
 }

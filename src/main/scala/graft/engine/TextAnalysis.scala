@@ -309,12 +309,13 @@ object TextAnalysis {
     val toks = df
       .select(id, split(trim(col(textCol)), "\\s+").as("_toks"))
       .withColumn("_n", size(col("_toks")))
+    // Native rolling-window hasher ([[org.apache.spark.sql.graft.RollingGramHashes]]):
+    // ≡ transform(sequence(0, n-k), i -> md5(concat_ws(' ', slice(toks,
+    // i+1, k)))) — the declarative contract the oracle replays — in one
+    // compiled pass (HOFs don't codegen; equality property-tested).
     val grams = toks
       .withColumn("_ghs",
-        when(col("_n") >= k,
-          transform(sequence(lit(0), col("_n") - k),
-            i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
-          .otherwise(array().cast("array<string>")))
+        org.apache.spark.sql.graft.GramFunctions.gramHashes(col("_toks"), k))
       .select(id, posexplode(col("_ghs")).as(Seq("_pos", "_gh")))
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_gh")).orderBy(id, col("_pos"))

@@ -1251,6 +1251,68 @@ object TextQueries {
             array_sort(collect_list(struct(col("_ord"), col("doc_id")))),
             x => x.getField("doc_id").cast("string")))).as("order_md5"))
         .orderBy(col("shard_id"))
+    },
+
+    QuerySpec(
+      "q153_url_curation",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' ||
+        |         CASE WHEN doc_id % 17 = 0 THEN 'spam-' || source
+        |              ELSE source END ||
+        |         '.example' ||
+        |         CASE WHEN doc_id % 4 = 0 THEN '.net' ELSE '.org' END ||
+        |         '/p/' || doc_id ||
+        |         CASE WHEN doc_id % 3 = 0 THEN '?utm=x&ref=1' ELSE '' END
+        |           AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         regexp_extract(url, '^https?://([^/?]+)', 1) AS host
+        |  FROM u),
+        |t AS (
+        |  SELECT doc_id, host,
+        |         regexp_extract(host, '\.([a-z0-9]+)$', 1) AS tld
+        |  FROM p WHERE host NOT LIKE 'spam-%'),
+        |r AS (
+        |  SELECT doc_id, host, tld,
+        |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        |  FROM t)
+        |SELECT host, max(tld) AS tld,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(CASE WHEN rn <= 15 THEN 1 END) AS BIGINT)
+        |         AS n_kept,
+        |       md5(string_agg(CASE WHEN rn <= 15 THEN doc_id::VARCHAR END,
+        |                      ',' ORDER BY doc_id)) AS kept_md5
+        |FROM r GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+      // URL-level curation (the RefinedWeb front door): parse hosts/TLDs
+      // from planted URLs ([[WebText.urlHost]]/[[WebText.urlTld]]),
+      // drop blocklisted domains (pattern rule — a literal blocklist
+      // table would broadcast into the same plan), cap documents per
+      // domain at 15 by a streaming rank window (first-seen ids — the
+      // anti-SEO-farm lever), manifest per host. The host window and
+      // the host groupBy share one exchange (same key).
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 17 === 0, concat(lit("spam-"), col("source")))
+          .otherwise(col("source")),
+        lit(".example"),
+        when(col("doc_id") % 4 === 0, lit(".net")).otherwise(lit(".org")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm=x&ref=1")).otherwise(lit("")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("host", WebText.urlHost(url))
+        .filter(!col("host").startsWith("spam-"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("host"))
+        .agg(max(WebText.urlTld(col("host"))).as("tld"),
+          count(lit(1)).as("n_total"),
+          count(when(col("__rn") <= 15, 1)).as("n_kept"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(when(col("__rn") <= 15, col("doc_id")))),
+            x => x.cast("string")))).as("kept_md5"))
+        .orderBy(col("host"))
     })
 
   /** Planted BPE corpus (word → frequency): the classic subword-NMT

@@ -83,6 +83,20 @@ object WebText {
     * scale. */
   def normalizeText(c: Column): Column = TextNormFunctions.normalizeText(c)
 
+  /** Host part of an http(s) URL (empty when the pattern misses). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^https?://([^/?]+)", 1)
+
+  /** Last dot-separated label of a host — the TLD for the flat hosts a
+    * curation blocklist keys on. */
+  def urlTld(host: Column): Column =
+    regexp_extract(host, "\\.([a-z0-9]+)$", 1)
+
+  /** URL with the query string removed — tracking parameters are the
+    * #1 source of spurious URL-dedup misses. */
+  def urlStripQuery(url: Column): Column =
+    regexp_replace(url, "\\?.*$", "")
+
   /** The q148 planted dirty text: vowels swapped for accented forms,
     * every third document upper-cased, spaces doubled — each a
     * transformation [[normalizeText]] must undo, and each exactly

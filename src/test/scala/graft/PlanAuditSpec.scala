@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q114_source_mix", // ONE-ROW totals crossJoin into the quota calc
       "q115_unigram_surprisal", // ONE-ROW token total into the scorer
       "q126_bigram_surprisal", // ONE-ROW token total into the scorer
-      "q128_bm25_topk") // TWO ONE-ROW stat frames into the scorer
+      "q128_bm25_topk", // TWO ONE-ROW stat frames into the scorer
+      "q151_pagerank") // ONE-ROW node count into teleport/r0 terms
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */

@@ -100,6 +100,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
   }
 
+  test("native gram hashes == declarative md5-of-slice transform on " +
+      "real documents (bit-exact), codegen == interpreted") {
+    import org.apache.spark.sql.graft.GramFunctions
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+    Seq(2, 3, 8).foreach { k =>
+      val both = docs.select(
+        GramFunctions.gramHashes(col("toks"), k).as("native"),
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("decl"))
+      assert(both.filter(not(col("native") <=> col("decl"))).count() == 0,
+        s"k=$k diverged from the declarative contract")
+    }
+    // null element poisons; null array propagates; short doc → empty
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("only"))).toDF("id", "toks")
+      .select(GramFunctions.gramHashes(col("toks"), 3))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(edge.forall(s => s != null && s.isEmpty))
+    val nul = Seq(1).toDF("x")
+      .select(GramFunctions.gramHashes(lit(null).cast("array<string>"), 3))
+      .collect().head
+    assert(nul.isNullAt(0))
+    val withCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    def sig(): Long = docs
+      .select(explode(GramFunctions.gramHashes(col("toks"), 8)).as("g"))
+      .agg(sum(length(col("g")))).head().getLong(0)
+    val expected = sig()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(expected == sig())
+    finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
+  }
+
   test("whole-stage codegen compiles the native expression (no fallback)") {
     // ExpressionEvalHelper-style check: force both codegen and interpreted
     // paths and compare.
