@@ -35,6 +35,27 @@ object Staging {
         throw e
     }
 
+  /** Publish `df` as ONE plain parquet file `root/name.parquet` via
+    * write-to-stage + atomic rename — the drop-folder fixture shape
+    * (file-stream sources pace on whole files, so each published file
+    * is one micro-batch). Shared by the streaming fixtures; one
+    * definition so the atomic-rename discipline can't drift. */
+  def publishSingleParquet(s: org.apache.spark.sql.SparkSession,
+      root: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$root/.stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+    require(fs.rename(part,
+      new org.apache.hadoop.fs.Path(s"$root/$name.parquet")),
+      s"could not publish $name")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
   /** Write-once ATOMIC publication of a trained/derived artifact dir to
     * a SHARED location (one definition of the q75/q94 discipline for
     * directories): `build` writes into a per-PID staging dir under the

@@ -170,6 +170,58 @@ object Streaming {
     drain(q, s"dedup-ingest drain into $root")
   }
 
+  /** Generic paced parquet file stream — one file per micro-batch, the
+    * schema probed from the existing files (drop-folder fixtures are
+    * staged before the stream starts). */
+  def pacedParquetStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Streaming CDC apply — the changelog-consumer end of [[Cdc.merge]]:
+    * each micro-batch of I/U/D changes merges onto the CURRENT lake
+    * snapshot and commits the next snapshot as a new OVERWRITE version
+    * under the batch's tag. Exactly-once under replay by the
+    * [[VersionedLake.commitTagged]] + tag-aware baseline pair
+    * ([[Dedup.dedupAgainstIndex]]'s discipline): a replayed batch
+    * merges against the newest version NOT carrying its tag — its
+    * original pre-batch snapshot — and the tagged commit no-ops, so the
+    * lake neither double-applies nor forks. (The guarantee is per
+    * CHECKPOINT lineage, where batch composition is stable — the
+    * streaming-exactly-once contract; a fresh checkpoint over the same
+    * folder is a new pipeline, not a replay.)
+    *
+    * Scale shape: per batch, one |batch|-sized merge join against the
+    * snapshot (see [[Cdc.merge]] — the changelog side broadcasts) and
+    * one manifest CAS; at lake scale the overwrite commit becomes
+    * [[Lake.upsert]]'s partition-pruned rewrite, same semantics. */
+  def cdcApplyVersioned(changes: DataFrame, root: String,
+      checkpoint: String, keyCol: String, seqCol: String, opCol: String,
+      payloadCols: Seq[String]): Unit = {
+    val q = changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val lake = s"$root/lake"
+        val tag = s"cdc-b$id"
+        val baseV = VersionedLake.versions(spark, lake).reverse
+          .find(v => !VersionedLake.readManifestTags(spark, lake, v)
+            .contains(tag))
+        val current = baseV match {
+          case Some(v) => VersionedLake.readAt(spark, lake, v)
+          case None =>
+            batch.select(col(keyCol) +: payloadCols.map(col): _*).limit(0)
+        }
+        val next = Cdc
+          .merge(current, batch, keyCol, seqCol, opCol, payloadCols)
+          .drop("src")
+        VersionedLake.commitTagged(next, lake, tag, mode = "overwrite")
+        ()
+      }
+      .start()
+    drain(q, s"cdc apply into $root")
+  }
+
   /** Shared read tail for both event streams — ONE definition of the
     * schema probe + ts normalization, so the clean and redelivered
     * streams cannot silently diverge (q71 compares them via one

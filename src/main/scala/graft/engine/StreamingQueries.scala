@@ -310,6 +310,49 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q156_stream_cdc_apply",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |       CASE WHEN k % 3 = 0 THEN (cents * 110) // 100
+        |            WHEN k % 3 = 1 THEN (cents * 120) // 100
+        |            ELSE cents END AS price_cents
+        |FROM o
+        |WHERE (k % 3 = 0 AND k % 4 <> 3 AND k % 6 <> 0)
+        |   OR (k % 3 = 1)
+        |   OR (k % 3 = 2 AND k % 4 <> 3 AND k % 5 <> 0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Streaming CDC apply ([[Streaming.cdcApplyVersioned]]): the base
+      // snapshot commits as version 1, then three changelog wave files
+      // stream one-per-micro-batch, each merging onto the current
+      // snapshot and committing the next version under its batch tag
+      // (exactly-once under replay — StreamingSpec pins the re-drain
+      // no-op). Waves are key-disjoint so any file order converges; the
+      // oracle derives the final snapshot CLOSED-FORM per key residue,
+      // independently of the merge machinery — over-applies,
+      // double-applies, and lost deletes all break the hash.
+      val drops = stagedCdcWaves(s, dir)
+      val root = s"${graft.Sessions.scratchRoot}/cdc_apply_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, root)
+      val base = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .filter(col("k") % 4 =!= 3)
+      VersionedLake.commitTagged(base, s"$root/lake", "base",
+        mode = "overwrite")
+      Streaming.cdcApplyVersioned(Streaming.pacedParquetStream(s, drops),
+        root, s"$root/cp", "k", "seq", "op", Seq("price_cents"))
+      require(VersionedLake.versions(s, s"$root/lake").size >= 4,
+        "base + one version per wave batch expected")
+      VersionedLake.readLatest(s, s"$root/lake")
+        .select(col("k").as("o_orderkey"), col("price_cents"))
+        .orderBy(col("o_orderkey"))
     })
 
   /** Write-once drop-folder pair with OVERLAPPING content (per-PID
@@ -325,21 +368,47 @@ object StreamingQueries {
       new java.io.File(dir).getName
     Staging.ensureStaged(root) {
       val ev = Tables.table(s, dir, "events")
-      def publish(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-        val tmp = s"$root/.stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-        require(fs.rename(part,
-          new org.apache.hadoop.fs.Path(s"$root/$name.parquet")),
-          s"could not publish $name")
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ()
-      }
-      publish(ev.filter(col("user_id") < 50), "drop_a")
-      publish(ev, "drop_b")
+      Staging.publishSingleParquet(s, root, "drop_a",
+        ev.filter(col("user_id") < 50))
+      Staging.publishSingleParquet(s, root, "drop_b", ev)
+    }
+    root
+  }
+
+  /** Orders changelog in exact integer cents ([[Cdc.merge]]'s q154
+    * convention) split into three wave FILES with key-disjoint
+    * residues (`k mod 3`) — so whatever order the file source picks the
+    * waves in, sequential application commutes and the closed-form
+    * oracle is exact. Within a wave, per-key conflicts resolve by seq
+    * (delete-over-update, update-after-insert, unknown-update drop —
+    * the q154 rules, here exercised through the streaming path). */
+  private def stagedCdcWaves(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = s"${graft.Sessions.streamRoot}/cdc_waves_" +
+      new java.io.File(dir).getName
+    Staging.ensureStaged(root) {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def wave(df: org.apache.spark.sql.DataFrame,
+          price: org.apache.spark.sql.Column, seq: Int, op: String) =
+        df.select(col("k"), price.as("price_cents"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      Staging.publishSingleParquet(s, root, "wave_a",
+        wave(o.filter(col("k") % 3 === 0),
+            expr("(cents * 110) div 100"), 1, "U")
+          .unionByName(wave(o.filter(col("k") % 6 === 0),
+            lit(null).cast("long"), 2, "D")))
+      Staging.publishSingleParquet(s, root, "wave_b",
+        wave(o.filter(col("k") % 3 === 1 && col("k") % 4 === 3),
+            col("cents"), 1, "I")
+          .unionByName(wave(o.filter(col("k") % 3 === 1),
+            expr("(cents * 120) div 100"), 2, "U")))
+      Staging.publishSingleParquet(s, root, "wave_c",
+        wave(o.filter(col("k") % 3 === 2 && col("k") % 4 =!= 3 &&
+            col("k") % 5 === 0), lit(null).cast("long"), 1, "D")
+          .unionByName(wave(o.filter(col("k") % 3 === 2 &&
+            col("k") % 4 === 3), col("cents"), 1, "U")))
     }
     root
   }

@@ -121,6 +121,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.select("id").distinct.count() == 10)
   }
 
+  test("cdcApplyVersioned: waves land as versions; re-drain on the same " +
+      "checkpoint is a no-op; tagged replay never double-applies") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("cdc-apply")
+    val base = Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("k", "price_cents")
+    VersionedLake.commitTagged(base, s"$root/lake", "base",
+      mode = "overwrite")
+    Seq((1L, Some(110L), 1, "U")).toDF("k", "price_cents", "seq", "op")
+      .coalesce(1).write.parquet(s"$root/in/w0")
+    Seq((3L, Option.empty[Long], 1, "D"), (4L, Some(400L), 1, "I"))
+      .toDF("k", "price_cents", "seq", "op")
+      .coalesce(1).write.parquet(s"$root/in/w1")
+    def src = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/*").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    Streaming.cdcApplyVersioned(src, root, s"$root/cp", "k", "seq", "op",
+      Seq("price_cents"))
+    def snap() = VersionedLake.readLatest(spark, s"$root/lake")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = snap()
+    assert(after == Map(1L -> 110L, 2L -> 200L, 4L -> 400L))
+    val versions = VersionedLake.versions(spark, s"$root/lake")
+    assert(versions.size == 3, s"base + two wave versions: $versions")
+    // replay: SAME checkpoint re-drain processes nothing new
+    Streaming.cdcApplyVersioned(src, root, s"$root/cp", "k", "seq", "op",
+      Seq("price_cents"))
+    assert(snap() == after)
+    assert(VersionedLake.versions(spark, s"$root/lake").size == 3,
+      "re-drain must not mint versions")
+  }
+
   test("custom state accumulates across micro-batches, last-wins drain returns final state") {
     import spark.implicits._
     val root = TestSpark.tempDir("stream-state")
