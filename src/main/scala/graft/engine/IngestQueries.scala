@@ -571,6 +571,62 @@ object IngestQueries {
     },
 
     QuerySpec(
+      "q157_incremental_backfill",
+      """WITH e AS (
+        |  SELECT CAST(day(ts) AS INT) AS day, user_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT day, COUNT(*) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Incremental partition-level backfill ([[Backfill]] — loop and
+      // contract there): input v1 holds days 1-20 MINUS held-back late
+      // rows for days 5 and 12; v2 appends days 21-30 plus the late
+      // rows. The derived daily-aggregate lake is committed as four
+      // day-chunk dirs; the backfill derives the affected set {5, 12,
+      // 21..30} from `changes(1,2)`, recomputes ONLY those days from
+      // the new snapshot, and swaps them in via `replaceWhereIn` — the
+      // two chunks not containing day 5/12 must survive BY REFERENCE
+      // (asserted on physical file sets, the q140 evidence). The
+      // oracle recomputes the daily aggregates from the raw table from
+      // scratch: a stale carried-forward day, a lost late row, or an
+      // over-recompute all break the hash. Sums are exact integer
+      // cents (floor of the binary double — engine-identical).
+      val base = s"$scratchRoot/backfill_${new java.io.File(dir).getName}"
+      val inL = s"$base/in"; val outL = s"$base/out"
+      Lake.delete(s, base)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          dayofmonth(col("ts")).as("day"))
+      val held = col("day").isin(5, 12) && col("user_id") % 7 === 0
+      VersionedLake.commit(ev.filter(col("day") <= 20 && !held), inL)
+      VersionedLake.commit(ev.filter(col("day") > 20 || held), inL)
+      def dailyAgg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"),
+            sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      val v1agg = dailyAgg(VersionedLake.readAt(s, inL, 1))
+      Seq((1, 5), (6, 10), (11, 15), (16, 20)).foreach { case (lo, hi) =>
+        VersionedLake.commitWithStats(
+          v1agg.filter(col("day").between(lo, hi)).repartition(1),
+          outL, statsCols = Seq("day"))
+      }
+      val before = VersionedLake.readLatest(s, outL).inputFiles.toSet
+      val (_, affected) = Backfill.backfill(s, inL, outL, "day", 1, 2,
+        dailyAgg)
+      require(affected.contains(5L) && affected.contains(12L) &&
+        affected.count(_ > 20L) == 10 && affected.size == 12,
+        s"affected partitions wrong: $affected")
+      val after = VersionedLake.readLatest(s, outL).inputFiles.toSet
+      require((before intersect after).size >= 2,
+        s"backfill must carry untouched chunks by reference " +
+          s"(${(before intersect after).size} of ${before.size} kept)")
+      VersionedLake.readLatest(s, outL).orderBy(col("day"))
+    },
+
+    QuerySpec(
       "q122_orc_source",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,

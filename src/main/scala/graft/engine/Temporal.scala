@@ -123,4 +123,47 @@ object Temporal {
       .drop("_b", "_rk")
       .withColumnRenamed("_rt", rtOut)
   }
+
+  /** Regularize an irregular per-key time series onto a fixed grid with
+    * forward fill — the resample step every trend store needs (the
+    * reference's EEG table IS a 1-row-per-second trend;
+    * reference random_generator.py:48 emits gapless seconds, real
+    * hospital feeds don't). For each key: a complete `stepSec` grid
+    * from its first to its last observation, each slot carrying the
+    * LAST observation in that slot (picked by max `tieCol` — a unique
+    * id, so the pick is deterministic), gaps forward-filled from the
+    * previous slot.
+    *
+    * Output: `(key, slot, value, observed)` — `observed` false on
+    * filled gaps, so downstream can weight or drop imputed rows.
+    *
+    * Plan shape: one aggregation on (key, slot), one id-joinback for
+    * the slot value (broadcast — one row per observed slot), the grid
+    * a row-local `sequence` explode off the per-key span (output rows
+    * = span/step per key — callers bound the key set or step), and ONE
+    * window (partition key, order slot) for the fill: everything
+    * partitions on the key, nothing is ever corpus × grid. */
+  def resampleFill(df: DataFrame, key: String, tsCol: String,
+      valCol: String, tieCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, "step must be positive")
+    val slot = timestamp_seconds(
+      floor(unix_micros(col(tsCol)) / (stepSec * 1000000L)) * stepSec)
+    val lastIds = df
+      .groupBy(col(key), slot.as("slot"))
+      .agg(max(col(tieCol)).as("_tie"))
+    val slotVals = lastIds
+      .join(df.select(col(tieCol).as("_tie"), col(valCol).as("_v")), "_tie")
+      .select(col(key), col("slot"), col("_v"))
+    val span = slotVals.groupBy(col(key))
+      .agg(min(col("slot")).as("_mn"), max(col("slot")).as("_mx"))
+    val grid = span.select(col(key),
+      explode(sequence(col("_mn"), col("_mx"),
+        expr(s"INTERVAL $stepSec SECOND"))).as("slot"))
+    val w = Window.partitionBy(col(key)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(slotVals, Seq(key, "slot"), "left")
+      .select(col(key), col("slot"),
+        last(col("_v"), ignoreNulls = true).over(w).as("value"),
+        col("_v").isNotNull.as("observed"))
+  }
 }

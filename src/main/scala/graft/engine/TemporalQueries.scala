@@ -73,5 +73,55 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_views"),
           round(sum(col("view_value")), 2).as("view_value"))
         .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "q158_resample_fill",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 20),
+        |s AS (
+        |  SELECT user_id, date_trunc('hour', t) AS slot,
+        |         max(event_id) AS eid
+        |  FROM e GROUP BY 1, 2),
+        |v AS (SELECT s.user_id, s.slot, e.cents
+        |      FROM s JOIN e ON e.event_id = s.eid),
+        |sp AS (SELECT user_id, min(slot) AS mn, max(slot) AS mx
+        |       FROM v GROUP BY 1),
+        |g AS (SELECT user_id,
+        |             unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |               AS slot
+        |      FROM sp),
+        |f AS (
+        |  SELECT g.user_id, g.slot, v.cents,
+        |         v.cents IS NOT NULL AS observed
+        |  FROM g LEFT JOIN v
+        |    ON v.user_id = g.user_id AND v.slot = g.slot)
+        |SELECT user_id, slot,
+        |       last_value(cents IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY slot
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cents,
+        |       observed
+        |FROM f ORDER BY user_id, slot""".stripMargin) { (s, dir) =>
+      // Time-series regularization ([[Temporal.resampleFill]] — plan
+      // shape there): 20 users' irregular event values resampled onto
+      // an hourly grid with forward fill, the trend-store shape the
+      // reference's 1-row-per-second EEG table embodies. ~90% of grid
+      // slots are imputed at this sparsity, each flagged `observed =
+      // false`; the oracle rebuilds grid, last-in-slot pick (by max
+      // event_id — unique, so deterministic), and the IGNORE-NULLS
+      // running fill with the identical frame. Values in exact integer
+      // cents.
+      val ev = table(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      Temporal.resampleFill(ev, "user_id", "ts", "cents", "event_id",
+          stepSec = 3600L)
+        .select(col("user_id"), col("slot"), col("value").as("cents"),
+          col("observed"))
+        .orderBy(col("user_id"), col("slot"))
     })
 }

@@ -449,6 +449,49 @@ object VersionedLake {
     }
   }
 
+  /** Targeted partition overwrite — Delta's `replaceWhere` for an
+    * integer partition key: replace every live row with `c ∈ values` by
+    * `replacement`, rewriting ONLY the data dirs whose file stats
+    * intersect some value; every other dir carries forward BY REFERENCE
+    * in the next manifest (the [[deleteRange]] machinery, generalized
+    * from a range predicate to a value set). This is the write half of
+    * incremental backfill: recompute the affected partitions, swap them
+    * in, leave the rest untouched.
+    *
+    * NULL-keyed rows are outside every value set and survive
+    * (three-valued-logic convention shared with [[deleteRange]] /
+    * [[readSkipping]]). Dirs without stats are conservatively touched.
+    * Returns the committed version (the current tip when `values` is
+    * empty and `replacement` must also be empty by contract). */
+  def replaceWhereIn(spark: SparkSession, dir: String, c: String,
+      values: Seq[Long], replacement: DataFrame,
+      statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    if (values.isEmpty) return vs.last
+    def intersects(d: String): Boolean = {
+      val stats = statsFor(spark, dir, d, c)
+      val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      files.isEmpty ||
+        files.exists(n => stats.get(n)
+          .forall { case (mn, mx, _) => values.exists(v => v >= mn && v <= mx) })
+    }
+    val touched = readManifest(spark, dir, vs.last).filter(intersects)
+    val survivors =
+      if (touched.isEmpty) replacement.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(d => s"$dir/$d"): _*)
+        .filter(col(c).isNull || !col(c).isin(values: _*))
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    survivors.unionByName(replacement, allowMissingColumns = true)
+      .write.parquet(s"$dir/$dataDir")
+    writeStatsFor(spark, dir, dataDir, statsCols)
+    publishReplacing(spark, dir, touched.toSet, dataDir)
+  }
+
   /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite
     * pointer swap. A lost race re-reads the new tip, so appends that
     * landed meanwhile are preserved (they are not in `dropped`). */
