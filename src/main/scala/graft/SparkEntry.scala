@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.specs ++ EventQueries.specs ++ IngestQueries.specs ++
       TextQueries.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
       MultimodalQueries.specs ++ StreamingQueries.specs ++
-      TemporalQueries.specs
+      TemporalQueries.specs ++ EvalQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's advertised capability class — filter + aggregation

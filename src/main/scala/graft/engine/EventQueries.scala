@@ -417,6 +417,99 @@ object EventQueries {
     },
 
     QuerySpec(
+      "q165_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |             THEN CAST(ts AS TIMESTAMP) END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id,
+        |         min(CASE WHEN e.event_type = 'click'
+        |             AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |             THEN CAST(e.ts AS TIMESTAMP) END) AS t2
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id,
+        |         min(CASE WHEN e.event_type = 'purchase'
+        |             AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |             THEN CAST(e.ts AS TIMESTAMP) END) AS t3
+        |  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+        |SELECT CAST(count(t1) AS BIGINT) AS n_view,
+        |       CAST(count(t2) AS BIGINT) AS n_click,
+        |       CAST(count(t3) AS BIGINT) AS n_purchase
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)"""
+        .stripMargin) { (s, dir) =>
+      // Ordered conversion funnel (view → click after it → purchase
+      // after that): the sequential-dependency aggregation a flat
+      // GROUP BY can't express. Implementation: THREE chained per-user
+      // window minimums over ONE hash-partitioning of the events — each
+      // stage's threshold (t1, t2) is a per-user constant the next
+      // window's conditional min references, so Spark plans one
+      // exchange on user_id and three Window passes, corpus joined
+      // zero times (the oracle's join-back formulation is the same
+      // computation as three grouped subqueries). Funnel counts then
+      // reduce per-user rows — count DISTINCT users holding each stage
+      // timestamp. Event-time ordering is strict (>), so same-instant
+      // events do not satisfy the next stage — pinned both sides.
+      val w = Window.partitionBy(col("user_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click"
+            && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("ts") > col("t2"), col("ts"))).over(w))
+        .agg(
+          countDistinct(when(col("t1").isNotNull, col("user_id")))
+            .as("n_view"),
+          countDistinct(when(col("t2").isNotNull, col("user_id")))
+            .as("n_click"),
+          countDistinct(when(col("t3").isNotNull, col("user_id")))
+            .as("n_purchase"))
+    },
+
+    QuerySpec(
+      "q166_cohort_retention",
+      """WITH d AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT CAST(c.cohort AS INT) AS cohort_day,
+        |       CAST(d.day - c.cohort AS INT) AS day_offset,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // Cohort retention: users grouped by first-active day, distinct
+      // activity counted per (cohort, day-offset) — the
+      // retention-triangle query behind every engagement dashboard.
+      // Day arithmetic is exact integer µs-epoch division (unix_micros
+      // div 86400000000 ≡ DuckDB epoch_us // …, both truncating on
+      // positive epochs — no timezone/calendar functions to drift).
+      // Plan shape: the first-day window shares the same user_id
+      // hash-partitioning as the oracle's GROUP BY formulation (one
+      // exchange), and the retention aggregation is an exact
+      // count(DISTINCT) over (cohort, offset) groups — bounded output
+      // (observation window², not corpus). At 100 TB the distinct pass
+      // is the honest cost of exact retention; the approx variant is
+      // one `approx_count_distinct` swap away.
+      val w = Window.partitionBy(col("user_id"))
+      table(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .withColumn("cohort", min(col("day")).over(w))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("off"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(col("cohort").cast("int").as("cohort_day"),
+          col("off").cast("int").as("day_offset"), col("users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    QuerySpec(
       "q142_session_window",
       """WITH gaps AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value,

@@ -35,7 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q115_unigram_surprisal", // ONE-ROW token total into the scorer
       "q126_bigram_surprisal", // ONE-ROW token total into the scorer
       "q128_bm25_topk", // TWO ONE-ROW stat frames into the scorer
-      "q151_pagerank") // ONE-ROW node count into teleport/r0 terms
+      "q151_pagerank", // ONE-ROW node count into teleport/r0 terms
+      "q159_hybrid_rrf", // q44's 1-row query vec + q128's stat frames
+      "q161_hard_negatives", // ≤10-anchor broadcast into the scan
+      "q164_drift_psi") // ONE-ROW totals crossJoin over ≤12 bucket rows
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
@@ -390,5 +393,32 @@ class PlanAuditSpec extends AnyFunSuite {
       df.queryExecution.executedPlan)
     assert(!nodes.exists(_.getClass.getSimpleName.contains("Cartesian")),
       "q147 must not plan a cartesian")
+  }
+
+  test("q161 ranks hard negatives with a Partial WindowGroupLimit below " +
+      "the exchange; q162's scatter aggregation is partial before its " +
+      "shuffle") {
+    // q161's 100 TB contract: each map task forwards ≤ k rows per
+    // anchor BEFORE the window exchange (WindowGroupLimit Partial), so
+    // the shuffle carries O(anchors·k·partitions) rows, never the
+    // scored corpus; the anchor set arrives by broadcast.
+    val e161 = SparkEntry.queries("q161_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(e161.contains("WindowGroupLimit") &&
+      e161.contains("Partial"),
+      s"q161: no partial per-anchor rank pushdown:\n$e161")
+    assert(e161.contains("BroadcastExchange"),
+      s"q161: anchors must broadcast:\n$e161")
+    // q162's contract: the d²-triple generation collapses in a
+    // map-side partial HashAggregate, so its exchange moves ≤ d(d+1)/2
+    // rows per task regardless of corpus size.
+    val e162 = SparkEntry.queries("q162_int_scatter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val genIdx = e162.indexOf("Generate explode")
+    val partialIdx = e162.indexOf("partial_sum")
+    val exchangeIdx = e162.indexOf("Exchange hashpartitioning")
+    assert(genIdx >= 0 && partialIdx >= 0 && exchangeIdx >= 0 &&
+      exchangeIdx < partialIdx && partialIdx < genIdx,
+      s"q162: expected Exchange above partial_sum above Generate:\n$e162")
   }
 }
