@@ -260,7 +260,96 @@ object EvalQueries {
        |         AS psi_term
        |FROM f, t ORDER BY bucket""".stripMargin
 
+  // ---- q167: declarative data-quality expectations ----------------------
+
+  private def q167Oracle: String =
+    """WITH r AS (
+      |  SELECT 'l01' AS rule_id, 'not_null' AS rule_type,
+      |         'l_shipdate' AS col_name,
+      |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l02', 'in_range', 'l_quantity',
+      |         CAST(sum(CASE WHEN NOT (l_quantity >= 1.0
+      |                                 AND l_quantity <= 50.0)
+      |                       OR l_quantity IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l03', 'in_range', 'l_discount',
+      |         CAST(sum(CASE WHEN NOT (l_discount >= 0.0
+      |                                 AND l_discount <= 0.05)
+      |                       OR l_discount IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l04', 'regex', 'l_returnflag',
+      |         CAST(sum(CASE WHEN NOT regexp_matches(l_returnflag,
+      |                                               '^[ANR]$')
+      |                       OR l_returnflag IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l05', 'unique', 'l_orderkey',
+      |         (SELECT COALESCE(CAST(sum(cnt - 1) AS BIGINT), 0)
+      |          FROM (SELECT count(*) AS cnt FROM lineitem
+      |                WHERE l_orderkey IS NOT NULL
+      |                GROUP BY l_orderkey HAVING count(*) > 1))
+      |  UNION ALL
+      |  SELECT 'l06', 'ref_integrity', 'l_orderkey',
+      |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |          WHERE l_orderkey IS NOT NULL
+      |            AND NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'o01', 'one_of', 'o_orderstatus',
+      |         CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F'))
+      |                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o02', 'unique', 'o_orderkey',
+      |         (SELECT COALESCE(CAST(sum(cnt - 1) AS BIGINT), 0)
+      |          FROM (SELECT count(*) AS cnt FROM orders
+      |                WHERE o_orderkey IS NOT NULL
+      |                GROUP BY o_orderkey HAVING count(*) > 1)))
+      |SELECT rule_id, rule_type, col_name, n_violations,
+      |       (n_violations = 0) AS passed
+      |FROM r ORDER BY rule_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q167_expectations",
+      q167Oracle) { (s, dir) =>
+      // Declarative DQ gate ([[Expectations.check]]) over the fact +
+      // dim pair: presence, ranges, set membership, regex shape,
+      // key uniqueness, and foreign-key integrity — eight rules, two
+      // tables, ONE report. The l03 discount band is deliberately
+      // tighter than the data so the report carries a real failure
+      // (a gate that can only pass tests nothing). Cost shape: the
+      // four row-local lineitem rules fold into one scan's conditional
+      // aggregation; uniqueness is the one keyed aggregation;
+      // referential integrity anti-joins the fact against the
+      // BROADCAST distinct dim keys — the fact table is never
+      // shuffled by any rule.
+      import Expectations._
+      val li = Tables.table(s, dir, "lineitem")
+      val ord = Tables.table(s, dir, "orders")
+      check(li, Seq(
+        NotNull("l01", "l_shipdate"),
+        InRange("l02", "l_quantity", 1.0, 50.0),
+        InRange("l03", "l_discount", 0.0, 0.05),
+        MatchesRegex("l04", "l_returnflag", "^[ANR]$"),
+        Unique("l05", "l_orderkey"),
+        RefIntegrity("l06", "l_orderkey",
+          () => Tables.table(s, dir, "orders"), "o_orderkey")))
+        .unionByName(check(ord, Seq(
+          OneOf("o01", "o_orderstatus", Seq("O", "F")),
+          Unique("o02", "o_orderkey"))))
+        .orderBy(col("rule_id"))
+    },
 
     QuerySpec(
       "q164_drift_psi",

@@ -510,6 +510,48 @@ object EventQueries {
     },
 
     QuerySpec(
+      "q168_attribution",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, 'none') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Last-touch attribution: each purchase credits the user's most
+      // recent preceding non-purchase event type ('none' when the
+      // purchase opens the history) — the sequential credit assignment
+      // behind marketing/engagement reporting. One window pass per
+      // user (ignore-nulls last_value over a strict-past frame, total
+      // order pinned by (ts, event_id) so same-instant events cannot
+      // flip credit between engines), then a ≤5-row channel count.
+      // Plan: one exchange on user_id for the window, the channel
+      // aggregation map-side combines — never a self-join of events
+      // against events (the naive formulation).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("channel"))
+    },
+
+    QuerySpec(
       "q142_session_window",
       """WITH gaps AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value,
