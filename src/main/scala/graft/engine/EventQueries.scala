@@ -440,9 +440,14 @@ object EventQueries {
         |       CAST(count(t3) AS BIGINT) AS n_purchase
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)"""
         .stripMargin) { (s, dir) =>
-      // Ordered conversion funnel (view → click after it → purchase
-      // after that): the sequential-dependency aggregation a flat
-      // GROUP BY can't express. Implementation: THREE chained per-user
+      // Ordered RE-ENTRANT conversion funnel (view → first click AFTER
+      // that view → first purchase AFTER that click) — strictly
+      // stronger semantics than q86's first-occurrence comparison,
+      // which misses a user whose first click predates their first
+      // view but who clicked again after viewing (this form counts
+      // them; q86's three independent minimums cannot). The sequential
+      // dependency is what a flat GROUP BY can't express.
+      // Implementation: THREE chained per-user
       // window minimums over ONE hash-partitioning of the events — each
       // stage's threshold (t1, t2) is a per-user constant the next
       // window's conditional min references, so Spark plans one
@@ -470,43 +475,6 @@ object EventQueries {
             .as("n_click"),
           countDistinct(when(col("t3").isNotNull, col("user_id")))
             .as("n_purchase"))
-    },
-
-    QuerySpec(
-      "q166_cohort_retention",
-      """WITH d AS (
-        |  SELECT user_id,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
-        |  FROM events),
-        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
-        |SELECT CAST(c.cohort AS INT) AS cohort_day,
-        |       CAST(d.day - c.cohort AS INT) AS day_offset,
-        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS users
-        |FROM d JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      // Cohort retention: users grouped by first-active day, distinct
-      // activity counted per (cohort, day-offset) — the
-      // retention-triangle query behind every engagement dashboard.
-      // Day arithmetic is exact integer µs-epoch division (unix_micros
-      // div 86400000000 ≡ DuckDB epoch_us // …, both truncating on
-      // positive epochs — no timezone/calendar functions to drift).
-      // Plan shape: the first-day window shares the same user_id
-      // hash-partitioning as the oracle's GROUP BY formulation (one
-      // exchange), and the retention aggregation is an exact
-      // count(DISTINCT) over (cohort, offset) groups — bounded output
-      // (observation window², not corpus). At 100 TB the distinct pass
-      // is the honest cost of exact retention; the approx variant is
-      // one `approx_count_distinct` swap away.
-      val w = Window.partitionBy(col("user_id"))
-      table(s, dir, "events")
-        .select(col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .withColumn("cohort", min(col("day")).over(w))
-        .groupBy(col("cohort"), (col("day") - col("cohort")).as("off"))
-        .agg(countDistinct(col("user_id")).as("users"))
-        .select(col("cohort").cast("int").as("cohort_day"),
-          col("off").cast("int").as("day_offset"), col("users"))
-        .orderBy(col("cohort_day"), col("day_offset"))
     },
 
     QuerySpec(

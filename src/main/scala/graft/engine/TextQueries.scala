@@ -1035,22 +1035,29 @@ object TextQueries {
     QuerySpec(
       "q135_bpe_tokenize",
       q135Oracle) { (s, dir) =>
-      // Tokenizer application ([[TextAnalysis.bpePieceCount]]): the 8
-      // merges TRAINED in q131 (a fixed literal list — train once,
-      // encode forever) run over every word of every document as a
-      // composed codegen'd fold chain, row-local in the scan; output is
-      // exact integers (word count, subword piece count, and their
-      // difference = how many merges fired). The oracle replays the
-      // identical greedy fold with nested DuckDB list_reduce over the
-      // same literal merge list — one wrong merge order, tie-fold, or
-      // overlap resolution shifts a piece count and breaks the hash.
+      // Tokenizer application: the 8 merges TRAINED in q131 (a fixed
+      // literal list — train once, encode forever) run over every word
+      // of every document, row-local in the scan; output is exact
+      // integers (word count, subword piece count, and their
+      // difference = how many merges fired). The encode runs as the
+      // NATIVE codegen'd [[org.apache.spark.sql.graft.BpePieceCount]]
+      // loop (the q133 lesson repeated: the declarative
+      // [[TextAnalysis.bpePieceCount]] fold chain it is property-tested
+      // equal to nests 8 interpreted `aggregate` levels, each
+      // reallocating the symbol array per element — it was the suite's
+      // most expensive query at ~19 s; the native loop compacts ONE
+      // symbol buffer in place per merge level). The oracle replays
+      // the identical greedy fold with nested DuckDB list_reduce over
+      // the same literal merge list — one wrong merge order, tie-fold,
+      // or overlap resolution shifts a piece count and breaks the hash.
       val merges = TextAnalysis.bpeTrainRef(BpeWords, nMerges = 8)
         .map { case (_, a, b, _) => (a, b) }
       table(s, dir, "documents")
         .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
-          TextAnalysis.bpePieceCount("toks", merges).as("n_pieces"))
+          org.apache.spark.sql.graft.BpeFunctions
+            .bpePieceCountNative(col("toks"), merges).as("n_pieces"))
         .orderBy(col("doc_id"))
     },
 
@@ -1322,7 +1329,7 @@ object TextQueries {
     * symbol growth. Shared between the Spark query and the reference
     * trainer that generates the oracle. */
   // lazy: `specs` above references this during object init
-  private lazy val BpeWords: Seq[(String, Long)] = Seq(
+  private[graft] lazy val BpeWords: Seq[(String, Long)] = Seq(
     "low" -> 7L, "lower" -> 5L, "lowest" -> 2L, "newer" -> 6L,
     "newest" -> 3L, "wider" -> 3L, "new" -> 2L, "widest" -> 1L)
 

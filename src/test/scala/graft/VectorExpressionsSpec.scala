@@ -153,4 +153,62 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(expected == interpreted)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
   }
+
+  test("native bpe piece count == declarative fold chain on real " +
+      "documents and adversarial merge words") {
+    // The q135 contract: BpePieceCount compacts one symbol buffer in
+    // place; the oracle replays TextAnalysis.bpePieceCount's nested
+    // aggregate folds. Greedy left-to-right tie handling ("aaa" with
+    // (a,a) → [aa, a]), merge-result chaining ((a,b) then (ab,c)),
+    // the instr guard boundary, and code-point segmentation must all
+    // agree before the driver's hash compare ever sees them.
+    import org.apache.spark.sql.graft.BpeFunctions
+    import graft.engine.TextQueries
+    val merges = TextAnalysis.bpeTrainRef(
+      TextQueries.BpeWords, nMerges = 8).map { case (_, a, b, _) => (a, b) }
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(lower(trim(col("text")))))
+      .select(
+        BpeFunctions.bpePieceCountNative(col("toks"), merges).as("native"),
+        TextAnalysis.bpePieceCount("toks", merges).as("fold"))
+    assert(docs.filter(col("native") =!= col("fold")).count() == 0)
+    assert(docs.count() > 50)
+
+    import spark.implicits._
+    val adversarial = Seq(
+      Seq("aaa", "aaaa"), // greedy tie fold
+      Seq("ababab"), // alternating overlap
+      Seq("héllo", "wörld"), // multibyte code points
+      Seq(""), Seq("x"),
+      Seq("abcabc", "cab")).toDF("toks")
+    val advMerges = Seq(("a", "a"), ("a", "b"), ("ab", "c"))
+    val adv = adversarial.select(
+      BpeFunctions.bpePieceCountNative(col("toks"), advMerges).as("native"),
+      TextAnalysis.bpePieceCount("toks", advMerges).as("fold"))
+    assert(adv.filter(col("native") =!= col("fold")).count() == 0)
+    // null array / null element poison to null, matching the fold
+    val nulls = Seq(1).toDF("i").select(
+      BpeFunctions.bpePieceCountNative(
+        lit(null).cast("array<string>"), advMerges).as("na"),
+      BpeFunctions.bpePieceCountNative(
+        array(lit("ok"), lit(null).cast("string")), advMerges).as("ne"))
+    val r = nulls.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native bpe piece count: codegen == interpreted") {
+    import org.apache.spark.sql.graft.BpeFunctions
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "a"), ("t", "h"))
+    val df = (0 until 200).map(i =>
+      Seq.tabulate(1 + i % 5)(j => s"ab${"a" * (i % 3)}th$j")).toDF("toks")
+    def total(): Long =
+      df.select(sum(BpeFunctions.bpePieceCountNative(col("toks"), merges)))
+        .head().getLong(0)
+    val withCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val expected = total()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(expected == total())
+    finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
+  }
 }
