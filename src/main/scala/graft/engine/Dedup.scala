@@ -148,7 +148,13 @@ object Dedup {
     * Exactly-once per batch: the single index commit is tagged — one
     * atomic publication per drop, no partial-index crash window — and
     * the dedup baseline is the newest version NOT containing the tag,
-    * as in [[dedupAgainstIndex]]. Returns the surviving batch rows. */
+    * as in [[dedupAgainstIndex]]. Returns the surviving batch rows
+    * (full payload — materializing them re-executes the survivor
+    * pipeline, the documented O(batch) cost; a caller needing only
+    * survivor IDS should instead read its batch's committed version
+    * back — [[VersionedLake.readAt]]/[[VersionedLake.changes]] on the
+    * index — which is one narrow column scan of the durable output,
+    * the q134 pattern). */
   def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, tag: String, minAgree: Double = 0.75,
       maxBucket: Int = 64): DataFrame = {

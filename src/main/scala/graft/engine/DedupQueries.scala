@@ -313,10 +313,21 @@ object DedupQueries {
       val idx = s"${graft.Sessions.scratchRoot}/neardup_index_" +
         new java.io.File(dir).getName
       Lake.delete(s, idx)
-      val s1 = Dedup.nearDupAgainstIndex(b1, "id", "text", idx, "m1")
-      val s2 = Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
-      s1.select(col("id"), lit(1).as("batch"))
-        .unionByName(s2.select(col("id"), lit(2).as("batch")))
+      Dedup.nearDupAgainstIndex(b1, "id", "text", idx, "m1")
+      Dedup.nearDupAgainstIndex(b2, "id", "text", idx, "m2")
+      // Survivor ids come FROM THE COMMITTED INDEX, not from
+      // re-executing the returned survivor pipelines: the index is the
+      // batch's durable output (one row per survivor), so v1 IS batch
+      // 1's survivor set and the v1→v2 delta IS batch 2's — reading
+      // them back replaces a second full MinHash pass per batch with
+      // two narrow column scans (measured ~2× on this query), and
+      // exercises the changes() read path the incremental design
+      // exists for. (nearDupAgainstIndex's returned DataFrame keeps
+      // its full-payload recompute semantics for callers that need
+      // text columns — documented there.)
+      VersionedLake.readAt(s, idx, 1).select(col("id"), lit(1).as("batch"))
+        .unionByName(VersionedLake.changes(s, idx, 1, 2)
+          .select(col("id"), lit(2).as("batch")))
         .orderBy(col("id"))
     },
 

@@ -41,10 +41,17 @@ object EntityResolution {
       lower(substring(col(qText), 1, blockLen)).as("_blk"))
     val e = entities.select(col(eId), col(eText),
       lower(substring(col(eText), 1, blockLen)).as("_blk"))
+    // Threshold-bounded levenshtein (Spark's banded DP): O(maxDist·n)
+    // per pair with early exit instead of the full O(n²) table — at
+    // maxDist = 2 on ~40-char names that is ~13× less DP work on the
+    // dominant term (the blocked candidates that pass the length band).
+    // Distances ≤ maxDist are EXACT (identical to the unbounded form,
+    // which the oracle replays); beyond-threshold pairs return -1 and
+    // are dropped exactly where > maxDist dropped them before.
     val cand = q.join(e, Seq("_blk"))
       .filter(abs(length(col(qText)) - length(col(eText))) <= maxDist)
-      .withColumn("_d", levenshtein(col(qText), col(eText)))
-      .filter(col("_d") <= maxDist)
+      .withColumn("_d", levenshtein(col(qText), col(eText), maxDist))
+      .filter(col("_d") >= 0 && col("_d") <= maxDist)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qId)).orderBy(col("_d"), col(eId))
     val best = cand

@@ -1266,7 +1266,7 @@ object RelationalQueries {
         |cand AS (
         |  SELECT q.qid, e.p_partkey, levenshtein(q.qname, e.name) AS d
         |  FROM q JOIN e
-        |    ON lower(substr(q.qname, 1, 4)) = lower(substr(e.name, 1, 4))
+        |    ON lower(substr(q.qname, 1, 8)) = lower(substr(e.name, 1, 8))
         |  WHERE abs(length(q.qname) - length(e.name)) <= 2
         |    AND levenshtein(q.qname, e.name) <= 2),
         |best AS (
@@ -1281,9 +1281,15 @@ object RelationalQueries {
       // Blocked fuzzy join ([[EntityResolution.fuzzyMatch]] — blocking/
       // recall contract there): queries are case-corrupted entity names
       // plus no-match noise; prefix blocking + length banding prune
-      // before the levenshtein DP, best match by (distance, id). Every
-      // corrupted query must resolve to its own entity (distance 1,
-      // pinned in GraphProfileSpec); noise queries surface unmatched.
+      // before the THRESHOLD-BANDED levenshtein DP, best match by
+      // (distance, id). Every corrupted query must resolve to its own
+      // entity (distance 1, pinned in CdcErSpec); noise queries surface
+      // unmatched. blockLen = 8: entity names share 4-char prefixes
+      // heavily (TPC-H color vocabulary), and the 4-char key blocked
+      // ~5M candidate pairs at sf0.1 where the 8-char key blocks ~100×
+      // fewer — block-key selectivity is THE fuzzy-join cost lever, and
+      // the corruption class (case on char 1) is case-folded out of the
+      // key, so recall is unchanged.
       val e = table(s, dir, "part")
         .select(col("p_partkey"),
           concat(col("p_name"), lit(" #"), col("p_partkey").cast("string"))
@@ -1298,7 +1304,7 @@ object RelationalQueries {
             concat(lit("zzz no such entity #"),
               col("p_partkey").cast("string")).as("qname")))
       EntityResolution.fuzzyMatch(q, e, "qid", "qname",
-          "p_partkey", "name", maxDist = 2, blockLen = 4)
+          "p_partkey", "name", maxDist = 2, blockLen = 8)
         .orderBy(col("qid"))
     })
 }
