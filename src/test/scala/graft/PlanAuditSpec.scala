@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q151_pagerank", // ONE-ROW node count into teleport/r0 terms
       "q159_hybrid_rrf", // q44's 1-row query vec + q128's stat frames
       "q161_hard_negatives", // ≤10-anchor broadcast into the scan
-      "q164_drift_psi") // ONE-ROW totals crossJoin over ≤12 bucket rows
+      "q164_drift_psi", // ONE-ROW totals crossJoin over ≤12 bucket rows
+      "q152_profile") // ONE-ROW per-column distinct-count frames
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
