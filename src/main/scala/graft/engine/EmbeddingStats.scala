@@ -40,16 +40,36 @@ object EmbeddingStats {
   /** Upper-triangle second-moment (scatter) matrix of the int8 codes:
     * `S[i][j] = Σ_rows q_i · q_j` for `1 ≤ i ≤ j ≤ d`, exact BIGINT.
     *
-    * Plan shape — the canonical distributed covariance: each row lazily
-    * generates its d(d+1)/2 (i, j, product) triples (a single `explode`
-    * of a flattened struct array, pipelined — never materialized per
-    * partition), and the hash aggregation's map-side partial combine
-    * collapses them to ≤ d(d+1)/2 rows per task BEFORE the shuffle. The
-    * exchange therefore carries O(d² · partitions) rows regardless of
-    * corpus size; at d = 64 that is 2,080 rows per task. Products are
-    * ≤ 127² and the BIGINT sum is exact to ~5.7e14 rows (≫ any corpus).
-    */
+    * Plan shape — the optimal one for a fixed-width mergeable
+    * statistic: a custom keyless
+    * [[org.apache.spark.sql.graft.IntScatterAgg]] aggregate folds every
+    * row's d²/2 products into ONE long[2,080] buffer per task (no
+    * intermediate rows at all), and the exchange moves a single ~16 KB
+    * serialized buffer per task — corpus-size-independent
+    * communication, the same merge discipline as the sketch family.
+    * The result explodes into the (i, j, s) relation AFTER the final
+    * merge: 2,080 rows total. Products are ≤ 127² and the BIGINT sum
+    * is exact to ~5.7e14 rows (≫ any corpus); buffer adds are
+    * associative, so the result is bit-identical to
+    * [[intScatterExplode]] (differentially tested) at any
+    * partitioning. */
   def intScatter(qdf: DataFrame): DataFrame = {
+    val d = 64
+    qdf.agg(org.apache.spark.sql.graft.ScatterFunctions
+        .intScatterTriangle(col("q"), d).as("tri"))
+      .select(explode(col("tri")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.s").as("s"))
+  }
+
+  /** The declarative explode→groupBy formulation — the differential
+    * reference [[intScatter]]'s native aggregate is tested against
+    * (and the shape a built-ins-only deployment would use): each row
+    * generates its d(d+1)/2 (i, j, product) triples, map-side partial
+    * combine collapses them before the shuffle. Correct and
+    * partial-agg-friendly, but every row pays ~2,000× row traffic
+    * through the aggregator's probe path — the native buffer fold
+    * replaces exactly that. */
+  private[graft] def intScatterExplode(qdf: DataFrame): DataFrame = {
     val d = 64
     qdf.select(explode(expr(
         s"""flatten(transform(sequence(1, $d), i ->

@@ -511,13 +511,16 @@ object EvalQueries {
       // Exact second-moment (scatter) matrix of the int8-quantized
       // embedding corpus ([[EmbeddingStats.intScatter]]) — the
       // distributed-covariance building block under PCA, whitening, and
-      // drift monitoring. One generate → hash-aggregate stage: each row
-      // lazily yields its d(d+1)/2 upper-triangle products and map-side
-      // partial combine bounds the exchange to 2,080 rows per task
-      // regardless of corpus size (plan-gated: the aggregation is
-      // partial before the shuffle). BIGINT-exact at any summation
-      // order — the property that makes the whole PCA family
-      // hash-comparable.
+      // drift monitoring. Runs as the custom keyless
+      // [[org.apache.spark.sql.graft.IntScatterAgg]]: every task folds
+      // its rows into ONE long[2,080] buffer (no intermediate rows) and
+      // the exchange moves one ~16 KB buffer per task — corpus-size-
+      // independent communication (plan-gated: partial aggregation
+      // below the single-partition exchange, no row-amplifying
+      // Generate). BIGINT-exact at any summation order — the property
+      // that makes the whole PCA family hash-comparable — and
+      // differentially pinned against the declarative explode→groupBy
+      // reference in EmbeddingStatsSpec.
       EmbeddingStats.intScatter(EmbeddingStats
           .quantizedWithLabel(table(s, dir, "embeddings")))
         .orderBy(col("i"), col("j"))

@@ -19,10 +19,15 @@ class EmbeddingStatsSpec extends AnyFunSuite {
   private def qdf = EmbeddingStats.quantizedWithLabel(
     Tables.table(spark, sf, "embeddings"))
 
-  test("intScatter is EXACT: bit-identical across repartitionings") {
+  test("intScatter is EXACT: bit-identical across repartitionings AND " +
+      "to the declarative explode reference") {
     // The whole point of the int8 path — BIGINT sums are associative,
     // so the scatter matrix cannot depend on partitioning or summation
     // order (a float covariance would differ in the low bits here).
+    // The native IntScatterAgg buffer fold must match the explode →
+    // groupBy reference row-for-row: same triangle, same indices, same
+    // sums — a wrong k→(i,j) unwinding, dropped row, or buffer-merge
+    // bug breaks here before the oracle ever sees it.
     val base = EmbeddingStats.intScatter(qdf)
       .orderBy("i", "j").collect().toSeq
     Seq(1, 7).foreach { n =>
@@ -30,6 +35,9 @@ class EmbeddingStatsSpec extends AnyFunSuite {
         .orderBy("i", "j").collect().toSeq
       assert(re == base, s"scatter changed under repartition($n)")
     }
+    val declarative = EmbeddingStats.intScatterExplode(qdf)
+      .orderBy("i", "j").collect().toSeq
+    assert(base == declarative, "native aggregate != explode reference")
     assert(base.length == 64 * 65 / 2)
     // diagonal entries are sums of squares — strictly positive here
     assert(base.filter(r => r.getInt(0) == r.getInt(1))

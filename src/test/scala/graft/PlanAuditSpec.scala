@@ -410,16 +410,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q161: no partial per-anchor rank pushdown:\n$e161")
     assert(e161.contains("BroadcastExchange"),
       s"q161: anchors must broadcast:\n$e161")
-    // q162's contract: the d²-triple generation collapses in a
-    // map-side partial HashAggregate, so its exchange moves ≤ d(d+1)/2
-    // rows per task regardless of corpus size.
+    // q162's contract: the custom IntScatterAgg folds rows into one
+    // buffer per task BELOW the exchange (partial typed aggregate), the
+    // exchange is the keyless single-partition merge, and no Generate
+    // amplifies the scan — the result explodes only AFTER the final
+    // merge (2,080 rows total).
     val e162 = SparkEntry.queries("q162_int_scatter")(spark, sf)
       .queryExecution.executedPlan.toString
+    val partialIdx = e162.indexOf("partial_graft_int_scatter")
+    val exchangeIdx = e162.indexOf("Exchange SinglePartition")
     val genIdx = e162.indexOf("Generate explode")
-    val partialIdx = e162.indexOf("partial_sum")
-    val exchangeIdx = e162.indexOf("Exchange hashpartitioning")
-    assert(genIdx >= 0 && partialIdx >= 0 && exchangeIdx >= 0 &&
-      exchangeIdx < partialIdx && partialIdx < genIdx,
-      s"q162: expected Exchange above partial_sum above Generate:\n$e162")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 &&
+      exchangeIdx < partialIdx,
+      s"q162: expected partial graft_int_scatter below the merge " +
+        s"exchange:\n$e162")
+    assert(genIdx == -1 || genIdx < exchangeIdx,
+      s"q162: scan-side Generate amplification is back:\n$e162")
   }
 }
