@@ -71,6 +71,31 @@ object Expectations {
     def ruleType = "ref_integrity"; def colName = column
   }
 
+  /** 3-valued-logic violation predicate of a ROW-LOCAL rule (nulls
+    * violate every claim except via [[NotNull]], which IS the presence
+    * claim). */
+  private def violated(r: Rule): Column = r match {
+    case NotNull(_, c) => col(c).isNull
+    case InRange(_, c, lo, hi) =>
+      !(col(c) >= lo && col(c) <= hi) || col(c).isNull
+    case OneOf(_, c, vs) => !col(c).isInCollection(vs) || col(c).isNull
+    case MatchesRegex(_, c, re) => !col(c).rlike(re) || col(c).isNull
+    case _ => lit(false)
+  }
+
+  /** 1/0 violation flag for a row-local rule — the summable form a
+    * STREAMING aggregation needs (q170: the same rules run continuously
+    * over micro-batches; flag sums are associative, so streaming
+    * totals ≡ the batch [[check]] counts exactly). Non-row-local rules
+    * (uniqueness, referential) are rejected: their state is not a
+    * per-row flag. */
+  def violationFlag(r: Rule): Column = r match {
+    case _: NotNull | _: InRange | _: OneOf | _: MatchesRegex =>
+      when(violated(r), 1L).otherwise(0L)
+    case other => throw new IllegalArgumentException(
+      s"rule ${other.id} (${other.ruleType}) is not row-local")
+  }
+
   /** Evaluate `rules` against `df`; returns (rule_id, rule_type,
     * col_name, n_violations BIGINT, passed BOOLEAN) ordered by
     * rule_id. */
@@ -78,18 +103,6 @@ object Expectations {
     require(rules.nonEmpty, "declare at least one rule")
     require(rules.map(_.id).distinct.length == rules.length,
       "rule ids must be unique")
-    val spark = df.sparkSession
-    import spark.implicits._
-
-    def violated(r: Rule): Column = r match {
-      case NotNull(_, c) => col(c).isNull
-      case InRange(_, c, lo, hi) =>
-        !(col(c) >= lo && col(c) <= hi) || col(c).isNull
-      case OneOf(_, c, vs) => !col(c).isInCollection(vs) || col(c).isNull
-      case MatchesRegex(_, c, re) => !col(c).rlike(re) || col(c).isNull
-      case _ => lit(false)
-    }
-
     val rowLocal = rules.filter {
       case _: NotNull | _: InRange | _: OneOf | _: MatchesRegex => true
       case _ => false

@@ -11,6 +11,62 @@ object StreamingQueries {
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
+      "q170_stream_dq_gate",
+      """WITH r AS (
+        |  SELECT 'e01' AS rule_id, 'in_range' AS rule_type,
+        |         'value' AS col_name,
+        |         CAST(sum(CASE WHEN NOT (value >= 0.0 AND value <= 100.0)
+        |                       OR value IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'e02', 'one_of', 'event_type',
+        |         CAST(sum(CASE WHEN NOT (event_type IN
+        |                       ('view', 'click', 'purchase', 'signup'))
+        |                       OR event_type IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'e03', 'not_null', 'user_id',
+        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM events)
+        |SELECT rule_id, rule_type, col_name, n_violations,
+        |       (n_violations = 0) AS passed
+        |FROM r ORDER BY rule_id""".stripMargin) { (s, dir) =>
+      // The q167 expectations gate run CONTINUOUSLY: the same row-local
+      // rules ([[Expectations.violationFlag]] — 1/0 flags whose sums
+      // are associative) aggregate over the event stream's
+      // micro-batches, so the drained streaming totals must equal the
+      // batch report EXACTLY — the strongest streaming-DQ equivalence
+      // available (and the production shape: a pipeline quarantines on
+      // these flags per micro-batch, while the running totals feed
+      // monitoring). The value band and the event-type set are
+      // deliberately tighter than the data so the report carries real
+      // violations; user_id presence passes. Streaming cost shape: the
+      // flags are computed row-locally in the source scan; state is
+      // ONE 3-counter row.
+      import Expectations._
+      val rules: Seq[Rule] = Seq(
+        InRange("e01", "value", 0.0, 100.0),
+        OneOf("e02", "event_type",
+          Seq("view", "click", "purchase", "signup")),
+        NotNull("e03", "user_id"))
+      val flagSums = rules.map(r =>
+        sum(Expectations.violationFlag(r)).as(s"__v_${r.id}"))
+      val one = Streaming.runAvailableNow(
+        Streaming.eventsStream(s, dir).agg(flagSums.head, flagSums.tail: _*),
+        "q170_dq_gate")
+      one.select(explode(array(rules.map(r => struct(
+          lit(r.id).as("rule_id"), lit(r.ruleType).as("rule_type"),
+          lit(r.colName).as("col_name"),
+          col(s"__v_${r.id}").as("n_violations"))): _*)).as("r"))
+        .select(col("r.*"))
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("rule_id"))
+    },
+
+    QuerySpec(
       "q50_stream_tumbling",
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |       event_type,
