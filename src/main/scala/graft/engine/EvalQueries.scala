@@ -506,6 +506,51 @@ object EvalQueries {
     },
 
     QuerySpec(
+      "q171_filtered_ann",
+      """WITH f AS (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |    AND n_chars >= 200),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       round(list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v))
+        |                * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0
+        |         AS score
+        |FROM e JOIN f ON e.vec_id = f.doc_id, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      // FILTERED vector search — the canonically hard vector-database
+      // problem (a metadata predicate composed with similarity top-k),
+      // done the Spark-native way: the predicate evaluates on the
+      // DOCUMENTS table (pushed into its scan — only doc_id is read
+      // back), the eligible-id set semi-joins the embedding scan
+      // BEFORE any scoring, and the cosine + TakeOrdered run only over
+      // survivors. At 100 TB this ordering is the whole game: score-
+      // then-filter pays the dot product on the full corpus; filter-
+      // then-score pays it on the eligible fraction — and because the
+      // filter is a join pushdown, the same shape composes with the
+      // ANN bucket/IVF variants (q45/q59/q102) by pruning their
+      // candidate lists instead of the brute scan. First
+      // documents↔embeddings join in the suite (the id spaces align by
+      // construction — FIXTURES.md).
+      val eligible = table(s, dir, "documents")
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"))
+      val d = Similarity.prep(table(s, dir, "embeddings"))
+      val qv = d.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      d.filter(col("vec_id") =!= 0)
+        .join(eligible, d("vec_id") === eligible("doc_id"), "left_semi")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          (round(Similarity.cosine(col("v"), col("qv")), 4) + lit(0.0))
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    QuerySpec(
       "q162_int_scatter",
       q162Oracle) { (s, dir) =>
       // Exact second-moment (scatter) matrix of the int8-quantized

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q159_hybrid_rrf", // q44's 1-row query vec + q128's stat frames
       "q161_hard_negatives", // ≤10-anchor broadcast into the scan
       "q164_drift_psi", // ONE-ROW totals crossJoin over ≤12 bucket rows
-      "q152_profile") // ONE-ROW per-column distinct-count frames
+      "q152_profile", // ONE-ROW per-column distinct-count frames
+      "q171_filtered_ann") // q44's 1-row query-vector broadcast
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
@@ -47,7 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q02_project_scalar", "q03_topk", "q08_outer_join",
     "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh",
     "q102_ann_partition_prune", "q111_weighted_sample", "q121_bpe_pairs",
-    "q128_bm25_topk")
+    "q128_bm25_topk", "q171_filtered_ann")
 
   /** Dimension-join queries MUST broadcast their dims: a fact⋈dim that
     * plans a SortMergeJoin shuffles the fact side — the single most
