@@ -62,6 +62,13 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // Engine-level Catalyst rules (self-dot strength reduction,
+      // idempotent-normalize collapse, session-enforced scan guard)
+      // ride the STANDARD extensions conf — the registration path that
+      // also works cluster-side, where every executor-session built
+      // from the same conf inherits the rules with no call-site wiring.
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
