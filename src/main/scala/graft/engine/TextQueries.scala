@@ -733,6 +733,53 @@ object TextQueries {
     },
 
     QuerySpec(
+      "q172_incremental_index",
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           t -> regexp_replace(t, '[^a-z]', '', 'g')) AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM n
+        |WHERE list_contains(toks, 'table')
+        |  AND list_contains(toks, 'window')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // INCREMENTAL inverted-index maintenance — the q169 recipe
+      // (commit deltas, merge on read) applied to retrieval: each
+      // ingest drop commits ITS OWN posting rows (tok, df, postings
+      // over that batch's docs) as a tagged version of one index lake,
+      // and a query merges postings ACROSS versions at read time — the
+      // full index is never rebuilt when a drop arrives (q118/q127
+      // rebuild from the corpus; production ingest cannot). Boolean
+      // AND over the merged index: a doc's postings live in exactly
+      // one batch's rows per term, so per-doc hit counts equal the
+      // full-corpus counts and the oracle is q127's corpus-scan SQL
+      // verbatim — incremental-by-construction ≡ rebuild-from-scratch.
+      // Probe cost: the tok filter pushes into every version dir's
+      // scan (posting rows for two terms, not the index); compaction
+      // folds deltas like any lake; replayed drops no-op via their
+      // tags.
+      val idxDir = s"${graft.Sessions.scratchRoot}/inv_index_" +
+        new java.io.File(dir).getName
+      val docs = table(s, dir, "documents")
+      VersionedLake.commitTagged(TextAnalysis.invertedIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        maxPostings = 1000000), idxDir, "m1")
+      VersionedLake.commitTagged(TextAnalysis.invertedIndex(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        maxPostings = 1000000), idxDir, "m2")
+      val terms = Seq("table", "window")
+      VersionedLake.readLatest(s, idxDir)
+        .filter(col("tok").isin(terms: _*))
+        .select(explode(col("postings")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_hits"))
+        .filter(col("_hits") === terms.length)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "q127_index_retrieval",
       """WITH n AS (
         |  SELECT doc_id,
