@@ -261,5 +261,66 @@ object MultimodalQueries {
         .groupBy(col("k.media_id").as("media_id"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("n_refs"))
         .orderBy(col("media_id"))
-    })
+    },
+
+    QuerySpec(
+      "q173_warc_scan",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 16 AS file_id, source,
+        |         text || CASE WHEN doc_id % 11 = 0
+        |                      THEN chr(13)||chr(10)||'WARC/1.0'||
+        |                           chr(13)||chr(10)||'WARC-Type: fake'||
+        |                           chr(13)||chr(10)||chr(13)||chr(10)
+        |                      ELSE '' END AS payload
+        |  FROM documents),
+        |resp AS (
+        |  SELECT file_id,
+        |         CAST(row_number() OVER (PARTITION BY file_id
+        |                                 ORDER BY doc_id) AS INT) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'https://' || source || '.example.org/p/' || doc_id
+        |           AS target_uri,
+        |         CAST(octet_length(payload::BLOB) AS BIGINT)
+        |           AS content_length,
+        |         md5(payload) AS payload_md5
+        |  FROM d),
+        |info AS (
+        |  SELECT DISTINCT file_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |         CAST(NULL AS VARCHAR) AS target_uri,
+        |         CAST(octet_length(('isPartOf: graft-crawl-' || file_id)
+        |                           ::BLOB) AS BIGINT) AS content_length,
+        |         md5('isPartOf: graft-crawl-' || file_id) AS payload_md5
+        |  FROM d)
+        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |ORDER BY file_id, rec_idx""".stripMargin) { (s, dir) =>
+      // WARC/1.0 crawl ingestion ([[Warc]]): the staged fixture is 16
+      // REAL files on disk (8 plain `.warc`, 8 `.warc.gz`), read back
+      // through Spark's `binaryFile` source and walked record-by-record
+      // partition-wise — the Common-Crawl ingest shape. Every 11th
+      // response body contains a byte-exact fake `WARC/1.0` record head
+      // COUNTED by Content-Length, so a parser that splits on the magic
+      // instead of honoring the declared length invents records and
+      // breaks the row count; a wrong byte-length (zh multibyte docs),
+      // lost gzip tier, or mis-framed payload breaks the md5 hash. The
+      // oracle re-derives every record from `documents` — the parser is
+      // checked against what was ENCODED, end to end.
+      val crawl = stagedCrawl(s, dir)
+      Warc.records(s, crawl)
+        .select(col("file_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("file_id"), col("rec_idx"))
+    }.withBenchSetup((s, dir) => { stagedCrawl(s, dir); () }))
+
+  /** Stage the WARC crawl fixture once per (JVM, sf) under the per-PID
+    * scratch root; returns its directory. */
+  private def stagedCrawl(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = s"${graft.Sessions.scratchRoot}/warc_crawl_" +
+      new java.io.File(dir).getName
+    Staging.ensureStaged(root) {
+      Warc.stageCrawl(s, table(s, dir, "documents"), root)
+    }
+    root
+  }
 }

@@ -112,6 +112,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: documents and
+    * the query each carry `nTok` token vectors (here: contiguous
+    * `dimTok`-wide slices of the embedding — the multi-vector layout a
+    * token-level encoder produces), and
+    * `score(q, d) = Σ_i max_j cos(q_i, d_j)` — every query token is
+    * matched to its best document token. This is the retrieval scorer
+    * single-vector cosine cannot express (a document strong on ONE
+    * query aspect and absent on another scores differently from one
+    * mediocre on both).
+    *
+    * Plan shape = [[bruteForceTopK]]'s: token slices and their squared
+    * norms are staged once per row, the single query row is broadcast,
+    * the nTok² interactions are codegen'd [[dot]] products via
+    * [[cosineWithNorms]] (no per-pair norm recomputation), and the
+    * bounded sort is TakeOrderedAndProject. One linear scan at any
+    * scale; the ANN-accelerated variant would route through the same
+    * expression with LSH candidates (q45) feeding it. */
+  def maxSimTopK(e: DataFrame, queryId: Long, k: Int,
+      nTok: Int = 4, dimTok: Int = 16): DataFrame = {
+    val toks = prep(e).select(
+      col("vec_id") +: col("label") +:
+        (0 until nTok).flatMap { j =>
+          val t = slice(col("v"), j * dimTok + 1, dimTok)
+          Seq(t.as(s"t$j"), dot(t, t).as(s"n$j"))
+        }: _*)
+    val q = toks.filter(col("vec_id") === queryId)
+      .select((0 until nTok).flatMap(j =>
+        Seq(col(s"t$j").as(s"qt$j"), col(s"n$j").as(s"qn$j"))): _*)
+    // Σ over query tokens (fixed left-to-right add order — the oracle
+    // mirrors it) of the max over document tokens.
+    val score = (0 until nTok).map { i =>
+      greatest((0 until nTok).map { j =>
+        cosineWithNorms(dot(col(s"qt$i"), col(s"t$j")),
+          col(s"qn$i"), col(s"n$j"))
+      }: _*)
+    }.reduce(_ + _)
+    toks.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Blocked pairwise similarity top-k: cosine pairs only WITHIN a label
     * block (metadata blocking — the join keys on the block, never a global
     * cross join), then per-vector top-k via a rank window.

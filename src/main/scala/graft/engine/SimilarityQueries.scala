@@ -546,5 +546,49 @@ object SimilarityQueries {
       Similarity.ivfPqProbe(s, lake, table(s, dir, "embeddings"),
         queryId = 0L, queryVec(s, dir, 0L), cents, books, k = 10)
     }.withBenchSetup((s, dir) =>
-      { stagedIvfPqLake(s, dir); queryVec(s, dir, 0L); () }))
+      { stagedIvfPqLake(s, dir); queryVec(s, dir, 0L); () }),
+
+    QuerySpec("q174_maxsim_topk", maxSimOracle) { (s, dir) =>
+      // Late-interaction MaxSim ([[Similarity.maxSimTopK]]): 4 token
+      // vectors per document (16-wide embedding slices), score =
+      // Σ_i max_j cos(q_i, d_j) against vec 0's tokens — the ColBERT
+      // retrieval scorer. Broadcast query row, staged norms, all 16
+      // interactions codegen'd dots, TakeOrderedAndProject; the oracle
+      // spells out the identical 4×4 interaction matrix and add order.
+      Similarity.maxSimTopK(table(s, dir, "embeddings"), queryId = 0L,
+        k = 10)
+    })
+
+  /** q174's oracle: the 4×4 MaxSim interaction matrix written out term
+    * by term — generated, so nTok/dimTok edits cannot drift between the
+    * Spark expression and the SQL. */
+  private def maxSimOracle: String = {
+    val nTok = 4
+    val dimTok = 16
+    val toks = (0 until nTok).map { j =>
+      val lo = j * dimTok + 1
+      val hi = (j + 1) * dimTok
+      (s"v[$lo:$hi] AS t$j",
+        s"list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS n$j")
+    }
+    val tokCols = toks.flatMap { case (t, n) => Seq(t, n) }.mkString(",\n         ")
+    val qCols = (0 until nTok).flatMap(j =>
+      Seq(s"t$j AS qt$j", s"n$j AS qn$j")).mkString(", ")
+    val score = (0 until nTok).map { i =>
+      "greatest(" + (0 until nTok).map { j =>
+        s"list_dot_product(qt$i, t$j) / (sqrt(qn$i) * sqrt(n$j))"
+      }.mkString(",\n                ") + ")"
+    }.mkString("\n           + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |t AS (
+       |  SELECT vec_id, label,
+       |         $tokCols
+       |  FROM e),
+       |q AS (SELECT $qCols FROM t WHERE vec_id = 0)
+       |SELECT t.vec_id, t.label,
+       |       round($score, 4) + 0.0 AS score
+       |FROM t, q WHERE t.vec_id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
 }

@@ -10,6 +10,9 @@ object TextQueries {
   import Tables.table
   import TextAnalysis._
 
+  /** KMV sketch size for q175 (k in the (k-1)/K(k) estimator). */
+  private val KmvK = 256
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -1367,6 +1370,220 @@ object TextQueries {
             array_sort(collect_list(when(col("__rn") <= 15, col("doc_id")))),
             x => x.cast("string")))).as("kept_md5"))
         .orderBy(col("host"))
+    },
+
+    QuerySpec(
+      "q175_kmv_overlap",
+      s"""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |         CASE WHEN len(toks) >= 8
+        |              THEN array_to_string(toks[u.i+1:u.i+8], ' ')
+        |              ELSE array_to_string(toks, ' ') END AS sh
+        |  FROM d, UNNEST(range(0, greatest(len(toks)-7, 1))) AS u(i)),
+        |p AS (
+        |  SELECT DISTINCT g,
+        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        |  FROM sh0),
+        |sk AS (SELECT g, h FROM p
+        |       QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
+        |               <= ${KmvK}),
+        |ga AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g),
+        |gest AS (
+        |  SELECT g AS set_name,
+        |         CASE WHEN n < ${KmvK} THEN n
+        |              ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
+        |                              / CAST(kth AS DOUBLE)) AS BIGINT)
+        |         END AS est
+        |  FROM ga),
+        |usk AS (SELECT h FROM (SELECT DISTINCT h FROM sk)
+        |        QUALIFY row_number() OVER (ORDER BY h) <= ${KmvK}),
+        |ua AS (SELECT count(*) AS n, max(h) AS kth FROM usk),
+        |uest AS (
+        |  SELECT CASE WHEN n < ${KmvK} THEN n
+        |              ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
+        |                              / CAST(kth AS DOUBLE)) AS BIGINT)
+        |         END AS est
+        |  FROM ua),
+        |rho AS (
+        |  SELECT count(*) AS r FROM usk
+        |  WHERE h IN (SELECT h FROM sk WHERE g = 'a')
+        |    AND h IN (SELECT h FROM sk WHERE g = 'b')),
+        |iest AS (
+        |  SELECT CAST(round(CAST(r AS DOUBLE) * CAST(est AS DOUBLE)
+        |                    / ${KmvK}.0) AS BIGINT) AS est
+        |  FROM rho, uest),
+        |ex AS (
+        |  SELECT sh, max(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ia,
+        |             max(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS ib
+        |  FROM (SELECT DISTINCT g, sh FROM sh0) GROUP BY sh),
+        |exact AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS ea,
+        |         CAST(sum(ib) AS BIGINT) AS eb,
+        |         CAST(count(*) AS BIGINT) AS eu,
+        |         CAST(sum(ia * ib) AS BIGINT) AS ei
+        |  FROM ex),
+        |est4 AS (
+        |  SELECT set_name, est FROM gest
+        |  UNION ALL SELECT 'union', est FROM uest
+        |  UNION ALL SELECT 'intersect', est FROM iest)
+        |SELECT e.set_name, e.est,
+        |       CASE e.set_name WHEN 'a' THEN x.ea WHEN 'b' THEN x.eb
+        |            WHEN 'union' THEN x.eu ELSE x.ei END AS exact
+        |FROM est4 e, exact x ORDER BY e.set_name""".stripMargin) { (s, dir) =>
+      // KMV bottom-k sketches ([[Kmv]]) estimating the distinct 8-gram
+      // shingle cardinality of two corpus halves AND their union AND
+      // their intersection — the sketch-speed answer to "how much
+      // n-gram overlap do these corpora have" that decontamination /
+      // dedup planning needs BEFORE paying for a corpus×corpus join.
+      // Salted two-stage k-min (bit-identical to the oracle's global
+      // QUALIFY), union = TakeOrdered over ≤2k merged points, ρ via two
+      // broadcast-size semi-joins. The exact column (one extra
+      // aggregation pass) pins the estimator's calibration in the hash
+      // compare; at 100 TB it is the branch you delete.
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.shingleDf(docs, "doc_id", "text", n = 8)
+        .select(when(col("id") % 2 === 0, "a").otherwise("b").as("g"),
+          col("sh"))
+      val pts = sh.select(col("g"), Kmv.point(col("sh")).as("h"))
+      val sk = Kmv.sketch(pts, KmvK)
+      val gest = sk.groupBy("g")
+        .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+        .select(col("g").as("set_name"),
+          Kmv.estimate(col("n"), col("kth"), KmvK).as("est"))
+      val usk = sk.select("h").distinct().orderBy("h").limit(KmvK)
+      val uest = usk.agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+        .select(lit("union").as("set_name"),
+          Kmv.estimate(col("n"), col("kth"), KmvK).as("est"))
+      val rho = usk
+        .join(sk.filter(col("g") === "a").select("h"), Seq("h"), "left_semi")
+        .join(sk.filter(col("g") === "b").select("h"), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("r"))
+      val iest = rho.crossJoin(uest.select(col("est").as("uest")))
+        .select(lit("intersect").as("set_name"),
+          Kmv.intersectEstimate(col("r"), col("uest"), KmvK).as("est"))
+      val exact = sh.distinct().groupBy("sh")
+        .agg(max(when(col("g") === "a", 1).otherwise(0)).as("ia"),
+          max(when(col("g") === "b", 1).otherwise(0)).as("ib"))
+        .agg(sum(col("ia")).cast("long").as("ea"),
+          sum(col("ib")).cast("long").as("eb"),
+          count(lit(1)).as("eu"),
+          sum(col("ia") * col("ib")).cast("long").as("ei"))
+        .selectExpr("stack(4, 'a', ea, 'b', eb, 'union', eu, " +
+          "'intersect', ei) AS (set_name, exact)")
+      gest.unionByName(uest).unionByName(iest)
+        .join(exact, "set_name")
+        .orderBy("set_name")
+    },
+
+    QuerySpec(
+      "q176_boilerplate_lines",
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'copyright ' || source
+        |           || CASE WHEN doc_id % 3 = 0
+        |                THEN chr(10) || 'subscribe to our newsletter today'
+        |                ELSE '' END
+        |           || CASE WHEN doc_id % 7 = 0
+        |                THEN chr(10) || 'promo code graft-' || doc_id
+        |                ELSE '' END AS page
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(page, chr(10))))
+        |           AS line
+        |  FROM pg),
+        |hv AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 20),
+        |ha AS (SELECT coalesce(list(line), []) AS harr FROM hv),
+        |k AS (
+        |  SELECT doc_id, string_split(page, chr(10)) AS ls,
+        |         list_filter(string_split(page, chr(10)),
+        |                     x -> NOT list_contains(harr, x)) AS kept
+        |  FROM pg, ha)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+        |       md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // RefinedWeb line-level dedup ([[WebText.removeBoilerplateLines]]):
+      // lines occurring in ≥20 distinct documents are boilerplate and
+      // removed everywhere. The planted page puts a per-source copyright
+      // footer in every document (~25 docs each — removed), a newsletter
+      // banner in every third (removed), and a doc-unique promo line in
+      // every seventh (KEPT — a threshold off-by-one or a doc-count vs
+      // occurrence-count confusion flips it). The heavy set is counted
+      // in one shuffle and broadcast back into a row-local array filter;
+      // page text itself never shuffles, and the md5 of each cleaned
+      // page pins exact line order and content.
+      val page = concat(col("text"),
+        lit("\ncopyright "), col("source"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\npromo code graft-"), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      WebText.removeBoilerplateLines(
+        table(s, dir, "documents").select(col("doc_id"), page.as("page")),
+        minDocs = 20)
+        .orderBy("doc_id")
+    },
+
+    QuerySpec(
+      "q177_incremental_kmv",
+      s"""WITH d AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT lang AS g,
+        |         CASE WHEN len(toks) >= 8
+        |              THEN array_to_string(toks[u.i+1:u.i+8], ' ')
+        |              ELSE array_to_string(toks, ' ') END AS sh
+        |  FROM d, UNNEST(range(0, greatest(len(toks)-7, 1))) AS u(i)),
+        |p AS (
+        |  SELECT DISTINCT g,
+        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        |  FROM sh0),
+        |sk AS (SELECT g, h FROM p
+        |       QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
+        |               <= ${KmvK}),
+        |ga AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g)
+        |SELECT g AS lang, kth AS kth_hash,
+        |       CASE WHEN n < ${KmvK} THEN n
+        |            ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
+        |                            / CAST(kth AS DOUBLE)) AS BIGINT)
+        |       END AS est_distinct_shingles
+        |FROM ga ORDER BY lang""".stripMargin) { (s, dir) =>
+      // Incremental distinct-counting through the versioned lake: each
+      // monthly batch commits ONLY its own KMV sketch (≤ k rows per
+      // lang — batch 1 is never rescanned), and the live estimate is a
+      // k-min over the union of committed sketches. Because bottom-k
+      // merge is exactly associative on distinct hash points,
+      // sketch(sketch(b1) ∪ sketch(b2)) ≡ sketch(b1 ∪ b2) BIT FOR BIT —
+      // so the oracle is the verbatim full-corpus computation, the
+      // q169 discipline. kth_hash in the output pins the merged sketch
+      // itself, not just the rounded estimate. Commits are tagged ⇒
+      // warm replays are O(1) no-ops.
+      val idx = s"${graft.Sessions.scratchRoot}/kmv_inc_" +
+        new java.io.File(dir).getName
+      val docs = table(s, dir, "documents")
+      def pts(b: org.apache.spark.sql.DataFrame) =
+        b.select(col("lang").as("g"),
+          split(trim(col("text")), "\\s+").as("w"))
+          .select(col("g"), explode(Dedup.shingleSet("w", 8)).as("shx"))
+          .select(col("g"), Kmv.point(col("shx")).as("h"))
+      VersionedLake.commitTagged(
+        Kmv.sketch(pts(docs.filter(col("doc_id") % 3 === 0)), KmvK),
+        idx, "m1")
+      VersionedLake.commitTagged(
+        Kmv.sketch(pts(docs.filter(col("doc_id") % 3 =!= 0)), KmvK),
+        idx, "m2")
+      Kmv.sketch(VersionedLake.readLatest(s, idx), KmvK)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+        .select(col("g").as("lang"), col("kth").as("kth_hash"),
+          Kmv.estimate(col("n"), col("kth"), KmvK)
+            .as("est_distinct_shingles"))
+        .orderBy("lang")
     })
 
   /** Planted BPE corpus (word → frequency): the classic subword-NMT

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TextNormFunctions
 
@@ -107,4 +107,36 @@ object WebText {
         when(pmod(docId, lit(3)) === 0, upper(text)).otherwise(text),
         "aeiouAEIOU", "áéíóúÁÉÍÓÚ"),
       lit(" "), lit("  "))
+
+  /** Corpus-level boilerplate-line removal (the RefinedWeb/CCNet line
+    * dedup rule): a LINE that occurs in ≥ `minDocs` distinct documents
+    * is boilerplate (nav bars, cookie banners, copyright footers) and
+    * is removed from EVERY document; lines below the threshold —
+    * including exact duplicates within one page — survive untouched.
+    *
+    * Shape for 100 TB: pass 1 counts distinct documents per line (the
+    * per-document `array_distinct` makes a plain `count(*)` a distinct-
+    * doc count — no count-distinct state), and the heavy set it yields
+    * is SMALL by definition (boilerplate is what repeats), so pass 2 is
+    * a broadcast of that set folded into a row-local `filter` over each
+    * page's line array — no explode/reassemble shuffle, no join on the
+    * corpus side, document text never moves. Input `pages(doc_id,
+    * page)`; output per document: kept/removed line counts and the md5
+    * of the cleaned page. */
+  def removeBoilerplateLines(pages: DataFrame, minDocs: Int): DataFrame = {
+    val lines = split(col("page"), "\n")
+    val heavy = pages
+      .select(col("doc_id"), explode(array_distinct(lines)).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs)
+      .agg(coalesce(collect_list(col("line")),
+        array().cast("array<string>")).as("harr"))
+    pages.crossJoin(broadcast(heavy))
+      .select(col("doc_id"), lines.as("ls"),
+        filter(lines, l => !array_contains(col("harr"), l)).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), "\n")).as("clean_md5"))
+  }
 }

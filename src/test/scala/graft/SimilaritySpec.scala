@@ -279,4 +279,33 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & adc).size.toDouble / exact.size
     assert(recall >= 0.4, s"ADC recall $recall: exact $exact vs $adc")
   }
+
+  test("maxSim: exact copy scores nTok, token ORDER is irrelevant, " +
+    "partial token match scores its match count") {
+    import spark.implicits._
+    // token i of the query = unit basis vector at slice-local index i;
+    // cos between basis tokens is exactly 1 (same index) or 0.
+    def basis(tokIdx: Seq[Int]): Array[Float] = {
+      val v = Array.fill(64)(0f)
+      tokIdx.zipWithIndex.foreach { case (b, t) => v(t * 16 + b) = 1f }
+      v
+    }
+    val e = Seq(
+      (0L, basis(Seq(0, 1, 2, 3)), 0), // query
+      (1L, basis(Seq(0, 1, 2, 3)), 0), // exact copy → 4.0
+      (2L, basis(Seq(3, 2, 1, 0)), 0), // same tokens, SHUFFLED → still 4.0
+      (3L, basis(Seq(0, 5, 6, 7)), 0), // one matching token → 1.0
+      (4L, basis(Seq(8, 9, 10, 11)), 0)) // disjoint → 0.0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimTopK(e, queryId = 0L, k = 4)
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 4.0)
+    assert(got(2L) == 4.0, "MaxSim must be invariant to token order")
+    assert(got(3L) == 1.0)
+    assert(got(4L) == 0.0)
+    // single-vector cosine CANNOT separate 1 from 2-vs-order: sanity
+    // that the late-interaction scorer ranks the shuffled copy at the top
+    assert(Seq(1L, 2L).contains(
+      Similarity.maxSimTopK(e, 0L, 1).select("vec_id").as[Long].head()))
+  }
 }

@@ -147,4 +147,40 @@ class WebTextSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(b != a.map { case (id, s, _) => (id, s) })
   }
+
+  // ---- removeBoilerplateLines ---------------------------------------------
+
+  test("boilerplate lines: threshold is distinct-DOC count, intra-doc " +
+    "duplicates neither trigger removal nor are collapsed") {
+    // 'footer' in exactly 3 docs (≥3 → removed); 'navbar' in 2 (kept);
+    // doc 1 repeats its own unique line twice (kept twice — occurrence
+    // count must not masquerade as doc count, and dedup-within-doc is
+    // NOT this operator's job).
+    val pages = Seq(
+      (1L, "alpha\nalpha\nfooter\nnavbar"),
+      (2L, "beta\nfooter\nnavbar"),
+      (3L, "gamma\nfooter")).toDF("doc_id", "page")
+    val got = WebText.removeBoilerplateLines(pages, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept", "n_removed", "clean_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // byte-exact cleaned text for doc 1: both alpha copies, order kept
+    val md = WebText.removeBoilerplateLines(pages, minDocs = 3)
+      .filter(col("doc_id") === 1).select("clean_md5").head().getString(0)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha\nalpha\nnavbar".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == want)
+  }
+
+  test("boilerplate lines: empty heavy set leaves every page untouched " +
+    "and the plan broadcasts (no sort-merge join)") {
+    val pages = Seq((1L, "a\nb"), (2L, "c")).toDF("doc_id", "page")
+    val out = WebText.removeBoilerplateLines(pages, minDocs = 99)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_removed"))
+      .head().getLong(0) == 0L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort:\n$plan")
+  }
 }
