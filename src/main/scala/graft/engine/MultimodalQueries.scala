@@ -313,8 +313,9 @@ object MultimodalQueries {
     }.withBenchSetup((s, dir) => { stagedCrawl(s, dir); () }))
 
   /** Stage the WARC crawl fixture once per (JVM, sf) under the per-PID
-    * scratch root; returns its directory. */
-  private def stagedCrawl(s: org.apache.spark.sql.SparkSession,
+    * scratch root; returns its directory. Shared with the streaming
+    * ingest form (q178). */
+  private[engine] def stagedCrawl(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val root = s"${graft.Sessions.scratchRoot}/warc_crawl_" +
       new java.io.File(dir).getName

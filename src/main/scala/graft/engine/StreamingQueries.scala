@@ -336,6 +336,72 @@ object StreamingQueries {
     },
 
     QuerySpec(
+      "q178_stream_warc_ingest",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 16 AS file_id, source,
+        |         text || CASE WHEN doc_id % 11 = 0
+        |                      THEN chr(13)||chr(10)||'WARC/1.0'||
+        |                           chr(13)||chr(10)||'WARC-Type: fake'||
+        |                           chr(13)||chr(10)||chr(13)||chr(10)
+        |                      ELSE '' END AS payload
+        |  FROM documents),
+        |resp AS (
+        |  SELECT file_id,
+        |         CAST(row_number() OVER (PARTITION BY file_id
+        |                                 ORDER BY doc_id) AS INT) AS rec_idx,
+        |         CAST(octet_length(payload::BLOB) AS BIGINT)
+        |           AS content_length,
+        |         md5(payload) AS payload_md5
+        |  FROM d),
+        |info AS (
+        |  SELECT DISTINCT file_id, 0 AS rec_idx,
+        |         CAST(octet_length(('isPartOf: graft-crawl-' || file_id)
+        |                           ::BLOB) AS BIGINT) AS content_length,
+        |         md5('isPartOf: graft-crawl-' || file_id) AS payload_md5
+        |  FROM d),
+        |r AS (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(sum(content_length) AS BIGINT) AS total_bytes,
+        |       md5(string_agg(payload_md5, '' ORDER BY rec_idx))
+        |         AS recs_md5
+        |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin) {
+      (s, dir) =>
+      // Streaming crawl ingestion — q173's WARC walk composed with the
+      // exactly-once lake sink: segments live in a drop folder, the
+      // binaryFile stream paces ONE segment per micro-batch (16 batches
+      // here), each batch's records walk out partition-wise (stateless
+      // transform) and commit under the batch's tag; a simulated
+      // checkpoint-recovery replay of batch 0 must no-op. The oracle
+      // rebuilds every file's record ledger from `documents`: a
+      // dropped/double-committed segment moves n_records, a mis-framed
+      // record moves recs_md5 (order-sensitive digest over the per-file
+      // record sequence).
+      val crawl = MultimodalQueries.stagedCrawl(s, dir)
+      val root = s"${graft.Sessions.scratchRoot}/warc_stream_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, root)
+      Streaming.streamToVersionedLake(
+        Warc.recordsStream(s, crawl)
+          .select(col("file_id"), col("rec_idx"), col("content_length"),
+            md5(col("payload")).as("payload_md5")),
+        s"$root/lake", s"$root/cp")
+      val replay = VersionedLake.commitTagged(
+        VersionedLake.readLatest(s, s"$root/lake"), s"$root/lake", "b0")
+      require(replay.isEmpty, "replayed batch 0 must not re-commit")
+      require(VersionedLake.versions(s, s"$root/lake").size >= 2,
+        "pacing must produce at least two committed micro-batches")
+      VersionedLake.readLatest(s, s"$root/lake")
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("rec_idx"),
+              col("payload_md5")))),
+            x => x("payload_md5")))).as("recs_md5"))
+        .orderBy(col("file_id"))
+    },
+
+    QuerySpec(
       "q136_stream_dedup_ingest",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       ROUND(SUM(value), 2) AS total_value

@@ -220,6 +220,33 @@ object Warc {
       .toDF()
   }
 
+  /** Streaming form of [[records]]: crawl segments LAND in `dir` over
+    * time (the crawler's drop folder), the file stream paces one
+    * segment per micro-batch, and each batch is walked with the same
+    * partition-wise iterator — stateless, so the transform composes
+    * with any exactly-once sink (q178 commits each batch to the
+    * versioned lake under its batch tag). */
+  def recordsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is FIXED by the source, but the streaming
+    // planner still requires it spelled out (no inference pass on
+    // streams) — this is that fixed schema, verbatim.
+    val binaryFileSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, " +
+        "content BINARY")
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        walk(fileIdOf(path), bytes)
+      })
+      .toDF()
+  }
+
   private[engine] def fileIdOf(path: String): Long = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     name.stripPrefix("crawl-").takeWhile(_.isDigit).toLong

@@ -153,6 +153,30 @@ class StreamingSpec extends AnyFunSuite {
       "re-drain must not mint versions")
   }
 
+  test("streaming WARC ingest: one segment per batch, re-drain on the " +
+      "same checkpoint mints no versions, records match the batch walk") {
+    val root = TestSpark.tempDir("warc-stream")
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Warc.stageCrawl(spark, docs, s"$root/in", nFiles = 4)
+    def drain(): Unit = Streaming.streamToVersionedLake(
+      Warc.recordsStream(spark, s"$root/in")
+        .select(col("file_id"), col("rec_idx"), col("warc_type")),
+      s"$root/lake", s"$root/cp")
+    drain()
+    val versions = VersionedLake.versions(spark, s"$root/lake")
+    assert(versions.size == 4, s"one version per segment: $versions")
+    val streamed = VersionedLake.readLatest(spark, s"$root/lake")
+      .orderBy("file_id", "rec_idx").collect().toSeq
+    val batch = Warc.records(spark, s"$root/in")
+      .select(col("file_id"), col("rec_idx"), col("warc_type"))
+      .orderBy("file_id", "rec_idx").collect().toSeq
+    assert(streamed == batch, "streamed records must equal the batch walk")
+    // checkpoint recovery: re-drain processes nothing new
+    drain()
+    assert(VersionedLake.versions(spark, s"$root/lake").size == 4,
+      "re-drain must not mint versions")
+  }
+
   test("custom state accumulates across micro-batches, last-wins drain returns final state") {
     import spark.implicits._
     val root = TestSpark.tempDir("stream-state")
