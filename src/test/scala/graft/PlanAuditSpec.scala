@@ -40,7 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q161_hard_negatives", // ≤10-anchor broadcast into the scan
       "q164_drift_psi", // ONE-ROW totals crossJoin over ≤12 bucket rows
       "q152_profile", // ONE-ROW per-column distinct-count frames
-      "q171_filtered_ann") // q44's 1-row query-vector broadcast
+      "q171_filtered_ann", // q44's 1-row query-vector broadcast
+      "q174_maxsim_topk", // ONE-ROW query-token frame into the scan
+      "q175_kmv_overlap", // 1×1 sketch-stat frames into the estimates
+      "q176_boilerplate_lines") // ONE-ROW heavy-line set, row-local filter
 
   /** Queries whose output is bounded (LIMIT/top-k semantics) MUST plan
     * TakeOrderedAndProject — per-partition heaps, no global sort. */
@@ -48,7 +51,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q02_project_scalar", "q03_topk", "q08_outer_join",
     "q37_word_topk", "q44_cosine_topk", "q45_ann_lsh",
     "q102_ann_partition_prune", "q111_weighted_sample", "q121_bpe_pairs",
-    "q128_bm25_topk", "q171_filtered_ann")
+    "q128_bm25_topk", "q171_filtered_ann", "q174_maxsim_topk")
 
   /** Dimension-join queries MUST broadcast their dims: a fact⋈dim that
     * plans a SortMergeJoin shuffles the fact side — the single most
@@ -60,6 +63,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // q112/q113/q114: curation passes whose corpus side must NEVER
   // sort-merge — the boilerplate set, eval-gram set, and quota table
   // are all small by construction and must broadcast.
+  // (q174/q176 cross ONE broadcast row into the corpus scan — they plan
+  // BroadcastNestedLoopJoin, so they live in cartesianAllowed above and
+  // their no-SMJ discipline is asserted in SimilaritySpec/WebTextSpec.)
   private val mustBroadcastOnly = Set(
     "q04_join_broadcast", "q06_semi_join", "q07_anti_join",
     "q77_sql_join3", "q112_segment_dedup", "q113_decontaminate",
