@@ -244,17 +244,21 @@ object Dedup {
         s"i -> concat_ws(' ', slice($wordsColName, i + 1, $n)))"))
 
   /** MinHash signature: k permutations approximated Carter–Wegman style —
-    * the shingle is hashed ONCE into two 64-bit base hashes and slot i is
-    * the affine combination `h1 + i*h2` (native codegen'd
-    * [[org.apache.spark.sql.graft.MinHashSlots]]; wrapping long arithmetic,
-    * which ANSI-mode SQL `+`/`*` would reject). Signature h_i = min over
-    * shingles — one aggregation keyed on id, partial-agg friendly. This
-    * replaced k salted `xxhash64(concat(sh, salt_i))` string re-hashes:
-    * ~k× less hash work per shingle row. The k slot functions share two
-    * base hashes (standard 2-universal approximation, pairwise- not
-    * mutually-independent) — a slightly weaker independence assumption
-    * than k salted hashes; the banded-LSH threshold behavior it feeds is
-    * pinned empirically by DedupSpec's planted-pair recall test. */
+    * the shingle is digested ONCE (md5) into two base values and slot i
+    * is the affine combination `(a + i·b) mod P`, P = 2^31−1 (native
+    * codegen'd [[org.apache.spark.sql.graft.MinHashSlots]], whose
+    * scaladoc spells the exact arithmetic — it is the q40 ORACLE
+    * contract, replayed verbatim in DuckDB over the same md5 hex).
+    * Signature h_i = min over shingles — one aggregation keyed on id,
+    * partial-agg friendly. This replaced k salted
+    * `xxhash64(concat(sh, salt_i))` string re-hashes (~k× less hash
+    * work per shingle row), and the md5-mod-prime base upgraded the
+    * family from rows-only to full hash-compare verification. The k
+    * slot functions share two base values (standard 2-universal
+    * approximation, pairwise- not mutually-independent) — a slightly
+    * weaker independence assumption than k salted hashes; the
+    * banded-LSH threshold behavior it feeds is pinned empirically by
+    * DedupSpec's planted-pair recall test. */
   def minhashSignatures(shingles: DataFrame, k: Int = 64): DataFrame = {
     val slots = org.apache.spark.sql.graft.VectorFunctions
       .minhashSlots(col("sh"), k)
@@ -284,8 +288,13 @@ object Dedup {
     * silently desynchronize. */
   private[engine] def bandKeyArray(bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
+      // The band key is the slot values themselves (comma-joined), not a
+      // re-hash: collision-free, and exactly reproducible in the oracle
+      // (DuckDB string_agg over the same slots) where Spark's murmur
+      // `hash(...)` was engine-internal. Slots are < 2^31, so the key
+      // stays ≤ 43 chars — fine as a shuffle key.
       struct(lit(b).as("band"),
-        hash((0 until rowsPerBand).map(r =>
+        concat_ws(",", (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}")): _*).as("bh"))
     }: _*)
 
@@ -367,43 +376,53 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  /** 64-bit SimHash with term-frequency weights (the classic form): per
+  /** SimHash bit width: 60, the md5-hex-prefix budget of [[Kmv.point]] —
+    * 15 nibbles keep the per-token hash (and therefore the signature)
+    * positive in a signed 64-bit integer on BOTH engines, which is what
+    * lets the oracle replay the whole signature in SQL. */
+  val SimhashBits: Int = 60
+
+  /** 60-bit SimHash with term-frequency weights (the classic form): per
     * bit, sum ±1 per token OCCURRENCE by the token hash's bit value;
     * signature bit = sign of the sum. Frequency weighting matters — on
     * low-vocabulary corpora a distinct-token simhash degenerates (most
     * docs contain most words, so signatures collapse), while frequency
-    * vectors still separate documents. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * vectors still separate documents. The token hash is the md5-prefix
+    * point ([[Kmv.point]]), so DuckDB recomputes the identical
+    * signatures bit for bit — the earlier xxhash64 form was
+    * Spark-internal and kept q41 rows-only. */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("t"))
-    val h = xxhash64(col("t"))
-    val aggs = (0 until 64).map(i =>
+    val h = Kmv.point(col("t"))
+    val aggs = (0 until SimhashBits).map(i =>
       sum(when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$i"))
     val sums = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     sums.select(col("id"),
-      (0 until 64).map(i =>
+      (0 until SimhashBits).map(i =>
         when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((x, y) => x.bitwiseOR(y)).as("sig"))
   }
 
   /** SimHash near-dup candidates by chunk equality, verified with exact
     * Hamming distance. Pigeonhole: any pair within Hamming `chunks - 1`
-    * shares at least one chunk, so the default (8 chunks × 8 bits) is
-    * COMPLETE for maxHamming ≤ 7. Fewer, wider chunks (4 × 16) give much
+    * shares at least one chunk, so the default (6 chunks × 10 bits) is
+    * COMPLETE for maxHamming ≤ 5. Fewer, wider chunks (4 × 15) give much
     * finer buckets — prefer them at lake scale when the dup definition
     * allows Hamming ≤ 3. */
-  def simhashPairs(sigIn: DataFrame, maxHamming: Int = 7, chunks: Int = 8,
+  def simhashPairs(sigIn: DataFrame, maxHamming: Int = 5, chunks: Int = 6,
       maxBucket: Int = 256): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64: $chunks")
+    require(SimhashBits % chunks == 0,
+      s"chunks must divide $SimhashBits: $chunks")
     require(maxHamming <= chunks - 1,
       s"chunk banding is only complete for Hamming <= ${chunks - 1}")
     // The signature pipeline ends in an Exchange (the per-id groupBy in
-    // simhash64); ReuseExchange / AQE stage reuse shares it across the
+    // simhash60); ReuseExchange / AQE stage reuse shares it across the
     // bucketing scan and both verify-join sides — no cache needed, and no
     // leaked persist surviving this call's return.
     val sig = sigIn
-    val width = 64 / chunks
+    val width = SimhashBits / chunks
     val mask = (1L << width) - 1
     val chunkCols = (0 until chunks).map(c =>
       struct(lit(c).as("c"),

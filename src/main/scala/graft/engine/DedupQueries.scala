@@ -74,26 +74,137 @@ object DedupQueries {
         .orderBy(col("keeper"))
     },
 
-    QuerySpec.noOracle("q40_minhash_lsh") { (s, dir) =>
+    QuerySpec(
+      "q40_minhash_lsh",
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' zz9 qq8 vv7'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id AS id,
+        |             regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM base),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN array_to_string(toks[u.i+1:u.i+3], ' ')
+        |              ELSE array_to_string(toks, ' ') END AS sh
+        |  FROM w, UNNEST(range(0, greatest(len(toks)-2, 1))) AS u(i)),
+        |ab AS (
+        |  SELECT id, sh,
+        |         CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)
+        |           % 2147483647 AS a,
+        |         CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT)
+        |           % 2147483646 + 1 AS b
+        |  FROM sh),
+        |slots AS (
+        |  SELECT id, i.range AS i,
+        |         min((a + i.range * b) % 2147483647) AS h
+        |  FROM ab, range(0, 64) i GROUP BY id, i.range),
+        |bandkeys AS (
+        |  SELECT id, i // 4 AS band,
+        |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bh
+        |  FROM slots GROUP BY id, i // 4),
+        |rn AS (
+        |  SELECT id, band, bh,
+        |         row_number() OVER (PARTITION BY band, bh
+        |                            ORDER BY id) AS rn
+        |  FROM bandkeys),
+        |m AS (SELECT band, bh, id FROM rn WHERE rn <= 65),
+        |msz AS (SELECT band, bh FROM m GROUP BY band, bh
+        |        HAVING count(*) BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT m1.id AS a, m2.id AS b
+        |  FROM m m1
+        |  JOIN m m2 ON m1.band = m2.band AND m1.bh = m2.bh
+        |           AND m1.id < m2.id
+        |  JOIN msz s ON s.band = m1.band AND s.bh = m1.bh),
+        |n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS ni
+        |  FROM cand c
+        |  JOIN sh sa ON sa.id = c.a
+        |  JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+        |  GROUP BY c.a, c.b),
+        |j AS (
+        |  SELECT c.a, c.b,
+        |         round(CAST(coalesce(ni, 0) AS DOUBLE)
+        |               / (na.n + nb.n - coalesce(ni, 0)), 4) AS jaccard
+        |  FROM cand c
+        |  JOIN n na ON na.id = c.a
+        |  JOIN n nb ON nb.id = c.b
+        |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b)
+        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
       // MinHash(64) + 16×4 banded LSH candidates + exact-Jaccard verify.
-      // Never all-pairs: candidates come from band-hash buckets, and the
-      // verify joins shingles only for candidates. Finds both the planted
-      // pairs (Jaccard ≈ 0.91-0.96) and the corpus's natural near-dups
-      // (≈ 0.89-0.99); xxhash64-based signatures are Spark-specific →
-      // rows-only check, exact-pair assertions live in DedupSpec.
+      // Never all-pairs: candidates come from band buckets, and the
+      // verify joins shingles only for candidates. Finds both the
+      // planted pairs (Jaccard ≈ 0.91-0.96) and the corpus's natural
+      // near-dups (≈ 0.89-0.99). The md5-mod-prime slot contract
+      // ([[org.apache.spark.sql.graft.MinHashSlots.slots]]) and the
+      // slots-as-string band keys make the ENTIRE pipeline — signatures,
+      // bands, bucket caps, candidate set, verify — SQL-replayable, so
+      // the oracle walks the identical lattice end to end (upgraded from
+      // the xxhash64 era's rows-only check); exact-pair assertions still
+      // live in DedupSpec.
       Dedup.nearDupPairs(
         Dedup.plantedNear(table(s, dir, "documents")), "doc_id", "text",
         threshold = 0.5)
     },
 
-    QuerySpec.noOracle("q41_simhash") { (s, dir) =>
-      // 64-bit TF-weighted SimHash near-dup detection of the corpus's
-      // NATURAL near-duplicates: candidates by 8-bit chunk equality
-      // (complete for Hamming ≤ 7 ⊇ the 4 used here), verified with
-      // bit_count(xor). Unrelated docs cluster near Hamming 18; near-dups
-      // (trigram Jaccard ≥ 0.9) measure 0-9 with a knee at ~4.
+    QuerySpec(
+      "q41_simhash",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT id,
+        |             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+        |               AS hv
+        |      FROM t),
+        |bits AS (
+        |  SELECT id, i.range AS i,
+        |         sum(CASE WHEN (hv >> i.range) & 1 = 1
+        |                  THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) i GROUP BY id, i.range),
+        |sig AS (
+        |  SELECT id,
+        |         sum(CASE WHEN s > 0
+        |                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |                  ELSE 0 END) AS sig
+        |  FROM bits GROUP BY id),
+        |chunks AS (
+        |  SELECT id, c.range AS c, (sig >> (c.range * 10)) & 1023 AS v
+        |  FROM sig, range(0, 6) c),
+        |rn AS (
+        |  SELECT id, c, v,
+        |         row_number() OVER (PARTITION BY c, v ORDER BY id) AS rn
+        |  FROM chunks),
+        |m AS (SELECT c, v, id FROM rn WHERE rn <= 257),
+        |msz AS (SELECT c, v FROM m GROUP BY c, v
+        |        HAVING count(*) BETWEEN 2 AND 256),
+        |cand AS (
+        |  SELECT DISTINCT m1.id AS a, m2.id AS b
+        |  FROM m m1
+        |  JOIN m m2 ON m1.c = m2.c AND m1.v = m2.v AND m1.id < m2.id
+        |  JOIN msz s ON s.c = m1.c AND s.v = m1.v),
+        |hm AS (
+        |  SELECT c.a, c.b,
+        |         CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN sig s1 ON s1.id = c.a
+        |  JOIN sig s2 ON s2.id = c.b)
+        |SELECT a, b, hamming FROM hm WHERE hamming <= 4
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      // 60-bit TF-weighted SimHash near-dup detection of the corpus's
+      // NATURAL near-duplicates: candidates by 10-bit chunk equality
+      // (complete for Hamming ≤ 5 ⊇ the 4 used here), verified with
+      // bit_count(xor). The md5-prefix token hash makes signatures,
+      // chunk buckets, caps, and Hamming verify all SQL-replayable —
+      // the oracle recomputes every signature bit for bit (upgraded
+      // from the xxhash64 era's rows-only check).
       Dedup.simhashPairs(
-        Dedup.simhash64(table(s, dir, "documents"), "doc_id", "text"),
+        Dedup.simhash60(table(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 4)
         .orderBy(col("a"), col("b"))
     },

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -69,19 +69,26 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Carter–Wegman MinHash slot vector: hash the input string ONCE into two
-  * independent 64-bit base hashes (XXH64 under two seeds), then derive the
-  * k permutation approximations as affine combinations `h1 + i * h2` (h2
-  * forced odd so every map is a bijection mod 2^64). Replaces k salted
-  * string re-hashes (`xxhash64(concat(sh, salt_i))` — k string
-  * concatenations + k variable-length hashes per row) with 2 string hashes
-  * + k wrapping long multiply-adds, the standard MinHash trick (Indyk;
-  * also how DataSketches derives its k minhash slots).
+/** Carter–Wegman MinHash slot vector: digest the input string ONCE
+  * (md5), derive two base values from its leading bytes, and emit the k
+  * permutation approximations as affine combinations `(a + i·b) mod P`
+  * with P = 2^31−1 prime (b ≠ 0, so every map is a bijection mod P).
+  * Replaces k salted string re-hashes (`xxhash64(concat(sh, salt_i))` —
+  * k string concatenations + k variable-length hashes per row) with one
+  * digest + k modular adds, the standard MinHash trick (Indyk; also how
+  * DataSketches derives its k minhash slots).
   *
-  * Wrapping arithmetic is REQUIRED here, which is why this is a native
-  * expression: SQL-level `h1 + i * h2` under ANSI mode (the Spark 4
-  * default) throws ARITHMETIC_OVERFLOW, while Java long arithmetic wraps —
-  * the intended modular semantics.
+  * md5-mod-prime instead of the earlier wrapping-XXH64 form is what
+  * makes the WHOLE MinHash-LSH pipeline SQL-replayable: DuckDB computes
+  * the identical md5 hex and the identical non-overflowing `%`
+  * arithmetic, so q40's signatures, bands, buckets, and survivors all
+  * sit under a full hash-compare oracle (the contract is spelled out at
+  * [[MinHashSlots.slots]]). The native expression remains the hot path:
+  * the declarative md5/conv/substring form evaluates the digest per
+  * base and allocates hex strings per shingle; this is one thread-local
+  * digest and a primitive loop inside the enclosing codegen stage
+  * (bit-equality with the declarative form is property-tested in
+  * VectorExpressionsSpec).
   *
   * Output is `array<long>` of length k (never null elements); a null
   * input string yields a null array via UnaryExpression null-intolerance.
@@ -96,31 +103,13 @@ case class MinHashSlots(child: Expression, k: Int)
 
   override def prettyName: String = "graft_minhash_slots"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val h1 = XXH64.hashUTF8String(s, MinHashSlots.Seed1)
-    val h2 = XXH64.hashUTF8String(s, MinHashSlots.Seed2) | 1L
-    val arr = new Array[Long](k)
-    var i = 0
-    while (i < k) { arr(i) = h1 + i * h2; i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSlots.slots(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      val h1 = ctx.freshName("h1")
-      val h2 = ctx.freshName("h2")
-      val arr = ctx.freshName("arr")
-      val i = ctx.freshName("i")
-      val xxh = classOf[XXH64].getName
-      val uad = classOf[UnsafeArrayData].getName
-      s"""
-         |long $h1 = $xxh.hashUTF8String($s, ${MinHashSlots.Seed1}L);
-         |long $h2 = $xxh.hashUTF8String($s, ${MinHashSlots.Seed2}L) | 1L;
-         |long[] $arr = new long[$k];
-         |for (int $i = 0; $i < $k; $i++) { $arr[$i] = $h1 + $i * $h2; }
-         |${ev.value} = $uad.fromPrimitiveArray($arr);
-       """.stripMargin
+      val cls = "org.apache.spark.sql.graft.MinHashSlots"
+      s"${ev.value} = $cls.slots($s, $k);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -128,12 +117,46 @@ case class MinHashSlots(child: Expression, k: Int)
 }
 
 object MinHashSlots {
-  /** Spark's conventional xxhash64 seed — slot 0 therefore matches what a
-    * plain `xxhash64(sh)` family would produce, handy when debugging. */
-  val Seed1: Long = 42L
-  /** 2^64 / golden ratio, the splitmix64 increment — a fixed, public,
-    * maximally-irrational odd constant for the second hash stream. */
-  val Seed2: Long = 0x9E3779B97F4A7C15L
+
+  /** 2^31 − 1, the Mersenne prime — the Carter–Wegman modulus. Chosen
+    * so every intermediate (`a + i·b` stays < 2·P·k < 2^38) fits a
+    * signed 64-bit integer on BOTH engines: DuckDB BIGINT arithmetic
+    * raises on overflow, so the earlier wrapping-xxhash64 form was
+    * unreplayable and q40 could only be checked rows-only. */
+  val P: Long = 2147483647L
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The k slot values for one shingle. CONTRACT (this exact arithmetic
+    * is the q40 oracle, replayed verbatim in SQL over the md5 hex):
+    *   m = md5(sh)
+    *   a = uint(hex chars 1..8  of m) % P          -- md5 bytes 0..3
+    *   b = uint(hex chars 9..16 of m) % (P−1) + 1  -- md5 bytes 4..7, ≠ 0
+    *   slot_i = (a + i·b) % P
+    * Shared-base affine slots: the same pairwise-independence
+    * approximation as before (two base streams per shingle), with the
+    * LSH threshold behavior re-pinned empirically by DedupSpec's
+    * planted-pair recall. Called from generated code. */
+  def slots(s: UTF8String, k: Int): UnsafeArrayData = {
+    val dg = md5.get().digest(s.getBytes)
+    val a = (((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)) % P
+    val b = ((((dg(4) & 0xffL) << 24) | ((dg(5) & 0xffL) << 16) |
+      ((dg(6) & 0xffL) << 8) | (dg(7) & 0xffL)) % (P - 1)) + 1L
+    val arr = new Array[Long](k)
+    var i = 0
+    var v = a
+    while (i < k) { // v ≡ (a + i·b) mod P: a,b < P ⇒ one subtract suffices
+      arr(i) = v
+      v += b
+      if (v >= P) v -= P
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
 }
 
 /** Column-API surface for the native vector expressions. */

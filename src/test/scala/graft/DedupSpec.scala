@@ -46,7 +46,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("SimHash finds the strong natural near-dups within Hamming 4") {
     val pairs = Dedup.simhashPairs(
-      Dedup.simhash64(docs, "doc_id", "text"), maxHamming = 4)
+      Dedup.simhash60(docs, "doc_id", "text"), maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val found = pairs.map(p => (p._1, p._2)).toSet
     // near-identical natural pairs (measured TF-simhash Hamming ≤ 1)
@@ -90,7 +90,7 @@ class DedupSpec extends AnyFunSuite {
       "LSH candidate plan lost the pre-collect window truncation")
     assert(lsh.count() == 0)
     val sim = Dedup.simhashPairs(
-      Dedup.simhash64(degenerate, "doc_id", "text"))
+      Dedup.simhash60(degenerate, "doc_id", "text"))
     val simPlan = sim.queryExecution.executedPlan.toString
     assert(simPlan.contains("row_number"),
       "SimHash candidate plan lost the pre-collect window truncation")

@@ -184,7 +184,7 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.engine.Dedup.nearDupPairs(
       graft.engine.Dedup.plantedNear(docs), "doc_id", "text", 0.5).count()
     graft.engine.Dedup.simhashPairs(
-      graft.engine.Dedup.simhash64(docs, "doc_id", "text"), maxHamming = 4)
+      graft.engine.Dedup.simhash60(docs, "doc_id", "text"), maxHamming = 4)
       .count()
     val leaked = spark.sparkContext.getPersistentRDDs
     assert(leaked.isEmpty,

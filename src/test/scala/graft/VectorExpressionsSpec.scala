@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.engine._
 import org.apache.spark.sql.graft.VectorFunctions
@@ -209,6 +210,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val expected = total()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try assert(expected == total())
+    finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
+  }
+
+  test("native minhash slots == declarative md5/conv contract (bit-exact), " +
+    "codegen == interpreted") {
+    import spark.implicits._
+    val P = org.apache.spark.sql.graft.MinHashSlots.P
+    // real shingles + edge strings (empty, multibyte, 1 char)
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val strs = Dedup.shingleDf(docs, "doc_id", "text", n = 3)
+      .select(col("sh")).distinct()
+      .unionByName(Seq("", "中文 шингл", "a").toDF("sh"))
+    // The ORACLE form of MinHashSlots.slots, in built-in expressions:
+    // a/b from the md5 hex prefix, slot_i = (a + i·b) mod P.
+    val m = md5(col("sh"))
+    val staged = strs.select(col("sh"), m.as("m"))
+      .select(col("sh"),
+        (conv(substring(col("m"), 1, 8), 16, 10).cast("long") % P).as("ha"),
+        (conv(substring(col("m"), 9, 8), 16, 10).cast("long") % (P - 1) + 1)
+          .as("hb"))
+    val declared = staged.select(col("sh"),
+      array((0 until 64).map(i =>
+        (col("ha") + lit(i.toLong) * col("hb")) % P): _*).as("want"))
+    val both = declared.withColumn("got",
+      org.apache.spark.sql.graft.VectorFunctions.minhashSlots(col("sh"), 64))
+    assert(both.filter(not(col("got") <=> col("want"))).isEmpty,
+      "native slots diverge from the declarative md5/conv contract")
+    val withCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    def sig(): Seq[Row] = both.select(col("sh"), col("got"))
+      .orderBy("sh").collect().toSeq
+    val compiled = sig()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(compiled == sig())
     finally spark.conf.set("spark.sql.codegen.wholeStage", withCodegen)
   }
 }
