@@ -397,7 +397,9 @@ object DedupQueries {
         .orderBy(col("canonical"))
     },
 
-    QuerySpec.noOracle("q134_incremental_neardup") { (s, dir) =>
+    QuerySpec(
+      "q134_incremental_neardup",
+      q134Oracle) { (s, dir) =>
       // Incremental cross-batch NEAR-dup ([[Dedup.nearDupAgainstIndex]],
       // q130's MinHash sibling): drop 1 is the corpus (its own natural
       // near-dup families collapse to first-arrival survivors); drop 2
@@ -405,10 +407,15 @@ object DedupQueries {
       // verified against the index's signatures and dropped), genuinely
       // new half-documents (+70000, Jaccard ≈ 0.5 to their originals —
       // below the 0.75 agreement bar, kept), and near-copies of THOSE
-      // (+80000 — in-batch candidates, greedy-dropped). MinHash slots
-      // are Spark-hash-specific → rows-only here; exact planted
-      // assertions, replay exactly-onceness, and the no-index-reshuffle
-      // plan gate live in DedupSpec/PlanAuditSpec.
+      // (+80000 — in-batch candidates, greedy-dropped). With the
+      // md5-mod-prime MinHash bases the WHOLE incremental process is
+      // SQL-replayable: the oracle rebuilds both batches' signature
+      // lattices, batch 1's in-batch drops (= index v1), batch 2's
+      // in-batch AND against-the-index drops (including the cross-match
+      // membership cap), and must land on the identical (id, batch)
+      // survivor ledger — upgraded from the xxhash64 era's rows-only
+      // check. Exact planted assertions, replay exactly-onceness, and
+      // the no-index-reshuffle plan gate stay in DedupSpec/PlanAuditSpec.
       val docs = table(s, dir, "documents")
       val half = expr(
         "substring(text, 1, greatest(cast(length(text) / 2 as int), 1))")
@@ -591,4 +598,122 @@ object DedupQueries {
        |       CAST(rank_nano AS BIGINT) AS rank_nano
        |FROM it5 ORDER BY rank_nano DESC, id LIMIT 50""".stripMargin
   }
+
+  /** q134's oracle: the whole incremental near-dup process, replayed.
+    * [[latticeSql]]/[[inBatchDropSql]] rebuild each batch's md5
+    * signature lattice and in-batch drops exactly as
+    * [[Dedup.nearDupAgainstIndex]] computes them; the cross-batch half
+    * mirrors the production path precisely — index keys restricted to
+    * batch-1 SURVIVORS, the per-(band,bh) membership cap (rn ≤ 64, no
+    * min-size gate — the cross match pairs one index id with one batch
+    * id), slot-agreement ≥ 0.75 over the 64 slots. */
+  private def q134Oracle: String = {
+    s"""WITH x1c AS (SELECT doc_id AS id, text FROM documents),
+       |${latticeSql("x1")},
+       |${inBatchDropSql("x1")},
+       |surv1 AS (
+       |  SELECT id FROM x1c
+       |  WHERE id NOT IN (SELECT id FROM x1drops)),
+       |x2c AS (
+       |  SELECT doc_id + 50000 AS id, text || '$NearTail' AS text
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 70000,
+       |         substr(text, 1, greatest(length(text) // 2, 1))
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 80000,
+       |         substr(text, 1, greatest(length(text) // 2, 1))
+       |           || '$NearTail'
+       |  FROM documents WHERE doc_id % 9 = 1),
+       |${latticeSql("x2")},
+       |${inBatchDropSql("x2")},
+       |idxbk AS (SELECT b.* FROM x1bk b JOIN surv1 s USING (id)),
+       |bb AS (SELECT DISTINCT band, bh FROM x2bk),
+       |matched AS (
+       |  SELECT id, band, bh FROM (
+       |    SELECT i.id, i.band, i.bh,
+       |           row_number() OVER (PARTITION BY i.band, i.bh
+       |                              ORDER BY i.id) AS rn
+       |    FROM idxbk i JOIN bb USING (band, bh))
+       |  WHERE rn <= 64),
+       |xpairs AS (
+       |  SELECT DISTINCT m.id AS a, k.id AS b
+       |  FROM matched m JOIN x2bk k USING (band, bh)),
+       |xagree AS (
+       |  SELECT p.a, p.b,
+       |         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS eq
+       |  FROM xpairs p
+       |  JOIN x1slots sa ON sa.id = p.a
+       |  JOIN x2slots sb ON sb.id = p.b AND sb.i = sa.i
+       |  GROUP BY p.a, p.b),
+       |xdrops AS (SELECT DISTINCT b AS id FROM xagree
+       |           WHERE eq / 64.0 >= 0.75),
+       |surv2 AS (
+       |  SELECT id FROM x2c
+       |  WHERE id NOT IN (SELECT id FROM x2drops
+       |                   UNION SELECT id FROM xdrops))
+       |SELECT id, 1 AS batch FROM surv1
+       |UNION ALL SELECT id, 2 AS batch FROM surv2
+       |ORDER BY id""".stripMargin
+  }
+
+  /** The md5-mod-prime MinHash lattice over a corpus CTE `<p>c(id,
+    * text)` — the [[org.apache.spark.sql.graft.MinHashSlots.slots]]
+    * contract plus 16×4 banding, shared verbatim with the q40 oracle's
+    * inline form. Produces `<p>w/<p>sh/<p>ab/<p>slots/<p>bk`. */
+  private def latticeSql(p: String): String =
+    s"""${p}w AS (SELECT id, regexp_split_to_array(trim(text), '\\s+')
+       |            AS toks
+       |       FROM ${p}c),
+       |${p}sh AS (
+       |  SELECT DISTINCT id,
+       |         CASE WHEN len(toks) >= 3
+       |              THEN array_to_string(toks[u.i+1:u.i+3], ' ')
+       |              ELSE array_to_string(toks, ' ') END AS sh
+       |  FROM ${p}w, UNNEST(range(0, greatest(len(toks)-2, 1))) AS u(i)),
+       |${p}ab AS (
+       |  SELECT id,
+       |         CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)
+       |           % 2147483647 AS a,
+       |         CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT)
+       |           % 2147483646 + 1 AS b
+       |  FROM ${p}sh),
+       |${p}slots AS (
+       |  SELECT id, i.range AS i,
+       |         min((a + i.range * b) % 2147483647) AS h
+       |  FROM ${p}ab, range(0, 64) i GROUP BY id, i.range),
+       |${p}bk AS (
+       |  SELECT id, i // 4 AS band,
+       |         string_agg(h::VARCHAR, ',' ORDER BY i) AS bh
+       |  FROM ${p}slots GROUP BY id, i // 4)""".stripMargin
+
+  /** In-batch banded candidates + slot-agreement drops over a
+    * [[latticeSql]] prefix: boundedBuckets (rn ≤ 65, size 2..64),
+    * pairs a<b, agreement ≥ 0.75 of 64 slots → drop the later id.
+    * Produces `<p>rn/<p>m/<p>msz/<p>cand/<p>agree/<p>drops`. */
+  private def inBatchDropSql(p: String): String =
+    s"""${p}rn AS (
+       |  SELECT id, band, bh,
+       |         row_number() OVER (PARTITION BY band, bh
+       |                            ORDER BY id) AS rn
+       |  FROM ${p}bk),
+       |${p}m AS (SELECT band, bh, id FROM ${p}rn WHERE rn <= 65),
+       |${p}msz AS (SELECT band, bh FROM ${p}m GROUP BY band, bh
+       |            HAVING count(*) BETWEEN 2 AND 64),
+       |${p}cand AS (
+       |  SELECT DISTINCT m1.id AS a, m2.id AS b
+       |  FROM ${p}m m1
+       |  JOIN ${p}m m2 ON m1.band = m2.band AND m1.bh = m2.bh
+       |               AND m1.id < m2.id
+       |  JOIN ${p}msz s ON s.band = m1.band AND s.bh = m1.bh),
+       |${p}agree AS (
+       |  SELECT c.a, c.b,
+       |         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS eq
+       |  FROM ${p}cand c
+       |  JOIN ${p}slots sa ON sa.id = c.a
+       |  JOIN ${p}slots sb ON sb.id = c.b AND sb.i = sa.i
+       |  GROUP BY c.a, c.b),
+       |${p}drops AS (SELECT DISTINCT b AS id FROM ${p}agree
+       |              WHERE eq / 64.0 >= 0.75)""".stripMargin
 }

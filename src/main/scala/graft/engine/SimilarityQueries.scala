@@ -166,6 +166,42 @@ object SimilarityQueries {
   private val PairTables = 4
   private val PairBits = 8
 
+  /** q45 oracle: the [[Similarity.annTopK]] probe replayed end to end —
+    * 12×8 sign bits from the SAME hyperplane literals, the Hamming-1
+    * any-table multiprobe, exact rounded-cosine rerank, top-10. */
+  private def q45Oracle: String = {
+    val nTables = 12
+    val bits = 8
+    val planes = Similarity.hyperplanes(nTables * bits, 64)
+    def bucketExpr(t: Int): String =
+      (0 until bits).map { i =>
+        val pl = planes(t * bits + i)
+        s"(CASE WHEN list_dot_product(v, ${planeLit(pl)}) > 0.0 " +
+          s"THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val sigCols = (0 until nTables)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n         ")
+    val anyMatch = (0 until nTables)
+      .map(t => s"bit_count(xor(s.b$t, q.b$t)) <= 1")
+      .mkString("\n       OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, label, v,
+       |         $sigCols
+       |  FROM e),
+       |q AS (SELECT * FROM s WHERE vec_id = 0)
+       |SELECT s.vec_id, s.label,
+       |       round(list_dot_product(s.v, q.v)
+       |             / (sqrt(list_dot_product(s.v, s.v))
+       |                * sqrt(list_dot_product(q.v, q.v))), 4) + 0.0
+       |         AS score
+       |FROM s, q
+       |WHERE s.vec_id <> 0
+       |  AND ($anyMatch)
+       |ORDER BY score DESC, s.vec_id LIMIT 10""".stripMargin
+  }
+
   private val q105Oracle: String = {
     val planes = Similarity.hyperplanes(PairTables * PairBits, 64)
     def bucketExpr(t: Int): String =
@@ -303,6 +339,36 @@ object SimilarityQueries {
     * machinery restricted to the probed candidates: re-encode, LUT
     * lookups summed in Spark's left-fold order, top-50 by approximate
     * score, exact rounded-cosine rerank. */
+  /** q59's oracle: the q141 replay WITHOUT the PQ tail — assignment and
+    * probe-list selection from the published centroid table, then the
+    * exact rounded-cosine top-10 inside the probed lists. */
+  private def q59Oracle: String = {
+    val centsGlob = s"${IngestQueries.FixRoot}/ivf_cents_$pqOracleSf/*.parquet"
+    def cosSql(x: String, y: String): String =
+      s"""list_dot_product($x, $y)
+         | / (sqrt(list_dot_product($x, $x))
+         |    * sqrt(list_dot_product($y, $y)))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |cents AS (SELECT list, centroid FROM read_parquet('$centsGlob')),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT e.vec_id, c.list,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosSql("e.v", "c.centroid")} DESC, c.list DESC) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT c.list FROM cents c, q
+       |  ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.list ASC
+       |  LIMIT 4)
+       |SELECT e.vec_id, e.label,
+       |       round(${cosSql("e.v", "q.qv")}, 4) + 0.0 AS score
+       |FROM e JOIN assign a USING (vec_id), q
+       |WHERE a.list IN (SELECT list FROM probes) AND e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   private def q141Oracle: String = {
     val booksGlob = s"${IngestQueries.FixRoot}/pq_books_$pqOracleSf/*.parquet"
     val centsGlob = s"${IngestQueries.FixRoot}/ivf_cents_$pqOracleSf/*.parquet"
@@ -349,15 +415,20 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
-    QuerySpec.noOracle("q45_ann_lsh") { (s, dir) =>
+    QuerySpec("q45_ann_lsh", q45Oracle) { (s, dir) =>
       // Sign-hyperplane LSH ANN: 12 tables × 8 bits with Hamming-1
       // multiprobe — a candidate's bucket is within 1 bit of the query's
-      // in ANY table. Deterministic hyperplanes → stable buckets; recall
-      // vs the exact top-k is asserted in SimilaritySpec.
+      // in ANY table. Deterministic hyperplanes → stable buckets, which
+      // is also what makes the probe fully SQL-replayable: the oracle
+      // recomputes all 96 sign bits from the same plane literals (the
+      // q105/q102 discipline), applies the same Hamming-1 multiprobe
+      // filter, and reranks candidates with the exact rounded cosine —
+      // upgrading q45 from rows-only to a full hash compare. Recall vs
+      // the exact top-k stays asserted in SimilaritySpec.
       Similarity.annTopK(table(s, dir, "embeddings"), queryId = 0L, k = 10)
     },
 
-    QuerySpec.noOracle("q59_ann_ivf") { (s, dir) =>
+    QuerySpec.lazyOracle("q59_ann_ivf")(q59Oracle) { (s, dir) =>
       // IVF ANN, full production shape: spherical-k-means centroids
       // TRAINED ONCE per (JVM, sf) and persisted ([[stagedCentroids]]),
       // the assignment WRITTEN ONCE as a lake partitioned by inverted
@@ -366,9 +437,16 @@ object SimilarityQueries {
       // partition directories at planning time, exact cosine +
       // TakeOrdered inside them ([[Similarity.ivfProbePartitioned]]).
       // Both training and the assignment scan are staged untimed, so
-      // q59's bench number is probe cost. Recall, pruning,
-      // partitioned ≡ unpartitioned, and persisted ≡ fresh are
-      // asserted in SimilaritySpec; no SQL oracle (DuckDB: no k-means).
+      // q59's bench number is probe cost. Because the centroids are a
+      // PUBLISHED table, everything after training is deterministic
+      // arithmetic: the oracle replays assignment (argmax cosine, ties
+      // high — [[Similarity.ivfAssign]]'s descending struct sort),
+      // probe-list selection (ties low), and the exact rounded-cosine
+      // top-k — the q141 discipline applied to plain IVF, upgrading
+      // q59 from rows-only to a full hash compare. Recall, pruning,
+      // partitioned ≡ unpartitioned, and persisted ≡ fresh stay
+      // asserted in SimilaritySpec.
+      pqOracleSf = sfName(dir)
       val cents = stagedCentroids(s, dir)
       val lake = stagedIvfLake(s, dir)
       Similarity.ivfProbePartitioned(s, lake, queryId = 0L,
