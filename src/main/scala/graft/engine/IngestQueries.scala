@@ -504,6 +504,44 @@ object IngestQueries {
       ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))),
 
     QuerySpec(
+      "q179_bloom_skipping",
+      """SELECT doc_id, lang, source, md5(text) AS text_md5
+        |FROM documents WHERE doc_id IN (42, 137, 987654)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Per-file Bloom skipping ([[VersionedLake.commitWithBloom]] /
+      // [[readBloomProbe]]) — the equality complement of q138's min/max
+      // ranges: the corpus commits hash-distributed on doc_id (12
+      // files, every file's id RANGE spans the table, so range stats
+      // can never skip), each file records a 1 KiB bloom at commit, and
+      // a point probe reads only the files whose bloom may hold the
+      // key — present keys must prune (asserted inline), the absent key
+      // must read ZERO files (the bloom-negative fast path a
+      // right-to-access scan over a 100 TB lake lives on). The oracle
+      // answers the same three probes from the raw table: a wrongly
+      // skipped file loses a row and breaks the hash; a false positive
+      // only costs the require.
+      val lake = bloomLakePath(dir)
+      ensureStaged(lake)(stageBloomLake(s, dir))
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      def probe(id: Long) =
+        VersionedLake.readBloomProbe(s, lake, "doc_id", id.toString)
+      val p1 = probe(137L)
+      val p2 = probe(42L)
+      val pAbsent = probe(987654L)
+      if (total >= 4) {
+        require(p1.inputFiles.length < total,
+          s"bloom probe read ${p1.inputFiles.length}/$total files")
+        require(pAbsent.inputFiles.length <= 1,
+          s"absent-key probe read ${pAbsent.inputFiles.length} files")
+      }
+      p1.unionByName(p2).unionByName(pAbsent)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(bloomLakePath(dir))(stageBloomLake(s, dir))),
+
+    QuerySpec(
       "q139_stats_aggregate",
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(MIN(event_id) AS BIGINT) AS min_id,
@@ -797,6 +835,22 @@ object IngestQueries {
         .repartitionByRange(8, col("event_id"))
         .sortWithinPartitions(col("event_id")),
       lake, statsCols = Seq("event_id"))
+    ()
+  }
+
+  private def bloomLakePath(dir: String): String =
+    s"$scratchRoot/bloom_lake_${new java.io.File(dir).getName}"
+
+  /** Hash-distributed bloom commit for q179: 12 files keyed by
+    * hash(doc_id) — deliberately NOT range-clustered, so min/max stats
+    * cannot skip and only the bloom can. */
+  private def stageBloomLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = bloomLakePath(dir)
+    Lake.delete(s, lake)
+    VersionedLake.commitWithBloom(
+      Tables.table(s, dir, "documents").repartition(12, col("doc_id")),
+      lake, keyCol = "doc_id")
     ()
   }
 

@@ -547,6 +547,124 @@ object VersionedLake {
     snap.filter(col(c) >= lo && col(c) <= hi)
   }
 
+  // ---- bloom file-skipping index ---------------------------------------
+
+  /** Bloom geometry: m bits (1 KiB) per file and k probe positions —
+    * ~1% false-positive rate at ~850 distinct keys per file; a false
+    * positive only costs one needless file read, never correctness. */
+  val BloomBits: Int = 8192
+  val BloomHashes: Int = 6
+
+  /** The j-th bloom position of a key — first 8 md5 hex chars of
+    * `<key>#<j>` as an unsigned int, mod m. Declarative builtins on
+    * the commit side; [[bloomPosLocal]] is the byte-identical probe
+    * side (the md5 of the same UTF-8 bytes). */
+  private def bloomPos(key: org.apache.spark.sql.Column, j: Int,
+      m: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, conv, lit, md5, substring}
+    (conv(substring(md5(concat(key, lit(s"#$j")).cast("binary")), 1, 8),
+      16, 10).cast("long") % m).cast("int")
+  }
+
+  private def bloomPosLocal(key: String, j: Int, m: Int): Int = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key#$j".getBytes("UTF-8"))
+    ((((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)) % m).toInt
+  }
+
+  /** Commit `df` recording a PER-FILE Bloom filter over `keyCol` — the
+    * equality-probe complement of [[commitWithStats]]'s min/max ranges:
+    * ranges skip files for *range* predicates on clustered columns, but
+    * a point lookup on a high-cardinality unclustered key (doc id, user
+    * id — the right-to-access/debug probe shape) intersects every
+    * range, while a 1 KiB bloom per file prunes to the files that might
+    * actually hold the key. The bit positions come from ONE narrow
+    * read-back aggregation of the just-written files (distinct
+    * positions per file — output bounded by files × m bits, the audited
+    * driver-boundary class, 1 KiB of hex per file in the manifest
+    * sidecar). Files are the skipping grain for the same reason as
+    * [[commitWithStats]]: the manifest is driver-side metadata. */
+  def commitWithBloom(df: DataFrame, dir: String, keyCol: String,
+      mode: String = "append", codec: String = "snappy"): Int = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name}
+    val spark = df.sparkSession
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    val pos = spark.read.parquet(s"$dir/$dataDir")
+      .select(input_file_name().as("f"),
+        col(keyCol).cast("string").as("kv"))
+      .select(col("f"), explode(array((0 until BloomHashes).map(j =>
+        bloomPos(col("kv"), j, BloomBits)): _*)).as("p"))
+      .distinct()
+      .collect() // bounded: ≤ files × min(keys·k, m) positions
+    val byFile = pos.groupBy(r => new Path(r.getString(0)).getName)
+    val lines = byFile.toSeq.sortBy(_._1).map { case (name, rows) =>
+      val bits = new java.util.BitSet(BloomBits)
+      rows.foreach(r => bits.set(r.getInt(1)))
+      val hex = bits.toByteArray.map("%02x".format(_)).mkString
+      s"$name\t$keyCol\t$hex"
+    }
+    val f = fs(spark, dir)
+    val out = f.create(new Path(s"$dir/_bloom/$dataDir.bloom"), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    publish(spark, dir, dataDir, mode)
+  }
+
+  /** Bloom lines of one data dir for `c`: file → BitSet. */
+  private def bloomFor(spark: SparkSession, dir: String, d: String,
+      c: String): Map[String, java.util.BitSet] = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/_bloom/$d.bloom")
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.split('\t')).filter(a => a.length == 3 && a(1) == c)
+        .map { a =>
+          val bytes = a(2).sliding(2, 2).map(Integer.parseInt(_, 16).toByte)
+            .toArray
+          a(0) -> java.util.BitSet.valueOf(bytes)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Point-lookup over the latest snapshot reading ONLY files whose
+    * bloom may contain `value` (files without a recorded bloom are
+    * conservatively read — optimization, never a correctness gate).
+    * The file decision is driver-side metadata; the returned frame
+    * still applies the exact equality filter, so a bloom false
+    * positive costs IO, not wrong rows. `inputFiles` on the result
+    * is the skipping evidence, as with [[readSkipping]]. */
+  def readBloomProbe(spark: SparkSession, dir: String, c: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    val want = (0 until BloomHashes).map(bloomPosLocal(value, _, BloomBits))
+    val files = readManifest(spark, dir, vs.last).flatMap { d =>
+      val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val blooms = bloomFor(spark, dir, d, c)
+      if (blooms.isEmpty) all
+      else all.filter(p => blooms.get(p.getName)
+        .forall(b => want.forall(b.get)))
+    }
+    val snap =
+      if (files.isEmpty)
+        // empty WITHOUT referencing any file, so `inputFiles` honestly
+        // reports the zero reads the bloom decided on
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          readAt(spark, dir, vs.last).schema)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*)
+    snap.filter(col(c).cast("string") === value)
+  }
+
   /** Drop history: delete manifests older than the newest `retain`
     * versions, then delete data dirs no retained manifest references —
     * including orphans from crashed commits. Membership math on

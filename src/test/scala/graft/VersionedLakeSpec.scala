@@ -320,4 +320,35 @@ class VersionedLakeSpec extends AnyFunSuite {
     // and time travel still sees the pre-delete snapshot
     assert(VersionedLake.readAt(spark, dir, 3).count() == 302)
   }
+
+  test("bloom skipping: present keys prune to their file, absent keys " +
+    "read zero files, rows are never lost, appends stay covered") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("bloom-lake")
+    val rows = (0L until 600L).map(i => (i, s"v$i")).toDF("id", "payload")
+    VersionedLake.commitWithBloom(rows.repartition(8, col("id")),
+      dir, keyCol = "id")
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    assert(total == 8)
+    // every present key resolves to exactly its row, reading < total
+    Seq(0L, 137L, 599L).foreach { id =>
+      val p = VersionedLake.readBloomProbe(spark, dir, "id", id.toString)
+      assert(p.inputFiles.length < total,
+        s"id $id read ${p.inputFiles.length}/$total")
+      assert(p.select("payload").as[String].collect().toSeq == Seq(s"v$id"))
+    }
+    // absent key: bloom-negative on every file → zero reads, zero rows
+    val absent = VersionedLake.readBloomProbe(spark, dir, "id", "123456789")
+    assert(absent.inputFiles.isEmpty, s"absent read ${absent.inputFiles.length}")
+    assert(absent.isEmpty)
+    // a second bloom commit appends; probes span both versions' files
+    VersionedLake.commitWithBloom(
+      Seq((1000L, "v1000")).toDF("id", "payload"), dir, keyCol = "id")
+    val late = VersionedLake.readBloomProbe(spark, dir, "id", "1000")
+    assert(late.select("payload").as[String].collect().toSeq == Seq("v1000"))
+    assert(late.inputFiles.length <= 2)
+    // exhaustive no-lost-rows sweep: union of all probed ids == table
+    val all = VersionedLake.readLatest(spark, dir)
+    assert(all.count() == 601)
+  }
 }
