@@ -1584,6 +1584,63 @@ object TextQueries {
           Kmv.estimate(col("n"), col("kth"), KmvK)
             .as("est_distinct_shingles"))
         .orderBy("lang")
+    },
+
+    QuerySpec(
+      "q180_code_detect",
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks, text
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 4 = 0 THEN
+        |           'def f' || doc_id || '(x) {' || chr(10) ||
+        |           array_to_string(list_transform(
+        |             range(1, least(len(toks), 8) + 1),
+        |             i -> '  let v' || (i - 1) || ' = ' || toks[i] || ';'),
+        |             chr(10)) ||
+        |           chr(10) || '  return x;' || chr(10) || '}'
+        |         ELSE text END AS page
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(page, '[{};=]')) AS BIGINT)
+        |           AS n_sym,
+        |         CAST(len(regexp_extract_all(page,
+        |           '\b(def|let|return)\b')) AS BIGINT) AS kw_hits
+        |  FROM pg)
+        |SELECT doc_id, lang, n_sym, kw_hits,
+        |       (n_sym >= 10 AND kw_hits >= 3) AS is_code
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Code-vs-prose detection — the curation signal that routes
+      // documents to a code pipeline (The Stack separation) before any
+      // language-model filter sees them. The fixture compiles every
+      // fourth document into a deterministic code rendering (def
+      // header, let-bindings over its first 8 tokens, return, braces);
+      // the detector is two row-local regexp feature counts (structural
+      // symbols, keyword hits) and a conjunctive threshold — computed
+      // in the scan, no shuffle before the presentation sort, the same
+      // encode→detect round-trip discipline as the codec queries. A
+      // threshold off-by-one or a regex divergence flips is_code and
+      // breaks the hash on all 500 rows.
+      val toks = split(trim(col("text")), "\\s+")
+      val kept = slice(toks, 1, 8)
+      val body = concat_ws("\n", transform(kept, (t, i) =>
+        concat(lit("  let v"), i.cast("string"), lit(" = "), t, lit(";"))))
+      val page = when(col("doc_id") % 4 === 0,
+        concat(lit("def f"), col("doc_id").cast("string"), lit("(x) {\n"),
+          body, lit("\n  return x;\n}")))
+        .otherwise(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), page.as("page"))
+        .select(col("doc_id"), col("lang"),
+          regexp_count(col("page"), lit("[{};=]")).cast("long").as("n_sym"),
+          regexp_count(col("page"), lit("\\b(def|let|return)\\b"))
+            .cast("long").as("kw_hits"))
+        .select(col("doc_id"), col("lang"), col("n_sym"), col("kw_hits"),
+          (col("n_sym") >= 10 && col("kw_hits") >= 3).as("is_code"))
+        .orderBy("doc_id")
     })
 
   /** Planted BPE corpus (word → frequency): the classic subword-NMT
