@@ -524,7 +524,7 @@ object IngestQueries {
       ensureStaged(lake)(stageBloomLake(s, dir))
       val total = VersionedLake.readLatest(s, lake).inputFiles.length
       def probe(id: Long) =
-        VersionedLake.readBloomProbe(s, lake, "doc_id", id.toString)
+        VersionedLake.readBloomProbe(s, lake, "doc_id", id)
       val p1 = probe(137L)
       val p2 = probe(42L)
       val pAbsent = probe(987654L)

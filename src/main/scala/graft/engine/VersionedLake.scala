@@ -635,16 +635,23 @@ object VersionedLake {
     * bloom may contain `value` (files without a recorded bloom are
     * conservatively read — optimization, never a correctness gate).
     * The file decision is driver-side metadata; the returned frame
-    * still applies the exact equality filter, so a bloom false
-    * positive costs IO, not wrong rows. `inputFiles` on the result
-    * is the skipping evidence, as with [[readSkipping]]. */
+    * still applies the exact TYPED equality filter (`lit(value)`, not
+    * a string-cast comparison — the predicate must reach the parquet
+    * reader as a PushedFilter so row-group stats prune WITHIN the
+    * files the bloom admitted), so a bloom false positive costs IO,
+    * not wrong rows. `inputFiles` on the result is the skipping
+    * evidence, as with [[readSkipping]]. Bloom membership hashes the
+    * value's STRING rendering — pass the same type the column holds
+    * (a Long for a bigint key), whose `toString` matches the commit
+    * side's `cast("string")`. */
   def readBloomProbe(spark: SparkSession, dir: String, c: String,
-      value: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no versions published at $dir")
-    val want = (0 until BloomHashes).map(bloomPosLocal(value, _, BloomBits))
+    val want = (0 until BloomHashes)
+      .map(bloomPosLocal(value.toString, _, BloomBits))
     val files = readManifest(spark, dir, vs.last).flatMap { d =>
       val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
@@ -662,7 +669,7 @@ object VersionedLake {
           readAt(spark, dir, vs.last).schema)
       else spark.read.option("mergeSchema", "true")
         .parquet(files.map(_.toString): _*)
-    snap.filter(col(c).cast("string") === value)
+    snap.filter(col(c) === lit(value))
   }
 
   /** Drop history: delete manifests older than the newest `retain`

@@ -332,19 +332,19 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(total == 8)
     // every present key resolves to exactly its row, reading < total
     Seq(0L, 137L, 599L).foreach { id =>
-      val p = VersionedLake.readBloomProbe(spark, dir, "id", id.toString)
+      val p = VersionedLake.readBloomProbe(spark, dir, "id", id)
       assert(p.inputFiles.length < total,
         s"id $id read ${p.inputFiles.length}/$total")
       assert(p.select("payload").as[String].collect().toSeq == Seq(s"v$id"))
     }
     // absent key: bloom-negative on every file → zero reads, zero rows
-    val absent = VersionedLake.readBloomProbe(spark, dir, "id", "123456789")
+    val absent = VersionedLake.readBloomProbe(spark, dir, "id", 123456789L)
     assert(absent.inputFiles.isEmpty, s"absent read ${absent.inputFiles.length}")
     assert(absent.isEmpty)
     // a second bloom commit appends; probes span both versions' files
     VersionedLake.commitWithBloom(
       Seq((1000L, "v1000")).toDF("id", "payload"), dir, keyCol = "id")
-    val late = VersionedLake.readBloomProbe(spark, dir, "id", "1000")
+    val late = VersionedLake.readBloomProbe(spark, dir, "id", 1000L)
     assert(late.select("payload").as[String].collect().toSeq == Seq("v1000"))
     assert(late.inputFiles.length <= 2)
     // exhaustive no-lost-rows sweep: union of all probed ids == table
