@@ -186,14 +186,25 @@ object VersionedLake {
     * rename window and nothing to recover — compare
     * [[Lake.recoverCrashedSwap]], which versioning makes unnecessary). */
   def compactVersions(spark: SparkSession, dir: String,
-      codec: String = "snappy", statsCols: Seq[String] = Seq.empty): Int =
-    // pass statsCols on a stats-carrying lake or the compacted dir has
-    // no stats and the metadata-only paths (readSkipping /
-    // statsAggregate) silently degrade to scans after every compaction
-    if (statsCols.isEmpty)
-      commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
-    else commitWithStats(readLatest(spark, dir), dir, statsCols,
-      mode = "overwrite", codec = codec)
+      codec: String = "snappy", statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None): Int =
+    // pass statsCols / bloomCol on an indexed lake or the compacted dir
+    // has no sidecars and the metadata-only paths (readSkipping /
+    // statsAggregate / readBloomProbe) silently degrade to scans after
+    // every compaction — conservative, never wrong, but the fast path
+    // is the point of the index
+    bloomCol match {
+      case Some(c) =>
+        require(statsCols.isEmpty,
+          "one sidecar per compaction: stats or bloom")
+        commitWithBloom(readLatest(spark, dir), dir, c,
+          mode = "overwrite", codec = codec)
+      case None if statsCols.isEmpty =>
+        commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
+      case None =>
+        commitWithStats(readLatest(spark, dir), dir, statsCols,
+          mode = "overwrite", codec = codec)
+    }
 
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by

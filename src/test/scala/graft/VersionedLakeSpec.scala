@@ -350,5 +350,16 @@ class VersionedLakeSpec extends AnyFunSuite {
     // exhaustive no-lost-rows sweep: union of all probed ids == table
     val all = VersionedLake.readLatest(spark, dir)
     assert(all.count() == 601)
+    // compaction carrying the bloom forward: probes keep pruning across
+    // the boundary (a bloom-less compaction would be correct but read
+    // everything — the silent-degrade the bloomCol parameter exists for)
+    VersionedLake.compactVersions(spark, dir, bloomCol = Some("id"))
+    val afterTotal = VersionedLake.readLatest(spark, dir).inputFiles.length
+    val pc = VersionedLake.readBloomProbe(spark, dir, "id", 137L)
+    assert(pc.select("payload").as[String].collect().toSeq == Seq("v137"))
+    if (afterTotal > 1)
+      assert(pc.inputFiles.length < afterTotal)
+    assert(VersionedLake.readBloomProbe(spark, dir, "id", 123456789L)
+      .inputFiles.isEmpty, "post-compaction absent key must read nothing")
   }
 }
