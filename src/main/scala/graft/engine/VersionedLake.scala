@@ -601,7 +601,14 @@ object VersionedLake {
     import org.apache.spark.sql.functions.{array, col, explode, input_file_name}
     val spark = df.sparkSession
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    // Two-level skipping from one commit: the manifest bloom below
+    // prunes FILES driver-side; this writer option additionally embeds
+    // parquet's native bloom per ROW GROUP, which the reader's pushed
+    // equality filter consults inside whichever files the manifest
+    // admitted. Same key, zero extra passes.
+    df.write.option("compression", codec)
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .parquet(s"$dir/$dataDir")
     val pos = spark.read.parquet(s"$dir/$dataDir")
       .select(input_file_name().as("f"),
         col(keyCol).cast("string").as("kv"))

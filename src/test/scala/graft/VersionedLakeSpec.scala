@@ -361,5 +361,22 @@ class VersionedLakeSpec extends AnyFunSuite {
       assert(pc.inputFiles.length < afterTotal)
     assert(VersionedLake.readBloomProbe(spark, dir, "id", 123456789L)
       .inputFiles.isEmpty, "post-compaction absent key must read nothing")
+    // and the commit also embedded parquet's NATIVE row-group bloom on
+    // the key (the second skipping level, consulted by the pushed
+    // equality filter inside admitted files)
+    val conf = spark.sessionState.newHadoopConf()
+    val one = VersionedLake.readLatest(spark, dir).inputFiles.head
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(one), conf))
+    try {
+      val block = rd.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val idCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(rd.getBloomFilterDataReader(block)
+        .readBloomFilter(idCol) != null,
+        "native parquet bloom missing from the footer")
+    } finally rd.close()
   }
 }
