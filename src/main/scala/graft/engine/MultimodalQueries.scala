@@ -17,7 +17,7 @@ object MultimodalQueries {
         |            WHEN doc_id % 3 = 1 THEN 'jpeg'
         |            ELSE 'wav' END AS format,
         |       count(*) AS n,
-        |       CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       CAST(min(doc_id % 8 * 160 + 320) AS INT) AS min_width,
         |       CAST(max(doc_id % 8 * 90 + 180) AS INT) AS max_height
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
@@ -135,7 +135,7 @@ object MultimodalQueries {
         |              WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
         |         CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 16 END AS INT)
         |           AS bits_per_sample,
-        |         CAST(octet_length(text::BLOB) AS BIGINT) AS data_len
+        |         CAST(strlen(text) AS BIGINT) AS data_len
         |  FROM documents)
         |SELECT doc_id AS media_id, channels, sample_rate, bits_per_sample,
         |       data_len,
@@ -182,7 +182,7 @@ object MultimodalQueries {
         |              ELSE 90000 END AS INT) AS timescale,
         |         CAST((doc_id % 500 + 1) * 100 AS BIGINT) AS duration,
         |         CAST(1 + doc_id % 3 AS INT) AS track_count,
-        |         CAST(octet_length(text::BLOB) AS BIGINT) AS mdat_len
+        |         CAST(strlen(text) AS BIGINT) AS mdat_len
         |  FROM documents)
         |SELECT doc_id AS media_id, timescale, duration, track_count,
         |       mdat_len, duration * 1000 // timescale AS duration_ms
@@ -280,15 +280,15 @@ object MultimodalQueries {
         |         'response' AS warc_type,
         |         'https://' || source || '.example.org/p/' || doc_id
         |           AS target_uri,
-        |         CAST(octet_length(payload::BLOB) AS BIGINT)
+        |         CAST(strlen(payload) AS BIGINT)
         |           AS content_length,
         |         md5(payload) AS payload_md5
         |  FROM d),
         |info AS (
         |  SELECT DISTINCT file_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
         |         CAST(NULL AS VARCHAR) AS target_uri,
-        |         CAST(octet_length(('isPartOf: graft-crawl-' || file_id)
-        |                           ::BLOB) AS BIGINT) AS content_length,
+        |         CAST(strlen('isPartOf: graft-crawl-' || file_id)
+        |              AS BIGINT) AS content_length,
         |         md5('isPartOf: graft-crawl-' || file_id) AS payload_md5
         |  FROM d)
         |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)

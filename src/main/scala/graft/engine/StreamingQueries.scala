@@ -349,14 +349,14 @@ object StreamingQueries {
         |  SELECT file_id,
         |         CAST(row_number() OVER (PARTITION BY file_id
         |                                 ORDER BY doc_id) AS INT) AS rec_idx,
-        |         CAST(octet_length(payload::BLOB) AS BIGINT)
+        |         CAST(strlen(payload) AS BIGINT)
         |           AS content_length,
         |         md5(payload) AS payload_md5
         |  FROM d),
         |info AS (
         |  SELECT DISTINCT file_id, 0 AS rec_idx,
-        |         CAST(octet_length(('isPartOf: graft-crawl-' || file_id)
-        |                           ::BLOB) AS BIGINT) AS content_length,
+        |         CAST(strlen('isPartOf: graft-crawl-' || file_id)
+        |              AS BIGINT) AS content_length,
         |         md5('isPartOf: graft-crawl-' || file_id) AS payload_md5
         |  FROM d),
         |r AS (SELECT * FROM info UNION ALL SELECT * FROM resp)

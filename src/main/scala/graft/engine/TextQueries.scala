@@ -10,8 +10,42 @@ object TextQueries {
   import Tables.table
   import TextAnalysis._
 
-  /** KMV sketch size for q175 (k in the (k-1)/K(k) estimator). */
+  /** KMV sketch size for q175/q177 (k in the (k-1)/K(k) estimator). */
   private val KmvK = 256
+
+  /** Shared KMV oracle prefix (ONE definition for q175 and q177, the
+    * latticeSql discipline): 8-gram shingles of `documents` grouped by
+    * `groupExpr`, distinct 60-bit md5 points, bottom-k per group, and
+    * the per-group (n, kth) frame `ga` the estimator reads. Mirrors
+    * [[Kmv.point]]/[[Kmv.sketch]] exactly. */
+  private def kmvSketchSql(groupExpr: String): String =
+    s"""d AS (
+       |  SELECT $groupExpr AS g0,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT g0 AS g,
+       |         CASE WHEN len(toks) >= 8
+       |              THEN array_to_string(toks[u.i+1:u.i+8], ' ')
+       |              ELSE array_to_string(toks, ' ') END AS sh
+       |  FROM d, UNNEST(range(0, greatest(len(toks)-7, 1))) AS u(i)),
+       |p AS (
+       |  SELECT DISTINCT g,
+       |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+       |  FROM sh0),
+       |sk AS (SELECT g, h FROM p
+       |       QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
+       |               <= $KmvK),
+       |ga AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g)"""
+      .stripMargin
+
+  /** The KMV estimator as SQL — [[Kmv.estimate]]'s arithmetic verbatim
+    * (exact below k, else (k−1)·2^60/kth in IEEE double). */
+  private def kmvEstSql(n: String, kth: String): String =
+    s"""CASE WHEN $n < $KmvK THEN $n
+       |            ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
+       |                            / CAST($kth AS DOUBLE)) AS BIGINT)
+       |       END""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -1374,38 +1408,17 @@ object TextQueries {
 
     QuerySpec(
       "q175_kmv_overlap",
-      s"""WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
-        |         CASE WHEN len(toks) >= 8
-        |              THEN array_to_string(toks[u.i+1:u.i+8], ' ')
-        |              ELSE array_to_string(toks, ' ') END AS sh
-        |  FROM d, UNNEST(range(0, greatest(len(toks)-7, 1))) AS u(i)),
-        |p AS (
-        |  SELECT DISTINCT g,
-        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
-        |  FROM sh0),
-        |sk AS (SELECT g, h FROM p
-        |       QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
-        |               <= ${KmvK}),
-        |ga AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g),
+      s"""WITH ${kmvSketchSql(
+        "CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END")},
         |gest AS (
         |  SELECT g AS set_name,
-        |         CASE WHEN n < ${KmvK} THEN n
-        |              ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
-        |                              / CAST(kth AS DOUBLE)) AS BIGINT)
-        |         END AS est
+        |         ${kmvEstSql("n", "kth")} AS est
         |  FROM ga),
         |usk AS (SELECT h FROM (SELECT DISTINCT h FROM sk)
         |        QUALIFY row_number() OVER (ORDER BY h) <= ${KmvK}),
         |ua AS (SELECT count(*) AS n, max(h) AS kth FROM usk),
         |uest AS (
-        |  SELECT CASE WHEN n < ${KmvK} THEN n
-        |              ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
-        |                              / CAST(kth AS DOUBLE)) AS BIGINT)
-        |         END AS est
+        |  SELECT ${kmvEstSql("n", "kth")} AS est
         |  FROM ua),
         |rho AS (
         |  SELECT count(*) AS r FROM usk
@@ -1530,28 +1543,9 @@ object TextQueries {
 
     QuerySpec(
       "q177_incremental_kmv",
-      s"""WITH d AS (
-        |  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT lang AS g,
-        |         CASE WHEN len(toks) >= 8
-        |              THEN array_to_string(toks[u.i+1:u.i+8], ' ')
-        |              ELSE array_to_string(toks, ' ') END AS sh
-        |  FROM d, UNNEST(range(0, greatest(len(toks)-7, 1))) AS u(i)),
-        |p AS (
-        |  SELECT DISTINCT g,
-        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
-        |  FROM sh0),
-        |sk AS (SELECT g, h FROM p
-        |       QUALIFY row_number() OVER (PARTITION BY g ORDER BY h)
-        |               <= ${KmvK}),
-        |ga AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g)
+      s"""WITH ${kmvSketchSql("lang")}
         |SELECT g AS lang, kth AS kth_hash,
-        |       CASE WHEN n < ${KmvK} THEN n
-        |            ELSE CAST(round(${KmvK - 1}.0 * ${Kmv.HashSpace}
-        |                            / CAST(kth AS DOUBLE)) AS BIGINT)
-        |       END AS est_distinct_shingles
+        |       ${kmvEstSql("n", "kth")} AS est_distinct_shingles
         |FROM ga ORDER BY lang""".stripMargin) { (s, dir) =>
       // Incremental distinct-counting through the versioned lake: each
       // monthly batch commits ONLY its own KMV sketch (≤ k rows per

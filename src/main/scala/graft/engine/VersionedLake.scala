@@ -610,6 +610,10 @@ object VersionedLake {
       .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
       .parquet(s"$dir/$dataDir")
     val pos = spark.read.parquet(s"$dir/$dataDir")
+      // NULL keys carry no bloom membership (a point probe is an
+      // equality, which a NULL never satisfies); without the filter a
+      // null md5 position would NPE the driver-side bitset fold
+      .filter(col(keyCol).isNotNull)
       .select(input_file_name().as("f"),
         col(keyCol).cast("string").as("kv"))
       .select(col("f"), explode(array((0 until BloomHashes).map(j =>
@@ -706,10 +710,11 @@ object VersionedLake {
       .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
       .foreach { p =>
         f.delete(p, true)
-        // stats metadata lives and dies with its data dir — orphan
-        // .stats files would otherwise accumulate one per vacuumed
-        // commit, unboundedly on a long-lived lake
+        // sidecar metadata lives and dies with its data dir — orphan
+        // .stats/.bloom files would otherwise accumulate one per
+        // vacuumed commit, unboundedly on a long-lived lake
         f.delete(new Path(s"$dir/_stats/${p.getName}.stats"), false)
+        f.delete(new Path(s"$dir/_bloom/${p.getName}.bloom"), false)
         ()
       }
     // drop tag markers whose data dir was just vacuumed, keeping the

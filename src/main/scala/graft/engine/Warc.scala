@@ -247,8 +247,25 @@ object Warc {
       .toDF()
   }
 
-  private[engine] def fileIdOf(path: String): Long = {
+  /** Segment id from the file name: `crawl-<k>.warc[.gz]` parses its
+    * number; any OTHER name (real crawls ship names like
+    * `CC-MAIN-….warc.gz`) gets a deterministic md5-derived id instead
+    * of failing the task — one foreign-named segment must not kill a
+    * whole ingest job, and the id only needs to be stable and distinct
+    * per file. */
+  private[graft] def fileIdOf(path: String): Long = {
     val name = path.substring(path.lastIndexOf('/') + 1)
-    name.stripPrefix("crawl-").takeWhile(_.isDigit).toLong
+    val digits = name.stripPrefix("crawl-").takeWhile(_.isDigit)
+    if (name.startsWith("crawl-") && digits.nonEmpty) digits.toLong
+    else {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes(UTF_8))
+      // 60 bits → always non-negative, never collides with the small
+      // crawl-<k> range in practice
+      (((dg(0) & 0x0fL) << 56) | ((dg(1) & 0xffL) << 48) |
+        ((dg(2) & 0xffL) << 40) | ((dg(3) & 0xffL) << 32) |
+        ((dg(4) & 0xffL) << 24) | ((dg(5) & 0xffL) << 16) |
+        ((dg(6) & 0xffL) << 8) | (dg(7) & 0xffL))
+    }
   }
 }

@@ -57,6 +57,17 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.walk(0L, "WARC/1.0\r\nWARC-Type: res".getBytes(UTF_8)).isEmpty)
   }
 
+  test("foreign segment names get a stable md5 id instead of failing") {
+    val a = Warc.fileIdOf("/drop/CC-MAIN-2026-33-00042.warc.gz")
+    val b = Warc.fileIdOf("/elsewhere/CC-MAIN-2026-33-00042.warc.gz")
+    val c = Warc.fileIdOf("/drop/CC-MAIN-2026-33-00043.warc.gz")
+    assert(a == b, "id must depend on the NAME only, not the directory")
+    assert(a != c && a >= 0L && c >= 0L)
+    assert(Warc.fileIdOf("/drop/crawl-7.warc") == 7L)
+    assert(Warc.fileIdOf("/drop/crawl-x.warc") >= 0L,
+      "digitless crawl- name must fall back, not throw")
+  }
+
   test("gzip tier: a gzipped file parses identically to its plain twin") {
     val dir = s"${Sessions.scratchRoot}/warcspec_crawl"
     Warc.stageCrawl(spark, Tables.table(spark, sf, "documents"), dir,
