@@ -402,6 +402,48 @@ object StreamingQueries {
     },
 
     QuerySpec(
+      "q181_stream_kmv",
+      TextQueries.q177OracleSql) { (s, dir) =>
+      // Streaming sketch maintenance — q177's incremental KMV driven by
+      // a STREAM: document drops pace one file per micro-batch, each
+      // batch commits ONLY its own per-language bottom-k sketch to the
+      // versioned lake under its batch tag (exactly-once on replay),
+      // and the live estimate is a k-min over all committed sketches.
+      // Bottom-k merge is exactly associative, so however the file
+      // source slices the corpus into batches, the drained result must
+      // equal the one-shot batch computation — the oracle is q177's
+      // verbatim, making stream-incremental ≡ batch a hash equality,
+      // the q170 "streaming totals ≡ batch report" discipline applied
+      // to a SKETCH. State per batch is ≤ k rows per language; the
+      // corpus is never rescanned.
+      val drops = stagedDocDrops(s, dir)
+      val idx = s"${graft.Sessions.scratchRoot}/kmv_stream_" +
+        new java.io.File(dir).getName
+      Lake.delete(s, idx)
+      val q = Streaming.pacedParquetStream(s, drops).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$idx/cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          VersionedLake.commitTagged(
+            Kmv.sketch(TextQueries.kmvPoints(batch), TextQueries.KmvSize),
+            s"$idx/lake", s"b$id")
+          ()
+        }
+        .start()
+      try require(q.awaitTermination(120000),
+        s"kmv stream drain still running after 120 s — aborted")
+      finally q.stop()
+      require(VersionedLake.versions(s, s"$idx/lake").size >= 2,
+        "pacing must produce at least two committed micro-batches")
+      val replay = VersionedLake.commitTagged(
+        VersionedLake.readLatest(s, s"$idx/lake"), s"$idx/lake", "b0")
+      require(replay.isEmpty, "replayed batch 0 must not re-commit")
+      TextQueries.kmvEstimates(
+        Kmv.sketch(VersionedLake.readLatest(s, s"$idx/lake"),
+          TextQueries.KmvSize))
+    },
+
+    QuerySpec(
       "q136_stream_dedup_ingest",
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       ROUND(SUM(value), 2) AS total_value
@@ -484,6 +526,20 @@ object StreamingQueries {
     * genuinely-new rows (the discriminating shape: an over-dropping
     * dedup loses the new rows, an under-dropping one doubles the
     * slice). Single part files, atomically renamed into place. */
+  /** Three document drop files (doc_id mod 3) for q181's paced stream —
+    * disjoint slices whose sketches must merge to the full corpus. */
+  private def stagedDocDrops(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = s"${graft.Sessions.streamRoot}/docdrops_" +
+      new java.io.File(dir).getName
+    Staging.ensureStaged(root) {
+      val docs = Tables.table(s, dir, "documents")
+      (0 to 2).foreach(r => Staging.publishSingleParquet(s, root,
+        s"drop_$r", docs.filter(col("doc_id") % 3 === r)))
+    }
+    root
+  }
+
   private def stagedOverlappingDrops(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val root = s"${graft.Sessions.streamRoot}/overlap_" +

@@ -10,8 +10,41 @@ object TextQueries {
   import Tables.table
   import TextAnalysis._
 
-  /** KMV sketch size for q175/q177 (k in the (k-1)/K(k) estimator). */
+  /** KMV sketch size for q175/q177/q181 (k in the (k-1)/K(k)
+    * estimator). `KmvSize` is the cross-module name (q181 streams the
+    * same sketches from StreamingQueries). */
   private val KmvK = 256
+  private[engine] def KmvSize: Int = KmvK
+
+  /** Per-language distinct 8-gram shingle points of a documents batch —
+    * the sketch input shared by q177 (batch drops) and q181 (streamed
+    * drops): one definition so the two incremental paths cannot
+    * diverge from each other or from the oracle lattice. */
+  private[engine] def kmvPoints(
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    b.select(col("lang").as("g"),
+      split(trim(col("text")), "\\s+").as("w"))
+      .select(col("g"), explode(Dedup.shingleSet("w", 8)).as("shx"))
+      .select(col("g"), Kmv.point(col("shx")).as("h"))
+
+  /** The per-language estimate frame over a merged sketch — q177/q181's
+    * shared output shape (lang, kth_hash, est_distinct_shingles). */
+  private[engine] def kmvEstimates(
+      sk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sk.groupBy("g")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(col("g").as("lang"), col("kth").as("kth_hash"),
+        Kmv.estimate(col("n"), col("kth"), KmvK)
+          .as("est_distinct_shingles"))
+      .orderBy("lang")
+
+  /** q177's oracle text, shared verbatim with q181: the one-shot
+    * full-corpus computation both incremental paths must equal. */
+  private[engine] def q177OracleSql: String =
+    s"""WITH ${kmvSketchSql("lang")}
+      |SELECT g AS lang, kth AS kth_hash,
+      |       ${kmvEstSql("n", "kth")} AS est_distinct_shingles
+      |FROM ga ORDER BY lang""".stripMargin
 
   /** Shared KMV oracle prefix (ONE definition for q175 and q177, the
     * latticeSql discipline): 8-gram shingles of `documents` grouped by
@@ -1543,10 +1576,7 @@ object TextQueries {
 
     QuerySpec(
       "q177_incremental_kmv",
-      s"""WITH ${kmvSketchSql("lang")}
-        |SELECT g AS lang, kth AS kth_hash,
-        |       ${kmvEstSql("n", "kth")} AS est_distinct_shingles
-        |FROM ga ORDER BY lang""".stripMargin) { (s, dir) =>
+      q177OracleSql) { (s, dir) =>
       // Incremental distinct-counting through the versioned lake: each
       // monthly batch commits ONLY its own KMV sketch (≤ k rows per
       // lang — batch 1 is never rescanned), and the live estimate is a
@@ -1560,24 +1590,13 @@ object TextQueries {
       val idx = s"${graft.Sessions.scratchRoot}/kmv_inc_" +
         new java.io.File(dir).getName
       val docs = table(s, dir, "documents")
-      def pts(b: org.apache.spark.sql.DataFrame) =
-        b.select(col("lang").as("g"),
-          split(trim(col("text")), "\\s+").as("w"))
-          .select(col("g"), explode(Dedup.shingleSet("w", 8)).as("shx"))
-          .select(col("g"), Kmv.point(col("shx")).as("h"))
       VersionedLake.commitTagged(
-        Kmv.sketch(pts(docs.filter(col("doc_id") % 3 === 0)), KmvK),
+        Kmv.sketch(kmvPoints(docs.filter(col("doc_id") % 3 === 0)), KmvK),
         idx, "m1")
       VersionedLake.commitTagged(
-        Kmv.sketch(pts(docs.filter(col("doc_id") % 3 =!= 0)), KmvK),
+        Kmv.sketch(kmvPoints(docs.filter(col("doc_id") % 3 =!= 0)), KmvK),
         idx, "m2")
-      Kmv.sketch(VersionedLake.readLatest(s, idx), KmvK)
-        .groupBy("g")
-        .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
-        .select(col("g").as("lang"), col("kth").as("kth_hash"),
-          Kmv.estimate(col("n"), col("kth"), KmvK)
-            .as("est_distinct_shingles"))
-        .orderBy("lang")
+      kmvEstimates(Kmv.sketch(VersionedLake.readLatest(s, idx), KmvK))
     },
 
     QuerySpec(
