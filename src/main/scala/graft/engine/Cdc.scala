@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
   *  - winner `I`: always materializes the row (insert-or-replace);
   *  - keys untouched by the changelog carry their base row forward.
   *
-  * Scale shape: the winner pick is a streaming `row_number` over the
-  * changelog only (never the base); the base participates in exactly
-  * ONE key-partitioned full-outer join — the minimum any merge must
-  * pay — and untouched rows never move again after it. A changelog is
-  * normally ≪ base, so AQE broadcasts the change side of the join and
-  * the base is not even shuffled; composed with the lake layer
-  * ([[Lake.upsert]]'s partition-pruned rewrite), only base partitions
-  * containing changed keys are read at all. Output columns:
-  * `key, payloadCols…, src` (`base`/`upd`/`ins`).
+  * Scale shape: the base NEVER shuffles. Spark 4.1.2's `JoinSelection`
+  * excludes FullOuter from broadcast (a full-outer merge plans
+  * SortMergeJoin — both sides exchange+sort — even with an explicit
+  * hint), so the naive "one full-outer join" merge pays a full shuffle
+  * AND sort of a 100 TB base per changelog batch. Instead the base is
+  * split on the broadcast winner-key set — `untouched = base
+  * LEFT-ANTI⋉ keys`, `touched = base LEFT-SEMI⋉ keys` — both of which
+  * DO broadcast, so the base side is map-only (two scans, the semi one
+  * pruned to the key column); the winner rows then resolve against the
+  * changelog-sized touched-key set and the untouched rows union back
+  * unmoved. The winner pick itself is a streaming `row_number` over the
+  * changelog only. Composed with the lake layer ([[Lake.upsert]]'s
+  * partition-pruned rewrite), only base partitions containing changed
+  * keys are read at all. The no-Exchange-on-base shape is a failing
+  * test (PlanAuditSpec "Cdc.merge never shuffles the base").
+  * Output columns: `key, payloadCols…, src` (`base`/`upd`/`ins`).
   */
 object Cdc {
 
@@ -47,24 +54,26 @@ object Cdc {
         payloadCols.map(c => col(c).as(s"_ch_$c")): _*)
     val hasIns = changes.filter(col(opCol) === "I")
       .select(k).distinct().withColumn("_has_i", lit(true))
-    val ch = winner.join(hasIns, Seq(keyCol), "left")
-    base
-      .select(k +: lit(true).as("_in_base") +:
-        payloadCols.map(c => col(c).as(s"_b_$c")): _*)
-      .join(ch, Seq(keyCol), "full_outer")
-      .filter(
-        // D wins → gone; U without a pre-existing row → dropped
-        (col("_op").isNull && col("_in_base")) ||
-          (col("_op") === "I") ||
-          (col("_op") === "U" &&
-            (coalesce(col("_in_base"), lit(false)) ||
-              coalesce(col("_has_i"), lit(false)))))
-      .select(k +:
-        payloadCols.map(c =>
-          when(col("_op").isin("I", "U"), col(s"_ch_$c"))
-            .otherwise(col(s"_b_$c")).as(c)) :+
-        when(col("_op") === "I", "ins")
-          .when(col("_op") === "U", "upd")
-          .otherwise("base").as("src"): _*)
+    val ch = winner.join(broadcast(hasIns), Seq(keyCol), "left")
+    val winnerKeys = winner.select(k)
+    // Base side: map-only broadcast semi/anti split — never an Exchange.
+    val untouched = base
+      .join(broadcast(winnerKeys), Seq(keyCol), "left_anti")
+      .select(k +: payloadCols.map(col) :+ lit("base").as("src"): _*)
+    val touchedKeys = base.select(k)
+      .join(broadcast(winnerKeys), Seq(keyCol), "left_semi")
+      .withColumn("_in_base", lit(true))
+    // Winner resolution happens entirely at changelog scale: every
+    // surviving winner (I, or U with a pre-existing/base-inserted key)
+    // carries the CHANGE payload, so the touched base rows contribute
+    // only their key presence.
+    val applied = ch.join(broadcast(touchedKeys), Seq(keyCol), "left")
+      .filter(col("_op") === "I" ||
+        (col("_op") === "U" &&
+          (coalesce(col("_in_base"), lit(false)) ||
+            coalesce(col("_has_i"), lit(false)))))
+      .select(k +: payloadCols.map(c => col(s"_ch_$c").as(c)) :+
+        when(col("_op") === "I", "ins").otherwise("upd").as("src"): _*)
+    untouched.unionByName(applied)
   }
 }

@@ -190,9 +190,11 @@ object Streaming {
     * streaming-exactly-once contract; a fresh checkpoint over the same
     * folder is a new pipeline, not a replay.)
     *
-    * Scale shape: per batch, one |batch|-sized merge join against the
-    * snapshot (see [[Cdc.merge]] — the changelog side broadcasts) and
-    * one manifest CAS; at lake scale the overwrite commit becomes
+    * Scale shape: per batch, the snapshot splits on the BROADCAST
+    * winner-key set (see [[Cdc.merge]] — broadcast semi/anti, the base
+    * side map-only; full-outer cannot broadcast in Spark 4.1.2, so the
+    * split is what keeps a 100 TB base from shuffling per micro-batch)
+    * and one manifest CAS; at lake scale the overwrite commit becomes
     * [[Lake.upsert]]'s partition-pruned rewrite, same semantics. */
   def cdcApplyVersioned(changes: DataFrame, root: String,
       checkpoint: String, keyCol: String, seqCol: String, opCol: String,

@@ -434,4 +434,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(genIdx == -1 || genIdx < exchangeIdx,
       s"q162: scan-side Generate amplification is back:\n$e162")
   }
+
+  test("Cdc.merge never shuffles the base: the snapshot splits on " +
+      "broadcast semi/anti and no Exchange sits above a base scan") {
+    // The r11 scale-killer: full-outer joins cannot broadcast in Spark
+    // 4.1.2 (JoinSelection excludes FullOuter even with an explicit
+    // hint), so the old one-full-outer merge sorted AND shuffled the
+    // 100 TB base per changelog batch — and q156 paid it per
+    // micro-batch. The rewrite splits the base on the broadcast
+    // winner-key set; this gate pins that shape: the base parquet scan
+    // must never appear beneath a ShuffleExchange, and both split joins
+    // must be BroadcastHashJoin.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val base = graft.engine.Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    import spark.implicits._
+    val ch = Seq((1L, 101L, 1, "U"), (2L, 202L, 1, "I"),
+      (3L, 0L, 1, "D"), (2L, 203L, 2, "U"))
+      .toDF("k", "price_cents", "seq", "op")
+    val merged = graft.engine.Cdc.merge(base, ch, "k", "seq", "op",
+      Seq("price_cents"))
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val nodes = walk(merged.queryExecution.executedPlan)
+    def isBaseScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("orders"))
+      case _ => false
+    }
+    assert(nodes.exists(isBaseScan), "expected a parquet scan of the base")
+    nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!walk(e).exists(isBaseScan),
+        s"base is reshuffled:\n${merged.queryExecution.executedPlan}")
+    }
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    val baseSideBhj = bhj.filter(j => walk(j).exists(isBaseScan))
+    assert(baseSideBhj.size >= 2,
+      s"expected broadcast semi+anti over the base, got " +
+        s"${baseSideBhj.map(_.joinType)}:\n" +
+        merged.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"merge planned a sort-merge join:\n" +
+        merged.queryExecution.executedPlan)
+    // and the touched-key probe reads ONLY the key column off the base
+    val narrow = nodes.collect {
+      case s: FileSourceScanExec if isBaseScan(s) => s.requiredSchema.fieldNames
+    }
+    assert(narrow.exists(_.sameElements(Array("o_orderkey"))),
+      s"semi-split base scan is not pruned to the key: " +
+        narrow.map(_.mkString(",")).mkString("; "))
+  }
 }
