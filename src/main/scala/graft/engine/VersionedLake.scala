@@ -161,18 +161,55 @@ object VersionedLake {
     committed
   }
 
-  /** Snapshot read of one published version — fails loudly on a
-    * version that never existed or was vacuumed. `mergeSchema` because
-    * commits may add columns over time (schema evolution): a snapshot
-    * whose live set spans the addition reads the union schema, nulls
-    * where old files lack the column. Footer-merge cost is per data
-    * dir in the snapshot, not per row — metadata-bounded like
-    * everything else here. */
+  /** Snapshot read of one published version — fails loudly, with the
+    * still-readable version range, on a version that never existed or
+    * was expired by [[vacuum]] (a raw FileNotFoundException would leave
+    * the reader guessing whether the lake is corrupt or merely
+    * retention-trimmed). `mergeSchema` because commits may add columns
+    * over time (schema evolution): a snapshot whose live set spans the
+    * addition reads the union schema, nulls where old files lack the
+    * column. Footer-merge cost is per data dir in the snapshot, not per
+    * row — metadata-bounded like everything else here. */
   def readAt(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    requireVersion(spark, dir, v)
     val dirs = readManifest(spark, dir, v)
     spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => s"$dir/$d"): _*)
   }
+
+  private def requireVersion(spark: SparkSession, dir: String,
+      v: Int): Unit =
+    if (!fs(spark, dir).exists(manifestPath(dir, v))) {
+      val vs = versions(spark, dir)
+      throw new IllegalArgumentException(
+        s"version $v of $dir does not exist or was vacuumed; " +
+          (if (vs.isEmpty) "no versions are published"
+           else s"readable versions: ${vs.head}..${vs.last}"))
+    }
+
+  // ---- DSv2 read-path seam ([[GraftLakeDataSource]]) -------------------
+
+  /** Live data-dir paths of one published version, with [[readAt]]'s
+    * clear retention error — the snapshot resolution the `graftlake`
+    * format's FileIndex is built from. */
+  private[engine] def liveDataDirs(spark: SparkSession, dir: String,
+      v: Int): Seq[String] = {
+    requireVersion(spark, dir, v)
+    readManifest(spark, dir, v).map(d => s"$dir/$d")
+  }
+
+  /** Sidecar lookups for the DSv2 file-pruning path — same parsers the
+    * library probes use, so the two read paths cannot drift. */
+  private[engine] def fileStats(spark: SparkSession, dir: String,
+      dataDir: String, c: String): Map[String, (Double, Double, Long)] =
+    statsFor(spark, dir, dataDir, c)
+
+  private[engine] def fileBloom(spark: SparkSession, dir: String,
+      dataDir: String, c: String): Map[String, java.util.BitSet] =
+    bloomFor(spark, dir, dataDir, c)
+
+  private[engine] def bloomWantPositions(value: String): Seq[Int] =
+    (0 until BloomHashes).map(bloomPosLocal(value, _, BloomBits))
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(spark, dir)
@@ -192,19 +229,11 @@ object VersionedLake {
     // has no sidecars and the metadata-only paths (readSkipping /
     // statsAggregate / readBloomProbe) silently degrade to scans after
     // every compaction — conservative, never wrong, but the fast path
-    // is the point of the index
-    bloomCol match {
-      case Some(c) =>
-        require(statsCols.isEmpty,
-          "one sidecar per compaction: stats or bloom")
-        commitWithBloom(readLatest(spark, dir), dir, c,
-          mode = "overwrite", codec = codec)
-      case None if statsCols.isEmpty =>
-        commit(readLatest(spark, dir), dir, mode = "overwrite", codec = codec)
-      case None =>
-        commitWithStats(readLatest(spark, dir), dir, statsCols,
-          mode = "overwrite", codec = codec)
-    }
+    // is the point of the index. Both sidecar kinds may (and on a lake
+    // carrying both SHOULD) be requested together — one data write,
+    // two sidecars.
+    commitIndexed(readLatest(spark, dir), dir, statsCols, bloomCol,
+      mode = "overwrite", codec = codec)
 
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
@@ -268,11 +297,29 @@ object VersionedLake {
     * Cluster the frame (`repartitionByRange` + sort) before committing
     * or every file spans the full range and nothing can skip. */
   def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
-      mode: String = "append", codec: String = "snappy"): Int = {
+      mode: String = "append", codec: String = "snappy"): Int =
+    commitIndexed(df, dir, statsCols, None, mode, codec)
+
+  /** Commit with ANY combination of sidecar indexes in one data write:
+    * min/max range stats for `statsCols` AND/OR a per-file Bloom over
+    * `bloomCol`. The two index classes answer different probes (ranges
+    * on clustered columns vs point lookups on unclustered keys) and
+    * live in separate sidecar files, so a lake wanting both must not
+    * have to choose — one parquet write, then each sidecar pass over
+    * the already-written files. */
+  def commitIndexed(df: DataFrame, dir: String, statsCols: Seq[String],
+      bloomCol: Option[String], mode: String = "append",
+      codec: String = "snappy"): Int = {
     val spark = df.sparkSession
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
-    writeStatsFor(spark, dir, dataDir, statsCols)
+    val w = df.write.option("compression", codec)
+    // parquet's native row-group bloom rides along whenever the
+    // file-level bloom is requested (see commitWithBloom's doc)
+    bloomCol.fold(w)(c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(s"$dir/$dataDir")
+    if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
+    bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
     publish(spark, dir, dataDir, mode)
   }
 
@@ -597,18 +644,20 @@ object VersionedLake {
     * sidecar). Files are the skipping grain for the same reason as
     * [[commitWithStats]]: the manifest is driver-side metadata. */
   def commitWithBloom(df: DataFrame, dir: String, keyCol: String,
-      mode: String = "append", codec: String = "snappy"): Int = {
-    import org.apache.spark.sql.functions.{array, col, explode, input_file_name}
-    val spark = df.sparkSession
-    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    // Two-level skipping from one commit: the manifest bloom below
-    // prunes FILES driver-side; this writer option additionally embeds
-    // parquet's native bloom per ROW GROUP, which the reader's pushed
-    // equality filter consults inside whichever files the manifest
-    // admitted. Same key, zero extra passes.
-    df.write.option("compression", codec)
-      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
-      .parquet(s"$dir/$dataDir")
+      mode: String = "append", codec: String = "snappy"): Int =
+    commitIndexed(df, dir, Seq.empty, Some(keyCol), mode, codec)
+
+  /** Bloom sidecar pass for one data dir: the bit positions fold into
+    * ONE position set per file EXECUTOR-side (groupBy file + distinct
+    * positions), so the driver collects exactly one row per part file
+    * (≤ m ints each), matching [[writeStatsFor]]'s one-line-per-file
+    * boundary — never the raw (file, position) pairs, which on a
+    * many-thousand-file commit would be orders of magnitude more
+    * driver memory than the 1 KiB/file sidecar produced. */
+  private def writeBloomFor(spark: SparkSession, dir: String,
+      dataDir: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{array, col, collect_set,
+      explode, input_file_name, sort_array}
     val pos = spark.read.parquet(s"$dir/$dataDir")
       // NULL keys carry no bloom membership (a point probe is an
       // equality, which a NULL never satisfies); without the filter a
@@ -618,20 +667,24 @@ object VersionedLake {
         col(keyCol).cast("string").as("kv"))
       .select(col("f"), explode(array((0 until BloomHashes).map(j =>
         bloomPos(col("kv"), j, BloomBits)): _*)).as("p"))
-      .distinct()
-      .collect() // bounded: ≤ files × min(keys·k, m) positions
-    val byFile = pos.groupBy(r => new Path(r.getString(0)).getName)
-    val lines = byFile.toSeq.sortBy(_._1).map { case (name, rows) =>
-      val bits = new java.util.BitSet(BloomBits)
-      rows.foreach(r => bits.set(r.getInt(1)))
-      val hex = bits.toByteArray.map("%02x".format(_)).mkString
-      s"$name\t$keyCol\t$hex"
-    }
+      .groupBy(col("f"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .collect() // bounded: one row per file, ≤ m positions each
+    val lines = pos.toSeq
+      .map(r => new Path(r.getString(0)).getName ->
+        r.getSeq[Int](1))
+      .sortBy(_._1)
+      .map { case (name, ps) =>
+        val bits = new java.util.BitSet(BloomBits)
+        ps.foreach(bits.set)
+        val hex = bits.toByteArray.map("%02x".format(_)).mkString
+        s"$name\t$keyCol\t$hex"
+      }
     val f = fs(spark, dir)
     val out = f.create(new Path(s"$dir/_bloom/$dataDir.bloom"), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    publish(spark, dir, dataDir, mode)
+    ()
   }
 
   /** Bloom lines of one data dir for `c`: file → BitSet. */

@@ -379,4 +379,62 @@ class VersionedLakeSpec extends AnyFunSuite {
         "native parquet bloom missing from the footer")
     } finally rd.close()
   }
+
+  test("retention contract: a reader of a retained snapshot survives a " +
+      "vacuum; an expired-version read fails with a clear error") {
+    import spark.implicits._
+    val dir = tempDir("vlake-retain") + "/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    VersionedLake.commit(spark.range(20, 30).toDF("id"), dir)
+    // reader resolves its snapshot (v2) BEFORE the vacuum runs
+    val retainedReader = VersionedLake.readAt(spark, dir, 2)
+    VersionedLake.vacuum(spark, dir, retain = 2)
+    // v2 is retained: the in-flight reader's files all survive
+    assert(ids(retainedReader) == (0L until 20L),
+      "concurrent reader of a retained version lost files to vacuum")
+    // v1 is expired: the failure is immediate and names the remedy,
+    // not a bare FileNotFoundException from deep inside a scan
+    val e = intercept[IllegalArgumentException](
+      VersionedLake.readAt(spark, dir, 1))
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("2..3"), e.getMessage)
+    // a version that never existed fails the same clear way
+    val e2 = intercept[IllegalArgumentException](
+      VersionedLake.readAt(spark, dir, 99))
+    assert(e2.getMessage.contains("readable versions"), e2.getMessage)
+  }
+
+  test("commitIndexed writes range stats AND a bloom for one data dir; " +
+      "compaction carries both index classes") {
+    import spark.implicits._
+    val dir = tempDir("vlake-both") + "/lake"
+    VersionedLake.commitIndexed(spark.range(0, 100).toDF("id").coalesce(1),
+      dir, statsCols = Seq("id"), bloomCol = Some("id"))
+    VersionedLake.commitIndexed(
+      spark.range(100, 200).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id"), bloomCol = Some("id"))
+    // range index answers: the [0,50] probe reads only the first file
+    assert(VersionedLake.readSkipping(spark, dir, "id", 0, 50)
+      .inputFiles.length == 1, "range probe did not skip")
+    // bloom index answers THE SAME commit: key 150 prunes to file 2
+    assert(VersionedLake.readBloomProbe(spark, dir, "id", 150L)
+      .inputFiles.length == 1, "bloom probe did not skip")
+    // and the metadata aggregate is fully covered
+    assert(VersionedLake.statsCovered(spark, dir, "id"))
+    assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+      ((200L, 0.0, 199.0)))
+    // compaction may now request BOTH sidecars (pre-r12 it required
+    // exactly one kind, losing an index class at every compaction)
+    VersionedLake.compactVersions(spark, dir, statsCols = Seq("id"),
+      bloomCol = Some("id"))
+    assert(VersionedLake.statsCovered(spark, dir, "id"),
+      "compaction dropped the stats sidecar")
+    assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+      ((200L, 0.0, 199.0)))
+    assert(VersionedLake.readBloomProbe(spark, dir, "id", 987654L)
+      .inputFiles.isEmpty, "compaction dropped the bloom sidecar")
+    assert(ids(VersionedLake.readBloomProbe(spark, dir, "id", 150L)) ==
+      Seq(150L))
+  }
 }
