@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** The `graftlake` DSv2 format: snapshot/time-travel equivalence with
+  * the library path, sidecar file pruning reaching a plain
+  * `spark.read`, native-parquet plan shape, and the retention error
+  * contract through the V2 seam. */
+class GraftLakeSourceSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def v2(dir: String, version: Option[Int] = None) = {
+    val r = spark.read.format("graftlake")
+    version.fold(r)(v => r.option(GraftLakeDataSource.VersionAsOf, v))
+      .load(dir)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("format(graftlake) reads the latest snapshot and every " +
+      "versionAsOf identically to the library path") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-tt") + "/lake"
+    VersionedLake.commit(spark.range(0, 100).toDF("id"), dir)
+    VersionedLake.commit(spark.range(100, 200).toDF("id"), dir)
+    VersionedLake.commit(spark.range(0, 30).toDF("id"), dir,
+      mode = "overwrite")
+    assert(rows(v2(dir)) == rows(VersionedLake.readLatest(spark, dir)))
+    VersionedLake.versions(spark, dir).foreach { v =>
+      assert(rows(v2(dir, Some(v))) ==
+        rows(VersionedLake.readAt(spark, dir, v)),
+        s"V2 read of version $v diverged from the library read")
+    }
+    // an expired/unknown version fails with the retention error, not a
+    // raw FileNotFoundException
+    val e = intercept[IllegalArgumentException](v2(dir, Some(99)).collect())
+    assert(e.getMessage.contains("readable versions"), e.getMessage)
+  }
+
+  test("pushed range filter prunes files through the manifest stats " +
+      "sidecar; results equal the unpruned filter") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-skip") + "/lake"
+    // 8 near-disjoint id ranges, one file each, stats recorded
+    VersionedLake.commitWithStats(
+      spark.range(0, 8000).toDF("id")
+        .withColumn("v", col("id") * 3)
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id"),
+      dir, statsCols = Seq("id"))
+    val probe = v2(dir).filter(col("id") >= 2000 && col("id") <= 2999)
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    val read = GraftLakeDataSource.filesRead(probe)
+    assert(total >= 4, s"fixture produced only $total files")
+    assert(read < total, s"pushed range read $read/$total files")
+    assert(rows(probe) == rows(VersionedLake.readLatest(spark, dir)
+      .filter(col("id") >= 2000 && col("id") <= 2999)))
+    // control: the unfiltered V2 read plans every file
+    assert(GraftLakeDataSource.filesRead(v2(dir)) == total)
+  }
+
+  test("pushed equality filter prunes files through the bloom sidecar " +
+      "even when ranges cannot skip") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-bloom") + "/lake"
+    // hash-distributed: every file's id RANGE spans the table, only the
+    // bloom can skip
+    VersionedLake.commitWithBloom(
+      spark.range(0, 6000).toDF("id").withColumn("v", col("id") % 7)
+        .repartition(12, col("id")),
+      dir, keyCol = "id")
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    val hit = v2(dir).filter(col("id") === 137L)
+    assert(GraftLakeDataSource.filesRead(hit) < total,
+      s"bloom did not prune: ${GraftLakeDataSource.filesRead(hit)}/$total")
+    assert(rows(hit) == Seq(Seq(137L, 137L % 7)))
+    val miss = v2(dir).filter(col("id") === 987654321L)
+    assert(GraftLakeDataSource.filesRead(miss) <= 1,
+      "absent key should bloom-negative almost every file")
+    assert(miss.count() == 0)
+  }
+
+  test("the V2 scan is the native vectorized parquet path (BatchScan + " +
+      "pushed filters), and a snapshot spanning schema evolution merges") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-native") + "/lake"
+    VersionedLake.commit(spark.range(0, 50).toDF("id"), dir)
+    VersionedLake.commit(
+      spark.range(50, 60).toDF("id").withColumn("lang", lit("en")), dir)
+    val df = v2(dir).filter(col("id") > 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"not a DSv2 scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,10)]"),
+      s"filter not pushed to the parquet reader:\n$plan")
+    // evolution: old files read null for the added column
+    val got = df.select("id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(11L).isEmpty && got(55L).contains("en"))
+    assert(got.size == 49)
+  }
+
+  test("SQL reaches the lake through the catalog: plain SELECT reads " +
+      "latest, VERSION AS OF time-travels, DDL is refused") {
+    import spark.implicits._
+    val base = tempDir("glsrc-cat")
+    val dir = s"$base/events_lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    VersionedLake.commit(spark.range(10, 25).toDF("id"), dir)
+    spark.conf.set("spark.sql.catalog.glake_test",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake_test.root", base)
+    assert(spark.sql("SELECT count(*) AS n FROM glake_test.events_lake")
+      .head().getLong(0) == 25L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM glake_test.events_lake VERSION AS OF 1")
+      .head().getLong(0) == 10L)
+    // the V2 seam composes: a filter through SQL still prunes row-level
+    assert(spark.sql(
+      "SELECT id FROM glake_test.events_lake WHERE id = 7")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val e = intercept[Exception](
+      spark.sql("DROP TABLE glake_test.events_lake"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // discovery: the lake dir is listed as a table of the catalog
+    val cat = new GraftLakeCatalog
+    cat.initialize("t",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", base)))
+    assert(cat.listTables(Array.empty).map(_.name).toSeq ==
+      Seq("events_lake"))
+  }
+}
