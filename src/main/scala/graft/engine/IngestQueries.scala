@@ -801,7 +801,82 @@ object IngestQueries {
         .select(col("bucket"), col("n"), col("total"))
         .orderBy(col("bucket"))
     }.withBenchSetup((s, _) =>
-      ensureStaged(ttLakePath)(stageTimeTravelLake(s))))
+      ensureStaged(ttLakePath)(stageTimeTravelLake(s))),
+
+    QuerySpec(
+      "q183_template_query",
+      s"""WITH rawA AS (
+         |  SELECT I2_1, I2_2, I2_3, $TsExpr AS ts,
+         |         '${A.patientId}' AS PatientID
+         |  FROM ${rawCsv(s"$FixRoot/eeg_src/${A.fileName}")}),
+         |rawB AS (
+         |  SELECT I2_1, I2_2, I2_3, $TsExpr AS ts,
+         |         '${B.patientId}' AS PatientID
+         |  FROM ${rawCsv(s"$FixRoot/eeg_src/${B.fileName}")}),
+         |u AS (SELECT * FROM rawA UNION ALL SELECT * FROM rawB)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(round(I2_1 * 1000) AS BIGINT)) AS DOUBLE)
+         |         / count(*) / 1000.0 AS avg_I2_1,
+         |       CAST(sum(CAST(round(I2_2 * 1000) AS BIGINT)) AS DOUBLE)
+         |         / count(*) / 1000.0 AS avg_I2_2,
+         |       CAST(sum(CAST(round(I2_3 * 1000) AS BIGINT)) AS DOUBLE)
+         |         / count(*) / 1000.0 AS avg_I2_3
+         |FROM u
+         |WHERE year(ts) = 2019 AND month(ts) = 7 AND day(ts) = 16
+         |  AND PatientID = '${A.patientId}'""".stripMargin) { (s, _) =>
+      // EP3 ([[TemplateQuery.ep3Query]] — reference README.md:62-69):
+      // the web app's generated query as ONE parameterized, policy-
+      // checked composition — super-category "Group 2" expands to its
+      // column list (q33's 270-group machinery), the patient + test-
+      // date WHERE prunes partitions (ScanGuard-enforced inside the
+      // builder), and the aggregation replays in exact milli-units so
+      // the DuckDB oracle hash-matches the double avg bit-for-bit.
+      val root = scratchRoot
+      val in = s"$root/ep3_in"
+      Seq("ep3_in", "lake_q183", "processed_q183", "registry_q183")
+        .foreach(d => Lake.delete(s, s"$root/$d"))
+      EegFixture.write(in, A)
+      EegFixture.write(in, B)
+      EegFixture.write(s"$FixRoot/eeg_src", A)
+      EegFixture.write(s"$FixRoot/eeg_src", B)
+      Ingest.ingestBatch(s, in, s"$root/lake_q183", s"$root/registry_q183",
+        s"$root/processed_q183")
+      val m = SchemaRegistry.categoryMap(
+        EegFixture.categoryRow(A), EegFixture.headers(A)).toMap
+      TemplateQuery.ep3Query(s, s"$root/lake_q183", m,
+        TemplateQuery.Ep3("Group 2", Some(A.patientId), 2019, 7, 16, "avg"))
+    },
+
+    QuerySpec(
+      "q182_lake_source_v2",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE event_id BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // The engine-integrated lake read path ([[GraftLakeDataSource]]):
+      // q138's range probe issued through PLAIN `spark.read.format(
+      // "graftlake")` + an ordinary filter — no library probe call.
+      // The pushed predicate must reach the manifest stats sidecar and
+      // skip files exactly as readSkipping does (asserted inline:
+      // files-read < files-total through the V2 scan), and the result
+      // hash-matches the same independent oracle as q138 — so the V2
+      // seam provably reads the same snapshot the library path reads.
+      val lake = skipLakePath(dir)
+      ensureStaged(lake)(stageSkipLake(s, dir))
+      val probe = s.read.format("graftlake").load(lake)
+        .filter(col("event_id") >= 1000L && col("event_id") <= 3000L)
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      if (total >= 4) {
+        val read = GraftLakeDataSource.filesRead(probe)
+        require(read < total,
+          s"V2 pushed-filter skipping read $read/$total files")
+      }
+      probe.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))))
 
   // ---- q122 ORC fixture ------------------------------------------------
 
