@@ -246,9 +246,15 @@ object TextAnalysis {
     * sort-merge-joins against anything. Skew note: a segment repeated
     * 10^8× is heavy on ONE reducer only as (hash, doc) pairs in the
     * count-distinct expand, which partial-aggregates map-side before the
-    * exchange. */
+    * exchange. "Small by definition" is still a distribution argument
+    * (`≤ distinct/minDocs` can be executor-breaking on a template-farm
+    * corpus), so the set size is probed with a bounded count and above
+    * `maxBroadcastSegs` the hint is dropped — the planner then picks a
+    * shuffle join for the one pass that genuinely needs it, identical
+    * results. */
   def segmentDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: Column, minDocs: Int): org.apache.spark.sql.DataFrame = {
+      textCol: Column, minDocs: Int,
+      maxBroadcastSegs: Int = 1 << 22): org.apache.spark.sql.DataFrame = {
     val segs = df
       .select(col(idCol), posexplode(split(textCol, "\\."))
         .as(Seq("_seg_idx", "_raw")))
@@ -260,7 +266,10 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("_h"), lit(true).as("_dup"))
-    segs.join(broadcast(boilerplate), Seq("_h"), "left")
+    val fits = boilerplate.limit(maxBroadcastSegs + 1).count() <=
+      maxBroadcastSegs
+    segs.join(if (fits) broadcast(boilerplate) else boilerplate,
+        Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segs"),

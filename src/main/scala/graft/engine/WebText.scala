@@ -117,26 +117,55 @@ object WebText {
     * Shape for 100 TB: pass 1 counts distinct documents per line (the
     * per-document `array_distinct` makes a plain `count(*)` a distinct-
     * doc count — no count-distinct state), and the heavy set it yields
-    * is SMALL by definition (boilerplate is what repeats), so pass 2 is
-    * a broadcast of that set folded into a row-local `filter` over each
+    * is NORMALLY small (boilerplate is what repeats), so pass 2 is a
+    * broadcast of that set folded into a row-local `filter` over each
     * page's line array — no explode/reassemble shuffle, no join on the
-    * corpus side, document text never moves. Input `pages(doc_id,
-    * page)`; output per document: kept/removed line counts and the md5
-    * of the cleaned page. */
-  def removeBoilerplateLines(pages: DataFrame, minDocs: Int): DataFrame = {
+    * corpus side, document text never moves. "Normally small" is a
+    * DISTRIBUTION assumption, not a guarantee (a template-farm corpus
+    * at a low `minDocs` can make the heavy set a material fraction of
+    * all distinct lines), so the size is probed with a bounded count
+    * first and a heavy set above `maxBroadcastLines` switches to the
+    * join form: the corpus explodes to lines ONCE, the heavy set joins
+    * by line (AQE still broadcasts it when it fits, sort-merge when it
+    * truly doesn't), and documents reassemble by position — identical
+    * results, executor-sized memory. Input `pages(doc_id, page)`;
+    * output per document: kept/removed line counts and the md5 of the
+    * cleaned page. */
+  def removeBoilerplateLines(pages: DataFrame, minDocs: Int,
+      maxBroadcastLines: Int = 1 << 22): DataFrame = {
     val lines = split(col("page"), "\n")
-    val heavy = pages
+    val heavyLines = pages
       .select(col("doc_id"), explode(array_distinct(lines)).as("line"))
       .groupBy("line").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minDocs)
-      .agg(coalesce(collect_list(col("line")),
-        array().cast("array<string>")).as("harr"))
-    pages.crossJoin(broadcast(heavy))
-      .select(col("doc_id"), lines.as("ls"),
-        filter(lines, l => !array_contains(col("harr"), l)).as("kept"))
-      .select(col("doc_id"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(array_join(col("kept"), "\n")).as("clean_md5"))
+      .select(col("line"))
+    // bounded probe: one small action over the pass-1 aggregate, capped
+    // so a pathological heavy set never materializes past the bound
+    val fits = heavyLines.limit(maxBroadcastLines + 1).count() <=
+      maxBroadcastLines
+    if (fits) {
+      val heavy = heavyLines
+        .agg(coalesce(collect_list(col("line")),
+          array().cast("array<string>")).as("harr"))
+      pages.crossJoin(broadcast(heavy))
+        .select(col("doc_id"), lines.as("ls"),
+          filter(lines, l => !array_contains(col("harr"), l)).as("kept"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), "\n")).as("clean_md5"))
+    } else {
+      val ex = pages
+        .select(col("doc_id"), posexplode(lines).as(Seq("_pos", "line")))
+      ex.join(heavyLines.withColumn("_dup", lit(true)), Seq("line"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("_dup").isNull,
+              struct(col("_pos"), col("line"))))),
+            s => s.getField("line")), "\n")).as("clean_md5"))
+    }
   }
 }

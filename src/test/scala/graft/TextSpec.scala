@@ -142,6 +142,26 @@ class TextSpec extends AnyFunSuite {
       "doc-internal repetition counted toward the cross-doc threshold")
   }
 
+  test("segmentDedup above the broadcast bound drops the hint and " +
+      "returns identical results through the shuffle join") {
+    // Template-farm shape: 12 boilerplate sentences shared by ≥3 docs —
+    // with maxBroadcastSegs=4 the probed set exceeds the bound, so the
+    // join must plan WITHOUT the broadcast hint yet match byte-exact.
+    val farm = (1L to 9L).map { d =>
+      val shared = (0 until 12).map(t => s"shared sentence ${(d + t) % 12}")
+      (d, (shared :+ s"organic sentence of doc $d").mkString(". "))
+    }.toDF("doc_id", "text")
+    def rows(bound: Int) =
+      TextAnalysis.segmentDedup(farm, "doc_id", col("text"), 3, bound)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    val viaBroadcast = rows(1 << 22)
+    val viaShuffle = rows(4)
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast.head._3 == 12L, "all 12 templates removed")
+  }
+
   test("sharedNgrams finds planted overlap, ignores clean docs, and is " +
       "safe on sub-n documents") {
     val evalDocs = Seq(

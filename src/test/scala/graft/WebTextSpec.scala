@@ -183,4 +183,29 @@ class WebTextSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort:\n$plan")
   }
+
+  test("boilerplate lines: a template-farm heavy set above the broadcast " +
+    "bound takes the join fallback with identical results") {
+    // Adversarial distribution: 40 template lines each in ≥3 docs — at
+    // maxBroadcastLines=8 the heavy set exceeds the bound, so the
+    // operator must switch to the explode+join+reassemble path. Every
+    // output (counts AND byte-exact clean_md5, including a doc whose
+    // every line is boilerplate) must match the broadcast path.
+    val farm = (1L to 30L).map { d =>
+      val shared = (0 until 40).map(t => s"template line ${(d + t) % 40}")
+      (d, (shared :+ s"organic content of doc $d").mkString("\n"))
+    } :+ (99L, "template line 0\ntemplate line 1") // all-boilerplate doc
+    val pages = farm.toDF("doc_id", "page")
+    def rows(maxBcast: Int) =
+      WebText.removeBoilerplateLines(pages, minDocs = 3, maxBcast)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    val viaBroadcast = rows(1 << 22)
+    val viaJoin = rows(8)
+    assert(viaJoin == viaBroadcast)
+    // sanity: the template farm really is a big heavy set
+    assert(viaBroadcast.find(_._1 == 1L).get._3 == 40L)
+    assert(viaBroadcast.find(_._1 == 99L).get._2 == 0L) // nothing kept
+  }
 }
