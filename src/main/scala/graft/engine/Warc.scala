@@ -188,9 +188,17 @@ object Warc {
           }
           if (hdr.isEmpty || wtype == null || clen < 0 ||
             i + clen + 4 > b.length) { dead = true; None }
-          else {
+          else if (!(b(i + clen.toInt) == '\r' && b(i + clen.toInt + 1) == '\n' &&
+            b(i + clen.toInt + 2) == '\r' && b(i + clen.toInt + 3) == '\n')) {
+            // The 4 bytes after the payload MUST be the CRLFCRLF record
+            // terminator. A record whose Content-Length points anywhere
+            // else is mis-framed; silently emitting it and desyncing
+            // until the NEXT version-line check would blame the wrong
+            // record — stop explicitly HERE and drop the lying record.
+            dead = true; None
+          } else {
             val payload = java.util.Arrays.copyOfRange(b, i, i + clen.toInt)
-            i += clen.toInt + 4 // trailing CRLF CRLF
+            i += clen.toInt + 4 // trailing CRLF CRLF (verified above)
             val r = Rec(fileId, idx, wtype, uri, clen, payload)
             idx += 1
             Some(r)
@@ -256,7 +264,12 @@ object Warc {
   private[graft] def fileIdOf(path: String): Long = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val digits = name.stripPrefix("crawl-").takeWhile(_.isDigit)
-    if (name.startsWith("crawl-") && digits.nonEmpty) digits.toLong
+    // ≤18 digits always fits a Long; a 19+-digit numeric name would
+    // throw in toLong and kill the ingest task — exactly the
+    // one-foreign-name failure the md5 fallback exists to prevent, so
+    // oversized numbers fall through to the stable md5 id too
+    if (name.startsWith("crawl-") && digits.nonEmpty && digits.length <= 18)
+      digits.toLong
     else {
       val dg = java.security.MessageDigest.getInstance("MD5")
         .digest(name.getBytes(UTF_8))
