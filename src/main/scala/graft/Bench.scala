@@ -118,6 +118,21 @@ object Bench {
       // round-9 archive lost q01-q36 and the headline that way) still
       // ends with the totals — and a head capture keeps the full line
       println(s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures}""")
+      // The driver's BENCH_r*.json archive tail-truncates at ~2,000
+      // chars (two-thirds of the per-query map is unrecoverable every
+      // round), so the full map is ALSO written to a committed file —
+      // stable key order, one query per line — making round-over-round
+      // per-query diffs possible from git history alone.
+      try {
+        val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "bench_last.json")
+        val body = names.flatMap(n => results.get(n)
+          .map(v => "  \"" + n + "\": " + v)).mkString(",\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+          s"""{\n"_total_sec": $total, "_sf": "$sfDir", "_failures": $failures,\n$body\n}\n""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_last.json write failed: $e")
+      }
     }
     // The driver kills a stuck bench with SIGTERM; partial numbers beat
     // none, so emit whatever completed before dying.
