@@ -876,7 +876,52 @@ object IngestQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
     }.withBenchSetup((s, dir) =>
-      ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))))
+      ensureStaged(skipLakePath(dir))(stageSkipLake(s, dir))),
+
+    QuerySpec(
+      "q184_stream_lake_source",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // The lake as a STREAM ([[GraftLakeMicroBatchStream]] — Delta's
+      // streaming-source shape): three committed versions are consumed
+      // through `readStream.format("graftlake")`, each version's added
+      // files one micro-batch (offsets ARE versions; the changes()
+      // append fast path, no rescan). The drained rows must aggregate
+      // to exactly the raw-table oracle — a dropped version, a
+      // double-delivered dir, or a mis-resolved manifest delta each
+      // break the hash.
+      val lake = streamLakePath(dir)
+      ensureStaged(lake)(stageStreamLake(s, dir))
+      val consumed = Streaming.runAvailableNow(
+        s.readStream.format("graftlake").load(lake),
+        "q184_lake_stream", outputMode = "append")
+      consumed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))))
+
+  private def streamLakePath(dir: String): String =
+    s"$scratchRoot/stream_lake_${new java.io.File(dir).getName}"
+
+  /** Three append commits partitioning `user_id < 300` by residue mod
+    * 3 — their union is exactly the oracle's WHERE, so the streamed
+    * drain must reproduce it regardless of batch boundaries. */
+  private def stageStreamLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = streamLakePath(dir)
+    Lake.delete(s, lake)
+    val ev = Tables.table(s, dir, "events")
+      .filter(col("user_id") < 300)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    (0 until 3).foreach(k =>
+      VersionedLake.commit(ev.filter(pmod(col("user_id"), lit(3)) === k),
+        lake))
+  }
 
   // ---- q122 ORC fixture ------------------------------------------------
 
