@@ -902,7 +902,60 @@ object IngestQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
     }.withBenchSetup((s, dir) =>
-      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))))
+      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))),
+
+    QuerySpec(
+      "q185_zorder_versioned",
+      """WITH d AS (
+        |  SELECT event_id % 256 AS a, user_id % 256 AS b, value
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM d WHERE a BETWEEN 32 AND 47 AND b BETWEEN 96 AND 111""".stripMargin) { (s, dir) =>
+      // Z-ordered compaction on the VERSIONED lake
+      // ([[VersionedLake.compactZOrder]]): the events slice commits
+      // unclustered, a layout commit rewrites it Morton-ordered on
+      // (a, b) with stats on BOTH dims, and a 2-D rectangle probe
+      // through plain `spark.read.format("graftlake")` must read only
+      // the files whose (a, b) tile intersects the rectangle (asserted
+      // inline) while aggregating to the raw-table oracle — a layout
+      // commit may move bytes, never data.
+      val lake = zvLakePath(dir)
+      ensureStaged(lake)(stageZvLake(s, dir))
+      val probe = s.read.format("graftlake").load(lake)
+        .filter(col("a") >= 32 && col("a") <= 47 &&
+          col("b") >= 96 && col("b") <= 111)
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      if (total >= 8) {
+        val read = GraftLakeDataSource.filesRead(probe)
+        require(read < total, s"2-D z-order probe read $read/$total files")
+      }
+      probe.agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(zvLakePath(dir))(stageZvLake(s, dir))))
+
+  // q185 staged z-ordered versioned lake ----------------------------------
+
+  private def zvLakePath(dir: String): String =
+    s"$scratchRoot/zv_lake_${new java.io.File(dir).getName}"
+
+  /** Unclustered commit of the (a, b, value) slice, then the z-order
+    * layout commit — both dims already in [0, 256), the zValue domain
+    * contract. */
+  private def stageZvLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lake = zvLakePath(dir)
+    Lake.delete(s, lake)
+    VersionedLake.commit(
+      Tables.table(s, dir, "events")
+        .select(pmod(col("event_id"), lit(256L)).as("a"),
+          pmod(col("user_id"), lit(256L)).as("b"), col("value"))
+        .repartition(16),
+      lake)
+    VersionedLake.compactZOrder(s, lake, "a", "b", nFiles = 16, bits = 8)
+    ()
+  }
 
   private def streamLakePath(dir: String): String =
     s"$scratchRoot/stream_lake_${new java.io.File(dir).getName}"

@@ -235,6 +235,34 @@ object VersionedLake {
     commitIndexed(readLatest(spark, dir), dir, statsCols, bloomCol,
       mode = "overwrite", codec = codec)
 
+  /** Z-ordered compaction as a versioned commit: rewrite the latest
+    * snapshot range-partitioned and sorted by the Morton interleave of
+    * two dimension columns ([[Lake.zValue]] — callers map their
+    * domains into [0, 2^bits) first), recording min/max stats for BOTH
+    * dims in the same commit. Each output file then covers a small
+    * RECTANGLE in (a, b) space, so a range probe on EITHER dimension —
+    * through [[readSkipping]] or a pushed filter on the `graftlake`
+    * read path — skips most files; a 1-D sort gives this for one
+    * column and leaves the other's per-file ranges as wide as the
+    * data. The layout lever for the second and third most-filtered
+    * columns once directory partitioning is spent on the first —
+    * at 100 TB the difference between reading a rectangle and reading
+    * a stripe. Data is unchanged (a layout commit, like
+    * [[compactVersions]]); older versions keep reading their own
+    * manifests. */
+  def compactZOrder(spark: SparkSession, dir: String, aCol: String,
+      bCol: String, nFiles: Int, bits: Int = 16,
+      bloomCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val clustered = readLatest(spark, dir)
+      .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    commitIndexed(clustered, dir, Seq(aCol, bCol), bloomCol,
+      mode = "overwrite")
+  }
+
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
     * version, the "process only what's new since yesterday's run"

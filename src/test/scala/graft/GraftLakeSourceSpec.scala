@@ -193,6 +193,30 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("compactZOrder: a range probe on EITHER dimension alone prunes " +
+      "files through the V2 path — the rectangle property a 1-D sort " +
+      "cannot give") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-zorder") + "/lake"
+    // full 256×256 grid, one row per (a, b) cell
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    VersionedLake.commit(grid.repartition(16), dir)
+    VersionedLake.compactZOrder(spark, dir, "a", "b", nFiles = 16,
+      bits = 8)
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    assert(total >= 8, s"fixture produced only $total files")
+    val aProbe = v2(dir).filter(col("a") >= 0 && col("a") <= 15)
+    val bProbe = v2(dir).filter(col("b") >= 0 && col("b") <= 15)
+    val (aRead, bRead) = (GraftLakeDataSource.filesRead(aProbe),
+      GraftLakeDataSource.filesRead(bProbe))
+    assert(aRead < total, s"a-dim probe read $aRead/$total files")
+    assert(bRead < total, s"b-dim probe read $bRead/$total files")
+    // layout commits never change data
+    assert(aProbe.count() == 16L * 256 && bProbe.count() == 16L * 256)
+    assert(VersionedLake.readLatest(spark, dir).count() == 65536L)
+  }
+
   test("startingVersion bounds the initial backfill") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -225,4 +225,38 @@ class IngestSpec extends AnyFunSuite {
     assert(micros("nanos") == 1700000000000L)   // ÷1000
     assert(micros("millis") == 1700000000000000000L) // ×1000
   }
+
+  test("ep3Query: min/max aggregations, the no-patient form, and the " +
+      "unknown-category/aggregation refusals") {
+    import org.apache.spark.sql.functions.col
+    val root = TestSpark.tempDir("ep3-unit")
+    val a = EegFixture.specA
+    EegFixture.write(s"$root/in", a)
+    Ingest.ingestBatch(spark, s"$root/in", s"$root/lake", s"$root/reg",
+      s"$root/done")
+    val m = SchemaRegistry.categoryMap(
+      EegFixture.categoryRow(a), EegFixture.headers(a)).toMap
+    def q(agg: String, patient: Option[String] = Some(a.patientId)) =
+      TemplateQuery.ep3Query(spark, s"$root/lake", m,
+        TemplateQuery.Ep3("Group 1", patient, 2019, 7, 16, agg))
+    // independent expectation: the same day's rows straight off the lake
+    val day = Lake.read(spark, s"$root/lake")
+      .filter(col("Year") === 2019 && col("Month") === 7 &&
+        col("Day") === 16)
+    val wantMin = day.agg(org.apache.spark.sql.functions.min("I1_1"))
+      .head().getDouble(0)
+    val wantMax = day.agg(org.apache.spark.sql.functions.max("I1_1"))
+      .head().getDouble(0)
+    val rMin = q("min").head()
+    assert(rMin.getAs[Double]("min_I1_1") == wantMin)
+    val rMax = q("max").head()
+    assert(rMax.getAs[Double]("max_I1_1") == wantMax)
+    // single-patient fixture: omitting the patient filter changes nothing
+    assert(q("max", patient = None).head().getAs[Double]("max_I1_1")
+      == wantMax)
+    intercept[IllegalArgumentException](q("median"))
+    intercept[IllegalArgumentException](
+      TemplateQuery.ep3Query(spark, s"$root/lake", m,
+        TemplateQuery.Ep3("Group 99", None, 2019, 7, 16, "avg")))
+  }
 }
