@@ -933,7 +933,35 @@ object IngestQueries {
       probe.agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"))
     }.withBenchSetup((s, dir) =>
-      ensureStaged(zvLakePath(dir))(stageZvLake(s, dir))))
+      ensureStaged(zvLakePath(dir))(stageZvLake(s, dir))),
+
+    QuerySpec(
+      "q186_sql_catalog",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE user_id < 300 AND user_id % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Ad-hoc SQL over the lake through the V2 catalog
+      // ([[GraftLakeCatalog]] — the reference's EP2 shape: user SQL →
+      // Athena → Glue-cataloged parquet, README.md:13-15): ONE SQL
+      // text names the lake as a catalog table and time-travels with
+      // VERSION AS OF — zero library calls, zero temp views. Version 2
+      // of the staged lake holds exactly the first two residue classes
+      // (see stageStreamLake), which the oracle re-derives from the
+      // raw table; reading the WRONG version (e.g. latest) changes the
+      // counts and breaks the hash.
+      val lake = streamLakePath(dir)
+      ensureStaged(lake)(stageStreamLake(s, dir))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q186",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q186.root",
+        new java.io.File(lake).getParent)
+      s.sql(
+        s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           |FROM glake_q186.`$name` VERSION AS OF 2
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))))
 
   // q185 staged z-ordered versioned lake ----------------------------------
 

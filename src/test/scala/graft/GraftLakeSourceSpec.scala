@@ -193,6 +193,21 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("count/min/max through the V2 path push down to parquet " +
+      "metadata (inherited aggregate pushdown)") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-agg") + "/lake"
+    VersionedLake.commit(spark.range(0, 500).toDF("id"), dir)
+    VersionedLake.commit(spark.range(500, 800).toDF("id"), dir)
+    val df = v2(dir).agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+      max(col("id")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate not pushed to the parquet footer read:\n$plan")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((800L, 0L, 799L)))
+  }
+
   test("compactZOrder: a range probe on EITHER dimension alone prunes " +
       "files through the V2 path — the rectangle property a 1-D sort " +
       "cannot give") {
