@@ -144,7 +144,11 @@ object Warc {
   def walk(fileId: Long, raw: Array[Byte]): Iterator[Rec] = {
     val b =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-        (raw(1) & 0xff) == 0x8b) gunzip(raw)
+        (raw(1) & 0xff) == 0x8b)
+        // corrupt/truncated gzip is the same class as corrupt framing:
+        // stop cleanly (zero records), never kill the ingest task —
+        // ZipException/EOFException both extend IOException
+        try gunzip(raw) catch { case _: java.io.IOException => Array.emptyByteArray }
       else raw
 
     var i = 0
@@ -186,8 +190,13 @@ object Warc {
             }
             hdr = line()
           }
+          // overflow-safe length check: `i + clen + 4 > b.length` wraps
+          // negative for a crafted Content-Length near Long.MaxValue
+          // and would admit the record, then throw in the copy — the
+          // subtraction form is exact for every clen ≥ 0 (the RHS may
+          // go negative near EOF, which correctly rejects)
           if (hdr.isEmpty || wtype == null || clen < 0 ||
-            i + clen + 4 > b.length) { dead = true; None }
+            clen > (b.length - i - 4).toLong) { dead = true; None }
           else if (!(b(i + clen.toInt) == '\r' && b(i + clen.toInt + 1) == '\n' &&
             b(i + clen.toInt + 2) == '\r' && b(i + clen.toInt + 3) == '\n')) {
             // The 4 bytes after the payload MUST be the CRLFCRLF record
