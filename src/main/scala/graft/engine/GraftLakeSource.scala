@@ -387,6 +387,18 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
     VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
     Map.empty, None) {
 
+  // Sidecar lookups memoized for the INDEX's lifetime, not per
+  // listFiles call: a version's sidecars are immutable (data dirs are
+  // never mutated after publish), and a table may be planned many
+  // times — at 100k data dirs the difference is one sidecar read per
+  // (dir, col) ever vs per query. Driver-side planning is effectively
+  // single-threaded per query; synchronized maps keep concurrent
+  // queries over one cached DataFrame safe.
+  private val statsCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, (Double, Double, Long)]]
+  private val bloomCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, java.util.BitSet]]
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
@@ -394,10 +406,6 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
     val points = GraftLakeFileIndex.pointPredicates(dataFilters)
     if (ranges.isEmpty && points.isEmpty) base
     else {
-      val statsCache =
-        collection.mutable.Map.empty[(String, String), Map[String, (Double, Double, Long)]]
-      val bloomCache =
-        collection.mutable.Map.empty[(String, String), Map[String, java.util.BitSet]]
       def admit(p: Path): Boolean = {
         val d = p.getParent.getName
         val f = p.getName
