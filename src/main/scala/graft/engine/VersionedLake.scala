@@ -56,13 +56,41 @@ object VersionedLake {
       .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt).sorted
   }
 
+  /** Content terminator appended to every manifest: the CAS create
+    * claims the version NAME atomically, but the content write that
+    * follows is not atomic with it — a reader opening the file in that
+    * window would otherwise resolve a silently-wrong (empty or subset)
+    * snapshot. The terminator makes torn content DETECTABLE; readers
+    * retry the few-ms fill window and fail loudly on a manifest a
+    * crashed writer never finished (a loud error names the file; the
+    * pre-terminator behavior was quiet wrongness). */
+  private val ManifestEnd = "#end"
+
   private def readManifest(spark: SparkSession, dir: String, v: Int)
       : Seq[String] = {
-    val in = fs(spark, dir).open(manifestPath(dir, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+    val p = manifestPath(dir, v)
+    var attempt = 0
+    while (true) {
+      val in = fs(spark, dir).open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      if (lines.lastOption.contains(ManifestEnd))
+        return lines.dropRight(1)
+      attempt += 1
+      if (attempt >= 50)
+        throw new IllegalStateException(
+          s"manifest $p is torn or still being published " +
+            "(no terminator after retries) — its writer crashed " +
+            "mid-publish or is stalled; the version is unreadable")
+      Thread.sleep(20)
+    }
+    Nil // unreachable
   }
+
+  private def manifestBytes(live: Seq[String]): Array[Byte] =
+    (live :+ ManifestEnd).mkString("\n").getBytes("UTF-8")
 
   /** Commit `df` as the next version. `mode` "append" carries the
     * previous live set forward plus the new data dir; "overwrite"
@@ -147,7 +175,7 @@ object VersionedLake {
           else prevLive :+ dataDir
         try {
           val out = f.create(manifestPath(dir, next), false)
-          try out.write(live.mkString("\n").getBytes("UTF-8"))
+          try out.write(manifestBytes(live))
           finally out.close()
           committed = next
         } catch {
@@ -401,7 +429,12 @@ object VersionedLake {
   }
 
   /** Stats lines of one data dir for column `c`, as
-    * file → (min, max, rows); empty map if the dir has no stats file. */
+    * file → (min, max, rows); empty map if the dir has no stats file.
+    * Sidecars are an OPTIMIZATION, never a correctness gate, so a
+    * malformed line (torn write, bit rot) is DROPPED rather than
+    * thrown: the file it described simply loses its range and is
+    * always read — a corrupt 1 KiB sidecar must not brick every read
+    * of an otherwise-healthy version. */
   private def statsFor(spark: SparkSession, dir: String, d: String,
       c: String): Map[String, (Double, Double, Long)] = {
     val f = fs(spark, dir)
@@ -411,7 +444,8 @@ object VersionedLake {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.split('\t')).filter(a => a.length == 5 && a(1) == c)
-        .map(a => a(0) -> ((a(2).toDouble, a(3).toDouble, a(4).toLong)))
+        .flatMap(a => scala.util.Try(
+          a(0) -> ((a(2).toDouble, a(3).toDouble, a(4).toLong))).toOption)
         .toMap
       finally in.close()
     }
@@ -593,7 +627,7 @@ object VersionedLake {
         .filterNot(dropped) :+ added
       try {
         val out = f.create(manifestPath(dir, next), false)
-        try out.write(live.mkString("\n").getBytes("UTF-8"))
+        try out.write(manifestBytes(live))
         finally out.close()
         committed = next
       } catch {
@@ -705,7 +739,13 @@ object VersionedLake {
       .map { case (name, ps) =>
         val bits = new java.util.BitSet(BloomBits)
         ps.foreach(bits.set)
-        val hex = bits.toByteArray.map("%02x".format(_)).mkString
+        // FIXED-length bitmap (BitSet.toByteArray trims trailing zero
+        // bytes): with padding, a truncated sidecar line has the wrong
+        // length and is dropped by the reader — degrade to reading the
+        // file — where a trimmed format would misread truncation as a
+        // legitimately sparse bloom and silently skip matching files
+        val full = java.util.Arrays.copyOf(bits.toByteArray, BloomBits / 8)
+        val hex = full.map("%02x".format(_)).mkString
         s"$name\t$keyCol\t$hex"
       }
     val f = fs(spark, dir)
@@ -715,7 +755,9 @@ object VersionedLake {
     ()
   }
 
-  /** Bloom lines of one data dir for `c`: file → BitSet. */
+  /** Bloom lines of one data dir for `c`: file → BitSet. Malformed
+    * lines are dropped, not thrown — same degrade-to-read contract as
+    * [[statsFor]] (a file without a parseable bloom is always read). */
   private def bloomFor(spark: SparkSession, dir: String, d: String,
       c: String): Map[String, java.util.BitSet] = {
     val f = fs(spark, dir)
@@ -725,10 +767,16 @@ object VersionedLake {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.split('\t')).filter(a => a.length == 3 && a(1) == c)
-        .map { a =>
-          val bytes = a(2).sliding(2, 2).map(Integer.parseInt(_, 16).toByte)
-            .toArray
-          a(0) -> java.util.BitSet.valueOf(bytes)
+        .flatMap { a =>
+          scala.util.Try {
+            // exact-length contract (see writeBloomFor): anything else
+            // is a torn line, and a wrong-length bitmap must degrade
+            // to reading the file, never to a false skip
+            require(a(2).length == BloomBits / 4, "torn bloom line")
+            val bytes = a(2).sliding(2, 2)
+              .map(Integer.parseInt(_, 16).toByte).toArray
+            a(0) -> java.util.BitSet.valueOf(bytes)
+          }.toOption
         }.toMap
       finally in.close()
     }

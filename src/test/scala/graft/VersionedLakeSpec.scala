@@ -54,9 +54,12 @@ class VersionedLakeSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, false)
     // interloper publishes an overwrite manifest pointing at v1's dir
+    // (terminated — every real writer ends its manifest with the
+    // torn-write marker; an UNterminated one is the durability spec's
+    // subject)
     val v1dir = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("d-")).head
-    try out.write(v1dir.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$v1dir\n#end".getBytes("UTF-8")) finally out.close()
     val after = VersionedLake.commit(spark.range(30, 40).toDF("id"), dir)
     assert(after == 5)
     // the retry appended onto the INTERLOPER's live set (the new tip)
@@ -378,6 +381,51 @@ class VersionedLakeSpec extends AnyFunSuite {
         .readBloomFilter(idCol) != null,
         "native parquet bloom missing from the footer")
     } finally rd.close()
+  }
+
+  test("durability contracts: a torn manifest fails loudly; corrupt " +
+      "sidecars degrade to full reads with identical results") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("vlake-torn") + "/lake"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedLake.commitIndexed(
+      spark.range(0, 100).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id"), bloomCol = Some("id"))
+    VersionedLake.commitIndexed(
+      spark.range(100, 200).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id"), bloomCol = Some("id"))
+    // sanity: both index classes skip while intact
+    assert(VersionedLake.readSkipping(spark, dir, "id", 0, 50)
+      .inputFiles.length == 1)
+    assert(VersionedLake.readBloomProbe(spark, dir, "id", 150L)
+      .inputFiles.length == 1)
+    // corrupt EVERY sidecar byte-wise (truncate + garbage lines)
+    Seq("_stats", "_bloom").foreach { kind =>
+      fs.listStatus(new Path(s"$dir/$kind")).foreach { st =>
+        val out = fs.create(st.getPath, true)
+        try out.write("garbage\tnot\ta\tvalid\tline\nf\tid\tzz".getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    // probes must still answer EXACTLY (reading everything)
+    assert(ids(VersionedLake.readSkipping(spark, dir, "id", 0, 50)) ==
+      (0L to 50L))
+    assert(ids(VersionedLake.readBloomProbe(spark, dir, "id", 150L)) ==
+      Seq(150L))
+    assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+      ((200L, 0.0, 199.0)))
+    // a manifest missing its terminator (writer crashed mid-publish)
+    // is a LOUD failure naming the file, not a silent empty snapshot
+    val torn = new Path(s"$dir/_manifests/v00009")
+    val out = fs.create(torn, true)
+    try out.write("d-nonexistent".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException](
+      VersionedLake.readAt(spark, dir, 9))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    fs.delete(torn, false)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 200L))
   }
 
   test("retention contract: a reader of a retained snapshot survives a " +
