@@ -56,6 +56,34 @@ object VersionedLake {
       .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt).sorted
   }
 
+  /** The version visible at wall-clock `tsMillis`: the newest manifest
+    * whose publish time is <= ts (`TIMESTAMP AS OF` resolves here).
+    * Publish time is the manifest file's mtime — assigned by the
+    * filesystem at the CAS create, so it is the same clock for every
+    * writer and survives process restarts. None for a timestamp before
+    * the first publish. NOT filtered through retention: a vacuumed
+    * version resolves and then fails loudly at read, rather than
+    * silently answering with a different (older-surviving) snapshot. */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long)
+      : Option[Int] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).filter(v =>
+      f.getFileStatus(manifestPath(dir, v)).getModificationTime
+        <= tsMillis).lastOption
+  }
+
+  /** Commit history, oldest first: (version, publishedAtMillis,
+    * dataDirs in the live set). One manifest stat + read per retained
+    * version — bounded by retention, driver-side by design (this is
+    * the `CALL glake.history(…)` metadata query, not a data path). */
+  def history(spark: SparkSession, dir: String): Seq[(Int, Long, Int)] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).map { v =>
+      (v, f.getFileStatus(manifestPath(dir, v)).getModificationTime,
+        readManifest(spark, dir, v).length)
+    }
+  }
+
   /** Content terminator appended to every manifest: the CAS create
     * claims the version NAME atomically, but the content write that
     * follows is not atomic with it — a reader opening the file in that
@@ -153,9 +181,12 @@ object VersionedLake {
   /** The commit CAS: create-no-overwrite of the next manifest; a racing
     * writer that published first makes the create throw — recompute
     * against the new tip and retry (the data dir is already durable,
-    * only the pointer write repeats). */
-  private def publish(spark: SparkSession, dir: String, dataDir: String,
-      mode: String): Int = {
+    * only the pointer write repeats). `private[engine]` because the
+    * DSv2 write path ([[GraftLakeWrite]]) stages its parquet through
+    * Spark's own committer and then lands HERE for the pointer swing —
+    * one publish protocol, two front doors. */
+  private[engine] def publish(spark: SparkSession, dir: String,
+      dataDir: String, mode: String): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
@@ -379,10 +410,12 @@ object VersionedLake {
     publish(spark, dir, dataDir, mode)
   }
 
-  /** Footer-stats pass for one data dir (shared by [[commitWithStats]]
-    * and [[deleteRange]]'s rewrite): per (file, statsCol) one line
-    * `file \t col \t min \t max \t rows`. */
-  private def writeStatsFor(spark: SparkSession, dir: String,
+  /** Footer-stats pass for one data dir (shared by [[commitWithStats]],
+    * [[deleteRange]]'s rewrite, and the DSv2 DML commit — the stats are
+    * LIFTED from the parquet footers the write already produced, so
+    * indexing costs one metadata read per file, never a data pass): per
+    * (file, statsCol) one line `file \t col \t min \t max \t rows`. */
+  private[engine] def writeStatsFor(spark: SparkSession, dir: String,
       dataDir: String, statsCols: Seq[String]): Unit = {
     val f = fs(spark, dir)
     val conf = spark.sessionState.newHadoopConf()
@@ -823,35 +856,59 @@ object VersionedLake {
     snap.filter(col(c) === lit(value))
   }
 
+  /** Grace window for [[vacuum]]'s unreferenced-dir sweep. Every commit
+    * front door (library, DSv2 DML, streaming sinks) writes its data
+    * dir FIRST and publishes the manifest pointer AFTER — so at any
+    * moment an unreferenced `d-*` dir may be a commit in flight, and
+    * that window is as long as the data write (hours for a large
+    * commit). A vacuum that swept it would let the writer publish a
+    * version pointing at deleted files — a corrupt tip. Deleting only
+    * dirs whose newest file is older than the grace makes the sweep
+    * safe against any writer that stages faster than the grace
+    * (Delta's retention-before-delete, same reasoning). */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
   /** Drop history: delete manifests older than the newest `retain`
     * versions, then delete data dirs no retained manifest references —
-    * including orphans from crashed commits. Membership math on
-    * manifest CONTENTS, one bounded directory list to find candidates;
-    * data-dir deletes are recursive but only on the garbage set. */
-  def vacuum(spark: SparkSession, dir: String, retain: Int): Unit = {
+    * including orphans from crashed commits — but ONLY dirs quiescent
+    * for `graceMs` (see [[DefaultVacuumGraceMs]]; pass 0 to force-sweep
+    * when no writer can be in flight). Membership math on manifest
+    * CONTENTS, one bounded directory list to find candidates; data-dir
+    * deletes are recursive but only on the garbage set. */
+  def vacuum(spark: SparkSession, dir: String, retain: Int,
+      graceMs: Long = DefaultVacuumGraceMs): Unit = {
     require(retain >= 1, "must retain at least the latest version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
     val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    f.listStatus(new Path(dir)).toSeq.map(_.getPath)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def quiescentSince(p: Path): Long = {
+      val self = f.getFileStatus(p).getModificationTime
+      val children = f.listStatus(p).toSeq.map(_.getModificationTime)
+      (self +: children).max
+    }
+    val swept = f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
-      .foreach { p =>
-        f.delete(p, true)
-        // sidecar metadata lives and dies with its data dir — orphan
-        // .stats/.bloom files would otherwise accumulate one per
-        // vacuumed commit, unboundedly on a long-lived lake
-        f.delete(new Path(s"$dir/_stats/${p.getName}.stats"), false)
-        f.delete(new Path(s"$dir/_bloom/${p.getName}.bloom"), false)
-        ()
-      }
-    // drop tag markers whose data dir was just vacuumed, keeping the
-    // marker set aligned with what the manifests can still answer
+      .filter(p => quiescentSince(p) <= cutoff)
+    swept.foreach { p =>
+      f.delete(p, true)
+      // sidecar metadata lives and dies with its data dir — orphan
+      // .stats/.bloom files would otherwise accumulate one per
+      // vacuumed commit, unboundedly on a long-lived lake
+      f.delete(new Path(s"$dir/_stats/${p.getName}.stats"), false)
+      f.delete(new Path(s"$dir/_bloom/${p.getName}.bloom"), false)
+      ()
+    }
+    // drop tag markers only for data dirs actually gone — a grace-kept
+    // published dir must keep its marker, or a replayed tag would
+    // re-commit the same data
     val tagDir = new Path(s"$dir/_tags")
     if (f.exists(tagDir))
       f.listStatus(tagDir).toSeq.map(_.getPath)
-        .filter(p => !liveDirs(s"d-${p.getName}"))
+        .filter(p => !liveDirs(s"d-${p.getName}") &&
+          !f.exists(new Path(s"$dir/d-${p.getName}")))
         .foreach(p => f.delete(p, false))
   }
 }

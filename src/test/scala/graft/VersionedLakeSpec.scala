@@ -217,7 +217,15 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.commit(spark.range(5, 9).toDF("id"), dir)
     // orphan: a data dir with no manifest (crash before the CAS)
     spark.range(900, 950).toDF("id").write.parquet(s"$dir/d-orphan")
+    // with the default grace the fresh orphan is indistinguishable from
+    // an IN-FLIGHT commit's staging dir — the sweep must keep it
     VersionedLake.vacuum(spark, dir, retain = 2)
+    assert(new org.apache.hadoop.fs.Path(s"$dir/d-orphan").getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(
+      new org.apache.hadoop.fs.Path(s"$dir/d-orphan")),
+      "vacuum swept a dir younger than the grace (in-flight-commit risk)")
+    // graceMs = 0: the caller asserts no writer is in flight
+    VersionedLake.vacuum(spark, dir, retain = 2, graceMs = 0)
     assert(VersionedLake.versions(spark, dir) == Seq(3, 4))
     assert(ids(VersionedLake.readAt(spark, dir, 3)) == (0L until 5L))
     assert(ids(VersionedLake.readAt(spark, dir, 4)) == (0L until 9L))
