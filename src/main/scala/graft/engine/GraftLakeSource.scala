@@ -25,7 +25,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   *
   * Architecture: everything below the file listing is Spark's OWN
-  * parquet DSv2 machinery — [[GraftLakeTable]] IS a `ParquetTable`
+  * parquet DSv2 machinery — [[GraftLakeTable]] WRAPS a `ParquetTable`
   * (vectorized reader, pushed filters, columnar batches, AQE), with
   * exactly ONE seam replaced: the `FileIndex` resolves the snapshot
   * from the manifest log instead of listing the directory, and applies
@@ -101,6 +101,19 @@ object GraftLakeDataSource {
     * (inclusive; default 1 = the full history as the initial batches). */
   val StartingVersion = "startingVersion"
 
+  /** Columns the DML paths auto-index (stats sidecars lifted from the
+    * parquet footers): every top-level numeric field — SQL writers
+    * have no `commitWithStats` to opt into, so index everything
+    * range-skippable by default. */
+  private[engine] def numericCols(schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == FloatType || f.dataType == DoubleType => f.name
+    }.toSeq
+  }
+
   /** Files the executed plan will actually read through the V2 scan —
     * the post-pruning evidence q182 and the spec gate assert on
     * (`DataFrame.inputFiles` reports the index's full listing, BEFORE
@@ -141,12 +154,19 @@ object GraftLakeDataSource {
   * }}}
   *
   * A table identifier maps to `<root>/<namespace…>/<name>`; a table
-  * exists iff that directory has published manifests. Read-only by
-  * design — writes go through the commit protocol
-  * ([[VersionedLake.commit]]'s CAS), which a SQL INSERT cannot
-  * express; every DDL/DML entry point says so loudly. */
+  * exists iff that directory has published manifests. DML writes are
+  * first-class — `INSERT INTO glake.events …` / `INSERT OVERWRITE`
+  * stage parquet and swing the same manifest CAS as
+  * [[VersionedLake.commit]] (see [[GraftLakeWrite]]), and
+  * `DELETE FROM` runs the stats-pruned survivor rewrite
+  * ([[GraftLakeDelete]]) — while DDL
+  * (create/alter/drop/rename) is refused: a lake's lifecycle is the
+  * library's (first commit creates it, vacuum retires it), and a SQL
+  * `DROP TABLE` that unlinked a 100 TB lake would be a footgun with no
+  * undo. */
 final class GraftLakeCatalog
-    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+    extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.Identifier
   import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 
@@ -185,6 +205,19 @@ final class GraftLakeCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.trim.toInt))
 
+  /** `TIMESTAMP AS OF <ts>` — the analyzer hands micros since epoch;
+    * resolve to the newest version published at or before that instant
+    * ([[VersionedLake.versionAt]], manifest mtimes — one clock for all
+    * writers). A timestamp before the first publish is an error, not
+    * an empty table: the lake did not exist yet, and an empty answer
+    * would be indistinguishable from a real empty snapshot. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val tsMillis = Math.floorDiv(timestamp, 1000L)
+    val v = VersionedLake.versionAt(spark, dirOf(ident), tsMillis)
+      .getOrElse(throw new NoSuchTableException(ident))
+    load(ident, Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     VersionedLake.versions(spark, dirOf(ident)).nonEmpty
 
@@ -198,9 +231,11 @@ final class GraftLakeCatalog
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graftlake catalog is read-only: write through the versioned " +
-      "commit protocol (VersionedLake.commit*/Streaming sinks), which " +
-      "SQL DML cannot express")
+    "graftlake catalog supports DML (INSERT INTO / INSERT OVERWRITE / " +
+      "DELETE FROM commit through the versioned manifest protocol) " +
+      "but not DDL: " +
+      "lakes are created by their first VersionedLake.commit and " +
+      "retired by vacuum, never by SQL DROP/ALTER")
 
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -215,47 +250,303 @@ final class GraftLakeCatalog
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
+
+  /** Lifecycle operations as `CALL glake.<proc>(…)` — see
+    * [[GraftLakeProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftLakeProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftLakeProcedures.list(namespace)
 }
 
-/** One published snapshot as a native parquet DSv2 table: identical to
-  * Spark's own `ParquetTable` except the file index is the manifest
-  * snapshot (with sidecar pruning), not a directory listing. */
-final class GraftLakeTable(name: String, spark: SparkSession,
+/** One published snapshot as a native parquet DSv2 table. The scan
+  * machinery is Spark's own `ParquetTable` (held as a DELEGATE, with
+  * the file index replaced by the manifest snapshot + sidecar
+  * pruning) — but the table deliberately does NOT extend `FileTable`:
+  * the analyzer's `FallBackFileSourceV2` rule rewrites every
+  * `INSERT INTO` over a `FileTable` into a V1
+  * `InsertIntoHadoopFsRelationCommand` aimed at the index's root
+  * paths, which here would APPEND RAW FILES INTO A PUBLISHED DATA DIR
+  * — mutating an immutable snapshot behind every reader's and time
+  * traveler's back, with no version bump. Wrapping instead of
+  * extending keeps that rule from matching, so writes stay on the V2
+  * path and land in [[GraftLakeWrite]]'s staged-dir + manifest-CAS
+  * protocol. */
+final class GraftLakeTable(tableName: String, spark: SparkSession,
     options: CaseInsensitiveStringMap, paths: Seq[String],
     userSpecifiedSchema: Option[StructType], lakeDir: String, version: Int)
-  extends ParquetTable(name, spark, options, paths, userSpecifiedSchema,
-    classOf[ParquetFileFormat]) {
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.connector.catalog.TableCapability
 
-  override lazy val fileIndex: PartitioningAwareFileIndex =
-    new GraftLakeFileIndex(spark, lakeDir, version)
+  private val snapshotVersion = version // FileTable.version() shadows inside the delegate
+  private val delegate: ParquetTable =
+    new ParquetTable(tableName, spark, options, paths, userSpecifiedSchema,
+        classOf[ParquetFileFormat]) {
+      override lazy val fileIndex: PartitioningAwareFileIndex =
+        new GraftLakeFileIndex(spark, lakeDir, snapshotVersion)
+    }
 
-  /** Beyond ParquetTable: the lake is also a STREAMING source —
-    * versions are the offsets (see [[GraftLakeMicroBatchStream]]). */
-  override def capabilities()
-      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
-    val caps = new java.util.HashSet(super.capabilities())
-    caps.add(
-      org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
-    caps
+  /** Table creation options merged under call-site options — the same
+    * precedence as FileTable's protected `mergedOptions`, replicated
+    * here because the delegate's copy is FileTable-protected. */
+  private def merged(o: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.putAll(o.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
   }
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    delegate.columns()
+  private[engine] def dataSchema: StructType = delegate.dataSchema
+  private[engine] def formatName: String = delegate.formatName
+  private[engine] def supportsDataType(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    delegate.supportsDataType(dt)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, // versions as offsets, below
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE) // INSERT OVERWRITE on the whole table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
-    new GraftLakeScanBuilder(spark, fileIndex, schema, dataSchema,
-      mergedOptions(options), lakeDir)
+    new GraftLakeScanBuilder(spark, delegate.fileIndex, schema(),
+      delegate.dataSchema, merged(options), lakeDir)
 
-  /** Read-only by design: a DataFrame write to the lake dir would land
-    * parquet files OUTSIDE the manifest protocol — invisible to every
-    * reader (snapshot semantics) and swept by vacuum, i.e. silently
-    * lost. Fail at plan time instead. */
+  /** Batch writes go through the SAME commit protocol as the library:
+    * tasks stage parquet into a fresh `d-*` dir via Spark's own
+    * committer, and the driver-side `BatchWrite.commit` swings the
+    * manifest CAS ([[VersionedLake.publish]]) — so `INSERT INTO`,
+    * `INSERT OVERWRITE` and `df.write.format("graftlake")` are real
+    * versioned commits: atomic (readers see the old tip until the
+    * pointer lands), concurrency-safe (CAS retry), and vacuum-visible.
+    * Only BATCH writes: `writeStream.format("graftlake")` is refused —
+    * the exactly-once streaming sinks (tag-deduplicated manifests,
+    * [[Streaming]]) are strictly stronger than what an untagged V2
+    * epoch commit could offer. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    throw new UnsupportedOperationException(
-      "graftlake is read-only: write through the versioned commit " +
-        "protocol (VersionedLake.commit*/commitIndexed or the " +
-        "streaming lake sinks), which a raw DataFrame write cannot " +
-        "express")
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val mergedInfo = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = merged(info.options())
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = info.schema()
+    }
+    new GraftLakeWriteBuilder(this, lakeDir, mergedInfo)
+  }
+
+  /** SQL `DELETE FROM` as a versioned commit. The pushed conjuncts
+    * must compose into ONE closed numeric interval on ONE column (or
+    * the always-true truncate) — exactly what
+    * [[VersionedLake.deleteRange]] executes as a stats-pruned
+    * rewrite-survivors commit: untouched data dirs are carried by
+    * manifest reference (zero IO), only intersecting dirs rewrite, a
+    * no-match delete publishes nothing, and history stays time-
+    * travelable. Anything the interval can't express (OR, IN,
+    * predicates on two columns, string columns) is REFUSED at plan
+    * time rather than approximated: a DELETE must be one atomic
+    * version, and running deleteRange per disjunct would expose
+    * readers to the half-deleted intermediate. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    GraftLakeDelete.translate(schema(), filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftLakeDelete.translate(schema(), filters) match {
+      case Some(GraftLakeDelete.Truncate) =>
+        // manifest-level truncate: one empty-but-schema-bearing commit
+        // (SPARK-23271 writes a footer-only file), so the tip is an
+        // empty table and every prior version stays readable
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema()).repartition(1)
+        VersionedLake.commit(empty, lakeDir, mode = "overwrite")
+        ()
+      case Some(GraftLakeDelete.Range(c, lo, hi)) =>
+        if (lo <= hi) {
+          VersionedLake.deleteRange(spark, lakeDir, c, lo, hi,
+            GraftLakeDataSource.numericCols(schema()))
+          ()
+        } // empty interval: nothing can match — publish nothing
+      case None => throw new UnsupportedOperationException(
+        "graftlake DELETE supports one numeric range on one column " +
+          "(or no WHERE); for anything richer, rewrite through " +
+          "VersionedLake so the delete stays one atomic version")
+    }
+}
+
+/** Pushed-filter → delete-interval translation for [[GraftLakeTable]].
+  * Deliberately exact-or-refuse: every accepted shape provably deletes
+  * the SAME rows as catalyst would (NULLs never match a range in
+  * either engine; strict bounds become the adjacent representable
+  * double; integral literals beyond 2^52 are refused because the
+  * interval compares as double and would round). The one systematic
+  * divergence is NaN: Spark orders NaN above +Infinity, so `c > v`
+  * with no upper bound MATCHES NaN in catalyst but no closed [lo, hi]
+  * interval can — ranges unbounded above on float/double columns are
+  * therefore refused rather than silently keeping NaN rows. */
+private[engine] object GraftLakeDelete {
+  // the file imports catalyst's expressions of the same names; the
+  // V1 pushdown filters need explicit qualification
+  import org.apache.spark.sql.{sources => sf}
+  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.types._
+
+  sealed trait Action
+  case object Truncate extends Action
+  final case class Range(col: String, lo: Double, hi: Double) extends Action
+
+  private val MaxExactLong = 1L << 52
+
+  private def asExactDouble(v: Any): Option[Double] = v match {
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case l: Long =>
+      if (math.abs(l) <= MaxExactLong) Some(l.toDouble) else None
+    case f: Float if !f.isNaN => Some(f.toDouble)
+    case d: Double if !d.isNaN => Some(d)
+    case _ => None
+  }
+
+  def translate(schema: StructType,
+      filters: Array[Filter]): Option[Action] = {
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case sf.And(a, b) => flatten(a) ++ flatten(b)
+      case other => Seq(other)
+    }
+    val conjuncts = filters.toSeq.flatMap(flatten)
+      .filterNot(_.isInstanceOf[sf.AlwaysTrue])
+    if (conjuncts.isEmpty) return Some(Truncate)
+
+    def numericTopLevel(a: String): Boolean =
+      schema.fields.exists(f => f.name == a && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      }))
+    def floating(a: String): Boolean =
+      schema.fields.exists(f => f.name == a &&
+        (f.dataType == FloatType || f.dataType == DoubleType))
+
+    // each conjunct contributes one [lo, hi] bound on one column
+    val bounds = conjuncts.map {
+      case sf.EqualTo(a, v) => asExactDouble(v).map(d => (a, d, d))
+      case sf.GreaterThan(a, v) =>
+        asExactDouble(v).map(d =>
+          (a, Math.nextUp(d), Double.PositiveInfinity))
+      case sf.GreaterThanOrEqual(a, v) =>
+        asExactDouble(v).map(d => (a, d, Double.PositiveInfinity))
+      case sf.LessThan(a, v) =>
+        asExactDouble(v).map(d =>
+          (a, Double.NegativeInfinity, Math.nextDown(d)))
+      case sf.LessThanOrEqual(a, v) =>
+        asExactDouble(v).map(d => (a, Double.NegativeInfinity, d))
+      // implied by any range (a range never matches NULL), and alone
+      // it is the full non-null interval
+      case sf.IsNotNull(a) =>
+        Some((a, Double.NegativeInfinity, Double.PositiveInfinity))
+      case _ => None
+    }
+    if (bounds.exists(_.isEmpty)) return None
+    val bs = bounds.flatten
+    val col = bs.head._1
+    if (!bs.forall(_._1 == col) || !numericTopLevel(col)) return None
+    val lo = bs.map(_._2).max
+    val hi = bs.map(_._3).min
+    // NaN divergence (see scaladoc): refuse unbounded-above floats
+    if (floating(col) && hi.isPosInfinity) return None
+    Some(Range(col, lo, hi))
+  }
+}
+
+/** WriteBuilder for the lake: append by default, `truncate()` (what
+  * Spark plans for `INSERT OVERWRITE` / `mode("overwrite")` on an
+  * unpartitioned table) becomes a manifest-level overwrite — the new
+  * version's live set is just the staged dir; old dirs stay readable
+  * through time travel until vacuum. */
+final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var mode = "append"
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = "overwrite"; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    // same dir shape as VersionedLake.commit — compaction, vacuum and
+    // the racing-writer specs treat every d-* dir uniformly
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val inner = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetWrite(Seq(s"$lakeDir/$dataDir"), table.formatName,
+        table.supportsDataType _, info)
+    new GraftLakeWrite(inner, lakeDir, dataDir, mode)
+  }
+}
+
+/** The staged write: execution is byte-for-byte Spark's parquet V2
+  * write into the staging dir (task commits, speculation, the lot);
+  * the ONLY addition is the driver-side manifest publish after the
+  * file committer lands — the same two-phase shape as
+  * [[VersionedLake.commit]] (durable data dir, then pointer CAS). An
+  * abort deletes the staging dir; a crash between file-commit and
+  * manifest-publish leaves an unreferenced dir that no reader ever
+  * sees and vacuum sweeps. */
+final class GraftLakeWrite(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite,
+    lakeDir: String, dataDir: String, mode: String)
+  extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  override def description(): String =
+    s"graftlake $mode $lakeDir (staging $dataDir)"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val innerBatch = inner.toBatch
+    override def createBatchWriterFactory(p: PhysicalWriteInfo)
+        : DataWriterFactory = innerBatch.createBatchWriterFactory(p)
+    override def useCommitCoordinator: Boolean =
+      innerBatch.useCommitCoordinator
+    override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+      innerBatch.onDataWriterCommit(m)
+    override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+      innerBatch.commit(msgs) // file committer: task temps -> staging dir
+      val spark = SparkSession.active
+      // SQL writers have no commitWithStats to opt into, so every DML
+      // commit is range-indexed by default: min/max lifted from the
+      // parquet footers the write just produced (one driver-side
+      // metadata read per file, no data pass) — INSERT'd data is
+      // immediately skippable through the same sidecar path as
+      // library-indexed commits
+      val numericCols = GraftLakeDataSource.numericCols(inner.info.schema())
+      if (numericCols.nonEmpty)
+        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+      VersionedLake.publish(spark, lakeDir, dataDir, mode)
+    }
+    override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+      innerBatch.abort(msgs)
+      val p = new Path(s"$lakeDir/$dataDir")
+      p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
 }
 
 /** ParquetScanBuilder that builds a [[GraftLakeParquetScan]] — same
@@ -285,11 +576,85 @@ final class GraftLakeParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
-    base.dataFilters, base.pushedVariantExtractions) {
+    base.dataFilters, base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLakeMicroBatchStream(this, lakeDir, startingVersion)
+
+  /** Runtime (join-driven) file pruning — dynamic partition pruning's
+    * V2 hook, answered from the SAME sidecars as static pushdown: when
+    * this scan joins a filtered dimension on a declared attribute,
+    * Spark re-plans the scan at execution with `IN (build-side keys)`,
+    * and files whose stats range excludes every key (or whose bloom
+    * rejects every key) are dropped WITHOUT reading them. This is the
+    * 100 TB shape for "fact lake ⋈ filtered dim": static pushdown
+    * cannot see the dim's keys at plan time, so without it the lake
+    * pays a full scan no matter how selective the dim filter is. */
+  @volatile private var runtimeAdmit: Option[Path => Boolean] = None
+
+  /** All atomic top-level read columns: a sidecar may exist for any of
+    * them, and a declared-but-unindexed column degrades to no pruning
+    * (every file admitted) — conservative, never wrong. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.types._
+    readDataSchema.fields.collect {
+      case f if (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType => true
+        case _ => false
+      }) => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name)
+    }
+  }
+
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal,
+      NamedReference}
+    // bound: admit() is values × files driver work; a build side too
+    // large to enumerate cheaply is also one too unselective to prune
+    // with — fall back to the unpruned scan
+    val MaxInValues = 10000
+    val ins: Seq[(String, Seq[Any])] = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().toSeq match {
+        case (f: NamedReference) +: rest
+          if f.fieldNames().length == 1 && rest.size <= MaxInValues &&
+            rest.forall(_.isInstanceOf[Literal[_]]) =>
+          Some((f.fieldNames()(0),
+            rest.map(_.asInstanceOf[Literal[_]].value)))
+        case _ => None
+      }
+    }
+    if (ins.nonEmpty) fileIndex match {
+      case g: GraftLakeFileIndex =>
+        runtimeAdmit = Some(p => ins.forall { case (c, vs) =>
+          g.admitAnyOf(p, c, vs) })
+      case _ => ()
+    }
+  }
+
+  override def partitions
+      : Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
+    val ps = super.partitions
+    runtimeAdmit match {
+      case None => ps
+      case Some(adm) =>
+        // REINDEX the survivors: an RDD partition's `index` must equal
+        // its position in the array — filtering with original indices
+        // kept would leave gaps and break that contract downstream
+        ps.flatMap { fp =>
+          val kept = fp.files.filter(pf => adm(pf.toPath))
+          if (kept.isEmpty) None else Some(kept)
+        }.zipWithIndex.map { case (files, i) =>
+          org.apache.spark.sql.execution.datasources.FilePartition(i, files)
+        }
+    }
+  }
 }
 
 /** Version offset: the stream's progress IS a published lake version. */
@@ -423,6 +788,42 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
       }
       base.map(pd => pd.copy(files = pd.files.filter(fs => admit(fs.getPath))))
     }
+  }
+
+  /** Can file `p` contain ANY of `values` in column `c`? The runtime
+    * (join-driven) pruning predicate — OR-of-points where the static
+    * path answers single ranges/points. Conservative at every gap:
+    * a file with no recorded stats/bloom for `c` is admitted, a value
+    * the sidecar rendering can't represent exactly counts as "maybe
+    * present". Values arrive as catalyst internals (boxed numerics /
+    * UTF8String). */
+  private[engine] def admitAnyOf(p: Path, c: String,
+      values: Seq[Any]): Boolean = {
+    val d = p.getParent.getName
+    val f = p.getName
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val statsOk = nums.length != values.length ||
+      statsCache.getOrElseUpdate((d, c),
+        VersionedLake.fileStats(spark, lakeDir, d, c))
+        .get(f)
+        .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
+    def render(v: Any): Option[String] = v match {
+      case i: java.lang.Integer => Some(i.toString)
+      case i: java.lang.Long => Some(i.toString)
+      case i: java.lang.Short => Some(i.toString)
+      case i: java.lang.Byte => Some(i.toString)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    val renders = values.flatMap(render(_))
+    val bloomOk = renders.length != values.length ||
+      bloomCache.getOrElseUpdate((d, c),
+        VersionedLake.fileBloom(spark, lakeDir, d, c))
+        .get(f)
+        .forall(bits => renders.exists(r =>
+          VersionedLake.bloomWantPositions(r).forall(bits.get)))
+    statsOk && bloomOk
   }
 }
 

@@ -961,7 +961,190 @@ object IngestQueries {
            |FROM glake_q186.`$name` VERSION AS OF 2
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }.withBenchSetup((s, dir) =>
-      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))))
+      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))),
+
+    QuerySpec(
+      "q187_sql_insert",
+      """WITH base AS (SELECT event_type, value FROM events
+        |              WHERE user_id % 5 < 2),
+        |     ins  AS (SELECT event_type, value FROM events
+        |              WHERE user_id % 5 IN (2, 3)),
+        |     ow   AS (SELECT event_type, value FROM events
+        |              WHERE user_id % 5 = 4)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM ow GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v2' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // SQL DML lands as versioned commits ([[GraftLakeWrite]]): the
+      // lake is created by a library commit (residues 0-1 of user_id),
+      // `INSERT INTO` appends residues 2-3 as version 2, and `INSERT
+      // OVERWRITE` truncates to residue 4 as version 3 — each DML one
+      // staged-parquet + manifest-CAS publish, never a raw file write
+      // (the FallBackFileSourceV2 trap [[GraftLakeTable]] documents).
+      // The read composes latest (post-overwrite) with VERSION AS OF 2
+      // (post-insert), so a DML that mutated a published dir in place,
+      // skipped a version bump, or leaked staging files breaks the
+      // hash against the oracle's from-raw re-derivation.
+      val lake = s"$scratchRoot/dml_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commit(ev.filter(col("user_id") % 5 < 2), lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q187",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q187.root",
+        new java.io.File(lake).getParent)
+      ev.filter(col("user_id") % 5 >= 2).createOrReplaceTempView(
+        "events_src_q187")
+      s.sql(s"""INSERT INTO glake_q187.`$name`
+               |SELECT event_id, user_id, event_type, value
+               |FROM events_src_q187 WHERE user_id % 5 IN (2, 3)""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE glake_q187.`$name`
+               |SELECT event_id, user_id, event_type, value
+               |FROM events_src_q187 WHERE user_id % 5 = 4""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "each DML must publish exactly one version")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q187.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v2' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q187.`$name` VERSION AS OF 2 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q188_sql_delete",
+      """WITH base AS (SELECT event_type, value FROM events)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base
+        |WHERE value IS NULL OR NOT (value >= 50.0 AND value <= 200.0)
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // SQL `DELETE FROM` as a versioned commit ([[GraftLakeDelete]]):
+      // the pushed range becomes VersionedLake.deleteRange — untouched
+      // dirs carried by manifest reference, only intersecting dirs
+      // rewritten, and a second DELETE whose range misses every file's
+      // stats proves itself a no-op WITHOUT publishing (the require
+      // below fails if it re-rewrote). Reading latest + VERSION AS OF 1
+      // pins both the survivor set (NULL-safe complement of the range)
+      // and the untouched pre-delete history against the oracle's
+      // from-raw re-derivation.
+      val lake = s"$scratchRoot/del_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitWithStats(ev, lake, Seq("user_id", "value"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q188",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q188.root",
+        new java.io.File(lake).getParent)
+      s.sql(s"""DELETE FROM glake_q188.`$name`
+               |WHERE value >= 50.0 AND value <= 200.0""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "range DELETE must publish exactly one version")
+      s.sql(s"""DELETE FROM glake_q188.`$name`
+               |WHERE value >= 1.0e8 AND value <= 2.0e8""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "no-match DELETE must publish nothing (stats-proved no-op)")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q188.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q188.`$name` VERSION AS OF 1 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q189_lake_lifecycle",
+      """WITH base AS (SELECT user_id, event_type, value FROM events)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base WHERE user_id % 4 < 2 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // The full SQL-reachable lake lifecycle in one oracle-checked
+      // pass: library commit (v1) → SQL INSERT (v2) → `CALL compact`
+      // with a stats index (v3, content-preserving by construction of
+      // the oracle compare) → `CALL vacuum` (retention respected, live
+      // set intact) → a read composing the tip with `TIMESTAMP AS OF`
+      // a wall-clock instant captured between v1 and v2 (resolved
+      // through manifest publish times, [[VersionedLake.versionAt]]).
+      // A compaction that lost or duplicated rows, a vacuum that swept
+      // a referenced dir, or a timestamp resolving to the wrong
+      // version all break the hash against the from-raw re-derivation.
+      val lake = s"$scratchRoot/lc_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commit(ev.filter(col("user_id") % 4 < 2), lake)
+      Thread.sleep(30)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(30)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q189",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q189.root",
+        new java.io.File(lake).getParent)
+      ev.filter(col("user_id") % 4 >= 2).createOrReplaceTempView(
+        "events_src_q189")
+      s.sql(s"""INSERT INTO glake_q189.`$name`
+               |SELECT event_id, user_id, event_type, value
+               |FROM events_src_q189""".stripMargin)
+      require(s.sql(
+        s"CALL glake_q189.compact('$name', 'snappy', 'user_id,value')")
+        .head().getInt(0) == 3, "compact must publish version 3")
+      val vac = s.sql(s"CALL glake_q189.vacuum('$name', 3, 0L)").head()
+      require(vac.getInt(0) == 3 && vac.getInt(1) == 3 &&
+        vac.getInt(2) == 1,
+        s"vacuum summary off: $vac (want 3 versions, tip 3, 1 live dir)")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q189.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q189.`$name`
+           |  TIMESTAMP AS OF timestamp_millis(${t1}L)
+           |GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
+    })
 
   // q185 staged z-ordered versioned lake ----------------------------------
 

@@ -123,7 +123,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(7L))
     val e = intercept[Exception](
       spark.sql("DROP TABLE glake_test.events_lake"))
-    assert(e.getMessage.contains("read-only"), e.getMessage)
+    assert(e.getMessage.contains("not DDL"), e.getMessage)
     // discovery: the lake dir is listed as a table of the catalog
     val cat = new GraftLakeCatalog
     cat.initialize("t",
@@ -230,6 +230,216 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     // layout commits never change data
     assert(aProbe.count() == 16L * 256 && bProbe.count() == 16L * 256)
     assert(VersionedLake.readLatest(spark, dir).count() == 65536L)
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE through the catalog are real " +
+      "versioned commits: atomic version bump, time travel sees the " +
+      "pre-insert snapshot, library and SQL reads agree") {
+    import spark.implicits._
+    val base = tempDir("glsrc-dml")
+    val dir = s"$base/t"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    spark.conf.set("spark.sql.catalog.glake_dml",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake_dml.root", base)
+    spark.sql("INSERT INTO glake_dml.t SELECT id FROM range(10, 25)")
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 25L))
+    assert(spark.sql("SELECT count(*) AS n FROM glake_dml.t")
+      .head().getLong(0) == 25L)
+    // the pre-insert snapshot is untouched
+    assert(spark.sql("SELECT count(*) AS n FROM glake_dml.t VERSION AS OF 1")
+      .head().getLong(0) == 10L)
+    // DML commits are auto-indexed from the parquet footers: a range
+    // probe that excludes the inserted ids skips the inserted files
+    // (the un-indexed base commit is always read — conservative)
+    val all = GraftLakeDataSource.filesRead(v2(dir))
+    val pruned = GraftLakeDataSource.filesRead(
+      v2(dir).filter(col("id") >= 1000))
+    assert(pruned < all,
+      s"footer-lifted stats did not prune inserted files: $pruned/$all")
+    // self-referential insert: the scan plans the OLD snapshot, the
+    // write lands a new version — no read-your-own-writes anomaly
+    spark.sql("INSERT INTO glake_dml.t SELECT id + 100 FROM glake_dml.t " +
+      "WHERE id < 5")
+    assert(ids(VersionedLake.readLatest(spark, dir)) ==
+      ((0L until 25L) ++ (100L until 105L)))
+    // INSERT OVERWRITE = manifest-level truncate; history stays readable
+    spark.sql("INSERT OVERWRITE glake_dml.t SELECT id FROM range(500, 503)")
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (500L until 503L))
+    assert(spark.sql("SELECT count(*) AS n FROM glake_dml.t VERSION AS OF 2")
+      .head().getLong(0) == 25L)
+  }
+
+  test("df.write.format(graftlake) appends/overwrites through the " +
+      "manifest protocol; a failed write leaves no trace (no version, " +
+      "no orphan staging dir)") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-wpath") + "/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    spark.range(5, 9).toDF("id").write.format("graftlake")
+      .mode("append").save(dir)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 9L))
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2))
+    spark.range(50, 52).toDF("id").write.format("graftlake")
+      .mode("overwrite").save(dir)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (50L until 52L))
+    // atomicity: a write whose tasks fail publishes nothing and cleans
+    // its staging dir — readers never observe a partial commit
+    val before = VersionedLake.versions(spark, dir)
+    val dirsBefore = listDataDirs(dir)
+    intercept[Exception] {
+      spark.range(0, 10).toDF("id")
+        .select((lit(100) / (col("id") - col("id"))).cast("long").as("id"))
+        .filter(expr("raise_error('task boom') IS NULL OR id > 0"))
+        .write.format("graftlake").mode("append").save(dir)
+    }
+    assert(VersionedLake.versions(spark, dir) == before,
+      "failed write published a version")
+    assert(listDataDirs(dir) == dirsBefore,
+      "failed write left an orphan staging dir")
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (50L until 52L))
+  }
+
+  test("DELETE FROM translates to the stats-pruned range delete: one " +
+      "versioned commit, strict bounds exact, NULLs survive, no-match " +
+      "publishes nothing, no-WHERE truncates, untranslatable refused") {
+    import spark.implicits._
+    val base = tempDir("glsrc-del")
+    val dir = s"$base/t"
+    // stats-indexed base so the no-match delete can prove itself a no-op
+    VersionedLake.commitWithStats(
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, "c"),
+        (4L, "d"), (null, "n")).toDF("id", "tag"),
+      dir, Seq("id"))
+    spark.conf.set("spark.sql.catalog.glake_del",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake_del.root", base)
+    // strict bounds: > 1 AND < 4 deletes exactly {2, 3}; NULL survives
+    spark.sql("DELETE FROM glake_del.t WHERE id > 1 AND id < 4")
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2))
+    assert(spark.sql("SELECT tag FROM glake_del.t ORDER BY tag")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "d", "n"))
+    // time travel still sees the pre-delete rows
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM glake_del.t VERSION AS OF 1")
+      .head().getLong(0) == 5L)
+    // a delete that matches nothing publishes nothing
+    spark.sql("DELETE FROM glake_del.t WHERE id >= 1000")
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2),
+      "no-match DELETE published a version")
+    // untranslatable shapes are refused at plan time, not approximated
+    intercept[Exception](
+      spark.sql("DELETE FROM glake_del.t WHERE tag = 'a'"))
+    intercept[Exception](
+      spark.sql("DELETE FROM glake_del.t WHERE id = 1 OR id = 4"))
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2))
+    // DELETE with no WHERE = manifest-level truncate; history readable
+    spark.sql("DELETE FROM glake_del.t")
+    assert(VersionedLake.versions(spark, dir) == Seq(1, 2, 3))
+    assert(spark.sql("SELECT count(*) AS n FROM glake_del.t")
+      .head().getLong(0) == 0L)
+    assert(spark.table("glake_del.t").schema.fieldNames.toSeq ==
+      Seq("id", "tag"), "truncate lost the schema")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM glake_del.t VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest version published at " +
+      "or before the instant; a pre-creation timestamp is an error") {
+    import spark.implicits._
+    val base = tempDir("glsrc-tsaof")
+    val dir = s"$base/t"
+    VersionedLake.commit(spark.range(0, 3).toDF("id"), dir)
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedLake.commit(spark.range(3, 10).toDF("id"), dir)
+    spark.conf.set("spark.sql.catalog.glake_ts",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake_ts.root", base)
+    assert(spark.sql("SELECT count(*) AS n FROM glake_ts.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${tMid}L)")
+      .head().getLong(0) == 3L)
+    // an instant after the last publish sees the tip
+    assert(spark.sql("SELECT count(*) AS n FROM glake_ts.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()}L)")
+      .head().getLong(0) == 10L)
+    intercept[Exception](spark.sql("SELECT * FROM glake_ts.t " +
+      "TIMESTAMP AS OF timestamp_millis(1000L)").collect())
+  }
+
+  test("CALL procedures drive the lake lifecycle from SQL: history, " +
+      "compact (indexed), zorder, vacuum — all versioned commits") {
+    import spark.implicits._
+    val base = tempDir("glsrc-proc")
+    val dir = s"$base/t"
+    VersionedLake.commit(spark.range(0, 6).toDF("id"), dir)
+    VersionedLake.commit(spark.range(6, 10).toDF("id"), dir)
+    spark.conf.set("spark.sql.catalog.glake_proc",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake_proc.root", base)
+    val hist = spark.sql("CALL glake_proc.history('t')").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hist.map(_.getBoolean(3)).toSeq == Seq(false, true))
+    // compact with a stats index: one live dir, data intact, new version
+    val cv = spark.sql("CALL glake_proc.compact('t', 'snappy', 'id')")
+      .head().getInt(0)
+    assert(cv == 3)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 10L))
+    // the compacted sidecar serves pushed range pruning through SQL
+    assert(GraftLakeDataSource.filesRead(
+      v2(dir).filter(col("id") >= 1000)) == 0)
+    // zorder re-clusters into n_files rectangles as version 4
+    assert(spark.sql(
+      "CALL glake_proc.zorder('t', 'id', 'id', 2)").head().getInt(0) == 4)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 10L))
+    // vacuum(retain=1, grace 0): history gone, tip intact
+    val vac = spark.sql(
+      "CALL glake_proc.vacuum('t', 1, 0L)").head()
+    assert(vac.getInt(0) == 1 && vac.getInt(1) == 4)
+    assert(VersionedLake.versions(spark, dir) == Seq(4))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 10L))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM glake_proc.t VERSION AS OF 1").collect())
+  }
+
+  test("join-driven runtime file pruning: a filtered broadcast dim's " +
+      "keys prune lake files through the sidecars at execution (the " +
+      "V2 dynamic-pruning hook), with results identical to unpruned") {
+    import spark.implicits._
+    val dir = tempDir("glsrc-dpp") + "/lake"
+    // four disjoint-range commits, stats+bloom indexed on id
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L)).foreach {
+      case (lo, hi) => VersionedLake.commitIndexed(
+        spark.range(lo, hi).toDF("id").coalesce(2), dir,
+        Seq("id"), Some("id"))
+    }
+    val dim = Seq((250L, "x"), (260L, "y"), (9999L, "z"))
+      .toDF("k", "tag")
+    val joined = v2(dir).join(
+      org.apache.spark.sql.functions.broadcast(
+        dim.filter($"tag".isin("x", "y"))), $"id" === $"k")
+    val rows = joined.collect()
+    assert(rows.length == 2)
+    // static pushdown cannot see the dim's keys — only the runtime
+    // filter can have dropped files; both keys live in one commit's
+    // range, so at most that commit's files survive
+    val read = GraftLakeDataSource.filesRead(joined)
+    val total = GraftLakeDataSource.filesRead(v2(dir))
+    assert(read < total,
+      s"runtime (join-driven) pruning dropped nothing: $read/$total")
+    assert(read <= 2, s"expected at most one commit's files, read $read")
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def listDataDirs(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(p).map(_.getPath.getName).filter(_.startsWith("d-")).toSet
   }
 
   test("startingVersion bounds the initial backfill") {
