@@ -23,6 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL glake.compact(`table` => 't', stats_cols => 'id,ts')
   *   CALL glake.zorder(`table` => 't', a_col => 'x', b_col => 'y',
   *                     n_files => 8)
+  *   CALL glake.optimize(`table` => 't', threshold_bytes => 134217728)
   * }}}
   *
   * Each call is one library invocation returning a one-result
@@ -33,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * writer, so a `CALL` races safely with concurrent commits. */
 private[engine] object GraftLakeProcedures {
 
-  private val names = Seq("history", "vacuum", "compact", "zorder")
+  private val names =
+    Seq("history", "vacuum", "compact", "zorder", "optimize")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
@@ -106,6 +108,30 @@ private[engine] object GraftLakeProcedures {
             .filter(_.nonEmpty)
           Array(row(VersionedLake.compactVersions(spark, dir,
             in.getUTF8String(1).toString, stats, bloom)))
+      }
+
+      case "optimize" => proc("optimize",
+        Array(tableParam,
+          ProcedureParameter.in("threshold_bytes", LongType)
+            .comment("dirs whose parquet bytes total below this are " +
+              "coalesced; larger dirs are carried untouched").build(),
+          ProcedureParameter.in("stats_cols", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("bloom_col", StringType)
+            .defaultValue("''").build()),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = true),
+          StructField("data_dirs_live", IntegerType, nullable = false)))) {
+        (spark, in) =>
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val stats = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val bloom = Option(in.getUTF8String(3).toString.trim)
+            .filter(_.nonEmpty)
+          val v = VersionedLake.compactSmall(spark, dir, in.getLong(1),
+            stats, bloom)
+          val h = VersionedLake.history(spark, dir)
+          Array(row(v.map(Int.box).orNull, h.last._3))
       }
 
       case "zorder" => proc("zorder",

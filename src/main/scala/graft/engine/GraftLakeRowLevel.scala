@@ -1,0 +1,347 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  RowLevelOperation, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{
+  ParquetScanBuilder, ParquetWrite}
+import org.apache.spark.sql.execution.datasources.{FilePartition,
+  InMemoryFileIndex}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based copy-on-write row-level operations for the lake: SQL
+  * `MERGE INTO`, `UPDATE`, and `DELETE` with predicates the metadata
+  * path ([[GraftLakeDelete]]) cannot express. Spark's rewrite rules
+  * turn each into a ReplaceData plan — read the affected GROUPS, apply
+  * the mutation rowwise, write the groups back — and this connector
+  * maps "group" to the manifest's replacement unit, the data dir:
+  *
+  *  - the operation SCAN reads whole dirs (no file-level static
+  *    pruning: a file pruned out of the scan is a file NOT replaced,
+  *    which for a delete would silently resurrect its rows — dir-in
+  *    or dir-out is the only safe granularity);
+  *  - Spark's runtime group filtering (the same V2 hook as join-driven
+  *    pruning) probes the stats/bloom sidecars with the MATCHING rows'
+  *    key sets, so only dirs that can contain matches are read and
+  *    rewritten — the Delta/Iceberg copy-on-write shape where a
+  *    KB-sized merge source touches one dir of a 100 TB lake;
+  *  - the WRITE stages parquet through Spark's committer and publishes
+  *    one manifest version replacing exactly the scanned dirs
+  *    ([[VersionedLake.publishReplacingChecked]]) — atomic, time
+  *    travel keeps the pre-merge snapshot, and a concurrent rewrite of
+  *    a scanned dir fails the publish loudly instead of duplicating or
+  *    resurrecting rows.
+  *
+  * Ranges the sidecars can prove empty still take the cheaper
+  * metadata-only delete: Spark prefers `SupportsDelete.deleteWhere`
+  * when every predicate translates, and falls back here otherwise. */
+final class GraftLakeRowLevelOperation(table: GraftLakeTable,
+    spark: SparkSession, lakeDir: String, version: Int,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** Dirs the COW scan ends up reading (post group filter) — what the
+    * write replaces. Initialized to the full snapshot so a plan that
+    * never narrows (no group filter) rewrites everything, which is
+    * correct; [[GraftLakeCowScan.partitions]] overwrites it with the
+    * final (possibly pruned) set before any task reads a byte. */
+  private[engine] val snapshotDirs: Set[String] =
+    VersionedLake.manifestEntries(spark, lakeDir, version).toSet
+
+  @volatile private[engine] var scannedDirs: Set[String] = snapshotDirs
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graftlake $cmd copy-on-write on $lakeDir @v$version"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val idx = new InMemoryFileIndex(spark,
+      VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
+      Map.empty, None)
+    new GraftLakeCowScanBuilder(this, spark, idx, table.schema(),
+      table.dataSchema, options, lakeDir)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+        val inner = ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+          table.formatName, table.supportsDataType _, info)
+        new GraftLakeCowWrite(GraftLakeRowLevelOperation.this, inner,
+          lakeDir, dataDir)
+      }
+    }
+}
+
+/** Same wrap shape as the read-path builder, but over a PLAIN listing
+  * (no sidecar static pruning — see [[GraftLakeRowLevelOperation]] for
+  * why file-level pruning is unsafe under replace semantics). */
+final class GraftLakeCowScanBuilder(op: GraftLakeRowLevelOperation,
+    spark: SparkSession,
+    fileIndex: org.apache.spark.sql.execution.datasources
+      .PartitioningAwareFileIndex,
+    schema: org.apache.spark.sql.types.StructType,
+    dataSchema: org.apache.spark.sql.types.StructType,
+    options: CaseInsensitiveStringMap, lakeDir: String)
+  extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
+    options) {
+
+  /** REFUSE every data-filter push. Spark pushes the operation's
+    * condition into the COW scan as a GROUP-pruning hint (the rewrite
+    * keeps the real row semantics in its own plan); a ParquetScan
+    * would hand it to the parquet reader, which row-filters with it —
+    * and every row the reader drops is a row the replace-write never
+    * re-emits. Empirically: a COW DELETE over a scan that honored the
+    * pushed condition kept ONLY the to-delete rows, so the rewrite's
+    * `NOT cond` filter saw nothing and the operation deleted the whole
+    * group. Group pruning still happens — dir-granular, through the
+    * runtime filter ([[GraftLakeCowScan.partitions]]). */
+  override def pushDataFilters(
+      dataFilters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new GraftLakeCowScan(op, super.build(), lakeDir)
+}
+
+/** The COW scan: vanilla parquet execution, plus (a) dir-granular
+  * runtime group filtering through the sidecars and (b) recording the
+  * final dir set on the operation for the write to replace. */
+final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    lakeDir: String)
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeIns: Seq[(String, Seq[Any])] = Seq.empty
+  private val probe = new SidecarProbe(base.sparkSession, lakeDir)
+
+  /** Exactly ONE attribute, and only if the snapshot actually indexes
+    * it: Spark's runtime group filtering builds a single IN over ALL
+    * declared attributes — with more than one that is a struct-IN the
+    * V2 predicate translation rejects (observed: "Can't translate
+    * named_struct(...) IN subquery"), and the filter silently never
+    * arrives. One sidecar-backed column gives a translatable,
+    * provably-correct group filter (every matching row's value is in
+    * the IN set, so a pruned dir cannot contain a match). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.types._
+    // sample a bounded prefix of dirs: this is plan-time driver IO,
+    // and the answer only PICKS the pruning column — a column indexed
+    // in unsampled dirs but missed here loses pruning, never rows
+    val indexed = VersionedLake.indexedCols(base.sparkSession, lakeDir,
+      op.snapshotDirs.toSeq.sorted.take(16)).toSet
+    readDataSchema.fields.collectFirst {
+      case f if indexed(f.name) && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType => true
+        case _ => false
+      }) => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name)
+    }.toArray
+  }
+
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal,
+      NamedReference}
+    val MaxInValues = 10000
+    runtimeIns = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().toSeq match {
+        case (f: NamedReference) +: rest
+          if f.fieldNames().length == 1 && rest.size <= MaxInValues &&
+            rest.forall(_.isInstanceOf[Literal[_]]) =>
+          Some((f.fieldNames()(0),
+            rest.map(_.asInstanceOf[Literal[_]].value)))
+        case _ => None
+      }
+    }
+  }
+
+  override def partitions: Seq[FilePartition] = {
+    val ps = super.partitions
+    val ins = runtimeIns
+    val kept =
+      if (ins.isEmpty) ps
+      else {
+        // dir granularity: a dir survives if ANY of its files might
+        // hold ANY key of EVERY pushed set; then ALL its files are
+        // read (and replaced) together
+        val dirs = ps.flatMap(_.files).map(_.toPath).groupBy(_.getParent)
+        val keepDir: Set[Path] = dirs.filter { case (_, files) =>
+          files.exists(f => ins.forall { case (c, vs) =>
+            probe.admitAnyOf(f, c, vs) })
+        }.keySet
+        ps.flatMap { fp =>
+          val f = fp.files.filter(pf => keepDir(pf.toPath.getParent))
+          if (f.isEmpty) None else Some(f)
+        }.zipWithIndex.map { case (files, i) => FilePartition(i, files) }
+      }
+    op.scannedDirs =
+      kept.flatMap(_.files).map(_.toPath.getParent.getName).toSet
+    kept
+  }
+}
+
+/** Per-file "might contain any of these values?" through the stats +
+  * bloom sidecars — the same conservative reading as the static path
+  * (no sidecar / unrenderable value → admit), with lookups memoized
+  * per (dir, col) for this probe's lifetime. */
+private[engine] final class SidecarProbe(spark: SparkSession,
+    lakeDir: String) {
+  private val statsCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, (Double, Double, Long)]]
+  private val bloomCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, java.util.BitSet]]
+
+  def admitAnyOf(p: Path, c: String, values: Seq[Any]): Boolean = {
+    val d = p.getParent.getName
+    val f = p.getName
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val statsOk = nums.length != values.length ||
+      statsCache.getOrElseUpdate((d, c),
+        VersionedLake.fileStats(spark, lakeDir, d, c))
+        .get(f)
+        .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
+    def render(v: Any): Option[String] = v match {
+      case i: java.lang.Integer => Some(i.toString)
+      case i: java.lang.Long => Some(i.toString)
+      case i: java.lang.Short => Some(i.toString)
+      case i: java.lang.Byte => Some(i.toString)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    val renders = values.flatMap(render(_))
+    val bloomOk = renders.length != values.length ||
+      bloomCache.getOrElseUpdate((d, c),
+        VersionedLake.fileBloom(spark, lakeDir, d, c))
+        .get(f)
+        .forall(bits => renders.exists(r =>
+          VersionedLake.bloomWantPositions(r).forall(bits.get)))
+    statsOk && bloomOk
+  }
+}
+
+/** Projects incoming rows down to the write schema's width by keeping
+  * the TRAILING `width` fields (see the caller for why the prefix
+  * exists). Width-matching rows pass through untouched, so the wrapper
+  * is inert on any plan that already projects. */
+private final class GraftLakeStripPrefixFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    schema: org.apache.spark.sql.types.StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow =
+        null
+      override def write(row: InternalRow): Unit = {
+        val extra = row.numFields - schema.length
+        if (extra == 0) w.write(row)
+        else {
+          require(extra > 0, s"row narrower than write schema: " +
+            s"${row.numFields} < ${schema.length}")
+          if (proj == null) proj = org.apache.spark.sql.catalyst
+            .ProjectingInternalRow(schema,
+              (extra until row.numFields).toIndexedSeq)
+          proj.project(row)
+          w.write(proj)
+        }
+      }
+      override def commit(): org.apache.spark.sql.connector.write
+        .WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+/** The COW write: parquet staging identical to [[GraftLakeWrite]], but
+  * the publish REPLACES the dirs the paired scan read — and refuses to
+  * publish if a concurrent commit rewrote any of them (their rows are
+  * baked into this staging dir; letting the publish through would
+  * duplicate or resurrect them). An operation that deleted every row
+  * of the scanned dirs still publishes a readable version: a
+  * schema-bearing empty file is added when no task produced output. */
+final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
+    inner: ParquetWrite, lakeDir: String, dataDir: String)
+  extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  override def description(): String =
+    s"graftlake COW ${op.command()} $lakeDir (staging $dataDir)"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val innerBatch = inner.toBatch
+    /** ReplaceData feeds writers the REWRITE PLAN's rows — table
+      * columns prefixed with the `__row_operation` marker int — and
+      * only applies its own stripping projection when the operation
+      * declared metadata attributes (ReplaceDataExec.writingTask's
+      * None branch hands rows through raw; verified empirically: the
+      * parquet writer crashed on numFields > schema). The factory
+      * therefore projects each row down to the declared write schema,
+      * keeping its TRAILING fields — the marker is prepended. */
+    override def createBatchWriterFactory(p: PhysicalWriteInfo)
+        : DataWriterFactory =
+      new GraftLakeStripPrefixFactory(
+        innerBatch.createBatchWriterFactory(p), inner.info.schema())
+    override def useCommitCoordinator: Boolean =
+      innerBatch.useCommitCoordinator
+    override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+      innerBatch.onDataWriterCommit(m)
+    override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+      innerBatch.commit(msgs)
+      val spark = SparkSession.active
+      val staged = new Path(s"$lakeDir/$dataDir")
+      val f = staged.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val hasFiles = f.exists(staged) && f.listStatus(staged)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+      if (!hasFiles) {
+        if (op.scannedDirs.isEmpty) {
+          // nothing read, nothing written: a true no-op — publish no
+          // version rather than an empty commit
+          f.delete(staged, true)
+          return
+        }
+        // every row of the scanned dirs was deleted — keep the
+        // replacement readable (schema from the write's own contract)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          inner.info.schema()).repartition(1)
+          .write.mode("append").parquet(staged.toString)
+      }
+      VersionedLake.writeStatsFor(spark, lakeDir, dataDir,
+        GraftLakeDataSource.numericCols(inner.info.schema()))
+      VersionedLake.publishReplacingChecked(spark, lakeDir,
+        op.scannedDirs, dataDir)
+      ()
+    }
+    override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+      innerBatch.abort(msgs)
+      val p = new Path(s"$lakeDir/$dataDir")
+      p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+}

@@ -280,7 +280,8 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   private val snapshotVersion = version // FileTable.version() shadows inside the delegate
@@ -344,6 +345,20 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     }
     new GraftLakeWriteBuilder(this, lakeDir, mergedInfo)
   }
+
+  /** SQL `MERGE INTO` / `UPDATE` / rich-predicate `DELETE` via
+    * group-based copy-on-write ([[GraftLakeRowLevelOperation]]):
+    * Spark rewrites each into read-groups → mutate rows → replace-
+    * groups, with the sidecars pruning unaffected dirs at runtime. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftLakeRowLevelOperation(GraftLakeTable.this, spark,
+          lakeDir, snapshotVersion, info.command())
+    }
 
   /** SQL `DELETE FROM` as a versioned commit. The pushed conjuncts
     * must compose into ONE closed numeric interval on ONE column (or

@@ -1144,6 +1144,195 @@ object IngestQueries {
            |  TIMESTAMP AS OF timestamp_millis(${t1}L)
            |GROUP BY event_type
            |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q190_sql_merge",
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+        |              FROM events WHERE event_id % 3 = 0),
+        |     merged AS (
+        |       SELECT event_type,
+        |              CASE WHEN event_id % 6 = 0 THEN value * 2
+        |                   ELSE value END AS value
+        |       FROM base
+        |       WHERE NOT (event_id % 6 = 0 AND user_id % 2 = 1)
+        |       UNION ALL
+        |       SELECT event_type, value FROM events
+        |       WHERE event_id % 3 = 1)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM merged GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // SQL MERGE INTO as ONE group-based copy-on-write commit
+      // ([[GraftLakeRowLevelOperation]]): matched-and-odd-user rows
+      // DELETE, other matched rows UPDATE (value doubled), unmatched
+      // source rows INSERT — Spark's rewrite reads the affected dirs
+      // (runtime-group-filtered through the event_id sidecars), mutates
+      // rowwise, and the write replaces exactly the scanned dirs via
+      // the manifest CAS. The oracle re-derives the merged state from
+      // raw events; VERSION AS OF 1 pins the pre-merge snapshot.
+      val lake = s"$scratchRoot/merge_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitIndexed(ev.filter(col("event_id") % 3 === 0),
+        lake, Seq("event_id", "value"), Some("event_id"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q190",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q190.root",
+        new java.io.File(lake).getParent)
+      ev.filter(col("event_id") % 6 === 0 || col("event_id") % 3 === 1)
+        .createOrReplaceTempView("events_src_q190")
+      s.sql(
+        s"""MERGE INTO glake_q190.`$name` AS t
+           |USING events_src_q190 AS s ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.user_id % 2 = 1 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = s.value * 2
+           |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type,
+           |  value) VALUES (s.event_id, s.user_id, s.event_type, s.value)
+           |""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "MERGE must publish exactly one version")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q190.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q190.`$name` VERSION AS OF 1 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q191_sql_update",
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+        |              FROM events WHERE event_id % 4 = 1),
+        |     upd AS (SELECT user_id, event_type,
+        |                    CASE WHEN event_type LIKE 'c%' THEN value * 3
+        |                         ELSE value END AS value
+        |             FROM base),
+        |     fin AS (SELECT event_type, value FROM upd
+        |             WHERE NOT (user_id % 7 = 3))
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM fin GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // SQL UPDATE (string LIKE predicate — no metadata shortcut
+      // exists, so this IS the copy-on-write path) then a DELETE whose
+      // modulo predicate the range translation refuses, falling back
+      // to the same COW machinery: two mutations, two versions, both
+      // re-derived from raw by the oracle, pre-mutation snapshot
+      // pinned via VERSION AS OF 1.
+      val lake = s"$scratchRoot/upd_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitWithStats(ev.filter(col("event_id") % 4 === 1),
+        lake, Seq("event_id", "user_id"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q191",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q191.root",
+        new java.io.File(lake).getParent)
+      s.sql(s"""UPDATE glake_q191.`$name` SET value = value * 3
+               |WHERE event_type LIKE 'c%'""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "UPDATE must publish exactly one version")
+      s.sql(s"""DELETE FROM glake_q191.`$name`
+               |WHERE user_id % 7 = 3""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "COW DELETE must publish exactly one version")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q191.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q191.`$name` VERSION AS OF 1 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q192_lake_optimize",
+      """WITH base AS (SELECT user_id, event_type, value FROM events)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM base WHERE user_id % 10 = 0 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // Incremental OPTIMIZE as a versioned commit: three commits of
+      // very different sizes, `CALL optimize` with the threshold set
+      // at the largest dir's byte size — so ONLY the two small dirs
+      // coalesce and the large one is carried by manifest reference
+      // (the maintenance op a 100 TB lake can afford routinely: cost
+      // proportional to the small tail). The require pins exactly
+      // that shape; the oracle re-derives both the optimized tip and
+      // the pre-optimize v1 from raw, so a compaction that lost,
+      // duplicated, or cross-wired rows breaks the hash.
+      val lake = s"$scratchRoot/opt_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") % 10 === 0), lake, Seq("user_id"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") % 10 === 1), lake, Seq("user_id"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") % 10 >= 2), lake, Seq("user_id"))
+      val p = new org.apache.hadoop.fs.Path(lake)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val threshold = f.listStatus(p).toSeq
+        .filter(_.getPath.getName.startsWith("d-"))
+        .map(d => f.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum).max
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q192",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q192.root",
+        new java.io.File(lake).getParent)
+      val r = s.sql(
+        s"CALL glake_q192.optimize('$name', $threshold, 'user_id')").head()
+      require(!r.isNullAt(0) && r.getInt(0) == 4 && r.getInt(1) == 2,
+        s"optimize must merge the two small dirs only, got $r")
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q192.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q192.`$name` VERSION AS OF 1 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -270,6 +270,31 @@ object VersionedLake {
   private[engine] def bloomWantPositions(value: String): Seq[Int] =
     (0 until BloomHashes).map(bloomPosLocal(value, _, BloomBits))
 
+  /** Distinct sidecar-indexed columns across `dataDirs` (stats or
+    * bloom), first-seen order — driver-side, one small sidecar read
+    * per dir, bounded by the snapshot's dir count. Used to pick the
+    * ONE attribute the COW scan advertises for runtime group filtering
+    * (a multi-attribute set makes Spark build a struct-IN the V2
+    * predicate translation rejects — single-column or nothing). */
+  private[engine] def indexedCols(spark: SparkSession, dir: String,
+      dataDirs: Seq[String]): Seq[String] = {
+    val f = fs(spark, dir)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    dataDirs.foreach { d =>
+      Seq(s"$dir/_stats/$d.stats", s"$dir/_bloom/$d.bloom").foreach { sp =>
+        val p = new Path(sp)
+        if (f.exists(p)) {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.split('\t')).filter(_.length >= 2)
+            .foreach(a => seen += a(1))
+          finally in.close()
+        }
+      }
+    }
+    seen.toSeq
+  }
+
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -293,6 +318,47 @@ object VersionedLake {
     // two sidecars.
     commitIndexed(readLatest(spark, dir), dir, statsCols, bloomCol,
       mode = "overwrite", codec = codec)
+
+  /** Incremental small-file compaction (the OPTIMIZE maintenance op):
+    * coalesce only the data dirs whose total bytes fall below
+    * `thresholdBytes` into ONE new dir, carrying every large dir by
+    * manifest reference — cost proportional to the small TAIL, not
+    * the lake, which is the only compaction a 100 TB table can afford
+    * to run routinely ([[compactVersions]] rewrites everything and is
+    * the occasional full-defrag). Returns the new version, or None
+    * when fewer than two dirs qualify (a no-op publishes nothing, so
+    * repeated maintenance calls converge instead of churning
+    * versions). The publish is conflict-checked: a concurrent rewrite
+    * of a small dir fails loudly rather than resurrecting its rows. */
+  def compactSmall(spark: SparkSession, dir: String,
+      thresholdBytes: Long, statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None, codec: String = "snappy")
+      : Option[Int] = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
+    val live = readManifest(spark, dir, vs.last)
+    def bytesOf(d: String): Long =
+      f.listStatus(new Path(s"$dir/$d")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val small = live.filter(d => bytesOf(d) < thresholdBytes)
+    if (small.length < 2) None
+    else {
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(d => s"$dir/$d"): _*)
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      // one output file per ~128 MB of input: the tail usually fits
+      // one file, but a large tail must not funnel through one task
+      val outFiles = math.max(1L,
+        small.map(bytesOf).sum / (128L << 20)).toInt
+      merged.coalesce(outFiles).write.option("compression", codec)
+        .parquet(s"$dir/$dataDir")
+      if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
+      bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
+      Some(publishReplacing(spark, dir, small.toSet, dataDir,
+        checked = true))
+    }
+  }
 
   /** Z-ordered compaction as a versioned commit: rewrite the latest
     * snapshot range-partitioned and sorted by the Morton interleave of
@@ -648,16 +714,46 @@ object VersionedLake {
   /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite
     * pointer swap. A lost race re-reads the new tip, so appends that
     * landed meanwhile are preserved (they are not in `dropped`). */
+  /** Manifest dir names of a version — the replacement units the COW
+    * row-level write coordinates on ([[GraftLakeRowLevelOperation]]). */
+  private[engine] def manifestEntries(spark: SparkSession, dir: String,
+      v: Int): Seq[String] = readManifest(spark, dir, v)
+
+  /** [[publishReplacing]] with a write-write conflict check: refuses
+    * (loudly) if any dir this commit replaces is no longer in the tip
+    * — a concurrent compaction/delete/merge already rewrote it, and
+    * its rows are baked into `added`, so publishing would duplicate or
+    * resurrect them. The lenient variant stays correct for its callers
+    * (they recompute `dropped` from the tip inside their own loop);
+    * the COW write computed `dropped` from a SCAN that already
+    * happened and cannot recompute — it must conflict instead. */
+  private[engine] def publishReplacingChecked(spark: SparkSession,
+      dir: String, dropped: Set[String], added: String): Int =
+    publishReplacing(spark, dir, dropped, added, checked = true)
+
   private def publishReplacing(spark: SparkSession, dir: String,
-      dropped: Set[String], added: String): Int = {
+      dropped: Set[String], added: String,
+      checked: Boolean = false): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
       val prev = versions(spark, dir)
       val next = prev.lastOption.getOrElse(0) + 1
-      val live = (if (prev.isEmpty) Seq.empty
-        else readManifest(spark, dir, prev.last))
-        .filterNot(dropped) :+ added
+      val tip = if (prev.isEmpty) Seq.empty
+        else readManifest(spark, dir, prev.last)
+      // the conflict check lives INSIDE the CAS loop: every retry
+      // re-reads the tip it is about to replace, so a dir rewritten
+      // between attempts is caught too
+      if (checked) {
+        val gone = dropped.diff(tip.toSet)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"copy-on-write conflict on $dir: dirs " +
+              s"${gone.mkString(", ")} were rewritten by a concurrent " +
+              "commit after this operation scanned them; retry against " +
+              "the new snapshot")
+      }
+      val live = tip.filterNot(dropped) :+ added
       try {
         val out = f.create(manifestPath(dir, next), false)
         try out.write(manifestBytes(live))
