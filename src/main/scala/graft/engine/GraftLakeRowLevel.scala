@@ -134,13 +134,13 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
     * named_struct(...) IN subquery"), and the filter silently never
     * arrives. One sidecar-backed column gives a translatable,
     * provably-correct group filter (every matching row's value is in
-    * the IN set, so a pruned dir cannot contain a match). */
-  override def filterAttributes()
+    * the IN set, so a pruned dir cannot contain a match). Memoized:
+    * the planner calls this repeatedly, and the answer costs driver
+    * IO (a bounded sidecar sample — a column indexed only in
+    * unsampled dirs loses pruning, never rows). */
+  private lazy val groupFilterAttr
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.types._
-    // sample a bounded prefix of dirs: this is plan-time driver IO,
-    // and the answer only PICKS the pruning column — a column indexed
-    // in unsampled dirs but missed here loses pruning, never rows
     val indexed = VersionedLake.indexedCols(base.sparkSession, lakeDir,
       op.snapshotDirs.toSeq.sorted.take(16)).toSet
     readDataSchema.fields.collectFirst {
@@ -153,24 +153,14 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
     }.toArray
   }
 
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    groupFilterAttr
+
   override def filter(predicates
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    import org.apache.spark.sql.connector.expressions.{Literal,
-      NamedReference}
-    val MaxInValues = 10000
-    runtimeIns = predicates.toSeq.flatMap { p =>
-      if (p.name() != "IN") None
-      else p.children().toSeq match {
-        case (f: NamedReference) +: rest
-          if f.fieldNames().length == 1 && rest.size <= MaxInValues &&
-            rest.forall(_.isInstanceOf[Literal[_]]) =>
-          Some((f.fieldNames()(0),
-            rest.map(_.asInstanceOf[Literal[_]].value)))
-        case _ => None
-      }
-    }
-  }
+      : Unit =
+    runtimeIns = GraftLakeDataSource.parseInPredicates(predicates, 10000)
 
   override def partitions: Seq[FilePartition] = {
     val ps = super.partitions
@@ -194,46 +184,6 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
     op.scannedDirs =
       kept.flatMap(_.files).map(_.toPath.getParent.getName).toSet
     kept
-  }
-}
-
-/** Per-file "might contain any of these values?" through the stats +
-  * bloom sidecars — the same conservative reading as the static path
-  * (no sidecar / unrenderable value → admit), with lookups memoized
-  * per (dir, col) for this probe's lifetime. */
-private[engine] final class SidecarProbe(spark: SparkSession,
-    lakeDir: String) {
-  private val statsCache = collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, (Double, Double, Long)]]
-  private val bloomCache = collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, java.util.BitSet]]
-
-  def admitAnyOf(p: Path, c: String, values: Seq[Any]): Boolean = {
-    val d = p.getParent.getName
-    val f = p.getName
-    val nums = values.collect { case n: Number => n.doubleValue() }
-    val statsOk = nums.length != values.length ||
-      statsCache.getOrElseUpdate((d, c),
-        VersionedLake.fileStats(spark, lakeDir, d, c))
-        .get(f)
-        .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
-    def render(v: Any): Option[String] = v match {
-      case i: java.lang.Integer => Some(i.toString)
-      case i: java.lang.Long => Some(i.toString)
-      case i: java.lang.Short => Some(i.toString)
-      case i: java.lang.Byte => Some(i.toString)
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case s: String => Some(s)
-      case _ => None
-    }
-    val renders = values.flatMap(render(_))
-    val bloomOk = renders.length != values.length ||
-      bloomCache.getOrElseUpdate((d, c),
-        VersionedLake.fileBloom(spark, lakeDir, d, c))
-        .get(f)
-        .forall(bits => renders.exists(r =>
-          VersionedLake.bloomWantPositions(r).forall(bits.get)))
-    statsOk && bloomOk
   }
 }
 
@@ -330,10 +280,11 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
           inner.info.schema()).repartition(1)
           .write.mode("append").parquet(staged.toString)
       }
-      VersionedLake.writeStatsFor(spark, lakeDir, dataDir,
-        GraftLakeDataSource.numericCols(inner.info.schema()))
+      val numericCols = GraftLakeDataSource.numericCols(inner.info.schema())
+      if (numericCols.nonEmpty)
+        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
       VersionedLake.publishReplacingChecked(spark, lakeDir,
-        op.scannedDirs, dataDir)
+        op.scannedDirs, dataDir, op.snapshotDirs)
       ()
     }
     override def abort(msgs: Array[WriterCommitMessage]): Unit = {

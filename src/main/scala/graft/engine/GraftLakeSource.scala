@@ -114,6 +114,30 @@ object GraftLakeDataSource {
     }.toSeq
   }
 
+  /** Runtime-filter predicates → per-column IN value lists, shared by
+    * the read scan and the COW operation scan. Only single-column INs
+    * with literal children translate; a build side larger than
+    * `maxValues` is dropped (admit() is values × files driver work,
+    * and a set that large is also too unselective to prune with). */
+  private[engine] def parseInPredicates(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate],
+      maxValues: Int): Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Literal,
+      NamedReference}
+    predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN") None
+      else p.children().toSeq match {
+        case (f: NamedReference) +: rest
+          if f.fieldNames().length == 1 && rest.size <= maxValues &&
+            rest.forall(_.isInstanceOf[Literal[_]]) =>
+          Some((f.fieldNames()(0),
+            rest.map(_.asInstanceOf[Literal[_]].value)))
+        case _ => None
+      }
+    }
+  }
+
   /** Files the executed plan will actually read through the V2 scan —
     * the post-pruning evidence q182 and the spec gate assert on
     * (`DataFrame.inputFiles` reports the index's full listing, BEFORE
@@ -368,10 +392,12 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     * manifest reference (zero IO), only intersecting dirs rewrite, a
     * no-match delete publishes nothing, and history stays time-
     * travelable. Anything the interval can't express (OR, IN,
-    * predicates on two columns, string columns) is REFUSED at plan
-    * time rather than approximated: a DELETE must be one atomic
-    * version, and running deleteRange per disjunct would expose
-    * readers to the half-deleted intermediate. */
+    * predicates on two columns, string columns, float ranges
+    * unbounded above — NaN orders above +Inf in Spark) reports
+    * `canDeleteWhere = false`, and Spark falls back to the group-based
+    * copy-on-write path ([[GraftLakeRowLevelOperation]]) — exact for
+    * every predicate, still one atomic version, just without the
+    * metadata-only shortcut. */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     GraftLakeDelete.translate(schema(), filters).isDefined
@@ -395,9 +421,12 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           ()
         } // empty interval: nothing can match — publish nothing
       case None => throw new UnsupportedOperationException(
-        "graftlake DELETE supports one numeric range on one column " +
-          "(or no WHERE); for anything richer, rewrite through " +
-          "VersionedLake so the delete stays one atomic version")
+        // defensive: unreachable through SQL — Spark consults
+        // canDeleteWhere first and routes untranslatable predicates to
+        // the copy-on-write rewrite instead
+        "graftlake metadata DELETE supports one numeric range on one " +
+          "column (or no WHERE); richer predicates take the " +
+          "copy-on-write path")
     }
 }
 
@@ -410,7 +439,9 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   * divergence is NaN: Spark orders NaN above +Infinity, so `c > v`
   * with no upper bound MATCHES NaN in catalyst but no closed [lo, hi]
   * interval can — ranges unbounded above on float/double columns are
-  * therefore refused rather than silently keeping NaN rows. */
+  * therefore not translated (they take the copy-on-write path, which
+  * evaluates the predicate exactly) rather than silently keeping NaN
+  * rows. */
 private[engine] object GraftLakeDelete {
   // the file imports catalyst's expressions of the same names; the
   // V1 pushdown filters need explicit qualification
@@ -628,23 +659,7 @@ final class GraftLakeParquetScan(
   override def filter(predicates
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    import org.apache.spark.sql.connector.expressions.{Literal,
-      NamedReference}
-    // bound: admit() is values × files driver work; a build side too
-    // large to enumerate cheaply is also one too unselective to prune
-    // with — fall back to the unpruned scan
-    val MaxInValues = 10000
-    val ins: Seq[(String, Seq[Any])] = predicates.toSeq.flatMap { p =>
-      if (p.name() != "IN") None
-      else p.children().toSeq match {
-        case (f: NamedReference) +: rest
-          if f.fieldNames().length == 1 && rest.size <= MaxInValues &&
-            rest.forall(_.isInstanceOf[Literal[_]]) =>
-          Some((f.fieldNames()(0),
-            rest.map(_.asInstanceOf[Literal[_]].value)))
-        case _ => None
-      }
-    }
+    val ins = GraftLakeDataSource.parseInPredicates(predicates, 10000)
     if (ins.nonEmpty) fileIndex match {
       case g: GraftLakeFileIndex =>
         runtimeAdmit = Some(p => ins.forall { case (c, vs) =>
@@ -767,17 +782,15 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
     VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
     Map.empty, None) {
 
-  // Sidecar lookups memoized for the INDEX's lifetime, not per
-  // listFiles call: a version's sidecars are immutable (data dirs are
-  // never mutated after publish), and a table may be planned many
-  // times — at 100k data dirs the difference is one sidecar read per
-  // (dir, col) ever vs per query. Driver-side planning is effectively
-  // single-threaded per query; synchronized maps keep concurrent
-  // queries over one cached DataFrame safe.
-  private val statsCache = collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, (Double, Double, Long)]]
-  private val bloomCache = collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, java.util.BitSet]]
+  // One probe per index: sidecar lookups memoized for the INDEX's
+  // lifetime, not per listFiles call — a version's sidecars are
+  // immutable (data dirs are never mutated after publish), and a
+  // table may be planned many times; at 100k data dirs the difference
+  // is one sidecar read per (dir, col) ever vs per query.
+  private val probe = new SidecarProbe(spark, lakeDir)
+
+  private[engine] def admitAnyOf(p: Path, c: String,
+      values: Seq[Any]): Boolean = probe.admitAnyOf(p, c, values)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -790,13 +803,11 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
         val d = p.getParent.getName
         val f = p.getName
         ranges.forall { case (c, lo, hi) =>
-          statsCache.getOrElseUpdate((d, c),
-            VersionedLake.fileStats(spark, lakeDir, d, c))
+          probe.stats(d, c)
             .get(f) // no recorded range for this file → cannot skip
             .forall { case (mn, mx, _) => mx >= lo && mn <= hi }
         } && points.forall { case (c, want) =>
-          bloomCache.getOrElseUpdate((d, c),
-            VersionedLake.fileBloom(spark, lakeDir, d, c))
+          probe.bloom(d, c)
             .get(f)
             .forall(bits => want.forall(bits.get))
         }
@@ -804,23 +815,39 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
       base.map(pd => pd.copy(files = pd.files.filter(fs => admit(fs.getPath))))
     }
   }
+}
+
+/** The per-file sidecar oracle shared by every pruning path (static
+  * pushdown, join-driven runtime filtering, COW group filtering):
+  * answers "might file `p` contain …?" from the stats + bloom
+  * sidecars, memoized per (dir, col) for the probe's lifetime, and
+  * conservative at every gap — no sidecar / no entry / unrenderable
+  * value → admit. Values arrive as catalyst internals (boxed
+  * numerics / UTF8String). */
+private[engine] final class SidecarProbe(spark: SparkSession,
+    lakeDir: String) {
+  private val statsCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, (Double, Double, Long)]]
+  private val bloomCache = collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, java.util.BitSet]]
+
+  def stats(d: String, c: String): Map[String, (Double, Double, Long)] =
+    statsCache.getOrElseUpdate((d, c),
+      VersionedLake.fileStats(spark, lakeDir, d, c))
+
+  def bloom(d: String, c: String): Map[String, java.util.BitSet] =
+    bloomCache.getOrElseUpdate((d, c),
+      VersionedLake.fileBloom(spark, lakeDir, d, c))
 
   /** Can file `p` contain ANY of `values` in column `c`? The runtime
-    * (join-driven) pruning predicate — OR-of-points where the static
-    * path answers single ranges/points. Conservative at every gap:
-    * a file with no recorded stats/bloom for `c` is admitted, a value
-    * the sidecar rendering can't represent exactly counts as "maybe
-    * present". Values arrive as catalyst internals (boxed numerics /
-    * UTF8String). */
-  private[engine] def admitAnyOf(p: Path, c: String,
-      values: Seq[Any]): Boolean = {
+    * pruning predicate — OR-of-points where the static path answers
+    * single ranges/points. */
+  def admitAnyOf(p: Path, c: String, values: Seq[Any]): Boolean = {
     val d = p.getParent.getName
     val f = p.getName
     val nums = values.collect { case n: Number => n.doubleValue() }
     val statsOk = nums.length != values.length ||
-      statsCache.getOrElseUpdate((d, c),
-        VersionedLake.fileStats(spark, lakeDir, d, c))
-        .get(f)
+      stats(d, c).get(f)
         .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
     def render(v: Any): Option[String] = v match {
       case i: java.lang.Integer => Some(i.toString)
@@ -833,9 +860,7 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
     }
     val renders = values.flatMap(render(_))
     val bloomOk = renders.length != values.length ||
-      bloomCache.getOrElseUpdate((d, c),
-        VersionedLake.fileBloom(spark, lakeDir, d, c))
-        .get(f)
+      bloom(d, c).get(f)
         .forall(bits => renders.exists(r =>
           VersionedLake.bloomWantPositions(r).forall(bits.get)))
     statsOk && bloomOk

@@ -719,21 +719,36 @@ object VersionedLake {
   private[engine] def manifestEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] = readManifest(spark, dir, v)
 
-  /** [[publishReplacing]] with a write-write conflict check: refuses
-    * (loudly) if any dir this commit replaces is no longer in the tip
-    * — a concurrent compaction/delete/merge already rewrote it, and
-    * its rows are baked into `added`, so publishing would duplicate or
-    * resurrect them. The lenient variant stays correct for its callers
-    * (they recompute `dropped` from the tip inside their own loop);
-    * the COW write computed `dropped` from a SCAN that already
-    * happened and cannot recompute — it must conflict instead. */
+  /** [[publishReplacing]] with a SERIALIZABLE conflict check for the
+    * copy-on-write row-level writes, which computed their result from
+    * a SCAN that already happened and cannot recompute. Two races are
+    * refused (loudly), not absorbed:
+    *
+    *  - a dir this commit replaces left the tip — a concurrent
+    *    compaction/delete/merge rewrote it, and its rows are baked
+    *    into `added`, so publishing would duplicate or resurrect them;
+    *  - a dir appeared in the tip that the operation's snapshot never
+    *    saw — a concurrent append may contain rows MATCHING the
+    *    operation's condition (a key a MERGE just inserted, a row an
+    *    UPDATE/DELETE should have touched), and publishing would leave
+    *    duplicates or ghosts the operation's semantics exclude. The
+    *    sidecars cannot prove the append disjoint in general, so this
+    *    is strict serializable (Delta/Iceberg's COW validation makes
+    *    the same call); the caller retries against the new snapshot.
+    *
+    * The lenient variant stays correct for its callers (deleteRange /
+    * backfill recompute `dropped` from the tip inside their own
+    * loop). */
   private[engine] def publishReplacingChecked(spark: SparkSession,
-      dir: String, dropped: Set[String], added: String): Int =
-    publishReplacing(spark, dir, dropped, added, checked = true)
+      dir: String, dropped: Set[String], added: String,
+      snapshot: Set[String]): Int =
+    publishReplacing(spark, dir, dropped, added, checked = true,
+      snapshot = Some(snapshot))
 
   private def publishReplacing(spark: SparkSession, dir: String,
       dropped: Set[String], added: String,
-      checked: Boolean = false): Int = {
+      checked: Boolean = false,
+      snapshot: Option[Set[String]] = None): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
@@ -743,7 +758,7 @@ object VersionedLake {
         else readManifest(spark, dir, prev.last)
       // the conflict check lives INSIDE the CAS loop: every retry
       // re-reads the tip it is about to replace, so a dir rewritten
-      // between attempts is caught too
+      // (or appended) between attempts is caught too
       if (checked) {
         val gone = dropped.diff(tip.toSet)
         if (gone.nonEmpty)
@@ -752,6 +767,20 @@ object VersionedLake {
               s"${gone.mkString(", ")} were rewritten by a concurrent " +
               "commit after this operation scanned them; retry against " +
               "the new snapshot")
+        // the append check only applies to ROW-LEVEL ops (which pass
+        // their snapshot): a concurrent append may hold rows matching
+        // their condition. Compaction-style callers omit it — an
+        // appended dir they never read is simply carried forward.
+        snapshot.foreach { snap =>
+          val fresh = tip.toSet.diff(snap)
+          if (fresh.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"copy-on-write conflict on $dir: dirs " +
+                s"${fresh.mkString(", ")} were appended by a concurrent " +
+                "commit after this operation's snapshot — they may hold " +
+                "rows matching the operation's condition; retry against " +
+                "the new snapshot")
+        }
       }
       val live = tip.filterNot(dropped) :+ added
       try {
@@ -980,10 +1009,20 @@ object VersionedLake {
     val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     val cutoff = System.currentTimeMillis() - graceMs
+    // RECURSIVE newest-mtime: an in-flight commit's activity happens
+    // levels deep (task attempts under _temporary/0/...), where the
+    // top dir's and even its direct children's mtimes stop moving at
+    // job setup — a direct-children check would judge a long-staging
+    // commit "quiescent" and sweep it mid-write. The recursion is
+    // bounded: it only ever runs on unreferenced candidate dirs.
     def quiescentSince(p: Path): Long = {
-      val self = f.getFileStatus(p).getModificationTime
-      val children = f.listStatus(p).toSeq.map(_.getModificationTime)
-      (self +: children).max
+      var newest = f.getFileStatus(p).getModificationTime
+      def walk(d: Path): Unit = f.listStatus(d).foreach { st =>
+        newest = math.max(newest, st.getModificationTime)
+        if (st.isDirectory) walk(st.getPath)
+      }
+      walk(p)
+      newest
     }
     val swept = f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))

@@ -417,16 +417,29 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(VersionedLake.readLatest(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSet ==
       Set((1L, 10.0), (2L, 2.0), (3L, 30.0)))
-    // conflict: compact (rewrites every dir) between an UPDATE's scan
-    // and its publish — simulated by compacting, then replaying the
-    // publish against dirs that no longer exist in the tip
+    // conflict 1: compact (rewrites every dir) between an UPDATE's
+    // scan and its publish — simulated by compacting, then replaying
+    // the publish against dirs that no longer exist in the tip
     val tipBefore = listDataDirs(dir)
     VersionedLake.compactVersions(spark, dir, statsCols = Seq("id"))
     val e = intercept[java.util.ConcurrentModificationException] {
       graft.engine.EngineTestBridge.publishReplacingChecked(spark, dir,
-        tipBefore, "d-stale-cow")
+        tipBefore, "d-stale-cow", tipBefore)
     }
     assert(e.getMessage.contains("copy-on-write conflict"))
+    // conflict 2: a concurrent APPEND after the operation's snapshot —
+    // the appended dir may hold rows matching the operation's
+    // condition (a key a MERGE inserted would be duplicated), so the
+    // publish must refuse, serializable-style, not absorb it
+    val dir2 = tempDir("glsrc-upd2") + "/t"
+    VersionedLake.commit(Seq((1L, "a", 1.0)).toDF("id", "tag", "v"), dir2)
+    val snap = listDataDirs(dir2) // single commit: disk set == tip set
+    VersionedLake.commit(Seq((99L, "z", 9.0)).toDF("id", "tag", "v"), dir2)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      graft.engine.EngineTestBridge.publishReplacingChecked(spark, dir2,
+        snap, "d-stale-cow2", snap)
+    }
+    assert(e2.getMessage.contains("appended by a concurrent commit"))
   }
 
   test("TIMESTAMP AS OF resolves to the newest version published at " +

@@ -217,6 +217,23 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.commit(spark.range(5, 9).toDF("id"), dir)
     // orphan: a data dir with no manifest (crash before the CAS)
     spark.range(900, 950).toDF("id").write.parquet(s"$dir/d-orphan")
+    // in-flight staging at depth: the top dirs' mtimes freeze at job
+    // setup while activity happens levels down (_temporary/0/...), so
+    // quiescence must consider the RECURSIVE newest file, not just
+    // direct children — otherwise a long-staging commit gets swept
+    // mid-write
+    val f0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    spark.range(0, 3).toDF("id").write
+      .parquet(s"$dir/d-staging/_temporary/0/attempt")
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    Seq(s"$dir/d-staging", s"$dir/d-staging/_temporary",
+      s"$dir/d-staging/_temporary/0").foreach(p =>
+      f0.setTimes(new org.apache.hadoop.fs.Path(p), old, -1))
+    VersionedLake.vacuum(spark, dir, retain = 2, graceMs = 3600 * 1000)
+    assert(f0.exists(new org.apache.hadoop.fs.Path(s"$dir/d-staging")),
+      "vacuum swept a staging dir whose DEEP files are fresh")
+    f0.delete(new org.apache.hadoop.fs.Path(s"$dir/d-staging"), true)
     // with the default grace the fresh orphan is indistinguishable from
     // an IN-FLIGHT commit's staging dir — the sweep must keep it
     VersionedLake.vacuum(spark, dir, retain = 2)

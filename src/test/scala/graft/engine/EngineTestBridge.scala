@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   * without widening the production API. */
 object EngineTestBridge {
   def publishReplacingChecked(spark: SparkSession, dir: String,
-      dropped: Set[String], added: String): Int =
-    VersionedLake.publishReplacingChecked(spark, dir, dropped, added)
+      dropped: Set[String], added: String,
+      snapshot: Set[String]): Int =
+    VersionedLake.publishReplacingChecked(spark, dir, dropped, added,
+      snapshot)
 }
