@@ -36,15 +36,31 @@ import org.apache.spark.sql.functions._
   * changelog only. Composed with the lake layer ([[Lake.upsert]]'s
   * partition-pruned rewrite), only base partitions containing changed
   * keys are read at all. The no-Exchange-on-base shape is a failing
-  * test (PlanAuditSpec "Cdc.merge never shuffles the base").
+  * test (PlanAuditSpec "Cdc.merge never shuffles the base"). The
+  * broadcasts are size-guarded: a batch with more distinct keys than
+  * `maxBroadcastKeys` (a bulk load, not a changelog) drops the hints
+  * and lets the planner shuffle — identical results, no forced
+  * driver-sized collect.
   * Output columns: `key, payloadCols…, src` (`base`/`upd`/`ins`).
   */
 object Cdc {
 
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,
-      seqCol: String, opCol: String, payloadCols: Seq[String]): DataFrame = {
+      seqCol: String, opCol: String, payloadCols: Seq[String],
+      maxBroadcastKeys: Int = 16 << 20): DataFrame = {
     require(payloadCols.nonEmpty, "merge needs at least one payload column")
     val k = col(keyCol)
+    // "changelog-sized" is a distribution assumption, not a guarantee:
+    // a bulk backfill batch can carry more keys than a broadcast (and
+    // the driver) survives. Probe the DISTINCT key count (== winner
+    // count, one winner per key) with a bounded early-out action; an
+    // over-bound batch drops the hints and lets the planner shuffle —
+    // a batch that large is a bulk load, and rewriting the base is
+    // then the honest cost. Same guard shape as the boilerplate
+    // removers' heavy-set bound.
+    val fits = changes.select(k).distinct()
+      .limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+    def bcast(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(k).orderBy(col(seqCol).desc)
     val winner = changes
@@ -54,20 +70,20 @@ object Cdc {
         payloadCols.map(c => col(c).as(s"_ch_$c")): _*)
     val hasIns = changes.filter(col(opCol) === "I")
       .select(k).distinct().withColumn("_has_i", lit(true))
-    val ch = winner.join(broadcast(hasIns), Seq(keyCol), "left")
+    val ch = winner.join(bcast(hasIns), Seq(keyCol), "left")
     val winnerKeys = winner.select(k)
     // Base side: map-only broadcast semi/anti split — never an Exchange.
     val untouched = base
-      .join(broadcast(winnerKeys), Seq(keyCol), "left_anti")
+      .join(bcast(winnerKeys), Seq(keyCol), "left_anti")
       .select(k +: payloadCols.map(col) :+ lit("base").as("src"): _*)
     val touchedKeys = base.select(k)
-      .join(broadcast(winnerKeys), Seq(keyCol), "left_semi")
+      .join(bcast(winnerKeys), Seq(keyCol), "left_semi")
       .withColumn("_in_base", lit(true))
     // Winner resolution happens entirely at changelog scale: every
     // surviving winner (I, or U with a pre-existing/base-inserted key)
     // carries the CHANGE payload, so the touched base rows contribute
     // only their key presence.
-    val applied = ch.join(broadcast(touchedKeys), Seq(keyCol), "left")
+    val applied = ch.join(bcast(touchedKeys), Seq(keyCol), "left")
       .filter(col("_op") === "I" ||
         (col("_op") === "U" &&
           (coalesce(col("_in_base"), lit(false)) ||

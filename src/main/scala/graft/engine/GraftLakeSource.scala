@@ -729,7 +729,13 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
 
   override def latestOffset(): Offset = {
     val vs = VersionedLake.versions(spark, lakeDir)
-    GraftLakeOffset(if (vs.isEmpty) startingVersion - 1 else vs.last)
+    // never below initialOffset: with startingVersion ahead of the
+    // published tip, reporting the (smaller) tip would checkpoint a
+    // REGRESSED offset, and versions published later would be
+    // delivered from the regressed point — including the ones
+    // startingVersion asked to skip
+    GraftLakeOffset(math.max(startingVersion - 1,
+      if (vs.isEmpty) startingVersion - 1 else vs.last))
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -266,10 +266,19 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("_h"), lit(true).as("_dup"))
-    val fits = boilerplate.limit(maxBroadcastSegs + 1).count() <=
-      maxBroadcastSegs
-    segs.join(if (fits) broadcast(boilerplate) else boilerplate,
-        Seq("_h"), "left")
+    // probe-is-the-result: collect up to bound+1 heavy hashes (32-char
+    // md5s — the same driver order the broadcast would hold) so the
+    // common case computes the corpus aggregate ONCE; only an
+    // over-bound set pays the recompute, inside its shuffle join
+    val heavyArr = boilerplate.select(col("_h"))
+      .limit(maxBroadcastSegs + 1).collect().map(_.getString(0))
+    val fits = heavyArr.length <= maxBroadcastSegs
+    val dupSide =
+      if (fits) broadcast(df.sparkSession.createDataset(heavyArr.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("_h")
+        .withColumn("_dup", lit(true)))
+      else boilerplate
+    segs.join(dupSide, Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segs"),

@@ -111,7 +111,9 @@ object VersionedLake {
         throw new IllegalStateException(
           s"manifest $p is torn or still being published " +
             "(no terminator after retries) — its writer crashed " +
-            "mid-publish or is stalled; the version is unreadable")
+            "mid-publish or is stalled; the version is unreadable. " +
+            "repairTornManifests (or any vacuum) removes a stale " +
+            "torn manifest and un-wedges the lake")
       Thread.sleep(20)
     }
     Nil // unreachable
@@ -119,6 +121,39 @@ object VersionedLake {
 
   private def manifestBytes(live: Seq[String]): Array[Byte] =
     (live :+ ManifestEnd).mkString("\n").getBytes("UTF-8")
+
+  /** Un-wedge a lake whose publisher crashed between the CAS create
+    * and the content write: such a manifest claimed its version NAME
+    * but never became readable, and because every publish reads the
+    * tip to build the next live set, a torn TIP blocks all future
+    * commits too — loudly, but forever. Deleting it is safe: an
+    * unreadable manifest can never have been observed by a reader nor
+    * built upon by a writer (their readManifest fails the same way),
+    * and its data dir simply becomes an unreferenced orphan for
+    * [[vacuum]]. Only manifests stale for `staleMs` are touched — a
+    * fresh one is a publisher mid-fill (the window is normally
+    * milliseconds). Returns the versions repaired. Also invoked by
+    * [[vacuum]] with its grace window, so routine maintenance heals
+    * crashed publishes without a separate operational step. */
+  def repairTornManifests(spark: SparkSession, dir: String,
+      staleMs: Long = 600000L): Seq[Int] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(s"$dir/$ManifestDir"))) return Seq.empty
+    val cutoff = System.currentTimeMillis() - staleMs
+    versions(spark, dir).filter { v =>
+      val p = manifestPath(dir, v)
+      if (f.getFileStatus(p).getModificationTime > cutoff) false
+      else {
+        val in = f.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        val torn = !lines.lastOption.contains(ManifestEnd)
+        if (torn) f.delete(p, false)
+        torn
+      }
+    }
+  }
 
   /** Commit `df` as the next version. `mode` "append" carries the
     * previous live set forward plus the new data dir; "overwrite"
@@ -377,15 +412,18 @@ object VersionedLake {
     * manifests. */
   def compactZOrder(spark: SparkSession, dir: String, aCol: String,
       bCol: String, nFiles: Int, bits: Int = 16,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None, codec: String = "snappy"): Int = {
     import org.apache.spark.sql.functions.col
     val clustered = readLatest(spark, dir)
       .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+    // codec threads through like every other commit entry point — the
+    // z-order rewrite is the LARGEST rewrite a lake ever does, the
+    // worst place to silently swap the caller's compression policy
     commitIndexed(clustered, dir, Seq(aCol, bCol), bloomCol,
-      mode = "overwrite")
+      mode = "overwrite", codec = codec)
   }
 
   /** Changed rows between two published versions, tagged `op` =
@@ -1004,6 +1042,10 @@ object VersionedLake {
       graceMs: Long = DefaultVacuumGraceMs): Unit = {
     require(retain >= 1, "must retain at least the latest version")
     val f = fs(spark, dir)
+    // heal crashed publishes first (same staleness contract as the
+    // data-dir sweep): a torn tip manifest otherwise wedges every
+    // reader AND writer forever — see [[repairTornManifests]]
+    repairTornManifests(spark, dir, graceMs)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
     val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet

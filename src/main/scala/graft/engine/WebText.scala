@@ -133,18 +133,30 @@ object WebText {
     * cleaned page. */
   def removeBoilerplateLines(pages: DataFrame, minDocs: Int,
       maxBroadcastLines: Int = 1 << 22): DataFrame = {
-    val lines = split(col("page"), "\n")
+    // NULL pages normalize to empty BEFORE either branch: the
+    // broadcast path's array functions and the join path's posexplode
+    // disagree on NULL (size -1 row vs dropped document), and which
+    // branch runs must never change the result
+    val lines = split(coalesce(col("page"), lit("")), "\n")
     val heavyLines = pages
       .select(col("doc_id"), explode(array_distinct(lines)).as("line"))
       .groupBy("line").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minDocs)
       .select(col("line"))
-    // bounded probe: one small action over the pass-1 aggregate, capped
-    // so a pathological heavy set never materializes past the bound
-    val fits = heavyLines.limit(maxBroadcastLines + 1).count() <=
-      maxBroadcastLines
+    // bounded probe that IS the pass-1 result when it fits: collect up
+    // to bound+1 heavy lines (the same driver memory the broadcast
+    // would hold anyway) so the common path computes the corpus-wide
+    // aggregate exactly ONCE — re-deriving the heavy frame from the
+    // collected rows costs a local parallelize, not a second scan+
+    // shuffle of the corpus. Only the rare over-bound case pays the
+    // recompute, inside its join.
+    val heavyArr = heavyLines.limit(maxBroadcastLines + 1).collect()
+      .map(_.getString(0))
+    val fits = heavyArr.length <= maxBroadcastLines
     if (fits) {
-      val heavy = heavyLines
+      val spark = pages.sparkSession
+      val heavy = spark.createDataset(heavyArr.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("line")
         .agg(coalesce(collect_list(col("line")),
           array().cast("array<string>")).as("harr"))
       pages.crossJoin(broadcast(heavy))

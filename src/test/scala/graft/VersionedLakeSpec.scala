@@ -13,6 +13,35 @@ class VersionedLakeSpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  test("a torn tip manifest (publisher crashed between CAS create and " +
+      "content write) wedges reads and publishes; repairTornManifests " +
+      "removes it after the staleness window and the lake heals") {
+    import spark.implicits._
+    val dir = tempDir("vlake-torn") + "/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    val fsm = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00002")
+    val out = fsm.create(torn, false)
+    out.write("d-nonexistent\n".getBytes("UTF-8")) // no terminator
+    out.close()
+    intercept[IllegalStateException](
+      VersionedLake.readLatest(spark, dir).collect())
+    intercept[IllegalStateException](
+      VersionedLake.commit(spark.range(5, 7).toDF("id"), dir))
+    // a FRESH torn manifest is a publisher mid-fill — repair must wait
+    assert(VersionedLake.repairTornManifests(spark, dir,
+      staleMs = 3600 * 1000).isEmpty)
+    fsm.setTimes(torn, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+    assert(VersionedLake.repairTornManifests(spark, dir,
+      staleMs = 3600 * 1000) == Seq(2))
+    assert(VersionedLake.versions(spark, dir) == Seq(1))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 5L))
+    // the lake accepts commits again, re-claiming the repaired slot
+    VersionedLake.commit(spark.range(5, 7).toDF("id"), dir)
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 7L))
+  }
+
   test("append/overwrite commits version in order; every version stays " +
       "a readable snapshot; compaction is a commit, not a mutation") {
     import spark.implicits._
