@@ -341,7 +341,9 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, // versions as offsets, below
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE) // INSERT OVERWRITE on the whole table
+      TableCapability.STREAMING_WRITE, // epoch-tagged commits, below
+      TableCapability.TRUNCATE, // INSERT OVERWRITE on the whole table
+      TableCapability.OVERWRITE_BY_FILTER) // writeTo(...).overwrite(cond)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
@@ -355,10 +357,11 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     * `INSERT OVERWRITE` and `df.write.format("graftlake")` are real
     * versioned commits: atomic (readers see the old tip until the
     * pointer lands), concurrency-safe (CAS retry), and vacuum-visible.
-    * Only BATCH writes: `writeStream.format("graftlake")` is refused —
-    * the exactly-once streaming sinks (tag-deduplicated manifests,
-    * [[Streaming]]) are strictly stronger than what an untagged V2
-    * epoch commit could offer. */
+    * Streaming writes (`writeStream.format("graftlake")`) commit one
+    * version per micro-batch through the SAME tag-deduplicated manifest
+    * protocol as the library's exactly-once sinks — the transaction id
+    * is (queryId, epochId), so a checkpoint replay no-ops
+    * ([[GraftLakeStreamingWrite]]). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -466,6 +469,47 @@ private[engine] object GraftLakeDelete {
     case _ => None
   }
 
+  /** Exact replay of one pushed V1 filter as a catalyst `Column` —
+    * the full algebra Spark's own `DataSourceStrategy.translateFilter`
+    * emits, so every condition that REACHES a data source (Spark
+    * refuses to plan the untranslatable ones) evaluates here with
+    * catalyst's exact semantics, three-valued logic included: the
+    * filter was BORN from a catalyst expression, and this maps each
+    * node back to the catalyst function it came from. Refuses (None)
+    * any attribute not a top-level schema field and any future filter
+    * node this version doesn't know — callers gate on `isDefined`
+    * (`canOverwrite`), so unknown shapes fail analysis, never rows. */
+  def toColumn(schema: StructType,
+      f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    def ref(a: String): Option[Column] =
+      if (schema.fields.exists(_.name == a))
+        Some(col("`" + a.replace("`", "``") + "`"))
+      else None
+    def rec(f: Filter): Option[Column] = f match {
+      case _: sf.AlwaysTrue => Some(lit(true))
+      case _: sf.AlwaysFalse => Some(lit(false))
+      case sf.And(a, b) => for {x <- rec(a); y <- rec(b)} yield x && y
+      case sf.Or(a, b) => for {x <- rec(a); y <- rec(b)} yield x || y
+      case sf.Not(a) => rec(a).map(!_)
+      case sf.EqualTo(a, v) => ref(a).map(_ === lit(v))
+      case sf.EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+      case sf.GreaterThan(a, v) => ref(a).map(_ > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case sf.LessThan(a, v) => ref(a).map(_ < lit(v))
+      case sf.LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+      case sf.In(a, vs) => ref(a).map(_.isin(vs.toSeq: _*))
+      case sf.IsNull(a) => ref(a).map(_.isNull)
+      case sf.IsNotNull(a) => ref(a).map(_.isNotNull)
+      case sf.StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+      case sf.StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+      case sf.StringContains(a, v) => ref(a).map(_.contains(v))
+      case _ => None
+    }
+    rec(f)
+  }
+
   def translate(schema: StructType,
       filters: Array[Filter]): Option[Action] = {
     def flatten(f: Filter): Seq[Filter] = f match {
@@ -521,17 +565,50 @@ private[engine] object GraftLakeDelete {
   * Spark plans for `INSERT OVERWRITE` / `mode("overwrite")` on an
   * unpartitioned table) becomes a manifest-level overwrite — the new
   * version's live set is just the staged dir; old dirs stay readable
-  * through time travel until vacuum. */
+  * through time travel until vacuum.
+  *
+  * `overwrite(filters)` — what Spark plans for
+  * `df.writeTo("glake.t").overwrite(cond)` (replaceWhere) — becomes ONE
+  * atomic versioned commit: rows matching the condition are deleted,
+  * the new data appended, published together as a single manifest swap.
+  * The condition is evaluated EXACTLY (the full pushed-filter algebra,
+  * [[GraftLakeDelete.toColumn]]); when it additionally composes into
+  * one numeric interval, the stats sidecars prune the rewrite to the
+  * intersecting data dirs — every other live dir is carried by manifest
+  * reference, zero IO, same shape as [[VersionedLake.deleteRange]]. */
 final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   extends org.apache.spark.sql.connector.write.WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var mode = "append"
+  private var replaceCond: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    mode = "overwrite"; this
+    mode = "overwrite"; replaceCond = Array.empty; this
+  }
+
+  // exact-or-refuse, consulted by Spark BEFORE overwrite(): a filter
+  // shape toColumn cannot replay exactly surfaces as a clean analysis
+  // error ("table does not support overwrite by filter"), never a
+  // wrong-rows commit
+  override def canOverwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f =>
+      GraftLakeDelete.toColumn(table.schema(), f).isDefined)
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(canOverwrite(filters),
+      "graftlake overwrite-by-filter got an untranslatable condition " +
+        s"(Spark should have consulted canOverwrite): ${filters.mkString(", ")}")
+    GraftLakeDelete.translate(table.schema(), filters) match {
+      case Some(GraftLakeDelete.Truncate) => truncate()
+      case _ => mode = "replace"; replaceCond = filters; this
+    }
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
@@ -541,7 +618,8 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetWrite(Seq(s"$lakeDir/$dataDir"), table.formatName,
         table.supportsDataType _, info)
-    new GraftLakeWrite(inner, lakeDir, dataDir, mode)
+    new GraftLakeWrite(inner, lakeDir, dataDir, mode, table.schema(),
+      replaceCond)
   }
 }
 
@@ -555,13 +633,29 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
   * sees and vacuum sweeps. */
 final class GraftLakeWrite(
     inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite,
-    lakeDir: String, dataDir: String, mode: String)
+    lakeDir: String, dataDir: String, mode: String,
+    tableSchema: StructType,
+    replaceCond: Array[org.apache.spark.sql.sources.Filter])
   extends org.apache.spark.sql.connector.write.Write {
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
 
   override def description(): String =
     s"graftlake $mode $lakeDir (staging $dataDir)"
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    import scala.jdk.CollectionConverters._
+    require(mode != "replace", // unreachable: no streaming plan builds it
+      "overwrite-by-filter is a batch operation; streams append (or " +
+        "truncate per batch in Complete mode)")
+    // the batch staging dir allocated by the builder is unused here (a
+    // name only — nothing touches disk until tasks write); streaming
+    // stages per-epoch files under _stage and commits per epoch instead
+    new GraftLakeStreamingWrite(lakeDir, inner.info.schema(),
+      inner.info.queryId(), mode,
+      inner.info.options().asCaseSensitiveMap().asScala.toMap)
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val innerBatch = inner.toBatch
@@ -574,6 +668,7 @@ final class GraftLakeWrite(
     override def commit(msgs: Array[WriterCommitMessage]): Unit = {
       innerBatch.commit(msgs) // file committer: task temps -> staging dir
       val spark = SparkSession.active
+      if (mode == "replace") { commitReplace(spark); return }
       // SQL writers have no commitWithStats to opt into, so every DML
       // commit is range-indexed by default: min/max lifted from the
       // parquet footers the write just produced (one driver-side
@@ -584,6 +679,56 @@ final class GraftLakeWrite(
       if (numericCols.nonEmpty)
         VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
       VersionedLake.publish(spark, lakeDir, dataDir, mode)
+    }
+
+    /** replaceWhere commit: the staged dir already holds the new data
+      * (file committer landed above); rewrite the SURVIVORS of the
+      * condition-intersecting dirs into the same staged dir, then swap
+      * `tip \ touched + staged` in one manifest CAS. Pruning is
+      * metadata-only (stats sidecars) and conservative; dirs the
+      * sidecars cannot clear rewrite through the exact row filter.
+      * Publishes SERIALIZABLE ([[VersionedLake.publishReplacingChecked]])
+      * — a concurrent rewrite of a touched dir, or an append landing
+      * after the survivor scan (it may hold rows matching the
+      * condition), is refused loudly for the caller to retry, the same
+      * call Delta/Iceberg's COW validation makes. */
+    private def commitReplace(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.functions.{lit, not}
+      val pred = replaceCond
+        .map(f => GraftLakeDelete.toColumn(tableSchema, f).getOrElse(
+          throw new IllegalStateException( // canOverwrite gated this
+            s"untranslatable overwrite filter $f")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val vs = VersionedLake.versions(spark, lakeDir)
+      val snapshot = vs.lastOption
+        .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
+        .getOrElse(Seq.empty)
+      val touched = GraftLakeDelete.translate(tableSchema, replaceCond) match {
+        case Some(GraftLakeDelete.Range(c, lo, hi)) =>
+          if (lo <= hi)
+            VersionedLake.dirsIntersecting(spark, lakeDir, snapshot, c, lo, hi)
+          else Seq.empty // provably-empty interval: pure append
+        case _ => snapshot // no interval shape: every live dir rewrites
+      }
+      if (touched.nonEmpty) {
+        // three-valued logic: a row where the condition is NULL is NOT
+        // matched — it must survive, so keep NOT(pred IS TRUE)
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(d => s"$lakeDir/$d"): _*)
+          .filter(not(pred <=> lit(true)))
+          .write.mode("append").parquet(s"$lakeDir/$dataDir")
+      }
+      // stats AFTER the survivor append so the sidecar covers every
+      // file in the published dir (new data and survivors alike)
+      val numericCols = GraftLakeDataSource.numericCols(tableSchema)
+      if (numericCols.nonEmpty)
+        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+      if (touched.isEmpty)
+        VersionedLake.publish(spark, lakeDir, dataDir, "append")
+      else
+        VersionedLake.publishReplacingChecked(spark, lakeDir,
+          touched.toSet, dataDir, snapshot.toSet)
+      ()
     }
     override def abort(msgs: Array[WriterCommitMessage]): Unit = {
       innerBatch.abort(msgs)

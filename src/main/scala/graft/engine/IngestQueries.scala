@@ -1327,6 +1327,134 @@ object IngestQueries {
            |       ROUND(SUM(value), 2) AS total_value
            |FROM glake_q192.`$name` VERSION AS OF 1 GROUP BY event_type
            |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q193_stream_write_v2",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // The lake as a streaming SINK ([[GraftLakeStreamingWrite]] —
+      // Delta's sink shape, transaction id (queryId, epochId)): two
+      // disjoint event slices arrive as two micro-batches through
+      // `writeStream.format("graftlake")`, each an epoch-tagged
+      // versioned commit; a full RE-DRAIN on the same checkpoint must
+      // mint nothing (exactly-once, asserted); and the aggregate over
+      // the V2 read-back must equal the raw-table oracle — a dropped
+      // batch, a double-committed epoch, or a row lost in the
+      // stage→rename→publish handoff each break the hash.
+      val root = s"$scratchRoot/swv2_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      // parity split: both slices non-empty at every sf (a band split
+      // left slice 2 empty at small sf — an empty batch publishes
+      // nothing, by design, and the version-count require fired)
+      ev.filter(col("user_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$root/in/f0")
+      ev.filter(col("user_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$root/in/f1")
+      val lake = s"$root/lake"
+      // the CREATE TABLE analogue: the lake exists from its first
+      // (schema-bearing, empty) commit; stream writers append to it
+      VersionedLake.commit(ev.limit(0).repartition(1), lake)
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+          .writeStream.format("graftlake")
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(lake)
+        q.awaitTermination()
+      }
+      drain()
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "two micro-batches must land as two versioned commits, got " +
+          VersionedLake.versions(s, lake).mkString(","))
+      drain() // restart on the SAME checkpoint: nothing new to process
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "a re-drain on the same checkpoint must mint no versions")
+      s.read.format("graftlake").load(lake)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q194_replace_where",
+      """WITH repl AS (SELECT event_id, user_id,
+        |                     'replayed' AS event_type,
+        |                     value * 3 AS value
+        |              FROM events
+        |              WHERE event_id >= 100 AND event_id < 300),
+        |     latest AS (
+        |       SELECT event_id, user_id, event_type, value FROM events
+        |       WHERE NOT (event_id >= 100 AND event_id < 300)
+        |       UNION ALL SELECT * FROM repl)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM latest GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v2' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // replaceWhere through the DSv2 seam
+      // ([[GraftLakeWriteBuilder]] SupportsOverwrite): ONE atomic
+      // versioned commit deletes the `event_id ∈ [100, 300)` band and
+      // lands its replacement (event_type rewritten, value tripled).
+      // The lake is committed as two event_id bands with range
+      // sidecars; the require proves the commit was METADATA-pruned —
+      // the non-intersecting band's dir survives into v3 by manifest
+      // reference (zero IO), only the matching band rewrote. The
+      // oracle re-derives survivors ∪ replacement from raw events, and
+      // `VERSION AS OF 2` pins the pre-overwrite snapshot — a row
+      // deleted twice, a survivor lost in the rewrite, or a
+      // non-atomic delete+append each break the hash.
+      val lake = s"$scratchRoot/rw_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("event_id") < 400), lake, Seq("event_id"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("event_id") >= 400), lake, Seq("event_id"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q194",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q194.root",
+        new java.io.File(lake).getParent)
+      val dirsV1 = VersionedLake.manifestEntries(s, lake, 1)
+      val untouched = VersionedLake.manifestEntries(s, lake, 2)
+        .diff(dirsV1)
+      ev.filter(col("event_id") >= 100 && col("event_id") < 300)
+        .withColumn("event_type", lit("replayed"))
+        .withColumn("value", col("value") * 3)
+        .writeTo(s"glake_q194.`$name`")
+        .overwrite(col("event_id") >= 100 && col("event_id") < 300)
+      val dirsV3 = VersionedLake.manifestEntries(s, lake, 3)
+      require(untouched.forall(dirsV3.contains) &&
+        !dirsV3.exists(dirsV1.contains),
+        "replaceWhere must carry the non-matching band by reference " +
+          "and rewrite only the intersecting dir; v3 live set: " +
+          dirsV3.mkString(","))
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q194.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v2' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q194.`$name` VERSION AS OF 2 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

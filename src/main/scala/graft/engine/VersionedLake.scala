@@ -657,13 +657,15 @@ object VersionedLake {
     * DELETES may resurrect each other's rows. Returns the new version,
     * or the current one if nothing intersects (no-op, no new version).
     */
-  def deleteRange(spark: SparkSession, dir: String, c: String,
-      lo: Double, hi: Double, statsCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.col
+  /** Of `dirs`, those the stats sidecars CANNOT clear of [lo, hi] on
+    * `c` — conservative: a dir with no stats, a file with no recorded
+    * range, or an empty dir all count as intersecting. Driver-side
+    * metadata only; shared by [[deleteRange]] and the DSv2
+    * overwrite-by-filter commit ([[GraftLakeWrite]]). */
+  private[engine] def dirsIntersecting(spark: SparkSession, dir: String,
+      dirs: Seq[String], c: String, lo: Double, hi: Double): Seq[String] = {
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no versions published at $dir")
-    def intersects(d: String): Boolean = {
+    dirs.filter { d =>
       val stats = statsFor(spark, dir, d, c)
       val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.getName)
@@ -671,8 +673,15 @@ object VersionedLake {
         files.exists(n => stats.get(n)
           .forall { case (mn, mx, _) => mx >= lo && mn <= hi })
     }
+  }
+
+  def deleteRange(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double, statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions published at $dir")
     val live = readManifest(spark, dir, vs.last)
-    val touched = live.filter(intersects)
+    val touched = dirsIntersecting(spark, dir, live, c, lo, hi)
     if (touched.isEmpty) vs.last
     else {
       // NULL-keyed rows are OUTSIDE any range — they must survive, and
@@ -754,7 +763,7 @@ object VersionedLake {
     * landed meanwhile are preserved (they are not in `dropped`). */
   /** Manifest dir names of a version — the replacement units the COW
     * row-level write coordinates on ([[GraftLakeRowLevelOperation]]). */
-  private[engine] def manifestEntries(spark: SparkSession, dir: String,
+  private[graft] def manifestEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] = readManifest(spark, dir, v)
 
   /** [[publishReplacing]] with a SERIALIZABLE conflict check for the
@@ -1078,6 +1087,18 @@ object VersionedLake {
       f.delete(new Path(s"$dir/_bloom/${p.getName}.bloom"), false)
       ()
     }
+    // streaming-write staging stragglers (crashed task attempts whose
+    // files were never listed in a commit message) are invisible to
+    // every reader but would otherwise accumulate forever; the same
+    // quiescence grace protects an in-flight epoch's staging
+    val stageRoot = new Path(s"$dir/_stage")
+    if (f.exists(stageRoot))
+      f.listStatus(stageRoot).toSeq.filter(_.isDirectory).foreach { qd =>
+        f.listStatus(qd.getPath).toSeq
+          .filter(_.getModificationTime <= cutoff)
+          .foreach(st => f.delete(st.getPath, false))
+        if (f.listStatus(qd.getPath).isEmpty) f.delete(qd.getPath, false)
+      }
     // drop tag markers only for data dirs actually gone — a grace-kept
     // published dir must keep its marker, or a replayed tag would
     // re-commit the same data

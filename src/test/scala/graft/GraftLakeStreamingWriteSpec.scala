@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.engine._
+
+/** `writeStream.format("graftlake")` — version-per-batch commits,
+  * checkpoint-restart exactly-once, epoch-replay no-op at the
+  * StreamingWrite protocol level, Complete-mode overwrites, and stats
+  * sidecars on streamed commits. */
+class GraftLakeStreamingWriteSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def drain(src: org.apache.spark.sql.DataFrame, lake: String,
+      ck: String, outputMode: String = "append"): Unit = {
+    val q = src.writeStream.format("graftlake")
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start(lake)
+    q.awaitTermination()
+  }
+
+  test("writeStream commits one version per micro-batch, restart from " +
+      "checkpoint is exactly-once, and new input appends only itself") {
+    import spark.implicits._
+    val root = tempDir("glsw-basic")
+    val lake = s"$root/lake"
+    def addInput(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "id * 1.5D AS v")
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    // the lake is created by its first commit (the library convention —
+    // SQL/stream writers append to an EXISTING lake): an empty
+    // schema-bearing commit is the CREATE TABLE analogue
+    VersionedLake.commit(
+      spark.range(0, 0).selectExpr("id", "id * 1.5D AS v")
+        .repartition(1), lake)
+    def src = spark.readStream.schema("id LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+
+    addInput(0, 100)
+    addInput(100, 200)
+    drain(src, lake, s"$root/ck")
+    // bootstrap + one version per micro-batch (2 files → 2 batches)
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    val all = spark.read.format("graftlake").load(lake)
+    assert(all.count() == 200)
+    assert(all.agg(sum("id")).head().getLong(0) == (0L until 200L).sum)
+
+    // restart, no new input: checkpoint makes it a no-op — no versions
+    drain(src, lake, s"$root/ck")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    assert(spark.read.format("graftlake").load(lake).count() == 200)
+
+    // restart with one NEW file: exactly its rows, exactly one version
+    addInput(200, 250)
+    drain(src, lake, s"$root/ck")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3, 4))
+    val after = spark.read.format("graftlake").load(lake)
+    assert(after.count() == 250)
+    assert(after.agg(sum("id")).head().getLong(0) == (0L until 250L).sum)
+
+    // streamed commits carry stats sidecars like every DML commit: a
+    // range probe through the V2 read path skips non-matching files
+    val probe = spark.read.format("graftlake").load(lake)
+      .filter(col("id") >= 220L)
+    val total = VersionedLake.readLatest(spark, lake).inputFiles.length
+    assert(total >= 3)
+    assert(GraftLakeDataSource.filesRead(probe) < total,
+      "streamed commits must be range-skippable from their sidecars")
+    assert(probe.count() == 30)
+  }
+
+  test("a replayed epoch (same queryId+epochId) is a no-op: no second " +
+      "version, the re-staged file is discarded") {
+    import spark.implicits._
+    val root = tempDir("glsw-replay")
+    val lake = s"$root/lake"
+    val df = spark.range(0, 10).selectExpr("id", "id * 2 AS w")
+    VersionedLake.commit(df.limit(0).repartition(1), lake)
+    val sw = new GraftLakeStreamingWrite(lake, df.schema,
+      queryId = "11111111-2222-3333-4444-555555555555", mode = "append",
+      options = Map.empty)
+    val factory = sw.createStreamingWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+    def stageEpoch(epoch: Long) = {
+      val w = factory.createWriter(0, epoch * 100 + 1, epoch)
+      df.queryExecution.toRdd.map(_.copy()).collect().foreach(w.write)
+      val m = w.commit(); w.close(); m
+    }
+    sw.commit(7, Array(stageEpoch(7)))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    assert(VersionedLake.readLatest(spark, lake).count() == 10)
+
+    // the crash-after-publish shape: the engine re-runs epoch 7's tasks
+    // and re-commits — the lake must not mint a version or keep bytes
+    val replayed = stageEpoch(7)
+    sw.commit(7, Array(replayed))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    assert(VersionedLake.readLatest(spark, lake).count() == 10)
+    val staged = new org.apache.hadoop.fs.Path(
+      replayed.asInstanceOf[graft.engine.GraftLakeFileMessage].path)
+    val f = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(staged), "replayed epoch must discard its staging")
+
+    // a NEW epoch still commits
+    sw.commit(8, Array(stageEpoch(8)))
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    assert(VersionedLake.readLatest(spark, lake).count() == 20)
+  }
+
+  test("Complete output mode publishes each batch as a manifest-level " +
+      "overwrite; history stays time-travelable") {
+    import spark.implicits._
+    val root = tempDir("glsw-complete")
+    val lake = s"$root/lake"
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS x")
+      .coalesce(1).write.parquet(s"$root/in/f0")
+    spark.range(10, 40).selectExpr("id % 3 AS k", "id AS x")
+      .coalesce(1).write.parquet(s"$root/in/f1")
+    VersionedLake.commit(
+      spark.range(0, 0).selectExpr("id AS k", "id AS n")
+        .repartition(1), lake)
+    val src = spark.readStream.schema("k LONG, x LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    drain(src, lake, s"$root/ck", outputMode = "complete")
+    val vs = VersionedLake.versions(spark, lake)
+    assert(vs == Seq(1, 2, 3))
+    def counts(v: Int) = VersionedLake.readAt(spark, lake, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the tip is the full aggregate; the intermediate version is the
+    // after-first-file aggregate — an append-mode sink would have
+    // accumulated both
+    assert(counts(3) == Map(0L -> 14L, 1L -> 13L, 2L -> 13L))
+    assert(counts(2).values.sum == 10L)
+  }
+
+  test("vacuum sweeps quiescent staging stragglers (crashed attempts) " +
+      "but respects the grace window for in-flight epochs") {
+    import spark.implicits._
+    val root = tempDir("glsw-vacuum")
+    val lake = s"$root/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), lake)
+    val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val straggler = new org.apache.hadoop.fs.Path(
+      s"$lake/_stage/deadbeef/e3-p0-abc.snappy.parquet")
+    val out = f.create(straggler, true); out.write(1); out.close()
+    // fresh staging is a possibly-in-flight epoch: the grace keeps it
+    VersionedLake.vacuum(spark, lake, retain = 10,
+      graceMs = 3600 * 1000)
+    assert(f.exists(straggler))
+    // a quiescent straggler (its writer crashed long ago) is swept,
+    // and its emptied per-query dir with it
+    f.setTimes(straggler, System.currentTimeMillis() - 24L * 3600 * 1000,
+      -1)
+    VersionedLake.vacuum(spark, lake, retain = 10,
+      graceMs = 3600 * 1000)
+    assert(!f.exists(straggler))
+    assert(!f.exists(straggler.getParent))
+    assert(VersionedLake.readLatest(spark, lake).count() == 5)
+  }
+}
