@@ -101,6 +101,16 @@ object GraftLakeDataSource {
     * (inclusive; default 1 = the full history as the initial batches). */
   val StartingVersion = "startingVersion"
 
+  /** readStream admission-control options (Delta's rate-limiting idiom):
+    * cap how much backlog one micro-batch admits. `maxVersionsPerTrigger`
+    * bounds versions per batch; `maxFilesPerTrigger` bounds the ADDED
+    * parquet files per batch (a version is never split — the first
+    * pending version is always admitted whole, so progress is
+    * guaranteed even when one commit exceeds the cap). Absent → all
+    * available, the previous behavior. */
+  val MaxVersionsPerTrigger = "maxVersionsPerTrigger"
+  val MaxFilesPerTrigger = "maxFilesPerTrigger"
+
   /** Columns the DML paths auto-index (stats sidecars lifted from the
     * parquet footers): every top-level numeric field — SQL writers
     * have no `commitWithStats` to opt into, so index everything
@@ -183,14 +193,18 @@ object GraftLakeDataSource {
   * stage parquet and swing the same manifest CAS as
   * [[VersionedLake.commit]] (see [[GraftLakeWrite]]), and
   * `DELETE FROM` runs the stats-pruned survivor rewrite
-  * ([[GraftLakeDelete]]) — while DDL
-  * (create/alter/drop/rename) is refused: a lake's lifecycle is the
-  * library's (first commit creates it, vacuum retires it), and a SQL
-  * `DROP TABLE` that unlinked a 100 TB lake would be a footgun with no
-  * undo. */
+  * ([[GraftLakeDelete]]). Creation is SQL-first-class too:
+  * `CREATE TABLE` publishes a schema-bearing empty version 1, and
+  * CTAS / `REPLACE TABLE AS SELECT` are ATOMIC through the
+  * `StagingTableCatalog` seam ([[GraftLakeStagedTable]] — data staged
+  * unpublished, manifest CAS at commit, the replaced snapshot still
+  * time-travelable). Only destructive DDL (drop/alter/rename) is
+  * refused: a lake is retired by vacuum with retention, never by a
+  * SQL `DROP TABLE` that would unlink 100 TB with no undo. */
 final class GraftLakeCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   import org.apache.spark.sql.connector.catalog.Identifier
   import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 
@@ -255,16 +269,88 @@ final class GraftLakeCatalog
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graftlake catalog supports DML (INSERT INTO / INSERT OVERWRITE / " +
-      "DELETE FROM commit through the versioned manifest protocol) " +
-      "but not DDL: " +
-      "lakes are created by their first VersionedLake.commit and " +
-      "retired by vacuum, never by SQL DROP/ALTER")
+    "graftlake catalog supports CREATE TABLE [AS SELECT] / REPLACE " +
+      "TABLE AS SELECT and DML (INSERT INTO / INSERT OVERWRITE / " +
+      "DELETE FROM / MERGE / UPDATE commit through the versioned " +
+      "manifest protocol) but not destructive DDL: a lake is retired " +
+      "by vacuum with retention, never by SQL DROP/ALTER — an " +
+      "unlinked 100 TB lake has no undo")
 
+  private def toStruct(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : StructType =
+    StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types
+        .StructField(c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).fold(f)(f.withComment)
+    })
+
+  private def requireUnpartitioned(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Unit =
+    require(partitions.isEmpty,
+      "graftlake tables take no PARTITIONED BY: layout is per-commit " +
+        "(CALL compact/zorder cluster an existing lake; stats/bloom " +
+        "sidecars give file pruning without hive-style dirs)")
+
+  /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
+    * schema-bearing empty version-1 commit — the same shape a library
+    * caller stages before pointing stream writers at a new lake. */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table = readOnly
+      properties: java.util.Map[String, String]): Table = {
+    requireUnpartitioned(partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row], toStruct(columns))
+    VersionedLake.commit(empty.repartition(1), dirOf(ident))
+    loadTable(ident)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------------
+  // The query writes into an UNPUBLISHED data dir; commitStagedChanges
+  // swings the manifest CAS — table-with-data appears atomically or not
+  // at all, and REPLACE keeps the old snapshot time-travelable. See
+  // [[GraftLakeStagedTable]].
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    requireUnpartitioned(partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+      replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    requireUnpartitioned(partitions)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+      replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    requireUnpartitioned(partitions)
+    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+      replace = true, orCreate = true)
+  }
 
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
@@ -751,10 +837,17 @@ final class GraftLakeScanBuilder(spark: SparkSession,
     .ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
 
   override def build()
-      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    def intOpt(k: String): Option[Int] =
+      Option(options.get(k)).map(_.trim.toInt)
+    Seq(GraftLakeDataSource.MaxVersionsPerTrigger,
+        GraftLakeDataSource.MaxFilesPerTrigger).foreach(k =>
+      intOpt(k).foreach(n => require(n > 0, s"$k must be positive, got $n")))
     new GraftLakeParquetScan(super.build(), lakeDir,
-      Option(options.get(GraftLakeDataSource.StartingVersion))
-        .map(_.trim.toInt).getOrElse(1))
+      intOpt(GraftLakeDataSource.StartingVersion).getOrElse(1),
+      intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
+      intOpt(GraftLakeDataSource.MaxFilesPerTrigger))
+  }
 }
 
 /** ParquetScan + `toMicroBatchStream`: batch execution is byte-for-byte
@@ -762,7 +855,9 @@ final class GraftLakeScanBuilder(spark: SparkSession,
   * streaming entry point is added. */
 final class GraftLakeParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    lakeDir: String, startingVersion: Int)
+    lakeDir: String, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -772,7 +867,8 @@ final class GraftLakeParquetScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftLakeMicroBatchStream(this, lakeDir, startingVersion)
+    new GraftLakeMicroBatchStream(this, lakeDir, startingVersion,
+      maxVersionsPerTrigger, maxFilesPerTrigger)
 
   /** Runtime (join-driven) file pruning — dynamic partition pruning's
     * V2 hook, answered from the SAME sidecars as static pushdown: when
@@ -857,30 +953,122 @@ final case class GraftLakeOffset(v: Int)
   *    `ignoreChanges` refusal semantics;
   *  - `startingVersion` option (inclusive, default 1) bounds the
   *    initial backfill; vacuumed-away manifests below it fail with the
-  *    retention error rather than silently skipping data.
+  *    retention error rather than silently skipping data;
+  *  - `maxVersionsPerTrigger` / `maxFilesPerTrigger` admission control
+  *    ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]])
+  *    drains a backlog as BOUNDED micro-batches instead of one giant
+  *    catch-up batch — each batch a durable checkpoint, peak state
+  *    bounded by the cap, a retry repeating only its own batch. The
+  *    decision is metadata-only (manifest diff + memoized dir list);
+  *    AvailableNow captures the tip at start and drains rate-limited
+  *    batches up to exactly there.
   *
   * Reader machinery is the wrapped ParquetScan's own factory over a
   * per-batch file index of the added dirs — the streaming path reuses
   * the native vectorized reader like everything else here. */
 final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
-    lakeDir: String, startingVersion: Int)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    lakeDir: String, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+    Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.connector.read.InputPartition
 
   private def spark = scan.sparkSession
 
   override def initialOffset(): Offset = GraftLakeOffset(startingVersion - 1)
 
-  override def latestOffset(): Offset = {
+  /** Published tip, floored at initialOffset: with startingVersion
+    * ahead of the published tip, reporting the (smaller) tip would
+    * checkpoint a REGRESSED offset, and versions published later would
+    * be delivered from the regressed point — including the ones
+    * startingVersion asked to skip. */
+  private def publishedTip: Int = {
     val vs = VersionedLake.versions(spark, lakeDir)
-    // never below initialOffset: with startingVersion ahead of the
-    // published tip, reporting the (smaller) tip would checkpoint a
-    // REGRESSED offset, and versions published later would be
-    // delivered from the regressed point — including the ones
-    // startingVersion asked to skip
-    GraftLakeOffset(math.max(startingVersion - 1,
-      if (vs.isEmpty) startingVersion - 1 else vs.last))
+    math.max(startingVersion - 1,
+      if (vs.isEmpty) startingVersion - 1 else vs.last)
+  }
+
+  override def latestOffset(): Offset = GraftLakeOffset(publishedTip)
+
+  // ---- admission control (rate limiting) ------------------------------
+  //
+  // Without it, a fresh checkpoint against a deep lake admits the ENTIRE
+  // backlog as one micro-batch — at 100 TB that is one giant batch that
+  // must succeed whole (no incremental checkpoint progress, peak shuffle
+  // state proportional to the backlog, a retry repeats everything).
+  // With a cap, the backlog drains as bounded batches, each a durable
+  // checkpoint — the same reason Delta ships maxFilesPerTrigger.
+
+  /** Versions the lake had when an AvailableNow run started: the run
+    * drains rate-limited batches UP TO this tip, then stops — versions
+    * published mid-run wait for the next run (the AvailableNow
+    * contract). */
+  @volatile private var availableNowTip: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(publishedTip)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** True published tip regardless of rate limit — the lag the progress
+    * metrics report. */
+  override def reportLatestOffset(): Offset = GraftLakeOffset(publishedTip)
+
+  /** Parquet files a version ADDED over its predecessor — metadata only
+    * (one manifest diff + one dir list), memoized for the stream's
+    * lifetime: data dirs are immutable once published, so a count never
+    * changes. */
+  private val addedFilesMemo =
+    scala.collection.mutable.HashMap.empty[Int, Int]
+  private def addedFileCount(v: Int): Int = synchronized {
+    addedFilesMemo.getOrElseUpdate(v, {
+      val prev: Set[String] =
+        if (v <= 1) Set.empty
+        else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
+      val added = VersionedLake.liveDataDirs(spark, lakeDir, v)
+        .filterNot(prev)
+      val f = new Path(lakeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      added.map(d => f.listStatus(new Path(d))
+        .count(_.getPath.getName.endsWith(".parquet"))).sum
+    })
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLakeOffset].v
+    // an AvailableNow run never passes its captured tip (min: a vacuum
+    // cannot shrink the published tip, but defensive beats regressed)
+    val tip = availableNowTip.fold(publishedTip)(math.min(_, publishedTip))
+    if (tip <= from) return GraftLakeOffset(from)
+    var end = tip
+    maxVersionsPerTrigger.foreach(n => end = math.min(end, from + n))
+    def fileCapOf(l: ReadLimit): Option[Int] = l match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(fileCapOf).reduceOption(math.min)
+      case _: ReadAllAvailable => None
+      case _ => None // minRows etc.: nothing to admit-limit on versions
+    }
+    fileCapOf(limit).foreach { cap =>
+      var admitted = from
+      var files = 0
+      var v = from + 1
+      while (v <= end &&
+          // first pending version always admitted whole: progress even
+          // when one commit alone exceeds the cap (Delta's contract)
+          (admitted == from || files + addedFileCount(v) <= cap)) {
+        files += addedFileCount(v); admitted = v; v += 1
+      }
+      end = admitted
+    }
+    GraftLakeOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -1,0 +1,122 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable,
+  SupportsWrite, TableCapability}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
+  LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable,
+  ParquetWrite}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+
+/** Atomic `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS SELECT`
+  * through the manifest protocol (the `StagingTableCatalog` seam —
+  * Delta/Iceberg's CTAS shape).
+  *
+  * Spark's non-atomic CTAS fallback is create-then-insert with a
+  * `DROP TABLE` cleanup on failure — two visible states and a DDL this
+  * catalog refuses. Staging needs neither: the query writes parquet
+  * into an UNPUBLISHED data dir (invisible to every reader — the
+  * manifest is the only discovery path), and `commitStagedChanges`
+  * swings the same manifest CAS as [[VersionedLake.commit]] — the
+  * table appears (or is replaced) atomically WITH its data, or not at
+  * all. An abort deletes the staging dir; a crash before publish
+  * leaves an unreferenced dir that vacuum sweeps.
+  *
+  * CREATE publishes version 1 append-mode; REPLACE publishes an
+  * overwrite commit — the replaced snapshot stays readable via
+  * `VERSION AS OF` until vacuum, so `REPLACE TABLE` is itself
+  * time-travelable history, not a destructive swap. */
+final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
+    stSchema: StructType, replace: Boolean, orCreate: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+
+  /** Throwaway ParquetTable purely for the format predicates — the
+    * same type-support surface as every other graftlake write; its
+    * lazy file index is never touched. */
+  private lazy val fmt = new ParquetTable(ident.toString, spark,
+    CaseInsensitiveStringMap.empty(), Seq(lakeDir), Some(stSchema),
+    classOf[ParquetFileFormat])
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = stSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        private val inner = ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+          fmt.formatName, fmt.supportsDataType _, info)
+        override def description(): String =
+          s"graftlake staged ${if (replace) "replace" else "create"} " +
+            s"$lakeDir (staging $dataDir)"
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val innerBatch = inner.toBatch
+          override def createBatchWriterFactory(p: PhysicalWriteInfo)
+              : DataWriterFactory = innerBatch.createBatchWriterFactory(p)
+          override def useCommitCoordinator: Boolean =
+            innerBatch.useCommitCoordinator
+          override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+            innerBatch.onDataWriterCommit(m)
+          // files land + stats sidecar here; the manifest publish — the
+          // step that makes anything visible — waits for
+          // commitStagedChanges (Spark aborts the staged table if the
+          // write OR any later part of the DDL fails)
+          override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+            innerBatch.commit(msgs)
+            val numericCols = GraftLakeDataSource.numericCols(stSchema)
+            if (numericCols.nonEmpty)
+              VersionedLake.writeStatsFor(spark, lakeDir, dataDir,
+                numericCols)
+          }
+          override def abort(msgs: Array[WriterCommitMessage]): Unit =
+            innerBatch.abort(msgs)
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val exists = VersionedLake.versions(spark, lakeDir).nonEmpty
+    if (!replace && exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident) // raced: published since stage
+    if (replace && !orCreate && !exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    // a zero-row CTAS may have landed zero files; a manifest entry must
+    // still carry the schema, so seed one empty schema-bearing file —
+    // the same shape as a library create-empty commit
+    val f = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(s"$lakeDir/$dataDir")
+    val hasFiles = f.exists(staged) && f.listStatus(staged)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasFiles)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row],
+        stSchema).repartition(1)
+        .write.mode("append").parquet(staged.toString)
+    VersionedLake.publish(spark, lakeDir, dataDir,
+      if (replace && exists) "overwrite" else "append")
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val f = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$lakeDir/$dataDir"), true)
+    // a CREATE that never published may have left only the empty lake
+    // root behind — remove it too so tableExists stays false
+    if (!replace && VersionedLake.versions(spark, lakeDir).isEmpty &&
+        f.exists(new Path(lakeDir)) &&
+        f.listStatus(new Path(lakeDir)).isEmpty)
+      f.delete(new Path(lakeDir), false)
+    ()
+  }
+}

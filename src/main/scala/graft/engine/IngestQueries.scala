@@ -1455,6 +1455,117 @@ object IngestQueries {
            |       ROUND(SUM(value), 2) AS total_value
            |FROM glake_q194.`$name` VERSION AS OF 2 GROUP BY event_type
            |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q195_stream_rate_limit",
+      """SELECT CAST(user_id % 3 AS INT) AS batch_id,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Admission control on the lake stream
+      // ([[GraftLakeMicroBatchStream]] SupportsAdmissionControl —
+      // Delta's maxFilesPerTrigger idiom): the staged 3-version
+      // backlog drains under `maxVersionsPerTrigger=1` as EXACTLY
+      // three micro-batches, batch b = version b+1 = residue class
+      // b of user_id mod 3 (stageStreamLake), so the batch boundary
+      // itself is hash-checked: a batch spanning two versions,
+      // splitting one, or arriving out of order changes the batch_id
+      // attribution and breaks the hash. Each batch reduces
+      // executor-side to one (batch_id, n, total_value) row — the
+      // driver collects 3 rows, not rows. This is the 100 TB catch-up
+      // path: a fresh checkpoint against a deep lake drains as
+      // bounded, individually-checkpointed batches instead of one
+      // giant all-backlog batch.
+      val lake = streamLakePath(dir)
+      ensureStaged(lake)(stageStreamLake(s, dir))
+      val cp = s"$scratchRoot/q195_cp_${new java.io.File(dir).getName}"
+      Lake.delete(s, cp)
+      val acc =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+      val q = s.readStream.format("graftlake")
+        .option(GraftLakeDataSource.MaxVersionsPerTrigger, "1").load(lake)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val r = df.agg(count(lit(1)),
+            round(sum(col("value")), 2)).head
+          if (r.getLong(0) > 0) { acc.add((id, r.getLong(0),
+            r.getDouble(1))); () }
+        }
+        .start()
+      q.awaitTermination()
+      Lake.delete(s, cp)
+      require(acc.size == 3,
+        s"maxVersionsPerTrigger=1 over a 3-version lake must drain as " +
+          s"exactly 3 micro-batches, got ${acc.size}")
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      acc.asScala.toSeq.sortBy(_._1)
+        .toDF("batch_id", "n", "total_value")
+        .select(col("batch_id").cast("int").as("batch_id"), col("n"),
+          col("total_value"))
+        .orderBy(col("batch_id"))
+    }.withBenchSetup((s, dir) =>
+      ensureStaged(streamLakePath(dir))(stageStreamLake(s, dir))),
+
+    QuerySpec(
+      "q196_sql_ctas",
+      """WITH v1 AS (SELECT event_id, user_id, event_type, value
+        |            FROM events WHERE user_id < 200),
+        |     v2 AS (SELECT event_id, user_id, event_type, value
+        |            FROM events WHERE user_id >= 200 AND user_id < 260)
+        |SELECT 'latest' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM v2 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM v1 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+      // Atomic CTAS / RTAS through the StagingTableCatalog seam
+      // ([[GraftLakeStagedTable]]): CREATE TABLE AS SELECT stages the
+      // query's parquet into an unpublished dir and publishes
+      // table-with-data as ONE manifest commit (version 1); REPLACE
+      // TABLE AS SELECT publishes an overwrite commit (version 2)
+      // that keeps v1 readable via VERSION AS OF — the oracle
+      // re-derives both snapshots from raw events, so a non-atomic
+      // create, a replace that leaks v1 rows into v2, or a lost
+      // replaced snapshot each break the hash.
+      val lake = s"$scratchRoot/ctas_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q196",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q196.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q196")
+      s.sql(s"""CREATE TABLE glake_q196.`$name` AS
+               |SELECT * FROM ev_q196 WHERE user_id < 200""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1),
+        "CTAS must publish exactly one versioned commit, got " +
+          VersionedLake.versions(s, lake).mkString(","))
+      s.sql(s"""REPLACE TABLE glake_q196.`$name` AS
+               |SELECT * FROM ev_q196
+               |WHERE user_id >= 200 AND user_id < 260""".stripMargin)
+      s.sql(
+        s"""SELECT 'latest' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q196.`$name` GROUP BY event_type
+           |UNION ALL
+           |SELECT 'v1' AS phase, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q196.`$name` VERSION AS OF 1 GROUP BY event_type
+           |ORDER BY phase, event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** DDL through the graftlake catalog: plain CREATE TABLE as a
+  * schema-bearing empty commit, atomic CTAS / RTAS through the
+  * StagingTableCatalog seam, failure atomicity (no half-created
+  * table), and the destructive-DDL refusal. */
+class GraftLakeCtasSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def withCatalog[A](root: String)(body: String => A): A = {
+    val cat = s"glc_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat)
+  }
+
+  test("CREATE TABLE publishes a schema-bearing empty version 1 that " +
+      "INSERT then appends to; CREATE of an existing table is refused") {
+    val root = tempDir("glc-create")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, tag STRING)")
+      assert(VersionedLake.versions(spark, s"$root/t") == Seq(1))
+      assert(spark.table(s"$cat.t").schema.map(_.name) ==
+        Seq("id", "tag"))
+      assert(spark.table(s"$cat.t").count() == 0)
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+      assert(spark.table(s"$cat.t").count() == 2)
+      val e = intercept[Exception](
+        spark.sql(s"CREATE TABLE $cat.t (id BIGINT)"))
+      assert(e.getMessage.toLowerCase.contains("already exists"),
+        e.getMessage)
+      // PARTITIONED BY is refused with the layout guidance, not planted
+      val p = intercept[Exception](
+        spark.sql(s"CREATE TABLE $cat.p (id BIGINT) PARTITIONED BY (id)"))
+      assert(p.getMessage.contains("per-commit"), p.getMessage)
+    }
+  }
+
+  test("CTAS is one atomic versioned commit: data lands WITH the table; " +
+      "RTAS replaces as an overwrite commit keeping the old snapshot " +
+      "time-travelable; zero-row CTAS still carries its schema") {
+    import spark.implicits._
+    val root = tempDir("glc-ctas")
+    withCatalog(root) { cat =>
+      spark.range(0, 100).toDF("id")
+        .withColumn("v", col("id") * 2).createOrReplaceTempView("glc_src")
+      spark.sql(
+        s"CREATE TABLE $cat.c AS SELECT * FROM glc_src WHERE id < 40")
+      assert(VersionedLake.versions(spark, s"$root/c") == Seq(1),
+        "CTAS must be ONE commit (create+data together)")
+      assert(spark.table(s"$cat.c").count() == 40)
+      // stats sidecars from the staged write make the new table
+      // immediately skippable, like every other graftlake commit
+      val probe = spark.read.format("graftlake").load(s"$root/c")
+        .filter(col("id") < 0)
+      assert(probe.count() == 0)
+
+      spark.sql(s"REPLACE TABLE $cat.c AS SELECT * FROM glc_src " +
+        "WHERE id >= 40")
+      assert(VersionedLake.versions(spark, s"$root/c") == Seq(1, 2))
+      assert(spark.table(s"$cat.c").count() == 60)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.c VERSION AS OF 1")
+        .head.getLong(0) == 40, "replaced snapshot must stay readable")
+
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.c AS " +
+        "SELECT * FROM glc_src WHERE id = 7")
+      assert(spark.table(s"$cat.c").count() == 1)
+
+      // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+      val e = intercept[Exception](spark.sql(
+        s"REPLACE TABLE $cat.missing AS SELECT * FROM glc_src"))
+      assert(e.getMessage.contains("missing"), e.getMessage)
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.fresh AS " +
+        "SELECT * FROM glc_src WHERE id < 3")
+      assert(spark.table(s"$cat.fresh").count() == 3)
+
+      spark.sql(s"CREATE TABLE $cat.z AS SELECT * FROM glc_src WHERE 1=0")
+      assert(spark.table(s"$cat.z").count() == 0)
+      assert(spark.table(s"$cat.z").schema.map(_.name) == Seq("id", "v"),
+        "zero-row CTAS must still publish the schema")
+    }
+  }
+
+  test("a failing CTAS query leaves NO table and no published version " +
+      "(staging atomicity); DROP/ALTER stay refused") {
+    import spark.implicits._
+    val root = tempDir("glc-abort")
+    withCatalog(root) { cat =>
+      spark.range(0, 10).toDF("id").createOrReplaceTempView("glc_boom")
+      intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.boom AS " +
+          "SELECT assert_true(id < 5, 'boom') AS a, id FROM glc_boom"))
+      assert(VersionedLake.versions(spark, s"$root/boom").isEmpty,
+        "failed CTAS must publish nothing")
+      intercept[Exception](spark.table(s"$cat.boom").collect())
+
+      spark.sql(s"CREATE TABLE $cat.keep AS SELECT 1 AS one")
+      val d = intercept[Exception](spark.sql(s"DROP TABLE $cat.keep"))
+      assert(d.getMessage.contains("vacuum"), d.getMessage)
+      val a = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.keep ADD COLUMN extra INT"))
+      assert(a.getMessage.contains("vacuum"), a.getMessage)
+    }
+  }
+}

@@ -582,4 +582,78 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/sink").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 20L))
   }
+
+  /** Drain with foreachBatch, returning (batchId, rowCount) per
+    * non-empty micro-batch — ONE aggregated row collected per batch. */
+  private def drainCounts(dir: String, cp: String,
+      opts: Map[String, String]): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val r = spark.readStream.format("graftlake")
+    val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+      .load(dir).writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = df.count()
+        if (n > 0) { acc.add((id, n)); () }
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.sortBy(_._1)
+  }
+
+  test("maxVersionsPerTrigger drains a backlog as bounded batches; " +
+      "maxFilesPerTrigger admits whole versions up to the file cap " +
+      "with progress guaranteed past an oversized commit") {
+    import spark.implicits._
+    val root = tempDir("glsrc-ratelimit")
+    val dir = s"$root/lake"
+    // five commits × 10 rows, each dir exactly 2 parquet files
+    (0 until 5).foreach(i => VersionedLake.commit(
+      spark.range(i * 10, i * 10 + 10).toDF("id").repartition(2), dir))
+
+    // versions cap: 5 pending versions / cap 2 -> batches of 20,20,10
+    assert(drainCounts(dir, s"$root/cp-v",
+        Map(GraftLakeDataSource.MaxVersionsPerTrigger -> "2"))
+        .map(_._2) == Seq(20L, 20L, 10L),
+      "cap 2: expected the 5-version backlog as 2+2+1 versions")
+
+    // file cap 3 with 2 files/version: v(n) alone fits, v(n+1) would
+    // make 4 > 3 -> one version per batch
+    assert(drainCounts(dir, s"$root/cp-f",
+        Map(GraftLakeDataSource.MaxFilesPerTrigger -> "3"))
+        .map(_._2) == Seq.fill(5)(10L),
+      "file cap 3: expected one 2-file version per batch")
+
+    // file cap 4 admits exactly two 2-file versions per batch
+    assert(drainCounts(dir, s"$root/cp-f4",
+        Map(GraftLakeDataSource.MaxFilesPerTrigger -> "4"))
+        .map(_._2) == Seq(20L, 20L, 10L))
+
+    // progress guarantee: a single commit WIDER than the file cap is
+    // still admitted whole (never split, never stuck)
+    val dir2 = s"$root/lake2"
+    VersionedLake.commit(
+      spark.range(0, 40).toDF("id").repartition(4), dir2)
+    VersionedLake.commit(
+      spark.range(40, 50).toDF("id").repartition(1), dir2)
+    assert(drainCounts(dir2, s"$root/cp-wide",
+        Map(GraftLakeDataSource.MaxFilesPerTrigger -> "1"))
+        .map(_._2) == Seq(40L, 10L),
+      "an oversized commit must pass whole as its own batch")
+
+    // rate-limited drains deliver exactly the full snapshot, once:
+    // resuming on the same checkpoint mints nothing new
+    assert(drainCounts(dir, s"$root/cp-v",
+        Map(GraftLakeDataSource.MaxVersionsPerTrigger -> "2")).isEmpty,
+      "re-drain on the same checkpoint must deliver nothing")
+
+    // and versions published later arrive rate-limited too
+    (5 until 8).foreach(i => VersionedLake.commit(
+      spark.range(i * 10, i * 10 + 10).toDF("id").repartition(2), dir))
+    assert(drainCounts(dir, s"$root/cp-v",
+        Map(GraftLakeDataSource.MaxVersionsPerTrigger -> "1"))
+        .map(_._2) == Seq(10L, 10L, 10L))
+  }
 }
