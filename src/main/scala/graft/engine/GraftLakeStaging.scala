@@ -47,11 +47,19 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
 
   override def name(): String = ident.toString
   override def schema(): StructType = stSchema
+  // TRUNCATE because Spark plans RTAS as OverwriteByExpression(true)
+  // over the staged relation — the capability (and the builder's
+  // truncate()) are demanded by TableCapabilityCheck even though the
+  // staging dir starts empty and "truncate" is therefore a no-op: the
+  // REPLACE semantics live in commitStagedChanges' overwrite publish.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         private val inner = ParquetWrite(Seq(s"$lakeDir/$dataDir"),
           fmt.formatName, fmt.supportsDataType _, info)

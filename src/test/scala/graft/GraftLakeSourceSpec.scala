@@ -123,7 +123,7 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(7L))
     val e = intercept[Exception](
       spark.sql("DROP TABLE glake_test.events_lake"))
-    assert(e.getMessage.contains("not DDL"), e.getMessage)
+    assert(e.getMessage.contains("destructive DDL"), e.getMessage)
     // discovery: the lake dir is listed as a table of the catalog
     val cat = new GraftLakeCatalog
     cat.initialize("t",
