@@ -306,7 +306,13 @@ final class GraftLakeCatalog
         .TableAlreadyExistsException(ident)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row], toStruct(columns))
-    VersionedLake.commit(empty.repartition(1), dirOf(ident))
+    // strict single-attempt v1 publish, NOT commit's CAS-retry: two
+    // racing CREATEs must yield one winner and one clean error, never
+    // a retried append that unions their schemas/data
+    if (!VersionedLake.commitCreateStrict(empty.repartition(1),
+        dirOf(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
     loadTable(ident)
   }
 

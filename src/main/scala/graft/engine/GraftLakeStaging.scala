@@ -38,6 +38,14 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
   private def spark = SparkSession.active
   private val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
 
+  /** Tip version observed when the DDL was staged (0 = no table). The
+    * commit publishes against EXACTLY this tip: staged DDL must not
+    * absorb a racing writer through publish's CAS-retry (a CTAS that
+    * lost the v1 race would land its data as an APPEND at v2 — two
+    * racing CREATEs silently unioned). See the strict publishes below. */
+  private val observedTip: Int =
+    VersionedLake.versions(spark, lakeDir).lastOption.getOrElse(0)
+
   /** Throwaway ParquetTable purely for the format predicates — the
     * same type-support surface as every other graftlake write; its
     * lazy file index is never touched. */
@@ -92,11 +100,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     }
 
   override def commitStagedChanges(): Unit = {
-    val exists = VersionedLake.versions(spark, lakeDir).nonEmpty
-    if (!replace && exists)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(ident) // raced: published since stage
-    if (replace && !orCreate && !exists)
+    if (replace && !orCreate && observedTip == 0)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     // a zero-row CTAS may have landed zero files; a manifest entry must
@@ -111,8 +115,30 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row],
         stSchema).repartition(1)
         .write.mode("append").parquet(staged.toString)
-    VersionedLake.publish(spark, lakeDir, dataDir,
-      if (replace && exists) "overwrite" else "append")
+    // STRICT publishes — never publish's CAS-retry, which would absorb
+    // a racing writer as a silent append/union (exactly-one-winner is
+    // CTAS's contract; the library commit path WANTS retry, DDL does
+    // not). A lost race leaves this writer's staged dir as an
+    // unreferenced orphan for vacuum.
+    if (observedTip == 0) {
+      // CREATE (or the create half of CREATE OR REPLACE): claim v1
+      // exactly once; a racer's publish — any version — loses the DDL
+      if (!VersionedLake.publishCreateStrict(spark, lakeDir, dataDir))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    } else if (!replace) {
+      // staged as CREATE but a table existed — unreachable (stageCreate
+      // refuses), kept as a loud guard rather than a silent overwrite
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    } else {
+      // RTAS: overwrite exactly the tip this replace was staged
+      // against; any concurrent commit since is a serializable
+      // conflict, refused loudly for the caller to re-run
+      VersionedLake.publishReplaceStrict(spark, lakeDir, dataDir,
+        observedTip)
+      ()
+    }
   }
 
   override def abortStagedChanges(): Unit = {

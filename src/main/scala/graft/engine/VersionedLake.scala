@@ -255,6 +255,79 @@ object VersionedLake {
     committed
   }
 
+  // ---- strict staged-DDL publishes -------------------------------------
+  //
+  // [[publish]]'s CAS-RETRY loop is the right protocol for data commits
+  // (a lost race re-reads the tip and appends on top), but it is WRONG
+  // for staged DDL: a CTAS that loses the version-1 race must NOT retry
+  // as an append at version 2 — that silently unions two racing
+  // writers' tables, violating CREATE's exactly-one-winner contract.
+  // These variants attempt exactly ONE expected version and surface a
+  // lost race to the caller instead of absorbing it.
+
+  /** Single-attempt publish of a brand-new table's version 1 (staged
+    * CREATE / CTAS). Returns false — leaving the staged data dir as an
+    * unreferenced orphan for [[vacuum]] — when a racing writer
+    * published ANY version first (the caller maps that to
+    * `TableAlreadyExistsException`); only a genuinely unclaimed
+    * version 1 is created. */
+  private[engine] def publishCreateStrict(spark: SparkSession,
+      dir: String, dataDir: String): Boolean = {
+    val f = fs(spark, dir)
+    if (versions(spark, dir).nonEmpty) return false
+    try {
+      val out = f.create(manifestPath(dir, 1), false)
+      try out.write(manifestBytes(Seq(dataDir)))
+      finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        // a lost race makes the create throw AND the manifest exist;
+        // a real IO failure must propagate, not read as "already there"
+        if (f.exists(manifestPath(dir, 1))) false else throw e
+    }
+  }
+
+  /** [[publishCreateStrict]] with the data write included — the plain
+    * `CREATE TABLE` shape (one empty schema-bearing data dir). */
+  private[engine] def commitCreateStrict(df: DataFrame,
+      dir: String): Boolean = {
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    df.write.parquet(s"$dir/$dataDir")
+    publishCreateStrict(df.sparkSession, dir, dataDir)
+  }
+
+  /** Single-attempt overwrite publish at exactly `observedTip + 1` —
+    * the staged REPLACE TABLE AS SELECT commit. Any tip movement since
+    * the replace was staged (a concurrent commit whose data this
+    * replace would silently discard, or whose CAS slot it would lose)
+    * is refused loudly — the same serializable posture as
+    * [[publishReplacingChecked]], for the same reason: the staged data
+    * was computed against the observed snapshot and cannot absorb a
+    * concurrent commit by retrying. */
+  private[engine] def publishReplaceStrict(spark: SparkSession,
+      dir: String, dataDir: String, observedTip: Int): Int = {
+    val f = fs(spark, dir)
+    def conflict(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"REPLACE TABLE conflict on $dir: the tip moved past " +
+          s"v$observedTip after this replace was staged — publishing " +
+          "would silently discard the concurrent commit; re-run the " +
+          "replace against the new snapshot")
+    if (versions(spark, dir).lastOption.getOrElse(0) != observedTip)
+      conflict()
+    try {
+      val out = f.create(manifestPath(dir, observedTip + 1), false)
+      try out.write(manifestBytes(Seq(dataDir)))
+      finally out.close()
+      observedTip + 1
+    } catch {
+      case e: java.io.IOException =>
+        if (f.exists(manifestPath(dir, observedTip + 1))) conflict()
+        else throw e
+    }
+  }
+
   /** Snapshot read of one published version — fails loudly, with the
     * still-readable version range, on a version that never existed or
     * was expired by [[vacuum]] (a raw FileNotFoundException would leave

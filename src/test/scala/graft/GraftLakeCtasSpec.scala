@@ -86,6 +86,69 @@ class GraftLakeCtasSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing staged CREATEs yield exactly one winner and one " +
+      "TableAlreadyExists — never a silent union (strict v1 publish)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = tempDir("glc-race")
+    val ident = Identifier.of(Array.empty[String], "r")
+    val lake = s"$root/r"
+    // both writers stage BEFORE either commits — the window the old
+    // exists-check-then-CAS-retry publish turned into a silent A∪B
+    val stagedA = new GraftLakeStagedTable(ident, lake,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType))),
+      replace = false, orCreate = false)
+    val stagedB = new GraftLakeStagedTable(ident, lake,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b_tag",
+          org.apache.spark.sql.types.StringType))),
+      replace = false, orCreate = false)
+    // run the two commits concurrently (the outcome is the same for any
+    // interleaving once both passed the stage-time exists check)
+    import scala.collection.parallel.CollectionConverters._
+    val results = Seq(stagedA, stagedB).par.map { st =>
+      try { st.commitStagedChanges(); Right(()) }
+      catch { case e: Exception => Left(e) }
+    }.seq
+    assert(results.count(_.isRight) == 1, s"exactly one winner: $results")
+    val loser = results.collectFirst { case Left(e) => e }.get
+    assert(loser.isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+      s"loser must fail with TableAlreadyExists, got $loser")
+    assert(VersionedLake.versions(spark, lake) == Seq(1),
+      "exactly ONE version — a losing writer must not append as v2")
+    // the published table is exactly one writer's — never a union
+    val cols = spark.read.format("graftlake").load(lake).columns.toSeq
+    assert(cols == Seq("a_id") || cols == Seq("b_tag"),
+      s"table must hold exactly one writer's schema, got $cols")
+  }
+
+  test("a staged REPLACE refuses to publish over a tip that moved " +
+      "since it was staged (serializable RTAS, no silent discard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = tempDir("glc-rtas-race")
+    val lake = s"$root/t"
+    VersionedLake.commit(Seq((1L, "x")).toDF("id", "tag"), lake)
+    val staged = new GraftLakeStagedTable(
+      Identifier.of(Array.empty[String], "t"), lake,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))),
+      replace = true, orCreate = false)
+    // a concurrent append lands between stage and commit
+    VersionedLake.commit(Seq((2L, "y")).toDF("id", "tag"), lake)
+    val e = intercept[java.util.ConcurrentModificationException](
+      staged.commitStagedChanges())
+    assert(e.getMessage.contains("tip moved"), e.getMessage)
+    // the concurrent commit survives; the replace published nothing
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    assert(VersionedLake.readLatest(spark, lake).count() == 2)
+  }
+
   test("a failing CTAS query leaves NO table and no published version " +
       "(staging atomicity); DROP/ALTER stay refused") {
     import spark.implicits._
