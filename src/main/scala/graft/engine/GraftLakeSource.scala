@@ -1035,15 +1035,20 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     scala.collection.mutable.HashMap.empty[Int, Int]
   private def addedFileCount(v: Int): Int = synchronized {
     addedFilesMemo.getOrElseUpdate(v, {
-      val prev: Set[String] =
-        if (v <= 1) Set.empty
-        else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
-      val added = VersionedLake.liveDataDirs(spark, lakeDir, v)
-        .filterNot(prev)
-      val f = new Path(lakeDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      added.map(d => f.listStatus(new Path(d))
-        .count(_.getPath.getName.endsWith(".parquet"))).sum
+      // layout-only commits deliver nothing (planInputPartitions skips
+      // them), so they weigh nothing against the admission cap
+      if (VersionedLake.isLayoutOnly(spark, lakeDir, v)) 0
+      else {
+        val prev: Set[String] =
+          if (v <= 1) Set.empty
+          else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
+        val added = VersionedLake.liveDataDirs(spark, lakeDir, v)
+          .filterNot(prev)
+        val f = new Path(lakeDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        added.map(d => f.listStatus(new Path(d))
+          .count(_.getPath.getName.endsWith(".parquet"))).sum
+      }
     })
   }
 
@@ -1085,25 +1090,48 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     val from = start.asInstanceOf[GraftLakeOffset].v
     val to = end.asInstanceOf[GraftLakeOffset].v
     if (to <= from) return Array.empty
-    // version 0 is "before the first commit" (empty set); any other
-    // start — including startingVersion-1 on the first batch — reads
-    // its manifest so the batch delivers exactly what later versions
-    // ADDED (a vacuumed-away manifest fails with the retention error
-    // rather than silently re-delivering the whole snapshot)
-    val fromDirs =
+    // Version-by-version walk over (from, to] (version 0 is "before
+    // the first commit"; a vacuumed-away manifest in the range fails
+    // with the retention error rather than silently re-delivering).
+    // Each version contributes its ADDED dirs — except LAYOUT-ONLY
+    // commits (compaction/Z-order, `dataChange=false`), which preserve
+    // every row and contribute NOTHING: their rewritten output mixes
+    // already-delivered rows with pending ones, so the batch keeps
+    // reading the pending ORIGINAL dirs (immutable, still on disk
+    // until vacuum — the same retention-vs-lag contract as the
+    // manifests themselves). Only a DATA-changing rewrite (overwrite,
+    // COW DML, replaceWhere) still refuses: re-reading rewritten rows
+    // would double-deliver, and skipping them would lose data —
+    // Delta's ignoreChanges refusal, scoped now to genuine changes.
+    var prev: Set[String] =
       if (from <= 0) Set.empty[String]
-      else VersionedLake.liveDataDirs(spark, lakeDir, from).toSet
-    val toDirs = VersionedLake.liveDataDirs(spark, lakeDir, to)
-    require(fromDirs.subsetOf(toDirs.toSet),
-      s"streaming read of $lakeDir requires append-only history, but " +
-        s"versions ($from, $to] dropped data dirs " +
-        s"(overwrite/compaction/delete) — restart from a fresh " +
-        "checkpoint to reprocess the rewritten snapshot")
-    val added = toDirs.filterNot(fromDirs)
-    if (added.isEmpty) Array.empty
+      else VersionedLake.liveDataDirs(spark, lakeDir, from)
+        .map(p => new Path(p).getName).toSet
+    val pending = scala.collection.mutable.LinkedHashSet.empty[String]
+    var v = from + 1
+    while (v <= to) {
+      val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
+        .map(p => new Path(p).getName)
+      val removed = prev.diff(cur.toSet)
+      if (VersionedLake.isLayoutOnly(spark, lakeDir, v)) {
+        // row-preserving: nothing to deliver; pending dirs the rewrite
+        // replaced keep being read from their original files
+      } else {
+        require(removed.isEmpty,
+          s"streaming read of $lakeDir requires append-only history " +
+            s"(layout-only compaction commits are skipped), but " +
+            s"version $v dropped data dirs with data change " +
+            s"(overwrite/DML/delete) — restart from a fresh " +
+            "checkpoint to reprocess the rewritten snapshot")
+        cur.filterNot(prev).foreach(pending += _)
+      }
+      prev = cur.toSet
+      v += 1
+    }
+    if (pending.isEmpty) Array.empty
     else scan.copy(
       fileIndex = new InMemoryFileIndex(spark,
-        added.map(new Path(_)), Map.empty, None),
+        pending.toSeq.map(d => new Path(s"$lakeDir/$d")), Map.empty, None),
       partitionFilters = Nil, dataFilters = Nil)
       .planInputPartitions()
   }

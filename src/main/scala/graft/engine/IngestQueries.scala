@@ -1566,6 +1566,63 @@ object IngestQueries {
            |       ROUND(SUM(value), 2) AS total_value
            |FROM glake_q196.`$name` VERSION AS OF 1 GROUP BY event_type
            |ORDER BY phase, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q197_stream_across_optimize",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Maintenance and consumption coexist (`dataChange=false` layout
+      // commits — Delta's flag, same reason): a stream drains v1, then
+      // `CALL optimize` compacts BOTH the delivered v1 dir and the
+      // still-PENDING v2 dir into one layout-only commit, then v4
+      // appends more. The resumed stream must skip the layout version
+      // (its rewrite mixes delivered and pending rows) and deliver v2
+      // from its ORIGINAL immutable dir plus v4 — the total must equal
+      // the raw-events oracle: a re-delivered v1 row, a lost v2 row,
+      // or a stream reading the compacted dir each break the hash.
+      // Before layout marking, this routine optimize forced every
+      // downstream stream to a fresh checkpoint and a full reprocess.
+      val root = s"$scratchRoot/sao_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val lake = s"$root/opt_stream"
+      val ev = Tables.table(s, dir, "events")
+        .filter(col("user_id") < 300)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      def slice(k: Int) = ev.filter(pmod(col("user_id"), lit(3)) === k)
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake").load(lake)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp")
+          .format("parquet").option("path", s"$root/sink")
+          .start()
+        q.awaitTermination()
+      }
+      VersionedLake.commitWithStats(slice(0), lake, Seq("user_id"))
+      drain() // delivers v1
+      VersionedLake.commitWithStats(slice(1), lake, Seq("user_id"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q197",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q197.root", root)
+      val r = s.sql(
+        s"CALL glake_q197.optimize('$name', ${Long.MaxValue}L, 'user_id')")
+        .head()
+      require(!r.isNullAt(0) && r.getInt(0) == 3 && r.getInt(1) == 1,
+        s"optimize must coalesce the two dirs as version 3, got $r")
+      require(VersionedLake.isLayoutOnly(s, lake, 3),
+        "optimize must publish a layout-only (dataChange=false) commit")
+      VersionedLake.commitWithStats(slice(2), lake, Seq("user_id"))
+      drain() // resumes across the layout commit: v2's dir + v4's dir
+      s.read.parquet(s"$root/sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

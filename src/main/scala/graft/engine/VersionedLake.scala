@@ -94,7 +94,20 @@ object VersionedLake {
     * pre-terminator behavior was quiet wrongness). */
   private val ManifestEnd = "#end"
 
-  private def readManifest(spark: SparkSession, dir: String, v: Int)
+  /** Marker line recorded in a manifest published by a LAYOUT-ONLY
+    * commit (compaction, Z-order): the live set changed but the ROWS
+    * did not — Delta's `dataChange=false`. Incremental consumers
+    * ([[changes]], the `graftlake` streaming source) skip such
+    * versions instead of refusing the history or re-delivering
+    * rewritten rows, so routine `CALL optimize`/`zorder` maintenance
+    * coexists with running streams. Marker lines start with `#` so
+    * dir-name readers filter them structurally. */
+  private val LayoutMarker = "#layout"
+
+  /** Manifest content lines (terminator dropped), marker lines
+    * included — the raw form [[readManifest]] and [[isLayoutOnly]]
+    * filter their views from. */
+  private def readManifestLines(spark: SparkSession, dir: String, v: Int)
       : Seq[String] = {
     val p = manifestPath(dir, v)
     var attempt = 0
@@ -119,8 +132,19 @@ object VersionedLake {
     Nil // unreachable
   }
 
-  private def manifestBytes(live: Seq[String]): Array[Byte] =
-    (live :+ ManifestEnd).mkString("\n").getBytes("UTF-8")
+  private def readManifest(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] =
+    readManifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** True iff version `v` was published as a layout-only (row-
+    * preserving) commit — see [[LayoutMarker]]. */
+  def isLayoutOnly(spark: SparkSession, dir: String, v: Int): Boolean =
+    readManifestLines(spark, dir, v).contains(LayoutMarker)
+
+  private def manifestBytes(live: Seq[String],
+      layoutOnly: Boolean = false): Array[Byte] =
+    ((if (layoutOnly) live :+ LayoutMarker else live) :+ ManifestEnd)
+      .mkString("\n").getBytes("UTF-8")
 
   /** Un-wedge a lake whose publisher crashed between the CAS create
     * and the content write: such a manifest claimed its version NAME
@@ -221,7 +245,7 @@ object VersionedLake {
     * Spark's own committer and then lands HERE for the pointer swing —
     * one publish protocol, two front doors. */
   private[engine] def publish(spark: SparkSession, dir: String,
-      dataDir: String, mode: String): Int = {
+      dataDir: String, mode: String, layoutOnly: Boolean = false): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
@@ -241,7 +265,7 @@ object VersionedLake {
           else prevLive :+ dataDir
         try {
           val out = f.create(manifestPath(dir, next), false)
-          try out.write(manifestBytes(live))
+          try out.write(manifestBytes(live, layoutOnly))
           finally out.close()
           committed = next
         } catch {
@@ -423,9 +447,10 @@ object VersionedLake {
     // every compaction — conservative, never wrong, but the fast path
     // is the point of the index. Both sidecar kinds may (and on a lake
     // carrying both SHOULD) be requested together — one data write,
-    // two sidecars.
+    // two sidecars. layoutOnly: the rewrite preserves every row, so
+    // streams and changes() skip this version instead of refusing it.
     commitIndexed(readLatest(spark, dir), dir, statsCols, bloomCol,
-      mode = "overwrite", codec = codec)
+      mode = "overwrite", codec = codec, layoutOnly = true)
 
   /** Incremental small-file compaction (the OPTIMIZE maintenance op):
     * coalesce only the data dirs whose total bytes fall below
@@ -464,7 +489,7 @@ object VersionedLake {
       if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
       bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
       Some(publishReplacing(spark, dir, small.toSet, dataDir,
-        checked = true))
+        checked = true, layoutOnly = true))
     }
   }
 
@@ -494,9 +519,11 @@ object VersionedLake {
       .drop("_z")
     // codec threads through like every other commit entry point — the
     // z-order rewrite is the LARGEST rewrite a lake ever does, the
-    // worst place to silently swap the caller's compression policy
+    // worst place to silently swap the caller's compression policy.
+    // layoutOnly: sortWithinPartitions over a range repartition is a
+    // row-preserving permutation — streaming consumers skip it.
     commitIndexed(clustered, dir, Seq(aCol, bCol), bloomCol,
-      mode = "overwrite", codec = codec)
+      mode = "overwrite", codec = codec, layoutOnly = true)
   }
 
   /** Changed rows between two published versions, tagged `op` =
@@ -504,48 +531,110 @@ object VersionedLake {
     * version, the "process only what's new since yesterday's run"
     * path a training pipeline re-runs on).
     *
-    * Scale shape: when `toV`'s manifest is a superset of `fromV`'s
-    * (append-only history between them — the overwhelmingly common
-    * case), the changes are EXACTLY the added data dirs, so this reads
-    * only the new files — O(delta) with zero row-level comparison and
-    * zero shuffle, decided from manifest metadata alone. Only a
-    * history that dropped dirs in between (overwrite, compaction)
-    * falls back to the snapshot multiset diff (`exceptAll`, one
-    * full-width shuffle per side) — correct on any history, but
-    * O(both snapshots); callers walking across a compaction boundary
-    * should step version-by-version so every append segment stays on
-    * the fast path. */
+    * Scale shape, decided version-by-version from manifest metadata:
+    * an APPEND step reads exactly its added data dirs (O(delta), zero
+    * row comparison, zero shuffle); a LAYOUT-ONLY step (compaction /
+    * Z-order — [[isLayoutOnly]]) preserves every row and contributes
+    * nothing; a data-changing rewrite (COW MERGE/UPDATE/DELETE,
+    * overwrite, replaceWhere) diffs ONLY its dropped-vs-added dirs —
+    * survivor rows carried inside the rewrite cancel in the multiset
+    * diff, so the cost is O(changed fraction), never O(lake). The
+    * events concatenate per commit (Delta-CDF semantics: a row
+    * inserted then deleted within the range appears as both events —
+    * signed consumers net it). Only when an intermediate manifest was
+    * vacuumed away does this fall back to the endpoint snapshot diff
+    * (`exceptAll`, one full-width shuffle per side). */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int)
       : DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val from = readManifest(spark, dir, fromV).toSet
-    val to = readManifest(spark, dir, toV)
-    if (from.subsetOf(to.toSet)) {
-      val added = to.filterNot(from)
-      if (added.isEmpty)
-        readAt(spark, dir, toV).limit(0)
-          .withColumn("op", org.apache.spark.sql.functions.lit("insert"))
-      else spark.read.parquet(added.map(d => s"$dir/$d"): _*)
-        .withColumn("op", org.apache.spark.sql.functions.lit("insert"))
-    } else {
-      import org.apache.spark.sql.functions.{col, lit}
-      val a0 = readAt(spark, dir, fromV)
-      val b0 = readAt(spark, dir, toV)
-      // schema evolution across the boundary: align both snapshots on
-      // the union of their columns (missing → null, matching the
-      // mergeSchema read semantics) so the multiset diff compares rows,
-      // not shapes — exceptAll throws on mismatched schemas otherwise
-      val cols = (a0.columns ++ b0.columns.filterNot(a0.columns.contains))
-        .toSeq
-      val typeOf = (a0.schema ++ b0.schema)
-        .map(f => f.name -> f.dataType).toMap // newer side wins on both
-      def align(df: DataFrame) = df.select(cols.map(c =>
-        if (df.columns.contains(c)) col(c).cast(typeOf(c))
-        else lit(null).cast(typeOf(c)).as(c)): _*)
-      val (a, b) = (align(a0), align(b0))
-      b.exceptAll(a).withColumn("op", lit("insert"))
-        .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+    // the walk needs every manifest in [fromV, toV]; a vacuumed-away
+    // intermediate falls back to the ENDPOINT snapshot diff — correct
+    // on any history, O(both snapshots)
+    val f = fs(spark, dir)
+    val walkable =
+      (fromV to toV).forall(v => f.exists(manifestPath(dir, v)))
+    if (!walkable) {
+      // endpoint-only resolution: append fast path when the endpoints
+      // prove it, otherwise the full snapshot diff
+      val from = readManifest(spark, dir, fromV).toSet
+      val to = readManifest(spark, dir, toV)
+      if (from.subsetOf(to.toSet)) {
+        val added = to.filterNot(from)
+        return (
+          if (added.isEmpty)
+            readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
+          else spark.read.option("mergeSchema", "true")
+            .parquet(added.map(d => s"$dir/$d"): _*)
+            .withColumn("op", lit("insert")))
+      }
+      return snapshotDiff(spark, readAt(spark, dir, fromV),
+        readAt(spark, dir, toV))
     }
+    // Per-version walk, concatenating each commit's own delta (the
+    // Delta-CDF shape): an APPEND step's changes are exactly its added
+    // dirs — metadata-decided, no row diff; a LAYOUT-ONLY step
+    // (compaction/Z-order) preserves every row and contributes
+    // NOTHING; a step that drops dirs with data change (COW MERGE/
+    // UPDATE/DELETE, overwrite, replaceWhere) diffs ONLY the dropped
+    // vs added dirs — survivors carried inside the rewrite cancel in
+    // the multiset diff, so the cost is O(changed fraction), never
+    // O(lake). Note the per-commit semantics: a row inserted at one
+    // step and deleted at a later step appears as BOTH events (signed
+    // consumers net it out; the endpoint fallback nets it silently).
+    var inserts = Seq.empty[String]
+    var steps = Seq.empty[DataFrame]
+    var prev = readManifest(spark, dir, fromV)
+    var v = fromV + 1
+    while (v <= toV) {
+      val cur = readManifest(spark, dir, v)
+      val added = cur.filterNot(prev.toSet)
+      val removed = prev.filterNot(cur.toSet)
+      if (isLayoutOnly(spark, dir, v)) {
+        // row-preserving rewrite: no change events
+      } else if (removed.isEmpty) {
+        inserts = inserts ++ added
+      } else {
+        val a0 = spark.read.option("mergeSchema", "true")
+          .parquet(removed.map(d => s"$dir/$d"): _*)
+        val b0 =
+          if (added.isEmpty) a0.limit(0)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(added.map(d => s"$dir/$d"): _*)
+        steps = steps :+ snapshotDiff(spark, a0, b0)
+      }
+      prev = cur
+      v += 1
+    }
+    val insertDf =
+      if (inserts.isEmpty) Seq.empty[DataFrame]
+      else Seq(spark.read.option("mergeSchema", "true")
+        .parquet(inserts.map(d => s"$dir/$d"): _*)
+        .withColumn("op", lit("insert")))
+    val parts = insertDf ++ steps
+    if (parts.isEmpty)
+      readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Multiset row diff `b0 \ a0` (insert) ∪ `a0 \ b0` (delete), with
+    * schema-evolution alignment: both sides select the UNION of their
+    * columns (missing → null, matching mergeSchema read semantics) so
+    * the diff compares rows, not shapes — exceptAll throws on
+    * mismatched schemas otherwise. */
+  private def snapshotDiff(spark: SparkSession, a0: DataFrame,
+      b0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = (a0.columns ++ b0.columns.filterNot(a0.columns.contains))
+      .toSeq
+    val typeOf = (a0.schema ++ b0.schema)
+      .map(f => f.name -> f.dataType).toMap // newer side wins on both
+    def align(df: DataFrame) = df.select(cols.map(c =>
+      if (df.columns.contains(c)) col(c).cast(typeOf(c))
+      else lit(null).cast(typeOf(c)).as(c)): _*)
+    val (a, b) = (align(a0), align(b0))
+    b.exceptAll(a).withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
   }
 
   /** Commit with FILE-LEVEL DATA-SKIPPING STATS (the Delta/Iceberg
@@ -573,7 +662,7 @@ object VersionedLake {
     * the already-written files. */
   def commitIndexed(df: DataFrame, dir: String, statsCols: Seq[String],
       bloomCol: Option[String], mode: String = "append",
-      codec: String = "snappy"): Int = {
+      codec: String = "snappy", layoutOnly: Boolean = false): Int = {
     val spark = df.sparkSession
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.option("compression", codec)
@@ -584,7 +673,7 @@ object VersionedLake {
       .parquet(s"$dir/$dataDir")
     if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
-    publish(spark, dir, dataDir, mode)
+    publish(spark, dir, dataDir, mode, layoutOnly)
   }
 
   /** Footer-stats pass for one data dir (shared by [[commitWithStats]],
@@ -868,7 +957,8 @@ object VersionedLake {
   private def publishReplacing(spark: SparkSession, dir: String,
       dropped: Set[String], added: String,
       checked: Boolean = false,
-      snapshot: Option[Set[String]] = None): Int = {
+      snapshot: Option[Set[String]] = None,
+      layoutOnly: Boolean = false): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
@@ -905,7 +995,7 @@ object VersionedLake {
       val live = tip.filterNot(dropped) :+ added
       try {
         val out = f.create(manifestPath(dir, next), false)
-        try out.write(manifestBytes(live))
+        try out.write(manifestBytes(live, layoutOnly))
         finally out.close()
         committed = next
       } catch {

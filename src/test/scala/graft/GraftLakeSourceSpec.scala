@@ -193,6 +193,55 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("a layout-only compaction mid-history is SKIPPED by the stream: " +
+      "no duplicates, no loss, pending dirs keep delivering from their " +
+      "original files, and a restart resumes cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glsrc-stream-opt")
+    val dir = s"$root/lake"
+    def drainTo(cp: String, sink: String): Unit = {
+      val q = spark.readStream.format("graftlake").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", sink)
+        .start()
+      q.awaitTermination()
+    }
+    def ids(sink: String): Seq[Long] = spark.read.parquet(sink)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    drainTo(s"$root/cp", s"$root/sink")
+    assert(ids(s"$root/sink") == (0L until 10L))
+    // v2 lands but is NOT yet delivered; the compaction (v3) rewrites
+    // BOTH dirs — delivered v1 rows and pending v2 rows — into one
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    assert(VersionedLake.compactSmall(spark, dir, Long.MaxValue).contains(3))
+    assert(VersionedLake.isLayoutOnly(spark, dir, 3))
+    VersionedLake.commit(spark.range(20, 25).toDF("id"), dir)
+    // resumed stream must deliver v2 (from its ORIGINAL dir) and v4 —
+    // never the compacted dir, which would re-deliver v1's rows
+    drainTo(s"$root/cp", s"$root/sink")
+    assert(ids(s"$root/sink") == (0L until 25L),
+      "resume across a layout commit must deliver pending+new exactly once")
+    // a FRESH stream over the same history also sees each row once
+    drainTo(s"$root/cp2", s"$root/sink2")
+    assert(ids(s"$root/sink2") == (0L until 25L),
+      "fresh drain across a layout commit must deliver everything once")
+    // a DATA-changing rewrite still refuses (scoped, not weakened)
+    VersionedLake.commit(spark.range(100, 103).toDF("id"), dir,
+      mode = "overwrite")
+    val q = spark.readStream.format("graftlake").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp")
+      .format("parquet").option("path", s"$root/sink")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("count/min/max through the V2 path push down to parquet " +
       "metadata (inherited aggregate pushdown)") {
     import spark.implicits._

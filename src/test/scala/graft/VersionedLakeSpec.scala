@@ -218,6 +218,58 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(VersionedLake.changes(spark, dir, 3, v4).count() == 1)
   }
 
+  test("changes() skips layout-only compaction commits: an append " +
+      "history crossing an optimize stays on the metadata fast path") {
+    import spark.implicits._
+    val dir = tempDir("vlake-chg-layout") + "/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)
+    val v3 = VersionedLake.compactVersions(spark, dir)
+    assert(VersionedLake.isLayoutOnly(spark, dir, v3))
+    assert(!VersionedLake.isLayoutOnly(spark, dir, 2))
+    VersionedLake.commit(spark.range(20, 25).toDF("id"), dir)
+    val d = VersionedLake.changes(spark, dir, 1, 4)
+    val plan = d.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Except"),
+      s"crossing a layout commit must not row-diff:\n$plan")
+    assert(ids(d.filter(col("op") === "insert")) == (10L until 25L))
+    assert(d.count() == 15)
+    // the compacted output dir is never read — the original (pre-
+    // compaction) dirs deliver the v2 delta
+    val compactedDirs = VersionedLake.manifestEntries(spark, dir, v3)
+      .diff(VersionedLake.manifestEntries(spark, dir, 2)).toSet
+    assert(!d.inputFiles.exists(f =>
+      compactedDirs.exists(cd => f.contains(s"/$cd/"))),
+      "changes must not read the compacted rewrite")
+    // the layout step alone is an empty delta
+    assert(VersionedLake.changes(spark, dir, 2, 3).count() == 0)
+  }
+
+  test("changes() across a data-changing rewrite diffs only the " +
+      "dropped-vs-added dirs — untouched dirs are never read") {
+    import spark.implicits._
+    val dir = tempDir("vlake-chg-cow") + "/lake"
+    VersionedLake.commitWithStats(
+      spark.range(0, 100).toDF("id"), dir, Seq("id"))
+    VersionedLake.commitWithStats(
+      spark.range(1000, 1100).toDF("id"), dir, Seq("id"))
+    val untouched = VersionedLake.manifestEntries(spark, dir, 1)
+    // stats-pruned delete rewrites ONLY the high band's dir
+    val v3 = VersionedLake.deleteRange(spark, dir, "id", 1050, 1059,
+      Seq("id"))
+    assert(v3 == 3)
+    assert(VersionedLake.manifestEntries(spark, dir, 3)
+      .exists(untouched.contains), "low band must carry by reference")
+    val d = VersionedLake.changes(spark, dir, 2, 3)
+    assert(ids(d.filter(col("op") === "delete")) == (1050L to 1059L))
+    assert(d.filter(col("op") === "insert").count() == 0,
+      "survivors carried inside the rewrite are not changes")
+    // O(changed): the untouched dir's files are outside the diff scan
+    assert(!d.inputFiles.exists(f =>
+      untouched.exists(u => f.contains(s"/$u/"))),
+      "localized diff must not read untouched dirs")
+  }
+
   test("changes across an overwrite boundary with schema evolution " +
       "aligns columns instead of throwing") {
     import spark.implicits._
