@@ -69,9 +69,9 @@ final class GraftLakeDataSource
     val version = Option(options.get(GraftLakeDataSource.VersionAsOf))
       .map(_.trim.toInt)
       .getOrElse {
-        val vs = VersionedLake.versions(spark, lakeDir)
-        require(vs.nonEmpty, s"no versions published at $lakeDir")
-        vs.last
+        val t = VersionedLake.tip(spark, lakeDir)
+        require(t.nonEmpty, s"no versions published at $lakeDir")
+        t.get
       }
     // snapshots may span schema-evolving commits — same mergeSchema
     // semantics as VersionedLake.readAt
@@ -227,14 +227,14 @@ final class GraftLakeCatalog
 
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val dir = dirOf(ident)
-    val vs = VersionedLake.versions(spark, dir)
-    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val t = VersionedLake.tip(spark, dir)
+    if (t.isEmpty) throw new NoSuchTableException(ident)
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", dir)
     opts.put("mergeSchema", "true")
     new GraftLakeTable(ident.toString, spark,
       new CaseInsensitiveStringMap(opts), Seq(dir), None, dir,
-      version.getOrElse(vs.last))
+      version.getOrElse(t.get))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -257,7 +257,7 @@ final class GraftLakeCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    VersionedLake.versions(spark, dirOf(ident)).nonEmpty
+    VersionedLake.tip(spark, dirOf(ident)).nonEmpty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new Path((root +: namespace.toSeq).mkString("/"))
@@ -791,8 +791,7 @@ final class GraftLakeWrite(
           throw new IllegalStateException( // canOverwrite gated this
             s"untranslatable overwrite filter $f")))
         .reduceOption(_ && _).getOrElse(lit(true))
-      val vs = VersionedLake.versions(spark, lakeDir)
-      val snapshot = vs.lastOption
+      val snapshot = VersionedLake.tip(spark, lakeDir)
         .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
         .getOrElse(Seq.empty)
       val touched = GraftLakeDelete.translate(tableSchema, replaceCond) match {
@@ -994,9 +993,8 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     * be delivered from the regressed point — including the ones
     * startingVersion asked to skip. */
   private def publishedTip: Int = {
-    val vs = VersionedLake.versions(spark, lakeDir)
-    math.max(startingVersion - 1,
-      if (vs.isEmpty) startingVersion - 1 else vs.last)
+    val t = VersionedLake.tip(spark, lakeDir)
+    math.max(startingVersion - 1, t.getOrElse(startingVersion - 1))
   }
 
   override def latestOffset(): Offset = GraftLakeOffset(publishedTip)

@@ -44,7 +44,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     * lost the v1 race would land its data as an APPEND at v2 — two
     * racing CREATEs silently unioned). See the strict publishes below. */
   private val observedTip: Int =
-    VersionedLake.versions(spark, lakeDir).lastOption.getOrElse(0)
+    VersionedLake.tip(spark, lakeDir).getOrElse(0)
 
   /** Throwaway ParquetTable purely for the format predicates — the
     * same type-support surface as every other graftlake write; its

@@ -95,7 +95,7 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
     val tag = tagOf(epochId)
     val dataDir = s"d-$tag"
     val marker = new Path(s"$lakeDir/_tags/$tag")
-    val tip = VersionedLake.versions(spark, lakeDir).lastOption
+    val tip = VersionedLake.tip(spark, lakeDir)
     val published = f.exists(marker) || tip.exists(v =>
       VersionedLake.liveDataDirs(spark, lakeDir, v)
         .exists(p => new Path(p).getName == dataDir))

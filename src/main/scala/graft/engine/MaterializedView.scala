@@ -50,8 +50,7 @@ object MaterializedView {
     * `(<keyCol>, n, total)` with exact long arithmetic. */
   def refresh(spark: SparkSession, lakeDir: String, mvDir: String,
       keyCol: String, valCol: String, upTo: Option[Int] = None): Int = {
-    val srcTip =
-      VersionedLake.versions(spark, lakeDir).lastOption.getOrElse(0)
+    val srcTip = VersionedLake.tip(spark, lakeDir).getOrElse(0)
     // `upTo` bounds the refresh to an older source version — the
     // stepwise cadence that keeps every step inside one append segment
     // (and so on the manifest fast path)

@@ -44,16 +44,92 @@ object VersionedLake {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** 5-digit names below 100k, 9-digit beyond — the name is the CAS
+    * collision point, so it must be deterministic per version, and
+    * existing 5-digit lakes must keep resolving; the widening lifts
+    * the 99,999-commit cap (a once-a-minute streaming sink passes
+    * 100k commits in 10 weeks) to ~1.9k years at that rate. */
   private def manifestPath(dir: String, v: Int): Path =
-    new Path(s"$dir/$ManifestDir/v${"%05d".format(v)}")
+    new Path(s"$dir/$ManifestDir/v" +
+      (if (v <= 99999) "%05d".format(v) else "%09d".format(v)))
 
-  /** Published versions, ascending; empty for a non-existent lake. */
+  /** Published versions, ascending; empty for a non-existent lake.
+    * One full directory list — the METADATA enumeration for history /
+    * TIMESTAMP AS OF / vacuum; hot paths that only need the newest
+    * version use [[tip]] (O(1 + publish lag) via the hint file). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val md = new Path(s"$dir/$ManifestDir")
     val f = fs(spark, dir)
     if (!f.exists(md)) Seq.empty
     else f.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt).sorted
+      .filter(n => n.matches("v\\d{5}") || n.matches("v\\d{9}"))
+      .map(_.drop(1).toInt).sorted
+  }
+
+  // ---- O(1) tip resolution (the `_last_checkpoint` shape) --------------
+  //
+  // Every manifest is already a full-state snapshot (the complete live
+  // set, not a delta), so unlike Delta no log REPLAY ever happens —
+  // the only O(#commits) cost was DISCOVERING the newest manifest by
+  // listing the whole log directory, paid on every plan, read, and
+  // publish CAS attempt. A hint file written after each publish makes
+  // that O(1 + lag): read the hint, verify its manifest exists, probe
+  // forward to the first missing version. Correctness never rests on
+  // the hint — it can only UNDER-report (written after publish;
+  // concurrent writers may regress it), the probe walks forward past
+  // any regression, a hint whose manifest is gone (vacuumed) falls
+  // back to the full listing, and interior gaps cannot exist: versions
+  // are claimed sequentially, a torn manifest BLOCKS all later
+  // publishes until repair deletes it (making its predecessor the tip
+  // again), and vacuum removes only prefixes. So "v exists, v+1
+  // missing" proves v is the tip.
+
+  private val TipHint = "_tip"
+  private val MaxTipProbe = 4096
+
+  private def tipHintPath(dir: String): Path =
+    new Path(s"$dir/$ManifestDir/$TipHint")
+
+  /** Best-effort hint refresh after a publish — a failure (or a racing
+    * overwrite) costs probe steps on the next resolution, never
+    * correctness. */
+  private def writeTipHint(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int): Unit =
+    try {
+      val out = f.create(tipHintPath(dir), true)
+      try out.write(v.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Newest published version without listing the manifest log —
+    * O(1 + publish lag) reads; falls back to one full [[versions]]
+    * listing when the hint is missing, unparsable, vacuumed-away, or
+    * further than [[MaxTipProbe]] behind. */
+  def tip(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    val hp = tipHintPath(dir)
+    val hint: Option[Int] =
+      try {
+        if (!f.exists(hp)) None
+        else {
+          val in = f.open(hp)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim
+          finally in.close()
+          s.toIntOption.filter(_ >= 1)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hint.filter(h => f.exists(manifestPath(dir, h))) match {
+      case None => versions(spark, dir).lastOption
+      case Some(h) =>
+        var v = h
+        var steps = 0
+        while (steps < MaxTipProbe && f.exists(manifestPath(dir, v + 1))) {
+          v += 1; steps += 1
+        }
+        if (steps >= MaxTipProbe) versions(spark, dir).lastOption
+        else Some(v)
+    }
   }
 
   /** The version visible at wall-clock `tsMillis`: the newest manifest
@@ -164,7 +240,7 @@ object VersionedLake {
     val f = fs(spark, dir)
     if (!f.exists(new Path(s"$dir/$ManifestDir"))) return Seq.empty
     val cutoff = System.currentTimeMillis() - staleMs
-    versions(spark, dir).filter { v =>
+    val repaired = versions(spark, dir).filter { v =>
       val p = manifestPath(dir, v)
       if (f.getFileStatus(p).getModificationTime > cutoff) false
       else {
@@ -177,6 +253,11 @@ object VersionedLake {
         torn
       }
     }
+    // a repaired (deleted) torn TIP may be what the hint points at;
+    // refresh so tip resolution stays O(1) instead of falling back
+    if (repaired.nonEmpty)
+      versions(spark, dir).lastOption.foreach(writeTipHint(f, dir, _))
+    repaired
   }
 
   /** Commit `df` as the next version. `mode` "append" carries the
@@ -248,26 +329,27 @@ object VersionedLake {
       dataDir: String, mode: String, layoutOnly: Boolean = false): Int = {
     val f = fs(spark, dir)
     var committed = -1
+    var minted = false
     while (committed < 0) {
-      val prev = versions(spark, dir)
-      val next = prev.lastOption.getOrElse(0) + 1
+      val prevTip = tip(spark, dir)
+      val next = prevTip.getOrElse(0) + 1
       val prevLive =
-        if (prev.isEmpty) Seq.empty[String]
-        else readManifest(spark, dir, prev.last)
+        prevTip.fold(Seq.empty[String])(readManifest(spark, dir, _))
       // a CAS-retry (or a racing same-tag replay) may find its dir
       // already published at the new tip — appending it AGAIN would
       // double-count the rows; the existing version is the commit
       if (mode == "append" && prevLive.contains(dataDir)) {
-        committed = prev.last
+        committed = prevTip.get
       } else {
         val live =
-          if (mode == "overwrite" || prev.isEmpty) Seq(dataDir)
+          if (mode == "overwrite" || prevTip.isEmpty) Seq(dataDir)
           else prevLive :+ dataDir
         try {
           val out = f.create(manifestPath(dir, next), false)
           try out.write(manifestBytes(live, layoutOnly))
           finally out.close()
           committed = next
+          minted = true
         } catch {
           case e: java.io.IOException =>
             // retry ONLY a lost race (the loser's manifest now
@@ -276,6 +358,7 @@ object VersionedLake {
         }
       }
     }
+    if (minted) writeTipHint(f, dir, committed)
     committed
   }
 
@@ -298,11 +381,12 @@ object VersionedLake {
   private[engine] def publishCreateStrict(spark: SparkSession,
       dir: String, dataDir: String): Boolean = {
     val f = fs(spark, dir)
-    if (versions(spark, dir).nonEmpty) return false
+    if (tip(spark, dir).nonEmpty) return false
     try {
       val out = f.create(manifestPath(dir, 1), false)
       try out.write(manifestBytes(Seq(dataDir)))
       finally out.close()
+      writeTipHint(f, dir, 1)
       true
     } catch {
       case e: java.io.IOException =>
@@ -338,12 +422,13 @@ object VersionedLake {
           s"v$observedTip after this replace was staged — publishing " +
           "would silently discard the concurrent commit; re-run the " +
           "replace against the new snapshot")
-    if (versions(spark, dir).lastOption.getOrElse(0) != observedTip)
+    if (tip(spark, dir).getOrElse(0) != observedTip)
       conflict()
     try {
       val out = f.create(manifestPath(dir, observedTip + 1), false)
       try out.write(manifestBytes(Seq(dataDir)))
       finally out.close()
+      writeTipHint(f, dir, observedTip + 1)
       observedTip + 1
     } catch {
       case e: java.io.IOException =>
@@ -428,9 +513,9 @@ object VersionedLake {
   }
 
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no versions published at $dir")
-    readAt(spark, dir, vs.last)
+    val t = tip(spark, dir)
+    require(t.nonEmpty, s"no versions published at $dir")
+    readAt(spark, dir, t.get)
   }
 
   /** Rewrite the current live set as ONE data directory and publish it
@@ -468,7 +553,7 @@ object VersionedLake {
       bloomCol: Option[String] = None, codec: String = "snappy")
       : Option[Int] = {
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val live = readManifest(spark, dir, vs.last)
     def bytesOf(d: String): Long =
@@ -763,7 +848,7 @@ object VersionedLake {
       : (Long, Double, Double) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val (meta, scan) = readManifest(spark, dir, vs.last).partition { d =>
       val stats = statsFor(spark, dir, d, c)
@@ -795,7 +880,7 @@ object VersionedLake {
     * evidence; it is never a correctness precondition. */
   def statsCovered(spark: SparkSession, dir: String, c: String): Boolean = {
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     vs.nonEmpty && readManifest(spark, dir, vs.last).forall { d =>
       val stats = statsFor(spark, dir, d, c)
       f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
@@ -840,7 +925,7 @@ object VersionedLake {
   def deleteRange(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double, statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val live = readManifest(spark, dir, vs.last)
     val touched = dirsIntersecting(spark, dir, live, c, lo, hi)
@@ -896,7 +981,7 @@ object VersionedLake {
       statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     if (values.isEmpty) return vs.last
     def intersects(d: String): Boolean = {
@@ -962,15 +1047,15 @@ object VersionedLake {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
-      val prev = versions(spark, dir)
-      val next = prev.lastOption.getOrElse(0) + 1
-      val tip = if (prev.isEmpty) Seq.empty
-        else readManifest(spark, dir, prev.last)
+      val prevTip = tip(spark, dir)
+      val next = prevTip.getOrElse(0) + 1
+      val tip0 = prevTip.fold(Seq.empty[String])(
+        readManifest(spark, dir, _))
       // the conflict check lives INSIDE the CAS loop: every retry
       // re-reads the tip it is about to replace, so a dir rewritten
       // (or appended) between attempts is caught too
       if (checked) {
-        val gone = dropped.diff(tip.toSet)
+        val gone = dropped.diff(tip0.toSet)
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"copy-on-write conflict on $dir: dirs " +
@@ -982,7 +1067,7 @@ object VersionedLake {
         // their condition. Compaction-style callers omit it — an
         // appended dir they never read is simply carried forward.
         snapshot.foreach { snap =>
-          val fresh = tip.toSet.diff(snap)
+          val fresh = tip0.toSet.diff(snap)
           if (fresh.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"copy-on-write conflict on $dir: dirs " +
@@ -992,7 +1077,7 @@ object VersionedLake {
                 "the new snapshot")
         }
       }
-      val live = tip.filterNot(dropped) :+ added
+      val live = tip0.filterNot(dropped) :+ added
       try {
         val out = f.create(manifestPath(dir, next), false)
         try out.write(manifestBytes(live, layoutOnly))
@@ -1003,6 +1088,7 @@ object VersionedLake {
           if (!f.exists(manifestPath(dir, next))) throw e
       }
     }
+    writeTipHint(f, dir, committed)
     committed
   }
 
@@ -1016,7 +1102,7 @@ object VersionedLake {
       lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val files = readManifest(spark, dir, vs.last).flatMap { d =>
       val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
@@ -1167,7 +1253,7 @@ object VersionedLake {
       value: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val f = fs(spark, dir)
-    val vs = versions(spark, dir)
+    val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val want = (0 until BloomHashes)
       .map(bloomPosLocal(value.toString, _, BloomBits))
@@ -1271,5 +1357,8 @@ object VersionedLake {
         .filter(p => !liveDirs(s"d-${p.getName}") &&
           !f.exists(new Path(s"$dir/d-${p.getName}")))
         .foreach(p => f.delete(p, false))
+    // refresh the tip hint (repair may have deleted the hinted torn
+    // tip) so the next resolution stays O(1)
+    keep.lastOption.foreach(writeTipHint(f, dir, _))
   }
 }

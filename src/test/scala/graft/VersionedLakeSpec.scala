@@ -218,6 +218,73 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(VersionedLake.changes(spark, dir, 3, v4).count() == 1)
   }
 
+  test("tip resolution: the hint-checkpointed tip equals the listed " +
+      "tip under publishes, hint loss, torn/stale hints, and vacuum") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("vlake-tip") + "/lake"
+    def listed = VersionedLake.versions(spark, dir).lastOption
+    def hinted = VersionedLake.tip(spark, dir)
+    assert(hinted.isEmpty && listed.isEmpty)
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    assert(hinted == Some(1) && hinted == listed)
+    (2 to 4).foreach(_ =>
+      VersionedLake.commit(spark.range(0, 1).toDF("id"), dir))
+    assert(hinted == Some(4) && hinted == listed)
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hintP = new Path(s"$dir/_manifests/_tip")
+    // missing hint → fallback to listing
+    f.delete(hintP, false)
+    assert(hinted == Some(4) && hinted == listed)
+    // unparsable hint → fallback
+    val o1 = f.create(hintP, true); o1.write("garbage".getBytes); o1.close()
+    assert(hinted == Some(4) && hinted == listed)
+    // regressed hint (racing writers) → probe forward past it
+    val o2 = f.create(hintP, true); o2.write("1".getBytes); o2.close()
+    assert(hinted == Some(4) && hinted == listed)
+    // hint pointing at a vacuumed manifest → fallback, still right
+    VersionedLake.vacuum(spark, dir, retain = 2, graceMs = 0L)
+    val o3 = f.create(hintP, true); o3.write("1".getBytes); o3.close()
+    assert(hinted == Some(4) && hinted == listed)
+    // a publish refreshes the hint; resolution is O(1) again
+    VersionedLake.commit(spark.range(0, 1).toDF("id"), dir)
+    assert(hinted == Some(5) && hinted == listed)
+  }
+
+  test("version names widen past 99999 — the 100k-commit cap is " +
+      "lifted and old 5-digit manifests keep resolving") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("vlake-wide") + "/lake"
+    VersionedLake.commit(spark.range(0, 5).toDF("id"), dir)
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // fabricate a deep-history tail: re-point three high versions at
+    // v1's live set (valid terminated manifests), hint at the first
+    val v1Bytes = {
+      val in = f.open(new Path(s"$dir/_manifests/v00001"))
+      try { val b = new Array[Byte](in.available()); in.readFully(b); b }
+      finally in.close()
+    }
+    Seq("v99998", "v99999", "v000100000").foreach { n =>
+      val o = f.create(new Path(s"$dir/_manifests/$n"), false)
+      o.write(v1Bytes); o.close()
+    }
+    val oh = f.create(new Path(s"$dir/_manifests/_tip"), true)
+    oh.write("99998".getBytes); oh.close()
+    assert(VersionedLake.versions(spark, dir) ==
+      Seq(1, 99998, 99999, 100000), "5- and 9-digit names both resolve")
+    assert(VersionedLake.tip(spark, dir) == Some(100000),
+      "probe crosses the 99999→100000 name-width boundary")
+    // the NEXT commit lands as v100001 under the widened name
+    val v = VersionedLake.commit(spark.range(5, 10).toDF("id"), dir)
+    assert(v == 100001)
+    assert(f.exists(new Path(s"$dir/_manifests/v000100001")))
+    assert(VersionedLake.readAt(spark, dir, 100001).count() == 10)
+    assert(VersionedLake.tip(spark, dir) == Some(100001))
+  }
+
   test("changes() skips layout-only compaction commits: an append " +
       "history crossing an optimize stays on the metadata fast path") {
     import spark.implicits._
