@@ -270,11 +270,12 @@ final class GraftLakeCatalog
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
     "graftlake catalog supports CREATE TABLE [AS SELECT] / REPLACE " +
-      "TABLE AS SELECT and DML (INSERT INTO / INSERT OVERWRITE / " +
-      "DELETE FROM / MERGE / UPDATE commit through the versioned " +
-      "manifest protocol) but not destructive DDL: a lake is retired " +
-      "by vacuum with retention, never by SQL DROP/ALTER — an " +
-      "unlinked 100 TB lake has no undo")
+      "TABLE AS SELECT, ALTER TABLE ADD COLUMN(S), and DML (INSERT " +
+      "INTO / INSERT OVERWRITE / DELETE FROM / MERGE / UPDATE commit " +
+      "through the versioned manifest protocol) but not destructive " +
+      "DDL: a lake is retired by vacuum with retention, never by SQL " +
+      "DROP or a column drop/rename — an unlinked 100 TB lake has no " +
+      "undo")
 
   private def toStruct(
       columns: Array[org.apache.spark.sql.connector.catalog.Column])
@@ -358,9 +359,47 @@ final class GraftLakeCatalog
       replace = true, orCreate = true)
   }
 
+  /** `ALTER TABLE … ADD COLUMN(S)` — the one schema evolution the
+    * commit protocol already supports (the library path evolves
+    * schemas by committing wider data; mergeSchema reads union them).
+    * The DDL records the widened schema as a schema-bearing EMPTY
+    * append commit: existing rows read null for the new column, older
+    * versions keep their own schema via VERSION AS OF, and the change
+    * is itself versioned history. Everything else (drop/rename/
+    * retype/reposition) stays refused — dropping or renaming would
+    * orphan data bytes with no undo, and parquet's footer schemas
+    * cannot express a reorder. */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    readOnly
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.size != changes.size) readOnly
+    var schema = loadTable(ident).asInstanceOf[GraftLakeTable].schema()
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        "graftlake ADD COLUMN supports top-level columns, got " +
+          a.fieldNames().mkString("."))
+      val colName = a.fieldNames()(0)
+      require(a.isNullable,
+        s"added column $colName must be nullable: existing rows have " +
+          "no value for it")
+      require(a.position() == null,
+        "graftlake ADD COLUMN appends at the end (mergeSchema union " +
+          "order); FIRST/AFTER is not supported")
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(colName)),
+        s"column $colName already exists")
+      val fld = org.apache.spark.sql.types.StructField(colName,
+        a.dataType(), nullable = true)
+      schema = schema.add(Option(a.comment()).fold(fld)(fld.withComment))
+    }
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row], schema)
+    // plain append commit (CAS-retried): racing writers are safe — an
+    // empty dir unions with anything, and two concurrent ALTERs land
+    // as successive versions whose schemas merge
+    VersionedLake.commit(empty.repartition(1), dirOf(ident))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly
 

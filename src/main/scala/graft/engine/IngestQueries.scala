@@ -1623,6 +1623,126 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q198_sql_add_column",
+      """WITH t AS (
+        |  SELECT 'original' AS note, event_type, value FROM events
+        |  WHERE user_id < 200
+        |  UNION ALL
+        |  SELECT 'backfilled' AS note, event_type, value FROM events
+        |  WHERE user_id >= 200 AND user_id < 240)
+        |SELECT note, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM t GROUP BY note, event_type
+        |ORDER BY note, event_type""".stripMargin) { (s, dir) =>
+      // SQL schema evolution ([[GraftLakeCatalog.alterTable]]): ALTER
+      // TABLE ADD COLUMN records the widened schema as a versioned
+      // empty commit — pre-alter rows read null for the new column
+      // (COALESCE maps them to 'original'), post-alter INSERTs carry
+      // it, and VERSION AS OF 1 still reads the ORIGINAL schema (the
+      // require). The oracle re-derives both populations from raw
+      // events: an alter that rewrote data, leaked the column into
+      // old versions, or dropped pre-alter rows breaks the hash.
+      val lake = s"$scratchRoot/alter_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q198",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q198.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q198")
+      s.sql(s"""CREATE TABLE glake_q198.`$name` AS
+               |SELECT * FROM ev_q198 WHERE user_id < 200""".stripMargin)
+      s.sql(s"ALTER TABLE glake_q198.`$name` ADD COLUMN note STRING")
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "the ALTER must publish exactly one versioned commit")
+      require(!s.sql(s"SELECT * FROM glake_q198.`$name` VERSION AS OF 1")
+        .columns.contains("note"),
+        "the pre-alter snapshot must keep its original schema")
+      s.sql(s"""INSERT INTO glake_q198.`$name`
+               |SELECT event_id, user_id, event_type, value,
+               |       'backfilled' AS note
+               |FROM ev_q198
+               |WHERE user_id >= 200 AND user_id < 240""".stripMargin)
+      s.sql(
+        s"""SELECT COALESCE(note, 'original') AS note, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(SUM(value), 2) AS total_value
+           |FROM glake_q198.`$name` GROUP BY note, event_type
+           |ORDER BY note, event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q199_cdf_merge",
+      """WITH upd AS (SELECT value * 2 AS value FROM events
+        |             WHERE event_id >= 100 AND event_id < 200),
+        |     ins AS (SELECT value FROM events
+        |             WHERE event_id >= 100 AND event_id < 150),
+        |     del AS (SELECT value FROM events
+        |             WHERE event_id >= 100 AND event_id < 200)
+        |SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value FROM del
+        |UNION ALL
+        |SELECT 'insert' AS op, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT value FROM upd UNION ALL SELECT value FROM ins)
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      // Change-data-feed across a copy-on-write commit: a SQL MERGE
+      // (update half the [100,200) band, insert shifted copies of
+      // [100,150)) rewrites ONLY the low band's dir (runtime group
+      // filter, pinned by the require), and `changes()` over that
+      // version diffs ONLY the dropped-vs-added dirs — the untouched
+      // high band's dir is outside the diff's input files (the
+      // O(changed) gate). The oracle re-derives the exact delta from
+      // raw events: deletes = pre-image of the merged band, inserts =
+      // doubled updates plus the inserted rows; a survivor row
+      // misreported as a change, a lost pre-image, or a diff that
+      // silently read the whole lake each break the hash or the gate.
+      val lake = s"$scratchRoot/cdf_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("event_id") < 400), lake, Seq("event_id"))
+      VersionedLake.commitWithStats(
+        ev.filter(col("event_id") >= 400), lake, Seq("event_id"))
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q199",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q199.root",
+        new java.io.File(lake).getParent)
+      val matched = ev.filter(col("event_id") >= 100 && col("event_id") < 200)
+      val fresh = ev.filter(col("event_id") >= 100 && col("event_id") < 150)
+        .withColumn("event_id", col("event_id") + 100000000L)
+      matched.unionByName(fresh).createOrReplaceTempView("events_src_q199")
+      s.sql(
+        s"""MERGE INTO glake_q199.`$name` AS t
+           |USING events_src_q199 AS src ON t.event_id = src.event_id
+           |WHEN MATCHED THEN UPDATE SET
+           |  value = t.value * 2, event_type = 'merged'
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "the MERGE must land as one versioned COW commit")
+      val lowBand = VersionedLake.manifestEntries(s, lake, 1)
+      val highBand = VersionedLake.manifestEntries(s, lake, 2).diff(lowBand)
+      val v3dirs = VersionedLake.manifestEntries(s, lake, 3)
+      require(highBand.forall(v3dirs.contains) &&
+        !v3dirs.exists(lowBand.contains),
+        "COW must rewrite only the merge-intersecting band")
+      val d = VersionedLake.changes(s, lake, 2, 3)
+      require(!d.inputFiles.exists(f =>
+        highBand.exists(h => f.contains(s"/$h/"))),
+        "the change feed must not read the untouched band (O(changed))")
+      d.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("op"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

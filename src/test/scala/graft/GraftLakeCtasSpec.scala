@@ -166,8 +166,49 @@ class GraftLakeCtasSpec extends AnyFunSuite {
       val d = intercept[Exception](spark.sql(s"DROP TABLE $cat.keep"))
       assert(d.getMessage.contains("vacuum"), d.getMessage)
       val a = intercept[Exception](
-        spark.sql(s"ALTER TABLE $cat.keep ADD COLUMN extra INT"))
+        spark.sql(s"ALTER TABLE $cat.keep DROP COLUMN one"))
       assert(a.getMessage.contains("vacuum"), a.getMessage)
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN widens the schema as a versioned " +
+      "commit: old rows read null, old versions keep their schema, " +
+      "INSERT uses the new width; drops/renames/positions refused") {
+    val root = tempDir("glc-alter")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.a (id BIGINT)")
+      spark.sql(s"INSERT INTO $cat.a VALUES (1), (2)")
+      spark.sql(s"ALTER TABLE $cat.a ADD COLUMN note STRING")
+      assert(VersionedLake.versions(spark, s"$root/a") == Seq(1, 2, 3),
+        "the ALTER is itself a versioned commit")
+      assert(spark.table(s"$cat.a").schema.map(_.name) ==
+        Seq("id", "note"))
+      spark.sql(s"INSERT INTO $cat.a VALUES (3, 'x')")
+      val rows = spark.sql(
+        s"SELECT id, note FROM $cat.a ORDER BY id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(rows.toSeq == Seq((1L, null), (2L, null), (3L, "x")))
+      // time travel predates the column
+      assert(spark.sql(s"SELECT * FROM $cat.a VERSION AS OF 2")
+        .schema.map(_.name) == Seq("id"))
+      // multiple columns in one statement
+      spark.sql(s"ALTER TABLE $cat.a ADD COLUMNS (x INT, y DOUBLE)")
+      assert(spark.table(s"$cat.a").schema.map(_.name) ==
+        Seq("id", "note", "x", "y"))
+      // refusals: duplicate, NOT NULL, position, nested, rename/drop
+      val dup = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.a ADD COLUMN note STRING"))
+      assert(dup.getMessage.toLowerCase.contains("already exists"),
+        dup.getMessage)
+      val nn = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.a ADD COLUMN req INT NOT NULL"))
+      assert(nn.getMessage.contains("nullable"), nn.getMessage)
+      val pos = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.a ADD COLUMN pre INT FIRST"))
+      assert(pos.getMessage.contains("FIRST/AFTER"), pos.getMessage)
+      val rn = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.a RENAME COLUMN x TO z"))
+      assert(rn.getMessage.contains("vacuum"), rn.getMessage)
     }
   }
 }
