@@ -134,23 +134,52 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
     * named_struct(...) IN subquery"), and the filter silently never
     * arrives. One sidecar-backed column gives a translatable,
     * provably-correct group filter (every matching row's value is in
-    * the IN set, so a pruned dir cannot contain a match). Memoized:
-    * the planner calls this repeatedly, and the answer costs driver
-    * IO (a bounded sidecar sample — a column indexed only in
-    * unsampled dirs loses pruning, never rows). */
+    * the IN set, so a pruned dir cannot contain a match).
+    *
+    * Among several indexed candidates, pick the MOST SELECTIVE by the
+    * sidecars themselves, not the first declared: a bloom-indexed
+    * column is a point-lookup structure (best); for stats columns the
+    * score is the average fraction of the column's global span each
+    * file's [min, max] covers over a bounded dir sample — a clustered
+    * key's files cover slivers (low score, files prune), an
+    * unclustered key's files each span everything (score ~1, nothing
+    * prunes). Choosing the first declared column made pruning an
+    * accident of schema order: a MERGE keyed on the clustered second
+    * column rewrote the whole lake because the unclustered first
+    * column's ranges admitted every dir. Memoized: the planner calls
+    * this repeatedly, and the answer costs driver IO (a bounded
+    * sidecar sample — a column indexed only in unsampled dirs loses
+    * pruning, never rows). */
   private lazy val groupFilterAttr
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.types._
+    val sample = op.snapshotDirs.toSeq.sorted.take(16)
     val indexed = VersionedLake.indexedCols(base.sparkSession, lakeDir,
-      op.snapshotDirs.toSeq.sorted.take(16)).toSet
-    readDataSchema.fields.collectFirst {
-      case f if indexed(f.name) && (f.dataType match {
+      sample).toSet
+    val candidates = readDataSchema.fields.filter(f =>
+      indexed(f.name) && (f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
              DoubleType | StringType => true
         case _ => false
-      }) => org.apache.spark.sql.connector.expressions.Expressions
-        .column(f.name)
-    }.toArray
+      }))
+    if (candidates.isEmpty) Array.empty
+    else {
+      def score(c: String): Double =
+        if (sample.exists(d => probe.bloom(d, c).nonEmpty)) 0.0
+        else {
+          val ranges = sample.flatMap(d => probe.stats(d, c).values)
+            .filter(r => r._3 > 0 && r._1 <= r._2)
+          if (ranges.isEmpty) 1.0
+          else {
+            val span = ranges.map(_._2).max - ranges.map(_._1).min
+            if (!(span > 0) || span.isInfinite) 1.0 // constant/degenerate
+            else ranges.map(r => (r._2 - r._1) / span).sum / ranges.length
+          }
+        }
+      val best = candidates.minBy(f => score(f.name))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(best.name))
+    }
   }
 
   override def filterAttributes()
@@ -280,9 +309,8 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
           inner.info.schema()).repartition(1)
           .write.mode("append").parquet(staged.toString)
       }
-      val numericCols = GraftLakeDataSource.numericCols(inner.info.schema())
-      if (numericCols.nonEmpty)
-        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+      VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
+        inner.info.schema())
       VersionedLake.publishReplacingChecked(spark, lakeDir,
         op.scannedDirs, dataDir, op.snapshotDirs)
       ()

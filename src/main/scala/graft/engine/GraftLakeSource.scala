@@ -294,6 +294,14 @@ final class GraftLakeCatalog
         "(CALL compact/zorder cluster an existing lake; stats/bloom " +
         "sidecars give file pruning without hive-style dirs)")
 
+  /** `TBLPROPERTIES ('bloom' = '<col>')` — declares the lake's bloom-
+    * indexed column ([[VersionedLake.setBloomIndex]]): every commit,
+    * SQL or streaming, then writes a per-file bloom sidecar over it so
+    * point lookups prune. */
+  private def bloomProp(
+      properties: java.util.Map[String, String]): Option[String] =
+    Option(properties.get("bloom")).map(_.trim).filter(_.nonEmpty)
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -314,6 +322,8 @@ final class GraftLakeCatalog
         dirOf(ident)))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    bloomProp(properties).foreach(c =>
+      VersionedLake.setBloomIndex(spark, dirOf(ident), c))
     loadTable(ident)
   }
 
@@ -333,7 +343,7 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = false, orCreate = false)
+      replace = false, orCreate = false, bloomProp(properties))
   }
 
   override def stageReplace(ident: Identifier,
@@ -346,7 +356,7 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = true, orCreate = false)
+      replace = true, orCreate = false, bloomProp(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -356,7 +366,7 @@ final class GraftLakeCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     requireUnpartitioned(partitions)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = true, orCreate = true)
+      replace = true, orCreate = true, bloomProp(properties))
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — the one schema evolution the
@@ -800,15 +810,12 @@ final class GraftLakeWrite(
       innerBatch.commit(msgs) // file committer: task temps -> staging dir
       val spark = SparkSession.active
       if (mode == "replace") { commitReplace(spark); return }
-      // SQL writers have no commitWithStats to opt into, so every DML
-      // commit is range-indexed by default: min/max lifted from the
-      // parquet footers the write just produced (one driver-side
-      // metadata read per file, no data pass) — INSERT'd data is
-      // immediately skippable through the same sidecar path as
-      // library-indexed commits
-      val numericCols = GraftLakeDataSource.numericCols(inner.info.schema())
-      if (numericCols.nonEmpty)
-        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+      // every DML commit is auto-indexed (numeric range stats + the
+      // lake's declared bloom column, VersionedLake.indexStagedDir) —
+      // INSERT'd data is immediately skippable through the same
+      // sidecar paths as library-indexed commits
+      VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
+        inner.info.schema())
       VersionedLake.publish(spark, lakeDir, dataDir, mode)
     }
 
@@ -848,11 +855,9 @@ final class GraftLakeWrite(
           .filter(not(pred <=> lit(true)))
           .write.mode("append").parquet(s"$lakeDir/$dataDir")
       }
-      // stats AFTER the survivor append so the sidecar covers every
-      // file in the published dir (new data and survivors alike)
-      val numericCols = GraftLakeDataSource.numericCols(tableSchema)
-      if (numericCols.nonEmpty)
-        VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+      // sidecars AFTER the survivor append so they cover every file in
+      // the published dir (new data and survivors alike)
+      VersionedLake.indexStagedDir(spark, lakeDir, dataDir, tableSchema)
       if (touched.isEmpty)
         VersionedLake.publish(spark, lakeDir, dataDir, "append")
       else

@@ -32,7 +32,8 @@ import org.apache.hadoop.fs.Path
   * `VERSION AS OF` until vacuum, so `REPLACE TABLE` is itself
   * time-travelable history, not a destructive swap. */
 final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
-    stSchema: StructType, replace: Boolean, orCreate: Boolean)
+    stSchema: StructType, replace: Boolean, orCreate: Boolean,
+    bloomProp: Option[String] = None)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -88,10 +89,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           // write OR any later part of the DDL fails)
           override def commit(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.commit(msgs)
-            val numericCols = GraftLakeDataSource.numericCols(stSchema)
-            if (numericCols.nonEmpty)
-              VersionedLake.writeStatsFor(spark, lakeDir, dataDir,
-                numericCols)
+            VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
+              stSchema, bloomProp)
           }
           override def abort(msgs: Array[WriterCommitMessage]): Unit =
             innerBatch.abort(msgs)
@@ -139,6 +138,11 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
         observedTip)
       ()
     }
+    // persist the declared bloom-index policy so every LATER DML
+    // commit inherits it (this CTAS's own dir was indexed at write
+    // time via declaredBloom). AFTER the publish: a lost-race loser
+    // must not plant its policy in the winner's lake
+    bloomProp.foreach(c => VersionedLake.setBloomIndex(spark, lakeDir, c))
   }
 
   override def abortStagedChanges(): Unit = {

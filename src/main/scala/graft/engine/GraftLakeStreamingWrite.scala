@@ -116,9 +116,7 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
         throw new java.io.IOException(
           s"failed to move staged ${m.path} into $dataDir")
     }
-    val numericCols = GraftLakeDataSource.numericCols(schema)
-    if (numericCols.nonEmpty)
-      VersionedLake.writeStatsFor(spark, lakeDir, dataDir, numericCols)
+    VersionedLake.indexStagedDir(spark, lakeDir, dataDir, schema)
     VersionedLake.publish(spark, lakeDir, dataDir, mode)
     val out = f.create(marker, true)
     out.close()

@@ -1743,6 +1743,52 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("op"))
+    },
+
+    QuerySpec(
+      "q200_sql_bloom_parity",
+      """SELECT 'u7' AS skey, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id = 7""".stripMargin) { (s, dir) =>
+      // Index parity between the two write paths: a CTAS declaring
+      // `TBLPROPERTIES ('bloom' = 'skey')` persists the policy, every
+      // SQL INSERT writes a per-file bloom sidecar over the string key
+      // — so a point lookup through plain `spark.read` prunes files on
+      // SQL-populated data exactly like on library commitWithBloom
+      // data (the require pins filesRead < filesTotal; before the
+      // policy, a string equality scanned every file of DML-written
+      // lakes). The aggregate over the probe is hash-checked against
+      // the raw-events oracle — a bloom that wrongly SKIPPED a
+      // matching file would lose rows and break the hash.
+      val lake = s"$scratchRoot/bloomp_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q200",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q200.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(concat(lit("u"), col("user_id").cast("string")).as("skey"),
+          col("event_id"), col("user_id"), col("value"))
+        .createOrReplaceTempView("ev_q200")
+      s.sql(s"""CREATE TABLE glake_q200.`$name`
+               |TBLPROPERTIES ('bloom' = 'skey') AS
+               |SELECT * FROM ev_q200 WHERE user_id < 100""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q200.`$name`
+               |SELECT * FROM ev_q200
+               |WHERE user_id >= 100 AND user_id < 200""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q200.`$name`
+               |SELECT * FROM ev_q200
+               |WHERE user_id >= 200 AND user_id < 300""".stripMargin)
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      val probe = s.read.format("graftlake").load(lake)
+        .filter(col("skey") === "u7")
+      require(GraftLakeDataSource.filesRead(probe) < total,
+        s"SQL-written data must bloom-prune the point lookup " +
+          s"(read ${GraftLakeDataSource.filesRead(probe)} of $total)")
+      probe.agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(lit("u7").as("skey"), col("n"), col("total_value"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -761,6 +761,68 @@ object VersionedLake {
     publish(spark, dir, dataDir, mode, layoutOnly)
   }
 
+  // ---- declared index policy (SQL-writer parity) -----------------------
+  //
+  // Library writers choose their sidecars per commit (commitWithStats /
+  // commitWithBloom / commitIndexed). SQL and streaming writers have no
+  // such call site, so without a DECLARED policy their data would get
+  // numeric range stats only — a `WHERE key = 'x'` point lookup on
+  // SQL-inserted data scanned every file while library-indexed data
+  // pruned. A lake-level `_index` file (set by the `bloom` table
+  // property at CREATE, or [[setBloomIndex]]) names the bloom-indexed
+  // column; every SQL/streaming commit path honors it.
+
+  /** Declare `c` as the lake's bloom-indexed column: every subsequent
+    * SQL/streaming commit writes a per-file bloom sidecar over it
+    * ([[indexStagedDir]]), so point lookups prune on DML-written data
+    * exactly like on [[commitWithBloom]] data. Existing data dirs are
+    * not back-indexed (run [[compactVersions]] with `bloomCol` to
+    * index history). */
+  def setBloomIndex(spark: SparkSession, dir: String, c: String): Unit = {
+    val out = fs(spark, dir).create(new Path(s"$dir/_index"), true)
+    try out.write(s"bloom\t$c".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The declared bloom-index column, if any. One small file read —
+    * malformed or missing degrades to None (no bloom, never an error). */
+  def bloomIndexCol(spark: SparkSession, dir: String): Option[String] = {
+    val p = new Path(s"$dir/_index")
+    val f = fs(spark, dir)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+        lines.map(_.split('\t')).collectFirst {
+          case Array("bloom", c) if c.nonEmpty => c
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Sidecar indexing for a freshly-staged SQL/streaming commit dir:
+    * min/max range stats for every numeric column (SQL writers have no
+    * commitWithStats to opt into, so everything range-skippable is
+    * indexed by default) PLUS a bloom over the lake's declared index
+    * column when present and in this write's schema — the write-path
+    * parity that keeps DML-written and library-written data equally
+    * prunable. Stats lift from footers (metadata read per file); the
+    * bloom is one narrow read-back aggregation of the staged files. */
+  private[engine] def indexStagedDir(spark: SparkSession, dir: String,
+      dataDir: String, schema: org.apache.spark.sql.types.StructType,
+      declaredBloom: Option[String] = None): Unit = {
+    val numericCols = GraftLakeDataSource.numericCols(schema)
+    if (numericCols.nonEmpty) writeStatsFor(spark, dir, dataDir, numericCols)
+    // declaredBloom covers staged CTAS, whose `_index` file only lands
+    // at commitStagedChanges (an aborted CTAS must leave nothing)
+    declaredBloom.orElse(bloomIndexCol(spark, dir))
+      .filter(schema.fieldNames.contains)
+      .foreach(c => writeBloomFor(spark, dir, dataDir, c))
+  }
+
   /** Footer-stats pass for one data dir (shared by [[commitWithStats]],
     * [[deleteRange]]'s rewrite, and the DSv2 DML commit — the stats are
     * LIFTED from the parquet footers the write already produced, so
@@ -1186,9 +1248,19 @@ object VersionedLake {
       .groupBy(col("f"))
       .agg(sort_array(collect_set(col("p"))).as("ps"))
       .collect() // bounded: one row per file, ≤ m positions each
-    val lines = pos.toSeq
-      .map(r => new Path(r.getString(0)).getName ->
-        r.getSeq[Int](1))
+    val f = fs(spark, dir)
+    val withKeys = pos.toSeq
+      .map(r => new Path(r.getString(0)).getName -> r.getSeq[Int](1))
+    // part files that contributed NO positions (zero rows, or all-null
+    // keys) get an explicit all-zero bitmap: they can never satisfy a
+    // point probe and must prune, where a MISSING line would admit
+    // them forever — the analogue of writeStatsFor's explicit empty
+    // range for zero-row files
+    val covered = withKeys.map(_._1).toSet
+    val keyless = f.listStatus(new Path(s"$dir/$dataDir")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .filterNot(covered).map(_ -> Seq.empty[Int])
+    val lines = (withKeys ++ keyless)
       .sortBy(_._1)
       .map { case (name, ps) =>
         val bits = new java.util.BitSet(BloomBits)
@@ -1202,7 +1274,6 @@ object VersionedLake {
         val hex = full.map("%02x".format(_)).mkString
         s"$name\t$keyCol\t$hex"
       }
-    val f = fs(spark, dir)
     val out = f.create(new Path(s"$dir/_bloom/$dataDir.bloom"), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()

@@ -242,6 +242,41 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("the bloom table property gives SQL-written data point-lookup " +
+      "parity: INSERT/CTAS dirs carry bloom sidecars and a string " +
+      "equality through plain spark.read prunes files") {
+    val root = tempDir("glsrc-bloomprop")
+    val cat = "glbp"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.range(0, 300).toDF("id")
+      .selectExpr("concat('k', id) AS tag", "id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("glbp_src")
+    spark.sql(s"CREATE TABLE $cat.b TBLPROPERTIES ('bloom' = 'tag') AS " +
+      "SELECT * FROM glbp_src WHERE id < 100")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM glbp_src " +
+      "WHERE id >= 100 AND id < 200")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM glbp_src WHERE id >= 200")
+    val dir = s"$root/b"
+    assert(VersionedLake.bloomIndexCol(spark, dir).contains("tag"),
+      "the CTAS must persist the declared bloom policy")
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    val probe = spark.read.format("graftlake").load(dir)
+      .filter(col("tag") === "k250")
+    assert(GraftLakeDataSource.filesRead(probe) < total,
+      s"string point lookup on SQL-written data must prune ($total files)")
+    assert(probe.collect().map(_.getLong(1)).toSeq == Seq(250L))
+    // the COW path inherits the policy too: UPDATE rewrites a dir and
+    // the rewritten dir still prunes point lookups
+    spark.sql(s"UPDATE $cat.b SET v = v + 0.5 WHERE tag = 'k250'")
+    val probe2 = spark.read.format("graftlake").load(dir)
+      .filter(col("tag") === "k150")
+    assert(GraftLakeDataSource.filesRead(probe2) <
+      VersionedLake.readLatest(spark, dir).inputFiles.length)
+    assert(probe2.collect().map(_.getLong(1)).toSeq == Seq(150L))
+  }
+
   test("count/min/max through the V2 path push down to parquet " +
       "metadata (inherited aggregate pushdown)") {
     import spark.implicits._
@@ -489,6 +524,39 @@ class GraftLakeSourceSpec extends AnyFunSuite {
         snap, "d-stale-cow2", snap)
     }
     assert(e2.getMessage.contains("appended by a concurrent commit"))
+  }
+
+  test("COW group filtering picks the most selective indexed attribute " +
+      "by sidecar ranges — not the first declared column") {
+    val root = tempDir("glsrc-cowsel")
+    val dir = s"$root/lake"
+    val cat = "glcs"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // column `a` (declared FIRST) is unclustered: every dir spans its
+    // whole 0..6 domain; column `b` (second) is clustered: disjoint
+    // 100-wide bands per dir. A first-declared chooser would filter
+    // groups on `a`, admit every dir, and rewrite the whole lake.
+    def band(i: Int) = spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+      .selectExpr("CAST(id % 7 AS BIGINT) AS a", "id AS b",
+        "CAST(1.0 AS DOUBLE) AS v")
+    (0 to 2).foreach(i =>
+      VersionedLake.commitIndexed(band(i), dir, Seq("a", "b"), None))
+    val before = VersionedLake.manifestEntries(spark, dir, 3)
+    spark.range(0L, 10L).toDF("b")
+      .createOrReplaceTempView("glcs_src")
+    spark.sql(s"""MERGE INTO $cat.lake AS t USING glcs_src AS s
+                 |ON t.b = s.b
+                 |WHEN MATCHED THEN UPDATE SET v = 2.0""".stripMargin)
+    val after = VersionedLake.manifestEntries(spark, dir, 4)
+    assert(before.count(after.contains) == 2,
+      s"the two untouched band dirs must carry by reference; " +
+        s"before=$before after=$after")
+    // correctness of the rewrite itself
+    val rows = VersionedLake.readLatest(spark, dir)
+    assert(rows.count() == 300)
+    assert(rows.filter(col("v") === 2.0).count() == 10)
   }
 
   test("TIMESTAMP AS OF resolves to the newest version published at " +
