@@ -124,8 +124,11 @@ object Bench {
       // stable key order, one query per line — making round-over-round
       // per-query diffs possible from git history alone.
       try {
+        // a SUBSET run (BENCH_ONLY) defaults to its own file: the
+        // committed bench_last.json is the FULL suite's artifact, and
+        // a quick single-query reproduction must not clobber it
         val file = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          "bench_last.json")
+          if (only.isDefined) "bench_subset.json" else "bench_last.json")
         val body = names.flatMap(n => results.get(n)
           .map(v => "  \"" + n + "\": " + v)).mkString(",\n")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(file),

@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[engine] object GraftLakeProcedures {
 
   private val names =
-    Seq("history", "vacuum", "compact", "zorder", "optimize")
+    Seq("history", "vacuum", "compact", "zorder", "optimize", "set_index")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
@@ -60,12 +60,17 @@ private[engine] object GraftLakeProcedures {
           StructField("version", IntegerType, nullable = false),
           StructField("published_at", TimestampType, nullable = false),
           StructField("data_dirs", IntegerType, nullable = false),
-          StructField("is_tip", BooleanType, nullable = false)))) {
+          StructField("is_tip", BooleanType, nullable = false),
+          // layout-only (dataChange=false) commits — what streams and
+          // changes() skip; lets an operator see at a glance which
+          // versions carry data and which are maintenance rewrites
+          StructField("layout_only", BooleanType, nullable = false)))) {
         (spark, in) =>
           val dir = dirOf(in.getUTF8String(0).toString)
           val h = VersionedLake.history(spark, dir)
           h.map { case (v, tsMillis, nDirs) =>
-            row(v, tsMillis * 1000L, nDirs, v == h.last._1)
+            row(v, tsMillis * 1000L, nDirs, v == h.last._1,
+              VersionedLake.isLayoutOnly(spark, dir, v))
           }.toArray
       }
 
@@ -132,6 +137,23 @@ private[engine] object GraftLakeProcedures {
             stats, bloom)
           val h = VersionedLake.history(spark, dir)
           Array(row(v.map(Int.box).orNull, h.last._3))
+      }
+
+      case "set_index" => proc("set_index",
+        Array(tableParam,
+          ProcedureParameter.in("bloom_col", StringType)
+            .comment("string/numeric column every subsequent commit " +
+              "(SQL, streaming, DML) bloom-indexes for point-lookup " +
+              "pruning; existing dirs are back-indexed by the next " +
+              "CALL compact with the same column").build()),
+        StructType(Seq(
+          StructField("bloom_col", StringType, nullable = false)))) {
+        (spark, in) =>
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val c = in.getUTF8String(1).toString.trim
+          require(c.nonEmpty, "bloom_col must be non-empty")
+          VersionedLake.setBloomIndex(spark, dir, c)
+          Array(row(c))
       }
 
       case "zorder" => proc("zorder",

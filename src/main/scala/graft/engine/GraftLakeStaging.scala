@@ -149,6 +149,15 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     val f = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new Path(s"$lakeDir/$dataDir"), true)
+    // sidecars were written at write-commit time (before the DDL could
+    // fail); without this they would orphan — vacuum only sweeps
+    // sidecars together with their data dir, which is already gone
+    f.delete(new Path(s"$lakeDir/_stats/$dataDir.stats"), false)
+    f.delete(new Path(s"$lakeDir/_bloom/$dataDir.bloom"), false)
+    Seq("_stats", "_bloom").foreach { d =>
+      val p = new Path(s"$lakeDir/$d")
+      if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, false)
+    }
     // a CREATE that never published may have left only the empty lake
     // root behind — remove it too so tableExists stays false
     if (!replace && VersionedLake.versions(spark, lakeDir).isEmpty &&

@@ -960,12 +960,12 @@ object VersionedLake {
     * conservatively rewritten. The rewrite lands as ONE new stats-
     * carrying data dir and the next manifest references
     * untouched ∪ rewrite — published through the same CAS as every
-    * commit. Like [[compactVersions]], a delete is a single-logical-
-    * writer maintenance op: a concurrent APPEND that wins the CAS race
-    * is re-read and carried forward by the retry, but two concurrent
-    * DELETES may resurrect each other's rows. Returns the new version,
-    * or the current one if nothing intersects (no-op, no new version).
-    */
+    * commit, CONFLICT-CHECKED: a concurrent APPEND that wins the CAS
+    * race is re-read and carried forward by the retry, while a
+    * concurrent rewrite of a touched dir (another delete, a
+    * compaction) fails the publish loudly instead of resurrecting its
+    * removed rows. Returns the new version, or the current one if
+    * nothing intersects (no-op, no new version). */
   /** Of `dirs`, those the stats sidecars CANNOT clear of [lo, hi] on
     * `c` — conservative: a dir with no stats, a file with no recorded
     * range, or an empty dir all count as intersecting. Driver-side
@@ -1019,7 +1019,13 @@ object VersionedLake {
         val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
         survivors.write.parquet(s"$dir/$dataDir")
         writeStatsFor(spark, dir, dataDir, statsCols)
-        publishReplacing(spark, dir, touched.toSet, dataDir)
+        // checked: a concurrent rewrite of a touched dir (another
+        // delete, a compaction) is refused loudly — publishing would
+        // resurrect its removed rows, since they are baked into this
+        // survivor set. Concurrent APPENDS still absorb via the CAS
+        // retry (they are not in `dropped`).
+        publishReplacing(spark, dir, touched.toSet, dataDir,
+          checked = true)
       }
     }
   }
@@ -1064,7 +1070,10 @@ object VersionedLake {
     survivors.unionByName(replacement, allowMissingColumns = true)
       .write.parquet(s"$dir/$dataDir")
     writeStatsFor(spark, dir, dataDir, statsCols)
-    publishReplacing(spark, dir, touched.toSet, dataDir)
+    // checked for the same reason as deleteRange: survivors of the
+    // touched dirs are baked into the new dir, so a concurrent rewrite
+    // of one of them must fail the publish, not resurrect rows
+    publishReplacing(spark, dir, touched.toSet, dataDir, checked = true)
   }
 
   /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite
@@ -1100,6 +1109,13 @@ object VersionedLake {
       snapshot: Set[String]): Int =
     publishReplacing(spark, dir, dropped, added, checked = true,
       snapshot = Some(snapshot))
+
+  /** Test seam: [[deleteRange]]'s publish step with an externally-
+    * staged survivor dir — lets a spec interleave a competing rewrite
+    * between the scan and the publish to pin the conflict refusal. */
+  private[graft] def deleteRangePublishForTest(spark: SparkSession,
+      dir: String, dropped: Set[String], added: String): Int =
+    publishReplacing(spark, dir, dropped, added, checked = true)
 
   private def publishReplacing(spark: SparkSession, dir: String,
       dropped: Set[String], added: String,

@@ -596,6 +596,13 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     val hist = spark.sql("CALL glake_proc.history('t')").collect()
     assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2))
     assert(hist.map(_.getBoolean(3)).toSeq == Seq(false, true))
+    assert(hist.map(_.getBoolean(4)).toSeq == Seq(false, false),
+      "plain appends are not layout-only")
+    // set_index: declare the bloom policy from SQL; the next INSERT's
+    // dir carries a bloom sidecar (write-path parity, q200 shape)
+    assert(spark.sql("CALL glake_proc.set_index('t', 'id')")
+      .head().getString(0) == "id")
+    assert(VersionedLake.bloomIndexCol(spark, dir).contains("id"))
     // compact with a stats index: one live dir, data intact, new version
     val cv = spark.sql("CALL glake_proc.compact('t', 'snappy', 'id')")
       .head().getInt(0)

@@ -218,6 +218,34 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(VersionedLake.changes(spark, dir, 3, v4).count() == 1)
   }
 
+  test("racing deletes refuse instead of resurrecting each other's " +
+      "rows: a touched dir rewritten between scan and publish fails " +
+      "the publish loudly") {
+    import spark.implicits._
+    val dir = tempDir("vlake-del-race") + "/lake"
+    VersionedLake.commitWithStats(
+      spark.range(0, 100).toDF("id"), dir, Seq("id"))
+    // delete A removes [10, 19]; before it can publish, delete B (a
+    // full-speed competitor) removes [50, 59] — rewriting the SAME dir
+    // A scanned. A's survivor set still contains 50..59: publishing it
+    // would resurrect B's deletion. Simulate the interleave by running
+    // B inside A's window: scan A's inputs first, then B commits.
+    val touched = VersionedLake.manifestEntries(spark, dir, 1)
+    val survivorsOfA = VersionedLake.readLatest(spark, dir)
+      .filter(!(col("id") >= 10 && col("id") <= 19))
+    survivorsOfA.write.parquet(s"$dir/d-race-a")
+    VersionedLake.deleteRange(spark, dir, "id", 50, 59, Seq("id")) // B wins
+    val e = intercept[java.util.ConcurrentModificationException](
+      // A's publish attempt with its stale touched set
+      VersionedLake.deleteRangePublishForTest(spark, dir,
+        touched.toSet, "d-race-a"))
+    assert(e.getMessage.contains("copy-on-write conflict"), e.getMessage)
+    // B's delete survives; A's rows are NOT resurrected
+    val ids0 = VersionedLake.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids0 == ((0L until 50L) ++ (60L until 100L)))
+  }
+
   test("tip resolution: the hint-checkpointed tip equals the listed " +
       "tip under publishes, hint loss, torn/stale hints, and vacuum") {
     import spark.implicits._
