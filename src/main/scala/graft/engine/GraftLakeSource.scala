@@ -101,6 +101,15 @@ object GraftLakeDataSource {
     * (inclusive; default 1 = the full history as the initial batches). */
   val StartingVersion = "startingVersion"
 
+  /** readStream option (Delta's idiom): start from the first version
+    * published AT or AFTER this wall-clock instant — accepts epoch
+    * millis or `yyyy-MM-dd[ HH:mm:ss]`. Resolved ONCE at stream
+    * construction to a version ([[VersionedLake.versionAt]] mtime
+    * clock); mutually exclusive with `startingVersion`. A timestamp
+    * after the tip starts at tip+1 (only future commits deliver —
+    * Delta's semantics). */
+  val StartingTimestamp = "startingTimestamp"
+
   /** readStream admission-control options (Delta's rate-limiting idiom):
     * cap how much backlog one micro-batch admits. `maxVersionsPerTrigger`
     * bounds versions per batch; `maxFilesPerTrigger` bounds the ADDED
@@ -110,6 +119,14 @@ object GraftLakeDataSource {
     * available, the previous behavior. */
   val MaxVersionsPerTrigger = "maxVersionsPerTrigger"
   val MaxFilesPerTrigger = "maxFilesPerTrigger"
+
+  /** readStream option (Delta's idiom, same name): skip data-changing
+    * rewrite commits (COW MERGE/UPDATE/DELETE, overwrite, replaceWhere)
+    * instead of refusing the history — the whole commit is dropped,
+    * appends before and after still deliver. For consumers that
+    * tolerate missing updates/deletes (append-only downstream tables);
+    * layout-only compaction commits are always skipped regardless. */
+  val SkipChangeCommits = "skipChangeCommits"
 
   /** Columns the DML paths auto-index (stats sidecars lifted from the
     * parquet footers): every top-level numeric field — SQL writers
@@ -892,10 +909,28 @@ final class GraftLakeScanBuilder(spark: SparkSession,
     Seq(GraftLakeDataSource.MaxVersionsPerTrigger,
         GraftLakeDataSource.MaxFilesPerTrigger).foreach(k =>
       intOpt(k).foreach(n => require(n > 0, s"$k must be positive, got $n")))
+    val fromTs = Option(
+      options.get(GraftLakeDataSource.StartingTimestamp)).map { raw =>
+      require(intOpt(GraftLakeDataSource.StartingVersion).isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      val s = raw.trim
+      val tsMillis = s.toLongOption.getOrElse {
+        val fmt = if (s.length <= 10) s + " 00:00:00" else s
+        java.sql.Timestamp.valueOf(fmt).getTime
+      }
+      // first version published AT/AFTER the instant: one past the
+      // newest version published BEFORE it (none before → from v1;
+      // instant past the tip → tip+1, only future commits deliver)
+      VersionedLake.versionAt(spark, lakeDir, tsMillis - 1)
+        .map(_ + 1).getOrElse(1)
+    }
     new GraftLakeParquetScan(super.build(), lakeDir,
-      intOpt(GraftLakeDataSource.StartingVersion).getOrElse(1),
+      fromTs.orElse(intOpt(GraftLakeDataSource.StartingVersion))
+        .getOrElse(1),
       intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
-      intOpt(GraftLakeDataSource.MaxFilesPerTrigger))
+      intOpt(GraftLakeDataSource.MaxFilesPerTrigger),
+      Option(options.get(GraftLakeDataSource.SkipChangeCommits))
+        .exists(_.trim.equalsIgnoreCase("true")))
   }
 }
 
@@ -906,7 +941,8 @@ final class GraftLakeParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     lakeDir: String, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    skipChangeCommits: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -917,7 +953,7 @@ final class GraftLakeParquetScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLakeMicroBatchStream(this, lakeDir, startingVersion,
-      maxVersionsPerTrigger, maxFilesPerTrigger)
+      maxVersionsPerTrigger, maxFilesPerTrigger, skipChangeCommits)
 
   /** Runtime (join-driven) file pruning — dynamic partition pruning's
     * V2 hook, answered from the SAME sidecars as static pushdown: when
@@ -1018,7 +1054,8 @@ final case class GraftLakeOffset(v: Int)
 final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     lakeDir: String, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    skipChangeCommits: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
@@ -1078,17 +1115,19 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
   private def addedFileCount(v: Int): Int = synchronized {
     addedFilesMemo.getOrElseUpdate(v, {
       // layout-only commits deliver nothing (planInputPartitions skips
-      // them), so they weigh nothing against the admission cap
-      if (VersionedLake.isLayoutOnly(spark, lakeDir, v)) 0
+      // them), so they weigh nothing against the admission cap; under
+      // skipChangeCommits the same holds for data-changing rewrites
+      val prev: Set[String] =
+        if (v <= 1) Set.empty
+        else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
+      val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
+      val skipped = VersionedLake.isLayoutOnly(spark, lakeDir, v) ||
+        (skipChangeCommits && prev.exists(d => !cur.contains(d)))
+      if (skipped) 0
       else {
-        val prev: Set[String] =
-          if (v <= 1) Set.empty
-          else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
-        val added = VersionedLake.liveDataDirs(spark, lakeDir, v)
-          .filterNot(prev)
         val f = new Path(lakeDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        added.map(d => f.listStatus(new Path(d))
+        cur.filterNot(prev).map(d => f.listStatus(new Path(d))
           .count(_.getPath.getName.endsWith(".parquet"))).sum
       }
     })
@@ -1158,13 +1197,23 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       if (VersionedLake.isLayoutOnly(spark, lakeDir, v)) {
         // row-preserving: nothing to deliver; pending dirs the rewrite
         // replaced keep being read from their original files
+      } else if (removed.nonEmpty && skipChangeCommits) {
+        // Delta's skipChangeCommits: the data-changing rewrite commit
+        // is dropped WHOLE — its replacement dirs mix rewritten old
+        // rows with any rows the DML inserted, so delivering them
+        // would duplicate; the consumer opted into missing updates.
+        // Dirs it rewrote leave the pending set too: their rows are
+        // superseded, and the files may be vacuumed.
+        removed.foreach(pending -= _)
       } else {
         require(removed.isEmpty,
           s"streaming read of $lakeDir requires append-only history " +
             s"(layout-only compaction commits are skipped), but " +
             s"version $v dropped data dirs with data change " +
-            s"(overwrite/DML/delete) — restart from a fresh " +
-            "checkpoint to reprocess the rewritten snapshot")
+            s"(overwrite/DML/delete) — restart from a fresh checkpoint " +
+            s"to reprocess the rewritten snapshot, or set " +
+            s"${GraftLakeDataSource.SkipChangeCommits}=true to skip " +
+            "data-changing rewrite commits (appends-only consumption)")
         cur.filterNot(prev).foreach(pending += _)
       }
       prev = cur.toSet

@@ -1789,6 +1789,62 @@ object IngestQueries {
       probe.agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .select(lit("u7").as("skey"), col("n"), col("total_value"))
+    },
+
+    QuerySpec(
+      "q201_stream_skip_changes",
+      """WITH t AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE user_id >= 0 AND user_id < 100
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE user_id >= 100 AND user_id < 200)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // skipChangeCommits (Delta's option, same semantics): an
+      // appends-only consumer keeps streaming a lake that a COW DELETE
+      // mutates mid-history — the data-changing rewrite commit is
+      // dropped WHOLE (no re-delivery of rewritten rows, no delivery
+      // of the replacement dir), appends before and after deliver
+      // exactly once. The oracle is the two appended slices untouched:
+      // a stream that leaked the rewrite (double rows) or lost the
+      // post-delete append breaks the hash. Without the option the
+      // same history refuses (pinned by spec); this is the documented
+      // middle ground between full reprocess and full CDF.
+      val root = s"$scratchRoot/skipchg_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val lake = s"$root/lake"
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake")
+          .option(GraftLakeDataSource.SkipChangeCommits, "true").load(lake)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp")
+          .format("parquet").option("path", s"$root/sink")
+          .start()
+        q.awaitTermination()
+      }
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 0 && col("user_id") < 100), lake,
+        Seq("user_id"))
+      drain() // slice 1 delivered
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 100 && col("user_id") < 200), lake,
+        Seq("user_id")) // pending
+      // COW DELETE rewrites slice 1's dir (stats confine it there)
+      VersionedLake.deleteRange(s, lake, "user_id", 0, 49, Seq("user_id"))
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "the delete must land as one rewrite commit")
+      drain() // resumes: slice 2 delivers, the rewrite commit is dropped
+      s.read.parquet(s"$root/sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

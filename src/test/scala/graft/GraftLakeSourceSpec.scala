@@ -277,6 +277,56 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(probe2.collect().map(_.getLong(1)).toSeq == Seq(150L))
   }
 
+  test("skipChangeCommits streams across data-changing rewrites: the " +
+      "rewrite commit is dropped whole, appends before and after " +
+      "deliver exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glsrc-skipchg")
+    val dir = s"$root/lake"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option(GraftLakeDataSource.SkipChangeCommits, "true").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp")
+        .format("parquet").option("path", s"$root/sink")
+        .start()
+      q.awaitTermination()
+    }
+    def ids(): Seq[Long] = spark.read.parquet(s"$root/sink")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    VersionedLake.commitWithStats(spark.range(0, 10).toDF("id"), dir,
+      Seq("id"))
+    drain()
+    assert(ids() == (0L until 10L))
+    // a pending append, then a DELETE rewrites the first dir (data
+    // change) — the rewrite commit must be dropped whole: neither the
+    // pending-superseding replacement nor a re-delivery of v1's rows
+    VersionedLake.commitWithStats(spark.range(100L, 110L).toDF("id"), dir,
+      Seq("id"))
+    VersionedLake.deleteRange(spark, dir, "id", 0, 4, Seq("id"))
+    VersionedLake.commit(spark.range(200L, 205L).toDF("id"), dir)
+    drain()
+    // v2's append delivered... unless the delete rewrote v2's dir too.
+    // deleteRange prunes by stats: [0,4] intersects only v1's dir, so
+    // v2's dir survives by reference and its rows DELIVER; v4 appends
+    // deliver; the deleted band is NOT retracted (the consumer opted
+    // into missing deletes).
+    assert(ids() == (0L until 10L) ++ (100L until 110L) ++
+      (200L until 205L),
+      s"got ${ids()}")
+    // without the option the same history still refuses
+    val q = spark.readStream.format("graftlake").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp2")
+      .format("parquet").option("path", s"$root/sink2")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(e.getMessage.contains("skipChangeCommits") ||
+      Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+  }
+
   test("count/min/max through the V2 path push down to parquet " +
       "metadata (inherited aggregate pushdown)") {
     import spark.implicits._
@@ -705,6 +755,50 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     // version 2 ADDED only the second commit's dir: ids 10..19
     assert(spark.read.parquet(s"$root/sink").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 20L))
+
+    // startingTimestamp resolves to the first version published at or
+    // after the instant (manifest mtime clock — same as TIMESTAMP AS OF)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2Mtime = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00002"))
+      .getModificationTime
+    val q2 = spark.readStream.format("graftlake")
+      .option(GraftLakeDataSource.StartingTimestamp, v2Mtime.toString)
+      .load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp_ts")
+      .format("parquet").option("path", s"$root/sink_ts")
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/sink_ts").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 20L))
+    // a timestamp past the tip delivers nothing yet (future-only)
+    val q3 = spark.readStream.format("graftlake")
+      .option(GraftLakeDataSource.StartingTimestamp,
+        (System.currentTimeMillis() + 3600000L).toString)
+      .load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp_fut")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.count() == 0, "future start must deliver nothing"); ()
+      }
+      .start()
+    q3.awaitTermination()
+    // both options together are refused
+    val e = intercept[Exception] {
+      spark.readStream.format("graftlake")
+        .option(GraftLakeDataSource.StartingVersion, 1)
+        .option(GraftLakeDataSource.StartingTimestamp, "0")
+        .load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp_both")
+        .format("noop").start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mutually exclusive")), e.toString)
   }
 
   /** Drain with foreachBatch, returning (batchId, rowCount) per
