@@ -78,9 +78,11 @@ final class GraftLakeDataSource
     val merged = new java.util.HashMap[String, String](
       options.asCaseSensitiveMap())
     merged.put("mergeSchema", "true")
+    val cdf = Option(options.get(GraftLakeDataSource.ReadChangeFeed))
+      .exists(_.trim.equalsIgnoreCase("true"))
     new GraftLakeTable(lakeDir, spark,
       new CaseInsensitiveStringMap(merged), Seq(lakeDir), schema, lakeDir,
-      version)
+      version, cdf)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -127,6 +129,24 @@ object GraftLakeDataSource {
     * tolerate missing updates/deletes (append-only downstream tables);
     * layout-only compaction commits are always skipped regardless. */
   val SkipChangeCommits = "skipChangeCommits"
+
+  /** readStream option (Delta's CDF idiom): deliver the lake as a
+    * CHANGE FEED — every row tagged with a `_change_type` column
+    * (insert | delete) so the stream survives data-changing rewrite
+    * commits instead of refusing them. Semantics are GROUP-level CDF:
+    * an append commit delivers its rows as `insert`; a COW MERGE/
+    * UPDATE/DELETE/overwrite commit delivers the PRE-IMAGE rows of its
+    * rewritten dirs as `delete` and the replacement dirs' rows as
+    * `insert` — survivor rows carried through the rewrite appear as a
+    * delete+insert PAIR that cancels exactly under signed aggregation
+    * (the MV-maintenance consumption shape; volume is the rewritten
+    * fraction, never the lake). Layout-only compaction commits deliver
+    * nothing. Streaming-only: batch diffs are `VersionedLake.changes`,
+    * which cancels carried pairs via the localized multiset diff. */
+  val ReadChangeFeed = "readChangeFeed"
+
+  /** The change-type column the CDF stream appends. */
+  val ChangeTypeCol = "_change_type"
 
   /** Columns the DML paths auto-index (stats sidecars lifted from the
     * parquet footers): every top-level numeric field — SQL writers
@@ -458,7 +478,8 @@ final class GraftLakeCatalog
   * protocol. */
 final class GraftLakeTable(tableName: String, spark: SparkSession,
     options: CaseInsensitiveStringMap, paths: Seq[String],
-    userSpecifiedSchema: Option[StructType], lakeDir: String, version: Int)
+    userSpecifiedSchema: Option[StructType], lakeDir: String, version: Int,
+    cdf: Boolean = false)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -483,11 +504,32 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new CaseInsensitiveStringMap(m)
   }
 
+  /** The CDF column, appended LAST so positional consumers of the base
+    * schema are unaffected. Nullable=false in spirit (the stream always
+    * fills it), but declared nullable because the underlying parquet
+    * files do not carry it — the reader materializes it as null and
+    * the per-partition projection overwrites it with the op constant. */
+  private def widen(s: StructType): StructType =
+    // idempotent: getTable receives inferSchema's output (already
+    // widened) as the user-specified schema — widening again would
+    // plant a duplicate column
+    if (!cdf || s.fieldNames.contains(GraftLakeDataSource.ChangeTypeCol)) s
+    else StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+      GraftLakeDataSource.ChangeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = true))
+
   override def name(): String = tableName
-  override def schema(): StructType = delegate.schema
+  override def schema(): StructType = widen(delegate.schema)
   override def columns()
       : Array[org.apache.spark.sql.connector.catalog.Column] =
-    delegate.columns()
+    // same idempotence as widen(): the delegate may already carry the
+    // CDF column via the round-tripped user-specified schema
+    if (!cdf || delegate.schema.fieldNames.contains(
+        GraftLakeDataSource.ChangeTypeCol)) delegate.columns()
+    else delegate.columns() :+
+      org.apache.spark.sql.connector.catalog.Column.create(
+        GraftLakeDataSource.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, true)
   private[engine] def dataSchema: StructType = delegate.dataSchema
   private[engine] def formatName: String = delegate.formatName
   private[engine] def supportsDataType(
@@ -505,8 +547,11 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+    // cdf: _change_type rides in BOTH schemas so the builder treats it
+    // as a (files-absent → null) data column; the stream's reader
+    // factory overwrites it with each partition's op constant
     new GraftLakeScanBuilder(spark, delegate.fileIndex, schema(),
-      delegate.dataSchema, merged(options), lakeDir)
+      widen(delegate.dataSchema), merged(options), lakeDir, cdf)
 
   /** Batch writes go through the SAME commit protocol as the library:
     * tasks stage parquet into a fresh `d-*` dir via Spark's own
@@ -523,6 +568,7 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!cdf, "a readChangeFeed handle is read-only")
     val mergedInfo = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
       override def options(): CaseInsensitiveStringMap = merged(info.options())
       override def queryId(): String = info.queryId()
@@ -898,7 +944,7 @@ final class GraftLakeWrite(
 final class GraftLakeScanBuilder(spark: SparkSession,
     fileIndex: PartitioningAwareFileIndex, schema: StructType,
     dataSchema: StructType, options: CaseInsensitiveStringMap,
-    lakeDir: String)
+    lakeDir: String, cdf: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet
     .ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
 
@@ -924,13 +970,18 @@ final class GraftLakeScanBuilder(spark: SparkSession,
       VersionedLake.versionAt(spark, lakeDir, tsMillis - 1)
         .map(_ + 1).getOrElse(1)
     }
+    val skip = Option(options.get(GraftLakeDataSource.SkipChangeCommits))
+      .exists(_.trim.equalsIgnoreCase("true"))
+    require(!(cdf && skip),
+      s"${GraftLakeDataSource.ReadChangeFeed} delivers change commits " +
+        s"as tagged events; ${GraftLakeDataSource.SkipChangeCommits} " +
+        "drops them — pick one")
     new GraftLakeParquetScan(super.build(), lakeDir,
       fromTs.orElse(intOpt(GraftLakeDataSource.StartingVersion))
         .getOrElse(1),
       intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
       intOpt(GraftLakeDataSource.MaxFilesPerTrigger),
-      Option(options.get(GraftLakeDataSource.SkipChangeCommits))
-        .exists(_.trim.equalsIgnoreCase("true")))
+      skip, cdf)
   }
 }
 
@@ -942,7 +993,8 @@ final class GraftLakeParquetScan(
     lakeDir: String, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    cdf: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -953,7 +1005,17 @@ final class GraftLakeParquetScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLakeMicroBatchStream(this, lakeDir, startingVersion,
-      maxVersionsPerTrigger, maxFilesPerTrigger, skipChangeCommits)
+      maxVersionsPerTrigger, maxFilesPerTrigger, skipChangeCommits, cdf)
+
+  /** CDF is a STREAMING shape (versions as offsets, per-commit
+    * partitions); a batch `_change_type` read would silently be all
+    * null — refuse with the right tool's name instead. */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    require(!cdf,
+      s"${GraftLakeDataSource.ReadChangeFeed} is a readStream option; " +
+        "batch change feeds are VersionedLake.changes(fromV, toV)")
+    super.toBatch
+  }
 
   /** Runtime (join-driven) file pruning — dynamic partition pruning's
     * V2 hook, answered from the SAME sidecars as static pushdown: when
@@ -1055,7 +1117,8 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     lakeDir: String, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    cdf: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
@@ -1189,6 +1252,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       else VersionedLake.liveDataDirs(spark, lakeDir, from)
         .map(p => new Path(p).getName).toSet
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
+    val retracted = scala.collection.mutable.LinkedHashSet.empty[String]
     var v = from + 1
     while (v <= to) {
       val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
@@ -1205,35 +1269,121 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         // Dirs it rewrote leave the pending set too: their rows are
         // superseded, and the files may be vacuumed.
         removed.foreach(pending -= _)
+      } else if (removed.nonEmpty && cdf) {
+        // change feed: the rewrite's PRE-IMAGE dirs deliver as
+        // `delete`, its replacements as `insert` — survivor rows carry
+        // as a delete+insert pair that cancels under signed
+        // aggregation (group-level CDF; see ReadChangeFeed's doc)
+        removed.foreach(retracted += _)
+        cur.filterNot(prev).foreach(pending += _)
       } else {
         require(removed.isEmpty,
           s"streaming read of $lakeDir requires append-only history " +
             s"(layout-only compaction commits are skipped), but " +
             s"version $v dropped data dirs with data change " +
             s"(overwrite/DML/delete) — restart from a fresh checkpoint " +
-            s"to reprocess the rewritten snapshot, or set " +
+            s"to reprocess the rewritten snapshot, set " +
             s"${GraftLakeDataSource.SkipChangeCommits}=true to skip " +
-            "data-changing rewrite commits (appends-only consumption)")
+            s"data-changing rewrite commits, or consume with " +
+            s"${GraftLakeDataSource.ReadChangeFeed}=true for tagged " +
+            "change events")
         cur.filterNot(prev).foreach(pending += _)
       }
       prev = cur.toSet
       v += 1
     }
-    if (pending.isEmpty) Array.empty
-    else scan.copy(
-      fileIndex = new InMemoryFileIndex(spark,
-        pending.toSeq.map(d => new Path(s"$lakeDir/$d")), Map.empty, None),
-      partitionFilters = Nil, dataFilters = Nil)
-      .planInputPartitions()
+    def planDirs(dirs: Seq[String]): Seq[
+        org.apache.spark.sql.execution.datasources.FilePartition] =
+      if (dirs.isEmpty) Seq.empty
+      else scan.copy(
+        fileIndex = new InMemoryFileIndex(spark,
+          dirs.map(d => new Path(s"$lakeDir/$d")), Map.empty, None),
+        partitionFilters = Nil, dataFilters = Nil)
+        .planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp
+        }
+    if (!cdf) {
+      if (pending.isEmpty) Array.empty
+      else planDirs(pending.toSeq).toArray
+    } else {
+      // deletes first, then inserts; partitions REINDEXED so the RDD
+      // contract (index == array position) holds across the groups
+      val tagged =
+        planDirs(retracted.toSeq).map(_ -> "delete") ++
+          planDirs(pending.toSeq).map(_ -> "insert")
+      tagged.zipWithIndex.map { case ((fp, op), i) =>
+        GraftLakeCdfPartition(
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            i, fp.files), op): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    scan.createReaderFactory()
+    if (cdf)
+      new GraftLakeCdfReaderFactory(scan.createReaderFactory(),
+        scan.readSchema())
+    else scan.createReaderFactory()
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** A CDF micro-batch partition: the wrapped file partition plus the
+  * change type its rows deliver as. */
+private[engine] final case class GraftLakeCdfPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    op: String)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Reader factory for the change feed: runs the wrapped parquet ROW
+  * reader and overwrites the `_change_type` column (materialized as
+  * null by the files-absent schema-evolution path) with the
+  * partition's op constant via one bound projection. Row-based by
+  * construction — a CDF batch is the changed fraction, so the
+  * columnar path's throughput edge is not worth per-column batch
+  * rewriting. A consumer that pruned `_change_type` away gets the
+  * wrapped reader untouched. */
+private[engine] final class GraftLakeCdfReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    readSchema: StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition,
+    PartitionReader}
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftLakeCdfPartition]
+    val r = inner.createReader(cp.inner)
+    val idx = readSchema.fieldNames
+      .indexOf(GraftLakeDataSource.ChangeTypeCol)
+    if (idx < 0) r
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+        Literal, UnsafeProjection}
+      val proj = UnsafeProjection.create(
+        readSchema.fields.zipWithIndex.map { case (f, i) =>
+          if (i == idx)
+            Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(cp.op), f.dataType)
+          else BoundReference(i, f.dataType, f.nullable)
+        }.toSeq)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = proj(r.get())
+        override def close(): Unit = r.close()
+      }
+    }
+  }
 }
 
 /** Manifest-resolved file index with sidecar skipping. Listing cost is

@@ -1845,6 +1845,58 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q202_stream_cdf",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id >= 50 AND user_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Streaming change feed (`readChangeFeed` — Delta CDF's
+      // streaming shape): every micro-batch row is `_change_type`-
+      // tagged, so the stream survives COW rewrites as TAGGED EVENTS —
+      // a mid-history deleteRange delivers its rewritten band's
+      // pre-image as deletes and survivors as re-inserts (the
+      // cancelling-pair group-CDF semantics). Signed aggregation over
+      // the WHOLE feed must reconstruct the latest snapshot exactly:
+      // the oracle is the surviving rows recomputed from raw events,
+      // so a lost retraction, a double-delivered dir, or a mistagged
+      // batch each break the hash. This is the MV-maintenance
+      // consumption path, now streaming.
+      val root = s"$scratchRoot/cdf_stream_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val lake = s"$root/lake"
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake")
+          .option(GraftLakeDataSource.ReadChangeFeed, "true").load(lake)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp")
+          .format("parquet").option("path", s"$root/sink")
+          .start()
+        q.awaitTermination()
+      }
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 0 && col("user_id") < 100), lake,
+        Seq("user_id"))
+      drain() // band 1 delivered as inserts
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 100 && col("user_id") < 200), lake,
+        Seq("user_id"))
+      VersionedLake.deleteRange(s, lake, "user_id", 0, 49, Seq("user_id"))
+      drain() // band 2 inserts + band 1's delete/re-insert pairs
+      val sign = when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))
+      s.read.parquet(s"$root/sink")
+        .groupBy(col("event_type"))
+        .agg(sum(sign).as("n"),
+          round(sum(sign * col("value")), 2).as("total_value"))
+        .filter(col("n") =!= 0)
+        .orderBy(col("event_type"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

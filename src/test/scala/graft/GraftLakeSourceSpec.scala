@@ -277,6 +277,66 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(probe2.collect().map(_.getLong(1)).toSeq == Seq(150L))
   }
 
+  test("readChangeFeed streams op-tagged events across COW rewrites: " +
+      "signed aggregation reconstructs every snapshot exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glsrc-cdf")
+    val dir = s"$root/lake"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option(GraftLakeDataSource.ReadChangeFeed, "true").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp")
+        .format("parquet").option("path", s"$root/sink")
+        .start()
+      q.awaitTermination()
+    }
+    VersionedLake.commitWithStats(spark.range(0, 100).toDF("id"), dir,
+      Seq("id"))
+    VersionedLake.commitWithStats(spark.range(1000, 1100).toDF("id"), dir,
+      Seq("id"))
+    drain()
+    val sink0 = spark.read.parquet(s"$root/sink")
+    assert(sink0.columns.contains("_change_type"))
+    assert(sink0.filter(col("_change_type") =!= "insert").count() == 0,
+      "append-only history is all inserts")
+    assert(sink0.count() == 200)
+    // a stats-pruned DELETE rewrites only the low band; the feed must
+    // deliver that band's pre-image as delete and its survivors as
+    // insert — the untouched high band contributes nothing
+    VersionedLake.deleteRange(spark, dir, "id", 10, 19, Seq("id"))
+    // a layout-only compaction mid-feed contributes nothing either
+    assert(VersionedLake.compactSmall(spark, dir, Long.MaxValue).isDefined)
+    VersionedLake.commit(spark.range(5000, 5010).toDF("id"), dir)
+    drain()
+    val events = spark.read.parquet(s"$root/sink")
+      .groupBy(col("id"), col("_change_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the delete batch: 100 pre-image deletes, 90 survivor re-inserts
+    // (the cancelling pair shape), plus the later append's 10 inserts
+    val signed = events.groupBy(_._1).view.mapValues(_.map {
+      case (_, "insert", n) => n
+      case (_, "delete", n) => -n
+      case other => fail(s"unexpected op $other")
+    }.sum).toMap
+    val latest = VersionedLake.readLatest(spark, dir)
+      .select("id").as[Long].collect().toSet
+    // signed-consistency: net multiplicity per id == membership in the
+    // latest snapshot (1 present, 0 deleted), for every id ever seen
+    signed.foreach { case (id, net) =>
+      assert(net == (if (latest(id)) 1L else 0L),
+        s"id $id net=$net latest=${latest(id)}")
+    }
+    assert(signed.keySet ==
+      ((0L until 100L) ++ (1000L until 1100L) ++
+        (5000L until 5010L)).toSet)
+    // high band rows were never re-delivered (no cancel pairs for the
+    // untouched dir): each appears exactly once, as one insert
+    assert((1000L until 1100L).forall(id =>
+      events.count(_._1 == id) == 1))
+  }
+
   test("skipChangeCommits streams across data-changing rewrites: the " +
       "rewrite commit is dropped whole, appends before and after " +
       "deliver exactly once") {
