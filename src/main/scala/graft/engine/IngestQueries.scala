@@ -1897,6 +1897,73 @@ object IngestQueries {
           round(sum(sign * col("value")), 2).as("total_value"))
         .filter(col("n") =!= 0)
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "q203_stream_mv",
+      """SELECT CAST(user_id % 7 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(TRUNC(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total
+        |FROM events
+        |WHERE user_id >= 50 AND user_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Streaming materialized-view maintenance over the CHANGE FEED —
+      // the end-to-end incremental pipeline a 100 TB lake runs
+      // continuously: `readChangeFeed` stream → foreachBatch applies
+      // each micro-batch as SIGNED deltas into a versioned MV lake
+      // (per-batch `commitTagged` = exactly-once under replay), across
+      // a mid-stream COW deleteRange. The final view must equal a
+      // from-scratch aggregate of the source's latest snapshot — the
+      // oracle recomputes it closed-form from raw events, so a
+      // double-applied batch, a lost retraction, or a group that
+      // failed to leave at n=0 each break the hash. Values aggregate
+      // as value*100 LONGS: signed replay must be EXACT, and integer
+      // deltas make cancellation exact by construction.
+      val root = s"$scratchRoot/smv_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val lake = s"$root/lake"
+      val mv = s"$root/mv"
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") * 100).cast("long").as("cents"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake")
+          .option(GraftLakeDataSource.ReadChangeFeed, "true").load(lake)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              id: Long) =>
+            val sign = when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L))
+            val delta = batch
+              .groupBy(pmod(col("user_id"), lit(7L)).as("bucket"))
+              .agg(sum(sign).as("n"), sum(sign * col("cents")).as("total"))
+            val merged =
+              if (VersionedLake.versions(s, mv).isEmpty) delta
+              else VersionedLake.readLatest(s, mv).unionByName(delta)
+                .groupBy(col("bucket"))
+                .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+            VersionedLake.commitTagged(merged.filter(col("n") =!= 0),
+              mv, tag = s"b$id", mode = "overwrite")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 0 && col("user_id") < 100), lake,
+        Seq("user_id"))
+      drain()
+      VersionedLake.commitWithStats(
+        ev.filter(col("user_id") >= 100 && col("user_id") < 200), lake,
+        Seq("user_id"))
+      VersionedLake.deleteRange(s, lake, "user_id", 0, 49, Seq("user_id"))
+      drain()
+      VersionedLake.readLatest(s, mv)
+        .select(col("bucket"), col("n"), col("total"))
+        .orderBy(col("bucket"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------
