@@ -66,8 +66,23 @@ final class GraftLakeDataSource
         "graftlake needs the lake root: spark.read.format(\"graftlake\")" +
           ".load(<dir>)"))
     val spark = SparkSession.active
-    val version = Option(options.get(GraftLakeDataSource.VersionAsOf))
-      .map(_.trim.toInt)
+    val byTs = Option(options.get(GraftLakeDataSource.TimestampAsOf))
+      .map { raw =>
+        require(options.get(GraftLakeDataSource.VersionAsOf) == null,
+          "versionAsOf and timestampAsOf are mutually exclusive")
+        val s = raw.trim
+        val tsMillis = s.toLongOption.getOrElse {
+          val fmt = if (s.length <= 10) s + " 00:00:00" else s
+          java.sql.Timestamp.valueOf(fmt).getTime
+        }
+        VersionedLake.versionAt(spark, lakeDir, tsMillis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $lakeDir was published at or before " +
+              s"$raw — the lake did not exist yet"))
+      }
+    val version = byTs
+      .orElse(Option(options.get(GraftLakeDataSource.VersionAsOf))
+        .map(_.trim.toInt))
       .getOrElse {
         val t = VersionedLake.tip(spark, lakeDir)
         require(t.nonEmpty, s"no versions published at $lakeDir")
@@ -98,6 +113,12 @@ object GraftLakeDataSource {
   /** Read-option key for time travel (Delta's option name, so the idiom
     * transfers): absent → latest published version. */
   val VersionAsOf = "versionAsOf"
+
+  /** Wall-clock time travel as a read option (Delta's name): newest
+    * version published at or before the instant — epoch millis or
+    * `yyyy-MM-dd[ HH:mm:ss]`, same clock as SQL `TIMESTAMP AS OF`
+    * ([[VersionedLake.versionAt]]). */
+  val TimestampAsOf = "timestampAsOf"
 
   /** readStream option: first lake version the stream consumes
     * (inclusive; default 1 = the full history as the initial batches). */
@@ -1184,14 +1205,19 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         if (v <= 1) Set.empty
         else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
       val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
+      val removed = prev.filter(d => !cur.contains(d))
       val skipped = VersionedLake.isLayoutOnly(spark, lakeDir, v) ||
-        (skipChangeCommits && prev.exists(d => !cur.contains(d)))
+        (skipChangeCommits && removed.nonEmpty)
       if (skipped) 0
       else {
         val f = new Path(lakeDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        cur.filterNot(prev).map(d => f.listStatus(new Path(d))
-          .count(_.getPath.getName.endsWith(".parquet"))).sum
+        def files(dirs: Iterable[String]): Int =
+          dirs.map(d => f.listStatus(new Path(d))
+            .count(_.getPath.getName.endsWith(".parquet"))).sum
+        // a change feed also DELIVERS the rewrite's pre-image dirs, so
+        // they weigh against the admission cap like the added ones
+        files(cur.filterNot(prev)) + (if (cdf) files(removed) else 0)
       }
     })
   }

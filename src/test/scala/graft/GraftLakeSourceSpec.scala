@@ -691,6 +691,22 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .head().getLong(0) == 10L)
     intercept[Exception](spark.sql("SELECT * FROM glake_ts.t " +
       "TIMESTAMP AS OF timestamp_millis(1000L)").collect())
+    // the same instant resolves identically through the READ OPTION
+    // (path-based time travel, Delta's option name)
+    assert(spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf, tMid.toString)
+      .load(dir).count() == 3L)
+    assert(spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf,
+        System.currentTimeMillis().toString)
+      .load(dir).count() == 10L)
+    intercept[Exception](spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf, "1000")
+      .load(dir).count())
+    intercept[Exception](spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf, tMid.toString)
+      .option(GraftLakeDataSource.VersionAsOf, "1")
+      .load(dir).count())
   }
 
   test("CALL procedures drive the lake lifecycle from SQL: history, " +
