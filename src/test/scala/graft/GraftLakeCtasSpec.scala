@@ -89,6 +89,8 @@ class GraftLakeCtasSpec extends AnyFunSuite {
   test("two racing staged CREATEs yield exactly one winner and one " +
       "TableAlreadyExists — never a silent union (strict v1 publish)") {
     import org.apache.spark.sql.connector.catalog.Identifier
+    spark.range(1).count() // materialize the session: the staged table
+    // resolves SparkSession.active at construction
     val root = tempDir("glc-race")
     val ident = Identifier.of(Array.empty[String], "r")
     val lake = s"$root/r"
