@@ -1318,13 +1318,17 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       prev = cur.toSet
       v += 1
     }
+    // sidecar-aware per-batch index + the scan's own pushed data
+    // filters: a filtered stream prunes each batch's files through the
+    // same stats/bloom path as a batch read (metadata-only decision;
+    // files without sidecars are conservatively read)
     def planDirs(dirs: Seq[String]): Seq[
         org.apache.spark.sql.execution.datasources.FilePartition] =
       if (dirs.isEmpty) Seq.empty
       else scan.copy(
-        fileIndex = new InMemoryFileIndex(spark,
-          dirs.map(d => new Path(s"$lakeDir/$d")), Map.empty, None),
-        partitionFilters = Nil, dataFilters = Nil)
+        fileIndex = new GraftLakeFileIndex(spark, lakeDir,
+          dirs.map(d => new Path(s"$lakeDir/$d"))),
+        partitionFilters = Nil, dataFilters = scan.dataFilters)
         .planInputPartitions().toSeq.collect {
           case fp: org.apache.spark.sql.execution.datasources
             .FilePartition => fp
@@ -1415,12 +1419,18 @@ private[engine] final class GraftLakeCdfReaderFactory(
 /** Manifest-resolved file index with sidecar skipping. Listing cost is
   * one manifest read + one list per live data dir (metadata-bounded);
   * the pruning decision per pushed filter is a sidecar read per
-  * (data dir, column), memoized per listing. */
+  * (data dir, column), memoized per listing. The dirs-explicit
+  * constructor serves the STREAMING path: each micro-batch indexes
+  * only its delta dirs, and the same sidecar pruning applies — a
+  * filtered stream skips non-matching files per batch instead of
+  * reading every delta file. */
 final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
-    version: Int)
-  extends InMemoryFileIndex(spark,
-    VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
-    Map.empty, None) {
+    dataDirPaths: Seq[Path])
+  extends InMemoryFileIndex(spark, dataDirPaths, Map.empty, None) {
+
+  def this(spark: SparkSession, lakeDir: String, version: Int) =
+    this(spark, lakeDir,
+      VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)))
 
   // One probe per index: sidecar lookups memoized for the INDEX's
   // lifetime, not per listFiles call — a version's sidecars are

@@ -337,6 +337,41 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       events.count(_._1 == id) == 1))
   }
 
+  test("a filtered lake stream prunes each micro-batch's files through " +
+      "the stats sidecars — file-level skipping, not just row filters") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = tempDir("glsrc-stream-prune")
+    val dir = s"$root/lake"
+    VersionedLake.commitWithStats(
+      spark.range(0, 100).toDF("id").coalesce(1), dir, Seq("id"))
+    VersionedLake.commitWithStats(
+      spark.range(1000, 1100).toDF("id").coalesce(1), dir, Seq("id"))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val provider = new GraftLakeDataSource()
+    val table = provider.getTable(provider.inferSchema(opts),
+      Array.empty, opts)
+    val sb = table.asInstanceOf[GraftLakeTable].newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    sb.pushFilters(Seq(GreaterThanOrEqual(
+      AttributeReference("id", org.apache.spark.sql.types.LongType)(),
+      Literal(1000L))))
+    val stream = sb.build().asInstanceOf[GraftLakeParquetScan]
+      .toMicroBatchStream(s"$root/cp")
+    def files(from: Int, to: Int): Int =
+      stream.planInputPartitions(GraftLakeOffset(from), GraftLakeOffset(to))
+        .collect { case fp: FilePartition => fp.files.length }.sum
+    // one batch over both versions: only the matching band's file reads
+    assert(files(0, 2) == 1,
+      "stream batch must skip the non-matching band's file via stats")
+    // per-version batches: the low band's batch plans ZERO files
+    assert(files(0, 1) == 0)
+    assert(files(1, 2) == 1)
+  }
+
   test("skipChangeCommits streams across data-changing rewrites: the " +
       "rewrite commit is dropped whole, appends before and after " +
       "deliver exactly once") {
