@@ -152,6 +152,16 @@ private[engine] object GraftLakeProcedures {
           val dir = dirOf(in.getUTF8String(0).toString)
           val c = in.getUTF8String(1).toString.trim
           require(c.nonEmpty, "bloom_col must be non-empty")
+          // validate against the live schema: a typo'd column would
+          // otherwise produce a policy every commit silently filters
+          // out — no bloom ever written, no error ever raised
+          val t = VersionedLake.tip(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"table ${in.getUTF8String(0)} does not exist"))
+          val cols = VersionedLake.readAt(spark, dir, t).columns
+          require(cols.contains(c),
+            s"bloom_col '$c' is not a column of the table " +
+              s"(have: ${cols.mkString(", ")})")
           VersionedLake.setBloomIndex(spark, dir, c)
           Array(row(c))
       }

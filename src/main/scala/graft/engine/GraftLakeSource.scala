@@ -357,8 +357,18 @@ final class GraftLakeCatalog
     * SQL or streaming, then writes a per-file bloom sidecar over it so
     * point lookups prune. */
   private def bloomProp(
-      properties: java.util.Map[String, String]): Option[String] =
+      properties: java.util.Map[String, String],
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : Option[String] =
     Option(properties.get("bloom")).map(_.trim).filter(_.nonEmpty)
+      .map { c =>
+        // a typo'd column would silently yield a policy every commit
+        // filters out — fail the DDL instead
+        require(columns.exists(_.name == c),
+          s"bloom table property names unknown column '$c' " +
+            s"(have: ${columns.map(_.name).mkString(", ")})")
+        c
+      }
 
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
@@ -380,7 +390,7 @@ final class GraftLakeCatalog
         dirOf(ident)))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    bloomProp(properties).foreach(c =>
+    bloomProp(properties, columns).foreach(c =>
       VersionedLake.setBloomIndex(spark, dirOf(ident), c))
     loadTable(ident)
   }
@@ -401,7 +411,8 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = false, orCreate = false, bloomProp(properties))
+      replace = false, orCreate = false,
+      bloomProp(properties, columns))
   }
 
   override def stageReplace(ident: Identifier,
@@ -414,7 +425,8 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = true, orCreate = false, bloomProp(properties))
+      replace = true, orCreate = false,
+      bloomProp(properties, columns))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -424,7 +436,8 @@ final class GraftLakeCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     requireUnpartitioned(partitions)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
-      replace = true, orCreate = true, bloomProp(properties))
+      replace = true, orCreate = true,
+      bloomProp(properties, columns))
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — the one schema evolution the
@@ -1203,17 +1216,16 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       // skipChangeCommits the same holds for data-changing rewrites
       val prev: Set[String] =
         if (v <= 1) Set.empty
-        else VersionedLake.liveDataDirs(spark, lakeDir, v - 1).toSet
-      val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
+        else VersionedLake.manifestInfo(spark, lakeDir, v - 1)._1.toSet
+      val (cur, layoutOnly) = VersionedLake.manifestInfo(spark, lakeDir, v)
       val removed = prev.filter(d => !cur.contains(d))
-      val skipped = VersionedLake.isLayoutOnly(spark, lakeDir, v) ||
-        (skipChangeCommits && removed.nonEmpty)
+      val skipped = layoutOnly || (skipChangeCommits && removed.nonEmpty)
       if (skipped) 0
       else {
         val f = new Path(lakeDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def files(dirs: Iterable[String]): Int =
-          dirs.map(d => f.listStatus(new Path(d))
+          dirs.map(d => f.listStatus(new Path(s"$lakeDir/$d"))
             .count(_.getPath.getName.endsWith(".parquet"))).sum
         // a change feed also DELIVERS the rewrite's pre-image dirs, so
         // they weigh against the admission cap like the added ones
@@ -1275,26 +1287,25 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     // Delta's ignoreChanges refusal, scoped now to genuine changes.
     var prev: Set[String] =
       if (from <= 0) Set.empty[String]
-      else VersionedLake.liveDataDirs(spark, lakeDir, from)
-        .map(p => new Path(p).getName).toSet
+      else VersionedLake.manifestInfo(spark, lakeDir, from)._1.toSet
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
     val retracted = scala.collection.mutable.LinkedHashSet.empty[String]
     var v = from + 1
     while (v <= to) {
-      val cur = VersionedLake.liveDataDirs(spark, lakeDir, v)
-        .map(p => new Path(p).getName)
+      val (cur, layoutOnly) = VersionedLake.manifestInfo(spark, lakeDir, v)
       val removed = prev.diff(cur.toSet)
-      if (VersionedLake.isLayoutOnly(spark, lakeDir, v)) {
+      if (layoutOnly) {
         // row-preserving: nothing to deliver; pending dirs the rewrite
         // replaced keep being read from their original files
       } else if (removed.nonEmpty && skipChangeCommits) {
         // Delta's skipChangeCommits: the data-changing rewrite commit
-        // is dropped WHOLE — its replacement dirs mix rewritten old
-        // rows with any rows the DML inserted, so delivering them
-        // would duplicate; the consumer opted into missing updates.
-        // Dirs it rewrote leave the pending set too: their rows are
-        // superseded, and the files may be vacuumed.
-        removed.foreach(pending -= _)
+        // is dropped WHOLE — neither its replacement dirs (they mix
+        // rewritten old rows with DML-inserted ones) nor any
+        // retraction delivers. PENDING appends it rewrote still
+        // deliver from their ORIGINAL immutable dirs (Delta likewise
+        // delivers the append commit's own files): the consumer opted
+        // into missing the updates/deletes, not into losing the
+        // append — same retention-vs-lag contract as the layout skip.
       } else if (removed.nonEmpty && cdf) {
         // change feed: the rewrite's PRE-IMAGE dirs deliver as
         // `delete`, its replacements as `insert` — survivor rows carry

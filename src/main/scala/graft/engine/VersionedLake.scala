@@ -217,6 +217,17 @@ object VersionedLake {
   def isLayoutOnly(spark: SparkSession, dir: String, v: Int): Boolean =
     readManifestLines(spark, dir, v).contains(LayoutMarker)
 
+  /** One manifest read serving both views: (live dir names,
+    * layoutOnly) — the per-version walks ([[changes]], the streaming
+    * source) call this once per version instead of re-opening the
+    * same manifest for the dir list and again for the layout flag
+    * (metadata chatter that dominates a long walk on object storage). */
+  private[engine] def manifestInfo(spark: SparkSession, dir: String,
+      v: Int): (Seq[String], Boolean) = {
+    val lines = readManifestLines(spark, dir, v)
+    (lines.filterNot(_.startsWith("#")), lines.contains(LayoutMarker))
+  }
+
   private def manifestBytes(live: Seq[String],
       layoutOnly: Boolean = false): Array[Byte] =
     ((if (layoutOnly) live :+ LayoutMarker else live) :+ ManifestEnd)
@@ -534,8 +545,7 @@ object VersionedLake {
     // carrying both SHOULD) be requested together — one data write,
     // two sidecars. layoutOnly: the rewrite preserves every row, so
     // streams and changes() skip this version instead of refusing it.
-    commitIndexed(readLatest(spark, dir), dir, statsCols, bloomCol,
-      mode = "overwrite", codec = codec, layoutOnly = true)
+    compactFullSnapshot(spark, dir, statsCols, bloomCol, codec)(identity)
 
   /** Incremental small-file compaction (the OPTIMIZE maintenance op):
     * coalesce only the data dirs whose total bytes fall below
@@ -597,18 +607,46 @@ object VersionedLake {
       bCol: String, nFiles: Int, bits: Int = 16,
       bloomCol: Option[String] = None, codec: String = "snappy"): Int = {
     import org.apache.spark.sql.functions.col
-    val clustered = readLatest(spark, dir)
-      .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
     // codec threads through like every other commit entry point — the
     // z-order rewrite is the LARGEST rewrite a lake ever does, the
     // worst place to silently swap the caller's compression policy.
     // layoutOnly: sortWithinPartitions over a range repartition is a
     // row-preserving permutation — streaming consumers skip it.
-    commitIndexed(clustered, dir, Seq(aCol, bCol), bloomCol,
-      mode = "overwrite", codec = codec, layoutOnly = true)
+    compactFullSnapshot(spark, dir, Seq(aCol, bCol), bloomCol, codec)(
+      snap => snap
+        .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z"))
+  }
+
+  /** The full-snapshot rewrite shared by [[compactVersions]] and
+    * [[compactZOrder]]: observe the tip's live set, rewrite its rows
+    * (optionally re-clustered), and publish the replacement
+    * CONFLICT-CHECKED — the new manifest drops exactly the OBSERVED
+    * dirs, so a concurrent append that lands during the (potentially
+    * long) rewrite is carried forward by the CAS retry instead of
+    * being silently discarded by a blind overwrite; a concurrent
+    * rewrite of an observed dir refuses loudly. The layout marker is
+    * therefore always TRUE of the published commit: rows(new) ==
+    * rows(observed), and any concurrent append's rows survive beside
+    * it. */
+  private def compactFullSnapshot(spark: SparkSession, dir: String,
+      statsCols: Seq[String], bloomCol: Option[String], codec: String)(
+      cluster: DataFrame => DataFrame): Int = {
+    val t = tip(spark, dir)
+    require(t.nonEmpty, s"no versions published at $dir")
+    val observed = readManifest(spark, dir, t.get)
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val w = cluster(readAt(spark, dir, t.get))
+      .write.option("compression", codec)
+    bloomCol.fold(w)(c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(s"$dir/$dataDir")
+    if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
+    bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
+    publishReplacing(spark, dir, observed.toSet, dataDir,
+      checked = true, layoutOnly = true)
   }
 
   /** Changed rows between two published versions, tagged `op` =
@@ -672,10 +710,10 @@ object VersionedLake {
     var prev = readManifest(spark, dir, fromV)
     var v = fromV + 1
     while (v <= toV) {
-      val cur = readManifest(spark, dir, v)
+      val (cur, layoutOnly) = manifestInfo(spark, dir, v)
       val added = cur.filterNot(prev.toSet)
       val removed = prev.filterNot(cur.toSet)
-      if (isLayoutOnly(spark, dir, v)) {
+      if (layoutOnly) {
         // row-preserving rewrite: no change events
       } else if (removed.isEmpty) {
         inserts = inserts ++ added
@@ -1019,6 +1057,12 @@ object VersionedLake {
         val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
         survivors.write.parquet(s"$dir/$dataDir")
         writeStatsFor(spark, dir, dataDir, statsCols)
+        // the survivor dir absorbs rows from bloom-indexed dirs: honor
+        // the lake's declared policy or point lookups stop pruning
+        // over the rewritten fraction (same parity as indexStagedDir)
+        bloomIndexCol(spark, dir)
+          .filter(survivors.columns.contains)
+          .foreach(b => writeBloomFor(spark, dir, dataDir, b))
         // checked: a concurrent rewrite of a touched dir (another
         // delete, a compaction) is refused loudly — publishing would
         // resurrect its removed rows, since they are baked into this
@@ -1067,9 +1111,15 @@ object VersionedLake {
         .parquet(touched.map(d => s"$dir/$d"): _*)
         .filter(col(c).isNull || !col(c).isin(values: _*))
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    survivors.unionByName(replacement, allowMissingColumns = true)
-      .write.parquet(s"$dir/$dataDir")
+    val combined = survivors.unionByName(replacement,
+      allowMissingColumns = true)
+    combined.write.parquet(s"$dir/$dataDir")
     writeStatsFor(spark, dir, dataDir, statsCols)
+    // declared bloom policy carries through the partition swap, like
+    // deleteRange and every DML commit path
+    bloomIndexCol(spark, dir)
+      .filter(combined.columns.contains)
+      .foreach(b => writeBloomFor(spark, dir, dataDir, b))
     // checked for the same reason as deleteRange: survivors of the
     // touched dirs are baked into the new dir, so a concurrent rewrite
     // of one of them must fail the publish, not resurrect rows

@@ -275,6 +275,20 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(GraftLakeDataSource.filesRead(probe2) <
       VersionedLake.readLatest(spark, dir).inputFiles.length)
     assert(probe2.collect().map(_.getLong(1)).toSeq == Seq(150L))
+    // the library deleteRange's survivor dir carries the policy too
+    VersionedLake.deleteRange(spark, dir, "id", 0, 9, Seq("id"))
+    val probe3 = spark.read.format("graftlake").load(dir)
+      .filter(col("tag") === "k40")
+    assert(GraftLakeDataSource.filesRead(probe3) <
+      VersionedLake.readLatest(spark, dir).inputFiles.length,
+      "deleteRange's rewrite must keep the bloom policy")
+    assert(probe3.collect().map(_.getLong(1)).toSeq == Seq(40L))
+    // a typo'd declaration fails the DDL instead of silently indexing
+    // nothing
+    val bad = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad TBLPROPERTIES ('bloom' = 'nope') AS " +
+        "SELECT * FROM glbp_src"))
+    assert(bad.getMessage.contains("unknown column"), bad.getMessage)
   }
 
   test("readChangeFeed streams op-tagged events across COW rewrites: " +
@@ -420,6 +434,19 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       q.awaitTermination())
     assert(e.getMessage.contains("skipChangeCommits") ||
       Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+    // a PENDING append rewritten by a later delete still delivers from
+    // its ORIGINAL dir (Delta's semantics: the append commit's own
+    // files; the consumer opted into missing the delete, not into
+    // losing the append)
+    VersionedLake.commit(spark.range(50L, 54L).toDF("id"), dir,
+      mode = "overwrite") // change commit, skipped whole
+    VersionedLake.commitWithStats(spark.range(300L, 310L).toDF("id"), dir,
+      Seq("id")) // pending — NOT yet drained
+    VersionedLake.deleteRange(spark, dir, "id", 300, 304, Seq("id"))
+    drain()
+    assert(ids() == (0L until 10L) ++ (100L until 110L) ++
+      (200L until 205L) ++ (300L until 310L),
+      s"pending append must survive the rewrite: got ${ids()}")
   }
 
   test("count/min/max through the V2 path push down to parquet " +

@@ -239,11 +239,16 @@ class VersionedLakeSpec extends AnyFunSuite {
       })
     }
     writers.foreach(_.start())
-    // compact the small tail repeatedly while appends land — the
-    // maintenance-vs-ingest interleave a live lake runs continuously
-    (0 until 3).foreach { _ =>
-      try VersionedLake.compactSmall(spark, dir, Long.MaxValue)
-      catch {
+    // compact repeatedly while appends land — the maintenance-vs-
+    // ingest interleave a live lake runs continuously; BOTH compaction
+    // shapes (small-tail and full-snapshot rewrite) publish checked,
+    // so appends landing mid-rewrite are carried forward by the CAS
+    // retry, never silently discarded by a blind overwrite
+    (0 until 3).foreach { i =>
+      try {
+        if (i % 2 == 0) VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+        else VersionedLake.compactVersions(spark, dir)
+      } catch {
         // a concurrent compaction-vs-compaction style conflict is a
         // legitimate loud refusal; appends alone never trigger it
         case _: java.util.ConcurrentModificationException => ()
