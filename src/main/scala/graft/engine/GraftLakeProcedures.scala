@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[engine] object GraftLakeProcedures {
 
   private val names =
-    Seq("history", "vacuum", "compact", "zorder", "optimize", "set_index")
+    Seq("history", "vacuum", "compact", "zorder", "optimize", "set_index",
+      "checkpoint")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
@@ -164,6 +165,18 @@ private[engine] object GraftLakeProcedures {
               s"(have: ${cols.mkString(", ")})")
           VersionedLake.setBloomIndex(spark, dir, c)
           Array(row(c))
+      }
+
+      case "checkpoint" => proc("checkpoint",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false)))) {
+        (spark, in) =>
+          val dir = dirOf(in.getUTF8String(0).toString)
+          // full-snapshot sidecar at the tip: no new version, bounds
+          // every later delta-replay walk and lets the next vacuum
+          // drop history without writing its own boundary checkpoint
+          Array(row(VersionedLake.checkpoint(spark, dir)))
       }
 
       case "zorder" => proc("zorder",

@@ -70,11 +70,8 @@ final class GraftLakeDataSource
       .map { raw =>
         require(options.get(GraftLakeDataSource.VersionAsOf) == null,
           "versionAsOf and timestampAsOf are mutually exclusive")
-        val s = raw.trim
-        val tsMillis = s.toLongOption.getOrElse {
-          val fmt = if (s.length <= 10) s + " 00:00:00" else s
-          java.sql.Timestamp.valueOf(fmt).getTime
-        }
+        val tsMillis = GraftLakeDataSource.parseTsOption(raw,
+          GraftLakeDataSource.TimestampAsOf)
         VersionedLake.versionAt(spark, lakeDir, tsMillis).getOrElse(
           throw new IllegalArgumentException(
             s"no version of $lakeDir was published at or before " +
@@ -110,6 +107,43 @@ final class GraftLakeDataSource
 }
 
 object GraftLakeDataSource {
+  /** Parse a time-travel option value (`timestampAsOf` /
+    * `startingTimestamp`) to epoch millis. Accepted shapes:
+    *
+    *  - bare integer: epoch MILLIS, but only in the unambiguous
+    *    13-digit range (>= 1e12, ~2001-09). A 10-digit epoch-SECONDS
+    *    value — the most common Unix timestamp — would otherwise
+    *    silently resolve to 1970: for `timestampAsOf` a confusing
+    *    "lake did not exist" error, for `startingTimestamp` a SILENT
+    *    full reprocess from v1. Refused loudly instead.
+    *  - `yyyy-MM-dd` (midnight), `yyyy-MM-dd HH:mm:ss[.f]`, and
+    *    ISO-8601 `yyyy-MM-dd'T'HH:mm:ss[.f]` with an optional zone
+    *    offset (Delta accepts the 'T' form; `Timestamp.valueOf` used
+    *    to reject it). Zone-less strings are session-local, matching
+    *    the previous `Timestamp.valueOf` semantics. */
+  private[engine] def parseTsOption(raw: String, optName: String): Long = {
+    val s = raw.trim
+    s.toLongOption match {
+      case Some(n) =>
+        require(n >= 1000000000000L,
+          s"$optName='$raw' is ambiguous: bare integers are epoch " +
+            "MILLIS, and this value lands before 2001 as millis (it " +
+            "looks like epoch seconds) — pass milliseconds or a " +
+            "'yyyy-MM-dd[ HH:mm:ss]' / ISO-8601 timestamp string")
+        n
+      case None =>
+        val norm =
+          (if (s.length <= 10) s + "T00:00:00" else s).replace(' ', 'T')
+        try java.time.OffsetDateTime.parse(norm).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(norm)
+              .atZone(java.time.ZoneId.systemDefault()).toInstant
+              .toEpochMilli
+        }
+    }
+  }
+
   /** Read-option key for time travel (Delta's option name, so the idiom
     * transfers): absent → latest published version. */
   val VersionAsOf = "versionAsOf"
@@ -993,11 +1027,8 @@ final class GraftLakeScanBuilder(spark: SparkSession,
       options.get(GraftLakeDataSource.StartingTimestamp)).map { raw =>
       require(intOpt(GraftLakeDataSource.StartingVersion).isEmpty,
         "startingVersion and startingTimestamp are mutually exclusive")
-      val s = raw.trim
-      val tsMillis = s.toLongOption.getOrElse {
-        val fmt = if (s.length <= 10) s + " 00:00:00" else s
-        java.sql.Timestamp.valueOf(fmt).getTime
-      }
+      val tsMillis = GraftLakeDataSource.parseTsOption(raw,
+        GraftLakeDataSource.StartingTimestamp)
       // first version published AT/AFTER the instant: one past the
       // newest version published BEFORE it (none before → from v1;
       // instant past the tip → tip+1, only future commits deliver)
@@ -1285,14 +1316,19 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     // COW DML, replaceWhere) still refuses: re-reading rewritten rows
     // would double-deliver, and skipping them would lose data —
     // Delta's ignoreChanges refusal, scoped now to genuine changes.
-    var prev: Set[String] =
-      if (from <= 0) Set.empty[String]
-      else VersionedLake.manifestInfo(spark, lakeDir, from)._1.toSet
+    // incremental walk: resolve the START version once, then advance
+    // with one manifest read per version (manifestStep) — never a
+    // delta-chain re-resolution per version
+    var prevSeq: Seq[String] =
+      if (from <= 0) Seq.empty[String]
+      else VersionedLake.manifestInfo(spark, lakeDir, from)._1
+    var prev: Set[String] = prevSeq.toSet
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
     val retracted = scala.collection.mutable.LinkedHashSet.empty[String]
     var v = from + 1
     while (v <= to) {
-      val (cur, layoutOnly) = VersionedLake.manifestInfo(spark, lakeDir, v)
+      val (cur, layoutOnly) =
+        VersionedLake.manifestStep(spark, lakeDir, prevSeq, v)
       val removed = prev.diff(cur.toSet)
       if (layoutOnly) {
         // row-preserving: nothing to deliver; pending dirs the rewrite
@@ -1326,6 +1362,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
             "change events")
         cur.filterNot(prev).foreach(pending += _)
       }
+      prevSeq = cur
       prev = cur.toSet
       v += 1
     }

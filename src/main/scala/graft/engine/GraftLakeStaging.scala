@@ -121,10 +121,25 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     // unreferenced orphan for vacuum.
     if (observedTip == 0) {
       // CREATE (or the create half of CREATE OR REPLACE): claim v1
-      // exactly once; a racer's publish — any version — loses the DDL
-      if (!VersionedLake.publishCreateStrict(spark, lakeDir, dataDir))
-        throw new org.apache.spark.sql.catalyst.analysis
-          .TableAlreadyExistsException(ident)
+      // exactly once; a racer's publish — any version — loses a plain
+      // CREATE's DDL. But the user who wrote CREATE OR REPLACE asked
+      // for last-writer-wins: losing the v1 race degrades to the
+      // REPLACE path against the racer's tip (the same outcome as the
+      // two DDLs running sequentially), not a failed DDL. Any FURTHER
+      // tip movement between that observation and the publish is still
+      // a loud serializable conflict.
+      if (!VersionedLake.publishCreateStrict(spark, lakeDir, dataDir)) {
+        if (!(replace && orCreate))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(ident)
+        val racerTip = VersionedLake.tip(spark, lakeDir).getOrElse(
+          throw new IllegalStateException(
+            s"lost the CREATE race on $lakeDir but no tip is readable " +
+              "— the racer's publish should be visible"))
+        VersionedLake.publishReplaceStrict(spark, lakeDir, dataDir,
+          racerTip)
+        ()
+      }
     } else if (!replace) {
       // staged as CREATE but a table existed — unreachable (stageCreate
       // refuses), kept as a loud guard rather than a silent overwrite

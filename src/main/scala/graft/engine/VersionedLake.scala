@@ -8,10 +8,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bearing core) on plain Parquet + a filesystem:
   *
   * ```
-  * <dir>/d-<token>/          one immutable data directory per commit
-  * <dir>/_manifests/v00007   one manifest per version: the FULL live
-  *                           set, one data-dir name per line
+  * <dir>/d-<token>/               one immutable data directory per commit
+  * <dir>/_manifests/v00007        one manifest per version: either the
+  *                                FULL live set (one dir name per line)
+  *                                or a DELTA (`#delta` + `+dir`/`-dir`
+  *                                ops against the previous version)
+  * <dir>/_manifests/v00007.ckpt   optional checkpoint sidecar: the full
+  *                                live set AT that version — bounds the
+  *                                delta-replay walk and anchors vacuum
   * ```
+  *
+  * Routine commits write DELTA manifests (O(changed dirs) bytes, not
+  * O(live dirs)); every [[CheckpointInterval]]-th version — and every
+  * overwrite/replace, whose live set IS its delta — is written full,
+  * so resolving any version replays at most `CheckpointInterval - 1`
+  * small files from the nearest full manifest or `.ckpt` sidecar.
+  * Without this, a minute-cadence streaming sink over a lake with
+  * 10^4-10^5 data dirs pays O(commits x dirs) manifest-log storage and
+  * an O(live) write per commit (Delta's log runs the same
+  * delta-actions + periodic-checkpoint design for the same reason).
   *
   * A commit writes its data directory FIRST, then publishes a manifest
   * whose name embeds the next version number, created with
@@ -54,9 +69,12 @@ object VersionedLake {
       (if (v <= 99999) "%05d".format(v) else "%09d".format(v)))
 
   /** Published versions, ascending; empty for a non-existent lake.
-    * One full directory list — the METADATA enumeration for history /
-    * TIMESTAMP AS OF / vacuum; hot paths that only need the newest
-    * version use [[tip]] (O(1 + publish lag) via the hint file). */
+    * One full directory list — the ground-truth AUDIT enumeration
+    * ([[vacuum]], specs). No hot path calls this anymore: newest-
+    * version resolution is [[tip]] (O(1 + lag) via the hint file) and
+    * range-dependent metadata ([[versionAt]], [[history]],
+    * [[commitTagged]]'s replay check) goes through [[versionRange]]
+    * (O(log tip) existence probes, no listing). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val md = new Path(s"$dir/$ManifestDir")
     val f = fs(spark, dir)
@@ -132,31 +150,77 @@ object VersionedLake {
     }
   }
 
+  /** Contiguous published range `lo..tip` WITHOUT listing the log: tip
+    * from the hint/probe, lo by binary-searching manifest existence.
+    * Sound because the retained version set is always one contiguous
+    * range — versions are claimed sequentially, a torn manifest blocks
+    * all later publishes until repair makes its predecessor the tip
+    * again, and [[vacuum]] removes only prefixes (see [[tip]]'s
+    * invariant note). O(log tip) existence RPCs where the listing-based
+    * [[versions]] pays one RPC per historical commit — the difference
+    * between a metadata call and a directory scan on a long-lived
+    * streaming-sink lake with 10^5+ commits. */
+  def versionRange(spark: SparkSession, dir: String): Option[(Int, Int)] =
+    tip(spark, dir).map { t =>
+      val f = fs(spark, dir)
+      var lo = 1
+      var hi = t
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (f.exists(manifestPath(dir, mid))) hi = mid else lo = mid + 1
+      }
+      (lo, t)
+    }
+
   /** The version visible at wall-clock `tsMillis`: the newest manifest
     * whose publish time is <= ts (`TIMESTAMP AS OF` resolves here).
     * Publish time is the manifest file's mtime — assigned by the
     * filesystem at the CAS create, so it is the same clock for every
-    * writer and survives process restarts. None for a timestamp before
-    * the first publish. NOT filtered through retention: a vacuumed
-    * version resolves and then fails loudly at read, rather than
-    * silently answering with a different (older-surviving) snapshot. */
+    * writer and survives process restarts; and because the CAS create
+    * of v+1 strictly follows v's, mtimes are NONDECREASING in version,
+    * so the lookup is an upper-bound binary search over
+    * [[versionRange]] — O(log N) stats, not one stat per retained
+    * commit. None for a timestamp before the first publish. NOT
+    * filtered through retention: a vacuumed version resolves and then
+    * fails loudly at read, rather than silently answering with a
+    * different (older-surviving) snapshot. */
   def versionAt(spark: SparkSession, dir: String, tsMillis: Long)
       : Option[Int] = {
     val f = fs(spark, dir)
-    versions(spark, dir).filter(v =>
+    def mt(v: Int): Long =
       f.getFileStatus(manifestPath(dir, v)).getModificationTime
-        <= tsMillis).lastOption
+    versionRange(spark, dir).flatMap { case (lo, hi) =>
+      if (mt(lo) > tsMillis) None
+      else {
+        var a = lo
+        var b = hi
+        while (a < b) {
+          val mid = a + (b - a + 1) / 2
+          if (mt(mid) <= tsMillis) a = mid else b = mid - 1
+        }
+        Some(a)
+      }
+    }
   }
 
   /** Commit history, oldest first: (version, publishedAtMillis,
     * dataDirs in the live set). One manifest stat + read per retained
     * version — bounded by retention, driver-side by design (this is
-    * the `CALL glake.history(…)` metadata query, not a data path). */
+    * the `CALL glake.history(…)` metadata query, not a data path).
+    * One FORWARD walk from the oldest retained version: each step
+    * applies one manifest's delta to the running live set, so the
+    * whole history costs O(retained) small reads — never O(retained x
+    * resolution depth), and never a `_manifests` listing. */
   def history(spark: SparkSession, dir: String): Seq[(Int, Long, Int)] = {
     val f = fs(spark, dir)
-    versions(spark, dir).map { v =>
-      (v, f.getFileStatus(manifestPath(dir, v)).getModificationTime,
-        readManifest(spark, dir, v).length)
+    versionRange(spark, dir).fold(Seq.empty[(Int, Long, Int)]) {
+      case (lo, hi) =>
+        var live = readManifest(spark, dir, lo)
+        (lo to hi).map { v =>
+          if (v > lo) live = manifestStep(spark, dir, live, v)._1
+          (v, f.getFileStatus(manifestPath(dir, v)).getModificationTime,
+            live.length)
+        }
     }
   }
 
@@ -179,6 +243,21 @@ object VersionedLake {
     * coexists with running streams. Marker lines start with `#` so
     * dir-name readers filter them structurally. */
   private val LayoutMarker = "#layout"
+
+  /** Marker heading a DELTA-ENCODED manifest: the file records only
+    * `+dir` / `-dir` ops against the previous version instead of the
+    * full live set. Readers resolve a delta by walking back to the
+    * nearest FULL manifest or `.ckpt` checkpoint sidecar and replaying
+    * ops forward; writers bound that walk by publishing a full
+    * manifest every [[CheckpointInterval]] versions. Pre-delta lakes
+    * (every line a bare dir name) parse as full manifests unchanged. */
+  private val DeltaMarker = "#delta"
+
+  /** Full-manifest cadence: every Nth version is written full, so
+    * delta resolution replays at most N-1 small files. Overwrite /
+    * replace commits and v1 are always full (their live set IS the
+    * delta), making them natural bases too. */
+  val CheckpointInterval: Int = 16
 
   /** Manifest content lines (terminator dropped), marker lines
     * included — the raw form [[readManifest]] and [[isLayoutOnly]]
@@ -208,29 +287,141 @@ object VersionedLake {
     Nil // unreachable
   }
 
+  /** One manifest file, parsed: `Right(full live set)` or
+    * `Left((adds, drops))` for a delta, plus the layout-only flag. */
+  private def parseManifest(lines: Seq[String])
+      : (Either[(Seq[String], Seq[String]), Seq[String]], Boolean) = {
+    val layout = lines.contains(LayoutMarker)
+    if (lines.contains(DeltaMarker))
+      (Left((lines.collect { case l if l.startsWith("+") => l.drop(1) },
+        lines.collect { case l if l.startsWith("-") => l.drop(1) })),
+        layout)
+    else (Right(lines.filterNot(_.startsWith("#"))), layout)
+  }
+
+  private def applyOps(live: Seq[String],
+      ops: (Seq[String], Seq[String])): Seq[String] =
+    live.filterNot(ops._2.toSet) ++ ops._1
+
+  // ---- checkpoint sidecars ----------------------------------------------
+
+  private def ckptPath(dir: String, v: Int): Path =
+    manifestPath(dir, v).suffix(".ckpt")
+
+  /** Checkpoint content for version `v`, if a readable (terminated)
+    * sidecar exists. Checkpoints are derived data with the same torn-
+    * write discipline as manifests, but a torn/garbled one simply
+    * degrades to the walk-back resolution — EXCEPT the one [[vacuum]]
+    * writes at the retention boundary, which vacuum verifies readable
+    * BEFORE dropping the boundary's delta bases. */
+  private def readCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int): Option[Seq[String]] =
+    try {
+      val p = ckptPath(dir, v)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        if (lines.lastOption.contains(ManifestEnd))
+          Some(lines.dropRight(1).filterNot(_.startsWith("#")))
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeCheckpointFile(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int, live: Seq[String]): Unit = {
+    val out = f.create(ckptPath(dir, v), true)
+    try out.write((live :+ ManifestEnd).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Force a full-snapshot checkpoint sidecar at the current tip and
+    * return the checkpointed version — `CALL glake.checkpoint(...)`.
+    * Publishes NO new version (the sidecar is derived data); it bounds
+    * every later resolution of this and later versions to the sidecar
+    * plus the delta tail, and lets the next [[vacuum]] drop history
+    * without first writing its own boundary checkpoint. */
+  def checkpoint(spark: SparkSession, dir: String): Int = {
+    val t = tip(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"no versions published at $dir"))
+    writeCheckpointFile(fs(spark, dir), dir, t, readManifest(spark, dir, t))
+    t
+  }
+
+  /** Live set of version `v`: walk back through delta manifests to the
+    * nearest full manifest or checkpoint sidecar, then replay the ops
+    * forward. Bounded by [[CheckpointInterval]] small file reads (the
+    * write side guarantees a full manifest at least every Nth
+    * version). */
+  private def resolveLive(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] = {
+    val f = fs(spark, dir)
+    var pending = List.empty[(Seq[String], Seq[String])]
+    var cur = v
+    while (true) {
+      parseManifest(readManifestLines(spark, dir, cur))._1 match {
+        case Right(full) =>
+          return pending.foldLeft(full)(applyOps)
+        case Left(ops) =>
+          readCheckpoint(f, dir, cur) match {
+            // ckpt(cur) is the live set AFTER cur — cur's own ops are
+            // already included, only the later pending ones replay
+            case Some(live) => return pending.foldLeft(live)(applyOps)
+            case None =>
+              if (cur <= 1) throw new IllegalStateException(
+                s"delta manifest v$cur of $dir has no resolvable base " +
+                  "(no full manifest or checkpoint below it) — the log " +
+                  "was truncated outside the vacuum protocol")
+              pending = ops :: pending
+              cur -= 1
+          }
+      }
+    }
+    Nil // unreachable
+  }
+
   private def readManifest(spark: SparkSession, dir: String, v: Int)
-      : Seq[String] =
-    readManifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+      : Seq[String] = resolveLive(spark, dir, v)
 
   /** True iff version `v` was published as a layout-only (row-
     * preserving) commit — see [[LayoutMarker]]. */
   def isLayoutOnly(spark: SparkSession, dir: String, v: Int): Boolean =
     readManifestLines(spark, dir, v).contains(LayoutMarker)
 
-  /** One manifest read serving both views: (live dir names,
-    * layoutOnly) — the per-version walks ([[changes]], the streaming
-    * source) call this once per version instead of re-opening the
-    * same manifest for the dir list and again for the layout flag
-    * (metadata chatter that dominates a long walk on object storage). */
+  /** (live dir names, layoutOnly) of one version — the random-access
+    * resolution. Per-version WALKS ([[changes]], the streaming source)
+    * should step with [[manifestStep]] instead: one manifest read per
+    * version, no repeated delta-chain replay. */
   private[engine] def manifestInfo(spark: SparkSession, dir: String,
       v: Int): (Seq[String], Boolean) = {
     val lines = readManifestLines(spark, dir, v)
-    (lines.filterNot(_.startsWith("#")), lines.contains(LayoutMarker))
+    parseManifest(lines) match {
+      case (Right(full), l) => (full, l)
+      case (Left(_), l) => (resolveLive(spark, dir, v), l)
+    }
   }
+
+  /** live(v) from live(v-1) with ONE manifest read — the incremental
+    * step the per-version walks advance with. */
+  private[engine] def manifestStep(spark: SparkSession, dir: String,
+      prevLive: Seq[String], v: Int): (Seq[String], Boolean) =
+    parseManifest(readManifestLines(spark, dir, v)) match {
+      case (Right(full), l) => (full, l)
+      case (Left(ops), l) => (applyOps(prevLive, ops), l)
+    }
 
   private def manifestBytes(live: Seq[String],
       layoutOnly: Boolean = false): Array[Byte] =
     ((if (layoutOnly) live :+ LayoutMarker else live) :+ ManifestEnd)
+      .mkString("\n").getBytes("UTF-8")
+
+  /** Delta-manifest bytes: O(changed dirs), the routine-commit write. */
+  private def deltaBytes(adds: Seq[String], drops: Seq[String],
+      layoutOnly: Boolean): Array[Byte] =
+    ((DeltaMarker +: (drops.map("-" + _) ++ adds.map("+" + _))) ++
+      (if (layoutOnly) Seq(LayoutMarker) else Nil) :+ ManifestEnd)
       .mkString("\n").getBytes("UTF-8")
 
   /** Un-wedge a lake whose publisher crashed between the CAS create
@@ -305,12 +496,23 @@ object VersionedLake {
     // manifest history for membership — O(versions) per commit,
     // quadratic over a long-running stream's life. The marker can only
     // UNDER-report (crash between publish and marker write), so a
-    // marker miss falls back to the exact newest-first manifest scan —
-    // which in that rare case finds the tag in the newest manifests
-    // and still exits early.
+    // marker miss falls back to the exact membership scan — which in
+    // that rare case finds the tag in the newest manifests and still
+    // exits early. With delta manifests, "ever published" is decided
+    // from RAW lines (`+d-tag` in the publishing delta, bare in a full
+    // snapshot) plus the oldest retained version's RESOLVED live set —
+    // a dir added before the retained window and still live appears
+    // there (dirs are never re-added after a drop: names are minted
+    // per publish), so no per-version resolution is needed.
     val marker = new Path(s"$dir/_tags/$tag")
-    lazy val inManifests = versions(spark, dir).reverseIterator
-      .exists(v => readManifest(spark, dir, v).contains(dataDir))
+    lazy val inManifests = versionRange(spark, dir).exists {
+      case (lo, hi) =>
+        readManifest(spark, dir, lo).contains(dataDir) ||
+          (lo to hi).reverseIterator.exists { v =>
+            val lines = readManifestLines(spark, dir, v)
+            lines.contains(dataDir) || lines.contains(s"+$dataDir")
+          }
+    }
     if (f.exists(marker) || inManifests) None
     else {
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
@@ -337,7 +539,15 @@ object VersionedLake {
     * Spark's own committer and then lands HERE for the pointer swing —
     * one publish protocol, two front doors. */
   private[engine] def publish(spark: SparkSession, dir: String,
-      dataDir: String, mode: String, layoutOnly: Boolean = false): Int = {
+      dataDir: String, mode: String, layoutOnly: Boolean = false): Int =
+    publishAll(spark, dir, Seq(dataDir), mode, layoutOnly)
+
+  /** [[publish]] generalized to several data entries in ONE version —
+    * a partitioned commit publishes one entry per partition leaf. */
+  private[engine] def publishAll(spark: SparkSession, dir: String,
+      dataDirs: Seq[String], mode: String,
+      layoutOnly: Boolean = false): Int = {
+    require(dataDirs.nonEmpty, "publishAll needs at least one entry")
     val f = fs(spark, dir)
     var committed = -1
     var minted = false
@@ -346,18 +556,25 @@ object VersionedLake {
       val next = prevTip.getOrElse(0) + 1
       val prevLive =
         prevTip.fold(Seq.empty[String])(readManifest(spark, dir, _))
-      // a CAS-retry (or a racing same-tag replay) may find its dir
-      // already published at the new tip — appending it AGAIN would
+      // a CAS-retry (or a racing same-tag replay) may find its entries
+      // already published at the new tip — appending them AGAIN would
       // double-count the rows; the existing version is the commit
-      if (mode == "append" && prevLive.contains(dataDir)) {
+      val fresh = dataDirs.filterNot(prevLive.contains)
+      if (mode == "append" && fresh.isEmpty) {
         committed = prevTip.get
       } else {
-        val live =
-          if (mode == "overwrite" || prevTip.isEmpty) Seq(dataDir)
-          else prevLive :+ dataDir
+        val full = mode == "overwrite" || prevTip.isEmpty
+        val live = if (full) dataDirs else prevLive ++ fresh
+        // routine appends delta-encode (+entry per added dir, O(delta)
+        // bytes); full snapshots at the cadence — and for overwrites,
+        // whose live set IS the delta — bound every reader's replay walk
+        val bytes =
+          if (full || next % CheckpointInterval == 0)
+            manifestBytes(live, layoutOnly)
+          else deltaBytes(fresh, Seq.empty, layoutOnly)
         try {
           val out = f.create(manifestPath(dir, next), false)
-          try out.write(manifestBytes(live, layoutOnly))
+          try out.write(bytes)
           finally out.close()
           committed = next
           minted = true
@@ -390,12 +607,16 @@ object VersionedLake {
     * `TableAlreadyExistsException`); only a genuinely unclaimed
     * version 1 is created. */
   private[engine] def publishCreateStrict(spark: SparkSession,
-      dir: String, dataDir: String): Boolean = {
+      dir: String, dataDir: String): Boolean =
+    publishCreateStrictAll(spark, dir, Seq(dataDir))
+
+  private[engine] def publishCreateStrictAll(spark: SparkSession,
+      dir: String, dataDirs: Seq[String]): Boolean = {
     val f = fs(spark, dir)
     if (tip(spark, dir).nonEmpty) return false
     try {
       val out = f.create(manifestPath(dir, 1), false)
-      try out.write(manifestBytes(Seq(dataDir)))
+      try out.write(manifestBytes(dataDirs))
       finally out.close()
       writeTipHint(f, dir, 1)
       true
@@ -425,7 +646,11 @@ object VersionedLake {
     * was computed against the observed snapshot and cannot absorb a
     * concurrent commit by retrying. */
   private[engine] def publishReplaceStrict(spark: SparkSession,
-      dir: String, dataDir: String, observedTip: Int): Int = {
+      dir: String, dataDir: String, observedTip: Int): Int =
+    publishReplaceStrictAll(spark, dir, Seq(dataDir), observedTip)
+
+  private[engine] def publishReplaceStrictAll(spark: SparkSession,
+      dir: String, dataDirs: Seq[String], observedTip: Int): Int = {
     val f = fs(spark, dir)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(
@@ -437,7 +662,7 @@ object VersionedLake {
       conflict()
     try {
       val out = f.create(manifestPath(dir, observedTip + 1), false)
-      try out.write(manifestBytes(Seq(dataDir)))
+      try out.write(manifestBytes(dataDirs))
       finally out.close()
       writeTipHint(f, dir, observedTip + 1)
       observedTip + 1
@@ -583,7 +808,7 @@ object VersionedLake {
         .parquet(s"$dir/$dataDir")
       if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
       bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
-      Some(publishReplacing(spark, dir, small.toSet, dataDir,
+      Some(publishReplacing(spark, dir, small.toSet, Seq(dataDir),
         checked = true, layoutOnly = true))
     }
   }
@@ -645,7 +870,7 @@ object VersionedLake {
       .parquet(s"$dir/$dataDir")
     if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
-    publishReplacing(spark, dir, observed.toSet, dataDir,
+    publishReplacing(spark, dir, observed.toSet, Seq(dataDir),
       checked = true, layoutOnly = true)
   }
 
@@ -669,48 +894,39 @@ object VersionedLake {
     * (`exceptAll`, one full-width shuffle per side). */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int)
       : DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     // the walk needs every manifest in [fromV, toV]; a vacuumed-away
-    // intermediate falls back to the ENDPOINT snapshot diff — correct
-    // on any history, O(both snapshots)
-    val f = fs(spark, dir)
-    val walkable =
-      (fromV to toV).forall(v => f.exists(manifestPath(dir, v)))
-    if (!walkable) {
-      // endpoint-only resolution: append fast path when the endpoints
-      // prove it, otherwise the full snapshot diff
-      val from = readManifest(spark, dir, fromV).toSet
-      val to = readManifest(spark, dir, toV)
-      if (from.subsetOf(to.toSet)) {
-        val added = to.filterNot(from)
-        return (
-          if (added.isEmpty)
-            readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
-          else spark.read.option("mergeSchema", "true")
-            .parquet(added.map(d => s"$dir/$d"): _*)
-            .withColumn("op", lit("insert")))
-      }
-      return snapshotDiff(spark, readAt(spark, dir, fromV),
-        readAt(spark, dir, toV))
+    // intermediate is detected DURING the walk (the first missing
+    // manifest aborts it) rather than by an O(range) exists() precheck
+    // — one RPC per version was the cost, paid on every call over a
+    // long-lived lake's whole history. The failover is the ENDPOINT
+    // snapshot diff — correct on any history, O(both snapshots).
+    try changesWalk(spark, dir, fromV, toV)
+    catch { case _: java.io.FileNotFoundException =>
+      changesEndpoints(spark, dir, fromV, toV)
     }
-    // Per-version walk, concatenating each commit's own delta (the
-    // Delta-CDF shape): an APPEND step's changes are exactly its added
-    // dirs — metadata-decided, no row diff; a LAYOUT-ONLY step
-    // (compaction/Z-order) preserves every row and contributes
-    // NOTHING; a step that drops dirs with data change (COW MERGE/
-    // UPDATE/DELETE, overwrite, replaceWhere) diffs ONLY the dropped
-    // vs added dirs — survivors carried inside the rewrite cancel in
-    // the multiset diff, so the cost is O(changed fraction), never
-    // O(lake). Note the per-commit semantics: a row inserted at one
-    // step and deleted at a later step appears as BOTH events (signed
-    // consumers net it out; the endpoint fallback nets it silently).
+  }
+
+  /** Per-version walk, concatenating each commit's own delta (the
+    * Delta-CDF shape): an APPEND step's changes are exactly its added
+    * dirs — metadata-decided, no row diff; a LAYOUT-ONLY step
+    * (compaction/Z-order) preserves every row and contributes
+    * NOTHING; a step that drops dirs with data change (COW MERGE/
+    * UPDATE/DELETE, overwrite, replaceWhere) diffs ONLY the dropped
+    * vs added dirs — survivors carried inside the rewrite cancel in
+    * the multiset diff, so the cost is O(changed fraction), never
+    * O(lake). Note the per-commit semantics: a row inserted at one
+    * step and deleted at a later step appears as BOTH events (signed
+    * consumers net it out; the endpoint fallback nets it silently). */
+  private def changesWalk(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     var inserts = Seq.empty[String]
     var steps = Seq.empty[DataFrame]
     var prev = readManifest(spark, dir, fromV)
     var v = fromV + 1
     while (v <= toV) {
-      val (cur, layoutOnly) = manifestInfo(spark, dir, v)
+      val (cur, layoutOnly) = manifestStep(spark, dir, prev, v)
       val added = cur.filterNot(prev.toSet)
       val removed = prev.filterNot(cur.toSet)
       if (layoutOnly) {
@@ -738,6 +954,25 @@ object VersionedLake {
     if (parts.isEmpty)
       readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Endpoint-only resolution when the intermediate history was
+    * vacuumed: append fast path when the endpoints prove it, otherwise
+    * the full snapshot diff. */
+  private def changesEndpoints(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readManifest(spark, dir, fromV).toSet
+    val to = readManifest(spark, dir, toV)
+    if (from.subsetOf(to.toSet)) {
+      val added = to.filterNot(from)
+      if (added.isEmpty)
+        readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(added.map(d => s"$dir/$d"): _*)
+        .withColumn("op", lit("insert"))
+    } else snapshotDiff(spark, readAt(spark, dir, fromV),
+      readAt(spark, dir, toV))
   }
 
   /** Multiset row diff `b0 \ a0` (insert) ∪ `a0 \ b0` (delete), with
@@ -1068,7 +1303,7 @@ object VersionedLake {
         // resurrect its removed rows, since they are baked into this
         // survivor set. Concurrent APPENDS still absorb via the CAS
         // retry (they are not in `dropped`).
-        publishReplacing(spark, dir, touched.toSet, dataDir,
+        publishReplacing(spark, dir, touched.toSet, Seq(dataDir),
           checked = true)
       }
     }
@@ -1123,7 +1358,7 @@ object VersionedLake {
     // checked for the same reason as deleteRange: survivors of the
     // touched dirs are baked into the new dir, so a concurrent rewrite
     // of one of them must fail the publish, not resurrect rows
-    publishReplacing(spark, dir, touched.toSet, dataDir, checked = true)
+    publishReplacing(spark, dir, touched.toSet, Seq(dataDir), checked = true)
   }
 
   /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite
@@ -1157,6 +1392,15 @@ object VersionedLake {
   private[engine] def publishReplacingChecked(spark: SparkSession,
       dir: String, dropped: Set[String], added: String,
       snapshot: Set[String]): Int =
+    publishReplacing(spark, dir, dropped, Seq(added), checked = true,
+      snapshot = Some(snapshot))
+
+  /** Multi-entry checked replace — a partitioned COW/replaceWhere drops
+    * and adds PARTITION entries; `added` may be empty (whole-partition
+    * DELETE: the drop is the entire commit, manifest-only). */
+  private[engine] def publishReplacingCheckedAll(spark: SparkSession,
+      dir: String, dropped: Set[String], added: Seq[String],
+      snapshot: Set[String]): Int =
     publishReplacing(spark, dir, dropped, added, checked = true,
       snapshot = Some(snapshot))
 
@@ -1165,10 +1409,10 @@ object VersionedLake {
     * between the scan and the publish to pin the conflict refusal. */
   private[graft] def deleteRangePublishForTest(spark: SparkSession,
       dir: String, dropped: Set[String], added: String): Int =
-    publishReplacing(spark, dir, dropped, added, checked = true)
+    publishReplacing(spark, dir, dropped, Seq(added), checked = true)
 
   private def publishReplacing(spark: SparkSession, dir: String,
-      dropped: Set[String], added: String,
+      dropped: Set[String], added: Seq[String],
       checked: Boolean = false,
       snapshot: Option[Set[String]] = None,
       layoutOnly: Boolean = false): Int = {
@@ -1205,10 +1449,14 @@ object VersionedLake {
                 "the new snapshot")
         }
       }
-      val live = tip0.filterNot(dropped) :+ added
+      val live = tip0.filterNot(dropped) ++ added
+      val bytes =
+        if (prevTip.isEmpty || next % CheckpointInterval == 0)
+          manifestBytes(live, layoutOnly)
+        else deltaBytes(added, tip0.filter(dropped), layoutOnly)
       try {
         val out = f.create(manifestPath(dir, next), false)
-        try out.write(manifestBytes(live, layoutOnly))
+        try out.write(bytes)
         finally out.close()
         committed = next
       } catch {
@@ -1443,8 +1691,28 @@ object VersionedLake {
     repairTornManifests(spark, dir, graceMs)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    // the oldest kept version must stay resolvable after its delta
+    // bases are dropped: persist a full checkpoint sidecar for it
+    // FIRST, verified readable BEFORE any manifest is deleted — a
+    // failed checkpoint write aborts the drop rather than stranding a
+    // delta without a base (a crash between the two is safe either
+    // way: bases survive until the delete loop runs)
+    keep.headOption.filter(_ => drop.nonEmpty).foreach { k0 =>
+      val isDelta =
+        parseManifest(readManifestLines(spark, dir, k0))._1.isLeft
+      if (isDelta && readCheckpoint(f, dir, k0).isEmpty) {
+        writeCheckpointFile(f, dir, k0, resolveLive(spark, dir, k0))
+        if (readCheckpoint(f, dir, k0).isEmpty)
+          throw new IllegalStateException(
+            s"checkpoint write for v$k0 of $dir failed verification; " +
+              "aborting the manifest drop — retry the vacuum")
+      }
+    }
     val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(ckptPath(dir, v), false) // a dropped version's sidecar
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     // RECURSIVE newest-mtime: an in-flight commit's activity happens
     // levels deep (task attempts under _temporary/0/...), where the

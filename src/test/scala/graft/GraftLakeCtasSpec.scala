@@ -151,6 +151,34 @@ class GraftLakeCtasSpec extends AnyFunSuite {
     assert(VersionedLake.readLatest(spark, lake).count() == 2)
   }
 
+  test("CREATE OR REPLACE that loses the v1 race degrades to the " +
+      "REPLACE path (the user asked OR REPLACE: last-writer-wins, not " +
+      "a failed DDL); plain CREATE still refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.range(1).count() // materialize the session
+    val root = tempDir("glc-orc-race")
+    val lake = s"$root/t"
+    val ident = Identifier.of(Array.empty[String], "t")
+    def staged(orCreate: Boolean) = new GraftLakeStagedTable(ident, lake,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("mine",
+          org.apache.spark.sql.types.LongType))),
+      replace = true, orCreate = orCreate)
+    // staged when NO table existed (observedTip = 0)…
+    val st = staged(orCreate = true)
+    // …then a racer publishes v1 before this DDL commits
+    VersionedLake.commit(Seq((1L, "racer")).toDF("id", "tag"), lake)
+    st.commitStagedChanges() // must NOT throw: degrade to replace @ v2
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2))
+    assert(spark.read.format("graftlake").load(lake).columns.toSeq ==
+      Seq("mine"), "the OR REPLACE must win as the last writer")
+    assert(spark.read.format("graftlake")
+      .option(GraftLakeDataSource.VersionAsOf, 1).load(lake)
+      .columns.toSeq == Seq("id", "tag"),
+      "the racer's snapshot stays time-travelable")
+  }
+
   test("a failing CTAS query leaves NO table and no published version " +
       "(staging atomicity); DROP/ALTER stay refused") {
     import spark.implicits._

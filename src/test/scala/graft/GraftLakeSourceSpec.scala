@@ -769,6 +769,21 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       .option(GraftLakeDataSource.TimestampAsOf, tMid.toString)
       .option(GraftLakeDataSource.VersionAsOf, "1")
       .load(dir).count())
+    // a 10-digit bare integer (epoch SECONDS) is refused as ambiguous
+    // — it would silently resolve as 1970 in millis
+    val amb = intercept[Exception](spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf,
+        (tMid / 1000L).toString).load(dir).count())
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // ISO-8601 'T'-separated strings are accepted (Delta's shape;
+    // Timestamp.valueOf used to reject them) and resolve identically
+    val isoMid = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(tMid),
+      java.time.ZoneId.systemDefault())
+      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    assert(spark.read.format("graftlake")
+      .option(GraftLakeDataSource.TimestampAsOf, isoMid)
+      .load(dir).count() == 3L, s"ISO-8601 '$isoMid' must resolve")
   }
 
   test("CALL procedures drive the lake lifecycle from SQL: history, " +

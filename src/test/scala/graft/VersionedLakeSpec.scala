@@ -715,6 +715,108 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("readable versions"), e2.getMessage)
   }
 
+  test("delta-encoded manifest log: routine commits write O(delta) " +
+      "bytes, cadence versions are full snapshots, every version " +
+      "resolves identically, and changes() stays on the fast path") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("vlake-delta") + "/lake"
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def manifestText(v: Int): String = {
+      val in = f.open(new Path(
+        s"$dir/_manifests/v" + "%05d".format(v)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // 20 single-dir appends cross the full-snapshot cadence (16)
+    (0 until 20).foreach(i => VersionedLake.commit(
+      spark.range(i * 10L, i * 10L + 10).toDF("id"), dir))
+    // v1 full (creation), cadence version full, the rest deltas
+    assert(!manifestText(1).contains("#delta"), "v1 must be full")
+    val cadence = VersionedLake.CheckpointInterval
+    assert(!manifestText(cadence).contains("#delta"),
+      s"v$cadence must be a full snapshot (cadence)")
+    Seq(2, 7, cadence - 1, cadence + 1, 20).foreach(v =>
+      assert(manifestText(v).contains("#delta"), s"v$v must be a delta"))
+    // O(delta): a late delta manifest does not grow with the live set —
+    // v20 names exactly one dir; the full v16 names sixteen
+    assert(manifestText(20).linesIterator.count(_.startsWith("+")) == 1)
+    assert(manifestText(cadence).linesIterator
+      .count(_.startsWith("d-")) == cadence)
+    // every version resolves to exactly its snapshot (delta replay ==
+    // full-list semantics)
+    Seq(1, 2, cadence - 1, cadence, cadence + 3, 20).foreach(v =>
+      assert(ids(VersionedLake.readAt(spark, dir, v)) == (0L until v * 10L),
+        s"version $v resolved wrong"))
+    // the append walk across the delta tail stays metadata-only
+    val d = VersionedLake.changes(spark, dir, 1, 20)
+    assert(!d.queryExecution.optimizedPlan.toString.contains("Except"))
+    assert(ids(d) == (10L until 200L))
+    // a COW rewrite delta-encodes drops too, and still resolves
+    val v21 = VersionedLake.deleteRange(spark, dir, "id", 0, 9,
+      statsCols = Seq("id"))
+    assert(v21 == 21 && manifestText(21).contains("#delta"))
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (10L until 200L))
+    // versionRange == listed versions; versionAt binary search agrees
+    // with the filter-based definition at every boundary
+    assert(VersionedLake.versionRange(spark, dir) == Some((1, 21)))
+    val mt = (v: Int) => f.getFileStatus(new Path(
+      s"$dir/_manifests/v" + "%05d".format(v))).getModificationTime
+    Seq(1, 2, cadence, 21).foreach { v =>
+      assert(VersionedLake.versionAt(spark, dir, mt(v)) == Some(
+        (1 to 21).filter(u => mt(u) <= mt(v)).last), s"versionAt(mt($v))")
+    }
+    assert(VersionedLake.versionAt(spark, dir, mt(1) - 1).isEmpty)
+  }
+
+  test("vacuum across a delta boundary: the oldest kept version gets a " +
+      "verified checkpoint sidecar before its bases drop; resolution, " +
+      "changes and later commits all survive") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("vlake-delta-vac") + "/lake"
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 8).foreach(i => VersionedLake.commit(
+      spark.range(i * 10L, i * 10L + 10).toDF("id"), dir))
+    // retain 3 → keep 6..8; v6 is a delta, so vacuum must write
+    // v00006.ckpt before dropping v1..v5
+    VersionedLake.vacuum(spark, dir, retain = 3, graceMs = 0)
+    assert(VersionedLake.versions(spark, dir) == Seq(6, 7, 8))
+    assert(f.exists(new Path(s"$dir/_manifests/v00006.ckpt")),
+      "boundary checkpoint missing")
+    (6 to 8).foreach(v =>
+      assert(ids(VersionedLake.readAt(spark, dir, v)) == (0L until v * 10L)))
+    // the walk across the checkpointed boundary stays fast-path
+    val d = VersionedLake.changes(spark, dir, 6, 8)
+    assert(!d.queryExecution.optimizedPlan.toString.contains("Except"))
+    assert(ids(d) == (60L until 80L))
+    assert(VersionedLake.versionRange(spark, dir) == Some((6, 8)))
+    // an explicit CALL-style checkpoint at the tip lets the NEXT
+    // vacuum drop without writing its own sidecar
+    assert(VersionedLake.checkpoint(spark, dir) == 8)
+    assert(f.exists(new Path(s"$dir/_manifests/v00008.ckpt")))
+    VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+    assert(VersionedLake.versions(spark, dir) == Seq(8))
+    assert(!f.exists(new Path(s"$dir/_manifests/v00006.ckpt")),
+      "dropped version's sidecar must be swept")
+    assert(ids(VersionedLake.readLatest(spark, dir)) == (0L until 80L))
+    // the vacuumed lake still commits and resolves
+    VersionedLake.commit(spark.range(100, 101).toDF("id"), dir)
+    assert(ids(VersionedLake.readLatest(spark, dir)) ==
+      ((0L until 80L) :+ 100L))
+    // a TORN checkpoint degrades to walk-back resolution (bases exist)
+    VersionedLake.commit(spark.range(101, 102).toDF("id"), dir)
+    val torn = new Path(s"$dir/_manifests/v00010.ckpt")
+    val out = f.create(torn, true)
+    out.write("d-garbage".getBytes("UTF-8")) // no terminator
+    out.close()
+    assert(ids(VersionedLake.readAt(spark, dir, 10)) ==
+      ((0L until 80L) ++ Seq(100L, 101L)),
+      "torn ckpt must fall back to delta replay, not resolve garbage")
+  }
+
   test("commitIndexed writes range stats AND a bloom for one data dir; " +
       "compaction carries both index classes") {
     import spark.implicits._
