@@ -131,8 +131,14 @@ object Bench {
           if (only.isDefined) "bench_subset.json" else "bench_last.json")
         val body = names.flatMap(n => results.get(n)
           .map(v => "  \"" + n + "\": " + v)).mkString(",\n")
+        // run-condition stamps: round-over-round comparisons of this
+        // artifact must not mix master/shuffle configurations silently
+        // (the driver's local[32] rerun overwrites the builder's run)
+        val master = spark.sparkContext.master
+        val shuffleParts =
+          spark.conf.get("spark.sql.shuffle.partitions", "?")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
-          s"""{\n"_total_sec": $total, "_sf": "$sfDir", "_failures": $failures,\n$body\n}\n""")
+          s"""{\n"_total_sec": $total, "_sf": "$sfDir", "_failures": $failures, "_master": "$master", "_shuffle_partitions": "$shuffleParts",\n$body\n}\n""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_last.json write failed: $e")
       }

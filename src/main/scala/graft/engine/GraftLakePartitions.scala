@@ -130,9 +130,14 @@ object GraftLakePartitions {
     if (cols.isEmpty) None
     else {
       val zone = spark.sessionState.conf.sessionLocalTimeZone
+      // QUALIFIED paths: the file index keys its leaf-dir → files map
+      // by fully-qualified path, and an unqualified spec path would
+      // match nothing (silently empty partitions)
+      val f = fs(spark, lakeDir)
       Some(PartitionSpec(StructType(cols), entryPaths.map { p =>
         PartitionPath(
-          valuesOf(entryOfDepth(p, cols.length + 1), cols, zone), p)
+          valuesOf(entryOfDepth(p, cols.length + 1), cols, zone),
+          f.makeQualified(p))
       }))
     }
   }

@@ -59,9 +59,18 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val idx = new InMemoryFileIndex(spark,
+    // GraftLakeFileIndex (not a plain InMemoryFileIndex) so a
+    // PARTITIONED lake's partition columns surface from the manifest
+    // entry names — the rewrite plan must see their true values or the
+    // replacement write would re-partition every row under null.
+    // sidecarPrune=false: under replace semantics a file pruned out of
+    // the scan is a file NOT rewritten while its dir IS replaced —
+    // silent row loss (caught by the CDF sidecar's netted diff when a
+    // CTAS's tight per-file ranges let `id < k` prune). Partition-dir
+    // pruning stays safe (a pruned partition's dir is not replaced).
+    val idx = new GraftLakeFileIndex(spark, lakeDir,
       VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
-      Map.empty, None)
+      sidecarPrune = false)
     new GraftLakeCowScanBuilder(this, spark, idx, table.schema(),
       table.dataSchema, options, lakeDir)
   }
@@ -70,10 +79,16 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
     new WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write = {
         val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-        val inner = ParquetWrite(Seq(s"$lakeDir/$dataDir"),
-          table.formatName, table.supportsDataType _, info)
+        val partCols = GraftLakePartitions.of(spark, lakeDir)
+        val inner: org.apache.spark.sql.connector.write.Write =
+          if (partCols.isEmpty)
+            ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+              table.formatName, table.supportsDataType _, info)
+          else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
+            partCols.map(_.name),
+            s"graftlake partitioned COW $lakeDir (staging $dataDir)")
         new GraftLakeCowWrite(GraftLakeRowLevelOperation.this, inner,
-          lakeDir, dataDir)
+          info, lakeDir, dataDir, partCols)
       }
     }
 }
@@ -126,6 +141,11 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
 
   @volatile private var runtimeIns: Seq[(String, Seq[Any])] = Seq.empty
   private val probe = new SidecarProbe(base.sparkSession, lakeDir)
+
+  /** The replacement unit is a MANIFEST ENTRY — `d-x`, or the leaf
+    * partition dir `d-x/c=v/...` on a partitioned lake. */
+  private def entryOf(parent: org.apache.hadoop.fs.Path): String =
+    probe.entryOf(parent)
 
   /** Exactly ONE attribute, and only if the snapshot actually indexes
     * it: Spark's runtime group filtering builds a single IN over ALL
@@ -211,7 +231,7 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
         }.zipWithIndex.map { case (files, i) => FilePartition(i, files) }
       }
     op.scannedDirs =
-      kept.flatMap(_.files).map(_.toPath.getParent.getName).toSet
+      kept.flatMap(_.files).map(f => entryOf(f.toPath.getParent)).toSet
     kept
   }
 }
@@ -261,13 +281,34 @@ private final class GraftLakeStripPrefixFactory(
   * of the scanned dirs still publishes a readable version: a
   * schema-bearing empty file is added when no task produced output. */
 final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
-    inner: ParquetWrite, lakeDir: String, dataDir: String)
-  extends org.apache.spark.sql.connector.write.Write {
+    inner: org.apache.spark.sql.connector.write.Write,
+    info: LogicalWriteInfo, lakeDir: String, dataDir: String,
+    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
 
   override def description(): String =
     s"graftlake COW ${op.command()} $lakeDir (staging $dataDir)"
+
+  // partitioned staging needs rows sorted by the partition columns;
+  // names resolve against the rewrite plan's table-column attributes
+  override def requiredDistribution
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    inner match {
+      case r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering => r.requiredDistribution
+      case _ => org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    }
+  override def requiredOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    inner match {
+      case r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering => r.requiredOrdering
+      case _ => Array.empty
+    }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val innerBatch = inner.toBatch
@@ -282,7 +323,7 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
     override def createBatchWriterFactory(p: PhysicalWriteInfo)
         : DataWriterFactory =
       new GraftLakeStripPrefixFactory(
-        innerBatch.createBatchWriterFactory(p), inner.info.schema())
+        innerBatch.createBatchWriterFactory(p), info.schema())
     override def useCommitCoordinator: Boolean =
       innerBatch.useCommitCoordinator
     override def onDataWriterCommit(m: WriterCommitMessage): Unit =
@@ -293,6 +334,7 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
       val staged = new Path(s"$lakeDir/$dataDir")
       val f = staged.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      if (partCols.nonEmpty) { commitPartitioned(spark, f); return }
       val hasFiles = f.exists(staged) && f.listStatus(staged)
         .exists(_.getPath.getName.endsWith(".parquet"))
       if (!hasFiles) {
@@ -306,13 +348,52 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
         // replacement readable (schema from the write's own contract)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          inner.info.schema()).repartition(1)
+          info.schema()).repartition(1)
           .write.mode("append").parquet(staged.toString)
       }
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
-        inner.info.schema())
-      VersionedLake.publishReplacingChecked(spark, lakeDir,
+        info.schema())
+      val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
         op.scannedDirs, dataDir, op.snapshotDirs)
+      // opt-in row-level CDF: persist this commit's EXACT changes
+      // (survivors netted) so feeds stop shipping the whole rewritten
+      // band as delete+insert pairs
+      if (VersionedLake.cdfEnabled(spark, lakeDir))
+        VersionedLake.writeChangeSidecar(spark, lakeDir, v,
+          VersionedLake.cowChangeRows(spark, lakeDir,
+            op.scannedDirs.toSeq, Seq(dataDir), op.command().toString))
+      ()
+    }
+
+    /** Partitioned COW commit: the rewrite's surviving/merged rows were
+      * staged as partition leaf dirs — publish one entry per leaf,
+      * replacing exactly the scanned ENTRIES. An operation that
+      * deleted every row of the scanned entries publishes their drop
+      * with a null-partition schema carrier only if nothing else
+      * remains live. */
+    private def commitPartitioned(spark: SparkSession,
+        f: org.apache.hadoop.fs.FileSystem): Unit = {
+      var entries = GraftLakePartitions.stagedEntries(spark, lakeDir,
+        dataDir, partCols.length)
+      if (entries.isEmpty && op.scannedDirs.isEmpty) {
+        f.delete(new Path(s"$lakeDir/$dataDir"), true)
+        return
+      }
+      if (entries.isEmpty &&
+          op.snapshotDirs.diff(op.scannedDirs).isEmpty)
+        entries = Seq(GraftLakePartitions.seedEmpty(spark, lakeDir,
+          dataDir, info.schema(), partCols))
+      val dataOnly = org.apache.spark.sql.types.StructType(
+        info.schema().filterNot(fl =>
+          partCols.exists(_.name.equalsIgnoreCase(fl.name))))
+      entries.foreach(e =>
+        VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
+      val v = VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
+        op.scannedDirs, entries, op.snapshotDirs)
+      if (VersionedLake.cdfEnabled(spark, lakeDir))
+        VersionedLake.writeChangeSidecar(spark, lakeDir, v,
+          VersionedLake.cowChangeRows(spark, lakeDir,
+            op.scannedDirs.toSeq, entries, op.command().toString))
       ()
     }
     override def abort(msgs: Array[WriterCommitMessage]): Unit = {

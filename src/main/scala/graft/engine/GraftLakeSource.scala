@@ -200,8 +200,26 @@ object GraftLakeDataSource {
     * which cancels carried pairs via the localized multiset diff. */
   val ReadChangeFeed = "readChangeFeed"
 
+  /** readStream option (Kafka/Delta's idiom, default true): when a
+    * LAGGING consumer's next batch needs versions that vacuum expired,
+    * fail AT OFFSET-PLANNING TIME with the retention-contract error
+    * (not a raw missing-path error from deep inside a scan). `false`
+    * opts into skipping the expired commits: the stream resumes from
+    * the oldest readable version's successor — rows published in the
+    * lost commits are never delivered to this consumer (logged, by
+    * explicit choice). */
+  val FailOnDataLoss = "failOnDataLoss"
+
   /** The change-type column the CDF stream appends. */
   val ChangeTypeCol = "_change_type"
+
+  /** The commit-version column the CDF stream appends (Delta CDF's
+    * `_commit_version`): per-commit ordering made visible, so an
+    * order-applying consumer (keyed upsert sink) can sequence events —
+    * CDF micro-batch partitions are also EMITTED in commit order
+    * (per-version delete-then-insert), never all-deletes-then-all-
+    * inserts across the batch. */
+  val CommitVersionCol = "_commit_version"
 
   /** Columns the DML paths auto-index (stats sidecars lifted from the
     * parquet footers): every top-level numeric field — SQL writers
@@ -262,6 +280,30 @@ object GraftLakeDataSource {
         case _ => 0
       }
     }.sum
+  }
+
+  /** [[filesRead]] but the file PATHS — the witness for assertions
+    * about WHICH dirs/partitions a plan reads (`DataFrame.inputFiles`
+    * is empty on non-FileTable V2 relations, so it cannot serve). */
+  def filesReadPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).flatMap {
+      case b: BatchScanExec => b.scan match {
+        case f: FileScan => f.planInputPartitions().toSeq.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.urlEncodedPath).toSeq
+          case _ => Seq.empty[String]
+        }
+        case _ => Seq.empty[String]
+      }
+      case _ => Seq.empty[String]
+    }
   }
 }
 
@@ -378,13 +420,57 @@ final class GraftLakeCatalog
       Option(c.comment()).fold(f)(f.withComment)
     })
 
-  private def requireUnpartitioned(
-      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
-      : Unit =
-    require(partitions.isEmpty,
-      "graftlake tables take no PARTITIONED BY: layout is per-commit " +
-        "(CALL compact/zorder cluster an existing lake; stats/bloom " +
-        "sidecars give file pruning without hive-style dirs)")
+  /** Identity `PARTITIONED BY` columns, validated: every transform
+    * must be an identity over one declared top-level column of a
+    * dir-renderable type. Returned in declaration order; empty = an
+    * unpartitioned lake (the default). Partition values become hive
+    * `c=v` dirs inside each commit's data dir and first-class manifest
+    * entries — see [[GraftLakePartitions]]. */
+  private def identityPartitionCols(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    val cols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graftlake supports identity PARTITIONED BY columns only, " +
+          s"got $t — derive the partition column in the query " +
+          "(bucketing/temporal binning: CALL zorder or the stats/bloom " +
+          "sidecars cover those probe shapes without a dir layout)")
+      val n = t.references()(0).fieldNames()(0)
+      val c = columns.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY names unknown column '$n' " +
+            s"(have: ${columns.map(_.name).mkString(", ")})"))
+      require(c.dataType match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             DateType | BooleanType => true
+        case _ => false
+      }, s"partition column $n has type ${c.dataType.sql}; partition " +
+        "values must render as directory names " +
+        "(string/integral/date/boolean)")
+      StructField(c.name, c.dataType, c.nullable())
+    }
+    require(cols.isEmpty || cols.size < columns.length,
+      "a table cannot be partitioned by every column")
+    cols
+  }
+
+  /** A REPLACE over an existing partitioned lake must keep its spec:
+    * the registry is lake-global (old versions' manifest entries parse
+    * against it), so changing partitioning means a new table. */
+  private def requireSpecUnchanged(dir: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val existing = GraftLakePartitions.of(spark, dir)
+    require(existing.map(f => (f.name, f.dataType)) ==
+      cols.map(f => (f.name, f.dataType)),
+      s"cannot change PARTITIONED BY of an existing lake (" +
+        s"${existing.map(_.name).mkString(",")} -> " +
+        s"${cols.map(_.name).mkString(",")}): old versions' manifest " +
+        "entries resolve against the declared spec — create a new " +
+        "table and backfill instead")
+  }
 
   /** `TBLPROPERTIES ('bloom' = '<col>')` — declares the lake's bloom-
     * indexed column ([[VersionedLake.setBloomIndex]]): every commit,
@@ -404,6 +490,14 @@ final class GraftLakeCatalog
         c
       }
 
+  /** `TBLPROPERTIES ('cdf' = 'true')` — opts the lake into row-level
+    * change capture (Delta's `enableChangeDataFeed`): data-changing
+    * commits persist their exact changed rows as `_changes/<version>`
+    * sidecars, and change feeds serve O(changed rows) instead of the
+    * rewritten dirs' delete+insert pairs. */
+  private def cdfProp(properties: java.util.Map[String, String]): Boolean =
+    Option(properties.get("cdf")).exists(_.trim.equalsIgnoreCase("true"))
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -411,21 +505,40 @@ final class GraftLakeCatalog
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table = {
-    requireUnpartitioned(partitions)
+    val partCols = identityPartitionCols(partitions, columns)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row], toStruct(columns))
+    val dir = dirOf(ident)
     // strict single-attempt v1 publish, NOT commit's CAS-retry: two
     // racing CREATEs must yield one winner and one clean error, never
     // a retried append that unions their schemas/data
-    if (!VersionedLake.commitCreateStrict(empty.repartition(1),
-        dirOf(ident)))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(ident)
-    bloomProp(properties, columns).foreach(c =>
-      VersionedLake.setBloomIndex(spark, dirOf(ident), c))
+    if (partCols.isEmpty) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row],
+        toStruct(columns))
+      if (!VersionedLake.commitCreateStrict(empty.repartition(1), dir))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    } else {
+      // the schema carrier lives at the null partition (an empty frame
+      // has no partition values); the spec registry lands only AFTER
+      // the create wins — a lost-race loser must not plant its spec
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      val entry = GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+        toStruct(columns), partCols)
+      if (!VersionedLake.publishCreateStrictAll(spark, dir, Seq(entry)))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      GraftLakePartitions.set(spark, dir, partCols)
+    }
+    bloomProp(properties, columns).foreach { c =>
+      require(!partCols.exists(_.name == c),
+        s"bloom table property names partition column '$c' — " +
+          "partition pruning already answers point lookups on it")
+      VersionedLake.setBloomIndex(spark, dir, c)
+    }
+    if (cdfProp(properties)) VersionedLake.setChangeDataFeed(spark, dir)
     loadTable(ident)
   }
 
@@ -440,13 +553,13 @@ final class GraftLakeCatalog
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    requireUnpartitioned(partitions)
+    val partCols = identityPartitionCols(partitions, columns)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
       replace = false, orCreate = false,
-      bloomProp(properties, columns))
+      bloomProp(properties, columns), partCols, cdfProp(properties))
   }
 
   override def stageReplace(ident: Identifier,
@@ -454,13 +567,14 @@ final class GraftLakeCatalog
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    requireUnpartitioned(partitions)
+    val partCols = identityPartitionCols(partitions, columns)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
+    requireSpecUnchanged(dirOf(ident), partCols)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
       replace = true, orCreate = false,
-      bloomProp(properties, columns))
+      bloomProp(properties, columns), partCols, cdfProp(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -468,10 +582,11 @@ final class GraftLakeCatalog
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    requireUnpartitioned(partitions)
+    val partCols = identityPartitionCols(partitions, columns)
+    if (tableExists(ident)) requireSpecUnchanged(dirOf(ident), partCols)
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
       replace = true, orCreate = true,
-      bloomProp(properties, columns))
+      bloomProp(properties, columns), partCols, cdfProp(properties))
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — the one schema evolution the
@@ -507,12 +622,22 @@ final class GraftLakeCatalog
         a.dataType(), nullable = true)
       schema = schema.add(Option(a.comment()).fold(fld)(fld.withComment))
     }
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row], schema)
     // plain append commit (CAS-retried): racing writers are safe — an
     // empty dir unions with anything, and two concurrent ALTERs land
-    // as successive versions whose schemas merge
-    VersionedLake.commit(empty.repartition(1), dirOf(ident))
+    // as successive versions whose schemas merge. On a partitioned
+    // lake the schema carrier lives at the null-partition entry like
+    // every other empty commit.
+    val partCols = GraftLakePartitions.of(spark, dirOf(ident))
+    if (partCols.isEmpty) {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row], schema)
+      VersionedLake.commit(empty.repartition(1), dirOf(ident))
+    } else {
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      val entry = GraftLakePartitions.seedEmpty(spark, dirOf(ident),
+        dataDir, schema, partCols)
+      VersionedLake.publishAll(spark, dirOf(ident), Seq(entry), "append")
+    }
     loadTable(ident)
   }
 
@@ -584,20 +709,35 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     if (!cdf || s.fieldNames.contains(GraftLakeDataSource.ChangeTypeCol)) s
     else StructType(s.fields :+ org.apache.spark.sql.types.StructField(
       GraftLakeDataSource.ChangeTypeCol,
-      org.apache.spark.sql.types.StringType, nullable = true))
+      org.apache.spark.sql.types.StringType, nullable = true)
+      :+ org.apache.spark.sql.types.StructField(
+      GraftLakeDataSource.CommitVersionCol,
+      org.apache.spark.sql.types.LongType, nullable = true))
 
   override def name(): String = tableName
   override def schema(): StructType = widen(delegate.schema)
+
+  /** Declared identity partitioning, surfaced so DESCRIBE/SHOW and the
+    * analyzer see the layout (the registry is the source of truth —
+    * see [[GraftLakePartitions]]). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftLakePartitions.of(spark, lakeDir).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c.name)).toArray
   override def columns()
       : Array[org.apache.spark.sql.connector.catalog.Column] =
     // same idempotence as widen(): the delegate may already carry the
-    // CDF column via the round-tripped user-specified schema
+    // CDF columns via the round-tripped user-specified schema
     if (!cdf || delegate.schema.fieldNames.contains(
         GraftLakeDataSource.ChangeTypeCol)) delegate.columns()
     else delegate.columns() :+
       org.apache.spark.sql.connector.catalog.Column.create(
         GraftLakeDataSource.ChangeTypeCol,
-        org.apache.spark.sql.types.StringType, true)
+        org.apache.spark.sql.types.StringType, true) :+
+      org.apache.spark.sql.connector.catalog.Column.create(
+        GraftLakeDataSource.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, true)
   private[engine] def dataSchema: StructType = delegate.dataSchema
   private[engine] def formatName: String = delegate.formatName
   private[engine] def supportsDataType(
@@ -674,11 +814,59 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     * every predicate, still one atomic version, just without the
     * metadata-only shortcut. */
   override def canDeleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    GraftLakeDelete.translate(schema(), filters).isDefined
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val partCols = GraftLakePartitions.of(spark, lakeDir)
+    if (partCols.isEmpty)
+      GraftLakeDelete.translate(schema(), filters).isDefined
+    else
+      // partitioned lakes take the metadata path ONLY for partition-
+      // decidable predicates (whole entries drop by manifest
+      // reference); anything touching data columns goes to the
+      // copy-on-write rewrite, which is partition-aware
+      filters.forall(f =>
+        GraftLakeDelete.toColumn(schema(), f).isDefined) &&
+        GraftLakePartitions.partitionDecidable(filters, partCols)
+  }
+
+  /** Whole-partition DELETE: every entry whose partition values make
+    * the predicate TRUE is dropped BY MANIFEST REFERENCE — zero data
+    * IO, the O(metadata) retention shape directory partitioning
+    * exists for. Exact catalyst evaluation of the predicate over the
+    * entry values (all rows of an entry share them); entries where it
+    * is FALSE or NULL survive whole. */
+  private def deleteWherePartitioned(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      partCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.toSeq
+      .map(f => GraftLakeDelete.toColumn(schema(), f).getOrElse(
+        throw new IllegalStateException(s"untranslatable filter $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val tipV = VersionedLake.tip(spark, lakeDir).getOrElse(return)
+    val snapshot = VersionedLake.manifestEntries(spark, lakeDir, tipV)
+    val (touched, kept) =
+      GraftLakePartitions.entriesWhere(spark, snapshot, partCols, pred)
+    if (touched.isEmpty) return // no partition matches: no new version
+    // a delete emptying the lake still needs a schema carrier
+    val added =
+      if (kept.nonEmpty) Seq.empty[String]
+      else {
+        val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+        Seq(GraftLakePartitions.seedEmpty(spark, lakeDir, dataDir,
+          schema(), partCols))
+      }
+    VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
+      touched.toSet, added, snapshot.toSet)
+    ()
+  }
 
   override def deleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val partCols = GraftLakePartitions.of(spark, lakeDir)
+    if (partCols.nonEmpty) {
+      deleteWherePartitioned(filters, partCols)
+      return
+    }
     GraftLakeDelete.translate(schema(), filters) match {
       case Some(GraftLakeDelete.Truncate) =>
         // manifest-level truncate: one empty-but-schema-bearing commit
@@ -703,6 +891,7 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           "column (or no WHERE); richer predicates take the " +
           "copy-on-write path")
     }
+  }
 }
 
 /** Pushed-filter → delete-interval translation for [[GraftLakeTable]].
@@ -865,11 +1054,20 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
   // exact-or-refuse, consulted by Spark BEFORE overwrite(): a filter
   // shape toColumn cannot replay exactly surfaces as a clean analysis
   // error ("table does not support overwrite by filter"), never a
-  // wrong-rows commit
+  // wrong-rows commit. On a PARTITIONED lake the condition must be
+  // partition-decidable — the overwrite then swaps whole partition
+  // entries by manifest reference (INSERT OVERWRITE ... PARTITION /
+  // the Y/M/D backfill shape, zero survivor IO); a data-column
+  // condition would need a survivor rewrite this path does not run.
   override def canOverwrite(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val partCols = GraftLakePartitions.of(
+      org.apache.spark.sql.SparkSession.active, lakeDir)
     filters.forall(f =>
-      GraftLakeDelete.toColumn(table.schema(), f).isDefined)
+      GraftLakeDelete.toColumn(table.schema(), f).isDefined) &&
+      (partCols.isEmpty ||
+        GraftLakePartitions.partitionDecidable(filters, partCols))
+  }
 
   override def overwrite(
       filters: Array[org.apache.spark.sql.sources.Filter])
@@ -887,11 +1085,18 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
     // same dir shape as VersionedLake.commit — compaction, vacuum and
     // the racing-writer specs treat every d-* dir uniformly
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val inner = org.apache.spark.sql.execution.datasources.v2.parquet
-      .ParquetWrite(Seq(s"$lakeDir/$dataDir"), table.formatName,
-        table.supportsDataType _, info)
-    new GraftLakeWrite(inner, lakeDir, dataDir, mode, table.schema(),
-      replaceCond)
+    val partCols = GraftLakePartitions.of(
+      org.apache.spark.sql.SparkSession.active, lakeDir)
+    val inner: org.apache.spark.sql.connector.write.Write =
+      if (partCols.isEmpty)
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetWrite(Seq(s"$lakeDir/$dataDir"), table.formatName,
+            table.supportsDataType _, info)
+      else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
+        partCols.map(_.name),
+        s"graftlake partitioned $mode $lakeDir (staging $dataDir)")
+    new GraftLakeWrite(inner, info, lakeDir, dataDir, mode,
+      table.schema(), replaceCond, partCols)
   }
 }
 
@@ -904,16 +1109,37 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
   * manifest-publish leaves an unreferenced dir that no reader ever
   * sees and vacuum sweeps. */
 final class GraftLakeWrite(
-    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite,
+    inner: org.apache.spark.sql.connector.write.Write,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     lakeDir: String, dataDir: String, mode: String,
     tableSchema: StructType,
-    replaceCond: Array[org.apache.spark.sql.sources.Filter])
-  extends org.apache.spark.sql.connector.write.Write {
+    replaceCond: Array[org.apache.spark.sql.sources.Filter],
+    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
 
   override def description(): String =
     s"graftlake $mode $lakeDir (staging $dataDir)"
+
+  // a partitioned staging write needs rows ordered by the partition
+  // columns (one open file per task); unpartitioned is a no-op
+  override def requiredDistribution
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    inner match {
+      case r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering => r.requiredDistribution
+      case _ => org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    }
+  override def requiredOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    inner match {
+      case r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering => r.requiredOrdering
+      case _ => Array.empty
+    }
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -921,12 +1147,16 @@ final class GraftLakeWrite(
     require(mode != "replace", // unreachable: no streaming plan builds it
       "overwrite-by-filter is a batch operation; streams append (or " +
         "truncate per batch in Complete mode)")
+    require(partCols.isEmpty,
+      "writeStream into a PARTITIONED graftlake table is not supported " +
+        "yet — stream into an unpartitioned lake, or batch-INSERT the " +
+        "drained micro-batches (foreachBatch with INSERT INTO)")
     // the batch staging dir allocated by the builder is unused here (a
     // name only — nothing touches disk until tasks write); streaming
     // stages per-epoch files under _stage and commits per epoch instead
-    new GraftLakeStreamingWrite(lakeDir, inner.info.schema(),
-      inner.info.queryId(), mode,
-      inner.info.options().asCaseSensitiveMap().asScala.toMap)
+    new GraftLakeStreamingWrite(lakeDir, info.schema(),
+      info.queryId(), mode,
+      info.options().asCaseSensitiveMap().asScala.toMap)
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -940,14 +1170,56 @@ final class GraftLakeWrite(
     override def commit(msgs: Array[WriterCommitMessage]): Unit = {
       innerBatch.commit(msgs) // file committer: task temps -> staging dir
       val spark = SparkSession.active
+      if (partCols.nonEmpty) { commitPartitioned(spark); return }
       if (mode == "replace") { commitReplace(spark); return }
       // every DML commit is auto-indexed (numeric range stats + the
       // lake's declared bloom column, VersionedLake.indexStagedDir) —
       // INSERT'd data is immediately skippable through the same
       // sidecar paths as library-indexed commits
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
-        inner.info.schema())
+        info.schema())
       VersionedLake.publish(spark, lakeDir, dataDir, mode)
+    }
+
+    /** Partitioned commit: the dynamic-partition writer laid the staged
+      * rows out as `c=v` leaf dirs; publish one manifest entry per
+      * leaf, each with its own stats/bloom sidecars. A `replace`
+      * (partition-decidable replaceWhere — `canOverwrite` gated it)
+      * swaps the matching partition entries by manifest reference with
+      * ZERO survivor IO: rows of an entry share its partition values,
+      * so the condition drops entries whole (INSERT OVERWRITE ...
+      * PARTITION, the Y/M/D backfill shape). */
+    private def commitPartitioned(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.functions.lit
+      var entries = GraftLakePartitions.stagedEntries(spark, lakeDir,
+        dataDir, partCols.length)
+      val dataOnly = StructType(info.schema().filterNot(f =>
+        partCols.exists(_.name.equalsIgnoreCase(f.name))))
+      if (entries.isEmpty) {
+        if (mode == "append") return // zero-row INSERT: publish nothing
+        entries = Seq(GraftLakePartitions.seedEmpty(spark, lakeDir,
+          dataDir, info.schema(), partCols))
+      }
+      entries.foreach(e =>
+        VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
+      mode match {
+        case "append" | "overwrite" =>
+          VersionedLake.publishAll(spark, lakeDir, entries, mode)
+        case "replace" =>
+          val pred = replaceCond.toSeq
+            .map(f => GraftLakeDelete.toColumn(tableSchema, f).getOrElse(
+              throw new IllegalStateException(
+                s"untranslatable overwrite filter $f")))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val snapshot = VersionedLake.tip(spark, lakeDir)
+            .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
+            .getOrElse(Seq.empty)
+          val (touched, _) = GraftLakePartitions.entriesWhere(spark,
+            snapshot, partCols, pred)
+          VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
+            touched.toSet, entries, snapshot.toSet)
+      }
+      ()
     }
 
     /** replaceWhere commit: the staged dir already holds the new data
@@ -989,11 +1261,17 @@ final class GraftLakeWrite(
       // sidecars AFTER the survivor append so they cover every file in
       // the published dir (new data and survivors alike)
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir, tableSchema)
-      if (touched.isEmpty)
+      if (touched.isEmpty) {
         VersionedLake.publish(spark, lakeDir, dataDir, "append")
-      else
-        VersionedLake.publishReplacingChecked(spark, lakeDir,
+        ()
+      } else {
+        val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
           touched.toSet, dataDir, snapshot.toSet)
+        if (VersionedLake.cdfEnabled(spark, lakeDir))
+          VersionedLake.writeChangeSidecar(spark, lakeDir, v,
+            VersionedLake.cowChangeRows(spark, lakeDir, touched,
+              Seq(dataDir), "REPLACE"))
+      }
       ()
     }
     override def abort(msgs: Array[WriterCommitMessage]): Unit = {
@@ -1041,12 +1319,15 @@ final class GraftLakeScanBuilder(spark: SparkSession,
       s"${GraftLakeDataSource.ReadChangeFeed} delivers change commits " +
         s"as tagged events; ${GraftLakeDataSource.SkipChangeCommits} " +
         "drops them — pick one")
+    val failOnLoss = Option(
+      options.get(GraftLakeDataSource.FailOnDataLoss))
+      .forall(!_.trim.equalsIgnoreCase("false"))
     new GraftLakeParquetScan(super.build(), lakeDir,
       fromTs.orElse(intOpt(GraftLakeDataSource.StartingVersion))
         .getOrElse(1),
       intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
       intOpt(GraftLakeDataSource.MaxFilesPerTrigger),
-      skip, cdf)
+      skip, cdf, failOnLoss)
   }
 }
 
@@ -1059,7 +1340,8 @@ final class GraftLakeParquetScan(
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    failOnDataLoss: Boolean = true)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -1070,7 +1352,8 @@ final class GraftLakeParquetScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLakeMicroBatchStream(this, lakeDir, startingVersion,
-      maxVersionsPerTrigger, maxFilesPerTrigger, skipChangeCommits, cdf)
+      maxVersionsPerTrigger, maxFilesPerTrigger, skipChangeCommits, cdf,
+      failOnDataLoss)
 
   /** CDF is a STREAMING shape (versions as offsets, per-commit
     * partitions); a batch `_change_type` read would silently be all
@@ -1183,7 +1466,8 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    failOnDataLoss: Boolean = true)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming
@@ -1207,6 +1491,38 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
   }
 
   override def latestOffset(): Offset = GraftLakeOffset(publishedTip)
+
+  /** Offset-planning retention check: a lagging consumer whose next
+    * batch needs a vacuum-expired version fails HERE with the
+    * retention-contract error — never a raw missing-path error from
+    * deep inside a scan — and `failOnDataLoss=false` opts into
+    * resuming from the oldest readable version (commits expired in
+    * between are LOST to this consumer, logged). Returns the effective
+    * start offset the walk proceeds from. One existence probe on the
+    * happy path. */
+  private def retentionCheckedStart(from: Int): Int = {
+    val probe = math.max(from, 1)
+    if (probe > publishedTip ||
+        VersionedLake.versionExists(spark, lakeDir, probe)) from
+    else {
+      val lo = VersionedLake.versionRange(spark, lakeDir)
+        .fold(publishedTip)(_._1)
+      if (failOnDataLoss)
+        throw new IllegalStateException(
+          s"stream over $lakeDir needs version $probe but retention " +
+            s"(vacuum) expired it — the oldest readable version is " +
+            s"$lo. Restart from a fresh checkpoint (optionally with " +
+            s"${GraftLakeDataSource.StartingVersion} >= $lo) to " +
+            s"reprocess, or set ${GraftLakeDataSource.FailOnDataLoss}" +
+            "=false to skip the expired commits (their rows are lost " +
+            "to this consumer)")
+      System.err.println(
+        s"[graftlake] WARN stream over $lakeDir skipping expired " +
+          s"versions $probe..$lo (failOnDataLoss=false): their rows " +
+          "are lost to this consumer")
+      lo
+    }
+  }
 
   // ---- admission control (rate limiting) ------------------------------
   //
@@ -1266,7 +1582,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[GraftLakeOffset].v
+    val from = retentionCheckedStart(start.asInstanceOf[GraftLakeOffset].v)
     // an AvailableNow run never passes its captured tip (min: a vacuum
     // cannot shrink the published tip, but defensive beats regressed)
     val tip = availableNowTip.fold(publishedTip)(math.min(_, publishedTip))
@@ -1300,7 +1616,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftLakeOffset].v
+    val from = retentionCheckedStart(start.asInstanceOf[GraftLakeOffset].v)
     val to = end.asInstanceOf[GraftLakeOffset].v
     if (to <= from) return Array.empty
     // Version-by-version walk over (from, to] (version 0 is "before
@@ -1323,13 +1639,37 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       if (from <= 0) Seq.empty[String]
       else VersionedLake.manifestInfo(spark, lakeDir, from)._1
     var prev: Set[String] = prevSeq.toSet
+    // sidecar-aware per-batch index + the scan's own pushed data
+    // filters: a filtered stream prunes each batch's files through the
+    // same stats/bloom path as a batch read (metadata-only decision;
+    // files without sidecars are conservatively read)
+    def planDirs(paths: Seq[Path]): Seq[
+        org.apache.spark.sql.execution.datasources.FilePartition] =
+      if (paths.isEmpty) Seq.empty
+      else scan.copy(
+        fileIndex = new GraftLakeFileIndex(spark, lakeDir, paths),
+        partitionFilters = Nil, dataFilters = scan.dataFilters)
+        .planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp
+        }
+    def entryPaths(dirs: Seq[String]): Seq[Path] =
+      dirs.map(d => new Path(s"$lakeDir/$d"))
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
-    val retracted = scala.collection.mutable.LinkedHashSet.empty[String]
+    // CDF groups in COMMIT ORDER: (partitions, op, version) — an
+    // order-applying consumer must see each commit's deletes before
+    // its inserts and commits in sequence, never all-deletes-then-
+    // all-inserts across the whole batch
+    val cdfGroups = scala.collection.mutable.ArrayBuffer.empty[
+      (Seq[org.apache.spark.sql.execution.datasources.FilePartition],
+        String, Int)]
+    val partitionedLake = GraftLakePartitions.of(spark, lakeDir).nonEmpty
     var v = from + 1
     while (v <= to) {
       val (cur, layoutOnly) =
         VersionedLake.manifestStep(spark, lakeDir, prevSeq, v)
       val removed = prev.diff(cur.toSet)
+      val added = cur.filterNot(prev)
       if (layoutOnly) {
         // row-preserving: nothing to deliver; pending dirs the rewrite
         // replaced keep being read from their original files
@@ -1343,12 +1683,25 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         // into missing the updates/deletes, not into losing the
         // append — same retention-vs-lag contract as the layout skip.
       } else if (removed.nonEmpty && cdf) {
-        // change feed: the rewrite's PRE-IMAGE dirs deliver as
-        // `delete`, its replacements as `insert` — survivor rows carry
-        // as a delete+insert pair that cancels under signed
-        // aggregation (group-level CDF; see ReadChangeFeed's doc)
-        removed.foreach(retracted += _)
-        cur.filterNot(prev).foreach(pending += _)
+        // change feed across a rewrite: with a ROW-LEVEL sidecar
+        // (opt-in cdf policy), deliver the commit's EXACT changes —
+        // `_change_type` comes from the sidecar files themselves,
+        // O(changed rows), zero survivor noise. Without one, the
+        // rewrite's pre-image dirs deliver as `delete` and its
+        // replacements as `insert` — survivor rows carry as a
+        // delete+insert pair that cancels under signed aggregation
+        // (group-level CDF; see ReadChangeFeed's doc). Sidecar files
+        // hold partition columns as DATA columns, so on a partitioned
+        // lake the dir-granular path keeps serving (its scan expects
+        // partition values from the index).
+        VersionedLake.changeSidecarPath(spark, lakeDir, v) match {
+          case Some(p) if !partitionedLake =>
+            cdfGroups += ((planDirs(Seq(p)), "file", v))
+          case _ =>
+            cdfGroups += ((planDirs(entryPaths(removed.toSeq)),
+              "delete", v))
+            cdfGroups += ((planDirs(entryPaths(added)), "insert", v))
+        }
       } else {
         require(removed.isEmpty,
           s"streaming read of $lakeDir requires append-only history " +
@@ -1360,40 +1713,25 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
             s"data-changing rewrite commits, or consume with " +
             s"${GraftLakeDataSource.ReadChangeFeed}=true for tagged " +
             "change events")
-        cur.filterNot(prev).foreach(pending += _)
+        if (cdf) cdfGroups += ((planDirs(entryPaths(added)), "insert", v))
+        else added.foreach(pending += _)
       }
       prevSeq = cur
       prev = cur.toSet
       v += 1
     }
-    // sidecar-aware per-batch index + the scan's own pushed data
-    // filters: a filtered stream prunes each batch's files through the
-    // same stats/bloom path as a batch read (metadata-only decision;
-    // files without sidecars are conservatively read)
-    def planDirs(dirs: Seq[String]): Seq[
-        org.apache.spark.sql.execution.datasources.FilePartition] =
-      if (dirs.isEmpty) Seq.empty
-      else scan.copy(
-        fileIndex = new GraftLakeFileIndex(spark, lakeDir,
-          dirs.map(d => new Path(s"$lakeDir/$d"))),
-        partitionFilters = Nil, dataFilters = scan.dataFilters)
-        .planInputPartitions().toSeq.collect {
-          case fp: org.apache.spark.sql.execution.datasources
-            .FilePartition => fp
-        }
     if (!cdf) {
       if (pending.isEmpty) Array.empty
-      else planDirs(pending.toSeq).toArray
+      else planDirs(entryPaths(pending.toSeq)).toArray
     } else {
-      // deletes first, then inserts; partitions REINDEXED so the RDD
+      // commit-ordered groups, partitions REINDEXED so the RDD
       // contract (index == array position) holds across the groups
-      val tagged =
-        planDirs(retracted.toSeq).map(_ -> "delete") ++
-          planDirs(pending.toSeq).map(_ -> "insert")
-      tagged.zipWithIndex.map { case ((fp, op), i) =>
+      cdfGroups.toSeq.flatMap { case (fps, op, ver) =>
+        fps.map(fp => (fp, op, ver))
+      }.zipWithIndex.map { case ((fp, op, ver), i) =>
         GraftLakeCdfPartition(
           org.apache.spark.sql.execution.datasources.FilePartition(
-            i, fp.files), op): InputPartition
+            i, fp.files), op, ver): InputPartition
       }.toArray
     }
   }
@@ -1411,10 +1749,11 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
 }
 
 /** A CDF micro-batch partition: the wrapped file partition plus the
-  * change type its rows deliver as. */
+  * change type its rows deliver as (`"file"` = the change type comes
+  * from the sidecar files themselves) and the commit version. */
 private[engine] final case class GraftLakeCdfPartition(
     inner: org.apache.spark.sql.execution.datasources.FilePartition,
-    op: String)
+    op: String, version: Int)
   extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
@@ -1423,11 +1762,13 @@ private[engine] final case class GraftLakeCdfPartition(
 /** Reader factory for the change feed: runs the wrapped parquet ROW
   * reader and overwrites the `_change_type` column (materialized as
   * null by the files-absent schema-evolution path) with the
-  * partition's op constant via one bound projection. Row-based by
-  * construction — a CDF batch is the changed fraction, so the
-  * columnar path's throughput edge is not worth per-column batch
-  * rewriting. A consumer that pruned `_change_type` away gets the
-  * wrapped reader untouched. */
+  * partition's op constant — unless the partition reads a ROW-LEVEL
+  * sidecar, whose files carry their own change types — and the
+  * `_commit_version` column with the partition's version, via one
+  * bound projection. Row-based by construction — a CDF batch is the
+  * changed fraction, so the columnar path's throughput edge is not
+  * worth per-column batch rewriting. A consumer that pruned both CDF
+  * columns away gets the wrapped reader untouched. */
 private[engine] final class GraftLakeCdfReaderFactory(
     inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
     readSchema: StructType)
@@ -1442,17 +1783,21 @@ private[engine] final class GraftLakeCdfReaderFactory(
       : PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[GraftLakeCdfPartition]
     val r = inner.createReader(cp.inner)
-    val idx = readSchema.fieldNames
+    val ctIdx = readSchema.fieldNames
       .indexOf(GraftLakeDataSource.ChangeTypeCol)
-    if (idx < 0) r
+    val cvIdx = readSchema.fieldNames
+      .indexOf(GraftLakeDataSource.CommitVersionCol)
+    if (ctIdx < 0 && cvIdx < 0) r
     else {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference,
         Literal, UnsafeProjection}
       val proj = UnsafeProjection.create(
         readSchema.fields.zipWithIndex.map { case (f, i) =>
-          if (i == idx)
+          if (i == ctIdx && cp.op != "file")
             Literal(org.apache.spark.unsafe.types.UTF8String
               .fromString(cp.op), f.dataType)
+          else if (i == cvIdx)
+            Literal(cp.version.toLong, f.dataType)
           else BoundReference(i, f.dataType, f.nullable)
         }.toSeq)
       new PartitionReader[InternalRow] {
@@ -1473,12 +1818,22 @@ private[engine] final class GraftLakeCdfReaderFactory(
   * filtered stream skips non-matching files per batch instead of
   * reading every delta file. */
 final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
-    dataDirPaths: Seq[Path])
-  extends InMemoryFileIndex(spark, dataDirPaths, Map.empty, None) {
+    dataDirPaths: Seq[Path], sidecarPrune: Boolean = true)
+  extends InMemoryFileIndex(spark, dataDirPaths, Map.empty, None,
+    org.apache.spark.sql.execution.datasources.NoopCache,
+    // partitioned lakes: partition values decided from MANIFEST entry
+    // names (an explicit PartitionSpec), never inferred from listings —
+    // planning-time partition pruning + DPP then drop whole entries
+    GraftLakePartitions.specFor(spark, lakeDir, dataDirPaths), None) {
 
   def this(spark: SparkSession, lakeDir: String, version: Int) =
     this(spark, lakeDir,
       VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)))
+
+  // manifest entries are `d-x` or `d-x/c=v/...` — the sidecar key is
+  // the ENTRY-relative path of a file's parent dir
+  private val entryDepth =
+    1 + GraftLakePartitions.of(spark, lakeDir).length
 
   // One probe per index: sidecar lookups memoized for the INDEX's
   // lifetime, not per listFiles call — a version's sidecars are
@@ -1493,12 +1848,18 @@ final class GraftLakeFileIndex(spark: SparkSession, lakeDir: String,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
+    // sidecarPrune=false is the COW-scan contract: a file pruned out
+    // of a replace-semantics scan is a file NOT rewritten — with its
+    // dir still replaced, its rows would be SILENTLY LOST. Partition
+    // pruning (super's, above) stays: all rows of a pruned partition
+    // provably fail the condition, so their dir is not replaced at all.
+    if (!sidecarPrune) return base
     val ranges = GraftLakeFileIndex.rangePredicates(dataFilters)
     val points = GraftLakeFileIndex.pointPredicates(dataFilters)
     if (ranges.isEmpty && points.isEmpty) base
     else {
       def admit(p: Path): Boolean = {
-        val d = p.getParent.getName
+        val d = GraftLakePartitions.entryOfDepth(p.getParent, entryDepth)
         val f = p.getName
         ranges.forall { case (c, lo, hi) =>
           probe.stats(d, c)
@@ -1529,6 +1890,15 @@ private[engine] final class SidecarProbe(spark: SparkSession,
   private val bloomCache = collection.concurrent.TrieMap
     .empty[(String, String), Map[String, java.util.BitSet]]
 
+  private val entryDepth =
+    1 + GraftLakePartitions.of(spark, lakeDir).length
+
+  /** Manifest-entry key of a file's parent dir (`d-x` or
+    * `d-x/c=v/...` on a partitioned lake) — what the sidecar files are
+    * named by. */
+  private[engine] def entryOf(parent: Path): String =
+    GraftLakePartitions.entryOfDepth(parent, entryDepth)
+
   def stats(d: String, c: String): Map[String, (Double, Double, Long)] =
     statsCache.getOrElseUpdate((d, c),
       VersionedLake.fileStats(spark, lakeDir, d, c))
@@ -1541,7 +1911,7 @@ private[engine] final class SidecarProbe(spark: SparkSession,
     * pruning predicate — OR-of-points where the static path answers
     * single ranges/points. */
   def admitAnyOf(p: Path, c: String, values: Seq[Any]): Boolean = {
-    val d = p.getParent.getName
+    val d = entryOf(p.getParent)
     val f = p.getName
     val nums = values.collect { case n: Number => n.doubleValue() }
     val statsOk = nums.length != values.length ||

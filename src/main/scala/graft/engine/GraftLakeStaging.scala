@@ -33,11 +33,19 @@ import org.apache.hadoop.fs.Path
   * time-travelable history, not a destructive swap. */
 final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     stSchema: StructType, replace: Boolean, orCreate: Boolean,
-    bloomProp: Option[String] = None)
+    bloomProp: Option[String] = None,
+    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    cdfProp: Boolean = false)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
   private val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+
+  /** Partition columns hold no data bytes — sidecars and the seed file
+    * index/carry the DATA columns only. */
+  private def dataOnlySchema: StructType =
+    StructType(stSchema.filterNot(f =>
+      partCols.exists(_.name.equalsIgnoreCase(f.name))))
 
   /** Tip version observed when the DDL was staged (0 = no table). The
     * commit publishes against EXACTLY this tip: staged DDL must not
@@ -69,12 +77,36 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
-        private val inner = ParquetWrite(Seq(s"$lakeDir/$dataDir"),
-          fmt.formatName, fmt.supportsDataType _, info)
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        private val inner: Write =
+          if (partCols.isEmpty)
+            ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+              fmt.formatName, fmt.supportsDataType _, info)
+          else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
+            partCols.map(_.name),
+            s"graftlake staged partitioned $lakeDir (staging $dataDir)")
         override def description(): String =
           s"graftlake staged ${if (replace) "replace" else "create"} " +
             s"$lakeDir (staging $dataDir)"
+        // partitioned staging orders rows by the partition columns
+        // (one open file per task); unpartitioned is a no-op
+        override def requiredDistribution
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          inner match {
+            case r: org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering => r.requiredDistribution
+            case _ => org.apache.spark.sql.connector.distributions
+              .Distributions.unspecified()
+          }
+        override def requiredOrdering: Array[
+            org.apache.spark.sql.connector.expressions.SortOrder] =
+          inner match {
+            case r: org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering => r.requiredOrdering
+            case _ => Array.empty
+          }
         override def toBatch: BatchWrite = new BatchWrite {
           private val innerBatch = inner.toBatch
           override def createBatchWriterFactory(p: PhysicalWriteInfo)
@@ -89,8 +121,13 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           // write OR any later part of the DDL fails)
           override def commit(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.commit(msgs)
-            VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
-              stSchema, bloomProp)
+            if (partCols.isEmpty)
+              VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
+                stSchema, bloomProp)
+            else GraftLakePartitions.stagedEntries(spark, lakeDir,
+              dataDir, partCols.length).foreach(e =>
+              VersionedLake.indexStagedDir(spark, lakeDir, e,
+                dataOnlySchema, bloomProp))
           }
           override def abort(msgs: Array[WriterCommitMessage]): Unit =
             innerBatch.abort(msgs)
@@ -104,16 +141,28 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
         .NoSuchTableException(ident)
     // a zero-row CTAS may have landed zero files; a manifest entry must
     // still carry the schema, so seed one empty schema-bearing file —
-    // the same shape as a library create-empty commit
+    // the same shape as a library create-empty commit (partitioned:
+    // the null-partition entry, data columns only)
     val f = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new Path(s"$lakeDir/$dataDir")
-    val hasFiles = f.exists(staged) && f.listStatus(staged)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasFiles)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row],
-        stSchema).repartition(1)
-        .write.mode("append").parquet(staged.toString)
+    val entries: Seq[String] =
+      if (partCols.isEmpty) {
+        val hasFiles = f.exists(staged) && f.listStatus(staged)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        if (!hasFiles)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row],
+            stSchema).repartition(1)
+            .write.mode("append").parquet(staged.toString)
+        Seq(dataDir)
+      } else {
+        val es = GraftLakePartitions.stagedEntries(spark, lakeDir,
+          dataDir, partCols.length)
+        if (es.nonEmpty) es
+        else Seq(GraftLakePartitions.seedEmpty(spark, lakeDir, dataDir,
+          stSchema, partCols))
+      }
     // STRICT publishes — never publish's CAS-retry, which would absorb
     // a racing writer as a silent append/union (exactly-one-winner is
     // CTAS's contract; the library commit path WANTS retry, DDL does
@@ -128,7 +177,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // two DDLs running sequentially), not a failed DDL. Any FURTHER
       // tip movement between that observation and the publish is still
       // a loud serializable conflict.
-      if (!VersionedLake.publishCreateStrict(spark, lakeDir, dataDir)) {
+      if (!VersionedLake.publishCreateStrictAll(spark, lakeDir, entries)) {
         if (!(replace && orCreate))
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(ident)
@@ -136,7 +185,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           throw new IllegalStateException(
             s"lost the CREATE race on $lakeDir but no tip is readable " +
               "— the racer's publish should be visible"))
-        VersionedLake.publishReplaceStrict(spark, lakeDir, dataDir,
+        VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
           racerTip)
         ()
       }
@@ -149,15 +198,18 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // RTAS: overwrite exactly the tip this replace was staged
       // against; any concurrent commit since is a serializable
       // conflict, refused loudly for the caller to re-run
-      VersionedLake.publishReplaceStrict(spark, lakeDir, dataDir,
+      VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
         observedTip)
       ()
     }
-    // persist the declared bloom-index policy so every LATER DML
-    // commit inherits it (this CTAS's own dir was indexed at write
-    // time via declaredBloom). AFTER the publish: a lost-race loser
-    // must not plant its policy in the winner's lake
+    // persist the declared policies so every LATER commit inherits
+    // them (this CTAS's own entries were indexed at write time via
+    // declaredBloom). AFTER the publish: a lost-race loser must not
+    // plant its policy in the winner's lake
+    if (partCols.nonEmpty)
+      GraftLakePartitions.set(spark, lakeDir, partCols)
     bloomProp.foreach(c => VersionedLake.setBloomIndex(spark, lakeDir, c))
+    if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)
   }
 
   override def abortStagedChanges(): Unit = {

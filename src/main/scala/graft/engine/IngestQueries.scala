@@ -1964,6 +1964,177 @@ object IngestQueries {
       VersionedLake.readLatest(s, mv)
         .select(col("bucket"), col("n"), col("total"))
         .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
+      "q204_partitioned_ddl",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id % 3 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // Identity PARTITIONED BY through SQL DDL — the reference's one
+      // stated cost rule (README.md:31: prune by directory partition)
+      // composed with the versioned manifest: a partitioned CTAS lays
+      // rows out as hive `m=<v>` leaf dirs inside its commit dir and
+      // publishes ONE MANIFEST ENTRY PER PARTITION LEAF; a partition
+      // filter then prunes whole dirs AT PLAN TIME from manifest
+      // metadata (the requires pin: every planned file is under /m=1/,
+      // and fewer files than the full snapshot are read). The oracle
+      // recomputes the partition slice from raw events — a partition
+      // value lost or misassigned by the layout breaks the hash.
+      val lake = s"$scratchRoot/part_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q204",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q204.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q204")
+      s.sql(s"""CREATE TABLE glake_q204.`$name` PARTITIONED BY (m) AS
+               |SELECT * FROM ev_q204""".stripMargin)
+      val entries = VersionedLake.manifestEntries(s, lake, 1)
+      require(entries.forall(_.contains("/m=")) &&
+        entries.count(_.matches(".*/m=[0-9]+$")) == 3,
+        s"CTAS must publish one manifest entry per partition leaf: $entries")
+      val probe = s.sql(
+        s"SELECT event_type, value FROM glake_q204.`$name` WHERE m = 1")
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+      require(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"partition filter must plan-prune to m=1 dirs, read: $scanned")
+      require(GraftLakeDataSource.filesRead(probe) <
+        GraftLakeDataSource.filesRead(s.table(s"glake_q204.`$name`")),
+        "pruned plan must read fewer files than the full snapshot")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q204.`$name` WHERE m = 1
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q205_partition_delete",
+      """SELECT CAST(user_id % 3 AS INT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id % 3 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Whole-partition DELETE as a MANIFEST-ONLY commit: the entries
+      // whose partition value satisfies the predicate drop by
+      // reference — zero data IO (the requires pin: no new data dir on
+      // disk, exactly one new version, survivors keep their physical
+      // files) — the O(metadata) retention shape dir partitioning
+      // exists for (dropping a day at 100 TB must not rewrite it).
+      // The oracle recomputes the survivors from raw events: a delete
+      // that dropped too much/little or disturbed survivor rows breaks
+      // the hash; time travel still reads the pre-delete snapshot.
+      val lake = s"$scratchRoot/pdel_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q205",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q205.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q205")
+      s.sql(s"""CREATE TABLE glake_q205.`$name` PARTITIONED BY (m) AS
+               |SELECT * FROM ev_q205""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def topDirs: Set[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      val before = topDirs
+      val survivorFiles = GraftLakeDataSource.filesReadPaths(
+        s.sql(s"SELECT * FROM glake_q205.`$name` WHERE m <> 2")).toSet
+      s.sql(s"DELETE FROM glake_q205.`$name` WHERE m = 2")
+      require(VersionedLake.versions(s, lake) == Seq(1, 2),
+        "the partition delete must publish exactly one new version")
+      require(topDirs == before,
+        "a whole-partition delete must write NO data dir (manifest-only)")
+      require(GraftLakeDataSource.filesReadPaths(
+        s.table(s"glake_q205.`$name`")).toSet == survivorFiles,
+        "survivors must keep their exact physical files")
+      require(s.sql(s"SELECT count(*) FROM glake_q205.`$name` " +
+        "VERSION AS OF 1").head().getLong(0) >
+        s.table(s"glake_q205.`$name`").count(),
+        "time travel must still read the pre-delete snapshot")
+      s.sql(s"""SELECT m, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q205.`$name`
+               |GROUP BY m ORDER BY m""".stripMargin)
+    },
+
+    QuerySpec(
+      "q206_cdf_rowlevel",
+      """WITH chg AS (
+        |  SELECT 'update_preimage' AS change_type, value FROM events
+        |  WHERE event_id >= 100 AND event_id < 200
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS change_type, value * 2 AS value
+        |  FROM events WHERE event_id >= 100 AND event_id < 200)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Row-level CDF (Delta's enableChangeDataFeed): with the opt-in
+      // `cdf` table property, a SQL UPDATE persists its EXACT changed
+      // rows as a `_changes/<version>` sidecar tagged update_preimage/
+      // update_postimage, and the streaming change feed delivers the
+      // sidecar rows — O(changed rows), ZERO survivor noise (the
+      // requires pin: the feed's change-commit row count equals
+      // exactly 2 x updated rows, where the dir-granular fallback
+      // would ship the whole rewritten band twice) — with
+      // `_commit_version` stamping each event's commit (the ordering
+      // column an upsert consumer sequences by). The oracle recomputes
+      // pre- and post-images from raw events: a survivor leaked into
+      // the feed, a lost pre-image, or a wrong post-image value each
+      // break the hash.
+      val root = s"$scratchRoot/cdfrow_${new java.io.File(dir).getName}"
+      Lake.delete(s, root)
+      val lake = s"$root/lake"
+      val name = "lake"
+      s.conf.set("spark.sql.catalog.glake_q206",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q206.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q206")
+      s.sql(s"""CREATE TABLE glake_q206.`$name`
+               |TBLPROPERTIES ('cdf' = 'true') AS
+               |SELECT * FROM ev_q206 WHERE event_id < 400""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q206.`$name`
+               |SELECT * FROM ev_q206 WHERE event_id >= 400""".stripMargin)
+      val updated = Tables.table(s, dir, "events")
+        .filter(col("event_id") >= 100 && col("event_id") < 200).count()
+      s.sql(s"""UPDATE glake_q206.`$name` SET value = value * 2
+               |WHERE event_id >= 100 AND event_id < 200""".stripMargin)
+      require(VersionedLake.changeSidecarPath(s, lake, 3).nonEmpty,
+        "the UPDATE must persist a row-level change sidecar")
+      val q = s.readStream.format("graftlake")
+        .option(GraftLakeDataSource.ReadChangeFeed, "true").load(lake)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp")
+        .format("parquet").option("path", s"$root/sink")
+        .start()
+      q.awaitTermination()
+      val feed = s.read.parquet(s"$root/sink")
+      val changeRows = feed.filter(col("_commit_version") === 3L)
+      require(changeRows.count() == 2 * updated,
+        s"the change commit must deliver EXACTLY 2x${updated} rows " +
+          s"(pre+post images, zero survivor noise), got " +
+          s"${changeRows.count()}")
+      require(feed.filter(col("_commit_version").isNull).count() == 0,
+        "every CDF event must carry its commit version")
+      changeRows
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("change_type"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -468,6 +468,7 @@ object VersionedLake {
   def commit(df: DataFrame, dir: String, mode: String = "append",
       codec: String = "snappy"): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    requireUnpartitionedLake(df.sparkSession, dir, "VersionedLake.commit")
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.option("compression", codec).parquet(s"$dir/$dataDir")
     publish(df.sparkSession, dir, dataDir, mode)
@@ -488,6 +489,8 @@ object VersionedLake {
       mode: String = "append", codec: String = "snappy"): Option[Int] = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe tag $tag")
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    requireUnpartitionedLake(df.sparkSession, dir,
+      "VersionedLake.commitTagged")
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val dataDir = s"d-$tag"
@@ -684,10 +687,36 @@ object VersionedLake {
     * row — metadata-bounded like everything else here. */
   def readAt(spark: SparkSession, dir: String, v: Int): DataFrame = {
     requireVersion(spark, dir, v)
+    // a PARTITIONED lake's entries are partition leaf dirs whose files
+    // do not carry the partition columns — read through the DSv2 index,
+    // which reconstructs them from the manifest entry names in ONE scan
+    if (GraftLakePartitions.of(spark, dir).nonEmpty)
+      return spark.read.format("graftlake")
+        .option(GraftLakeDataSource.VersionAsOf, v).load(dir)
     val dirs = readManifest(spark, dir, v)
     spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => s"$dir/$d"): _*)
   }
+
+  /** Read an arbitrary ENTRY set of version-agnostic lake dirs —
+    * partition-aware: on a partitioned lake the partition columns are
+    * reconstructed from the entry names ([[GraftLakePartitions
+    * .readEntries]]); on an unpartitioned one this is the plain
+    * mergeSchema multi-dir read. The incremental walks' primitive. */
+  private def readEntrySet(spark: SparkSession, dir: String,
+      entries: Seq[String]): DataFrame = {
+    val partCols = GraftLakePartitions.of(spark, dir)
+    if (partCols.nonEmpty)
+      GraftLakePartitions.readEntries(spark, dir, entries, partCols)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(d => s"$dir/$d"): _*)
+  }
+
+  /** One existence probe — the streaming source's offset-planning
+    * retention check (is this version's manifest still readable?). */
+  private[engine] def versionExists(spark: SparkSession, dir: String,
+      v: Int): Boolean =
+    fs(spark, dir).exists(manifestPath(dir, v))
 
   private def requireVersion(spark: SparkSession, dir: String,
       v: Int): Unit =
@@ -795,6 +824,33 @@ object VersionedLake {
       f.listStatus(new Path(s"$dir/$d")).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val small = live.filter(d => bytesOf(d) < thresholdBytes)
+    val partitioned = GraftLakePartitions.of(spark, dir).nonEmpty
+    if (partitioned) {
+      // OPTIMIZE WITHIN PARTITIONS: small entries group by their
+      // partition suffix; each group coalesces into one leaf under a
+      // single fresh data dir (`d-new/<suffix>`) — rows never cross a
+      // partition boundary, so the entries-are-partition-leaves
+      // invariant and every partition-pruning path survive compaction
+      val groups = small.groupBy(_.split('/').drop(1).mkString("/"))
+        .filter(_._2.length >= 2)
+      if (groups.isEmpty) return None
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      val newEntries = groups.toSeq.sortBy(_._1).map { case (suffix, es) =>
+        val outFiles = math.max(1L,
+          es.map(bytesOf).sum / (128L << 20)).toInt
+        spark.read.option("mergeSchema", "true")
+          .parquet(es.map(e => s"$dir/$e"): _*)
+          .coalesce(outFiles).write.option("compression", codec)
+          .parquet(s"$dir/$dataDir/$suffix")
+        val entry = s"$dataDir/$suffix"
+        if (statsCols.nonEmpty) writeStatsFor(spark, dir, entry, statsCols)
+        bloomCol.foreach(c => writeBloomFor(spark, dir, entry, c))
+        entry
+      }
+      return Some(publishReplacing(spark, dir,
+        groups.values.flatten.toSet, newEntries,
+        checked = true, layoutOnly = true))
+    }
     if (small.length < 2) None
     else {
       val merged = spark.read.option("mergeSchema", "true")
@@ -856,9 +912,24 @@ object VersionedLake {
     * therefore always TRUE of the published commit: rows(new) ==
     * rows(observed), and any concurrent append's rows survive beside
     * it. */
+  /** Library writers and full-snapshot rewrites stage FLAT data dirs —
+    * on a partitioned lake that would break the entries-are-partition-
+    * leaves invariant every reader depends on. Partitioned lakes are
+    * SQL-first: INSERT / INSERT OVERWRITE / MERGE / partition DELETE
+    * cover the write surface, and OPTIMIZE ([[compactSmall]]) compacts
+    * within partitions. */
+  private def requireUnpartitionedLake(spark: SparkSession, dir: String,
+      op: String): Unit =
+    require(GraftLakePartitions.of(spark, dir).isEmpty,
+      s"$op stages a flat data dir and cannot run on a PARTITIONED " +
+        "lake — use the SQL surface (INSERT / INSERT OVERWRITE " +
+        "PARTITION / MERGE / partition-predicate DELETE) or CALL " +
+        "glake.optimize, which compacts within partitions")
+
   private def compactFullSnapshot(spark: SparkSession, dir: String,
       statsCols: Seq[String], bloomCol: Option[String], codec: String)(
       cluster: DataFrame => DataFrame): Int = {
+    requireUnpartitionedLake(spark, dir, "full-snapshot compaction/zorder")
     val t = tip(spark, dir)
     require(t.nonEmpty, s"no versions published at $dir")
     val observed = readManifest(spark, dir, t.get)
@@ -872,6 +943,96 @@ object VersionedLake {
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
     publishReplacing(spark, dir, observed.toSet, Seq(dataDir),
       checked = true, layoutOnly = true)
+  }
+
+  // ---- row-level change-data-feed sidecars ------------------------------
+  //
+  // Dir-granular CDF is correct but ships a rewrite's WHOLE pre-image
+  // as deletes and its replacement as inserts — a MERGE touching 1% of
+  // a dir's rows delivers 100% of them twice (survivor delete+insert
+  // pairs consumers must net out). With the OPT-IN cdf policy (Delta's
+  // `enableChangeDataFeed`), every data-changing commit additionally
+  // persists its EXACT row-level changes as `_changes/v<version>/`
+  // parquet — table columns plus `_change_type` ∈ {insert, delete,
+  // update_preimage, update_postimage} — and changes()/readChangeFeed
+  // serve from the sidecar when present, falling back to the dir diff
+  // otherwise (crash between publish and sidecar write is benign).
+  // Cost at DML time is one netted diff over the CHANGED dirs only —
+  // O(changed rows) extra write, the same trade Delta makes.
+
+  private val CdfMarker = "_cdf"
+
+  /** Opt this lake into row-level change capture: subsequent COW DML,
+    * deleteRange and replaceWhere commits persist their exact changed
+    * rows. Declared via `TBLPROPERTIES ('cdf' = 'true')` at CREATE or
+    * this call. */
+  def setChangeDataFeed(spark: SparkSession, dir: String): Unit = {
+    val out = fs(spark, dir).create(new Path(s"$dir/$CdfMarker"), true)
+    try out.write("true".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def cdfEnabled(spark: SparkSession, dir: String): Boolean =
+    try fs(spark, dir).exists(new Path(s"$dir/$CdfMarker"))
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  private def changeSidecarDir(dir: String, v: Int): Path =
+    new Path(s"$dir/_changes/v$v")
+
+  /** The readable row-level change sidecar of version `v`, if one was
+    * fully published (atomic rename + the writer's _SUCCESS marker —
+    * a torn sidecar is treated as absent, never as a partial feed). */
+  private[graft] def changeSidecarPath(spark: SparkSession, dir: String,
+      v: Int): Option[Path] = {
+    val f = fs(spark, dir)
+    val p = changeSidecarDir(dir, v)
+    try {
+      if (f.exists(p) && f.exists(new Path(p, "_SUCCESS"))) Some(p)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Persist `changes` (table columns + `_change_type`) as version
+    * `v`'s row-level feed: staged under a temp name, renamed into
+    * place ATOMICALLY after the parquet job's own _SUCCESS lands — a
+    * reader can only ever observe a complete sidecar or none. */
+  private[engine] def writeChangeSidecar(spark: SparkSession, dir: String,
+      v: Int, changes: DataFrame): Unit = {
+    require(changes.columns.contains("_change_type"),
+      "a change sidecar needs the _change_type column")
+    val f = fs(spark, dir)
+    val tmp = new Path(
+      s"$dir/_changes/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
+    changes.write.parquet(tmp.toString)
+    if (!f.rename(tmp, changeSidecarDir(dir, v))) {
+      // a racing writer of the same version (replayed commit) won the
+      // rename — drop the duplicate staging, theirs is identical
+      f.delete(tmp, true)
+    }
+    ()
+  }
+
+  /** The netted row-level changes of a dir-replacing commit, tagged
+    * for the sidecar: survivors carried inside the rewrite cancel in
+    * the multiset diff, the remainder tags by the COMMAND — an UPDATE
+    * only updates (deleted side = exact pre-images, added side = exact
+    * post-images); every other command reports insert/delete. A NO-OP
+    * update (new image == old image) cancels too: a row whose bytes
+    * did not change is not a change, matching [[changes]]'s multiset
+    * semantics. */
+  private[engine] def cowChangeRows(spark: SparkSession, dir: String,
+      dropped: Seq[String], added: Seq[String], command: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val a = readEntrySet(spark, dir, dropped)
+    val b = if (added.isEmpty) a.limit(0) else readEntrySet(spark, dir, added)
+    val diff = snapshotDiff(spark, a, b)
+    val tag =
+      if (command == "UPDATE")
+        when(col("op") === "insert", lit("update_postimage"))
+          .otherwise(lit("update_preimage"))
+      else col("op")
+    diff.withColumn("_change_type", tag).drop("op")
   }
 
   /** Changed rows between two published versions, tagged `op` =
@@ -933,22 +1094,29 @@ object VersionedLake {
         // row-preserving rewrite: no change events
       } else if (removed.isEmpty) {
         inserts = inserts ++ added
-      } else {
-        val a0 = spark.read.option("mergeSchema", "true")
-          .parquet(removed.map(d => s"$dir/$d"): _*)
-        val b0 =
-          if (added.isEmpty) a0.limit(0)
-          else spark.read.option("mergeSchema", "true")
-            .parquet(added.map(d => s"$dir/$d"): _*)
-        steps = steps :+ snapshotDiff(spark, a0, b0)
+      } else changeSidecarPath(spark, dir, v) match {
+        case Some(p) =>
+          // row-level sidecar: the commit's EXACT changes, survivors
+          // already netted at DML time — O(changed rows), no diff here
+          import org.apache.spark.sql.functions.{col, lit, when}
+          steps = steps :+ spark.read.parquet(p.toString)
+            .withColumn("op",
+              when(col("_change_type").isin("insert", "update_postimage"),
+                lit("insert")).otherwise(lit("delete")))
+            .drop("_change_type")
+        case None =>
+          val a0 = readEntrySet(spark, dir, removed)
+          val b0 =
+            if (added.isEmpty) a0.limit(0)
+            else readEntrySet(spark, dir, added)
+          steps = steps :+ snapshotDiff(spark, a0, b0)
       }
       prev = cur
       v += 1
     }
     val insertDf =
       if (inserts.isEmpty) Seq.empty[DataFrame]
-      else Seq(spark.read.option("mergeSchema", "true")
-        .parquet(inserts.map(d => s"$dir/$d"): _*)
+      else Seq(readEntrySet(spark, dir, inserts)
         .withColumn("op", lit("insert")))
     val parts = insertDf ++ steps
     if (parts.isEmpty)
@@ -968,8 +1136,7 @@ object VersionedLake {
       val added = to.filterNot(from)
       if (added.isEmpty)
         readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(added.map(d => s"$dir/$d"): _*)
+      else readEntrySet(spark, dir, added)
         .withColumn("op", lit("insert"))
     } else snapshotDiff(spark, readAt(spark, dir, fromV),
       readAt(spark, dir, toV))
@@ -1022,6 +1189,7 @@ object VersionedLake {
       bloomCol: Option[String], mode: String = "append",
       codec: String = "snappy", layoutOnly: Boolean = false): Int = {
     val spark = df.sparkSession
+    requireUnpartitionedLake(spark, dir, "VersionedLake.commitIndexed")
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     val w = df.write.option("compression", codec)
     // parquet's native row-group bloom rides along whenever the
@@ -1260,6 +1428,7 @@ object VersionedLake {
   def deleteRange(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double, statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
+    requireUnpartitionedLake(spark, dir, "deleteRange")
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val live = readManifest(spark, dir, vs.last)
@@ -1303,8 +1472,15 @@ object VersionedLake {
         // resurrect its removed rows, since they are baked into this
         // survivor set. Concurrent APPENDS still absorb via the CAS
         // retry (they are not in `dropped`).
-        publishReplacing(spark, dir, touched.toSet, Seq(dataDir),
+        val v = publishReplacing(spark, dir, touched.toSet, Seq(dataDir),
           checked = true)
+        // opt-in row-level CDF: the deleted rows ARE the net diff of
+        // touched-vs-survivors (survivors cancel) — persist them so
+        // feeds deliver O(deleted rows), not the whole touched band
+        if (cdfEnabled(spark, dir))
+          writeChangeSidecar(spark, dir, v,
+            cowChangeRows(spark, dir, touched, Seq(dataDir), "DELETE"))
+        v
       }
     }
   }
@@ -1327,6 +1503,7 @@ object VersionedLake {
       values: Seq[Long], replacement: DataFrame,
       statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
+    requireUnpartitionedLake(spark, dir, "replaceWhereIn")
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -1712,6 +1889,7 @@ object VersionedLake {
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       f.delete(ckptPath(dir, v), false) // a dropped version's sidecar
+      f.delete(changeSidecarDir(dir, v), true) // and its row-level feed
     }
     val cutoff = System.currentTimeMillis() - graceMs
     // RECURSIVE newest-mtime: an in-flight commit's activity happens
@@ -1729,17 +1907,45 @@ object VersionedLake {
       walk(p)
       newest
     }
-    val swept = f.listStatus(new Path(dir)).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("d-") && !liveDirs(p.getName))
-      .filter(p => quiescentSince(p) <= cutoff)
-    swept.foreach { p =>
-      f.delete(p, true)
-      // sidecar metadata lives and dies with its data dir — orphan
-      // .stats/.bloom files would otherwise accumulate one per
-      // vacuumed commit, unboundedly on a long-lived lake
-      f.delete(new Path(s"$dir/_stats/${p.getName}.stats"), false)
-      f.delete(new Path(s"$dir/_bloom/${p.getName}.bloom"), false)
+    // on a PARTITIONED lake, live entries are `d-x/c=v/...` leaves: a
+    // top dir is garbage only when NO live entry lives under it, and a
+    // partially-dropped top dir (a whole-partition DELETE removed some
+    // leaves) gets its dead LEAVES swept individually
+    val topLive = liveDirs.map(_.takeWhile(_ != '/'))
+    val nPart = GraftLakePartitions.of(spark, dir).length
+    def dropSidecars(entry: String): Unit = {
+      f.delete(new Path(s"$dir/_stats/$entry.stats"), false)
+      f.delete(new Path(s"$dir/_bloom/$entry.bloom"), false)
       ()
+    }
+    val tops = f.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("d-"))
+    tops.filter(p => !topLive(p.getName))
+      .filter(p => quiescentSince(p) <= cutoff)
+      .foreach { p =>
+        f.delete(p, true)
+        // sidecar metadata lives and dies with its data dir — orphan
+        // .stats/.bloom files would otherwise accumulate one per
+        // vacuumed commit, unboundedly on a long-lived lake; on a
+        // partitioned lake the sidecars nest under a same-named dir
+        dropSidecars(p.getName)
+        f.delete(new Path(s"$dir/_stats/${p.getName}"), true)
+        f.delete(new Path(s"$dir/_bloom/${p.getName}"), true)
+        ()
+      }
+    if (nPart > 0) tops.filter(p => topLive(p.getName)).foreach { top =>
+      def leaves(p: Path, depth: Int): Seq[Path] =
+        if (depth == nPart) Seq(p)
+        else f.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains('='))
+          .flatMap(st => leaves(st.getPath, depth + 1))
+      leaves(top, 0).foreach { leaf =>
+        val entry = GraftLakePartitions.entryOfDepth(leaf, nPart + 1)
+        if (!liveDirs(entry) && quiescentSince(leaf) <= cutoff) {
+          f.delete(leaf, true)
+          dropSidecars(entry)
+        }
+      }
     }
     // streaming-write staging stragglers (crashed task attempts whose
     // files were never listed in a commit message) are invisible to

@@ -34,10 +34,16 @@ class GraftLakeCtasSpec extends AnyFunSuite {
         spark.sql(s"CREATE TABLE $cat.t (id BIGINT)"))
       assert(e.getMessage.toLowerCase.contains("already exists"),
         e.getMessage)
-      // PARTITIONED BY is refused with the layout guidance, not planted
+      // identity PARTITIONED BY is first-class (GraftLakePartitionSpec)
+      // but degenerate/unsupported shapes refuse with guidance: every-
+      // column partitioning and non-identity transforms
       val p = intercept[Exception](
         spark.sql(s"CREATE TABLE $cat.p (id BIGINT) PARTITIONED BY (id)"))
-      assert(p.getMessage.contains("per-commit"), p.getMessage)
+      assert(p.getMessage.contains("every column"), p.getMessage)
+      val b = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.b (id BIGINT, g INT) " +
+          "PARTITIONED BY (bucket(4, id))"))
+      assert(b.getMessage.contains("identity"), b.getMessage)
     }
   }
 

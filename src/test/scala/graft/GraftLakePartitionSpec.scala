@@ -1,0 +1,227 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Identity PARTITIONED BY on graftlake SQL tables: hive-layout dirs
+  * inside each commit's data dir, per-partition manifest entries,
+  * planning-time partition pruning, manifest-only whole-partition
+  * DELETE / INSERT OVERWRITE, partition-aware COW and OPTIMIZE. */
+class GraftLakePartitionSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def withCatalog[A](root: String)(body: String => A): A = {
+    val cat = s"glp_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat)
+  }
+
+  test("CREATE TABLE PARTITIONED BY + INSERT lays out hive dirs, " +
+      "publishes per-partition manifest entries, and a partition " +
+      "filter prunes to exactly the matching dirs at plan time") {
+    val root = tempDir("glp-create")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, y INT, " +
+        "m INT) PARTITIONED BY (y, m)")
+      val tip0 = VersionedLake.tip(spark, s"$root/t").get
+      spark.sql(s"INSERT INTO $cat.t SELECT id, id * 0.5 AS v, " +
+        "2024 AS y, CAST(id % 3 AS INT) AS m FROM range(0, 300)")
+      // one INSERT = ONE version carrying one entry per partition leaf
+      val tip1 = VersionedLake.tip(spark, s"$root/t").get
+      assert(tip1 == tip0 + 1)
+      val entries = VersionedLake.manifestEntries(spark, s"$root/t", tip1)
+      val partEntries = entries.filter(_.contains("y=2024"))
+      assert(partEntries.map(_.split('/').drop(1).mkString("/")).sorted ==
+        Seq("y=2024/m=0", "y=2024/m=1", "y=2024/m=2"),
+        s"expected 3 partition-leaf entries, got $entries")
+      // the table reads back WITH partition columns, values intact
+      val rows = spark.sql(
+        s"SELECT count(*) AS n, count(DISTINCT m) AS dm FROM $cat.t " +
+          "WHERE y = 2024").head()
+      assert(rows.getLong(0) == 300 && rows.getLong(1) == 3)
+      // PLANNING-TIME pruning: a partition filter reads only its dirs
+      val one = spark.sql(s"SELECT id, v FROM $cat.t WHERE m = 1")
+      assert(one.count() == 100)
+      val scanned = GraftLakeDataSource.filesReadPaths(one)
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"partition filter must prune to m=1 dirs, read: $scanned")
+      // sidecars compose: data-column stats exist per ENTRY, so a data
+      // filter can still file-skip WITHIN admitted partitions
+      val probed = spark.sql(
+        s"SELECT id FROM $cat.t WHERE m = 1 AND id < 0")
+      assert(probed.count() == 0)
+      // DESCRIBE sees the declared layout
+      assert(spark.table(s"$cat.t").schema.fieldNames.toSet ==
+        Set("id", "v", "y", "m"))
+    }
+  }
+
+  test("whole-partition DELETE is manifest-only: dropped entries leave " +
+      "the live set with ZERO data IO (no new data dir), survivors " +
+      "keep their physical files; vacuum sweeps only the dead leaves") {
+    val root = tempDir("glp-del")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, day STRING) " +
+        "PARTITIONED BY (day)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+        "CASE WHEN id < 50 THEN '2024-01-01' ELSE '2024-01-02' END " +
+        "FROM range(0, 100)")
+      val dir = s"$root/t"
+      val before =
+        GraftLakeDataSource.filesReadPaths(spark.table(s"$cat.t")).toSet
+      val topDirsBefore = {
+        val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      }
+      val tipBefore = VersionedLake.tip(spark, dir).get
+      spark.sql(s"DELETE FROM $cat.t WHERE day = '2024-01-01'")
+      // exactly one new version, NO new data dir — pure metadata
+      assert(VersionedLake.tip(spark, dir).get == tipBefore + 1)
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val topDirsAfter = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .toSeq.map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      assert(topDirsAfter == topDirsBefore,
+        "a whole-partition delete must write NO data dir")
+      // survivors read from their ORIGINAL files
+      val after = spark.table(s"$cat.t")
+      assert(after.count() == 50)
+      val afterFiles = GraftLakeDataSource.filesReadPaths(after).toSet
+      assert(afterFiles.nonEmpty && afterFiles.subsetOf(before),
+        "survivor partition must keep its physical files")
+      assert(after.select("day").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("2024-01-02"))
+      // time travel still sees the pre-delete snapshot
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t VERSION AS OF $tipBefore")
+        .head().getLong(0) == 100)
+      // vacuum sweeps the dead LEAF, not the whole commit dir (the
+      // surviving partition lives in the same d-x)
+      VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+      assert(spark.table(s"$cat.t").count() == 50)
+      val leaves = topDirsBefore.toSeq.flatMap(t =>
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t")).toSeq
+          .map(_.getPath.getName)).filter(_.startsWith("day="))
+      assert(!leaves.contains("day=2024-01-01") &&
+        leaves.contains("day=2024-01-02"),
+        s"vacuum must sweep only the dead leaf, kept: $leaves")
+    }
+  }
+
+  test("INSERT OVERWRITE with a partition predicate swaps whole " +
+      "entries by manifest reference — the zero-survivor-IO backfill") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = tempDir("glp-backfill")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, m INT) " +
+        "PARTITIONED BY (m)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+        "CAST(id % 2 AS INT) FROM range(0, 100)")
+      val untouched = GraftLakeDataSource.filesReadPaths(
+        spark.sql(s"SELECT * FROM $cat.t WHERE m = 0")).toSet
+      // recompute partition m=1 (the incremental-backfill shape)
+      val repl = spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(
+          Row(1000L, 1), Row(1001L, 1))),
+        StructType(Seq(StructField("id", LongType),
+          StructField("m", IntegerType))))
+      repl.writeTo(s"$cat.t").overwrite(col("m") === 1)
+      val after = spark.table(s"$cat.t")
+      assert(after.filter(col("m") === 1).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1000L, 1001L))
+      assert(after.filter(col("m") === 0).count() == 50)
+      assert(untouched.nonEmpty && GraftLakeDataSource.filesReadPaths(
+        spark.sql(s"SELECT * FROM $cat.t WHERE m = 0")).toSet == untouched,
+        "the untouched partition must carry by physical reference")
+      // a DATA-column overwrite condition is refused (no survivor
+      // rewrite path on partitioned lakes), not silently wrong
+      val e = intercept[Exception](
+        repl.writeTo(s"$cat.t").overwrite(col("id") < 10))
+      assert(e.getMessage.toLowerCase.contains("overwrite"),
+        e.getMessage)
+    }
+  }
+
+  test("CTAS PARTITIONED BY stages hive layout atomically; MERGE (COW) " +
+      "on a partitioned lake keeps partition values and replaces " +
+      "entries, not files") {
+    val root = tempDir("glp-ctas")
+    withCatalog(root) { cat =>
+      spark.range(0, 60).toDF("id")
+        .withColumn("g", (col("id") % 2).cast("int"))
+        .createOrReplaceTempView("glp_src")
+      spark.sql(s"CREATE TABLE $cat.c PARTITIONED BY (g) AS " +
+        "SELECT id, g FROM glp_src")
+      val dir = s"$root/c"
+      assert(VersionedLake.versions(spark, dir) == Seq(1),
+        "CTAS must be one atomic commit")
+      val entries = VersionedLake.manifestEntries(spark, dir, 1)
+      assert(entries.map(_.split('/')(1)).sorted == Seq("g=0", "g=1"),
+        s"CTAS entries must be partition leaves: $entries")
+      assert(spark.table(s"$cat.c").filter(col("g") === 1).count() == 30)
+      // COW MERGE: update half the rows of g=1; partition values must
+      // survive the rewrite (the rewrite plan READS them from entry
+      // names and the replacement write re-partitions by them)
+      spark.sql(s"MERGE INTO $cat.c t USING " +
+        "(SELECT id FROM range(0, 10)) s ON t.id = s.id AND t.g = 1 " +
+        "WHEN MATCHED THEN UPDATE SET t.id = t.id + 10000")
+      val g1 = spark.table(s"$cat.c").filter(col("g") === 1)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(g1.count(_ >= 10000) == 5, s"5 odd ids under 10 update: $g1")
+      assert(g1.length == 30, "MERGE must not lose or duplicate rows")
+      assert(spark.table(s"$cat.c").filter(col("g") === 0).count() == 30,
+        "untouched partition intact")
+      // zero-row CTAS still carries schema + spec
+      spark.sql(s"CREATE TABLE $cat.z PARTITIONED BY (g) AS " +
+        "SELECT id, g FROM glp_src WHERE 1 = 0")
+      assert(spark.table(s"$cat.z").count() == 0)
+      assert(spark.table(s"$cat.z").schema.fieldNames.toSet ==
+        Set("id", "g"))
+      spark.sql(s"INSERT INTO $cat.z VALUES (7, 3)")
+      assert(spark.table(s"$cat.z").filter(col("g") === 3).count() == 1)
+    }
+  }
+
+  test("streaming read of a partitioned lake delivers partition " +
+      "columns; OPTIMIZE compacts within partitions as a layout-only " +
+      "commit the stream skips") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glp-stream")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, m INT) " +
+        "PARTITIONED BY (m)")
+      (0 until 3).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+          s"CAST(id % 2 AS INT) FROM range(${i * 10}, ${i * 10 + 10})"))
+      val dir = s"$root/t"
+      // per-partition compaction: 3 small entries per partition -> 1
+      val v = VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+      assert(v.nonEmpty)
+      assert(VersionedLake.isLayoutOnly(spark, dir, v.get))
+      val live = VersionedLake.manifestEntries(spark, dir, v.get)
+      // 2 compacted partition leaves + the create's null-partition seed
+      assert(live.count(_.contains("m=")) >= 2 &&
+        live.map(_.split('/')(0)).distinct.length <= 2,
+        s"optimize must compact within partitions: $live")
+      assert(spark.table(s"$cat.t").count() == 30,
+        "compaction must preserve every row")
+      // stream the history: layout commit skipped, partition col real
+      val q = spark.readStream.format("graftlake").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp")
+        .format("parquet").option("path", s"$root/sink")
+        .start()
+      q.awaitTermination()
+      val sunk = spark.read.parquet(s"$root/sink")
+      assert(sunk.count() == 30, "stream must deliver exactly the rows")
+      assert(sunk.filter(col("m") === 1).count() == 15,
+        "partition column must stream with true values")
+    }
+  }
+}
