@@ -145,7 +145,9 @@ private[engine] object GraftLakeProcedures {
           ProcedureParameter.in("bloom_col", StringType)
             .comment("string/numeric column every subsequent commit " +
               "(SQL, streaming, DML) bloom-indexes for point-lookup " +
-              "pruning; existing dirs are back-indexed by the next " +
+              "pruning; repeated calls ACCUMULATE (multi-column " +
+              "policy — each lookup key probes its own bloom); " +
+              "existing dirs are back-indexed by the next " +
               "CALL compact with the same column").build()),
         StructType(Seq(
           StructField("bloom_col", StringType, nullable = false)))) {

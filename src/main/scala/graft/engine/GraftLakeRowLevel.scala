@@ -354,7 +354,8 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
         info.schema())
       val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
-        op.scannedDirs, dataDir, op.snapshotDirs)
+        op.scannedDirs, dataDir, op.snapshotDirs,
+        Some(info.schema().toDDL))
       // opt-in row-level CDF: persist this commit's EXACT changes
       // (survivors netted) so feeds stop shipping the whole rewritten
       // band as delete+insert pairs
@@ -389,7 +390,8 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
       entries.foreach(e =>
         VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
       val v = VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
-        op.scannedDirs, entries, op.snapshotDirs)
+        op.scannedDirs, entries, op.snapshotDirs,
+        Some(info.schema().toDDL))
       if (VersionedLake.cdfEnabled(spark, lakeDir))
         VersionedLake.writeChangeSidecar(spark, lakeDir, v,
           VersionedLake.cowChangeRows(spark, lakeDir,

@@ -92,9 +92,15 @@ final class GraftLakeDataSource
     merged.put("mergeSchema", "true")
     val cdf = Option(options.get(GraftLakeDataSource.ReadChangeFeed))
       .exists(_.trim.equalsIgnoreCase("true"))
+    // schema from the version's OWN manifest when its writer declared
+    // one — the cold plan then skips the O(live files) footer-merge
+    // inference (library-committed versions without a declaration
+    // still infer)
+    val declared = schema.orElse(
+      VersionedLake.manifestSchema(spark, lakeDir, version))
     new GraftLakeTable(lakeDir, spark,
-      new CaseInsensitiveStringMap(merged), Seq(lakeDir), schema, lakeDir,
-      version, cdf)
+      new CaseInsensitiveStringMap(merged), Seq(lakeDir), declared,
+      lakeDir, version, cdf)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -366,9 +372,10 @@ final class GraftLakeCatalog
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", dir)
     opts.put("mergeSchema", "true")
+    val v = version.getOrElse(t.get)
     new GraftLakeTable(ident.toString, spark,
-      new CaseInsensitiveStringMap(opts), Seq(dir), None, dir,
-      version.getOrElse(t.get))
+      new CaseInsensitiveStringMap(opts), Seq(dir),
+      VersionedLake.manifestSchema(spark, dir, v), dir, v)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -472,15 +479,16 @@ final class GraftLakeCatalog
         "table and backfill instead")
   }
 
-  /** `TBLPROPERTIES ('bloom' = '<col>')` — declares the lake's bloom-
-    * indexed column ([[VersionedLake.setBloomIndex]]): every commit,
-    * SQL or streaming, then writes a per-file bloom sidecar over it so
-    * point lookups prune. */
+  /** `TBLPROPERTIES ('bloom' = '<col>[,<col>…]')` — declares the
+    * lake's bloom-indexed columns ([[VersionedLake.setBloomIndex]]):
+    * every commit, SQL or streaming, then writes per-file bloom
+    * sections over EACH so point lookups on any declared key prune. */
   private def bloomProp(
       properties: java.util.Map[String, String],
       columns: Array[org.apache.spark.sql.connector.catalog.Column])
-      : Option[String] =
-    Option(properties.get("bloom")).map(_.trim).filter(_.nonEmpty)
+      : Seq[String] =
+    Option(properties.get("bloom")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       .map { c =>
         // a typo'd column would silently yield a policy every commit
         // filters out — fail the DDL instead
@@ -488,7 +496,7 @@ final class GraftLakeCatalog
           s"bloom table property names unknown column '$c' " +
             s"(have: ${columns.map(_.name).mkString(", ")})")
         c
-      }
+      }.distinct
 
   /** `TBLPROPERTIES ('cdf' = 'true')` — opts the lake into row-level
     * change capture (Delta's `enableChangeDataFeed`): data-changing
@@ -536,7 +544,7 @@ final class GraftLakeCatalog
       require(!partCols.exists(_.name == c),
         s"bloom table property names partition column '$c' — " +
           "partition pruning already answers point lookups on it")
-      VersionedLake.setBloomIndex(spark, dir, c)
+      VersionedLake.setBloomIndex(spark, dir, c) // accumulates per col
     }
     if (cdfProp(properties)) VersionedLake.setChangeDataFeed(spark, dir)
     loadTable(ident)
@@ -629,14 +637,18 @@ final class GraftLakeCatalog
     // every other empty commit.
     val partCols = GraftLakePartitions.of(spark, dirOf(ident))
     if (partCols.isEmpty) {
-      val empty = spark.createDataFrame(
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row], schema)
-      VersionedLake.commit(empty.repartition(1), dirOf(ident))
+        .repartition(1).write.parquet(s"${dirOf(ident)}/$dataDir")
+      VersionedLake.publishAll(spark, dirOf(ident), Seq(dataDir),
+        "append", schemaDdl = Some(schema.toDDL))
     } else {
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
       val entry = GraftLakePartitions.seedEmpty(spark, dirOf(ident),
         dataDir, schema, partCols)
-      VersionedLake.publishAll(spark, dirOf(ident), Seq(entry), "append")
+      VersionedLake.publishAll(spark, dirOf(ident), Seq(entry), "append",
+        schemaDdl = Some(schema.toDDL))
     }
     loadTable(ident)
   }
@@ -856,7 +868,7 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           schema(), partCols))
       }
     VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
-      touched.toSet, added, snapshot.toSet)
+      touched.toSet, added, snapshot.toSet, Some(schema().toDDL))
     ()
   }
 
@@ -1178,7 +1190,8 @@ final class GraftLakeWrite(
       // sidecar paths as library-indexed commits
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
         info.schema())
-      VersionedLake.publish(spark, lakeDir, dataDir, mode)
+      VersionedLake.publishAll(spark, lakeDir, Seq(dataDir), mode,
+        schemaDdl = Some(info.schema().toDDL))
     }
 
     /** Partitioned commit: the dynamic-partition writer laid the staged
@@ -1204,7 +1217,8 @@ final class GraftLakeWrite(
         VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
       mode match {
         case "append" | "overwrite" =>
-          VersionedLake.publishAll(spark, lakeDir, entries, mode)
+          VersionedLake.publishAll(spark, lakeDir, entries, mode,
+            schemaDdl = Some(info.schema().toDDL))
         case "replace" =>
           val pred = replaceCond.toSeq
             .map(f => GraftLakeDelete.toColumn(tableSchema, f).getOrElse(
@@ -1217,7 +1231,8 @@ final class GraftLakeWrite(
           val (touched, _) = GraftLakePartitions.entriesWhere(spark,
             snapshot, partCols, pred)
           VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
-            touched.toSet, entries, snapshot.toSet)
+            touched.toSet, entries, snapshot.toSet,
+            Some(info.schema().toDDL))
       }
       ()
     }
@@ -1262,11 +1277,13 @@ final class GraftLakeWrite(
       // the published dir (new data and survivors alike)
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir, tableSchema)
       if (touched.isEmpty) {
-        VersionedLake.publish(spark, lakeDir, dataDir, "append")
+        VersionedLake.publishAll(spark, lakeDir, Seq(dataDir), "append",
+          schemaDdl = Some(tableSchema.toDDL))
         ()
       } else {
         val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
-          touched.toSet, dataDir, snapshot.toSet)
+          touched.toSet, dataDir, snapshot.toSet,
+          Some(tableSchema.toDDL))
         if (VersionedLake.cdfEnabled(spark, lakeDir))
           VersionedLake.writeChangeSidecar(spark, lakeDir, v,
             VersionedLake.cowChangeRows(spark, lakeDir, touched,
@@ -1556,30 +1573,51 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     * changes. */
   private val addedFilesMemo =
     scala.collection.mutable.HashMap.empty[Int, Int]
-  private def addedFileCount(v: Int): Int = synchronized {
-    addedFilesMemo.getOrElseUpdate(v, {
-      // layout-only commits deliver nothing (planInputPartitions skips
-      // them), so they weigh nothing against the admission cap; under
-      // skipChangeCommits the same holds for data-changing rewrites
-      val prev: Set[String] =
-        if (v <= 1) Set.empty
-        else VersionedLake.manifestInfo(spark, lakeDir, v - 1)._1.toSet
-      val (cur, layoutOnly) = VersionedLake.manifestInfo(spark, lakeDir, v)
-      val removed = prev.filter(d => !cur.contains(d))
-      val skipped = layoutOnly || (skipChangeCommits && removed.nonEmpty)
-      if (skipped) 0
-      else {
-        val f = new Path(lakeDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def files(dirs: Iterable[String]): Int =
-          dirs.map(d => f.listStatus(new Path(s"$lakeDir/$d"))
-            .count(_.getPath.getName.endsWith(".parquet"))).sum
-        // a change feed also DELIVERS the rewrite's pre-image dirs, so
-        // they weigh against the admission cap like the added ones
-        files(cur.filterNot(prev)) + (if (cdf) files(removed) else 0)
+
+  /** Fill the memo for `(from, end]` in ONE incremental manifest walk
+    * (resolve `from` once, then one small read per version) — the
+    * per-trigger admission cost; per-version random-access resolution
+    * would pay the delta-replay walk for EVERY candidate version. */
+  private def ensureAddedFileCounts(from: Int, end: Int): Unit =
+    synchronized {
+      if ((from + 1 to end).forall(addedFilesMemo.contains)) return
+      val f = new Path(lakeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(dirs: Iterable[String]): Int =
+        dirs.map(d => f.listStatus(new Path(s"$lakeDir/$d"))
+          .count(_.getPath.getName.endsWith(".parquet"))).sum
+      var prev: Seq[String] =
+        if (from <= 0) Seq.empty
+        else VersionedLake.manifestInfo(spark, lakeDir, from)._1
+      var v = from + 1
+      while (v <= end) {
+        val (cur, layoutOnly) =
+          VersionedLake.manifestStep(spark, lakeDir, prev, v)
+        if (!addedFilesMemo.contains(v)) {
+          // layout-only commits deliver nothing (planInputPartitions
+          // skips them), so they weigh nothing against the admission
+          // cap; under skipChangeCommits the same holds for
+          // data-changing rewrites
+          val prevSet = prev.toSet
+          val removed = prevSet.diff(cur.toSet)
+          val skipped =
+            layoutOnly || (skipChangeCommits && removed.nonEmpty)
+          val c =
+            if (skipped) 0
+            // a change feed also DELIVERS the rewrite's pre-image
+            // dirs, so they weigh against the cap like the added ones
+            else files(cur.filterNot(prevSet)) +
+              (if (cdf) files(removed) else 0)
+          addedFilesMemo.put(v, c)
+          ()
+        }
+        prev = cur
+        v += 1
       }
-    })
-  }
+    }
+
+  private def addedFileCount(v: Int): Int =
+    synchronized(addedFilesMemo(v))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = retentionCheckedStart(start.asInstanceOf[GraftLakeOffset].v)
@@ -1597,6 +1635,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       case _ => None // minRows etc.: nothing to admit-limit on versions
     }
     fileCapOf(limit).foreach { cap =>
+      ensureAddedFileCounts(from, end)
       var admitted = from
       var files = 0
       var v = from + 1

@@ -33,7 +33,7 @@ import org.apache.hadoop.fs.Path
   * time-travelable history, not a destructive swap. */
 final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     stSchema: StructType, replace: Boolean, orCreate: Boolean,
-    bloomProp: Option[String] = None,
+    bloomProp: Seq[String] = Seq.empty,
     partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
     cdfProp: Boolean = false)
   extends StagedTable with SupportsWrite {
@@ -177,7 +177,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // two DDLs running sequentially), not a failed DDL. Any FURTHER
       // tip movement between that observation and the publish is still
       // a loud serializable conflict.
-      if (!VersionedLake.publishCreateStrictAll(spark, lakeDir, entries)) {
+      if (!VersionedLake.publishCreateStrictAll(spark, lakeDir, entries,
+          Some(stSchema.toDDL))) {
         if (!(replace && orCreate))
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(ident)
@@ -186,7 +187,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
             s"lost the CREATE race on $lakeDir but no tip is readable " +
               "— the racer's publish should be visible"))
         VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
-          racerTip)
+          racerTip, Some(stSchema.toDDL))
         ()
       }
     } else if (!replace) {
@@ -199,7 +200,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // against; any concurrent commit since is a serializable
       // conflict, refused loudly for the caller to re-run
       VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
-        observedTip)
+        observedTip, Some(stSchema.toDDL))
       ()
     }
     // persist the declared policies so every LATER commit inherits
@@ -208,7 +209,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     // plant its policy in the winner's lake
     if (partCols.nonEmpty)
       GraftLakePartitions.set(spark, lakeDir, partCols)
-    bloomProp.foreach(c => VersionedLake.setBloomIndex(spark, lakeDir, c))
+    bloomProp.foreach(c =>
+      VersionedLake.setBloomIndex(spark, lakeDir, c)) // accumulates
     if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)
   }
 

@@ -2135,6 +2135,65 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("change_type"))
+    },
+
+    QuerySpec(
+      "q207_multi_bloom",
+      """SELECT 'both' AS probe, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT value FROM events WHERE user_id = 7
+        |      UNION ALL
+        |      SELECT value FROM events WHERE event_id = 1234)""".stripMargin) {
+      (s, dir) =>
+      // Multi-column bloom policy: `TBLPROPERTIES ('bloom'='skey,ekey')`
+      // declares TWO point-lookup keys; every SQL commit writes one
+      // sidecar carrying BOTH columns' per-file blooms, and each
+      // equality probe prunes through ITS OWN column (the requires pin
+      // filesRead < total for both keys — single-column policy left
+      // the second key scanning everything). The aggregate unions both
+      // probes and hash-checks against raw events: a bloom that
+      // wrongly skipped a matching file for either key loses rows.
+      val lake = s"$scratchRoot/mbloom_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q207",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q207.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(concat(lit("u"), col("user_id").cast("string")).as("skey"),
+          concat(lit("e"), col("event_id").cast("string")).as("ekey"),
+          col("event_id"), col("user_id"), col("value"))
+        .createOrReplaceTempView("ev_q207")
+      // hash-split each commit by ekey so a point key lands in ONE
+      // file per commit and the others' blooms reject it — per-file
+      // distinct keys stay under the 8 KiB bloom's ~1% band at every
+      // test sf (0.1 = 100k rows / 2 commits / 32 files ≈ 1.6k keys,
+      // ~11% FP: still prunes, just less sharply)
+      s.sql(s"""CREATE TABLE glake_q207.`$name`
+               |TBLPROPERTIES ('bloom' = 'skey,ekey') AS
+               |SELECT /*+ REPARTITION(32, ekey) */ * FROM ev_q207
+               |WHERE user_id < 100""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q207.`$name`
+               |SELECT /*+ REPARTITION(32, ekey) */ * FROM ev_q207
+               |WHERE user_id >= 100""".stripMargin)
+      require(VersionedLake.bloomIndexCols(s, lake) == Seq("skey", "ekey"),
+        "the declared multi-column policy must persist in order")
+      val total = VersionedLake.readLatest(s, lake).inputFiles.length
+      val p1 = s.read.format("graftlake").load(lake)
+        .filter(col("skey") === "u7")
+      val p2 = s.read.format("graftlake").load(lake)
+        .filter(col("ekey") === "e1234")
+      require(GraftLakeDataSource.filesRead(p1) < total,
+        s"skey lookup must bloom-prune " +
+          s"(${GraftLakeDataSource.filesRead(p1)} of $total)")
+      require(GraftLakeDataSource.filesRead(p2) < total,
+        s"ekey lookup must bloom-prune on the SAME lake " +
+          s"(${GraftLakeDataSource.filesRead(p2)} of $total)")
+      p1.select(col("value")).unionAll(p2.select(col("value")))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(lit("both").as("probe"), col("n"), col("total_value"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

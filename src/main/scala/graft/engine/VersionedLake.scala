@@ -412,15 +412,47 @@ object VersionedLake {
       case (Left(ops), l) => (applyOps(prevLive, ops), l)
     }
 
+  /** Marker line carrying the commit's TABLE SCHEMA (one-line DDL) —
+    * written by every writer that knows the FULL table schema (SQL
+    * DML/DDL/COW; library appends may be narrower than the merged
+    * union and do not embed). The DSv2 plan path then resolves a
+    * version's schema from ITS OWN manifest instead of re-reading
+    * every live file's parquet footer per cold plan (mergeSchema
+    * inference is O(live files) — the dominant plan cost at 10^3+
+    * dirs; Delta keeps schema in the log for the same reason). Absent
+    * marker → footer inference, exactly as before. */
+  private val SchemaMarker = "#schema\t"
+
+  /** The schema a version's publishing writer declared, if any. A
+    * missing/vacuumed/torn manifest reads as None — schema resolution
+    * is an optimization; the EXISTENCE error stays with the read path,
+    * which raises the clear retention message. */
+  def manifestSchema(spark: SparkSession, dir: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      if (!versionExists(spark, dir, v)) None
+      else readManifestLines(spark, dir, v)
+        .collectFirst { case l if l.startsWith(SchemaMarker) =>
+          scala.util.Try(org.apache.spark.sql.types.StructType
+            .fromDDL(l.drop(SchemaMarker.length))).toOption
+        }.flatten
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def schemaLine(schemaDdl: Option[String]): Seq[String] =
+    schemaDdl.filterNot(_.contains("\n")).map(SchemaMarker + _).toSeq
+
   private def manifestBytes(live: Seq[String],
-      layoutOnly: Boolean = false): Array[Byte] =
-    ((if (layoutOnly) live :+ LayoutMarker else live) :+ ManifestEnd)
+      layoutOnly: Boolean = false,
+      schemaDdl: Option[String] = None): Array[Byte] =
+    (schemaLine(schemaDdl) ++
+      (if (layoutOnly) live :+ LayoutMarker else live) :+ ManifestEnd)
       .mkString("\n").getBytes("UTF-8")
 
   /** Delta-manifest bytes: O(changed dirs), the routine-commit write. */
   private def deltaBytes(adds: Seq[String], drops: Seq[String],
-      layoutOnly: Boolean): Array[Byte] =
-    ((DeltaMarker +: (drops.map("-" + _) ++ adds.map("+" + _))) ++
+      layoutOnly: Boolean, schemaDdl: Option[String] = None): Array[Byte] =
+    ((DeltaMarker +: schemaLine(schemaDdl)) ++
+      (drops.map("-" + _) ++ adds.map("+" + _)) ++
       (if (layoutOnly) Seq(LayoutMarker) else Nil) :+ ManifestEnd)
       .mkString("\n").getBytes("UTF-8")
 
@@ -545,11 +577,19 @@ object VersionedLake {
       dataDir: String, mode: String, layoutOnly: Boolean = false): Int =
     publishAll(spark, dir, Seq(dataDir), mode, layoutOnly)
 
+  /** Measurement seam ([[graft.LogScale]]): one real-protocol append
+    * publish — production's exact write pattern, without the data
+    * write the scale harness fabricates separately. */
+  private[graft] def publishForScale(spark: SparkSession, dir: String,
+      dataDir: String, schemaDdl: Option[String] = None): Int =
+    publishAll(spark, dir, Seq(dataDir), "append", schemaDdl = schemaDdl)
+
   /** [[publish]] generalized to several data entries in ONE version —
     * a partitioned commit publishes one entry per partition leaf. */
   private[engine] def publishAll(spark: SparkSession, dir: String,
       dataDirs: Seq[String], mode: String,
-      layoutOnly: Boolean = false): Int = {
+      layoutOnly: Boolean = false,
+      schemaDdl: Option[String] = None): Int = {
     require(dataDirs.nonEmpty, "publishAll needs at least one entry")
     val f = fs(spark, dir)
     var committed = -1
@@ -573,8 +613,8 @@ object VersionedLake {
         // whose live set IS the delta — bound every reader's replay walk
         val bytes =
           if (full || next % CheckpointInterval == 0)
-            manifestBytes(live, layoutOnly)
-          else deltaBytes(fresh, Seq.empty, layoutOnly)
+            manifestBytes(live, layoutOnly, schemaDdl)
+          else deltaBytes(fresh, Seq.empty, layoutOnly, schemaDdl)
         try {
           val out = f.create(manifestPath(dir, next), false)
           try out.write(bytes)
@@ -614,12 +654,13 @@ object VersionedLake {
     publishCreateStrictAll(spark, dir, Seq(dataDir))
 
   private[engine] def publishCreateStrictAll(spark: SparkSession,
-      dir: String, dataDirs: Seq[String]): Boolean = {
+      dir: String, dataDirs: Seq[String],
+      schemaDdl: Option[String] = None): Boolean = {
     val f = fs(spark, dir)
     if (tip(spark, dir).nonEmpty) return false
     try {
       val out = f.create(manifestPath(dir, 1), false)
-      try out.write(manifestBytes(dataDirs))
+      try out.write(manifestBytes(dataDirs, schemaDdl = schemaDdl))
       finally out.close()
       writeTipHint(f, dir, 1)
       true
@@ -637,7 +678,8 @@ object VersionedLake {
       dir: String): Boolean = {
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.parquet(s"$dir/$dataDir")
-    publishCreateStrict(df.sparkSession, dir, dataDir)
+    publishCreateStrictAll(df.sparkSession, dir, Seq(dataDir),
+      Some(df.schema.toDDL))
   }
 
   /** Single-attempt overwrite publish at exactly `observedTip + 1` —
@@ -653,7 +695,8 @@ object VersionedLake {
     publishReplaceStrictAll(spark, dir, Seq(dataDir), observedTip)
 
   private[engine] def publishReplaceStrictAll(spark: SparkSession,
-      dir: String, dataDirs: Seq[String], observedTip: Int): Int = {
+      dir: String, dataDirs: Seq[String], observedTip: Int,
+      schemaDdl: Option[String] = None): Int = {
     val f = fs(spark, dir)
     def conflict(): Nothing =
       throw new java.util.ConcurrentModificationException(
@@ -665,7 +708,7 @@ object VersionedLake {
       conflict()
     try {
       val out = f.create(manifestPath(dir, observedTip + 1), false)
-      try out.write(manifestBytes(dataDirs))
+      try out.write(manifestBytes(dataDirs, schemaDdl = schemaDdl))
       finally out.close()
       writeTipHint(f, dir, observedTip + 1)
       observedTip + 1
@@ -1213,36 +1256,47 @@ object VersionedLake {
   // property at CREATE, or [[setBloomIndex]]) names the bloom-indexed
   // column; every SQL/streaming commit path honors it.
 
-  /** Declare `c` as the lake's bloom-indexed column: every subsequent
-    * SQL/streaming commit writes a per-file bloom sidecar over it
-    * ([[indexStagedDir]]), so point lookups prune on DML-written data
-    * exactly like on [[commitWithBloom]] data. Existing data dirs are
-    * not back-indexed (run [[compactVersions]] with `bloomCol` to
-    * index history). */
+  /** Declare `c` as A bloom-indexed column of the lake: every
+    * subsequent SQL/streaming commit writes a per-file bloom sidecar
+    * over it ([[indexStagedDir]]), so point lookups prune on
+    * DML-written data exactly like on [[commitWithBloom]] data. The
+    * policy is MULTI-COLUMN — repeated calls (or `'bloom'='a,b'` at
+    * CREATE) accumulate, one sidecar section per column, and each
+    * point-lookup predicate probes its own column's bloom (two lookup
+    * keys on one lake both prune). Existing data dirs are not
+    * back-indexed (run [[compactVersions]] with `bloomCol` to index
+    * history). */
   def setBloomIndex(spark: SparkSession, dir: String, c: String): Unit = {
+    val cols = (bloomIndexCols(spark, dir) :+ c).distinct
     val out = fs(spark, dir).create(new Path(s"$dir/_index"), true)
-    try out.write(s"bloom\t$c".getBytes("UTF-8"))
+    try out.write(cols.map(x => s"bloom\t$x").mkString("\n")
+      .getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The declared bloom-index column, if any. One small file read —
-    * malformed or missing degrades to None (no bloom, never an error). */
-  def bloomIndexCol(spark: SparkSession, dir: String): Option[String] = {
+  /** The declared bloom-index columns, declaration order. One small
+    * file read — malformed or missing degrades to empty (no bloom,
+    * never an error). */
+  def bloomIndexCols(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(s"$dir/_index")
     val f = fs(spark, dir)
     try {
-      if (!f.exists(p)) None
+      if (!f.exists(p)) Seq.empty
       else {
         val in = f.open(p)
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toList
         finally in.close()
-        lines.map(_.split('\t')).collectFirst {
+        lines.map(_.split('\t')).collect {
           case Array("bloom", c) if c.nonEmpty => c
-        }
+        }.distinct
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
+
+  /** First declared bloom column (legacy single-column view). */
+  def bloomIndexCol(spark: SparkSession, dir: String): Option[String] =
+    bloomIndexCols(spark, dir).headOption
 
   /** Sidecar indexing for a freshly-staged SQL/streaming commit dir:
     * min/max range stats for every numeric column (SQL writers have no
@@ -1254,14 +1308,15 @@ object VersionedLake {
     * bloom is one narrow read-back aggregation of the staged files. */
   private[engine] def indexStagedDir(spark: SparkSession, dir: String,
       dataDir: String, schema: org.apache.spark.sql.types.StructType,
-      declaredBloom: Option[String] = None): Unit = {
+      declaredBloom: Seq[String] = Seq.empty): Unit = {
     val numericCols = GraftLakeDataSource.numericCols(schema)
     if (numericCols.nonEmpty) writeStatsFor(spark, dir, dataDir, numericCols)
     // declaredBloom covers staged CTAS, whose `_index` file only lands
-    // at commitStagedChanges (an aborted CTAS must leave nothing)
-    declaredBloom.orElse(bloomIndexCol(spark, dir))
-      .filter(schema.fieldNames.contains)
-      .foreach(c => writeBloomFor(spark, dir, dataDir, c))
+    // at commitStagedChanges (an aborted CTAS must leave nothing).
+    // MULTI-COLUMN: one sidecar carrying every declared column's bloom
+    val blooms = (declaredBloom ++ bloomIndexCols(spark, dir))
+      .distinct.filter(schema.fieldNames.contains)
+    if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
   }
 
   /** Footer-stats pass for one data dir (shared by [[commitWithStats]],
@@ -1464,9 +1519,9 @@ object VersionedLake {
         // the survivor dir absorbs rows from bloom-indexed dirs: honor
         // the lake's declared policy or point lookups stop pruning
         // over the rewritten fraction (same parity as indexStagedDir)
-        bloomIndexCol(spark, dir)
+        val blooms = bloomIndexCols(spark, dir)
           .filter(survivors.columns.contains)
-          .foreach(b => writeBloomFor(spark, dir, dataDir, b))
+        if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
         // checked: a concurrent rewrite of a touched dir (another
         // delete, a compaction) is refused loudly — publishing would
         // resurrect its removed rows, since they are baked into this
@@ -1529,9 +1584,9 @@ object VersionedLake {
     writeStatsFor(spark, dir, dataDir, statsCols)
     // declared bloom policy carries through the partition swap, like
     // deleteRange and every DML commit path
-    bloomIndexCol(spark, dir)
+    val blooms = bloomIndexCols(spark, dir)
       .filter(combined.columns.contains)
-      .foreach(b => writeBloomFor(spark, dir, dataDir, b))
+    if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
     // checked for the same reason as deleteRange: survivors of the
     // touched dirs are baked into the new dir, so a concurrent rewrite
     // of one of them must fail the publish, not resurrect rows
@@ -1568,18 +1623,18 @@ object VersionedLake {
     * loop). */
   private[engine] def publishReplacingChecked(spark: SparkSession,
       dir: String, dropped: Set[String], added: String,
-      snapshot: Set[String]): Int =
+      snapshot: Set[String], schemaDdl: Option[String] = None): Int =
     publishReplacing(spark, dir, dropped, Seq(added), checked = true,
-      snapshot = Some(snapshot))
+      snapshot = Some(snapshot), schemaDdl = schemaDdl)
 
   /** Multi-entry checked replace — a partitioned COW/replaceWhere drops
     * and adds PARTITION entries; `added` may be empty (whole-partition
     * DELETE: the drop is the entire commit, manifest-only). */
   private[engine] def publishReplacingCheckedAll(spark: SparkSession,
       dir: String, dropped: Set[String], added: Seq[String],
-      snapshot: Set[String]): Int =
+      snapshot: Set[String], schemaDdl: Option[String] = None): Int =
     publishReplacing(spark, dir, dropped, added, checked = true,
-      snapshot = Some(snapshot))
+      snapshot = Some(snapshot), schemaDdl = schemaDdl)
 
   /** Test seam: [[deleteRange]]'s publish step with an externally-
     * staged survivor dir — lets a spec interleave a competing rewrite
@@ -1592,7 +1647,8 @@ object VersionedLake {
       dropped: Set[String], added: Seq[String],
       checked: Boolean = false,
       snapshot: Option[Set[String]] = None,
-      layoutOnly: Boolean = false): Int = {
+      layoutOnly: Boolean = false,
+      schemaDdl: Option[String] = None): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
@@ -1629,8 +1685,8 @@ object VersionedLake {
       val live = tip0.filterNot(dropped) ++ added
       val bytes =
         if (prevTip.isEmpty || next % CheckpointInterval == 0)
-          manifestBytes(live, layoutOnly)
-        else deltaBytes(added, tip0.filter(dropped), layoutOnly)
+          manifestBytes(live, layoutOnly, schemaDdl)
+        else deltaBytes(added, tip0.filter(dropped), layoutOnly, schemaDdl)
       try {
         val out = f.create(manifestPath(dir, next), false)
         try out.write(bytes)
@@ -1724,7 +1780,26 @@ object VersionedLake {
     * many-thousand-file commit would be orders of magnitude more
     * driver memory than the 1 KiB/file sidecar produced. */
   private def writeBloomFor(spark: SparkSession, dir: String,
-      dataDir: String, keyCol: String): Unit = {
+      dataDir: String, keyCol: String): Unit =
+    writeBloomsFor(spark, dir, dataDir, Seq(keyCol))
+
+  /** Bloom sidecar for one data dir over SEVERAL key columns: one
+    * section of lines per column in the SAME sidecar file (lines carry
+    * the column name; readers filter), so a multi-column policy never
+    * overwrites one column's index with another's. */
+  private[engine] def writeBloomsFor(spark: SparkSession, dir: String,
+      dataDir: String, keyCols: Seq[String]): Unit = {
+    val lines = keyCols.distinct.flatMap(c =>
+      bloomLinesFor(spark, dir, dataDir, c))
+    val out = fs(spark, dir)
+      .create(new Path(s"$dir/_bloom/$dataDir.bloom"), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    ()
+  }
+
+  private def bloomLinesFor(spark: SparkSession, dir: String,
+      dataDir: String, keyCol: String): Seq[String] = {
     import org.apache.spark.sql.functions.{array, col, collect_set,
       explode, input_file_name, sort_array}
     val pos = spark.read.parquet(s"$dir/$dataDir")
@@ -1751,7 +1826,7 @@ object VersionedLake {
     val keyless = f.listStatus(new Path(s"$dir/$dataDir")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .filterNot(covered).map(_ -> Seq.empty[Int])
-    val lines = (withKeys ++ keyless)
+    (withKeys ++ keyless)
       .sortBy(_._1)
       .map { case (name, ps) =>
         val bits = new java.util.BitSet(BloomBits)
@@ -1765,10 +1840,6 @@ object VersionedLake {
         val hex = full.map("%02x".format(_)).mkString
         s"$name\t$keyCol\t$hex"
       }
-    val out = f.create(new Path(s"$dir/_bloom/$dataDir.bloom"), true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    ()
   }
 
   /** Bloom lines of one data dir for `c`: file → BitSet. Malformed

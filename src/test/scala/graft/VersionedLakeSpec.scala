@@ -817,6 +817,48 @@ class VersionedLakeSpec extends AnyFunSuite {
       "torn ckpt must fall back to delta replay, not resolve garbage")
   }
 
+  test("multi-column bloom policy: two declared keys share one sidecar, " +
+      "each point lookup prunes through its own column, and DML " +
+      "rewrites re-index BOTH") {
+    import spark.implicits._
+    val dir = tempDir("vlake-mbloom") + "/lake"
+    (0L until 400L)
+      .map(i => (s"a$i", s"b${i * 7 % 400}", i)).toDF("ak", "bk", "id")
+      .createOrReplaceTempView("vlake_mb_src")
+    // declare BOTH keys at CREATE; the SQL write path (the policy's
+    // subject) indexes each commit over both
+    val root = new java.io.File(dir).getParent
+    val cat = s"glmb_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.lake TBLPROPERTIES " +
+      "('bloom' = 'ak,bk') AS SELECT /*+ REPARTITION(8, id) */ * " +
+      "FROM vlake_mb_src")
+    assert(VersionedLake.bloomIndexCols(spark, dir) == Seq("ak", "bk"))
+    val total = VersionedLake.readLatest(spark, dir).inputFiles.length
+    Seq(("ak", "a137"), ("bk", "b159")).foreach { case (c, v) =>
+      val p = VersionedLake.readBloomProbe(spark, dir, c, v)
+      assert(p.inputFiles.length < total,
+        s"$c lookup must prune (${p.inputFiles.length}/$total)")
+      assert(p.count() >= 1, s"$c=$v must find its row(s)")
+    }
+    // absent keys prune to zero on EITHER column
+    assert(VersionedLake.readBloomProbe(spark, dir, "ak", "nope")
+      .inputFiles.isEmpty)
+    assert(VersionedLake.readBloomProbe(spark, dir, "bk", "nope")
+      .inputFiles.isEmpty)
+    // a deleteRange rewrite re-indexes BOTH declared columns
+    VersionedLake.deleteRange(spark, dir, "id", 0, 9, Seq("id"))
+    Seq(("ak", "a137"), ("bk", "b159")).foreach { case (c, v) =>
+      val p = VersionedLake.readBloomProbe(spark, dir, c, v)
+      assert(p.count() >= 1, s"post-rewrite $c=$v lost rows")
+      assert(p.inputFiles.length <
+        VersionedLake.readLatest(spark, dir).inputFiles.length,
+        s"post-rewrite $c lookup must still prune")
+    }
+  }
+
   test("commitIndexed writes range stats AND a bloom for one data dir; " +
       "compaction carries both index classes") {
     import spark.implicits._
