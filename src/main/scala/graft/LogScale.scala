@@ -114,7 +114,7 @@ object LogScale {
     // LISTING of the live dirs, paid by any planner)
     graft.engine.VersionedLake.publishForScale(spark, dir,
       s"d-ls${n + 1}",
-      Some(spark.read.format("graftlake").load(dir).schema.toDDL))
+      Some(spark.read.format("graftlake").load(dir).schema.json))
     materialize(n + 1)
     time("cold graftlake plan (manifest-declared schema + listing)") {
       spark.read.format("graftlake").load(dir)

@@ -265,7 +265,8 @@ object GraftLakePartitions {
   * open file at a time — the same contract V1 enforces with its sort. */
 final class GraftLakePartitionedWrite(stagingPath: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
-    partCols: Seq[String], desc: String)
+    partCols: Seq[String], desc: String,
+    fieldIdTable: Option[StructType] = None)
   extends org.apache.spark.sql.connector.write.Write
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions,
@@ -286,7 +287,12 @@ final class GraftLakePartitionedWrite(stagingPath: String,
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
     import scala.jdk.CollectionConverters._
     val spark = SparkSession.active
-    val schema = info.schema()
+    // column-mapping tables: overlay the TABLE schema's field ids onto
+    // the write schema (resolution does not reliably carry metadata) —
+    // Spark's parquet writer then stamps them into every footer, the
+    // id-matching reader's contract
+    val schema = fieldIdTable.fold(info.schema())(t =>
+      GraftLakeMapping.withFieldIds(info.schema(), t))
     val options = info.options().asCaseSensitiveMap().asScala.toMap
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
     val job = org.apache.hadoop.mapreduce.Job.getInstance(hadoopConf)

@@ -80,15 +80,18 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
       override def build(): org.apache.spark.sql.connector.write.Write = {
         val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
         val partCols = GraftLakePartitions.of(spark, lakeDir)
+        val mapped = GraftLakeMapping.enabled(spark, lakeDir)
         val inner: org.apache.spark.sql.connector.write.Write =
-          if (partCols.isEmpty)
+          if (partCols.isEmpty && !mapped)
             ParquetWrite(Seq(s"$lakeDir/$dataDir"),
               table.formatName, table.supportsDataType _, info)
+          // custom write also serves MAPPED tables (field-id overlay)
           else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
             partCols.map(_.name),
-            s"graftlake partitioned COW $lakeDir (staging $dataDir)")
+            s"graftlake partitioned COW $lakeDir (staging $dataDir)",
+            if (mapped) Some(table.schema()) else None)
         new GraftLakeCowWrite(GraftLakeRowLevelOperation.this, inner,
-          info, lakeDir, dataDir, partCols)
+          info, lakeDir, dataDir, partCols, table.schema())
       }
     }
 }
@@ -283,7 +286,10 @@ private final class GraftLakeStripPrefixFactory(
 final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
     inner: org.apache.spark.sql.connector.write.Write,
     info: LogicalWriteInfo, lakeDir: String, dataDir: String,
-    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+    partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    // the DECLARED schema: the analyzer strips metadata (field ids)
+    // from info.schema(), so declarations come from the table
+    declaredSchema: org.apache.spark.sql.types.StructType = null)
   extends org.apache.spark.sql.connector.write.Write
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory,
@@ -355,7 +361,7 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
         info.schema())
       val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
         op.scannedDirs, dataDir, op.snapshotDirs,
-        Some(info.schema().toDDL))
+        Some(Option(declaredSchema).getOrElse(info.schema()).json))
       // opt-in row-level CDF: persist this commit's EXACT changes
       // (survivors netted) so feeds stop shipping the whole rewritten
       // band as delete+insert pairs
@@ -391,7 +397,7 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
         VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
       val v = VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
         op.scannedDirs, entries, op.snapshotDirs,
-        Some(info.schema().toDDL))
+        Some(Option(declaredSchema).getOrElse(info.schema()).json))
       if (VersionedLake.cdfEnabled(spark, lakeDir))
         VersionedLake.writeChangeSidecar(spark, lakeDir, v,
           VersionedLake.cowChangeRows(spark, lakeDir,

@@ -90,6 +90,13 @@ final class GraftLakeDataSource
     val merged = new java.util.HashMap[String, String](
       options.asCaseSensitiveMap())
     merged.put("mergeSchema", "true")
+    // column-mapping lakes: id-matching read/write confs ride the
+    // table OPTIONS (they reach the scan's and write's hadoop
+    // configuration — scoped to exactly these tables, never a session
+    // conf mutation)
+    if (GraftLakeMapping.enabled(spark, lakeDir))
+      GraftLakeMapping.confOptions.foreach { case (k, v) =>
+        merged.put(k, v) }
     val cdf = Option(options.get(GraftLakeDataSource.ReadChangeFeed))
       .exists(_.trim.equalsIgnoreCase("true"))
     // schema from the version's OWN manifest when its writer declared
@@ -372,6 +379,9 @@ final class GraftLakeCatalog
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", dir)
     opts.put("mergeSchema", "true")
+    if (GraftLakeMapping.enabled(spark, dir))
+      GraftLakeMapping.confOptions.foreach { case (k, v0) =>
+        opts.put(k, v0) }
     val v = version.getOrElse(t.get)
     new GraftLakeTable(ident.toString, spark,
       new CaseInsensitiveStringMap(opts), Seq(dir),
@@ -506,6 +516,21 @@ final class GraftLakeCatalog
   private def cdfProp(properties: java.util.Map[String, String]): Boolean =
     Option(properties.get("cdf")).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** `TBLPROPERTIES ('column_mapping' = 'id')` — parquet field-id
+    * column mapping ([[GraftLakeMapping]]): RENAME/DROP COLUMN become
+    * metadata-only commits. Declared at CREATE only (ids must be in
+    * every file from the first write). */
+  private def mappingProp(
+      properties: java.util.Map[String, String]): Boolean =
+    Option(properties.get("column_mapping")).map(_.trim)
+      .filter(_.nonEmpty) match {
+      case None => false
+      case Some("id") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"column_mapping supports 'id' (parquet field-id mapping), " +
+          s"got '$other'")
+    }
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -518,14 +543,20 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
+    val mapped = mappingProp(properties)
+    val declared =
+      if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
+      else toStruct(columns)
     // strict single-attempt v1 publish, NOT commit's CAS-retry: two
     // racing CREATEs must yield one winner and one clean error, never
     // a retried append that unions their schemas/data
     if (partCols.isEmpty) {
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row],
-        toStruct(columns))
-      if (!VersionedLake.commitCreateStrict(empty.repartition(1), dir))
+      val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row], declared)
+        .repartition(1).write.parquet(s"$dir/$dataDir")
+      if (!VersionedLake.publishCreateStrictAll(spark, dir, Seq(dataDir),
+          Some(declared.json)))
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     } else {
@@ -534,12 +565,14 @@ final class GraftLakeCatalog
       // the create wins — a lost-race loser must not plant its spec
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
       val entry = GraftLakePartitions.seedEmpty(spark, dir, dataDir,
-        toStruct(columns), partCols)
-      if (!VersionedLake.publishCreateStrictAll(spark, dir, Seq(entry)))
+        declared, partCols)
+      if (!VersionedLake.publishCreateStrictAll(spark, dir, Seq(entry),
+          Some(declared.json)))
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
       GraftLakePartitions.set(spark, dir, partCols)
     }
+    if (mapped) GraftLakeMapping.record(spark, dir, declared)
     bloomProp(properties, columns).foreach { c =>
       require(!partCols.exists(_.name == c),
         s"bloom table property names partition column '$c' — " +
@@ -556,6 +589,15 @@ final class GraftLakeCatalog
   // at all, and REPLACE keeps the old snapshot time-travelable. See
   // [[GraftLakeStagedTable]].
 
+  /** REPLACE on a column-mapping lake would mint a fresh id space over
+    * a registry that never forgets names — alias probing could then
+    * merge unrelated columns. A mapped table is replaced by creating a
+    * new one. */
+  private def requireNotMapped(dir: String, op: String): Unit =
+    require(!GraftLakeMapping.enabled(spark, dir),
+      s"$op on a column-mapping lake is not supported: field ids are " +
+        "assigned once at CREATE — create a new table and backfill")
+
   override def stageCreate(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
@@ -565,9 +607,14 @@ final class GraftLakeCatalog
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+    val mapped = mappingProp(properties)
+    val declared =
+      if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
+      else toStruct(columns)
+    new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = false, orCreate = false,
-      bloomProp(properties, columns), partCols, cdfProp(properties))
+      bloomProp(properties, columns), partCols, cdfProp(properties),
+      mapped)
   }
 
   override def stageReplace(ident: Identifier,
@@ -580,6 +627,9 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     requireSpecUnchanged(dirOf(ident), partCols)
+    requireNotMapped(dirOf(ident), "REPLACE TABLE")
+    require(!mappingProp(properties),
+      "column_mapping is declared at CREATE TABLE, not REPLACE")
     new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
       replace = true, orCreate = false,
       bloomProp(properties, columns), partCols, cdfProp(properties))
@@ -591,27 +641,55 @@ final class GraftLakeCatalog
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = identityPartitionCols(partitions, columns)
-    if (tableExists(ident)) requireSpecUnchanged(dirOf(ident), partCols)
-    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+    val mapped = mappingProp(properties)
+    if (tableExists(ident)) {
+      requireSpecUnchanged(dirOf(ident), partCols)
+      requireNotMapped(dirOf(ident), "CREATE OR REPLACE TABLE")
+      require(!mapped,
+        "column_mapping is declared at CREATE TABLE of a NEW table")
+    }
+    val declared =
+      if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
+      else toStruct(columns)
+    new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = true, orCreate = true,
-      bloomProp(properties, columns), partCols, cdfProp(properties))
+      bloomProp(properties, columns), partCols, cdfProp(properties),
+      mapped)
   }
 
-  /** `ALTER TABLE … ADD COLUMN(S)` — the one schema evolution the
-    * commit protocol already supports (the library path evolves
-    * schemas by committing wider data; mergeSchema reads union them).
-    * The DDL records the widened schema as a schema-bearing EMPTY
-    * append commit: existing rows read null for the new column, older
-    * versions keep their own schema via VERSION AS OF, and the change
-    * is itself versioned history. Everything else (drop/rename/
-    * retype/reposition) stays refused — dropping or renaming would
-    * orphan data bytes with no undo, and parquet's footer schemas
-    * cannot express a reorder. */
+  /** `ALTER TABLE … ADD COLUMN(S)` records the widened schema as a
+    * schema-declaring EMPTY append commit: existing rows read null for
+    * the new column, older versions keep their own schema via VERSION
+    * AS OF, and the change is itself versioned history.
+    *
+    * `RENAME COLUMN` / `DROP COLUMN` additionally require COLUMN
+    * MAPPING (`TBLPROPERTIES ('column_mapping'='id')` at CREATE): with
+    * stable parquet field ids in every file, both are METADATA-ONLY
+    * commits — a rename re-declares the schema under the new name
+    * (same id, old files' differently-named column still binds by id),
+    * a drop removes the field (the data bytes stay in place, invisible
+    * — the undo is VERSION AS OF). Without mapping they stay refused:
+    * a name-matched rename would null out every old file's column.
+    * Retype/reposition stay refused (parquet footers cannot express a
+    * reorder; a retype would rewrite data). */
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.isEmpty || adds.size != changes.size) readOnly
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (adds.size + renames.size + drops.size != changes.size ||
+        changes.isEmpty) readOnly
+    val dir = dirOf(ident)
+    val mapped = GraftLakeMapping.enabled(spark, dir)
+    if ((renames.nonEmpty || drops.nonEmpty) && !mapped)
+      throw new UnsupportedOperationException(
+        "graftlake RENAME/DROP COLUMN needs column mapping — create " +
+          "the table with TBLPROPERTIES ('column_mapping'='id'): " +
+          "stable parquet field ids make both metadata-only; without " +
+          "them a rename would silently null the column in every " +
+          "existing file")
+    val partCols = GraftLakePartitions.of(spark, dir)
     var schema = loadTable(ident).asInstanceOf[GraftLakeTable].schema()
     adds.foreach { a =>
       require(a.fieldNames().length == 1,
@@ -630,26 +708,65 @@ final class GraftLakeCatalog
         a.dataType(), nullable = true)
       schema = schema.add(Option(a.comment()).fold(fld)(fld.withComment))
     }
+    if (mapped && adds.nonEmpty)
+      // fresh ids for added columns, from the registry's never-reused
+      // counter (a DROPPED column's id must stay retired: old files
+      // still carry it, and a reused id would bind new reads to the
+      // dropped column's bytes)
+      schema = GraftLakeMapping.assignIds(schema,
+        GraftLakeMapping.nextId(spark, dir))
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1,
+        "graftlake RENAME COLUMN supports top-level columns")
+      val from = r.fieldNames()(0)
+      require(!partCols.exists(_.name.equalsIgnoreCase(from)),
+        s"cannot rename partition column $from: partition values are " +
+          "directory names, renaming them means re-laying data out")
+      require(schema.fieldNames.contains(from), s"no such column $from")
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(r.newName())),
+        s"column ${r.newName()} already exists")
+      schema = org.apache.spark.sql.types.StructType(schema.fields.map(
+        f => if (f.name == from) f.copy(name = r.newName()) else f))
+    }
+    drops.foreach { d =>
+      require(d.fieldNames().length == 1,
+        "graftlake DROP COLUMN supports top-level columns")
+      val c = d.fieldNames()(0)
+      require(!partCols.exists(_.name.equalsIgnoreCase(c)),
+        s"cannot drop partition column $c")
+      require(schema.fieldNames.contains(c), s"no such column $c")
+      require(schema.fields.length > partCols.length + 1,
+        "cannot drop the last data column")
+      schema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == c))
+    }
+    if (renames.nonEmpty) {
+      // the bloom policy follows renamed names (sidecar ALIASES keep
+      // old files pruning; new commits index under the new name)
+      val renamedBloom = VersionedLake.bloomIndexCols(spark, dir).map(c =>
+        renames.find(_.fieldNames()(0) == c).fold(c)(_.newName()))
+      VersionedLake.setBloomIndexCols(spark, dir, renamedBloom)
+    }
     // plain append commit (CAS-retried): racing writers are safe — an
     // empty dir unions with anything, and two concurrent ALTERs land
     // as successive versions whose schemas merge. On a partitioned
     // lake the schema carrier lives at the null-partition entry like
     // every other empty commit.
-    val partCols = GraftLakePartitions.of(spark, dirOf(ident))
     if (partCols.isEmpty) {
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row], schema)
-        .repartition(1).write.parquet(s"${dirOf(ident)}/$dataDir")
-      VersionedLake.publishAll(spark, dirOf(ident), Seq(dataDir),
-        "append", schemaDdl = Some(schema.toDDL))
+        .repartition(1).write.parquet(s"$dir/$dataDir")
+      VersionedLake.publishAll(spark, dir, Seq(dataDir),
+        "append", schemaDdl = Some(schema.json))
     } else {
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-      val entry = GraftLakePartitions.seedEmpty(spark, dirOf(ident),
+      val entry = GraftLakePartitions.seedEmpty(spark, dir,
         dataDir, schema, partCols)
-      VersionedLake.publishAll(spark, dirOf(ident), Seq(entry), "append",
-        schemaDdl = Some(schema.toDDL))
+      VersionedLake.publishAll(spark, dir, Seq(entry), "append",
+        schemaDdl = Some(schema.json))
     }
+    if (mapped) GraftLakeMapping.record(spark, dir, schema)
     loadTable(ident)
   }
 
@@ -829,7 +946,11 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val partCols = GraftLakePartitions.of(spark, lakeDir)
     if (partCols.isEmpty)
-      GraftLakeDelete.translate(schema(), filters).isDefined
+      // a column-mapping lake routes row deletes to the COW path: the
+      // metadata delete's survivor rewrite would stage files WITHOUT
+      // field ids, unreadable to the id-matching reader
+      !GraftLakeMapping.enabled(spark, lakeDir) &&
+        GraftLakeDelete.translate(schema(), filters).isDefined
     else
       // partitioned lakes take the metadata path ONLY for partition-
       // decidable predicates (whole entries drop by manifest
@@ -868,7 +989,7 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           schema(), partCols))
       }
     VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
-      touched.toSet, added, snapshot.toSet, Some(schema().toDDL))
+      touched.toSet, added, snapshot.toSet, Some(schema().json))
     ()
   }
 
@@ -884,10 +1005,13 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
         // manifest-level truncate: one empty-but-schema-bearing commit
         // (SPARK-23271 writes a footer-only file), so the tip is an
         // empty table and every prior version stays readable
-        val empty = spark.createDataFrame(
+        val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+        spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema()).repartition(1)
-        VersionedLake.commit(empty, lakeDir, mode = "overwrite")
+          .write.parquet(s"$lakeDir/$dataDir")
+        VersionedLake.publishAll(spark, lakeDir, Seq(dataDir),
+          "overwrite", schemaDdl = Some(schema().json))
         ()
       case Some(GraftLakeDelete.Range(c, lo, hi)) =>
         if (lo <= hi) {
@@ -1097,16 +1221,19 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
     // same dir shape as VersionedLake.commit — compaction, vacuum and
     // the racing-writer specs treat every d-* dir uniformly
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val partCols = GraftLakePartitions.of(
-      org.apache.spark.sql.SparkSession.active, lakeDir)
+    val spark0 = org.apache.spark.sql.SparkSession.active
+    val partCols = GraftLakePartitions.of(spark0, lakeDir)
+    val mapped = GraftLakeMapping.enabled(spark0, lakeDir)
     val inner: org.apache.spark.sql.connector.write.Write =
-      if (partCols.isEmpty)
+      if (partCols.isEmpty && !mapped)
         org.apache.spark.sql.execution.datasources.v2.parquet
           .ParquetWrite(Seq(s"$lakeDir/$dataDir"), table.formatName,
             table.supportsDataType _, info)
+      // the custom write also serves MAPPED tables (field-id overlay)
       else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
         partCols.map(_.name),
-        s"graftlake partitioned $mode $lakeDir (staging $dataDir)")
+        s"graftlake partitioned $mode $lakeDir (staging $dataDir)",
+        if (mapped) Some(table.schema()) else None)
     new GraftLakeWrite(inner, info, lakeDir, dataDir, mode,
       table.schema(), replaceCond, partCols)
   }
@@ -1191,7 +1318,7 @@ final class GraftLakeWrite(
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
         info.schema())
       VersionedLake.publishAll(spark, lakeDir, Seq(dataDir), mode,
-        schemaDdl = Some(info.schema().toDDL))
+        schemaDdl = Some(tableSchema.json))
     }
 
     /** Partitioned commit: the dynamic-partition writer laid the staged
@@ -1218,7 +1345,7 @@ final class GraftLakeWrite(
       mode match {
         case "append" | "overwrite" =>
           VersionedLake.publishAll(spark, lakeDir, entries, mode,
-            schemaDdl = Some(info.schema().toDDL))
+            schemaDdl = Some(tableSchema.json))
         case "replace" =>
           val pred = replaceCond.toSeq
             .map(f => GraftLakeDelete.toColumn(tableSchema, f).getOrElse(
@@ -1232,7 +1359,7 @@ final class GraftLakeWrite(
             snapshot, partCols, pred)
           VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
             touched.toSet, entries, snapshot.toSet,
-            Some(info.schema().toDDL))
+            Some(tableSchema.json))
       }
       ()
     }
@@ -1278,12 +1405,12 @@ final class GraftLakeWrite(
       VersionedLake.indexStagedDir(spark, lakeDir, dataDir, tableSchema)
       if (touched.isEmpty) {
         VersionedLake.publishAll(spark, lakeDir, Seq(dataDir), "append",
-          schemaDdl = Some(tableSchema.toDDL))
+          schemaDdl = Some(tableSchema.json))
         ()
       } else {
         val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
           touched.toSet, dataDir, snapshot.toSet,
-          Some(tableSchema.toDDL))
+          Some(tableSchema.json))
         if (VersionedLake.cdfEnabled(spark, lakeDir))
           VersionedLake.writeChangeSidecar(spark, lakeDir, v,
             VersionedLake.cowChangeRows(spark, lakeDir, touched,
@@ -1932,6 +2059,14 @@ private[engine] final class SidecarProbe(spark: SparkSession,
   private val entryDepth =
     1 + GraftLakePartitions.of(spark, lakeDir).length
 
+  // column-mapping renames: a column's sidecar lines are keyed by each
+  // FILE's own era name, so a probe consults every name the field id
+  // has ever had — a file appears under exactly one era name, the
+  // merged map stays one-entry-per-file. Empty off mapped lakes.
+  private lazy val aliasMap = GraftLakeMapping.aliases(spark, lakeDir)
+  private def aliasesOf(c: String): Seq[String] =
+    aliasMap.getOrElse(c, Seq(c))
+
   /** Manifest-entry key of a file's parent dir (`d-x` or
     * `d-x/c=v/...` on a partitioned lake) — what the sidecar files are
     * named by. */
@@ -1940,11 +2075,13 @@ private[engine] final class SidecarProbe(spark: SparkSession,
 
   def stats(d: String, c: String): Map[String, (Double, Double, Long)] =
     statsCache.getOrElseUpdate((d, c),
-      VersionedLake.fileStats(spark, lakeDir, d, c))
+      aliasesOf(c).map(n => VersionedLake.fileStats(spark, lakeDir, d, n))
+        .reduce(_ ++ _))
 
   def bloom(d: String, c: String): Map[String, java.util.BitSet] =
     bloomCache.getOrElseUpdate((d, c),
-      VersionedLake.fileBloom(spark, lakeDir, d, c))
+      aliasesOf(c).map(n => VersionedLake.fileBloom(spark, lakeDir, d, n))
+        .reduce(_ ++ _))
 
   /** Can file `p` contain ANY of `values` in column `c`? The runtime
     * pruning predicate — OR-of-points where the static path answers

@@ -35,7 +35,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     stSchema: StructType, replace: Boolean, orCreate: Boolean,
     bloomProp: Seq[String] = Seq.empty,
     partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
-    cdfProp: Boolean = false)
+    cdfProp: Boolean = false,
+    mapped: Boolean = false)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -81,12 +82,17 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           with org.apache.spark.sql.connector.write
             .RequiresDistributionAndOrdering {
         private val inner: Write =
-          if (partCols.isEmpty)
+          if (partCols.isEmpty && !mapped)
             ParquetWrite(Seq(s"$lakeDir/$dataDir"),
               fmt.formatName, fmt.supportsDataType _, info)
+          // the custom write also serves MAPPED unpartitioned tables:
+          // it overlays the table's field ids onto the write schema so
+          // every staged file carries them (the id-matching reader's
+          // contract)
           else new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
             partCols.map(_.name),
-            s"graftlake staged partitioned $lakeDir (staging $dataDir)")
+            s"graftlake staged partitioned $lakeDir (staging $dataDir)",
+            if (mapped) Some(stSchema) else None)
         override def description(): String =
           s"graftlake staged ${if (replace) "replace" else "create"} " +
             s"$lakeDir (staging $dataDir)"
@@ -178,7 +184,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // tip movement between that observation and the publish is still
       // a loud serializable conflict.
       if (!VersionedLake.publishCreateStrictAll(spark, lakeDir, entries,
-          Some(stSchema.toDDL))) {
+          Some(stSchema.json))) {
         if (!(replace && orCreate))
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(ident)
@@ -187,7 +193,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
             s"lost the CREATE race on $lakeDir but no tip is readable " +
               "— the racer's publish should be visible"))
         VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
-          racerTip, Some(stSchema.toDDL))
+          racerTip, Some(stSchema.json))
         ()
       }
     } else if (!replace) {
@@ -200,7 +206,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
       // against; any concurrent commit since is a serializable
       // conflict, refused loudly for the caller to re-run
       VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
-        observedTip, Some(stSchema.toDDL))
+        observedTip, Some(stSchema.json))
       ()
     }
     // persist the declared policies so every LATER commit inherits
@@ -209,6 +215,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     // plant its policy in the winner's lake
     if (partCols.nonEmpty)
       GraftLakePartitions.set(spark, lakeDir, partCols)
+    if (mapped) GraftLakeMapping.record(spark, lakeDir, stSchema)
     bloomProp.foreach(c =>
       VersionedLake.setBloomIndex(spark, lakeDir, c)) // accumulates
     if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)

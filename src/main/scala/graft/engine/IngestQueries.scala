@@ -2092,10 +2092,16 @@ object IngestQueries {
       // pre- and post-images from raw events: a survivor leaked into
       // the feed, a lost pre-image, or a wrong post-image value each
       // break the hash.
-      val root = s"$scratchRoot/cdfrow_${new java.io.File(dir).getName}"
-      Lake.delete(s, root)
-      val lake = s"$root/lake"
-      val name = "lake"
+      // catalog ROOT must be constant across sf dirs (Spark caches the
+      // instantiated catalog plugin; re-setting the root conf does not
+      // re-initialize it) — the per-sf identity lives in the table NAME
+      val root = scratchRoot
+      val name = s"cdfrow_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      val cp = s"$scratchRoot/cdfrow_cp_${new java.io.File(dir).getName}"
+      val sink = s"$scratchRoot/cdfrow_sink_${new java.io.File(dir).getName}"
+      Seq(cp, sink).foreach(Lake.delete(s, _))
       s.conf.set("spark.sql.catalog.glake_q206",
         classOf[GraftLakeCatalog].getName)
       s.conf.set("spark.sql.catalog.glake_q206.root", root)
@@ -2118,11 +2124,11 @@ object IngestQueries {
         .option(GraftLakeDataSource.ReadChangeFeed, "true").load(lake)
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$root/cp")
-        .format("parquet").option("path", s"$root/sink")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", sink)
         .start()
       q.awaitTermination()
-      val feed = s.read.parquet(s"$root/sink")
+      val feed = s.read.parquet(sink)
       val changeRows = feed.filter(col("_commit_version") === 3L)
       require(changeRows.count() == 2 * updated,
         s"the change commit must deliver EXACTLY 2x${updated} rows " +
@@ -2194,6 +2200,58 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .select(lit("both").as("probe"), col("n"), col("total_value"))
+    },
+
+    QuerySpec(
+      "q208_column_mapping",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS amount
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      // Column mapping (parquet field ids — Delta's column-mapping
+      // feature on Spark-native machinery): with
+      // `column_mapping='id'`, RENAME COLUMN is ONE empty metadata
+      // commit — zero data rewritten (require: the data files are
+      // byte-identical before/after), pre-rename files bind the
+      // renamed column BY ID, VERSION AS OF keeps the old era's name,
+      // and the bloom sidecars keep pruning under the new name through
+      // alias probing. The oracle aggregates the renamed column from
+      // raw events: a rename that nulled old files' values, dropped
+      // rows, or leaked the new name into the old era breaks the hash
+      // or a require.
+      val root = scratchRoot
+      val name = s"colmap_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q208",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q208.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q208")
+      s.sql(s"""CREATE TABLE glake_q208.`$name`
+               |TBLPROPERTIES ('column_mapping' = 'id') AS
+               |SELECT * FROM ev_q208 WHERE user_id < 150""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q208.`$name`
+               |SELECT * FROM ev_q208 WHERE user_id >= 150""".stripMargin)
+      val filesBefore = GraftLakeDataSource.filesReadPaths(
+        s.table(s"glake_q208.`$name`")).toSet
+      s.sql(s"ALTER TABLE glake_q208.`$name` RENAME COLUMN value TO amount")
+      require(GraftLakeDataSource.filesReadPaths(
+        s.table(s"glake_q208.`$name`")).toSet == filesBefore ||
+        filesBefore.subsetOf(GraftLakeDataSource.filesReadPaths(
+          s.table(s"glake_q208.`$name`")).toSet),
+        "RENAME must be metadata-only: no data file rewritten")
+      require(s.sql(s"SELECT * FROM glake_q208.`$name` VERSION AS OF 1")
+        .columns.contains("value"),
+        "the pre-rename era must keep its own column name")
+      require(!s.table(s"glake_q208.`$name`").columns.contains("value"),
+        "the tip must carry only the new name")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(amount), 2) AS amount
+               |FROM glake_q208.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

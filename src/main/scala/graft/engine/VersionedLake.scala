@@ -433,8 +433,15 @@ object VersionedLake {
       if (!versionExists(spark, dir, v)) None
       else readManifestLines(spark, dir, v)
         .collectFirst { case l if l.startsWith(SchemaMarker) =>
-          scala.util.Try(org.apache.spark.sql.types.StructType
-            .fromDDL(l.drop(SchemaMarker.length))).toOption
+          val payload = l.drop(SchemaMarker.length)
+          // JSON is the format (it round-trips field metadata — the
+          // column-mapping ids live there); DDL accepted for
+          // manifests written by the first schema-declaring build
+          scala.util.Try(org.apache.spark.sql.types.DataType
+            .fromJson(payload)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .orElse(scala.util.Try(org.apache.spark.sql.types.StructType
+              .fromDDL(payload))).toOption
         }.flatten
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -679,7 +686,7 @@ object VersionedLake {
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.parquet(s"$dir/$dataDir")
     publishCreateStrictAll(df.sparkSession, dir, Seq(dataDir),
-      Some(df.schema.toDDL))
+      Some(df.schema.json))
   }
 
   /** Single-attempt overwrite publish at exactly `observedTip + 1` —
@@ -859,6 +866,9 @@ object VersionedLake {
       thresholdBytes: Long, statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None, codec: String = "snappy")
       : Option[Int] = {
+    require(!GraftLakeMapping.enabled(spark, dir),
+      "OPTIMIZE on a column-mapping lake is not supported yet: the " +
+        "coalescing rewrite would stage files without field ids")
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -962,12 +972,17 @@ object VersionedLake {
     * cover the write surface, and OPTIMIZE ([[compactSmall]]) compacts
     * within partitions. */
   private def requireUnpartitionedLake(spark: SparkSession, dir: String,
-      op: String): Unit =
+      op: String): Unit = {
     require(GraftLakePartitions.of(spark, dir).isEmpty,
       s"$op stages a flat data dir and cannot run on a PARTITIONED " +
         "lake — use the SQL surface (INSERT / INSERT OVERWRITE " +
         "PARTITION / MERGE / partition-predicate DELETE) or CALL " +
         "glake.optimize, which compacts within partitions")
+    require(!GraftLakeMapping.enabled(spark, dir),
+      s"$op writes files without parquet field ids and cannot run on " +
+        "a COLUMN-MAPPING lake (the id-matching reader could not bind " +
+        "them) — use the SQL surface, whose writes stamp the ids")
+  }
 
   private def compactFullSnapshot(spark: SparkSession, dir: String,
       statsCols: Seq[String], bloomCol: Option[String], codec: String)(
@@ -1266,10 +1281,17 @@ object VersionedLake {
     * keys on one lake both prune). Existing data dirs are not
     * back-indexed (run [[compactVersions]] with `bloomCol` to index
     * history). */
-  def setBloomIndex(spark: SparkSession, dir: String, c: String): Unit = {
-    val cols = (bloomIndexCols(spark, dir) :+ c).distinct
+  def setBloomIndex(spark: SparkSession, dir: String, c: String): Unit =
+    setBloomIndexCols(spark, dir,
+      (bloomIndexCols(spark, dir) :+ c).distinct)
+
+  /** Replace the declared bloom-column set wholesale — the RENAME
+    * COLUMN path re-points the policy at the new name (sidecar aliases
+    * keep pre-rename files pruning). */
+  private[engine] def setBloomIndexCols(spark: SparkSession, dir: String,
+      cols: Seq[String]): Unit = {
     val out = fs(spark, dir).create(new Path(s"$dir/_index"), true)
-    try out.write(cols.map(x => s"bloom\t$x").mkString("\n")
+    try out.write(cols.distinct.map(x => s"bloom\t$x").mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
   }

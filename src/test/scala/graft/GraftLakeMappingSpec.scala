@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Column mapping via parquet field ids: RENAME/DROP COLUMN as
+  * metadata-only commits, per-era names through VERSION AS OF, and
+  * sidecar pruning surviving renames through name aliases. */
+class GraftLakeMappingSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def withCatalog[A](root: String)(body: String => A): A = {
+    val cat = s"glmap_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat)
+  }
+
+  test("RENAME COLUMN is metadata-only: same data files, old files' " +
+      "column binds by field id, VERSION AS OF keeps era names, and " +
+      "new INSERTs land under the new name") {
+    val root = tempDir("glmap-rename")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id, CAST(id * 2 AS DOUBLE) " +
+        "AS v FROM range(0, 100)")
+      val dir = s"$root/t"
+      val filesBefore = GraftLakeDataSource.filesReadPaths(
+        spark.table(s"$cat.t")).toSet
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO amount")
+      // exactly one new (empty, schema-declaring) version; the DATA
+      // files are untouched
+      assert(VersionedLake.versions(spark, dir) == Seq(1, 2))
+      assert(spark.table(s"$cat.t").schema.fieldNames.toSeq ==
+        Seq("id", "amount"))
+      // pre-rename files bind by id: values intact under the new name
+      assert(spark.sql(s"SELECT SUM(amount) FROM $cat.t")
+        .head().getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+      assert(filesBefore.subsetOf(GraftLakeDataSource.filesReadPaths(
+        spark.table(s"$cat.t")).toSet),
+        "rename must not rewrite or drop data files")
+      // the pre-rename era keeps its own name via time travel
+      val v1 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      assert(v1.schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(v1.agg(sum("v")).head().getDouble(0) == 9900.0)
+      // post-rename INSERT uses the new name; both eras aggregate as one
+      spark.sql(s"INSERT INTO $cat.t VALUES (1000, 5.0)")
+      assert(spark.sql(s"SELECT count(*), SUM(amount) FROM $cat.t")
+        .head().toSeq == Seq(101L, 9905.0))
+      // filter on the renamed column spans both eras
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE amount > 100").head()
+        .getLong(0) == (0 until 100).count(_ * 2.0 > 100) + 0)
+    }
+  }
+
+  test("DROP COLUMN is metadata-only; a later ADD never reuses the " +
+      "dropped field id (old bytes stay unreachable)") {
+    val root = tempDir("glmap-drop")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id, CAST(id AS DOUBLE) AS " +
+        "secret, CAST(id % 5 AS INT) AS g FROM range(0, 50)")
+      val dir = s"$root/t"
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN secret")
+      assert(spark.table(s"$cat.t").schema.fieldNames.toSeq ==
+        Seq("id", "g"))
+      assert(spark.table(s"$cat.t").count() == 50)
+      // time travel still sees the dropped column's era
+      assert(spark.sql(s"SELECT SUM(secret) FROM $cat.t VERSION AS OF 1")
+        .head().getDouble(0) == (0 until 50).sum.toDouble)
+      // a new column gets a FRESH id — reading it over old files must
+      // be null, never the dropped column's bytes
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN secret DOUBLE")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE secret IS NOT NULL")
+        .head().getLong(0) == 0,
+        "a re-added name must not resurrect the dropped column's data")
+      val ids = VersionedLake.manifestSchema(spark, dir,
+        VersionedLake.tip(spark, dir).get).get.fields
+        .flatMap(GraftLakeMapping.fieldId)
+      assert(ids.distinct.length == ids.length && ids.max >= 4,
+        s"the re-added column needs a fresh id, got ${ids.toSeq}")
+    }
+  }
+
+  test("bloom/stats sidecars keep pruning across a rename (alias " +
+      "probing): a point lookup on the NEW name skips pre-rename files") {
+    val root = tempDir("glmap-prune")
+    withCatalog(root) { cat =>
+      spark.range(0, 2000).selectExpr("id",
+        "concat('k', CAST(id AS STRING)) AS skey")
+        .createOrReplaceTempView("glmap_src")
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('column_mapping'='id', 'bloom'='skey') AS " +
+        "SELECT /*+ REPARTITION(8, skey) */ * FROM glmap_src")
+      val dir = s"$root/t"
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN skey TO ukey")
+      assert(VersionedLake.bloomIndexCols(spark, dir) == Seq("ukey"),
+        "the bloom policy must follow the rename")
+      val total = GraftLakeDataSource.filesRead(spark.table(s"$cat.t"))
+      val probe = spark.sql(
+        s"SELECT id FROM $cat.t WHERE ukey = 'k137'")
+      assert(probe.count() == 1, "the probe must find its row by id-bind")
+      assert(GraftLakeDataSource.filesRead(probe) < total,
+        s"pre-rename files must still bloom-prune under the new name " +
+          s"(${GraftLakeDataSource.filesRead(probe)} of $total)")
+      // post-rename INSERT indexes under the new name and prunes too
+      spark.sql(s"INSERT INTO $cat.t SELECT /*+ REPARTITION(4, ukey) */ " +
+        s"id + 10000 AS id, concat('n', CAST(id AS STRING)) AS ukey " +
+        "FROM range(0, 500)")
+      val probe2 = spark.sql(
+        s"SELECT id FROM $cat.t WHERE ukey = 'n42'")
+      assert(probe2.count() == 1)
+      assert(GraftLakeDataSource.filesRead(probe2) <
+        GraftLakeDataSource.filesRead(spark.table(s"$cat.t")))
+    }
+  }
+
+  test("refusals: rename/drop without mapping; REPLACE of a mapped " +
+      "table; library writes on a mapped lake; OPTIMIZE on a mapped " +
+      "lake; COW MERGE still works and stamps ids") {
+    import spark.implicits._
+    val root = tempDir("glmap-refuse")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.plain AS SELECT id FROM range(5)")
+      val e1 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.plain RENAME COLUMN id TO x"))
+      assert(e1.getMessage.contains("column_mapping"), e1.getMessage)
+
+      spark.sql(s"CREATE TABLE $cat.m TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id, CAST(id AS DOUBLE) AS v " +
+        "FROM range(0, 100)")
+      val dir = s"$root/m"
+      val e2 = intercept[Exception](spark.sql(
+        s"REPLACE TABLE $cat.m AS SELECT 1 AS one"))
+      assert(e2.getMessage.contains("column-mapping"), e2.getMessage)
+      val e3 = intercept[Exception](VersionedLake.commit(
+        spark.range(3).toDF("id"), dir))
+      assert(e3.getMessage.contains("field ids"), e3.getMessage)
+      val e4 = intercept[Exception](
+        VersionedLake.compactSmall(spark, dir, Long.MaxValue))
+      assert(e4.getMessage.contains("column-mapping"), e4.getMessage)
+      // COW DML works (the overlay write stamps ids) — and a rename
+      // AFTER the merge still binds the merged rows
+      spark.sql(s"MERGE INTO $cat.m t USING (SELECT 7 AS id) s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 777.0")
+      spark.sql(s"ALTER TABLE $cat.m RENAME COLUMN v TO w")
+      assert(spark.sql(s"SELECT w FROM $cat.m WHERE id = 7")
+        .head().getDouble(0) == 777.0,
+        "merged (rewritten) files must carry ids so the rename binds")
+      // metadata DELETE routes to COW on mapped lakes (no id-less
+      // survivor rewrite) — and stays correct
+      spark.sql(s"DELETE FROM $cat.m WHERE id >= 90")
+      assert(spark.table(s"$cat.m").count() == 90)
+    }
+  }
+}
