@@ -281,6 +281,12 @@ object GraftLakeDataSource {
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // AQE wraps executed stages (ResultQueryStage/BroadcastQueryStage
+      // in Spark 4) as LEAF nodes whose real plan hangs off `.plan` —
+      // without descending, an executed frame measures ZERO scans and
+      // a `< total` pruning gate passes vacuously
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
     walk(df.queryExecution.executedPlan).collect {
@@ -304,6 +310,12 @@ object GraftLakeDataSource {
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // AQE wraps executed stages (ResultQueryStage/BroadcastQueryStage
+      // in Spark 4) as LEAF nodes whose real plan hangs off `.plan` —
+      // without descending, an executed frame measures ZERO scans and
+      // a `< total` pruning gate passes vacuously
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
     walk(df.queryExecution.executedPlan).flatMap {
@@ -1520,13 +1532,15 @@ final class GraftLakeParquetScan(
     * pays a full scan no matter how selective the dim filter is. */
   @volatile private var runtimeAdmit: Option[Path => Boolean] = None
 
-  /** All atomic top-level read columns: a sidecar may exist for any of
-    * them, and a declared-but-unindexed column degrades to no pruning
-    * (every file admitted) — conservative, never wrong. */
+  /** All atomic top-level read columns — DATA columns (a sidecar may
+    * exist for any) plus PARTITION columns (pruned from the manifest
+    * entry values, the dynamic-partition-pruning shape). A declared-
+    * but-unindexed column degrades to no pruning (every file admitted)
+    * — conservative, never wrong. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.types._
-    readDataSchema.fields.collect {
+    (readDataSchema.fields ++ readPartitionSchema.fields).collect {
       case f if (f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
              DoubleType | StringType => true
@@ -2056,8 +2070,8 @@ private[engine] final class SidecarProbe(spark: SparkSession,
   private val bloomCache = collection.concurrent.TrieMap
     .empty[(String, String), Map[String, java.util.BitSet]]
 
-  private val entryDepth =
-    1 + GraftLakePartitions.of(spark, lakeDir).length
+  private val partCols = GraftLakePartitions.of(spark, lakeDir)
+  private val entryDepth = 1 + partCols.length
 
   // column-mapping renames: a column's sidecar lines are keyed by each
   // FILE's own era name, so a probe consults every name the field id
@@ -2066,6 +2080,29 @@ private[engine] final class SidecarProbe(spark: SparkSession,
   private lazy val aliasMap = GraftLakeMapping.aliases(spark, lakeDir)
   private def aliasesOf(c: String): Seq[String] =
     aliasMap.getOrElse(c, Seq(c))
+
+  /** Runtime (join-driven) pruning on a PARTITION column — the V2
+    * dynamic-partition-pruning shape: the build side's key set arrives
+    * as an IN filter, and whole partition dirs drop by comparing the
+    * MANIFEST entry's value segment, zero sidecar or file IO. Renders
+    * both sides as strings (hive dir names are string renderings;
+    * integral/string keys round-trip exactly); an unrenderable value
+    * admits — conservative, never wrong. */
+  private def partitionAdmit(parent: Path, c: String,
+      rendered: Seq[String]): Option[Boolean] = {
+    val i = partCols.indexWhere(_.name.equalsIgnoreCase(c))
+    if (i < 0) None
+    else {
+      val segs = entryOf(parent).split('/').drop(1)
+      if (i >= segs.length) Some(true)
+      else {
+        val raw = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            segs(i).substring(segs(i).indexOf('=') + 1))
+        Some(rendered.contains(raw))
+      }
+    }
+  }
 
   /** Manifest-entry key of a file's parent dir (`d-x` or
     * `d-x/c=v/...` on a partitioned lake) — what the sidecar files are
@@ -2089,10 +2126,6 @@ private[engine] final class SidecarProbe(spark: SparkSession,
   def admitAnyOf(p: Path, c: String, values: Seq[Any]): Boolean = {
     val d = entryOf(p.getParent)
     val f = p.getName
-    val nums = values.collect { case n: Number => n.doubleValue() }
-    val statsOk = nums.length != values.length ||
-      stats(d, c).get(f)
-        .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
     def render(v: Any): Option[String] = v match {
       case i: java.lang.Integer => Some(i.toString)
       case i: java.lang.Long => Some(i.toString)
@@ -2103,6 +2136,15 @@ private[engine] final class SidecarProbe(spark: SparkSession,
       case _ => None
     }
     val renders = values.flatMap(render(_))
+    // a partition column decides from the MANIFEST ENTRY's value
+    // segment alone (runtime/dynamic partition pruning, zero IO);
+    // only fully-rendered value sets may prune
+    if (renders.length == values.length)
+      partitionAdmit(p.getParent, c, renders).foreach(a => return a)
+    val nums = values.collect { case n: Number => n.doubleValue() }
+    val statsOk = nums.length != values.length ||
+      stats(d, c).get(f)
+        .forall { case (mn, mx, _) => nums.exists(v => v >= mn && v <= mx) }
     val bloomOk = renders.length != values.length ||
       bloom(d, c).get(f)
         .forall(bits => renders.exists(r =>

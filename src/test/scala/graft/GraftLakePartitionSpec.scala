@@ -188,6 +188,39 @@ class GraftLakePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("join-driven runtime pruning on the PARTITION column: a filtered " +
+      "dimension's keys drop whole partition dirs from manifest " +
+      "metadata at execution time (the DPP shape for the fact lake)") {
+    import spark.implicits._
+    val root = tempDir("glp-dpp")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.fact (id BIGINT, v DOUBLE, m INT) " +
+        "PARTITIONED BY (m)")
+      spark.sql(s"INSERT INTO $cat.fact SELECT id, id * 1.0, " +
+        "CAST(id % 8 AS INT) FROM range(0, 800)")
+      // file-backed dim: a local relation's filter constant-folds
+      // away and the DPP rule sees no selective predicate
+      Seq((1, "one"), (5, "five"), (99, "none")).toDF("k", "tag")
+        .write.parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim")
+      val joined = spark.table(s"$cat.fact").join(
+        org.apache.spark.sql.functions.broadcast(
+          dim.filter(col("tag").isin("one", "five"))),
+        col("m") === col("k"))
+      // execute THIS DataFrame's plan (the runtime filter arrives on
+      // its scan instance during execution; a fresh count() plan
+      // would measure an unexecuted scan)
+      assert(joined.collect().length == 200,
+        "two of eight partitions match")
+      val scanned = GraftLakeDataSource.filesReadPaths(joined)
+        .filter(_.contains("/m="))
+      assert(scanned.nonEmpty &&
+        scanned.forall(p => p.contains("/m=1/") || p.contains("/m=5/")),
+        s"runtime filter must drop non-matching partitions, read: " +
+          s"${scanned.map(_.split('/').takeRight(2).head).distinct}")
+    }
+  }
+
   test("streaming read of a partitioned lake delivers partition " +
       "columns; OPTIMIZE compacts within partitions as a layout-only " +
       "commit the stream skips") {

@@ -865,8 +865,14 @@ class GraftLakeSourceSpec extends AnyFunSuite {
         spark.range(lo, hi).toDF("id").coalesce(2), dir,
         Seq("id"), Some("id"))
     }
-    val dim = Seq((250L, "x"), (260L, "y"), (9999L, "z"))
-      .toDF("k", "tag")
+    // the dim must be FILE-backed: ConvertToLocalRelation folds a
+    // filter over a local relation away before the PartitionPruning
+    // rule looks for a selective predicate, and no runtime filter is
+    // ever injected (caught when the plan walk learned to see through
+    // AQE query stages — the old gate measured an empty plan)
+    Seq((250L, "x"), (260L, "y"), (9999L, "z")).toDF("k", "tag")
+      .write.parquet(dir + "_dim")
+    val dim = spark.read.parquet(dir + "_dim")
     val joined = v2(dir).join(
       org.apache.spark.sql.functions.broadcast(
         dim.filter($"tag".isin("x", "y"))), $"id" === $"k")
