@@ -2252,6 +2252,65 @@ object IngestQueries {
                |       ROUND(SUM(amount), 2) AS amount
                |FROM glake_q208.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q209_partition_dpp",
+      """WITH dim AS (SELECT * FROM (VALUES (1, 'one'), (4, 'four'),
+        |                                   (99, 'none')) v(k, tag)
+        |             WHERE tag IN ('one', 'four'))
+        |SELECT d.tag, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(e.value), 2) AS total_value
+        |FROM events e JOIN dim d ON e.user_id % 5 = d.k
+        |GROUP BY d.tag ORDER BY d.tag""".stripMargin) { (s, dir) =>
+      // Dynamic partition pruning on the fact lake — the 100 TB "fact
+      // join filtered dim" shape: the dim's surviving keys arrive as a
+      // runtime IN filter and whole PARTITION dirs drop by comparing
+      // the manifest entry values, zero file IO (static pushdown
+      // cannot see the dim's keys at plan time). The require pins that
+      // the EXECUTED join read only the two matching partitions of
+      // five; the oracle recomputes the join from raw events, so
+      // over-pruning (lost rows) breaks the hash. The dim is
+      // file-backed: a local relation's filter constant-folds away and
+      // Spark's DPP rule finds no selective predicate to prune with.
+      val root = scratchRoot
+      val name = s"dpp_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      val dimPath = s"$root/dpp_dim_${new java.io.File(dir).getName}"
+      Seq(lake, dimPath).foreach(Lake.delete(s, _))
+      s.conf.set("spark.sql.catalog.glake_q209",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q209.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          pmod(col("user_id"), lit(5L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q209")
+      s.sql(s"""CREATE TABLE glake_q209.`$name` PARTITIONED BY (m) AS
+               |SELECT * FROM ev_q209""".stripMargin)
+      import s.implicits._
+      Seq((1, "one"), (4, "four"), (99, "none")).toDF("k", "tag")
+        .write.parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("tag").isin("one", "four"))
+      val joined = s.table(s"glake_q209.`$name`")
+        .join(broadcast(dim), col("m") === col("k"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("tag"))
+      // execute THIS frame so its scan receives the runtime filter,
+      // then read the executed plan's true file set
+      val out = joined.collect()
+      val scanned = GraftLakeDataSource.filesReadPaths(joined)
+        .filter(_.contains("/m="))
+      require(scanned.nonEmpty &&
+        scanned.forall(p => p.contains("/m=1/") || p.contains("/m=4/")),
+        s"runtime filter must drop the non-matching partitions, read " +
+          s"${scanned.map(_.split('/').takeRight(2).head).distinct}")
+      // hand the already-computed rows to the harness (re-planning
+      // would re-run the join; the collect above IS the execution)
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*), joined.schema)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------
