@@ -71,8 +71,22 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
     val idx = new GraftLakeFileIndex(spark, lakeDir,
       VersionedLake.liveDataDirs(spark, lakeDir, version).map(new Path(_)),
       sidecarPrune = false)
+    // on a COLUMN-MAPPING lake the COW scan must id-match too: Spark
+    // hands this builder ITS OWN options (not the table's merged ones),
+    // and a name-matched read of pre-rename files returns NULL for the
+    // renamed column — which the rewrite would then WRITE BACK,
+    // corrupting every replaced row (caught by the mapped-OPTIMIZE
+    // spec sequence: MERGE, RENAME, DELETE nulled the renamed column)
+    val opts =
+      if (!GraftLakeMapping.enabled(spark, lakeDir)) options
+      else {
+        val m = new java.util.HashMap[String, String](
+          options.asCaseSensitiveMap())
+        GraftLakeMapping.confOptions.foreach { case (k, v) => m.put(k, v) }
+        new CaseInsensitiveStringMap(m)
+      }
     new GraftLakeCowScanBuilder(this, spark, idx, table.schema(),
-      table.dataSchema, options, lakeDir)
+      table.dataSchema, opts, lakeDir)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -866,9 +866,6 @@ object VersionedLake {
       thresholdBytes: Long, statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None, codec: String = "snappy")
       : Option[Int] = {
-    require(!GraftLakeMapping.enabled(spark, dir),
-      "OPTIMIZE on a column-mapping lake is not supported yet: the " +
-        "coalescing rewrite would stage files without field ids")
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -877,7 +874,46 @@ object VersionedLake {
       f.listStatus(new Path(s"$dir/$d")).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val small = live.filter(d => bytesOf(d) < thresholdBytes)
-    val partitioned = GraftLakePartitions.of(spark, dir).nonEmpty
+    // COLUMN-MAPPING lakes: the coalescing rewrite must stamp the
+    // field ids or the id-matching reader cannot bind the compacted
+    // files. Reading with the DECLARED schema (metadata included)
+    // makes the parquet writer stamp them — no extra pass; files of
+    // older eras clip/null against it exactly like a mergeSchema read.
+    val lakePartCols = GraftLakePartitions.of(spark, dir)
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      if (GraftLakeMapping.enabled(spark, dir))
+        Some(manifestSchema(spark, dir, vs.last).map(s =>
+          // data files never carry partition columns — clip them
+          org.apache.spark.sql.types.StructType(s.filterNot(fl =>
+            lakePartCols.exists(_.name.equalsIgnoreCase(fl.name)))))
+          .getOrElse(throw new IllegalStateException(
+            s"column-mapping lake $dir has no declared schema at its " +
+              "tip — cannot stamp field ids into the compacted files")))
+      else None
+    def readSmall(entries: Seq[String]): DataFrame = {
+      val paths = entries.map(e => s"$dir/$e")
+      declared.fold(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*))(
+        sch => spark.read.schema(sch).parquet(paths: _*))
+    }
+    // the path-based read CLOBBERS per-read fieldId options from the
+    // session conf (ParquetFileFormat re-sets them from SQLConf), so
+    // id-matching for the mapped rewrite must be scoped session-wide
+    // for exactly the rewrite's execution — saved and restored
+    val ReadKey = "spark.sql.parquet.fieldId.read.enabled"
+    val prevReadConf: Option[String] =
+      if (declared.isEmpty) None
+      else {
+        val prev = spark.conf.getOption(ReadKey)
+        spark.conf.set(ReadKey, "true")
+        prev.orElse(Some(""))
+      }
+    def restoreConf(): Unit = prevReadConf.foreach {
+      case "" => spark.conf.unset(ReadKey)
+      case v => spark.conf.set(ReadKey, v)
+    }
+    try {
+    val partitioned = lakePartCols.nonEmpty
     if (partitioned) {
       // OPTIMIZE WITHIN PARTITIONS: small entries group by their
       // partition suffix; each group coalesces into one leaf under a
@@ -891,8 +927,7 @@ object VersionedLake {
       val newEntries = groups.toSeq.sortBy(_._1).map { case (suffix, es) =>
         val outFiles = math.max(1L,
           es.map(bytesOf).sum / (128L << 20)).toInt
-        spark.read.option("mergeSchema", "true")
-          .parquet(es.map(e => s"$dir/$e"): _*)
+        readSmall(es)
           .coalesce(outFiles).write.option("compression", codec)
           .parquet(s"$dir/$dataDir/$suffix")
         val entry = s"$dataDir/$suffix"
@@ -906,8 +941,7 @@ object VersionedLake {
     }
     if (small.length < 2) None
     else {
-      val merged = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(d => s"$dir/$d"): _*)
+      val merged = readSmall(small)
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
       // one output file per ~128 MB of input: the tail usually fits
       // one file, but a large tail must not funnel through one task
@@ -920,6 +954,7 @@ object VersionedLake {
       Some(publishReplacing(spark, dir, small.toSet, Seq(dataDir),
         checked = true, layoutOnly = true))
     }
+    } finally restoreConf()
   }
 
   /** Z-ordered compaction as a versioned commit: rewrite the latest

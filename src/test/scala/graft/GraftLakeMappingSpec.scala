@@ -140,9 +140,6 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       val e3 = intercept[Exception](VersionedLake.commit(
         spark.range(3).toDF("id"), dir))
       assert(e3.getMessage.contains("field ids"), e3.getMessage)
-      val e4 = intercept[Exception](
-        VersionedLake.compactSmall(spark, dir, Long.MaxValue))
-      assert(e4.getMessage.contains("column-mapping"), e4.getMessage)
       // COW DML works (the overlay write stamps ids) — and a rename
       // AFTER the merge still binds the merged rows
       spark.sql(s"MERGE INTO $cat.m t USING (SELECT 7 AS id) s " +
@@ -155,6 +152,18 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       // survivor rewrite) — and stays correct
       spark.sql(s"DELETE FROM $cat.m WHERE id >= 90")
       assert(spark.table(s"$cat.m").count() == 90)
+      // OPTIMIZE stamps field ids into the coalesced files: the
+      // renamed column still binds across the compaction, spanning
+      // BOTH eras' files (pre-rename names, post-rename names)
+      spark.sql(s"INSERT INTO $cat.m VALUES (5000, 1.5)")
+      val v = VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+      assert(v.nonEmpty, "optimize must coalesce the small dirs")
+      assert(spark.table(s"$cat.m").count() == 91)
+      assert(spark.sql(s"SELECT w FROM $cat.m WHERE id = 7")
+        .head().getDouble(0) == 777.0,
+        "compacted files must carry ids so the renamed column binds")
+      assert(spark.sql(s"SELECT SUM(w) FROM $cat.m WHERE id >= 5000")
+        .head().getDouble(0) == 1.5)
     }
   }
 }
