@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured (not argued) evidence for merge-on-read deletion vectors:
+  * the SAME ~1%-of-one-dir key-set DELETE on two otherwise identical
+  * multi-commit lakes — one plain (best-case copy-on-write: stats +
+  * bloom sidecars let runtime group filtering prune the rewrite to the
+  * ONE intersecting dir), one with `deletion_vectors`. Reported per
+  * variant: seconds, and the BYTES the DELETE wrote under the lake
+  * root (data dirs + sidecars + manifests). The COW variant rewrites
+  * the whole touched dir (~rows_per_dir × row_width); the DV variant
+  * writes O(deleted rows) of positions + change rows — the
+  * write-amplification collapse GDPR-style point deletes need at
+  * 100 TB.
+  *
+  * Usage: runMain graft.DvScale [srcSfDir] [copies]
+  */
+object DvScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Sessions.local("graft-dvscale")
+    import graft.engine._
+
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val shift = 1000000000L
+    def copyK(k: Int) =
+      ev0.withColumn("event_id", col("event_id") + lit(k * shift))
+
+    val root = "/tmp/graft_dvscale"
+    spark.conf.set("spark.sql.catalog.gldvs",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gldvs.root", root)
+
+    // ~1% of ONE dir's rows, by key set (the GDPR point-delete shape)
+    val mid = copies / 2
+    val nDel = math.max(1,
+      (ev0.count() / 100).toInt)
+    val keys = copyK(mid).select("event_id").limit(nDel)
+      .collect().map(_.getLong(0))
+
+    def bytesUnder(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(q: org.apache.hadoop.fs.Path): Long =
+        f.listStatus(q).map(st =>
+          if (st.isDirectory) walk(st.getPath) else st.getLen).sum
+      if (f.exists(p)) walk(p) else 0L
+    }
+
+    def run(tag: String, dv: Boolean): (Double, Long, Long) = {
+      val dir = s"$root/$tag"
+      Lake.delete(spark, dir)
+      copyK(0).createOrReplaceTempView("dvscale_seed")
+      spark.sql(s"""CREATE TABLE gldvs.$tag TBLPROPERTIES (
+        |'bloom' = 'event_id'${if (dv) ", 'deletion_vectors' = 'true'"
+        else ""}) AS SELECT * FROM dvscale_seed""".stripMargin)
+      (1 until copies).foreach { k =>
+        copyK(k).createOrReplaceTempView("dvscale_in")
+        spark.sql(s"INSERT INTO gldvs.$tag SELECT * FROM dvscale_in")
+      }
+      val before = bytesUnder(dir)
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM gldvs.$tag WHERE event_id IN " +
+        s"(${keys.mkString(",")})")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val written = bytesUnder(dir) - before
+      (sec, written, spark.table(s"gldvs.$tag").count())
+    }
+
+    // plain (COW) first so JIT warmth, if anything, favors it
+    val (cowSec, cowBytes, cowRows) = run("cow", dv = false)
+    val (dvSec, dvBytes, dvRows) = run("dv", dv = true)
+    require(cowRows == dvRows,
+      s"delete results diverged: $cowRows vs $dvRows")
+    println(s"""{"metric":"dv_delete_scale","copies":$copies,""" +
+      s""""deleted":${keys.length},"rows":$dvRows,""" +
+      s""""dv_sec":${f"$dvSec%.2f"},"cow_sec":${f"$cowSec%.2f"},""" +
+      s""""dv_bytes_written":$dvBytes,"cow_bytes_written":$cowBytes}""")
+    spark.stop()
+  }
+}

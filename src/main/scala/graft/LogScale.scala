@@ -139,6 +139,44 @@ object LogScale {
           .allAvailable())
       require(stream.planInputPartitions(from, end).nonEmpty)
     }
+
+    // ---- PARTITIONED-entry point: one manifest entry PER (commit,
+    // partition leaf) — the partitioned streaming sink's write pattern
+    // (q210). Entries are hive leaf paths (~2x longer strings) and each
+    // commit carries TWO of them; same steady-state window. The delta
+    // log must stay O(delta per commit), never O(live leaves).
+    val pdir = s"$root/plake"
+    graft.engine.VersionedLake.commit(
+      spark.range(0, 10).toDF("id").coalesce(1), pdir)
+    def leaves(v: Int) = Seq(
+      s"d-pl$v/y=2024/m=${v % 12}", s"d-pl$v/y=2024/m=${(v + 1) % 12}")
+    val pWindow = window / 2 // 2 leaves/commit -> same live-entry count
+    val t0p = System.nanoTime()
+    (2 to n).foreach { v =>
+      if (v <= pWindow + 1)
+        graft.engine.VersionedLake.publishForScaleAll(spark, pdir,
+          leaves(v))
+      else
+        graft.engine.VersionedLake.replacePublishForScale(spark, pdir,
+          leaves(v - pWindow).toSet, leaves(v))
+    }
+    val pPublishMs = (System.nanoTime() - t0p) / 1e6 / (n - 1)
+    val pTip = graft.engine.VersionedLake.tip(spark, pdir).get
+    val pLive = graft.engine.VersionedLake.manifestEntries(spark, pdir,
+      pTip)
+    val pManifests = f.listStatus(new Path(s"$pdir/_manifests")).toSeq
+      .filter(_.getPath.getName.matches("v\\d+"))
+    val pBytes = pManifests.map(_.getLen).sum
+    val pFullList = pLive.map(_.length + 1L).sum
+    println(f"[logscale] PARTITIONED commits=$n liveLeaves=${pLive.length} " +
+      f"manifestLogBytes=$pBytes " +
+      f"(avg ${pBytes / pManifests.length}%d B/commit) vs " +
+      f"full-list encoding ~${pFullList * n}%d B " +
+      f"(${pFullList}%d B/commit); publish ${pPublishMs}%.2f ms/op")
+    time("partitioned tip live-set resolution") {
+      require(graft.engine.VersionedLake
+        .manifestEntries(spark, pdir, pTip).length == pLive.length)
+    }
     spark.stop()
   }
 }

@@ -49,6 +49,10 @@ object GraftLakePartitions {
     val out = fs(spark, dir).create(regPath(dir), true)
     try out.write(StructType(cols).toDDL.getBytes("UTF-8"))
     finally out.close()
+    // refresh (don't just seed) the memo: a recreate at a reused path
+    // must displace the dead table's cached spec
+    if (cols.nonEmpty) memo.put(dir, cols) else memo.remove(dir)
+    ()
   }
 
   // positive-only memo: the registry is written once at CREATE and
@@ -57,6 +61,18 @@ object GraftLakePartitions {
   // read raced the CREATE)
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[StructField]]
+
+  /** Drop the memoized spec for `dir` — called by the table
+    * delete/create paths ([[Lake.delete]], the catalog's DROP and the
+    * staged-DDL commits): a lake deleted and recreated at the same path
+    * within one JVM must not keep serving the dead table's partition
+    * columns (mis-parsed entries, misrouted writes). External deletes
+    * this process never sees still require a new path or a restart —
+    * the same contract as every metastore cache. */
+  private[engine] def invalidate(dir: String): Unit = {
+    memo.remove(dir)
+    ()
+  }
 
   /** Declared partition columns in partition order; empty for an
     * unpartitioned lake. One small file read, memoized once found. */

@@ -50,6 +50,17 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
   private[engine] val snapshotDirs: Set[String] =
     VersionedLake.manifestEntries(spark, lakeDir, version).toSet
 
+  /** The version this operation scanned — the publish's serializable
+    * anchor (no concurrent DV commit may land after it). */
+  private[engine] def observedVersion: Int = version
+
+  /** Deletion vectors applying to the scanned snapshot: the COW scan
+    * MUST apply them, or the rewrite would write deleted rows back as
+    * survivors. The rewrite thereby MATERIALIZES the touched dirs'
+    * vectors away. */
+  private[engine] val dvMap: Map[String, Array[Long]] =
+    VersionedLake.dvMap(spark, lakeDir, version)
+
   @volatile private[engine] var scannedDirs: Set[String] = snapshotDirs
 
   override def command(): RowLevelOperation.Command = cmd
@@ -249,8 +260,14 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
       }
     op.scannedDirs =
       kept.flatMap(_.files).map(f => entryOf(f.toPath.getParent)).toSet
-    kept
+    // DV-carrying files read alone so the reader can bind positions
+    GraftLakeDvScan.isolate(kept, op.dvMap)
   }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    if (op.dvMap.isEmpty) super.createReaderFactory()
+    else GraftLakeDvScan.readerFactory(this, op.dvMap)
 }
 
 /** Projects incoming rows down to the write schema's width by keeping
@@ -375,7 +392,8 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
         info.schema())
       val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
         op.scannedDirs, dataDir, op.snapshotDirs,
-        Some(Option(declaredSchema).getOrElse(info.schema()).json))
+        Some(Option(declaredSchema).getOrElse(info.schema()).json),
+        noDvSince = Some(op.observedVersion))
       // opt-in row-level CDF: persist this commit's EXACT changes
       // (survivors netted) so feeds stop shipping the whole rewritten
       // band as delete+insert pairs
@@ -411,7 +429,8 @@ final class GraftLakeCowWrite(op: GraftLakeRowLevelOperation,
         VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
       val v = VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
         op.scannedDirs, entries, op.snapshotDirs,
-        Some(Option(declaredSchema).getOrElse(info.schema()).json))
+        Some(Option(declaredSchema).getOrElse(info.schema()).json),
+        noDvSince = Some(op.observedVersion))
       if (VersionedLake.cdfEnabled(spark, lakeDir))
         VersionedLake.writeChangeSidecar(spark, lakeDir, v,
           VersionedLake.cowChangeRows(spark, lakeDir,

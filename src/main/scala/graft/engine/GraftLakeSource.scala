@@ -543,6 +543,27 @@ final class GraftLakeCatalog
           s"got '$other'")
     }
 
+  /** `TBLPROPERTIES ('deletion_vectors' = 'true')` — merge-on-read
+    * point deletes ([[VersionedLake]] DV section): a SQL DELETE records
+    * (file, position) sidecars instead of rewriting dirs; scans apply
+    * them, OPTIMIZE materializes them away. UNPARTITIONED UNMAPPED
+    * lakes only (partitioned lakes drop whole partitions by manifest
+    * reference already; the DV read path binds columns by name). */
+  private def dvProp(properties: java.util.Map[String, String]): Boolean =
+    Option(properties.get("deletion_vectors"))
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  private def requireDvCompatible(dv: Boolean,
+      partCols: Seq[org.apache.spark.sql.types.StructField],
+      mapped: Boolean): Unit = {
+    require(!dv || partCols.isEmpty,
+      "deletion_vectors on a PARTITIONED table is not supported — " +
+        "partition deletes are already manifest-only (O(metadata))")
+    require(!dv || !mapped,
+      "deletion_vectors with column_mapping is not supported — the " +
+        "DV position scan binds columns by name")
+  }
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -556,6 +577,8 @@ final class GraftLakeCatalog
         .TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     val mapped = mappingProp(properties)
+    val dv = dvProp(properties)
+    requireDvCompatible(dv, partCols, mapped)
     val declared =
       if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
       else toStruct(columns)
@@ -585,6 +608,7 @@ final class GraftLakeCatalog
       GraftLakePartitions.set(spark, dir, partCols)
     }
     if (mapped) GraftLakeMapping.record(spark, dir, declared)
+    if (dv) VersionedLake.setDeletionVectors(spark, dir)
     bloomProp(properties, columns).foreach { c =>
       require(!partCols.exists(_.name == c),
         s"bloom table property names partition column '$c' — " +
@@ -620,13 +644,15 @@ final class GraftLakeCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val mapped = mappingProp(properties)
+    val dv = dvProp(properties)
+    requireDvCompatible(dv, partCols, mapped)
     val declared =
       if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
       else toStruct(columns)
     new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = false, orCreate = false,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped)
+      mapped, dvProp = dv)
   }
 
   override def stageReplace(ident: Identifier,
@@ -660,13 +686,15 @@ final class GraftLakeCatalog
       require(!mapped,
         "column_mapping is declared at CREATE TABLE of a NEW table")
     }
+    val dv = dvProp(properties)
+    requireDvCompatible(dv, partCols, mapped)
     val declared =
       if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
       else toStruct(columns)
     new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = true, orCreate = true,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped)
+      mapped, dvProp = dv)
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` records the widened schema as a
@@ -900,7 +928,10 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     // as a (files-absent → null) data column; the stream's reader
     // factory overwrites it with each partition's op constant
     new GraftLakeScanBuilder(spark, delegate.fileIndex, schema(),
-      widen(delegate.dataSchema), merged(options), lakeDir, cdf)
+      widen(delegate.dataSchema), merged(options), lakeDir, cdf,
+      // deletion vectors applying to THIS snapshot (version-bound:
+      // time travel below a DV commit must not see it)
+      VersionedLake.dvMap(spark, lakeDir, snapshotVersion))
 
   /** Batch writes go through the SAME commit protocol as the library:
     * tasks stage parquet into a fresh `d-*` dir via Spark's own
@@ -960,9 +991,14 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     if (partCols.isEmpty)
       // a column-mapping lake routes row deletes to the COW path: the
       // metadata delete's survivor rewrite would stage files WITHOUT
-      // field ids, unreadable to the id-matching reader
+      // field ids, unreadable to the id-matching reader. A
+      // DELETION-VECTOR lake takes this path for EVERY exactly-
+      // replayable predicate: the delete records positions, no rewrite
       !GraftLakeMapping.enabled(spark, lakeDir) &&
-        GraftLakeDelete.translate(schema(), filters).isDefined
+        (GraftLakeDelete.translate(schema(), filters).isDefined ||
+          (VersionedLake.dvEnabled(spark, lakeDir) &&
+            filters.forall(f =>
+              GraftLakeDelete.toColumn(schema(), f).isDefined)))
     else
       // partitioned lakes take the metadata path ONLY for partition-
       // decidable predicates (whole entries drop by manifest
@@ -1010,6 +1046,27 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     val partCols = GraftLakePartitions.of(spark, lakeDir)
     if (partCols.nonEmpty) {
       deleteWherePartitioned(filters, partCols)
+      return
+    }
+    // DELETION-VECTOR lakes: any exactly-replayable predicate becomes
+    // a positions sidecar — O(deleted rows) written, zero dirs
+    // rewritten (truncate stays the cheaper manifest overwrite). A
+    // one-interval condition still bounds the position SCAN through
+    // the stats sidecars.
+    if (VersionedLake.dvEnabled(spark, lakeDir) &&
+        filters.nonEmpty &&
+        !GraftLakeDelete.translate(schema(), filters)
+          .contains(GraftLakeDelete.Truncate)) {
+      import org.apache.spark.sql.functions.lit
+      val pred = filters.toSeq
+        .map(f => GraftLakeDelete.toColumn(schema(), f).getOrElse(
+          throw new IllegalStateException(s"untranslatable filter $f")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val bound = GraftLakeDelete.translate(schema(), filters) match {
+        case Some(GraftLakeDelete.Range(c, lo, hi)) => Some((c, lo, hi))
+        case _ => None
+      }
+      VersionedLake.deleteVectors(spark, lakeDir, pred, bound)
       return
     }
     GraftLakeDelete.translate(schema(), filters) match {
@@ -1202,20 +1259,16 @@ final class GraftLakeWriteBuilder(table: GraftLakeTable, lakeDir: String,
   // exact-or-refuse, consulted by Spark BEFORE overwrite(): a filter
   // shape toColumn cannot replay exactly surfaces as a clean analysis
   // error ("table does not support overwrite by filter"), never a
-  // wrong-rows commit. On a PARTITIONED lake the condition must be
-  // partition-decidable — the overwrite then swaps whole partition
-  // entries by manifest reference (INSERT OVERWRITE ... PARTITION /
-  // the Y/M/D backfill shape, zero survivor IO); a data-column
-  // condition would need a survivor rewrite this path does not run.
+  // wrong-rows commit. On a PARTITIONED lake a partition-decidable
+  // condition swaps whole partition entries by manifest reference
+  // (INSERT OVERWRITE ... PARTITION / the Y/M/D backfill shape, zero
+  // survivor IO); a data-column condition takes the partitioned COW
+  // path — only the partitions its partition-decidable conjuncts admit
+  // are rewritten, the rest carry by reference.
   override def canOverwrite(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
-    val partCols = GraftLakePartitions.of(
-      org.apache.spark.sql.SparkSession.active, lakeDir)
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f =>
-      GraftLakeDelete.toColumn(table.schema(), f).isDefined) &&
-      (partCols.isEmpty ||
-        GraftLakePartitions.partitionDecidable(filters, partCols))
-  }
+      GraftLakeDelete.toColumn(table.schema(), f).isDefined)
 
   override def overwrite(
       filters: Array[org.apache.spark.sql.sources.Filter])
@@ -1298,16 +1351,16 @@ final class GraftLakeWrite(
     require(mode != "replace", // unreachable: no streaming plan builds it
       "overwrite-by-filter is a batch operation; streams append (or " +
         "truncate per batch in Complete mode)")
-    require(partCols.isEmpty,
-      "writeStream into a PARTITIONED graftlake table is not supported " +
-        "yet — stream into an unpartitioned lake, or batch-INSERT the " +
-        "drained micro-batches (foreachBatch with INSERT INTO)")
     // the batch staging dir allocated by the builder is unused here (a
     // name only — nothing touches disk until tasks write); streaming
-    // stages per-epoch files under _stage and commits per epoch instead
+    // stages per-epoch files under _stage and commits per epoch instead.
+    // Partitioned lakes route each epoch's rows into c=v leaf files and
+    // publish one manifest entry per (epoch, partition leaf) — the
+    // reference's flagship micro-batch-into-Y/M/D shape.
     new GraftLakeStreamingWrite(lakeDir, info.schema(),
       info.queryId(), mode,
-      info.options().asCaseSensitiveMap().asScala.toMap)
+      info.options().asCaseSensitiveMap().asScala.toMap,
+      partCols, Some(tableSchema))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -1335,29 +1388,46 @@ final class GraftLakeWrite(
 
     /** Partitioned commit: the dynamic-partition writer laid the staged
       * rows out as `c=v` leaf dirs; publish one manifest entry per
-      * leaf, each with its own stats/bloom sidecars. A `replace`
-      * (partition-decidable replaceWhere — `canOverwrite` gated it)
-      * swaps the matching partition entries by manifest reference with
-      * ZERO survivor IO: rows of an entry share its partition values,
-      * so the condition drops entries whole (INSERT OVERWRITE ...
-      * PARTITION, the Y/M/D backfill shape). */
+      * leaf, each with its own stats/bloom sidecars.
+      *
+      * A `replace` with a PARTITION-DECIDABLE condition swaps the
+      * matching partition entries by manifest reference with ZERO
+      * survivor IO (rows of an entry share its partition values, so
+      * the condition drops entries whole — INSERT OVERWRITE ...
+      * PARTITION, the Y/M/D backfill shape). A DATA-COLUMN condition
+      * takes the partitioned COW path: the rewrite set is bounded
+      * first by the condition's partition-decidable conjuncts (a
+      * partition they falsify cannot hold a matching row — dropped at
+      * metadata cost), then by the stats sidecars when the condition
+      * is one numeric interval; the surviving rows of the touched
+      * partitions rewrite INTO THE SAME partition leaves of the staged
+      * dir (partition boundaries never crossed — the entries-are-
+      * partition-leaves invariant holds by construction), every other
+      * partition carries by manifest reference. Both shapes enforce
+      * Delta's replaceWhere constraint: data written OUTSIDE the
+      * condition would silently duplicate rows beside the surviving
+      * partitions, so it is refused loudly — entry-level (free) when
+      * partition-decidable, one O(new data) scan otherwise. */
     private def commitPartitioned(spark: SparkSession): Unit = {
-      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.{lit, not}
       var entries = GraftLakePartitions.stagedEntries(spark, lakeDir,
         dataDir, partCols.length)
+      val seeded = entries.isEmpty
       val dataOnly = StructType(info.schema().filterNot(f =>
         partCols.exists(_.name.equalsIgnoreCase(f.name))))
-      if (entries.isEmpty) {
+      if (seeded) {
         if (mode == "append") return // zero-row INSERT: publish nothing
         entries = Seq(GraftLakePartitions.seedEmpty(spark, lakeDir,
           dataDir, info.schema(), partCols))
       }
-      entries.foreach(e =>
+      def indexAll(es: Seq[String]): Unit = es.foreach(e =>
         VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
       mode match {
         case "append" | "overwrite" =>
+          indexAll(entries)
           VersionedLake.publishAll(spark, lakeDir, entries, mode,
             schemaDdl = Some(tableSchema.json))
+          ()
         case "replace" =>
           val pred = replaceCond.toSeq
             .map(f => GraftLakeDelete.toColumn(tableSchema, f).getOrElse(
@@ -1367,11 +1437,96 @@ final class GraftLakeWrite(
           val snapshot = VersionedLake.tip(spark, lakeDir)
             .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
             .getOrElse(Seq.empty)
-          val (touched, _) = GraftLakePartitions.entriesWhere(spark,
-            snapshot, partCols, pred)
-          VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
-            touched.toSet, entries, snapshot.toSet,
-            Some(tableSchema.json))
+          if (GraftLakePartitions.partitionDecidable(replaceCond,
+              partCols)) {
+            // whole-partition swap. Constraint check is entry-level:
+            // every staged entry's partition values must satisfy the
+            // condition (the seeded zero-row carrier is exempt — it
+            // holds no rows to mis-place)
+            if (!seeded) {
+              val (_, outside) = GraftLakePartitions.entriesWhere(spark,
+                entries, partCols, pred)
+              require(outside.isEmpty,
+                "replaceWhere would write rows OUTSIDE the overwrite " +
+                  s"condition (partitions ${outside.map(
+                    _.dropWhile(_ != '/')).mkString(", ")}) — they " +
+                  "would duplicate beside the surviving partitions; " +
+                  "widen the condition or fix the written frame")
+            }
+            indexAll(entries)
+            val (touched, _) = GraftLakePartitions.entriesWhere(spark,
+              snapshot, partCols, pred)
+            VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
+              touched.toSet, entries, snapshot.toSet,
+              Some(tableSchema.json))
+            ()
+          } else {
+            // partitioned COW: Delta's arbitrary replaceWhere. The
+            // survivor rewrite reads by NAME (readEntries) — on a
+            // column-mapping lake that would misbind renamed columns,
+            // so the composition stays refused
+            require(!GraftLakeMapping.enabled(spark, lakeDir),
+              "replaceWhere with data-column predicates on a " +
+                "PARTITIONED COLUMN-MAPPING lake is not supported — " +
+                "use a partition-decidable condition, or DELETE + " +
+                "INSERT (both id-matching)")
+            if (!seeded) {
+              val bad = GraftLakePartitions.readEntries(spark, lakeDir,
+                entries, partCols).filter(not(pred <=> lit(true))).count()
+              require(bad == 0L,
+                s"replaceWhere would write $bad rows that do NOT " +
+                  "satisfy the overwrite condition — they would " +
+                  "duplicate beside the surviving rows; widen the " +
+                  "condition or fix the written frame")
+            }
+            val partBound = replaceCond.filter(f =>
+              GraftLakePartitions.partitionDecidable(Array(f), partCols))
+            val byPartition =
+              if (partBound.isEmpty) snapshot
+              else GraftLakePartitions.entriesWhere(spark, snapshot,
+                partCols,
+                partBound.map(f => GraftLakeDelete.toColumn(tableSchema,
+                  f).get).reduce(_ && _))._1
+            val touched =
+              GraftLakeDelete.translate(tableSchema, replaceCond) match {
+                case Some(GraftLakeDelete.Range(c, lo, hi)) =>
+                  if (lo <= hi) VersionedLake.dirsIntersecting(spark,
+                    lakeDir, byPartition, c, lo, hi)
+                  else Seq.empty // provably-empty interval: pure append
+                case _ => byPartition
+              }
+            if (touched.nonEmpty) {
+              // survivors rewrite into the staged dir's own partition
+              // leaves (three-valued logic: a NULL-condition row is
+              // not matched and must survive)
+              GraftLakePartitions.readEntries(spark, lakeDir, touched,
+                  partCols)
+                .filter(not(pred <=> lit(true)))
+                .write.partitionBy(partCols.map(_.name): _*)
+                .mode("append").parquet(s"$lakeDir/$dataDir")
+            }
+            // sidecars AFTER the survivor append so they cover every
+            // file of every published leaf
+            val finalEntries = {
+              val es = GraftLakePartitions.stagedEntries(spark, lakeDir,
+                dataDir, partCols.length)
+              if (es.nonEmpty) es else entries // zero-survivor seeded
+            }
+            indexAll(finalEntries)
+            if (touched.isEmpty) {
+              VersionedLake.publishAll(spark, lakeDir, finalEntries,
+                "append", schemaDdl = Some(tableSchema.json))
+              ()
+            } else {
+              val v = VersionedLake.publishReplacingCheckedAll(spark,
+                lakeDir, touched.toSet, finalEntries, snapshot.toSet,
+                Some(tableSchema.json))
+              if (VersionedLake.cdfEnabled(spark, lakeDir))
+                VersionedLake.writeChangeSidecar(spark, lakeDir, v,
+                  VersionedLake.cowChangeRows(spark, lakeDir, touched,
+                    finalEntries, "REPLACE"))
+            }
+          }
       }
       ()
     }
@@ -1394,7 +1549,8 @@ final class GraftLakeWrite(
           throw new IllegalStateException( // canOverwrite gated this
             s"untranslatable overwrite filter $f")))
         .reduceOption(_ && _).getOrElse(lit(true))
-      val snapshot = VersionedLake.tip(spark, lakeDir)
+      val tipV = VersionedLake.tip(spark, lakeDir)
+      val snapshot = tipV
         .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
         .getOrElse(Seq.empty)
       val touched = GraftLakeDelete.translate(tableSchema, replaceCond) match {
@@ -1405,10 +1561,28 @@ final class GraftLakeWrite(
         case _ => snapshot // no interval shape: every live dir rewrites
       }
       if (touched.nonEmpty) {
+        // COLUMN-MAPPING lakes: survivors must read BY FIELD ID (a
+        // name-matched read would null a renamed column out of
+        // pre-rename files) and the rewrite must stamp the ids —
+        // reading with the table schema (ids in its metadata) on a
+        // fieldId-scoped derived session gives both, the compactSmall
+        // pattern (per-read options are clobbered by the V1 path)
+        val reader =
+          if (!GraftLakeMapping.enabled(spark, lakeDir))
+            spark.read.option("mergeSchema", "true")
+          else {
+            val s2 = spark.newSession()
+            s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            s2.read.schema(tableSchema)
+          }
         // three-valued logic: a row where the condition is NULL is NOT
-        // matched — it must survive, so keep NOT(pred IS TRUE)
-        spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(d => s"$lakeDir/$d"): _*)
+        // matched — it must survive, so keep NOT(pred IS TRUE). On a
+        // DV lake, rows earlier vectors deleted are NOT survivors —
+        // carrying them would resurrect deletes (the rewrite
+        // MATERIALIZES the touched dirs' vectors away)
+        VersionedLake.dropDvRows(spark, lakeDir,
+            reader.parquet(touched.map(d => s"$lakeDir/$d"): _*),
+            tipV.getOrElse(0))
           .filter(not(pred <=> lit(true)))
           .write.mode("append").parquet(s"$lakeDir/$dataDir")
       }
@@ -1422,7 +1596,7 @@ final class GraftLakeWrite(
       } else {
         val v = VersionedLake.publishReplacingChecked(spark, lakeDir,
           touched.toSet, dataDir, snapshot.toSet,
-          Some(tableSchema.json))
+          Some(tableSchema.json), noDvSince = tipV)
         if (VersionedLake.cdfEnabled(spark, lakeDir))
           VersionedLake.writeChangeSidecar(spark, lakeDir, v,
             VersionedLake.cowChangeRows(spark, lakeDir, touched,
@@ -1446,9 +1620,18 @@ final class GraftLakeWrite(
 final class GraftLakeScanBuilder(spark: SparkSession,
     fileIndex: PartitioningAwareFileIndex, schema: StructType,
     dataSchema: StructType, options: CaseInsensitiveStringMap,
-    lakeDir: String, cdf: Boolean = false)
+    lakeDir: String, cdf: Boolean = false,
+    dvMap: Map[String, Array[Long]] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet
     .ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
+
+  /** Aggregate pushdown answers from parquet FOOTER stats — which
+    * still count DV-deleted rows. With any vector live, the aggregate
+    * must run over the DV-filtered scan instead. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    if (dvMap.nonEmpty) false else super.pushAggregation(aggregation)
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
@@ -1483,7 +1666,7 @@ final class GraftLakeScanBuilder(spark: SparkSession,
         .getOrElse(1),
       intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
       intOpt(GraftLakeDataSource.MaxFilesPerTrigger),
-      skip, cdf, failOnLoss)
+      skip, cdf, failOnLoss, dvMap)
   }
 }
 
@@ -1497,7 +1680,8 @@ final class GraftLakeParquetScan(
     maxFilesPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
     cdf: Boolean = false,
-    failOnDataLoss: Boolean = true)
+    failOnDataLoss: Boolean = true,
+    dvMap: Map[String, Array[Long]] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -1565,7 +1749,7 @@ final class GraftLakeParquetScan(
   override def partitions
       : Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
     val ps = super.partitions
-    runtimeAdmit match {
+    val admitted = runtimeAdmit match {
       case None => ps
       case Some(adm) =>
         // REINDEX the survivors: an RDD partition's `index` must equal
@@ -1578,7 +1762,23 @@ final class GraftLakeParquetScan(
           org.apache.spark.sql.execution.datasources.FilePartition(i, files)
         }
     }
+    // DV-carrying files read alone (per-file positions — see
+    // GraftLakeDvScan); clean files keep their grouping
+    GraftLakeDvScan.isolate(admitted, dvMap)
   }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    if (dvMap.isEmpty) super.createReaderFactory()
+    else GraftLakeDvScan.readerFactory(this, dvMap)
+
+  /** The un-vectored factory — the STREAMING replay's reader: a
+    * version's events replay as committed (the DV delete is its own
+    * change event; applying the vector to an earlier version's insert
+    * replay would under-deliver it AND double-count the delete). */
+  private[engine] def plainReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    super.createReaderFactory()
 }
 
 /** Version offset: the stream's progress IS a published lake version. */
@@ -1732,21 +1932,24 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         else VersionedLake.manifestInfo(spark, lakeDir, from)._1
       var v = from + 1
       while (v <= end) {
-        val (cur, layoutOnly) =
+        val (cur, layoutOnly, isDv) =
           VersionedLake.manifestStep(spark, lakeDir, prev, v)
         if (!addedFilesMemo.contains(v)) {
           // layout-only commits deliver nothing (planInputPartitions
           // skips them), so they weigh nothing against the admission
           // cap; under skipChangeCommits the same holds for
-          // data-changing rewrites
+          // data-changing rewrites and deletion-vector commits
           val prevSet = prev.toSet
           val removed = prevSet.diff(cur.toSet)
           val skipped =
-            layoutOnly || (skipChangeCommits && removed.nonEmpty)
+            layoutOnly ||
+              (skipChangeCommits && (removed.nonEmpty || isDv))
           val c =
             if (skipped) 0
             // a change feed also DELIVERS the rewrite's pre-image
-            // dirs, so they weigh against the cap like the added ones
+            // dirs, so they weigh against the cap like the added ones;
+            // a DV commit delivers its (small) change sidecar
+            else if (isDv) 1
             else files(cur.filterNot(prevSet)) +
               (if (cdf) files(removed) else 0)
           addedFilesMemo.put(v, c)
@@ -1846,14 +2049,14 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
     val partitionedLake = GraftLakePartitions.of(spark, lakeDir).nonEmpty
     var v = from + 1
     while (v <= to) {
-      val (cur, layoutOnly) =
+      val (cur, layoutOnly, isDv) =
         VersionedLake.manifestStep(spark, lakeDir, prevSeq, v)
       val removed = prev.diff(cur.toSet)
       val added = cur.filterNot(prev)
       if (layoutOnly) {
         // row-preserving: nothing to deliver; pending dirs the rewrite
         // replaced keep being read from their original files
-      } else if (removed.nonEmpty && skipChangeCommits) {
+      } else if ((removed.nonEmpty || isDv) && skipChangeCommits) {
         // Delta's skipChangeCommits: the data-changing rewrite commit
         // is dropped WHOLE — neither its replacement dirs (they mix
         // rewritten old rows with DML-inserted ones) nor any
@@ -1862,7 +2065,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         // delivers the append commit's own files): the consumer opted
         // into missing the updates/deletes, not into losing the
         // append — same retention-vs-lag contract as the layout skip.
-      } else if (removed.nonEmpty && cdf) {
+      } else if ((removed.nonEmpty || isDv) && cdf) {
         // change feed across a rewrite: with a ROW-LEVEL sidecar
         // (opt-in cdf policy), deliver the commit's EXACT changes —
         // `_change_type` comes from the sidecar files themselves,
@@ -1877,17 +2080,27 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         VersionedLake.changeSidecarPath(spark, lakeDir, v) match {
           case Some(p) if !partitionedLake =>
             cdfGroups += ((planDirs(Seq(p)), "file", v))
+          case None if isDv =>
+            // a DV commit's sidecar is staged BEFORE its publish; the
+            // dir-granular fallback would be silently EMPTY here (no
+            // dirs changed) — losing the delete events
+            throw new IllegalStateException(
+              s"deletion-vector commit v$v of $lakeDir lacks its " +
+                "change sidecar (_changes/dv-*) — it was removed " +
+                "outside the vacuum protocol; the delete events " +
+                "cannot be replayed")
           case _ =>
             cdfGroups += ((planDirs(entryPaths(removed.toSeq)),
               "delete", v))
             cdfGroups += ((planDirs(entryPaths(added)), "insert", v))
         }
       } else {
-        require(removed.isEmpty,
+        require(removed.isEmpty && !isDv,
           s"streaming read of $lakeDir requires append-only history " +
             s"(layout-only compaction commits are skipped), but " +
-            s"version $v dropped data dirs with data change " +
-            s"(overwrite/DML/delete) — restart from a fresh checkpoint " +
+            s"version $v ${if (isDv) "deleted rows by deletion vector"
+            else "dropped data dirs with data change " +
+              "(overwrite/DML/delete)"} — restart from a fresh checkpoint " +
             s"to reprocess the rewritten snapshot, set " +
             s"${GraftLakeDataSource.SkipChangeCommits}=true to skip " +
             s"data-changing rewrite commits, or consume with " +
@@ -1918,10 +2131,12 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    // plainReaderFactory: per-commit replay semantics — deletion
+    // vectors arrive as their OWN change events, never retroactively
     if (cdf)
-      new GraftLakeCdfReaderFactory(scan.createReaderFactory(),
+      new GraftLakeCdfReaderFactory(scan.plainReaderFactory(),
         scan.readSchema())
-    else scan.createReaderFactory()
+    else scan.plainReaderFactory()
 
   override def commit(end: Offset): Unit = ()
 

@@ -36,7 +36,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     bloomProp: Seq[String] = Seq.empty,
     partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
     cdfProp: Boolean = false,
-    mapped: Boolean = false)
+    mapped: Boolean = false,
+    dvProp: Boolean = false)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -192,6 +193,28 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           throw new IllegalStateException(
             s"lost the CREATE race on $lakeDir but no tip is readable " +
               "— the racer's publish should be visible"))
+        // the degrade-to-replace publishes into the RACER'S lake and
+        // then overwrites its registries below — that is only the
+        // sequential CREATE-then-REPLACE outcome if the two DDLs
+        // DECLARED THE SAME table shape. A differing partition spec or
+        // mapping mode would leave the winner's v1 entries unparseable
+        // against the overwritten lake-global registry: refuse loudly
+        // (requireSpecUnchanged/requireNotMapped ran at stage time,
+        // when no table existed to check against).
+        GraftLakePartitions.invalidate(lakeDir)
+        val racerCols = GraftLakePartitions.of(spark, lakeDir)
+          .map(c => (c.name.toLowerCase, c.dataType))
+        require(racerCols == partCols.map(c =>
+            (c.name.toLowerCase, c.dataType)),
+          s"CREATE OR REPLACE lost the create race on $lakeDir and the " +
+            s"racing CREATE declared a different partition spec " +
+            s"(${racerCols.map(_._1).mkString(",")} vs " +
+            s"${partCols.map(_.name).mkString(",")}) — re-run against " +
+            "the existing table or drop it first")
+        require(GraftLakeMapping.enabled(spark, lakeDir) == mapped,
+          s"CREATE OR REPLACE lost the create race on $lakeDir and the " +
+            "racing CREATE's column-mapping mode differs — re-run " +
+            "against the existing table or drop it first")
         VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
           racerTip, Some(stSchema.json))
         ()
@@ -216,6 +239,7 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     if (partCols.nonEmpty)
       GraftLakePartitions.set(spark, lakeDir, partCols)
     if (mapped) GraftLakeMapping.record(spark, lakeDir, stSchema)
+    if (dvProp) VersionedLake.setDeletionVectors(spark, lakeDir)
     bloomProp.foreach(c =>
       VersionedLake.setBloomIndex(spark, lakeDir, c)) // accumulates
     if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)

@@ -6,6 +6,7 @@ import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo,
   WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
@@ -13,7 +14,7 @@ import org.apache.spark.sql.connector.write.streaming.{
 import org.apache.spark.sql.execution.datasources.{OutputWriter,
   OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** `writeStream.format("graftlake")` — each micro-batch one versioned
   * commit, exactly-once under epoch replay (Delta's streaming-sink
@@ -50,12 +51,27 @@ import org.apache.spark.sql.types.StructType
   *    (its zero-row staged files are deleted), so the version chain
   *    only ever carries data.
   *
+  * On a PARTITIONED lake (the reference's flagship shape: event-driven
+  * micro-batch ingest into Y/M/D-partitioned parquet, README.md:29-31 +
+  * sparkle-v9.py:136-138) each task routes its rows into hive-escaped
+  * `c=v` leaf files instead ([[GraftLakePartitionedStageWriter]] — one
+  * open writer per partition the task touches, exactly Spark's
+  * concurrent dynamic-partition writer shape), the driver's rename
+  * preserves the leaf subpaths, and the publish mints ONE MANIFEST
+  * ENTRY PER (epoch, partition-leaf) with its own stats/bloom sidecars
+  * — so streamed data is partition-prunable and whole-partition
+  * droppable exactly like batch-INSERTed data. On a COLUMN-MAPPING
+  * lake the staged files stamp the table's parquet field ids (the
+  * id-matching reader's contract).
+  *
   * At 100 TB the per-epoch driver work is O(files in the batch): one
   * rename + one footer read per file, one manifest CAS — nothing
   * size-of-data. The write path itself is Spark's parquet encoder on
   * executors, exactly like the batch DSv2 write. */
 final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
-    queryId: String, mode: String, options: Map[String, String])
+    queryId: String, mode: String, options: Map[String, String],
+    partCols: Seq[StructField] = Seq.empty,
+    tableSchema: Option[StructType] = None)
   extends StreamingWrite {
 
   // checkpoint-stable identity: safe chars only (queryId is a UUID, but
@@ -67,17 +83,38 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
   private def fsOf = new Path(lakeDir).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
+  /** Write schema with the table's parquet field ids overlaid when the
+    * lake is column-mapped — the analyzer does not reliably carry
+    * metadata into `info.schema()`, and an id-less footer would be
+    * unreadable to the id-matching scan. */
+  private lazy val stamped: StructType =
+    if (GraftLakeMapping.enabled(spark, lakeDir))
+      GraftLakeMapping.withFieldIds(schema, tableSchema.getOrElse(schema))
+    else schema
+
+  /** Data columns only — partition values live in dir names, exactly
+    * like the batch partitioned write. */
+  private def dataOnly(s: StructType): StructType =
+    StructType(s.filterNot(f =>
+      partCols.exists(_.name.equalsIgnoreCase(f.name))))
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     // driver-side: let Spark's parquet format wire codec/schema/encoder
     // settings into a job conf once; executors reconstruct writers from
     // the (serialized) conf + factory
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val fileSchema = dataOnly(stamped)
     val owf = new ParquetFileFormat()
-      .prepareWrite(spark, job, options, schema)
-    new GraftLakeStreamingWriterFactory(owf,
-      new SerializableHadoopConf(job.getConfiguration), stageDir, qid,
-      schema)
+      .prepareWrite(spark, job, options, fileSchema)
+    val conf = new SerializableHadoopConf(job.getConfiguration)
+    if (partCols.isEmpty)
+      new GraftLakeStreamingWriterFactory(owf, conf, stageDir, qid,
+        fileSchema)
+    else
+      new GraftLakePartitionedStreamingWriterFactory(owf, conf, stageDir,
+        qid, stamped, fileSchema, partCols.map(_.name),
+        spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   private def tagOf(epochId: Long) = s"sw-$qid-e$epochId"
@@ -85,8 +122,11 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val f = fsOf
-    val files = messages.toSeq.collect {
-      case m: GraftLakeFileMessage => m
+    val files: Seq[GraftLakeStagedFile] = messages.toSeq.flatMap {
+      case m: GraftLakeFileMessage =>
+        Seq(GraftLakeStagedFile(m.path, "", m.rows))
+      case m: GraftLakePartFilesMessage => m.files
+      case _ => Seq.empty
     }
     val (kept, empty) = files.partition(_.rows > 0)
     // zero-row task files are valid parquet but dead weight — drop them
@@ -96,9 +136,11 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
     val dataDir = s"d-$tag"
     val marker = new Path(s"$lakeDir/_tags/$tag")
     val tip = VersionedLake.tip(spark, lakeDir)
+    // partitioned entries are `d-tag/c=v` — the epoch's identity is the
+    // first path segment, not the leaf name
     val published = f.exists(marker) || tip.exists(v =>
       VersionedLake.liveDataDirs(spark, lakeDir, v)
-        .exists(p => new Path(p).getName == dataDir))
+        .exists(_.split('/').contains(dataDir)))
     if (published) {
       // replayed epoch: the lake already carries this batch — the
       // re-staged bytes are surplus, not data
@@ -112,12 +154,24 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
     f.mkdirs(dest)
     kept.foreach { m =>
       val src = new Path(m.path)
-      if (!f.rename(src, new Path(dest, src.getName)))
+      val parent =
+        if (m.partSubpath.isEmpty) dest
+        else new Path(dest, m.partSubpath)
+      f.mkdirs(parent)
+      if (!f.rename(src, new Path(parent, src.getName)))
         throw new java.io.IOException(
           s"failed to move staged ${m.path} into $dataDir")
     }
-    VersionedLake.indexStagedDir(spark, lakeDir, dataDir, schema)
-    VersionedLake.publish(spark, lakeDir, dataDir, mode)
+    val entries: Seq[String] =
+      if (partCols.isEmpty) Seq(dataDir)
+      else kept.map(m => s"$dataDir/${m.partSubpath}").distinct.sorted
+    entries.foreach(e =>
+      VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly(stamped)))
+    // the declaration carries the tip's schema forward merged with this
+    // write's ([[VersionedLake.publishAll]] carrySchema — computed per
+    // CAS attempt, so a racing writer's new column is never hidden)
+    VersionedLake.publishAll(spark, lakeDir, entries, mode,
+      carrySchema = Some(tableSchema.getOrElse(stamped)))
     val out = f.create(marker, true)
     out.close()
   }
@@ -125,8 +179,11 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val f = fsOf
-    messages.toSeq.collect { case m: GraftLakeFileMessage => m }
-      .foreach(m => f.delete(new Path(m.path), false))
+    messages.toSeq.flatMap {
+      case m: GraftLakeFileMessage => Seq(m.path)
+      case m: GraftLakePartFilesMessage => m.files.map(_.path)
+      case _ => Seq.empty
+    }.foreach(p => f.delete(new Path(p), false))
   }
 }
 
@@ -156,6 +213,106 @@ private[engine] final class GraftLakeStreamingWriterFactory(
   }
 }
 
+/** Partitioned staging: each task routes rows into one open writer per
+  * partition it touches (Spark's CONCURRENT dynamic-partition writer
+  * shape — no input-ordering assumption; a micro-batch touches a
+  * handful of partitions, so the open-writer set stays small), laying
+  * files out as `<taskPrefix>/c1=v1/c2=v2/part-*.parquet`. Partition
+  * values format exactly like Spark's own writer — `Cast(col,
+  * StringType, zone)` then hive escaping with the
+  * `__HIVE_DEFAULT_PARTITION__` null sentinel — so the manifest entry
+  * parser ([[GraftLakePartitions.valuesOf]]) reads them back
+  * byte-for-byte. */
+private[engine] final class GraftLakePartitionedStreamingWriterFactory(
+    owf: OutputWriterFactory, conf: SerializableHadoopConf,
+    stageDir: String, qid: String, fullSchema: StructType,
+    fileSchema: StructType, partNames: Seq[String], zoneId: String)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val hconf = new Configuration(conf.value)
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID(qid, (epochId % Int.MaxValue).toInt),
+        TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(hconf, attempt)
+    val unique = java.util.UUID.randomUUID.toString.take(8)
+    new GraftLakePartitionedStageWriter(owf, ctx,
+      s"$stageDir/e$epochId-p$partitionId-$unique", fullSchema,
+      fileSchema, partNames, zoneId)
+  }
+}
+
+private[engine] final class GraftLakePartitionedStageWriter(
+    owf: OutputWriterFactory, ctx: TaskAttemptContextImpl,
+    taskPrefix: String, fullSchema: StructType, fileSchema: StructType,
+    partNames: Seq[String], zoneId: String)
+  extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast,
+    UnsafeProjection}
+
+  private val partIdx = partNames.map(n =>
+    fullSchema.fields.indexWhere(_.name.equalsIgnoreCase(n)))
+  require(partIdx.forall(_ >= 0),
+    s"write schema (${fullSchema.fieldNames.mkString(", ")}) lacks a " +
+      s"partition column of (${partNames.mkString(", ")})")
+  private val dataIdx =
+    fullSchema.fields.indices.filterNot(partIdx.contains)
+  // codegen'd projections, built once per task: rows project to the
+  // DATA columns for the file bytes and to string-cast partition
+  // values for the dir route
+  private val dataProj = UnsafeProjection.create(dataIdx.map(i =>
+    BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)))
+  private val partProj = UnsafeProjection.create(partIdx.map(i =>
+    Cast(BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable),
+      org.apache.spark.sql.types.StringType, Option(zoneId))).toSeq)
+
+  private final class Slot(val w: OutputWriter, val p: Path) {
+    var rows = 0L
+  }
+  private val open = scala.collection.mutable.HashMap.empty[String, Slot]
+  private val fs = new Path(taskPrefix).getFileSystem(ctx.getConfiguration)
+  private var closed = false
+
+  override def write(r: InternalRow): Unit = {
+    val pv = partProj(r)
+    val sub = partNames.indices.map { i =>
+      val v = if (pv.isNullAt(i)) null else pv.getUTF8String(i).toString
+      ExternalCatalogUtils.getPartitionPathString(partNames(i), v)
+    }.mkString("/")
+    val slot = open.getOrElseUpdate(sub, {
+      val p = new Path("%s/%s/part-%05d%s".format(taskPrefix, sub,
+        open.size, owf.getFileExtension(ctx)))
+      fs.mkdirs(p.getParent)
+      new Slot(owf.newInstance(p.toString, fileSchema, ctx), p)
+    })
+    slot.w.write(dataProj(r))
+    slot.rows += 1
+  }
+
+  private def closeAll(): Unit = if (!closed) {
+    closed = true
+    open.values.foreach(_.w.close())
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    GraftLakePartFilesMessage(open.toSeq.sortBy(_._1).map {
+      case (sub, slot) =>
+        GraftLakeStagedFile(slot.p.toString, sub, slot.rows)
+    })
+  }
+
+  override def abort(): Unit = {
+    closeAll()
+    fs.delete(new Path(taskPrefix), true)
+    ()
+  }
+
+  override def close(): Unit = closeAll()
+}
+
 private[engine] final class GraftLakeStageFileWriter(out: OutputWriter,
     fs: org.apache.hadoop.fs.FileSystem, p: Path)
   extends DataWriter[InternalRow] {
@@ -173,6 +330,17 @@ private[engine] final class GraftLakeStageFileWriter(out: OutputWriter,
 /** Task → driver: the one staged file this attempt produced. */
 private[graft] final case class GraftLakeFileMessage(path: String,
     rows: Long) extends WriterCommitMessage
+
+/** One staged file of a PARTITIONED task attempt: its path, the
+  * hive-escaped partition subpath (`c1=v1/c2=v2`) the driver's rename
+  * must preserve, and its row count. */
+private[graft] final case class GraftLakeStagedFile(path: String,
+    partSubpath: String, rows: Long)
+
+/** Task → driver: every (partition leaf, file) a partitioned task
+  * attempt staged. */
+private[graft] final case class GraftLakePartFilesMessage(
+    files: Seq[GraftLakeStagedFile]) extends WriterCommitMessage
 
 /** Hadoop `Configuration` over Java serialization (the conf carries the
   * parquet write settings `prepareWrite` installed; Spark's own wrapper

@@ -2311,6 +2311,264 @@ object IngestQueries {
       // would re-run the join; the collect above IS the execution)
       s.createDataFrame(
         java.util.Arrays.asList(out: _*), joined.schema)
+    },
+
+    QuerySpec(
+      "q210_stream_partitioned",
+      """SELECT CAST(user_id % 3 AS INT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id % 3 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // THE REFERENCE'S FLAGSHIP COMPOSITION (README.md:29-31 +
+      // sparkle-v9.py:136-138 + the .OK event loop): event-driven
+      // micro-batch ingest into a PARTITIONED lake table. Each epoch
+      // stages per-partition leaf files and publishes ONE MANIFEST
+      // ENTRY PER (epoch, partition leaf); a restart on the same
+      // checkpoint mints nothing (exactly-once, asserted); a partition
+      // filter over the streamed data plan-prunes to its dirs (gated
+      // on the executed plan's file set). The oracle recomputes the
+      // m=1 slice from raw events — a row lost in the stage→rename→
+      // publish handoff, a double-committed epoch, or a partition
+      // value misrouted by the dynamic writer each break the hash.
+      val root = scratchRoot
+      val name = s"swpart_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      val cp = s"$scratchRoot/swpart_cp_${new java.io.File(dir).getName}"
+      val in = s"$scratchRoot/swpart_in_${new java.io.File(dir).getName}"
+      Seq(lake, cp, in).foreach(Lake.delete(s, _))
+      s.conf.set("spark.sql.catalog.glake_q210",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q210.root", root)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+      // parity split: both micro-batch slices non-empty at every sf
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$in/f0")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$in/f1")
+      s.sql(s"""CREATE TABLE glake_q210.`$name`
+               |(event_id BIGINT, user_id BIGINT, value DOUBLE, m INT)
+               |PARTITIONED BY (m)""".stripMargin)
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+          .writeStream.format("graftlake")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(lake)
+        q.awaitTermination()
+      }
+      drain()
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "two micro-batches must land as two versioned commits, got " +
+          VersionedLake.versions(s, lake).mkString(","))
+      drain() // restart on the SAME checkpoint: nothing reprocesses
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "a re-drain on the same checkpoint must mint no versions")
+      val streamed = VersionedLake.manifestEntries(s, lake, 3)
+        .filter(_.startsWith("d-sw-"))
+      require(streamed.nonEmpty &&
+        streamed.forall(_.matches(".*/m=[0-9]$")) &&
+        streamed.map(_.split('/')(0)).distinct.length == 2,
+        s"each epoch must publish per-partition-leaf entries: $streamed")
+      val probe = s.sql(
+        s"SELECT value FROM glake_q210.`$name` WHERE m = 1")
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+      require(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"partition filter must plan-prune streamed entries, read: " +
+          scanned.mkString(", "))
+      require(GraftLakeDataSource.filesRead(probe) <
+        GraftLakeDataSource.filesRead(s.table(s"glake_q210.`$name`")),
+        "the pruned plan must read fewer files than the full snapshot")
+      s.sql(s"""SELECT m, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q210.`$name` WHERE m = 1
+               |GROUP BY m ORDER BY m""".stripMargin)
+    },
+
+    QuerySpec(
+      "q211_partition_optimize",
+      """SELECT CAST(user_id % 3 AS INT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // Partition-wise OPTIMIZE: routine appends accumulate small
+      // files INSIDE each partition dir (exactly what a streaming sink
+      // does); `CALL glake.optimize` coalesces within each partition
+      // as ONE layout-only conflict-checked commit — rows never cross
+      // a partition boundary, so every pruning path survives. The
+      // requires pin the maintenance effect (files-per-partition
+      // DROPS, entries stay partition leaves, the commit is
+      // layout-only) and the oracle hash proves no row was lost,
+      // duplicated, or re-homed by the rewrite.
+      val lake = s"$scratchRoot/popt_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q211",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q211.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q211")
+      s.sql(s"""CREATE TABLE glake_q211.`$name`
+               |(event_id BIGINT, user_id BIGINT, value DOUBLE, m INT)
+               |PARTITIONED BY (m)""".stripMargin)
+      // three small appends per partition — the small-file tail
+      (0 until 3).foreach(i =>
+        s.sql(s"""INSERT INTO glake_q211.`$name`
+                 |SELECT * FROM ev_q211 WHERE pmod(event_id, 3) = $i"""
+          .stripMargin))
+      def filesOfM1: Int = GraftLakeDataSource.filesRead(
+        s.sql(s"SELECT value FROM glake_q211.`$name` WHERE m = 1"))
+      val before = filesOfM1
+      require(before >= 3, s"fixture must fragment m=1, got $before files")
+      s.sql(s"CALL glake_q211.optimize(`table` => '$name', " +
+        "threshold_bytes => 1099511627776)")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isLayoutOnly(s, lake, tip),
+        "OPTIMIZE must publish a layout-only commit (streams skip it)")
+      require(filesOfM1 < before,
+        s"files-per-partition must drop ($before -> $filesOfM1)")
+      require(VersionedLake.manifestEntries(s, lake, tip)
+        .forall(_.matches("d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
+        "entries must stay partition leaves across OPTIMIZE")
+      s.sql(s"""SELECT m, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q211.`$name`
+               |GROUP BY m ORDER BY m""".stripMargin)
+    },
+
+    QuerySpec(
+      "q212_partition_cow_replace",
+      """WITH base AS (SELECT event_id, user_id, value,
+        |                     CAST(user_id % 3 AS INT) AS m FROM events),
+        |     latest AS (
+        |       SELECT * FROM base WHERE NOT (m = 1 AND event_id < 500)
+        |       UNION ALL
+        |       SELECT event_id, user_id, value * 5 AS value, m
+        |       FROM base WHERE m = 1 AND event_id < 500)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM latest GROUP BY m ORDER BY m""".stripMargin) { (s, dir) =>
+      // replaceWhere with a DATA-COLUMN predicate on a PARTITIONED
+      // lake (Delta's arbitrary replaceWhere): the rewrite set is
+      // bounded by the condition's partition conjunct — ONLY m=1
+      // rewrites, every other partition carries by manifest reference
+      // (required: byte-identical file sets) — survivors of m=1
+      // rewrite beside the replacement into fresh partition leaves,
+      // and rows violating the condition are refused (Delta's
+      // constraint check, required). The oracle recomputes
+      // survivors ∪ replacement from raw events: a lost survivor, a
+      // double-applied replacement, or a leaked non-matching row each
+      // break the hash.
+      val lake = s"$scratchRoot/pcow_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q212",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q212.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q212")
+      s.sql(s"""CREATE TABLE glake_q212.`$name` PARTITIONED BY (m) AS
+               |SELECT * FROM ev_q212""".stripMargin)
+      val untouched = GraftLakeDataSource.filesReadPaths(
+        s.sql(s"SELECT * FROM glake_q212.`$name` WHERE m <> 1")).toSet
+      val repl = Tables.table(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(3L)) === 1 &&
+          col("event_id") < 500)
+        .select(col("event_id"), col("user_id"),
+          (col("value") * 5).as("value"),
+          pmod(col("user_id"), lit(3L)).cast("int").as("m"))
+      val cond = col("m") === 1 && col("event_id") < 500
+      // Delta's replaceWhere constraint: data OUTSIDE the condition
+      // is refused loudly, never silently duplicated
+      val bad = scala.util.Try(
+        repl.withColumn("event_id", col("event_id") + 100000)
+          .writeTo(s"glake_q212.`$name`").overwrite(cond))
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .flatMap(c => Option(c.getMessage)).mkString(" | ")
+      require(bad.isFailure && chain(bad.failed.get).contains("satisfy"),
+        s"out-of-condition rows must be refused, got $bad")
+      repl.writeTo(s"glake_q212.`$name`").overwrite(cond)
+      require(GraftLakeDataSource.filesReadPaths(
+        s.sql(s"SELECT * FROM glake_q212.`$name` WHERE m <> 1")).toSet ==
+        untouched,
+        "partitions outside the partition conjunct must carry by " +
+          "manifest reference (byte-identical files)")
+      s.sql(s"""SELECT m, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q212.`$name`
+               |GROUP BY m ORDER BY m""".stripMargin)
+    },
+
+    QuerySpec(
+      "q213_deletion_vectors",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events WHERE user_id <> 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // MERGE-ON-READ DELETION VECTORS (Delta/Iceberg's point-delete
+      // lever): with `deletion_vectors`, a key-set DELETE records
+      // (file, position) sidecars and publishes an op-less manifest —
+      // the requires pin ZERO data dirs written (GDPR-style deletes at
+      // 100 TB must not rewrite their dirs), exactly one new version,
+      // time travel blind to the vector, and a changes() feed of
+      // EXACTLY the deleted rows. The oracle recomputes the survivors
+      // from raw events: a position misapplied (wrong row dropped), a
+      // vector leaking into the pre-delete snapshot, or a deleted row
+      // surviving each break the hash.
+      val root = scratchRoot
+      val name = s"dvlake_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q213",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q213.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q213")
+      s.sql(s"""CREATE TABLE glake_q213.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM ev_q213 WHERE event_id % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO glake_q213.`$name`
+               |SELECT * FROM ev_q213 WHERE event_id % 2 = 1""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def topDirs: Set[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      val before = topDirs
+      val total = Tables.table(s, dir, "events").count()
+      val dead = Tables.table(s, dir, "events")
+        .filter(col("user_id") === 7).count()
+      s.sql(s"DELETE FROM glake_q213.`$name` WHERE user_id = 7")
+      require(topDirs == before,
+        "a DV delete must write NO replacement data dir " +
+          "(manifest + positions sidecar only)")
+      require(VersionedLake.versions(s, lake) == Seq(1, 2, 3),
+        "the DV delete must publish exactly one new version")
+      require(s.table(s"glake_q213.`$name`").count() == total - dead,
+        "the scan must apply the vector exactly")
+      require(s.sql(s"SELECT count(*) FROM glake_q213.`$name` " +
+        "VERSION AS OF 2").head().getLong(0) == total,
+        "time travel below the vector must not see it")
+      val feed = VersionedLake.changes(s, lake, 2, 3)
+      require(feed.filter(col("op") === "delete").count() == dead &&
+        feed.count() == dead,
+        "the change feed must deliver EXACTLY the deleted rows")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q213.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -253,6 +253,16 @@ object VersionedLake {
     * (every line a bare dir name) parse as full manifests unchanged. */
   private val DeltaMarker = "#delta"
 
+  /** Marker binding a DELETION-VECTOR commit to its positions sidecar:
+    * `#dv\t<uuid>` in the manifest of version N means "the rows at the
+    * positions listed in `_deletes/vN-<uuid>` are deleted AS OF N" —
+    * the live DIR set is unchanged (the delta carries no ops), the
+    * data bytes stay in place, and every read at version ≥ N must
+    * apply the vector. The uuid makes the binding unforgeable: a
+    * sidecar whose version's manifest does not name its uuid is a
+    * crashed attempt's orphan and is never applied. */
+  private val DvMarker = "#dv\t"
+
   /** Full-manifest cadence: every Nth version is written full, so
     * delta resolution replays at most N-1 small files. Overwrite /
     * replace commits and v1 are always full (their live set IS the
@@ -332,9 +342,24 @@ object VersionedLake {
 
   private def writeCheckpointFile(f: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Int, live: Seq[String]): Unit = {
-    val out = f.create(ckptPath(dir, v), true)
+    // same tmp+rename publish discipline as the change sidecars: a
+    // checkpoint is derived data (a torn one degrades to the walk-back,
+    // readCheckpoint verifies the terminator), but the one vacuum
+    // writes at the retention boundary becomes load-bearing the moment
+    // history below it drops — fill it invisibly, then swing the name
+    val p = ckptPath(dir, v)
+    val tmp = p.suffix(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write((live :+ ManifestEnd).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    f.delete(p, false) // refresh: rename-onto-existing fails on local fs
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      // a racing checkpointer of the same version won — content is
+      // identical (both derive from the same immutable manifest chain)
+      if (!f.exists(p)) throw new java.io.IOException(
+        s"failed to publish checkpoint sidecar $p")
+    }
   }
 
   /** Force a full-snapshot checkpoint sidecar at the current tip and
@@ -356,6 +381,25 @@ object VersionedLake {
     * write side guarantees a full manifest at least every Nth
     * version). */
   private def resolveLive(spark: SparkSession, dir: String, v: Int)
+      : Seq[String] =
+    try resolveLiveWalk(spark, dir, v)
+    catch {
+      // a CONCURRENT VACUUM writes its boundary checkpoint and then
+      // deletes the dropped delta bases — a walker that passed the
+      // boundary version before its .ckpt landed (or mid-delete) hits
+      // the dropped manifests while resolving a RETAINED version. One
+      // re-walk from scratch sees the checkpoint (vacuum verifies it
+      // readable BEFORE any delete); a genuinely truncated log fails
+      // the same way twice and the loud error stands.
+      case _: java.io.FileNotFoundException =>
+        resolveLiveWalk(spark, dir, v)
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.contains("no resolvable base") =>
+        resolveLiveWalk(spark, dir, v)
+    }
+
+  private def resolveLiveWalk(spark: SparkSession, dir: String, v: Int)
       : Seq[String] = {
     val f = fs(spark, dir)
     var pending = List.empty[(Seq[String], Seq[String])]
@@ -403,14 +447,30 @@ object VersionedLake {
     }
   }
 
-  /** live(v) from live(v-1) with ONE manifest read — the incremental
-    * step the per-version walks advance with. */
-  private[engine] def manifestStep(spark: SparkSession, dir: String,
-      prevLive: Seq[String], v: Int): (Seq[String], Boolean) =
-    parseManifest(readManifestLines(spark, dir, v)) match {
-      case (Right(full), l) => (full, l)
-      case (Left(ops), l) => (applyOps(prevLive, ops), l)
+  /** The uuid a manifest's [[DvMarker]] binds, if it is a
+    * deletion-vector commit. */
+  private def dvUuidOf(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
+      case l if l.startsWith(DvMarker) => l.drop(DvMarker.length)
     }
+
+  /** True iff version `v` is a deletion-vector commit (rows removed by
+    * sidecar, live dirs untouched). */
+  def isDvCommit(spark: SparkSession, dir: String, v: Int): Boolean =
+    dvUuidOf(readManifestLines(spark, dir, v)).nonEmpty
+
+  /** live(v) from live(v-1) with ONE manifest read — the incremental
+    * step the per-version walks advance with. Returns (live,
+    * layoutOnly, isDeletionVectorCommit). */
+  private[engine] def manifestStep(spark: SparkSession, dir: String,
+      prevLive: Seq[String], v: Int): (Seq[String], Boolean, Boolean) = {
+    val lines = readManifestLines(spark, dir, v)
+    val dv = dvUuidOf(lines).nonEmpty
+    parseManifest(lines) match {
+      case (Right(full), l) => (full, l, dv)
+      case (Left(ops), l) => (applyOps(prevLive, ops), l, dv)
+    }
+  }
 
   /** Marker line carrying the commit's TABLE SCHEMA (one-line DDL) —
     * written by every writer that knows the FULL table schema (SQL
@@ -508,9 +568,11 @@ object VersionedLake {
       codec: String = "snappy"): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     requireUnpartitionedLake(df.sparkSession, dir, "VersionedLake.commit")
+    val out = withMappedIds(df, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    df.write.option("compression", codec).parquet(s"$dir/$dataDir")
-    publish(df.sparkSession, dir, dataDir, mode)
+    out.write.option("compression", codec).parquet(s"$dir/$dataDir")
+    publishAll(df.sparkSession, dir, Seq(dataDir), mode,
+      carrySchema = Some(out.schema))
   }
 
   /** Exactly-once commit for RETRIED writers (foreachBatch replays,
@@ -558,8 +620,10 @@ object VersionedLake {
     if (f.exists(marker) || inManifests) None
     else {
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
-      df.write.option("compression", codec).parquet(s"$dir/$dataDir")
-      val v = publish(spark, dir, dataDir, mode)
+      val stamped = withMappedIds(df, dir)
+      stamped.write.option("compression", codec).parquet(s"$dir/$dataDir")
+      val v = publishAll(spark, dir, Seq(dataDir), mode,
+        carrySchema = Some(stamped.schema))
       val out = f.create(marker, true)
       out.close()
       Some(v)
@@ -591,12 +655,48 @@ object VersionedLake {
       dataDir: String, schemaDdl: Option[String] = None): Int =
     publishAll(spark, dir, Seq(dataDir), "append", schemaDdl = schemaDdl)
 
+  /** Measurement seams for PARTITIONED-entry commits ([[graft.LogScale]]
+    * point: one manifest entry per (commit, partition leaf) — the
+    * partitioned streaming sink's write pattern). */
+  private[graft] def publishForScaleAll(spark: SparkSession, dir: String,
+      entries: Seq[String]): Int =
+    publishAll(spark, dir, entries, "append")
+
+  private[graft] def replacePublishForScale(spark: SparkSession,
+      dir: String, dropped: Set[String], added: Seq[String]): Int =
+    publishReplacing(spark, dir, dropped, added)
+
+  /** Declared-schema union: `prev`'s fields keep their order, types and
+    * metadata (the column-mapping field ids live there); `write`-only
+    * fields append. The monotone merge that keeps a lake's `#schema`
+    * declaration alive across narrower library/stream appends without
+    * ever hiding an earlier commit's columns. */
+  private def mergeDeclared(prev: org.apache.spark.sql.types.StructType,
+      write: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(prev.fields ++
+      write.fields.filterNot(w =>
+        prev.fields.exists(_.name.equalsIgnoreCase(w.name))))
+
   /** [[publish]] generalized to several data entries in ONE version —
-    * a partitioned commit publishes one entry per partition leaf. */
+    * a partitioned commit publishes one entry per partition leaf.
+    *
+    * `schemaDdl` is for writers that know the FULL table schema (SQL
+    * paths — they pass `table.schema()`). Writers that only know their
+    * OWN write schema (library commits, the streaming sink) pass it as
+    * `carrySchema` instead: the declaration is then derived PER CAS
+    * ATTEMPT from the current tip — the tip's declared schema merged
+    * with the write schema — so a lost race never publishes a stale
+    * declaration that hides a concurrent commit's new column. A lake
+    * whose tip never declared stays undeclared (the true footer union
+    * is unknowable without the O(live files) pass the declaration
+    * exists to avoid). */
   private[engine] def publishAll(spark: SparkSession, dir: String,
       dataDirs: Seq[String], mode: String,
       layoutOnly: Boolean = false,
-      schemaDdl: Option[String] = None): Int = {
+      schemaDdl: Option[String] = None,
+      carrySchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     require(dataDirs.nonEmpty, "publishAll needs at least one entry")
     val f = fs(spark, dir)
     var committed = -1
@@ -606,6 +706,11 @@ object VersionedLake {
       val next = prevTip.getOrElse(0) + 1
       val prevLive =
         prevTip.fold(Seq.empty[String])(readManifest(spark, dir, _))
+      val declared = schemaDdl.orElse(carrySchema.flatMap { ws =>
+        if (mode == "overwrite" || prevTip.isEmpty) Some(ws.json)
+        else manifestSchema(spark, dir, prevTip.get)
+          .map(prev => mergeDeclared(prev, ws).json)
+      })
       // a CAS-retry (or a racing same-tag replay) may find its entries
       // already published at the new tip — appending them AGAIN would
       // double-count the rows; the existing version is the commit
@@ -620,8 +725,8 @@ object VersionedLake {
         // whose live set IS the delta — bound every reader's replay walk
         val bytes =
           if (full || next % CheckpointInterval == 0)
-            manifestBytes(live, layoutOnly, schemaDdl)
-          else deltaBytes(fresh, Seq.empty, layoutOnly, schemaDdl)
+            manifestBytes(live, layoutOnly, declared)
+          else deltaBytes(fresh, Seq.empty, layoutOnly, declared)
         try {
           val out = f.create(manifestPath(dir, next), false)
           try out.write(bytes)
@@ -739,8 +844,12 @@ object VersionedLake {
     requireVersion(spark, dir, v)
     // a PARTITIONED lake's entries are partition leaf dirs whose files
     // do not carry the partition columns — read through the DSv2 index,
-    // which reconstructs them from the manifest entry names in ONE scan
-    if (GraftLakePartitions.of(spark, dir).nonEmpty)
+    // which reconstructs them from the manifest entry names in ONE
+    // scan. A COLUMN-MAPPING lake routes the same way: its files must
+    // bind by field id (a name-matched plain read would silently null
+    // a renamed column out of pre-rename files).
+    if (GraftLakePartitions.of(spark, dir).nonEmpty ||
+        GraftLakeMapping.enabled(spark, dir) || dvEnabled(spark, dir))
       return spark.read.format("graftlake")
         .option(GraftLakeDataSource.VersionAsOf, v).load(dir)
     val dirs = readManifest(spark, dir, v)
@@ -890,29 +999,32 @@ object VersionedLake {
             s"column-mapping lake $dir has no declared schema at its " +
               "tip — cannot stamp field ids into the compacted files")))
       else None
-    def readSmall(entries: Seq[String]): DataFrame = {
-      val paths = entries.map(e => s"$dir/$e")
-      declared.fold(
-        spark.read.option("mergeSchema", "true").parquet(paths: _*))(
-        sch => spark.read.schema(sch).parquet(paths: _*))
-    }
     // the path-based read CLOBBERS per-read fieldId options from the
     // session conf (ParquetFileFormat re-sets them from SQLConf), so
-    // id-matching for the mapped rewrite must be scoped session-wide
-    // for exactly the rewrite's execution — saved and restored
-    val ReadKey = "spark.sql.parquet.fieldId.read.enabled"
-    val prevReadConf: Option[String] =
-      if (declared.isEmpty) None
+    // id-matching for the mapped rewrite needs a SESSION whose conf
+    // says so — a DERIVED one, never the caller's: mutate-and-restore
+    // on the shared session would silently flip concurrent queries to
+    // id-matched reads for the rewrite's whole duration. newSession()
+    // shares the SparkContext (and so the executors and the warehouse)
+    // but owns its conf; the flag lives and dies with the rewrite.
+    val rss: SparkSession =
+      if (declared.isEmpty) spark
       else {
-        val prev = spark.conf.getOption(ReadKey)
-        spark.conf.set(ReadKey, "true")
-        prev.orElse(Some(""))
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
       }
-    def restoreConf(): Unit = prevReadConf.foreach {
-      case "" => spark.conf.unset(ReadKey)
-      case v => spark.conf.set(ReadKey, v)
+    def readSmall(entries: Seq[String]): DataFrame = {
+      val paths = entries.map(e => s"$dir/$e")
+      val base = declared.fold(
+        rss.read.option("mergeSchema", "true").parquet(paths: _*))(
+        sch => rss.read.schema(sch).parquet(paths: _*))
+      // deletion vectors MATERIALIZE here: the coalesced replacement
+      // carries only visible rows, and the replaced files' vectors
+      // become dead metadata for vacuum
+      dropDvRows(rss, dir, base, vs.last)
     }
-    try {
+    {
     val partitioned = lakePartCols.nonEmpty
     if (partitioned) {
       // OPTIMIZE WITHIN PARTITIONS: small entries group by their
@@ -937,7 +1049,7 @@ object VersionedLake {
       }
       return Some(publishReplacing(spark, dir,
         groups.values.flatten.toSet, newEntries,
-        checked = true, layoutOnly = true))
+        checked = true, layoutOnly = true, noDvSince = Some(vs.last)))
     }
     if (small.length < 2) None
     else {
@@ -952,9 +1064,9 @@ object VersionedLake {
       if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
       bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
       Some(publishReplacing(spark, dir, small.toSet, Seq(dataDir),
-        checked = true, layoutOnly = true))
+        checked = true, layoutOnly = true, noDvSince = Some(vs.last)))
     }
-    } finally restoreConf()
+    }
   }
 
   /** Z-ordered compaction as a versioned commit: rewrite the latest
@@ -1007,22 +1119,59 @@ object VersionedLake {
     * cover the write surface, and OPTIMIZE ([[compactSmall]]) compacts
     * within partitions. */
   private def requireUnpartitionedLake(spark: SparkSession, dir: String,
-      op: String): Unit = {
+      op: String): Unit =
     require(GraftLakePartitions.of(spark, dir).isEmpty,
       s"$op stages a flat data dir and cannot run on a PARTITIONED " +
         "lake — use the SQL surface (INSERT / INSERT OVERWRITE " +
         "PARTITION / MERGE / partition-predicate DELETE) or CALL " +
         "glake.optimize, which compacts within partitions")
+
+  /** Survivor-rewriting library ops read the live files BY NAME (plain
+    * parquet reads) — on a column-mapping lake a post-rename file's
+    * differently-named column would silently bind to nothing. The
+    * append-shaped commit paths are fine (they stamp field ids,
+    * [[withMappedIds]]); the rewrites stay SQL-first. */
+  private def requireNotMappedLake(spark: SparkSession, dir: String,
+      op: String): Unit =
     require(!GraftLakeMapping.enabled(spark, dir),
-      s"$op writes files without parquet field ids and cannot run on " +
-        "a COLUMN-MAPPING lake (the id-matching reader could not bind " +
-        "them) — use the SQL surface, whose writes stamp the ids")
+      s"$op rewrites live files through name-matched reads and cannot " +
+        "run on a COLUMN-MAPPING lake (a renamed column would bind to " +
+        "nothing) — use the SQL surface (DELETE / UPDATE / MERGE / " +
+        "CALL glake.optimize), whose reads match by field id")
+
+  /** Field-id stamping for library commits on a COLUMN-MAPPING lake:
+    * the id-matching reader only binds files whose footers carry the
+    * ids, so the write schema inherits them from the lake's declared
+    * schema (mapped lakes always declare — CREATE writes v1's). A
+    * column the mapping has never seen gets a FRESH id, recorded in
+    * the registry before the data lands — the same protocol as SQL
+    * `ADD COLUMN`. Unmapped lakes pass through untouched. */
+  private def withMappedIds(df: DataFrame, dir: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!GraftLakeMapping.enabled(spark, dir)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val declared = tip(spark, dir)
+        .flatMap(manifestSchema(spark, dir, _))
+        .getOrElse(throw new IllegalStateException(
+          s"column-mapping lake $dir has no declared schema at its " +
+            "tip — cannot stamp parquet field ids into a library commit"))
+      val overlaid = GraftLakeMapping.withFieldIds(df.schema, declared)
+      val stamped = GraftLakeMapping.assignIds(overlaid,
+        GraftLakeMapping.nextId(spark, dir))
+      if (stamped.fields.exists(f => GraftLakeMapping.fieldId(
+          overlaid(f.name)).isEmpty))
+        GraftLakeMapping.record(spark, dir, stamped)
+      df.select(stamped.fields.map(f =>
+        col(s"`${f.name}`").as(f.name, f.metadata)).toSeq: _*)
+    }
   }
 
   private def compactFullSnapshot(spark: SparkSession, dir: String,
       statsCols: Seq[String], bloomCol: Option[String], codec: String)(
       cluster: DataFrame => DataFrame): Int = {
     requireUnpartitionedLake(spark, dir, "full-snapshot compaction/zorder")
+    requireNotMappedLake(spark, dir, "full-snapshot compaction/zorder")
     val t = tip(spark, dir)
     require(t.nonEmpty, s"no versions published at $dir")
     val observed = readManifest(spark, dir, t.get)
@@ -1035,7 +1184,7 @@ object VersionedLake {
     if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
     publishReplacing(spark, dir, observed.toSet, Seq(dataDir),
-      checked = true, layoutOnly = true)
+      checked = true, layoutOnly = true, noDvSince = Some(t.get))
   }
 
   // ---- row-level change-data-feed sidecars ------------------------------
@@ -1081,7 +1230,13 @@ object VersionedLake {
     val p = changeSidecarDir(dir, v)
     try {
       if (f.exists(p) && f.exists(new Path(p, "_SUCCESS"))) Some(p)
-      else None
+      else
+        // a DELETION-VECTOR commit's change rows were staged BEFORE
+        // its publish under the uuid the manifest binds — atomic with
+        // the commit, unlike the best-effort post-publish v<N> sidecar
+        dvUuidOf(readManifestLines(spark, dir, v)).map(u =>
+          new Path(s"$dir/_changes/dv-$u"))
+          .filter(q => f.exists(q) && f.exists(new Path(q, "_SUCCESS")))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -1117,7 +1272,12 @@ object VersionedLake {
       dropped: Seq[String], added: Seq[String], command: String)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
-    val a = readEntrySet(spark, dir, dropped)
+    // on a DV lake the dropped dirs' raw bytes still hold rows earlier
+    // vectors deleted — they were not part of THIS commit's pre-image
+    // and must not surface as spurious delete events
+    val a = tip(spark, dir).filter(_ => dvEnabled(spark, dir))
+      .fold(readEntrySet(spark, dir, dropped))(v =>
+        dropDvRows(spark, dir, readEntrySet(spark, dir, dropped), v))
     val b = if (added.isEmpty) a.limit(0) else readEntrySet(spark, dir, added)
     val diff = snapshotDiff(spark, a, b)
     val tag =
@@ -1127,6 +1287,216 @@ object VersionedLake {
       else col("op")
     diff.withColumn("_change_type", tag).drop("op")
   }
+
+  // ---- merge-on-read deletion vectors ------------------------------------
+  //
+  // Copy-on-write rewrites a whole data dir to delete 1% of its rows —
+  // at 100 TB with GDPR-style point deletes that write amplification
+  // is the dominant cost. With the opt-in `deletion_vectors` table
+  // property, a SQL DELETE instead records the (entry, file, position)
+  // of each deleted row in a `_deletes/v<N>-<uuid>` parquet sidecar
+  // and publishes an op-less delta manifest carrying `#dv <uuid>`:
+  // O(deleted rows) written, ZERO data rewritten. Every DSv2 read at
+  // version ≥ N applies the vector (row positions come from Spark's
+  // own parquet row-index machinery — exact under row-group skipping
+  // and file splits); time travel BELOW N never sees it; the exact
+  // deleted rows are staged as `_changes/dv-<uuid>` BEFORE the publish
+  // so changes()/CDF replay them atomically; OPTIMIZE/COW rewrites
+  // read DV-aware and so MATERIALIZE the deletes away, leaving the
+  // sidecar dead metadata for vacuum. Delta/Iceberg's deletion-vector
+  // design point, realized on the manifest-CAS protocol.
+  //
+  // Scope: UNPARTITIONED, UNMAPPED lakes (enforced at CREATE) —
+  // partitioned lakes already delete whole partitions by manifest
+  // reference, which is O(metadata) without any vector.
+
+  private def dvReg(dir: String) = new Path(s"$dir/_dv")
+
+  def dvEnabled(spark: SparkSession, dir: String): Boolean =
+    try fs(spark, dir).exists(dvReg(dir))
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  def setDeletionVectors(spark: SparkSession, dir: String): Unit = {
+    val out = fs(spark, dir).create(dvReg(dir), true)
+    try out.write("dv\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private val DvSidecarName = "^v(\\d+)-([0-9a-f]{12})$".r
+
+  /** Deletion-vector sidecars applying to reads AT OR BELOW version
+    * `v`: one `_deletes` listing; each candidate is bound (or
+    * rejected) by its own manifest's `#dv` marker — an unbound sidecar
+    * is a crashed attempt's orphan and never applies. A sidecar whose
+    * manifest was VACUUMED proves its version predates retention
+    * (below every readable `v`), so it applies; one below-retention
+    * name whose manifest never existed (crashed attempt at a
+    * never-published version) cannot be confused with it, because
+    * versions are claimed sequentially and vacuum removes only
+    * prefixes. */
+  private[engine] def dvSidecars(spark: SparkSession, dir: String,
+      v: Int): Seq[(Int, Path)] = {
+    val f = fs(spark, dir)
+    val root = new Path(s"$dir/_deletes")
+    if (!dvEnabled(spark, dir) || !f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case DvSidecarName(n, uuid) if n.toInt <= v =>
+          val bound =
+            try dvUuidOf(readManifestLines(spark, dir, n.toInt))
+              .contains(uuid)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                // manifest gone: applies iff genuinely below retention
+                versionRange(spark, dir).exists { case (lo, _) =>
+                  n.toInt < lo }
+              case scala.util.control.NonFatal(_) => false
+            }
+          if (bound) Some((n.toInt, p)) else None
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** All deleted (entry, file, pos) rows applying at `v` — the
+    * anti-join side for DV-aware library reads and rewrites. */
+  private[engine] def dvFrame(spark: SparkSession, dir: String,
+      v: Int): Option[DataFrame] = {
+    val side = dvSidecars(spark, dir, v)
+    if (side.isEmpty) None
+    else Some(spark.read.parquet(side.map(_._2.toString): _*)
+      .select("entry", "file", "pos"))
+  }
+
+  /** Drop the rows of `df` that a deletion vector at/below `v` covers.
+    * `df` must be a FRESH FILE SCAN (`_metadata` is the join key).
+    * Identity — zero extra plan nodes — when no vector applies. */
+  private[engine] def dropDvRows(spark: SparkSession, dir: String,
+      df: DataFrame, v: Int): DataFrame =
+    dvFrame(spark, dir, v) match {
+      case None => df
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        df.withColumn("__dv_f", col("_metadata.file_name"))
+          .withColumn("__dv_p", col("_metadata.row_index"))
+          .join(broadcast(dv.select(col("file").as("__dv_f"),
+            col("pos").as("__dv_p"))), Seq("__dv_f", "__dv_p"),
+            "left_anti")
+          .drop("__dv_f", "__dv_p")
+    }
+
+  // scan-side driver map: file name → sorted deleted positions,
+  // memoized per (lake, version, sidecar set) — sidecars are immutable
+  // and uuid-named, so the key is exact. Bounded by live (uncompacted)
+  // deleted rows; OPTIMIZE materializes vectors away.
+  private val dvMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), Map[String, Array[Long]]]
+
+  private[engine] def dvMap(spark: SparkSession, dir: String,
+      v: Int): Map[String, Array[Long]] = {
+    val side = dvSidecars(spark, dir, v)
+    if (side.isEmpty) return Map.empty
+    val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
+    dvMemo.getOrElseUpdate(key,
+      spark.read.parquet(side.map(_._2.toString): _*)
+        .select("file", "pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (file, rs) =>
+          file -> rs.map(_.getLong(1)).distinct.sorted.toArray
+        })
+  }
+
+  /** SQL DELETE on a DV lake: record positions, rewrite nothing.
+    * Returns the published version, or None when no live row matched.
+    * Serializable: the touched dirs must still be live at the CAS (a
+    * concurrent rewrite carried the rows as survivors — refusing
+    * loudly beats losing the delete); rows an earlier vector already
+    * deleted are excluded, so change events never double-report. */
+  private[engine] def deleteVectors(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      rangeBound: Option[(String, Double, Double)]): Option[Int] = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at,
+      lit, split}
+    val f = fs(spark, dir)
+    val tipV = tip(spark, dir).getOrElse(return None)
+    val snapshot = readManifest(spark, dir, tipV)
+    // a one-interval condition prunes the position scan through the
+    // stats sidecars — the same metadata bound the COW path uses
+    val touched = rangeBound match {
+      case Some((c, lo, hi)) =>
+        if (lo <= hi) dirsIntersecting(spark, dir, snapshot, c, lo, hi)
+        else Seq.empty
+      case None => snapshot
+    }
+    if (touched.isEmpty) return None
+    val matched0 = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(d => s"$dir/$d"): _*)
+      .withColumn("__dv_entry",
+        element_at(split(col("_metadata.file_path"), "/"), -2))
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .filter(pred <=> lit(true))
+    val matched = dvFrame(spark, dir, tipV) match {
+      case None => matched0
+      case Some(old) =>
+        matched0.join(broadcast(old.select(
+          col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+    val m = matched.cache()
+    try {
+      if (m.isEmpty) return None
+      val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(12)
+      // the exact deleted rows, staged BEFORE the publish under the
+      // uuid the marker will bind — changes()/CDF replay is atomic
+      // with the commit (the post-publish v<N> sidecar CDF writes
+      // elsewhere is best-effort; here it must not be)
+      m.drop("__dv_entry", "__dv_file", "__dv_pos")
+        .withColumn("_change_type", lit("delete"))
+        .write.parquet(s"$dir/_changes/dv-$uuid")
+      val pos = m.select(col("__dv_entry").as("entry"),
+        col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      var committed = -1
+      while (committed < 0) {
+        val prevTip = tip(spark, dir).get
+        val gone = touched.toSet.diff(
+          readManifest(spark, dir, prevTip).toSet)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deletion-vector conflict on $dir: dirs " +
+              s"${gone.mkString(", ")} were rewritten after this " +
+              "DELETE scanned them (the rewrite carried the rows as " +
+              "survivors) — retry against the new snapshot")
+        val next = prevTip + 1
+        val sidecar = new Path(s"$dir/_deletes/v$next-$uuid")
+        f.delete(sidecar, true) // our own stale attempt (uuid-unique)
+        pos.write.parquet(sidecar.toString)
+        val declared = manifestSchema(spark, dir, prevTip).map(_.json)
+        val bytes = ((DeltaMarker +: schemaLine(declared)) ++
+          Seq(DvMarker + uuid) :+ ManifestEnd)
+          .mkString("\n").getBytes("UTF-8")
+        try {
+          val out = f.create(manifestPath(dir, next), false)
+          try out.write(bytes) finally out.close()
+          committed = next
+        } catch {
+          case e: java.io.IOException =>
+            if (!f.exists(manifestPath(dir, next))) throw e
+            f.delete(sidecar, true) // lost the race: unbind the attempt
+        }
+      }
+      writeTipHint(f, dir, committed)
+      Some(committed)
+    } finally { m.unpersist(); () }
+  }
+
+  /** Guard for library paths whose reads/rewrites are not DV-aware. */
+  private def requireNoDv(spark: SparkSession, dir: String,
+      op: String): Unit =
+    require(!dvEnabled(spark, dir),
+      s"$op is not deletion-vector-aware and cannot run on a DV lake " +
+        "— use the SQL surface (SELECT/DELETE through the graftlake " +
+        "table, CALL glake.optimize to materialize vectors)")
 
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
@@ -1180,12 +1550,12 @@ object VersionedLake {
     var prev = readManifest(spark, dir, fromV)
     var v = fromV + 1
     while (v <= toV) {
-      val (cur, layoutOnly) = manifestStep(spark, dir, prev, v)
+      val (cur, layoutOnly, isDv) = manifestStep(spark, dir, prev, v)
       val added = cur.filterNot(prev.toSet)
       val removed = prev.filterNot(cur.toSet)
       if (layoutOnly) {
         // row-preserving rewrite: no change events
-      } else if (removed.isEmpty) {
+      } else if (removed.isEmpty && !isDv) {
         inserts = inserts ++ added
       } else changeSidecarPath(spark, dir, v) match {
         case Some(p) =>
@@ -1198,6 +1568,13 @@ object VersionedLake {
                 lit("insert")).otherwise(lit("delete")))
             .drop("_change_type")
         case None =>
+          // a DV commit's sidecar is staged before its publish — its
+          // absence is corruption, and the dir-diff fallback would be
+          // SILENTLY EMPTY (no dirs changed), losing the deletes
+          require(!isDv,
+            s"deletion-vector commit v$v of $dir lacks its change " +
+              "sidecar (_changes/dv-*) — it was removed outside the " +
+              "vacuum protocol; the delete events cannot be replayed")
           val a0 = readEntrySet(spark, dir, removed)
           val b0 =
             if (added.isEmpty) a0.limit(0)
@@ -1225,7 +1602,10 @@ object VersionedLake {
     import org.apache.spark.sql.functions.lit
     val from = readManifest(spark, dir, fromV).toSet
     val to = readManifest(spark, dir, toV)
-    if (from.subsetOf(to.toSet)) {
+    // a deletion-vector commit in (fromV, toV] deletes rows WITHOUT
+    // changing the dir set — the append fast path would miss it
+    val dvInRange = dvSidecars(spark, dir, toV).exists(_._1 > fromV)
+    if (!dvInRange && from.subsetOf(to.toSet)) {
       val added = to.filterNot(from)
       if (added.isEmpty)
         readAt(spark, dir, toV).limit(0).withColumn("op", lit("insert"))
@@ -1283,8 +1663,9 @@ object VersionedLake {
       codec: String = "snappy", layoutOnly: Boolean = false): Int = {
     val spark = df.sparkSession
     requireUnpartitionedLake(spark, dir, "VersionedLake.commitIndexed")
+    val out = withMappedIds(df, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val w = df.write.option("compression", codec)
+    val w = out.write.option("compression", codec)
     // parquet's native row-group bloom rides along whenever the
     // file-level bloom is requested (see commitWithBloom's doc)
     bloomCol.fold(w)(c =>
@@ -1292,7 +1673,8 @@ object VersionedLake {
       .parquet(s"$dir/$dataDir")
     if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
-    publish(spark, dir, dataDir, mode, layoutOnly)
+    publishAll(spark, dir, Seq(dataDir), mode, layoutOnly,
+      carrySchema = Some(out.schema))
   }
 
   // ---- declared index policy (SQL-writer parity) -----------------------
@@ -1462,6 +1844,7 @@ object VersionedLake {
   def statsAggregate(spark: SparkSession, dir: String, c: String)
       : (Long, Double, Double) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    requireNoDv(spark, dir, "statsAggregate") // footer stats over-count deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -1495,6 +1878,7 @@ object VersionedLake {
     * evidence; it is never a correctness precondition. */
   def statsCovered(spark: SparkSession, dir: String, c: String): Boolean = {
     val f = fs(spark, dir)
+    if (dvEnabled(spark, dir)) return false // stats over-count DV-deleted rows
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     vs.nonEmpty && readManifest(spark, dir, vs.last).forall { d =>
       val stats = statsFor(spark, dir, d, c)
@@ -1541,6 +1925,8 @@ object VersionedLake {
       lo: Double, hi: Double, statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     requireUnpartitionedLake(spark, dir, "deleteRange")
+    requireNotMappedLake(spark, dir, "deleteRange")
+    requireNoDv(spark, dir, "deleteRange")
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
     val live = readManifest(spark, dir, vs.last)
@@ -1616,6 +2002,8 @@ object VersionedLake {
       statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     requireUnpartitionedLake(spark, dir, "replaceWhereIn")
+    requireNotMappedLake(spark, dir, "replaceWhereIn")
+    requireNoDv(spark, dir, "replaceWhereIn")
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -1680,18 +2068,22 @@ object VersionedLake {
     * loop). */
   private[engine] def publishReplacingChecked(spark: SparkSession,
       dir: String, dropped: Set[String], added: String,
-      snapshot: Set[String], schemaDdl: Option[String] = None): Int =
+      snapshot: Set[String], schemaDdl: Option[String] = None,
+      noDvSince: Option[Int] = None): Int =
     publishReplacing(spark, dir, dropped, Seq(added), checked = true,
-      snapshot = Some(snapshot), schemaDdl = schemaDdl)
+      snapshot = Some(snapshot), schemaDdl = schemaDdl,
+      noDvSince = noDvSince)
 
   /** Multi-entry checked replace — a partitioned COW/replaceWhere drops
     * and adds PARTITION entries; `added` may be empty (whole-partition
     * DELETE: the drop is the entire commit, manifest-only). */
   private[engine] def publishReplacingCheckedAll(spark: SparkSession,
       dir: String, dropped: Set[String], added: Seq[String],
-      snapshot: Set[String], schemaDdl: Option[String] = None): Int =
+      snapshot: Set[String], schemaDdl: Option[String] = None,
+      noDvSince: Option[Int] = None): Int =
     publishReplacing(spark, dir, dropped, added, checked = true,
-      snapshot = Some(snapshot), schemaDdl = schemaDdl)
+      snapshot = Some(snapshot), schemaDdl = schemaDdl,
+      noDvSince = noDvSince)
 
   /** Test seam: [[deleteRange]]'s publish step with an externally-
     * staged survivor dir — lets a spec interleave a competing rewrite
@@ -1705,11 +2097,26 @@ object VersionedLake {
       checked: Boolean = false,
       snapshot: Option[Set[String]] = None,
       layoutOnly: Boolean = false,
-      schemaDdl: Option[String] = None): Int = {
+      schemaDdl: Option[String] = None,
+      noDvSince: Option[Int] = None): Int = {
     val f = fs(spark, dir)
     var committed = -1
     while (committed < 0) {
       val prevTip = tip(spark, dir)
+      // a DELETION VECTOR published on the dropped dirs after this
+      // rewrite SCANNED them would be silently undone (the rewrite
+      // carried the deleted rows as survivors) — refuse loudly, the
+      // same serializable posture as the dropped-dir check below
+      noDvSince.foreach { v0 =>
+        ((v0 + 1) to prevTip.getOrElse(0)).foreach { k =>
+          if (isDvCommit(spark, dir, k))
+            throw new java.util.ConcurrentModificationException(
+              s"copy-on-write conflict on $dir: deletion-vector " +
+                s"commit v$k landed after this rewrite's scan (its " +
+                "deletes would be resurrected); retry against the " +
+                "new snapshot")
+        }
+      }
       val next = prevTip.getOrElse(0) + 1
       val tip0 = prevTip.fold(Seq.empty[String])(
         readManifest(spark, dir, _))
@@ -1740,10 +2147,17 @@ object VersionedLake {
         }
       }
       val live = tip0.filterNot(dropped) ++ added
+      // callers that don't declare (library compaction, deleteRange)
+      // CARRY the tip's declaration forward: their rewrites preserve
+      // or shrink rows, never columns — without this every OPTIMIZE
+      // would knock a declared lake back to O(live files) footer
+      // inference on its next cold plan
+      val declared = schemaDdl.orElse(
+        prevTip.flatMap(manifestSchema(spark, dir, _)).map(_.json))
       val bytes =
         if (prevTip.isEmpty || next % CheckpointInterval == 0)
-          manifestBytes(live, layoutOnly, schemaDdl)
-        else deltaBytes(added, tip0.filter(dropped), layoutOnly, schemaDdl)
+          manifestBytes(live, layoutOnly, declared)
+        else deltaBytes(added, tip0.filter(dropped), layoutOnly, declared)
       try {
         val out = f.create(manifestPath(dir, next), false)
         try out.write(bytes)
@@ -1767,6 +2181,7 @@ object VersionedLake {
   def readSkipping(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
+    requireNoDv(spark, dir, "readSkipping") // raw file reads would resurrect deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -1942,6 +2357,7 @@ object VersionedLake {
   def readBloomProbe(spark: SparkSession, dir: String, c: String,
       value: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    requireNoDv(spark, dir, "readBloomProbe") // raw file reads would resurrect deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -2087,6 +2503,45 @@ object VersionedLake {
           .foreach(st => f.delete(st.getPath, false))
         if (f.listStatus(qd.getPath).isEmpty) f.delete(qd.getPath, false)
       }
+    // deletion-vector sidecars: one bound to a RETAINED version stays;
+    // below retention it survives only while any of its entries is
+    // still live (readers of retained versions must keep applying it);
+    // an unbound in-retention name is a crashed attempt's orphan,
+    // swept after the grace window. A DV commit's change-rows sidecar
+    // (_changes/dv-<uuid>) follows the same binding.
+    val delRoot = new Path(s"$dir/_deletes")
+    if (f.exists(delRoot)) {
+      val retainedDvUuids = keep.flatMap(v =>
+        readManifestLines(spark, dir, v).collectFirst {
+          case l if l.startsWith(DvMarker) => l.drop(DvMarker.length)
+        }).toSet
+      val lo = keep.headOption.getOrElse(Int.MaxValue)
+      f.listStatus(delRoot).toSeq.map(_.getPath).foreach { p =>
+        p.getName match {
+          case DvSidecarName(n, uuid) =>
+            val keepIt =
+              if (retainedDvUuids(uuid)) true
+              else if (n.toInt < lo)
+                // below retention: alive while its entries are
+                spark.read.parquet(p.toString).select("entry")
+                  .distinct().collect().map(_.getString(0))
+                  .exists(liveDirs)
+              else false // in-retention but unbound: crashed attempt
+            if (!keepIt && quiescentSince(p) <= cutoff) {
+              f.delete(p, true)
+              ()
+            }
+          case _ => ()
+        }
+      }
+      val chRoot = new Path(s"$dir/_changes")
+      if (f.exists(chRoot))
+        f.listStatus(chRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("dv-"))
+          .filter(p => !retainedDvUuids(p.getName.stripPrefix("dv-")))
+          .filter(p => quiescentSince(p) <= cutoff)
+          .foreach { p => f.delete(p, true); () }
+    }
     // drop tag markers only for data dirs actually gone — a grace-kept
     // published dir must keep its marker, or a replayed tag would
     // re-commit the same data

@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Merge-on-read deletion vectors: a SQL DELETE on a
+  * `deletion_vectors` table records (file, position) sidecars instead
+  * of rewriting dirs; scans apply them exactly (row positions from
+  * Spark's parquet row-index machinery); time travel is version-bound;
+  * COW/OPTIMIZE materialize vectors away; streams and change feeds
+  * see the deletes; vacuum sweeps dead sidecars. */
+class GraftLakeDvSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def withCatalog[A](root: String)(body: String => A): A = {
+    val cat = s"gldv_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat)
+  }
+
+  private def topDirs(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("d-")).toSet
+  }
+
+  test("a point DELETE writes NO data dir (manifest + sidecar only); " +
+      "reads, aggregates and point lookups are exact; deletes " +
+      "compound; time travel applies only the vectors at/below its " +
+      "version") {
+    val root = tempDir("gldv-basic")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM range(0, 1000)")
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM range(1000, 2000)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      // ~1% point delete by KEY SET — the GDPR shape, and a
+      // translatable (pushable) predicate: expression predicates
+      // (id % 100 = 7) have no pushed-filter form and correctly take
+      // the COW path instead
+      val keys = (0L until 2000L by 100L).map(_ + 7)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (${keys.mkString(",")})")
+      assert(topDirs(dir) == before,
+        "a DV delete must write NO replacement data dir")
+      assert(VersionedLake.tip(spark, dir).contains(3))
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 1980)
+      assert(t.filter(col("id") % 100 === 7).count() == 0)
+      assert(t.agg(sum("id")).head().getLong(0) ==
+        (0L until 2000L).filterNot(i => i % 100 == 7).sum)
+      // point lookups on surviving and deleted keys
+      assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 8")
+        .head().getDouble(0) == 16.0)
+      assert(spark.sql(s"SELECT * FROM $cat.t WHERE id = 107").count() == 0)
+      // a second delete COMPOUNDS (and writes no dir either)
+      spark.sql(s"DELETE FROM $cat.t WHERE id >= 1990")
+      assert(topDirs(dir) == before)
+      assert(spark.table(s"$cat.t").count() == 1970)
+      // time travel: v3 sees the first vector only, v2 neither
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 3")
+        .head().getLong(0) == 1980)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head().getLong(0) == 2000)
+      // deleting already-deleted rows is a no-op (no version minted)
+      val tip = VersionedLake.tip(spark, dir).get
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (${keys.mkString(",")})")
+      assert(VersionedLake.tip(spark, dir).contains(tip),
+        "re-deleting vectored rows must publish nothing")
+    }
+  }
+
+  test("changes() and the CDF stream deliver EXACTLY the deleted rows " +
+      "of a DV commit; a plain stream refuses it loudly; " +
+      "skipChangeCommits skips it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("gldv-feed")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 500)")
+      val dir = s"$root/t"
+      spark.sql(s"DELETE FROM $cat.t WHERE id >= 490")
+      // batch changes(): exactly the 10 deletes
+      val ch = VersionedLake.changes(spark, dir, 1, 2)
+      assert(ch.filter(col("op") === "delete").count() == 10)
+      assert(ch.filter(col("op") === "insert").count() == 0)
+      assert(ch.agg(sum("id")).head().getLong(0) == (490L until 500L).sum)
+      // CDF stream: delete events, version-stamped
+      val sink = s"$root/sink"
+      val q = spark.readStream.format("graftlake")
+        .option(GraftLakeDataSource.ReadChangeFeed, "true").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp")
+        .format("parquet").option("path", sink).start()
+      q.awaitTermination()
+      val feed = spark.read.parquet(sink)
+      val dels = feed.filter(col("_change_type") === "delete")
+      assert(dels.count() == 10)
+      assert(dels.filter(col("_commit_version") === 2L).count() == 10)
+      assert(feed.filter(col("_change_type") === "insert").count() == 500)
+      // plain stream: loud refusal at the DV version
+      val e = intercept[Exception] {
+        val q2 = spark.readStream.format("graftlake").load(dir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp2")
+          .format("parquet").option("path", s"$root/sink2").start()
+        q2.awaitTermination()
+      }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .flatMap(c => Option(c.getMessage)).mkString(" | ")
+      assert(chain(e).contains("append-only"), chain(e))
+      // skipChangeCommits: the inserts deliver, the DV commit skips
+      val q3 = spark.readStream.format("graftlake")
+        .option(GraftLakeDataSource.SkipChangeCommits, "true").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/cp3")
+        .format("parquet").option("path", s"$root/sink3").start()
+      q3.awaitTermination()
+      assert(spark.read.parquet(s"$root/sink3").count() == 500)
+    }
+  }
+
+  test("COW UPDATE/MERGE on a DV lake does not resurrect vectored rows " +
+      "(the rewrite materializes them); replaceWhere survivors exclude " +
+      "them; OPTIMIZE compacts them away and vacuum sweeps the sidecar") {
+    val root = tempDir("gldv-cow")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(0 AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      spark.sql(s"DELETE FROM $cat.t WHERE id < 10")
+      assert(spark.table(s"$cat.t").count() == 990)
+      // UPDATE rewrites the (single) dir — deleted rows must NOT return
+      spark.sql(s"UPDATE $cat.t SET v = 1.0 WHERE id < 100")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 990, "COW must not resurrect vectored rows")
+      assert(t.filter(col("v") === 1.0).count() == 90)
+      assert(t.filter(col("id") < 10).count() == 0)
+      // the rewrite materialized the vector: the new files carry no DV
+      // and a fresh DELETE + OPTIMIZE sequence compacts clean
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(2 AS DOUBLE) FROM range(1000, 1100)")
+      spark.sql(s"DELETE FROM $cat.t WHERE id >= 1050")
+      assert(spark.table(s"$cat.t").count() == 1040)
+      val v = VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+      assert(v.nonEmpty)
+      assert(spark.table(s"$cat.t").count() == 1040,
+        "OPTIMIZE must materialize vectors, not resurrect or lose rows")
+      assert(spark.table(s"$cat.t").filter(col("id") >= 1050).count() == 0)
+      // vacuum sweeps the dead sidecars (files rewritten, uuids unbound
+      // once their manifests expire)
+      VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val delRoot = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      assert(!f.exists(delRoot) || f.listStatus(delRoot).isEmpty,
+        "vacuum must sweep materialized-away DV sidecars")
+      assert(spark.table(s"$cat.t").count() == 1040)
+    }
+  }
+
+  test("refusals and guards: deletion_vectors composes with neither " +
+      "PARTITIONED BY nor column_mapping; non-DV-aware library probes " +
+      "refuse; truncate stays the manifest overwrite") {
+    import spark.implicits._
+    val root = tempDir("gldv-refuse")
+    withCatalog(root) { cat =>
+      val e1 = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.p (id BIGINT, m INT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES ('deletion_vectors'='true')"))
+      assert(e1.getMessage.contains("PARTITIONED"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.m2 TBLPROPERTIES " +
+          "('deletion_vectors'='true', 'column_mapping'='id') AS " +
+          "SELECT id FROM range(5)"))
+      assert(e2.getMessage.contains("column_mapping"), e2.getMessage)
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
+      val dir = s"$root/t"
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 50")
+      val e3 = intercept[Exception](
+        VersionedLake.readSkipping(spark, dir, "id", 0, 10).count())
+      assert(e3.getMessage.contains("deletion-vector"), e3.getMessage)
+      val e4 = intercept[Exception](
+        VersionedLake.statsAggregate(spark, dir, "id"))
+      assert(e4.getMessage.contains("deletion-vector"), e4.getMessage)
+      assert(!VersionedLake.statsCovered(spark, dir, "id"))
+      // library readAt routes through the DV-aware DSv2 path
+      assert(VersionedLake.readLatest(spark, dir).count() == 99)
+      // truncate (no WHERE) is still the manifest-level overwrite
+      spark.sql(s"DELETE FROM $cat.t")
+      assert(spark.table(s"$cat.t").count() == 0)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head().getLong(0) == 99)
+    }
+  }
+}

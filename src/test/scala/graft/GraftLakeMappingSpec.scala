@@ -120,8 +120,8 @@ class GraftLakeMappingSpec extends AnyFunSuite {
   }
 
   test("refusals: rename/drop without mapping; REPLACE of a mapped " +
-      "table; library writes on a mapped lake; OPTIMIZE on a mapped " +
-      "lake; COW MERGE still works and stamps ids") {
+      "table; library COMMITS on a mapped lake stamp field ids; " +
+      "OPTIMIZE on a mapped lake; COW MERGE still works and stamps ids") {
     import spark.implicits._
     val root = tempDir("glmap-refuse")
     withCatalog(root) { cat =>
@@ -137,9 +137,17 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       val e2 = intercept[Exception](spark.sql(
         s"REPLACE TABLE $cat.m AS SELECT 1 AS one"))
       assert(e2.getMessage.contains("column-mapping"), e2.getMessage)
-      val e3 = intercept[Exception](VersionedLake.commit(
-        spark.range(3).toDF("id"), dir))
-      assert(e3.getMessage.contains("field ids"), e3.getMessage)
+      // LIBRARY commit on a mapped lake: the writer inherits the
+      // declared schema's ids (SQL+library use can mix on one lake) —
+      // the commit must survive a LATER rename by id like any SQL write
+      VersionedLake.commit(spark.range(200, 203)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+      assert(spark.table(s"$cat.m").count() == 103)
+      // survivor rewrites through the library stay refused (their
+      // reads are name-matched)
+      val e3 = intercept[Exception](VersionedLake.deleteRange(
+        spark, dir, "id", 0, 1, Seq("id")))
+      assert(e3.getMessage.contains("name-matched"), e3.getMessage)
       // COW DML works (the overlay write stamps ids) — and a rename
       // AFTER the merge still binds the merged rows
       spark.sql(s"MERGE INTO $cat.m t USING (SELECT 7 AS id) s " +
@@ -148,6 +156,9 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT w FROM $cat.m WHERE id = 7")
         .head().getDouble(0) == 777.0,
         "merged (rewritten) files must carry ids so the rename binds")
+      assert(spark.sql(s"SELECT SUM(w) FROM $cat.m WHERE id >= 200")
+        .head().getDouble(0) == 603.0,
+        "library-committed rows must bind the renamed column by id")
       // metadata DELETE routes to COW on mapped lakes (no id-less
       // survivor rewrite) — and stays correct
       spark.sql(s"DELETE FROM $cat.m WHERE id >= 90")
@@ -164,6 +175,17 @@ class GraftLakeMappingSpec extends AnyFunSuite {
         "compacted files must carry ids so the renamed column binds")
       assert(spark.sql(s"SELECT SUM(w) FROM $cat.m WHERE id >= 5000")
         .head().getDouble(0) == 1.5)
+      // a library commit carrying a NEW column gets a FRESH registered
+      // id (the ADD COLUMN protocol); readers see it across both APIs
+      VersionedLake.commit(spark.range(300, 301)
+        .selectExpr("id", "CAST(9.0 AS DOUBLE) AS w",
+          "CAST(1 AS INT) AS extra"), dir)
+      assert(spark.table(s"$cat.m").count() == 92)
+      assert(spark.sql(s"SELECT extra FROM $cat.m WHERE id = 300")
+        .head().getInt(0) == 1)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE extra IS NULL")
+        .head().getLong(0) == 91,
+        "pre-widening rows read NULL for the library-added column")
     }
   }
 }

@@ -139,12 +139,60 @@ class GraftLakePartitionSpec extends AnyFunSuite {
       assert(untouched.nonEmpty && GraftLakeDataSource.filesReadPaths(
         spark.sql(s"SELECT * FROM $cat.t WHERE m = 0")).toSet == untouched,
         "the untouched partition must carry by physical reference")
-      // a DATA-column overwrite condition is refused (no survivor
-      // rewrite path on partitioned lakes), not silently wrong
+      // Delta's replaceWhere CONSTRAINT: data written OUTSIDE the
+      // overwrite condition is refused loudly (it would silently
+      // duplicate beside the surviving partitions), entry-level for a
+      // partition-decidable condition
       val e = intercept[Exception](
-        repl.writeTo(s"$cat.t").overwrite(col("id") < 10))
-      assert(e.getMessage.toLowerCase.contains("overwrite"),
+        repl.writeTo(s"$cat.t").overwrite(col("m") === 2))
+      assert(e.getMessage.contains("OUTSIDE the overwrite"),
         e.getMessage)
+    }
+  }
+
+  test("replaceWhere with a DATA-column condition on a partitioned " +
+      "lake is COW bounded by its partition conjuncts: only matching " +
+      "partitions rewrite, untouched partitions keep their exact " +
+      "files, and new rows violating the condition are refused") {
+    val root = tempDir("glp-cowrw")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+        "PARTITIONED BY (m)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, id * 1.0, " +
+        "CAST(id % 4 AS INT) FROM range(0, 400)")
+      val untouched = GraftLakeDataSource.filesReadPaths(
+        spark.sql(s"SELECT * FROM $cat.t WHERE m <> 1")).toSet
+      // replace the id<40 band WITHIN partition m=1 (mixed condition:
+      // one partition conjunct + one data-column conjunct)
+      val repl = spark.range(0, 5)
+        .selectExpr("id + 2000 AS id", "-1.0D AS v", "CAST(1 AS INT) AS m")
+      val e = intercept[Exception](repl.writeTo(s"$cat.t")
+        .overwrite(col("m") === 1 && col("id") < 40))
+      assert(e.getMessage.contains("do NOT satisfy"), e.getMessage)
+      val repl2 = spark.range(0, 5)
+        .selectExpr("id AS id", "-1.0D AS v", "CAST(1 AS INT) AS m")
+      repl2.writeTo(s"$cat.t").overwrite(col("m") === 1 && col("id") < 40)
+      val after = spark.table(s"$cat.t")
+      // m=1 now holds: survivors (id in [40,400) with id%4==1 -> 90
+      // rows) + the 5 replacement rows
+      assert(after.filter(col("m") === 1).count() == 95)
+      assert(after.filter(col("m") === 1 && col("v") === -1.0).count() == 5)
+      assert(after.filter(col("m") === 1 && col("id") >= 40 &&
+        col("id") < 2000).count() == 90, "survivors of m=1 must remain")
+      // every OTHER partition carried by manifest reference: exact
+      // same physical files
+      assert(after.filter(col("m") =!= 1).count() == 300)
+      assert(GraftLakeDataSource.filesReadPaths(
+        spark.sql(s"SELECT * FROM $cat.t WHERE m <> 1")).toSet ==
+        untouched,
+        "partitions outside the partition conjunct must not rewrite")
+      // entries stay partition leaves (the invariant every pruning
+      // path depends on)
+      val dir = s"$root/t"
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.manifestEntries(spark, dir, tip)
+        .forall(_.matches("d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
+        "COW replaceWhere must keep entries as partition leaves")
     }
   }
 
@@ -245,16 +293,38 @@ class GraftLakePartitionSpec extends AnyFunSuite {
       assert(spark.table(s"$cat.t").count() == 30,
         "compaction must preserve every row")
       // stream the history: layout commit skipped, partition col real
-      val q = spark.readStream.format("graftlake").load(dir)
-        .writeStream.trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$root/cp")
-        .format("parquet").option("path", s"$root/sink")
-        .start()
-      q.awaitTermination()
+      def drainOnce(): Unit = {
+        val q = spark.readStream.format("graftlake").load(dir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp")
+          .format("parquet").option("path", s"$root/sink")
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce()
       val sunk = spark.read.parquet(s"$root/sink")
       assert(sunk.count() == 30, "stream must deliver exactly the rows")
       assert(sunk.filter(col("m") === 1).count() == 15,
         "partition column must stream with true values")
+      // the q197 shape ON A PARTITIONED LAKE: the checkpointed stream
+      // crosses a LATER partitioned OPTIMIZE — new inserts land, the
+      // compaction rewrites them into per-partition leaves, and the
+      // re-drain delivers exactly the new rows (the layout-only
+      // version contributes nothing: no loss, no duplication)
+      spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+        "CAST(id % 2 AS INT) FROM range(100, 120)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+        "CAST(id % 2 AS INT) FROM range(120, 140)")
+      val v2 = VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+      assert(v2.nonEmpty && VersionedLake.isLayoutOnly(spark, dir, v2.get))
+      drainOnce()
+      val resunk = spark.read.parquet(s"$root/sink")
+      assert(resunk.count() == 70,
+        "re-drain across the partitioned OPTIMIZE must deliver exactly " +
+          s"the new rows, got ${resunk.count()}")
+      assert(resunk.select("id").distinct().count() == 70,
+        "no row may duplicate across the layout commit")
+      assert(spark.table(s"$cat.t").count() == 70)
     }
   }
 }

@@ -139,6 +139,80 @@ class GraftLakeStreamingWriteSpec extends AnyFunSuite {
     assert(counts(2).values.sum == 10L)
   }
 
+  test("writeStream into a PARTITIONED lake: one manifest entry per " +
+      "(epoch, partition leaf), checkpoint-restart exactly-once, " +
+      "partition-pruned reads of the streamed data") {
+    val root = tempDir("glsw-part")
+    val cat = "glswp"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+      "PARTITIONED BY (m)")
+    val lake = s"$root/t"
+    def addInput(from: Long, until: Long): Unit =
+      spark.range(from, until)
+        .selectExpr("id", "id * 1.5D AS v", "CAST(id % 2 AS INT) AS m")
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def src = spark.readStream.schema("id LONG, v DOUBLE, m INT")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+
+    addInput(0, 100)
+    addInput(100, 200)
+    drain(src, lake, s"$root/ck")
+    // CREATE's seed + one version per micro-batch
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    // each streamed version carries one entry PER PARTITION LEAF under
+    // its own epoch-tagged data dir — streamed data is partition-
+    // governed exactly like batch INSERTs
+    val entries = VersionedLake.manifestEntries(spark, lake, 3)
+      .filter(_.startsWith("d-sw-"))
+    assert(entries.nonEmpty && entries.forall(_.matches(".*/m=[01]$")),
+      s"streamed entries must be partition leaves: $entries")
+    assert(entries.map(_.split('/')(0)).distinct.length == 2,
+      s"two epochs must land as two data dirs: $entries")
+    val t = spark.table(s"$cat.t")
+    assert(t.count() == 200)
+    assert(t.filter(col("m") === 1).count() == 100)
+    assert(t.agg(sum("id")).head().getLong(0) == (0L until 200L).sum)
+    // partition filter prunes streamed commits at PLAN time
+    val probe = spark.table(s"$cat.t").filter(col("m") === 1)
+    val scanned = GraftLakeDataSource.filesReadPaths(probe)
+      .filter(_.contains("/m="))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+      s"partition filter must prune streamed entries, read: $scanned")
+    // restart on the same checkpoint: exactly-once, nothing re-lands
+    drain(src, lake, s"$root/ck")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    assert(spark.table(s"$cat.t").count() == 200)
+    // new input appends exactly itself, partitioned
+    addInput(200, 250)
+    drain(src, lake, s"$root/ck")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3, 4))
+    val after = spark.table(s"$cat.t")
+    assert(after.count() == 250)
+    assert(after.agg(sum("id")).head().getLong(0) == (0L until 250L).sum)
+    // streamed leaves carry stats sidecars: a data-column range probe
+    // WITHIN one partition still file-skips
+    val narrow = spark.table(s"$cat.t")
+      .filter(col("m") === 0 && col("id") >= 240L)
+    val m0Total = GraftLakeDataSource.filesRead(
+      spark.table(s"$cat.t").filter(col("m") === 0))
+    assert(GraftLakeDataSource.filesRead(narrow) < m0Total,
+      "streamed partition leaves must be range-skippable")
+    assert(narrow.count() == 5)
+    // a whole-partition DELETE of streamed data stays manifest-only
+    val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def topDirs = f.listStatus(new org.apache.hadoop.fs.Path(lake))
+      .toSeq.map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+    val dirsBefore = topDirs
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 0")
+    assert(topDirs == dirsBefore,
+      "partition delete of streamed entries must write no data dir")
+    assert(spark.table(s"$cat.t").count() == 125)
+  }
+
   test("vacuum sweeps quiescent staging stragglers (crashed attempts) " +
       "but respects the grace window for in-flight epochs") {
     import spark.implicits._

@@ -891,4 +891,43 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ids(VersionedLake.readBloomProbe(spark, dir, "id", 150L)) ==
       Seq(150L))
   }
+
+  test("library commits DECLARE their schema in the manifest and carry " +
+      "it forward as a monotone union — the cold plan resolves from " +
+      "the tip's own manifest, never an O(live files) footer merge, " +
+      "and a narrower later append cannot hide an earlier column") {
+    val dir = tempDir("vl-declare")
+    // v1 declares the write schema (fresh lake)
+    VersionedLake.commit(spark.range(0, 10)
+      .selectExpr("id", "id * 2.0 AS v"), dir)
+    assert(VersionedLake.manifestSchema(spark, dir, 1)
+      .map(_.fieldNames.toSeq).contains(Seq("id", "v")))
+    // a WIDER append merges in its new column
+    VersionedLake.commit(spark.range(10, 20)
+      .selectExpr("id", "id * 2.0 AS v", "'x' AS tag"), dir)
+    assert(VersionedLake.manifestSchema(spark, dir, 2)
+      .map(_.fieldNames.toSeq).contains(Seq("id", "v", "tag")))
+    // a NARROWER append must NOT shrink the declaration: the earlier
+    // commits' columns stay visible at the tip
+    VersionedLake.commit(spark.range(20, 30).selectExpr("id"), dir)
+    assert(VersionedLake.manifestSchema(spark, dir, 3)
+      .map(_.fieldNames.toSeq).contains(Seq("id", "v", "tag")))
+    val tipRead = spark.read.format("graftlake").load(dir)
+    assert(tipRead.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(tipRead.count() == 30)
+    assert(tipRead.filter(org.apache.spark.sql.functions.col("tag")
+      .isNotNull).count() == 10)
+    // an OVERWRITE re-declares exactly its own schema (the live set is
+    // only the new data — carrying the union would declare phantom
+    // columns)
+    VersionedLake.commit(spark.range(0, 5).selectExpr("id AS k"), dir,
+      mode = "overwrite")
+    assert(VersionedLake.manifestSchema(spark, dir, 4)
+      .map(_.fieldNames.toSeq).contains(Seq("k")))
+    // tagged commits declare too (the streaming-sink path)
+    VersionedLake.commitTagged(spark.range(5, 8)
+      .selectExpr("id AS k", "1 AS extra"), dir, "decl-tag-1")
+    assert(VersionedLake.manifestSchema(spark, dir, 5)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "extra")))
+  }
 }
