@@ -930,8 +930,19 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new GraftLakeScanBuilder(spark, delegate.fileIndex, schema(),
       widen(delegate.dataSchema), merged(options), lakeDir, cdf,
       // deletion vectors applying to THIS snapshot (version-bound:
-      // time travel below a DV commit must not see it)
-      VersionedLake.dvMap(spark, lakeDir, snapshotVersion))
+      // time travel below a DV commit must not see it), restricted to
+      // files the snapshot actually holds — once a rewrite/OPTIMIZE
+      // materializes every vector away, scans are vectorized again
+      // IMMEDIATELY, not only after vacuum sweeps the dead sidecars
+      {
+        val dv0 = VersionedLake.dvMap(spark, lakeDir, snapshotVersion)
+        if (dv0.isEmpty) dv0
+        else {
+          val live = delegate.fileIndex.inputFiles
+            .map(p => new Path(p).getName).toSet
+          dv0.filter { case (name, _) => live(name) }
+        }
+      })
 
   /** Batch writes go through the SAME commit protocol as the library:
     * tasks stage parquet into a fresh `d-*` dir via Spark's own

@@ -167,6 +167,39 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("replaceWhere on a DV lake: the survivor rewrite excludes " +
+      "vectored rows (materializing them) instead of resurrecting " +
+      "them; clean lakes keep vectorized (columnar) scans") {
+    val root = tempDir("gldv-rw")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      // vector 5 rows INSIDE the band replaceWhere will keep
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (0, 1, 2, 3, 4)")
+      assert(spark.table(s"$cat.t").count() == 995)
+      // with a vector live the scan is row-based (uniformity contract)
+      assert(!spark.table(s"$cat.t").queryExecution.executedPlan
+        .toString.contains("ColumnarToRow"),
+        "a DV-carrying snapshot reads row-wise")
+      // replace the id >= 900 band; survivors (id < 900) rewrite —
+      // the vectored rows 0..4 must NOT come back
+      val repl = spark.range(2000, 2010)
+        .selectExpr("id", "CAST(-1 AS DOUBLE) AS v")
+      repl.writeTo(s"$cat.t").overwrite(col("id") >= 900)
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 905, // 900 - 5 vectored + 10 replacement
+        "replaceWhere must materialize vectors, not resurrect them")
+      assert(t.filter(col("id") < 5).count() == 0)
+      assert(t.filter(col("v") === -1.0).count() == 10)
+      // the rewrite materialized every vector: scans are columnar again
+      assert(spark.table(s"$cat.t").queryExecution.executedPlan
+        .toString.contains("ColumnarToRow"),
+        "a vector-free snapshot must read vectorized again")
+    }
+  }
+
   test("refusals and guards: deletion_vectors composes with neither " +
       "PARTITIONED BY nor column_mapping; non-DV-aware library probes " +
       "refuse; truncate stays the manifest overwrite") {
