@@ -1077,7 +1077,14 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
         case Some(GraftLakeDelete.Range(c, lo, hi)) => Some((c, lo, hi))
         case _ => None
       }
-      VersionedLake.deleteVectors(spark, lakeDir, pred, bound)
+      // point-lookup conjuncts prune the POSITION SCAN at file level
+      // through the stats + bloom sidecars — a 100 TB key-set delete
+      // reads the files that can hold the keys, not the lake
+      val points = filters.toSeq.collect {
+        case org.apache.spark.sql.sources.EqualTo(c, v) => (c, Seq(v))
+        case org.apache.spark.sql.sources.In(c, vs) => (c, vs.toSeq)
+      }
+      VersionedLake.deleteVectors(spark, lakeDir, pred, bound, points)
       return
     }
     GraftLakeDelete.translate(schema(), filters) match {

@@ -2569,6 +2569,68 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q213.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q214_partition_zorder",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id % 2 = 1 AND user_id BETWEEN 11 AND 15
+        |  AND event_id < 500""".stripMargin) { (s, dir) =>
+      // Z-ORDER WITHIN PARTITIONS (`CALL glake.zorder` on a
+      // partitioned lake — Delta's OPTIMIZE ZORDER BY): after
+      // directory partitioning is spent on the first filter column,
+      // each partition's rows rewrite clustered by the Morton
+      // interleave of the NEXT two, so every file covers a small
+      // (user_id, event_id) rectangle inside its partition and a
+      // rectangle probe skips files the scattered layout had to read
+      // (the require pins filesRead < the admitted partition's total;
+      // entries stay partition leaves; layout-only). The oracle
+      // recomputes the rectangle from raw events — a row re-homed,
+      // lost, or duplicated by the rewrite breaks the hash.
+      val lake = s"$scratchRoot/pzord_lake_${new java.io.File(dir).getName}"
+      Lake.delete(s, lake)
+      val name = new java.io.File(lake).getName
+      s.conf.set("spark.sql.catalog.glake_q214",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q214.root",
+        new java.io.File(lake).getParent)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(2L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q214")
+      s.sql(s"""CREATE TABLE glake_q214.`$name`
+               |(event_id BIGINT, user_id BIGINT, value DOUBLE, m INT)
+               |PARTITIONED BY (m)""".stripMargin)
+      // two SCATTERED inserts: every file spans the full key ranges,
+      // so before the z-order nothing can skip
+      (0 until 2).foreach(i =>
+        s.sql(s"""INSERT INTO glake_q214.`$name`
+                 |SELECT * FROM ev_q214 WHERE pmod(event_id, 2) = $i"""
+          .stripMargin))
+      val total = s.table(s"glake_q214.`$name`").count()
+      s.sql(s"CALL glake_q214.zorder(`table` => '$name', " +
+        "a_col => 'user_id', b_col => 'event_id', n_files => 8, " +
+        "bits => 20)")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isLayoutOnly(s, lake, tip),
+        "partitioned z-order must be a layout-only commit")
+      require(VersionedLake.manifestEntries(s, lake, tip)
+        .forall(_.matches("d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
+        "z-order must keep entries as partition leaves")
+      require(s.table(s"glake_q214.`$name`").count() == total,
+        "the rewrite must preserve every row")
+      val slice = s.table(s"glake_q214.`$name`").filter(col("m") === 1)
+      val probe = s.table(s"glake_q214.`$name`")
+        .filter(col("m") === 1 &&
+          col("user_id") >= 11 && col("user_id") <= 15 &&
+          col("event_id") < 500)
+      require(GraftLakeDataSource.filesRead(probe) <
+        GraftLakeDataSource.filesRead(slice),
+        "the z-ordered leaves must file-skip the rectangle probe")
+      probe.agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

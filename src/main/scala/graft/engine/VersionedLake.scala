@@ -1088,6 +1088,10 @@ object VersionedLake {
       bCol: String, nFiles: Int, bits: Int = 16,
       bloomCol: Option[String] = None, codec: String = "snappy"): Int = {
     import org.apache.spark.sql.functions.col
+    val partCols = GraftLakePartitions.of(spark, dir)
+    if (partCols.nonEmpty)
+      return compactZOrderPartitioned(spark, dir, aCol, bCol, nFiles,
+        bits, bloomCol, codec, partCols)
     // codec threads through like every other commit entry point — the
     // z-order rewrite is the LARGEST rewrite a lake ever does, the
     // worst place to silently swap the caller's compression policy.
@@ -1099,6 +1103,55 @@ object VersionedLake {
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z"))
+  }
+
+  /** Z-order WITHIN each partition of a partitioned lake: every
+    * partition's live entries rewrite into one fresh leaf under a
+    * single data dir, rows clustered by the Morton interleave of the
+    * two DATA dimensions — each output file then covers a small
+    * (a, b) rectangle INSIDE its partition, so after directory
+    * partitioning is spent on the first filter column, range probes on
+    * the second and third still skip files (the Delta OPTIMIZE ZORDER
+    * BY shape). Rows never cross a partition boundary — the entries-
+    * are-partition-leaves invariant every pruning path depends on
+    * holds by construction; a CROSS-partition interleave is
+    * structurally impossible (partition values are directory names)
+    * and is exactly what this deliberately does not attempt. `nFiles`
+    * is PER PARTITION. Layout-only, conflict-checked, one atomic
+    * commit for the whole lake. */
+  private def compactZOrderPartitioned(spark: SparkSession, dir: String,
+      aCol: String, bCol: String, nFiles: Int, bits: Int,
+      bloomCol: Option[String], codec: String,
+      partCols: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    import org.apache.spark.sql.functions.col
+    requireNotMappedLake(spark, dir, "partitioned z-order")
+    Seq(aCol, bCol).foreach(c =>
+      require(!partCols.exists(_.name.equalsIgnoreCase(c)),
+        s"z-order dimension $c is a PARTITION column — constant within " +
+          "every leaf, nothing to cluster; pick data columns"))
+    val t = tip(spark, dir)
+    require(t.nonEmpty, s"no versions published at $dir")
+    val observed = readManifest(spark, dir, t.get)
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val groups = observed.groupBy(_.split('/').drop(1).mkString("/"))
+    val newEntries = groups.toSeq.sortBy(_._1).map { case (suffix, es) =>
+      // data columns only (partition values live in the dir names);
+      // the null-partition schema carrier rewrites like any other leaf
+      spark.read.option("mergeSchema", "true")
+        .parquet(es.map(e => s"$dir/$e"): _*)
+        .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
+        .repartitionByRange(math.max(1, nFiles), col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.option("compression", codec)
+        .parquet(s"$dir/$dataDir/$suffix")
+      val entry = s"$dataDir/$suffix"
+      writeStatsFor(spark, dir, entry, Seq(aCol, bCol))
+      bloomCol.foreach(c => writeBloomFor(spark, dir, entry, c))
+      entry
+    }
+    publishReplacing(spark, dir, observed.toSet, newEntries,
+      checked = true, layoutOnly = true, noDvSince = Some(t.get))
   }
 
   /** The full-snapshot rewrite shared by [[compactVersions]] and
@@ -1396,6 +1449,10 @@ object VersionedLake {
     val side = dvSidecars(spark, dir, v)
     if (side.isEmpty) return Map.empty
     val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
+    // bounded: a long-lived session deleting on a cadence mints a new
+    // (version, sidecar-set) key per delete — evict wholesale rather
+    // than grow forever (a miss costs one small re-read)
+    if (dvMemo.size > 256) dvMemo.clear()
     dvMemo.getOrElseUpdate(key,
       spark.read.parquet(side.map(_._2.toString): _*)
         .select("file", "pos").collect()
@@ -1411,25 +1468,51 @@ object VersionedLake {
     * concurrent rewrite carried the rows as survivors — refusing
     * loudly beats losing the delete); rows an earlier vector already
     * deleted are excluded, so change events never double-report. */
-  private[engine] def deleteVectors(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column,
-      rangeBound: Option[(String, Double, Double)]): Option[Int] = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at,
-      lit, split}
+  /** Position-scan FILE pruning for a DV delete: dirs bound by a
+    * one-interval condition through the stats sidecars, then files
+    * bound by every point-lookup conjunct through stats ranges AND the
+    * bloom sidecars ([[SidecarProbe.admitAnyOf]] — conservative: a
+    * file is skipped only when it provably holds no matching row, so
+    * skipping loses no positions). THE 100 TB point-delete shape: the
+    * scan cost is O(files that can match the keys), never O(lake). */
+  private[graft] def dvPruneFiles(spark: SparkSession, dir: String,
+      snapshot: Seq[String],
+      rangeBound: Option[(String, Double, Double)],
+      pointLookups: Seq[(String, Seq[Any])]): Seq[(String, Path)] = {
     val f = fs(spark, dir)
-    val tipV = tip(spark, dir).getOrElse(return None)
-    val snapshot = readManifest(spark, dir, tipV)
-    // a one-interval condition prunes the position scan through the
-    // stats sidecars — the same metadata bound the COW path uses
-    val touched = rangeBound match {
+    val dirs = rangeBound match {
       case Some((c, lo, hi)) =>
         if (lo <= hi) dirsIntersecting(spark, dir, snapshot, c, lo, hi)
         else Seq.empty
       case None => snapshot
     }
-    if (touched.isEmpty) return None
+    val probe = new SidecarProbe(spark, dir)
+    dirs.flatMap { d =>
+      f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .filter(p => pointLookups.forall { case (c, vs) =>
+          probe.admitAnyOf(p, c, vs) })
+        .map(p => (d, p))
+    }
+  }
+
+  private[engine] def deleteVectors(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      rangeBound: Option[(String, Double, Double)],
+      pointLookups: Seq[(String, Seq[Any])] = Seq.empty): Option[Int] = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at,
+      lit, split}
+    val f = fs(spark, dir)
+    val tipV = tip(spark, dir).getOrElse(return None)
+    val snapshot = readManifest(spark, dir, tipV)
+    val pruned = dvPruneFiles(spark, dir, snapshot, rangeBound,
+      pointLookups)
+    if (pruned.isEmpty) return None
+    // serializable anchor: the dirs whose files we record positions
+    // for must still be live at the CAS
+    val touched = pruned.map(_._1).distinct
     val matched0 = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(d => s"$dir/$d"): _*)
+      .parquet(pruned.map(_._2.toString): _*)
       .withColumn("__dv_entry",
         element_at(split(col("_metadata.file_path"), "/"), -2))
       .withColumn("__dv_file", col("_metadata.file_name"))

@@ -200,6 +200,42 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("the DV position scan is file-pruned through the stats + bloom " +
+      "sidecars: a key-set delete reads the files that can hold the " +
+      "keys, not the lake — and loses no positions") {
+    val root = tempDir("gldv-prune")
+    withCatalog(root) { cat =>
+      // bloom on the lookup key; hash-split so each key lands in ONE
+      // file per commit and the others' blooms reject it
+      spark.range(0, 4000)
+        .selectExpr("CONCAT('k', id) AS skey", "id", "id * 1.0 AS v")
+        .createOrReplaceTempView("gldv_prune_src")
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'bloom'='skey') AS " +
+        "SELECT /*+ REPARTITION(8, skey) */ * FROM gldv_prune_src " +
+        "WHERE id < 2000")
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT /*+ REPARTITION(8, skey) */ * FROM gldv_prune_src " +
+        "WHERE id >= 2000")
+      val dir = s"$root/t"
+      val tip = VersionedLake.tip(spark, dir).get
+      val snapshot = VersionedLake.manifestEntries(spark, dir, tip)
+      val all = VersionedLake.dvPruneFiles(spark, dir, snapshot, None,
+        Seq.empty)
+      val probedFiles = VersionedLake.dvPruneFiles(spark, dir, snapshot,
+        None, Seq(("skey", Seq("k7", "k3105"))))
+      assert(probedFiles.nonEmpty && probedFiles.length < all.length,
+        s"bloom must file-prune the position scan " +
+          s"(${probedFiles.length} of ${all.length})")
+      // and the pruned delete is still EXACT
+      spark.sql(s"DELETE FROM $cat.t WHERE skey IN ('k7', 'k3105')")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 3998)
+      assert(t.filter(col("skey").isin("k7", "k3105")).count() == 0)
+      assert(t.filter(col("skey") === "k8").count() == 1)
+    }
+  }
+
   test("refusals and guards: deletion_vectors composes with neither " +
       "PARTITIONED BY nor column_mapping; non-DV-aware library probes " +
       "refuse; truncate stays the manifest overwrite") {

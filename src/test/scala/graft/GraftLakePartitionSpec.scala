@@ -236,6 +236,46 @@ class GraftLakePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned z-order clusters WITHIN each partition: entries " +
+      "stay leaves, every row survives, range probes on the z " +
+      "dimensions file-skip inside an admitted partition, and a " +
+      "partition-column dimension is refused") {
+    val root = tempDir("glp-zorder")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, x INT, y INT, m INT) " +
+        "PARTITIONED BY (m)")
+      // two scattered inserts: every file spans the full x range, so
+      // nothing can skip before the z-order
+      (0 until 2).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+          s"CAST(id % 50 AS INT), CAST((id * 7) % 50 AS INT), " +
+          s"CAST(id % 2 AS INT) FROM range(${i * 2000}, ${i * 2000 + 2000})"))
+      val dir = s"$root/t"
+      val v = VersionedLake.compactZOrder(spark, dir, "x", "y",
+        nFiles = 8)
+      assert(VersionedLake.isLayoutOnly(spark, dir, v))
+      val entries = VersionedLake.manifestEntries(spark, dir, v)
+      assert(entries.forall(
+        _.matches("d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
+        s"z-order must keep entries as partition leaves: $entries")
+      assert(spark.table(s"$cat.t").count() == 4000,
+        "the z-order rewrite must preserve every row")
+      // within the admitted partition, a rectangle probe skips files
+      val m0 = spark.table(s"$cat.t").filter(col("m") === 0)
+      val probe = spark.table(s"$cat.t")
+        .filter(col("m") === 0 && col("x") >= 0 && col("x") <= 4)
+      assert(GraftLakeDataSource.filesRead(probe) <
+        GraftLakeDataSource.filesRead(m0),
+        "the z-ordered leaf must file-skip a narrow x range")
+      assert(probe.count() ==
+        (0L until 4000L).count(i => i % 2 == 0 && i % 50 <= 4))
+      // a partition column has nothing to cluster — refused loudly
+      val e = intercept[Exception](
+        VersionedLake.compactZOrder(spark, dir, "m", "y", nFiles = 4))
+      assert(e.getMessage.contains("PARTITION column"), e.getMessage)
+    }
+  }
+
   test("join-driven runtime pruning on the PARTITION column: a filtered " +
       "dimension's keys drop whole partition dirs from manifest " +
       "metadata at execution time (the DPP shape for the fact lake)") {

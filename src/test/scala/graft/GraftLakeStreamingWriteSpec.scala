@@ -213,6 +213,45 @@ class GraftLakeStreamingWriteSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 125)
   }
 
+  test("Complete mode into a PARTITIONED lake: each batch publishes a " +
+      "manifest-level overwrite of per-partition leaves; the tip is " +
+      "the latest full aggregate, history stays time-travelable") {
+    val root = tempDir("glsw-part-complete")
+    val cat = "glswpc"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (n BIGINT, k INT) " +
+      "PARTITIONED BY (k)")
+    val lake = s"$root/t"
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS x")
+      .coalesce(1).write.parquet(s"$root/in/f0")
+    spark.range(10, 40).selectExpr("id % 3 AS k", "id AS x")
+      .coalesce(1).write.parquet(s"$root/in/f1")
+    val src = spark.readStream.schema("k LONG, x LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .selectExpr("n", "CAST(k AS INT) AS k")
+    drain(src, lake, s"$root/ck", outputMode = "complete")
+    assert(VersionedLake.versions(spark, lake) == Seq(1, 2, 3))
+    // the tip's live set is EXACTLY the last batch's partition leaves
+    val entries = VersionedLake.manifestEntries(spark, lake, 3)
+    assert(entries.nonEmpty && entries.forall(_.matches(".*/k=[0-2]$")),
+      s"complete-mode entries must be partition leaves: $entries")
+    assert(entries.map(_.split('/')(0)).distinct.length == 1,
+      "an overwrite batch's live set is one epoch's dirs")
+    def counts(v: Int) = VersionedLake.readAt(spark, lake, v)
+      .selectExpr("CAST(k AS LONG) AS k", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(3) == Map(0L -> 14L, 1L -> 13L, 2L -> 13L))
+    assert(counts(2).values.sum == 10L)
+    // partition pruning holds on the streamed aggregate
+    val probe = spark.table(s"$cat.t").filter(col("k") === 1)
+    val scanned = GraftLakeDataSource.filesReadPaths(probe)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/k=1")),
+      s"partition filter must prune complete-mode leaves: $scanned")
+  }
+
   test("vacuum sweeps quiescent staging stragglers (crashed attempts) " +
       "but respects the grace window for in-flight epochs") {
     import spark.implicits._
