@@ -1386,6 +1386,14 @@ object VersionedLake {
     * never-published version) cannot be confused with it, because
     * versions are claimed sequentially and vacuum removes only
     * prefixes. */
+  // a sidecar's manifest binding is IMMUTABLE once its manifest is
+  // readable (published manifests never change their marker) — memoize
+  // those outcomes so repeated plans pay one _deletes listing, not one
+  // manifest read per candidate. The vacuumed-manifest fallback is NOT
+  // memoized: its answer depends on the moving retention window.
+  private val dvBindMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Boolean]
+
   private[engine] def dvSidecars(spark: SparkSession, dir: String,
       v: Int): Seq[(Int, Path)] = {
     val f = fs(spark, dir)
@@ -1394,16 +1402,21 @@ object VersionedLake {
     f.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
       p.getName match {
         case DvSidecarName(n, uuid) if n.toInt <= v =>
-          val bound =
-            try dvUuidOf(readManifestLines(spark, dir, n.toInt))
-              .contains(uuid)
-            catch {
+          val bound = dvBindMemo.get((dir, p.getName)).getOrElse {
+            try {
+              val b = dvUuidOf(readManifestLines(spark, dir, n.toInt))
+                .contains(uuid)
+              if (dvBindMemo.size > 4096) dvBindMemo.clear() // bounded
+              dvBindMemo.put((dir, p.getName), b)
+              b
+            } catch {
               case _: java.io.FileNotFoundException =>
                 // manifest gone: applies iff genuinely below retention
                 versionRange(spark, dir).exists { case (lo, _) =>
                   n.toInt < lo }
               case scala.util.control.NonFatal(_) => false
             }
+          }
           if (bound) Some((n.toInt, p)) else None
         case _ => None
       }
