@@ -1671,10 +1671,17 @@ object VersionedLake {
             s"deletion-vector commit v$v of $dir lacks its change " +
               "sidecar (_changes/dv-*) — it was removed outside the " +
               "vacuum protocol; the delete events cannot be replayed")
-          val a0 = readEntrySet(spark, dir, removed)
+          // on a DV lake the dropped dirs' RAW bytes still hold rows
+          // earlier vectors deleted — they were not part of THIS
+          // commit's pre-image and must not surface as spurious
+          // delete events (caught by DvFuzzSpec's netted-feed check)
+          def dvAware(df: DataFrame): DataFrame =
+            if (dvEnabled(spark, dir)) dropDvRows(spark, dir, df, v)
+            else df
+          val a0 = dvAware(readEntrySet(spark, dir, removed))
           val b0 =
             if (added.isEmpty) a0.limit(0)
-            else readEntrySet(spark, dir, added)
+            else dvAware(readEntrySet(spark, dir, added))
           steps = steps :+ snapshotDiff(spark, a0, b0)
       }
       prev = cur

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Model-based fuzz over the deletion-vector surface: a seeded random
+  * sequence of INSERT / DV-DELETE / COW-UPDATE / OPTIMIZE / VACUUM ops
+  * against an in-memory id→value model. After EVERY op the snapshot
+  * must equal the model (count and sum — a misapplied position, a
+  * resurrected row, or a vector leaking across a rewrite all diverge
+  * here); recorded historical versions must time-travel to their
+  * recorded models while retained; and the full change feed must net
+  * to the final model. This is the harness for the corruption classes
+  * the targeted specs cannot enumerate — interleavings. */
+class DvFuzzSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  for (seed <- Seq(20260815L, 477L))
+  test("random insert/delete/update/optimize/vacuum interleavings " +
+      "always read back as the model, at the tip, through time travel " +
+      s"and through the netted change feed (seed $seed)") {
+    val root = tempDir(s"gldv-fuzz-$seed")
+    val cat = s"gldvfz$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('deletion_vectors'='true')")
+    val dir = s"$root/t"
+    val rnd = new scala.util.Random(seed)
+    val model = scala.collection.mutable.Map.empty[Long, Double]
+    var nextId = 0L
+    // (version, model snapshot) at recording time
+    val recorded = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Map[Long, Double])]
+
+    def checkTip(label: String): Unit = {
+      val got = spark.table(s"$cat.t")
+        .agg(count(lit(1)), sum("v")).head()
+      assert(got.getLong(0) == model.size,
+        s"$label: count ${got.getLong(0)} != model ${model.size}")
+      val sumGot = if (got.isNullAt(1)) 0.0 else got.getDouble(1)
+      assert(math.abs(sumGot - model.values.sum) < 1e-6,
+        s"$label: sum $sumGot != model ${model.values.sum}")
+    }
+
+    (1 to 36).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // INSERT a fresh batch
+          val n = 50 + rnd.nextInt(150)
+          val rows = (0 until n).map { _ =>
+            val id = nextId; nextId += 1
+            val v = rnd.nextInt(1000).toDouble
+            model(id) = v
+            (id, v)
+          }
+          import spark.implicits._
+          rows.toDF("id", "v").createOrReplaceTempView("gldvfz_in")
+          spark.sql(s"INSERT INTO $cat.t SELECT * FROM gldvfz_in")
+        case 2 => // DV point delete of a random live key set
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(40))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(model.remove)
+            spark.sql(s"DELETE FROM $cat.t WHERE id IN " +
+              s"(${ks.mkString(",")})")
+          }
+        case 3 => // COW update of a random live key set
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(30))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(k => model(k) = model(k) + 1000.0)
+            spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id IN " +
+              s"(${ks.mkString(",")})")
+          }
+        case 4 => // OPTIMIZE (materializes vectors)
+          VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+          ()
+        case 5 => // VACUUM (drops history + dead sidecars)
+          VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
+      }
+      checkTip(s"step $step")
+      VersionedLake.tip(spark, dir).foreach { t =>
+        if (recorded.lastOption.forall(_._1 != t))
+          recorded += ((t, model.toMap))
+      }
+    }
+
+    // time travel: every recorded version still within retention must
+    // read back as its recorded model
+    val readable = VersionedLake.versions(spark, dir).toSet
+    val checkedVersions = recorded.filter(r => readable(r._1)).takeRight(5)
+    assert(checkedVersions.nonEmpty, "retention kept no recorded version")
+    checkedVersions.foreach { case (ver, snap) =>
+      val got = spark.sql(
+        s"SELECT count(*), SUM(v) FROM $cat.t VERSION AS OF $ver").head()
+      assert(got.getLong(0) == snap.size,
+        s"v$ver count ${got.getLong(0)} != recorded ${snap.size}")
+      val sumGot = if (got.isNullAt(1)) 0.0 else got.getDouble(1)
+      assert(math.abs(sumGot - snap.values.sum) < 1e-6,
+        s"v$ver sum $sumGot != recorded ${snap.values.sum}")
+    }
+
+    // the change feed over the whole retained history nets to the
+    // final model (vacuumed intermediates fall back to the DV-aware
+    // endpoint diff; inserts count +, deletes −, updates net)
+    val lo = VersionedLake.versions(spark, dir).min
+    val hi = VersionedLake.tip(spark, dir).get
+    if (lo < hi) {
+      val base = spark.sql(s"SELECT count(*), SUM(v) FROM $cat.t " +
+        s"VERSION AS OF $lo").head()
+      val baseN = base.getLong(0)
+      val baseS = if (base.isNullAt(1)) 0.0 else base.getDouble(1)
+      val ch = VersionedLake.changes(spark, dir, lo, hi)
+        .withColumn("sgn",
+          when(col("op") === "insert", lit(1)).otherwise(lit(-1)))
+      val net = ch.agg(sum(col("sgn")),
+        sum(col("sgn") * col("v"))).head()
+      val netN = if (net.isNullAt(0)) 0L else net.getLong(0)
+      val netS = if (net.isNullAt(1)) 0.0 else net.getDouble(1)
+      assert(baseN + netN == model.size,
+        s"netted feed count ${baseN + netN} != model ${model.size}")
+      assert(math.abs(baseS + netS - model.values.sum) < 1e-6,
+        s"netted feed sum ${baseS + netS} != model ${model.values.sum}")
+    }
+  }
+}
