@@ -213,6 +213,55 @@ class GraftLakeStreamingWriteSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 125)
   }
 
+  test("the partitioned WRITE stream survives interleaved maintenance " +
+      "on the same table: OPTIMIZE between drains, a partition " +
+      "retention DELETE, and z-order — the checkpoint stays " +
+      "exactly-once and every row reads back exactly once") {
+    val root = tempDir("glsw-maint")
+    val cat = "glswmt"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, day INT) " +
+      "PARTITIONED BY (day)")
+    val lake = s"$root/t"
+    def addInput(from: Long, until: Long): Unit =
+      spark.range(from, until)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v", "CAST(id % 3 AS INT) AS day")
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def src = spark.readStream.schema("id LONG, v DOUBLE, day INT")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    // two epochs in, then partition-wise OPTIMIZE
+    addInput(0, 300); addInput(300, 600)
+    drain(src, lake, s"$root/ck")
+    val v1 = VersionedLake.compactSmall(spark, lake, Long.MaxValue)
+    assert(v1.nonEmpty)
+    // two more epochs on the SAME checkpoint across the layout commit
+    addInput(600, 900); addInput(900, 1200)
+    drain(src, lake, s"$root/ck")
+    assert(spark.table(s"$cat.t").count() == 1200)
+    assert(spark.table(s"$cat.t").select("id").distinct().count() == 1200,
+      "no row may duplicate across the maintenance interleave")
+    // retention: drop day=0 by manifest reference; the stream's later
+    // epochs must not resurrect it on the next drain (nothing new)
+    spark.sql(s"DELETE FROM $cat.t WHERE day = 0")
+    drain(src, lake, s"$root/ck")
+    assert(spark.table(s"$cat.t").count() == 800)
+    assert(spark.table(s"$cat.t").filter(col("day") === 0).count() == 0)
+    // z-order within the surviving partitions, then one more epoch
+    VersionedLake.compactZOrder(spark, lake, "v", "id", nFiles = 2,
+      bits = 21)
+    addInput(1200, 1500)
+    drain(src, lake, s"$root/ck")
+    val t = spark.table(s"$cat.t")
+    assert(t.count() == 800 + 300,
+      "post-zorder epochs must land exactly once")
+    assert(t.filter(col("day") === 0).count() == 100,
+      "only the NEW epoch's day=0 rows exist after the retention drop")
+    assert(t.agg(sum("id")).head().getLong(0) ==
+      (0L until 1500L).filterNot(i => i % 3 == 0 && i < 1200).sum)
+  }
+
   test("Complete mode into a PARTITIONED lake: each batch publishes a " +
       "manifest-level overwrite of per-partition leaves; the tip is " +
       "the latest full aggregate, history stays time-travelable") {
