@@ -1133,22 +1133,33 @@ object VersionedLake {
     require(t.nonEmpty, s"no versions published at $dir")
     val observed = readManifest(spark, dir, t.get)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val groups = observed.groupBy(_.split('/').drop(1).mkString("/"))
-    val newEntries = groups.toSeq.sortBy(_._1).map { case (suffix, es) =>
-      // data columns only (partition values live in the dir names);
-      // the null-partition schema carrier rewrites like any other leaf
-      spark.read.option("mergeSchema", "true")
-        .parquet(es.map(e => s"$dir/$e"): _*)
-        .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
-        .repartitionByRange(math.max(1, nFiles), col("_z"))
-        .sortWithinPartitions(col("_z"))
-        .drop("_z")
-        .write.option("compression", codec)
-        .parquet(s"$dir/$dataDir/$suffix")
-      val entry = s"$dataDir/$suffix"
+    // ONE job for the whole lake, not one per partition (a 1,000-day
+    // lake must not run 1,000 sequential rewrites): range-partition by
+    // (partition cols, z) so each task holds contiguous (partition, z)
+    // blocks, and let the dynamic-partition writer lay the hive leaves
+    // out — `nFiles` stays PER PARTITION, so the range width is
+    // nFiles × live partitions. The DSv2 read reconstructs partition
+    // values from the manifest entry names.
+    val nParts = math.max(1,
+      observed.map(_.split('/').drop(1).mkString("/")).distinct.length)
+    val keys = partCols.map(c => col(c.name)) :+ col("_z")
+    readAt(spark, dir, t.get)
+      .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(math.max(1, nFiles) * nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("_z")
+      .write.option("compression", codec)
+      .partitionBy(partCols.map(_.name): _*)
+      .parquet(s"$dir/$dataDir")
+    var newEntries = GraftLakePartitions.stagedEntries(spark, dir,
+      dataDir, partCols.length)
+    if (newEntries.isEmpty) // empty lake: keep a schema carrier live
+      newEntries = Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+        manifestSchema(spark, dir, t.get).getOrElse(
+          readAt(spark, dir, t.get).schema), partCols))
+    newEntries.foreach { entry =>
       writeStatsFor(spark, dir, entry, Seq(aCol, bCol))
       bloomCol.foreach(c => writeBloomFor(spark, dir, entry, c))
-      entry
     }
     publishReplacing(spark, dir, observed.toSet, newEntries,
       checked = true, layoutOnly = true, noDvSince = Some(t.get))
