@@ -5,11 +5,14 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference,
   UnsafeProjection}
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.{FilePartition,
+  PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, LongType, StructField,
-  StructType}
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.types.{DataType, Decimal, LongType,
+  StructField, StructType}
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch,
+  ColumnarMap, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Scan-side application of deletion vectors (see [[VersionedLake]]'s
   * DV section for the commit protocol). The mechanics ride Spark's own
@@ -20,40 +23,84 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * skipping, page filtering and file splits, the same machinery behind
   * `_metadata.row_index`. The wrapper then:
   *
-  *  - isolates each DV-carrying file into its own [[FilePartition]]
-  *    (positions are per-file; a multi-file partition would make the
-  *    file→vector binding ambiguous mid-stream);
-  *  - reads DV partitions ROW-WISE through an inner factory built with
-  *    the row-index column appended, drops rows whose position the
-  *    vector covers (binary search in a sorted long array), and strips
-  *    the extra column with a codegen'd projection;
-  *  - reads every CLEAN partition through the UNMODIFIED factory —
-  *    vectorized, zero overhead: the tax is paid only by files that
-  *    actually carry deletes, which OPTIMIZE materializes away.
+  *  - isolates each DV-carrying file into its own
+  *    [[GraftLakeDvFilePartition]] CARRYING THAT FILE'S POSITIONS —
+  *    tasks receive O(their own file)'s deleted positions, never the
+  *    lake-wide map (at 100 TB, pending positions between OPTIMIZE
+  *    runs can reach tens of MB; shipping them in every task closure
+  *    was the scale ceiling of the first cut);
+  *  - when the inner format reads COLUMNAR (the common path), DV
+  *    partitions stay columnar too: the batch's row-index column
+  *    drives a selection array and every emitted column is a zero-copy
+  *    [[GraftLakeSelectedVector]] view remapping ordinals through the
+  *    survivors — clean files pass their batches through untouched,
+  *    so ONE live vector no longer forces the whole snapshot row-wise;
+  *  - when the format cannot vectorize (nested/wide schemas), DV
+  *    partitions read row-wise through an inner factory built with the
+  *    row-index column appended, dropping covered positions (binary
+  *    search in the sorted long array) and stripping the extra column
+  *    with a codegen'd projection.
+  *
+  * Positions key by the file's RELATIVE path under the lake root
+  * (`entry…/fileName`), not the bare file name — parquet task files
+  * are attempt-unique today, but nothing in the commit protocol
+  * enforces global name uniqueness across data dirs, and partition
+  * leaves legitimately repeat names across entries.
   *
   * Used by both the snapshot scan ([[GraftLakeParquetScan]]) and the
   * COW rewrite scan ([[GraftLakeCowScan]]) — the rewrite MUST apply
   * vectors or a MERGE would write deleted rows back as survivors. */
 private[engine] object GraftLakeDvScan {
 
-  /** Split `ps` so every DV-carrying file sits alone in its partition;
-    * clean files keep their grouping. Survivor partitions REINDEXED
-    * (the RDD contract: index == array position). */
+  /** Last `n` `/`-separated segments of `path` — the relative
+    * `entry…/fileName` key a DV map uses (`n` = entry depth + 1). */
+  def tailSegments(path: String, n: Int): String = {
+    var idx = path.length
+    var c = 0
+    while (c < n && idx > 0) {
+      idx = path.lastIndexOf('/', idx - 1)
+      c += 1
+    }
+    if (idx <= 0) path else path.substring(idx + 1)
+  }
+
+  private def segsOf(dv: Map[String, Array[Long]]): Int =
+    dv.keysIterator.next().count(_ == '/') + 1
+
+  /** Split `ps` so every DV-carrying file sits alone in a
+    * [[GraftLakeDvFilePartition]] holding ITS positions; clean files
+    * keep their grouping. Survivor partitions REINDEXED (the RDD
+    * contract: index == array position). */
   def isolate(ps: Seq[FilePartition],
       dv: Map[String, Array[Long]]): Seq[FilePartition] =
     if (dv.isEmpty) ps
-    else ps.flatMap { fp =>
-      val (hit, clean) =
-        fp.files.partition(f => dv.contains(f.toPath.getName))
-      (if (clean.isEmpty) Seq.empty else Seq(clean)) ++ hit.map(Array(_))
-    }.zipWithIndex.map { case (files, i) => FilePartition(i, files) }
+    else {
+      val segs = segsOf(dv)
+      def posOf(f: PartitionedFile): Option[Array[Long]] =
+        dv.get(tailSegments(f.toPath.toString, segs))
+      val out = Seq.newBuilder[FilePartition]
+      var i = 0
+      ps.foreach { fp =>
+        val (hit, clean) = fp.files.partition(f => posOf(f).isDefined)
+        if (clean.nonEmpty) {
+          out += FilePartition(i, clean)
+          i += 1
+        }
+        hit.foreach { f =>
+          out += new GraftLakeDvFilePartition(i, Array(f), posOf(f).get)
+          i += 1
+        }
+      }
+      out.result()
+    }
 
   /** DV-applying reader factory over `base`'s own machinery. `base`
-    * must be the scan whose partitions were [[isolate]]d. */
+    * must be the scan whose partitions were [[isolate]]d — the
+    * positions travel IN the partitions, so the factory closure stays
+    * O(1) regardless of how many deletes are pending. */
   def readerFactory(
       base: org.apache.spark.sql.execution.datasources.v2.parquet
-        .ParquetScan,
-      dv: Map[String, Array[Long]]): PartitionReaderFactory = {
+        .ParquetScan): PartitionReaderFactory = {
     // Spark's reserved TEMPORARY name (what findRowIndexColumnIndexIn-
     // Schema matches); NULLABLE — the column is absent from every
     // file, and a required-but-missing column fails the reader's
@@ -77,50 +124,49 @@ private[engine] object GraftLakeDvScan {
       hadoopConf = new org.apache.hadoop.conf.Configuration(
         base.hadoopConf),
       pushedAggregate = None).createReaderFactory()
-    new GraftLakeDvReaderFactory(plain, withIdx, dv,
+    new GraftLakeDvReaderFactory(plain, withIdx,
       base.readDataSchema.length,
       ((base.readDataSchema.fields :+ rowIdx) ++
         base.readPartitionSchema.fields).map(_.dataType))
   }
 }
 
+/** A [[FilePartition]] holding exactly one DV-carrying file and the
+  * SORTED deleted positions of that file — the task-side unit of DV
+  * application (O(this file), never O(lake)). */
+private[engine] final class GraftLakeDvFilePartition(index: Int,
+    files: Array[PartitionedFile], val positions: Array[Long])
+  extends FilePartition(index, files)
+
 /** See [[GraftLakeDvScan]]. `idxAt` is the row-index column's position
-  * in the WITH-INDEX row layout (data columns, then the index, then
+  * in the WITH-INDEX layout (data columns, then the index, then
   * partition values); `fullTypes` is that layout's types. */
 private[engine] final class GraftLakeDvReaderFactory(
     plain: PartitionReaderFactory, withIdx: PartitionReaderFactory,
-    dv: Map[String, Array[Long]], idxAt: Int,
-    fullTypes: Array[DataType]) extends PartitionReaderFactory {
+    idxAt: Int, fullTypes: Array[DataType])
+  extends PartitionReaderFactory {
 
-  private def dvOf(p: InputPartition): Option[Array[Long]] = p match {
-    case fp: FilePartition =>
-      val hits = fp.files.flatMap(f => dv.get(f.toPath.getName))
-      if (hits.isEmpty) None
-      else {
-        require(fp.files.length == 1,
-          "a DV-carrying file must be alone in its partition " +
-            "(GraftLakeDvScan.isolate was not applied)")
-        Some(hits.head)
-      }
-    case _ => None
-  }
-
-  // UNIFORMLY row-based: Spark's scan exec refuses mixed row/columnar
-  // partition sets, and DV partitions must read row-wise — so a
-  // snapshot with ANY live vector reads its clean files row-wise too.
-  // The tax lasts until OPTIMIZE/COW materializes the vectors away.
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  // Uniform across partitions (Spark's scan exec refuses mixed
+  // row/columnar sets): columnar iff BOTH inner factories vectorize —
+  // their answers depend only on schema/conf, so clean files keep
+  // their vectorized read and DV files pay a zero-copy selection
+  // view, not a row-wise downgrade of the whole snapshot.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    plain.supportColumnarReads(p) && withIdx.supportColumnarReads(p)
 
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[ColumnarBatch] =
-    throw new UnsupportedOperationException(
-      "DV scans read row-wise (supportColumnarReads is false)")
+      : PartitionReader[ColumnarBatch] = p match {
+    case d: GraftLakeDvFilePartition =>
+      new GraftLakeDvColumnarReader(withIdx.createColumnarReader(d),
+        d.positions, idxAt, fullTypes.length)
+    case _ => plain.createColumnarReader(p)
+  }
 
   override def createReader(p: InputPartition)
-      : PartitionReader[InternalRow] = dvOf(p) match {
-    case None => plain.createReader(p)
-    case Some(positions) =>
-      val inner = withIdx.createReader(p)
+      : PartitionReader[InternalRow] = p match {
+    case d: GraftLakeDvFilePartition =>
+      val positions = d.positions
+      val inner = withIdx.createReader(d)
       val keep = fullTypes.indices.filterNot(_ == idxAt)
       val strip = UnsafeProjection.create(keep.map(i =>
         BoundReference(i, fullTypes(i), nullable = true)).toArray
@@ -141,5 +187,94 @@ private[engine] final class GraftLakeDvReaderFactory(
         override def get(): InternalRow = cur
         override def close(): Unit = inner.close()
       }
+    case _ => plain.createReader(p)
   }
+}
+
+/** Columnar DV application: each inner batch's row-index column marks
+  * the survivors; the emitted batch drops the index column and wraps
+  * every remaining column in a zero-copy selection view. A batch with
+  * no deleted rows passes the inner vectors through raw. */
+private[engine] final class GraftLakeDvColumnarReader(
+    inner: PartitionReader[ColumnarBatch], positions: Array[Long],
+    idxAt: Int, nCols: Int) extends PartitionReader[ColumnarBatch] {
+
+  private var out: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val idxCol = b.column(idxAt)
+      val sel = new Array[Int](n)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        if (java.util.Arrays.binarySearch(positions,
+            idxCol.getLong(i)) < 0) {
+          sel(k) = i
+          k += 1
+        }
+        i += 1
+      }
+      if (k > 0) {
+        val cols = new Array[ColumnVector](nCols - 1)
+        var j = 0
+        var o = 0
+        while (j < nCols) {
+          if (j != idxAt) {
+            cols(o) =
+              if (k == n) b.column(j)
+              else new GraftLakeSelectedVector(b.column(j), sel)
+            o += 1
+          }
+          j += 1
+        }
+        out = new ColumnarBatch(cols, k)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = inner.close()
+}
+
+/** Zero-copy selection view over a [[ColumnVector]]: ordinal `i` reads
+  * the underlying vector's row `sel(i)`. The underlying vector stays
+  * owned by the inner reader's batch — `close()` is a no-op. */
+private[engine] final class GraftLakeSelectedVector(
+    inner: ColumnVector, sel: Array[Int])
+  extends ColumnVector(inner.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls: Int = {
+    var c = 0
+    var i = 0
+    while (i < sel.length) {
+      if (inner.isNullAt(sel(i))) c += 1
+      i += 1
+    }
+    c
+  }
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = inner.getByte(sel(i))
+  override def getShort(i: Int): Short = inner.getShort(sel(i))
+  override def getInt(i: Int): Int = inner.getInt(sel(i))
+  override def getLong(i: Int): Long = inner.getLong(sel(i))
+  override def getFloat(i: Int): Float = inner.getFloat(sel(i))
+  override def getDouble(i: Int): Double = inner.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = inner.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = inner.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    inner.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String =
+    inner.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
+  // struct fields route through getChild(ordinal).getX(rowId) — the
+  // child must remap through the SAME selection
+  override def getChild(ordinal: Int): ColumnVector =
+    new GraftLakeSelectedVector(inner.getChild(ordinal), sel)
 }

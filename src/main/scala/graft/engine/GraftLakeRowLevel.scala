@@ -267,7 +267,7 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     if (op.dvMap.isEmpty) super.createReaderFactory()
-    else GraftLakeDvScan.readerFactory(this, op.dvMap)
+    else GraftLakeDvScan.readerFactory(this)
 }
 
 /** Projects incoming rows down to the write schema's width by keeping

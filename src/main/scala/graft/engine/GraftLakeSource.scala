@@ -938,9 +938,12 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
         val dv0 = VersionedLake.dvMap(spark, lakeDir, snapshotVersion)
         if (dv0.isEmpty) dv0
         else {
+          // keys are `entry…/fileName` relative paths — match by the
+          // same-depth suffix of each live file's full path
+          val segs = dv0.keysIterator.next().count(_ == '/') + 1
           val live = delegate.fileIndex.inputFiles
-            .map(p => new Path(p).getName).toSet
-          dv0.filter { case (name, _) => live(name) }
+            .map(p => GraftLakeDvScan.tailSegments(p, segs)).toSet
+          dv0.filter { case (k, _) => live(k) }
         }
       })
 
@@ -1788,7 +1791,7 @@ final class GraftLakeParquetScan(
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     if (dvMap.isEmpty) super.createReaderFactory()
-    else GraftLakeDvScan.readerFactory(this, dvMap)
+    else GraftLakeDvScan.readerFactory(this)
 
   /** The un-vectored factory — the STREAMING replay's reader: a
     * version's events replay as committed (the DV delete is its own

@@ -282,8 +282,14 @@ private[engine] final class GraftLakePartitionedStageWriter(
       ExternalCatalogUtils.getPartitionPathString(partNames(i), v)
     }.mkString("/")
     val slot = open.getOrElseUpdate(sub, {
-      val p = new Path("%s/%s/part-%05d%s".format(taskPrefix, sub,
-        open.size, owf.getFileExtension(ctx)))
+      // attempt-unique leaf name (taskPrefix basename carries
+      // e<epoch>-p<partition>-<uuid8>): two tasks staging the SAME
+      // partition leaf must not collide when the driver renames their
+      // files into the shared d-<tag>/<leaf> dir — on POSIX the second
+      // rename would silently replace the first (row loss)
+      val p = new Path("%s/%s/part-%s-%05d%s".format(taskPrefix, sub,
+        new Path(taskPrefix).getName, open.size,
+        owf.getFileExtension(ctx)))
       fs.mkdirs(p.getParent)
       new Slot(owf.newInstance(p.toString, fileSchema, ctx), p)
     })

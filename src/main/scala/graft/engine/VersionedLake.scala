@@ -1414,9 +1414,22 @@ object VersionedLake {
       p.getName match {
         case DvSidecarName(n, uuid) if n.toInt <= v =>
           val bound = dvBindMemo.get((dir, p.getName)).getOrElse {
-            try {
-              val b = dvUuidOf(readManifestLines(spark, dir, n.toInt))
+            // a transient manifest-read failure must FAIL THE SCAN,
+            // not skip the sidecar: treating it as "unbound" silently
+            // resurrects deleted rows. One retry absorbs the
+            // object-store hiccup; only the well-understood
+            // vacuumed-manifest FNF takes the fallback path.
+            def bindOnce(): Boolean =
+              dvUuidOf(readManifestLines(spark, dir, n.toInt))
                 .contains(uuid)
+            try {
+              val b =
+                try bindOnce()
+                catch {
+                  case _: java.io.FileNotFoundException => throw
+                    new java.io.FileNotFoundException(p.getName)
+                  case scala.util.control.NonFatal(_) => bindOnce()
+                }
               if (dvBindMemo.size > 4096) dvBindMemo.clear() // bounded
               dvBindMemo.put((dir, p.getName), b)
               b
@@ -1425,7 +1438,6 @@ object VersionedLake {
                 // manifest gone: applies iff genuinely below retention
                 versionRange(spark, dir).exists { case (lo, _) =>
                   n.toInt < lo }
-              case scala.util.control.NonFatal(_) => false
             }
           }
           if (bound) Some((n.toInt, p)) else None
@@ -1444,27 +1456,58 @@ object VersionedLake {
       .select("entry", "file", "pos"))
   }
 
+  /** Total on-disk bytes of the DV sidecars applying at `v` — decides
+    * whether the anti-join side is broadcast-safe. */
+  private[engine] def dvSidecarBytes(spark: SparkSession, dir: String,
+      v: Int): Long = {
+    val f = fs(spark, dir)
+    dvSidecars(spark, dir, v)
+      .map(s => f.getContentSummary(s._2).getLength).sum
+  }
+
+  /** Broadcast only when the vectors are provably small; past the
+    * threshold the join stays a shuffle and AQE decides — at 100 TB a
+    * backlog of pending positions must not be forced driver-side. */
+  private[engine] val DvBroadcastMaxBytes: Long = 32L * 1024 * 1024
+
   /** Drop the rows of `df` that a deletion vector at/below `v` covers.
-    * `df` must be a FRESH FILE SCAN (`_metadata` is the join key).
+    * `df` must be a FRESH FILE SCAN (`_metadata` is the join key —
+    * the file's RELATIVE path under the lake root + row index, since
+    * bare file names are not guaranteed unique across data dirs).
     * Identity — zero extra plan nodes — when no vector applies. */
   private[engine] def dropDvRows(spark: SparkSession, dir: String,
       df: DataFrame, v: Int): DataFrame =
     dvFrame(spark, dir, v) match {
       case None => df
       case Some(dv) =>
-        import org.apache.spark.sql.functions.{broadcast, col}
-        df.withColumn("__dv_f", col("_metadata.file_name"))
+        import org.apache.spark.sql.functions.{broadcast, col, concat,
+          lit, substring_index}
+        // entry depth: 1 segment flat, +1 per partition column
+        val eSegs = GraftLakePartitions.of(spark, dir).length + 1
+        val side = dv.select(
+          concat(col("entry"), lit("/"), col("file")).as("__dv_f"),
+          col("pos").as("__dv_p"))
+        val hinted =
+          if (dvSidecarBytes(spark, dir, v) <= DvBroadcastMaxBytes)
+            broadcast(side)
+          else side
+        df.withColumn("__dv_f",
+            substring_index(col("_metadata.file_path"), "/",
+              -(eSegs + 1)))
           .withColumn("__dv_p", col("_metadata.row_index"))
-          .join(broadcast(dv.select(col("file").as("__dv_f"),
-            col("pos").as("__dv_p"))), Seq("__dv_f", "__dv_p"),
-            "left_anti")
+          .join(hinted, Seq("__dv_f", "__dv_p"), "left_anti")
           .drop("__dv_f", "__dv_p")
     }
 
-  // scan-side driver map: file name → sorted deleted positions,
-  // memoized per (lake, version, sidecar set) — sidecars are immutable
-  // and uuid-named, so the key is exact. Bounded by live (uncompacted)
-  // deleted rows; OPTIMIZE materializes vectors away.
+  // planning-side driver map: `entry…/fileName` (relative path under
+  // the lake root — file names alone are not guaranteed unique across
+  // data dirs) → sorted deleted positions, memoized per (lake,
+  // version, sidecar set) — sidecars are immutable and uuid-named, so
+  // the key is exact. Bounded by live (uncompacted) deleted rows;
+  // OPTIMIZE materializes vectors away, and tasks never see this map:
+  // each file's positions ship in its OWN InputPartition
+  // ([[GraftLakeDvFilePartition]]), so the map lives only as long as
+  // planning.
   private val dvMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, String), Map[String, Array[Long]]]
 
@@ -1479,10 +1522,10 @@ object VersionedLake {
     if (dvMemo.size > 256) dvMemo.clear()
     dvMemo.getOrElseUpdate(key,
       spark.read.parquet(side.map(_._2.toString): _*)
-        .select("file", "pos").collect()
-        .groupBy(_.getString(0))
-        .map { case (file, rs) =>
-          file -> rs.map(_.getLong(1)).distinct.sorted.toArray
+        .select("entry", "file", "pos").collect()
+        .groupBy(r => s"${r.getString(0)}/${r.getString(1)}")
+        .map { case (k, rs) =>
+          k -> rs.map(_.getLong(2)).distinct.sorted.toArray
         })
   }
 
@@ -1524,8 +1567,8 @@ object VersionedLake {
       pred: org.apache.spark.sql.Column,
       rangeBound: Option[(String, Double, Double)],
       pointLookups: Seq[(String, Seq[Any])] = Seq.empty): Option[Int] = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at,
-      lit, split}
+    import org.apache.spark.sql.functions.{broadcast, col, lit,
+      substring_index}
     val f = fs(spark, dir)
     val tipV = tip(spark, dir).getOrElse(return None)
     val snapshot = readManifest(spark, dir, tipV)
@@ -1535,10 +1578,16 @@ object VersionedLake {
     // serializable anchor: the dirs whose files we record positions
     // for must still be live at the CAS
     val touched = pruned.map(_._1).distinct
+    // the FULL manifest entry (`d-x` flat, `d-x/c=v/…` partitioned) —
+    // vacuum's liveness check and the (entry, file, pos) key both
+    // need it, and the immediate parent dir alone would drop the
+    // partition leaves
+    val eSegs = GraftLakePartitions.of(spark, dir).length + 1
     val matched0 = spark.read.option("mergeSchema", "true")
       .parquet(pruned.map(_._2.toString): _*)
       .withColumn("__dv_entry",
-        element_at(split(col("_metadata.file_path"), "/"), -2))
+        substring_index(substring_index(col("_metadata.file_path"),
+          "/", -(eSegs + 1)), "/", eSegs))
       .withColumn("__dv_file", col("_metadata.file_name"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .filter(pred <=> lit(true))
@@ -1546,10 +1595,12 @@ object VersionedLake {
       case None => matched0
       case Some(old) =>
         matched0.join(broadcast(old.select(
-          col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
-          Seq("__dv_file", "__dv_pos"), "left_anti")
+          col("entry").as("__dv_entry"), col("file").as("__dv_file"),
+          col("pos").as("__dv_pos"))),
+          Seq("__dv_entry", "__dv_file", "__dv_pos"), "left_anti")
     }
     val m = matched.cache()
+    var cur = m
     try {
       if (m.isEmpty) return None
       val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1558,11 +1609,17 @@ object VersionedLake {
       // uuid the marker will bind — changes()/CDF replay is atomic
       // with the commit (the post-publish v<N> sidecar CDF writes
       // elsewhere is best-effort; here it must not be)
+      val changeDir = s"$dir/_changes/dv-$uuid"
       m.drop("__dv_entry", "__dv_file", "__dv_pos")
         .withColumn("_change_type", lit("delete"))
-        .write.parquet(s"$dir/_changes/dv-$uuid")
-      val pos = m.select(col("__dv_entry").as("entry"),
-        col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        .write.parquet(changeDir)
+      // vectors already subtracted from `cur` reach up to this version
+      // — a CONCURRENT DV DELETE changes no dirs, so the `gone` check
+      // cannot see it; without re-subtracting its positions, both
+      // commits would publish overlapping vectors and the change
+      // sidecar would re-report rows the interleaved commit already
+      // deleted (duplicate delete events for CDF consumers)
+      var subtractedTo = tipV
       var committed = -1
       while (committed < 0) {
         val prevTip = tip(spark, dir).get
@@ -1574,6 +1631,32 @@ object VersionedLake {
               s"${gone.mkString(", ")} were rewritten after this " +
               "DELETE scanned them (the rewrite carried the rows as " +
               "survivors) — retry against the new snapshot")
+        val interleaved = dvSidecars(spark, dir, prevTip)
+          .filter(_._1 > subtractedTo)
+        if (interleaved.nonEmpty) {
+          val nv = spark.read
+            .parquet(interleaved.map(_._2.toString): _*)
+            .select(col("entry").as("__dv_entry"),
+              col("file").as("__dv_file"),
+              col("pos").as("__dv_pos"))
+          val next0 = cur.join(broadcast(nv),
+            Seq("__dv_entry", "__dv_file", "__dv_pos"), "left_anti")
+            .cache()
+          if (cur ne m) cur.unpersist()
+          cur = next0
+          subtractedTo = prevTip
+          if (cur.isEmpty) {
+            // every matched row was deleted by the interleaved
+            // commit(s): nothing left to publish
+            f.delete(new Path(changeDir), true)
+            return None
+          }
+          cur.drop("__dv_entry", "__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete"))
+            .write.mode("overwrite").parquet(changeDir)
+        }
+        val pos = cur.select(col("__dv_entry").as("entry"),
+          col("__dv_file").as("file"), col("__dv_pos").as("pos"))
         val next = prevTip + 1
         val sidecar = new Path(s"$dir/_deletes/v$next-$uuid")
         f.delete(sidecar, true) // our own stale attempt (uuid-unique)
@@ -1594,7 +1677,11 @@ object VersionedLake {
       }
       writeTipHint(f, dir, committed)
       Some(committed)
-    } finally { m.unpersist(); () }
+    } finally {
+      if (cur ne m) cur.unpersist()
+      m.unpersist()
+      ()
+    }
   }
 
   /** Guard for library paths whose reads/rewrites are not DV-aware. */
@@ -2544,6 +2631,30 @@ object VersionedLake {
       }
     }
     val liveDirs = keep.flatMap(readManifest(spark, dir, _)).toSet
+    // resolve DV sidecar bindings BEFORE their manifests drop: an
+    // UNBOUND sidecar (a crashed DELETE attempt's orphan) must die in
+    // the same pass that deletes the manifest disproving its binding —
+    // otherwise, once its version falls below retention, the reader's
+    // vacuumed-manifest fallback would legitimize it and silently
+    // delete rows that were never committed deleted
+    if (drop.nonEmpty) {
+      val dropSet = drop.toSet
+      val delRoot0 = new Path(s"$dir/_deletes")
+      if (f.exists(delRoot0))
+        f.listStatus(delRoot0).toSeq.map(_.getPath).foreach { p =>
+          p.getName match {
+            case DvSidecarName(n, uuid) if dropSet(n.toInt) =>
+              val bound =
+                try dvUuidOf(readManifestLines(spark, dir, n.toInt))
+                  .contains(uuid)
+                catch { // already-gone manifest: can't disprove, keep
+                  case _: java.io.FileNotFoundException => true
+                }
+              if (!bound) { f.delete(p, true); () }
+            case _ => ()
+          }
+        }
+    }
     drop.foreach { v =>
       f.delete(manifestPath(dir, v), false)
       f.delete(ckptPath(dir, v), false) // a dropped version's sidecar

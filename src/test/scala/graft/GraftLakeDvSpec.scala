@@ -179,10 +179,12 @@ class GraftLakeDvSpec extends AnyFunSuite {
       // vector 5 rows INSIDE the band replaceWhere will keep
       spark.sql(s"DELETE FROM $cat.t WHERE id IN (0, 1, 2, 3, 4)")
       assert(spark.table(s"$cat.t").count() == 995)
-      // with a vector live the scan is row-based (uniformity contract)
-      assert(!spark.table(s"$cat.t").queryExecution.executedPlan
+      // with a vector live the scan STAYS COLUMNAR: clean files pass
+      // batches through untouched and the DV file pays a zero-copy
+      // selection view, not a snapshot-wide row-wise downgrade
+      assert(spark.table(s"$cat.t").queryExecution.executedPlan
         .toString.contains("ColumnarToRow"),
-        "a DV-carrying snapshot reads row-wise")
+        "a DV-carrying snapshot must still read columnar")
       // replace the id >= 900 band; survivors (id < 900) rewrite —
       // the vectored rows 0..4 must NOT come back
       val repl = spark.range(2000, 2010)
@@ -270,6 +272,99 @@ class GraftLakeDvSpec extends AnyFunSuite {
       assert(spark.table(s"$cat.t").count() == 0)
       assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
         .head().getLong(0) == 99)
+    }
+  }
+
+  test("vacuum never legitimizes a crashed DELETE attempt's orphan: " +
+      "an UNBOUND sidecar dies in the same pass that drops the " +
+      "manifest disproving its binding") {
+    import spark.implicits._
+    val root = tempDir("gldv-orphan")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
+      val dir = s"$root/t"
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // a crashed DELETE attempt: positions staged for v2 under a
+      // uuid, the writer died before its CAS — v2 was then claimed by
+      // a plain INSERT whose manifest carries no #dv binding
+      val entry = topDirs(dir).head
+      val file = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$entry")).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+      val orphan = s"$dir/_deletes/v2-aaaabbbbcccc"
+      Seq((entry, file, 0L), (entry, file, 1L)).toDF("entry", "file", "pos")
+        .coalesce(1).write.parquet(orphan)
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(100, 110)")
+      // in retention, the manifest disproves the binding: not applied
+      assert(spark.table(s"$cat.t").count() == 110)
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(110, 120)")
+      // retention drops v1/v2 — pre-fix, the orphan would survive
+      // (its entry is live) while the disproving manifest vanished,
+      // and the reader's vacuumed-manifest fallback would then apply
+      // it: two rows silently deleted that were never committed
+      // deleted
+      VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(orphan)),
+        "vacuum must resolve the binding BEFORE dropping the manifest" +
+          " and sweep the orphan in the same pass")
+      assert(spark.table(s"$cat.t").count() == 120,
+        "an orphan sidecar must never delete committed rows")
+    }
+  }
+
+  test("two RACING overlapping DV DELETEs: disjoint published " +
+      "vectors, no duplicate delete events, exact final state") {
+    val root = tempDir("gldv-race")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      val aKeys = (100L until 200L).mkString(",")
+      val bKeys = (150L until 250L).mkString(",") // overlaps 150..199
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            barrier.await()
+            spark.sql(s"DELETE FROM $cat.t WHERE id IN ($aKeys)")
+            ()
+          }
+        })
+        val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            barrier.await()
+            spark.sql(s"DELETE FROM $cat.t WHERE id IN ($bKeys)")
+            ()
+          }
+        })
+        fa.get(); fb.get()
+      } finally pool.shutdown()
+      assert(spark.table(s"$cat.t").count() == 850)
+      // published vectors must be disjoint: a row deleted by the
+      // interleaved commit is re-subtracted on the loser's CAS retry
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val side = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_deletes")).toSeq
+        .map(_.getPath.toString)
+      val all = spark.read.parquet(side: _*).select("entry", "file", "pos")
+      assert(all.count() == 150, "overlap must not publish twice")
+      assert(all.distinct().count() == 150)
+      // the change sidecars likewise re-report nothing: 150 distinct
+      // deleted ids across both commits
+      val ch = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_changes")).toSeq
+        .map(_.getPath.toString).filter(_.contains("dv-"))
+      val ids = spark.read.parquet(ch: _*).select("id")
+      assert(ids.count() == 150, "CDF must not double-report a row")
+      assert(ids.distinct().count() == 150)
     }
   }
 }

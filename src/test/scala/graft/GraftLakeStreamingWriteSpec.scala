@@ -301,6 +301,42 @@ class GraftLakeStreamingWriteSpec extends AnyFunSuite {
       s"partition filter must prune complete-mode leaves: $scanned")
   }
 
+  test("two tasks of one epoch writing the SAME partition leaf land " +
+      "as distinct files — the driver rename must never collide " +
+      "(silent row loss on POSIX rename-replace)") {
+    val root = tempDir("glsw-multitask")
+    val cat = "glswmtask"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, m INT) " +
+      "PARTITIONED BY (m)")
+    val lake = s"$root/t"
+    // ONE partition value, FOUR write tasks: every task stages a file
+    // for the same leaf m=0 in the same epoch
+    spark.range(0, 400).selectExpr("id", "CAST(0 AS INT) AS m")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val src = spark.readStream.schema("id LONG, m INT")
+      .parquet(s"$root/in").repartition(4)
+    drain(src, lake, s"$root/ck")
+    val t = spark.table(s"$cat.t")
+    assert(t.count() == 400,
+      "same-leaf files from different tasks must not replace each other")
+    assert(t.agg(sum("id")).head().getLong(0) == (0L until 400L).sum)
+    val entries = VersionedLake.manifestEntries(
+      spark, lake, VersionedLake.versions(spark, lake).last)
+      .filter(_.startsWith("d-sw-"))
+    assert(entries.length == 1 && entries.head.endsWith("/m=0"))
+    val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val leafFiles = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$lake/${entries.head}"))
+      .toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(leafFiles.length == 4,
+      s"four tasks must stage four distinct leaf files: $leafFiles")
+    assert(leafFiles.distinct.length == 4)
+  }
+
   test("vacuum sweeps quiescent staging stragglers (crashed attempts) " +
       "but respects the grace window for in-flight epochs") {
     import spark.implicits._
