@@ -244,14 +244,20 @@ object GraftLakePartitions {
     * DIRS in the entry set — the changed-commit count, never the
     * partition count. */
   private[engine] def readEntries(spark: SparkSession, lakeDir: String,
-      entries: Seq[String], cols: Seq[StructField]): DataFrame = {
+      entries: Seq[String], cols: Seq[StructField],
+      dropDvAt: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(entries.nonEmpty, "readEntries needs at least one entry")
     entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       .map { case (dd, es) =>
-        val df = spark.read.option("mergeSchema", "true")
+        val df0 = spark.read.option("mergeSchema", "true")
           .option("basePath", s"$lakeDir/$dd")
           .parquet(es.map(e => s"$lakeDir/$e"): _*)
+        // deletion vectors apply HERE, per relation: `_metadata` (the
+        // DV join key) resolves only on a direct file scan, never
+        // through the union below
+        val df = dropDvAt.fold(df0)(v =>
+          VersionedLake.dropDvRows(spark, lakeDir, df0, v))
         cols.foldLeft(df)((d, c) =>
           d.withColumn(c.name, col(c.name).cast(c.dataType)))
       }.reduce(_.unionByName(_, allowMissingColumns = true))

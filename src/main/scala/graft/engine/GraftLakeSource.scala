@@ -545,10 +545,12 @@ final class GraftLakeCatalog
 
   /** `TBLPROPERTIES ('deletion_vectors' = 'true')` — merge-on-read
     * point deletes ([[VersionedLake]] DV section): a SQL DELETE records
-    * (file, position) sidecars instead of rewriting dirs; scans apply
-    * them, OPTIMIZE materializes them away. UNPARTITIONED UNMAPPED
-    * lakes only (partitioned lakes drop whole partitions by manifest
-    * reference already; the DV read path binds columns by name). */
+    * (entry, file, position) sidecars instead of rewriting dirs; scans
+    * apply them, OPTIMIZE materializes them away. Composes with
+    * PARTITIONED BY (the reference's Y/M/D layout + a GDPR point
+    * delete is DV's best case — partition-decidable predicates still
+    * take the cheaper manifest-only whole-leaf drop); UNMAPPED lakes
+    * only (the DV position scan binds columns by name). */
   private def dvProp(properties: java.util.Map[String, String]): Boolean =
     Option(properties.get("deletion_vectors"))
       .exists(_.trim.equalsIgnoreCase("true"))
@@ -556,9 +558,6 @@ final class GraftLakeCatalog
   private def requireDvCompatible(dv: Boolean,
       partCols: Seq[org.apache.spark.sql.types.StructField],
       mapped: Boolean): Unit = {
-    require(!dv || partCols.isEmpty,
-      "deletion_vectors on a PARTITIONED table is not supported — " +
-        "partition deletes are already manifest-only (O(metadata))")
     require(!dv || !mapped,
       "deletion_vectors with column_mapping is not supported — the " +
         "DV position scan binds columns by name")
@@ -1013,14 +1012,27 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           (VersionedLake.dvEnabled(spark, lakeDir) &&
             filters.forall(f =>
               GraftLakeDelete.toColumn(schema(), f).isDefined)))
-    else
-      // partitioned lakes take the metadata path ONLY for partition-
+    else {
+      // partitioned lakes take the metadata path for partition-
       // decidable predicates (whole entries drop by manifest
-      // reference); anything touching data columns goes to the
-      // copy-on-write rewrite, which is partition-aware
-      filters.forall(f =>
-        GraftLakeDelete.toColumn(schema(), f).isDefined) &&
-        GraftLakePartitions.partitionDecidable(filters, partCols)
+      // reference). On a DELETION-VECTOR lake, data-column predicates
+      // ALSO stay metadata-scale: partition conjuncts prune entries,
+      // the rest records positions — the Y/M/D-lake GDPR shape. A
+      // filter mixing partition and data references (an OR across the
+      // two) fits neither split and takes the COW rewrite. Everything
+      // else: copy-on-write, which is partition-aware.
+      val translatable = filters.forall(f =>
+        GraftLakeDelete.toColumn(schema(), f).isDefined)
+      val partNames = partCols.map(_.name).toSet
+      def unmixed = filters.forall { f =>
+        val refs = f.references
+        refs.forall(partNames.contains) || !refs.exists(partNames.contains)
+      }
+      translatable &&
+        (GraftLakePartitions.partitionDecidable(filters, partCols) ||
+          (VersionedLake.dvEnabled(spark, lakeDir) && filters.nonEmpty &&
+            unmixed))
+    }
   }
 
   /** Whole-partition DELETE: every entry whose partition values make
@@ -1059,7 +1071,47 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val partCols = GraftLakePartitions.of(spark, lakeDir)
     if (partCols.nonEmpty) {
-      deleteWherePartitioned(filters, partCols)
+      if (GraftLakePartitions.partitionDecidable(filters, partCols)) {
+        deleteWherePartitioned(filters, partCols)
+        return
+      }
+      // DV on a PARTITIONED lake (canDeleteWhere gated: DV enabled,
+      // translatable, no partition/data-mixed filter): partition
+      // conjuncts prune candidate ENTRIES from their names — an entry
+      // where they are FALSE or NULL holds no matching row — and the
+      // position scan runs over the survivors with the FULL predicate
+      // (the partitioned scan reconstructs partition columns), so the
+      // delete writes O(matched positions) and reads O(candidate
+      // files), never O(lake)
+      import org.apache.spark.sql.functions.lit
+      val partNames = partCols.map(_.name).toSet
+      val (partF, dataF) =
+        filters.partition(_.references.forall(partNames.contains))
+      def toCol(fs: Array[org.apache.spark.sql.sources.Filter]) =
+        fs.toSeq.map(f => GraftLakeDelete.toColumn(schema(), f)
+          .getOrElse(throw new IllegalStateException(
+            s"untranslatable filter $f")))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      val tipV = VersionedLake.tip(spark, lakeDir).getOrElse(return)
+      val snapshot = VersionedLake.manifestEntries(spark, lakeDir, tipV)
+      val candidates =
+        if (partF.isEmpty) snapshot
+        else GraftLakePartitions.entriesWhere(spark, snapshot, partCols,
+          toCol(partF))._1
+      if (candidates.isEmpty) return
+      // range/point file pruning only from DATA-column conjuncts —
+      // stats/bloom sidecars cover data columns; partition columns
+      // were already spent on the entry split
+      val bound = GraftLakeDelete.translate(schema(), dataF) match {
+        case Some(GraftLakeDelete.Range(c, lo, hi)) => Some((c, lo, hi))
+        case _ => None
+      }
+      val points = dataF.toSeq.collect {
+        case org.apache.spark.sql.sources.EqualTo(c, v) => (c, Seq(v))
+        case org.apache.spark.sql.sources.In(c, vs) => (c, vs.toSeq)
+      }
+      VersionedLake.deleteVectors(spark, lakeDir, toCol(filters), bound,
+        points, entriesOverride = Some(candidates))
       return
     }
     // DELETION-VECTOR lakes: any exactly-replayable predicate becomes
@@ -1455,7 +1507,8 @@ final class GraftLakeWrite(
               throw new IllegalStateException(
                 s"untranslatable overwrite filter $f")))
             .reduceOption(_ && _).getOrElse(lit(true))
-          val snapshot = VersionedLake.tip(spark, lakeDir)
+          val tipV = VersionedLake.tip(spark, lakeDir)
+          val snapshot = tipV
             .map(v => VersionedLake.manifestEntries(spark, lakeDir, v))
             .getOrElse(Seq.empty)
           if (GraftLakePartitions.partitionDecidable(replaceCond,
@@ -1479,7 +1532,7 @@ final class GraftLakeWrite(
               snapshot, partCols, pred)
             VersionedLake.publishReplacingCheckedAll(spark, lakeDir,
               touched.toSet, entries, snapshot.toSet,
-              Some(tableSchema.json))
+              Some(tableSchema.json), noDvSince = tipV)
             ()
           } else {
             // partitioned COW: Delta's arbitrary replaceWhere. The
@@ -1519,9 +1572,12 @@ final class GraftLakeWrite(
             if (touched.nonEmpty) {
               // survivors rewrite into the staged dir's own partition
               // leaves (three-valued logic: a NULL-condition row is
-              // not matched and must survive)
+              // not matched and must survive). On a DV lake, rows
+              // earlier vectors deleted are NOT survivors — carrying
+              // them would resurrect deletes (the rewrite
+              // MATERIALIZES the touched entries' vectors away)
               GraftLakePartitions.readEntries(spark, lakeDir, touched,
-                  partCols)
+                  partCols, dropDvAt = tipV)
                 .filter(not(pred <=> lit(true)))
                 .write.partitionBy(partCols.map(_.name): _*)
                 .mode("append").parquet(s"$lakeDir/$dataDir")
@@ -1541,7 +1597,7 @@ final class GraftLakeWrite(
             } else {
               val v = VersionedLake.publishReplacingCheckedAll(spark,
                 lakeDir, touched.toSet, finalEntries, snapshot.toSet,
-                Some(tableSchema.json))
+                Some(tableSchema.json), noDvSince = tipV)
               if (VersionedLake.cdfEnabled(spark, lakeDir))
                 VersionedLake.writeChangeSidecar(spark, lakeDir, v,
                   VersionedLake.cowChangeRows(spark, lakeDir, touched,

@@ -2631,6 +2631,89 @@ object IngestQueries {
         "the z-ordered leaves must file-skip the rectangle probe")
       probe.agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"))
+    },
+
+    QuerySpec(
+      "q215_partitioned_dv",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE user_id <> 7 AND user_id % 4 <> 3
+        |  AND NOT (user_id % 4 = 2 AND event_id < 100)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // DELETION VECTORS ON THE PARTITIONED LAYOUT — the reference's
+      // own flagship shape (Y/M/D-partitioned micro-batch ingest,
+      // sparkle-v9.py:136-138) plus a GDPR point delete, which is
+      // exactly where merge-on-read pays most: a data-column DELETE
+      // records (entry, file, position) sidecars and publishes an
+      // op-less manifest (ZERO data dirs written); a delete mixing a
+      // partition conjunct with data keys vectors ONLY inside that
+      // partition's leaves; a partition-decidable DELETE stays the
+      // manifest-only whole-leaf drop even with vectors live; and
+      // partition pruning survives DV application (clean leaves read
+      // columnar, witnessed by the executed plan's file set). The
+      // oracle recomputes the survivors from raw events — a position
+      // misapplied, a vector leaking across partitions, or a dropped
+      // leaf resurfacing each break the hash.
+      val root = scratchRoot
+      val name = s"pdvlake_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q215",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q215.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          pmod(col("user_id"), lit(4L)).cast("int").as("m"))
+        .createOrReplaceTempView("ev_q215")
+      s.sql(s"""CREATE TABLE glake_q215.`$name`
+               |(event_id BIGINT, user_id BIGINT, event_type STRING,
+               | value DOUBLE, m INT)
+               |PARTITIONED BY (m)
+               |TBLPROPERTIES ('deletion_vectors' = 'true')""".stripMargin)
+      s.sql(s"INSERT INTO glake_q215.`$name` SELECT * FROM ev_q215")
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def topDirs: Set[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      val before = topDirs
+      val total = s.table(s"glake_q215.`$name`").count()
+      // cross-partition GDPR point delete: positions only
+      s.sql(s"DELETE FROM glake_q215.`$name` WHERE user_id = 7")
+      require(topDirs == before,
+        "a partitioned DV delete must write NO replacement data dir")
+      // partition conjunct + data keys: vectors bound INSIDE m=2
+      s.sql(s"DELETE FROM glake_q215.`$name` " +
+        "WHERE m = 2 AND event_id < 100")
+      require(topDirs == before,
+        "the mixed delete must stay merge-on-read too")
+      val sidecars = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$lake/_deletes")).toSeq
+        .map(_.getPath.toString)
+      require(s.read.parquet(sidecars: _*).select("entry").distinct()
+        .collect().map(_.getString(0))
+        .forall(_.matches("d-[^/]+/m=\\d")),
+        "sidecar entries must be FULL partition-leaf entries")
+      // partition-decidable DELETE: manifest-only even with DVs live
+      s.sql(s"DELETE FROM glake_q215.`$name` WHERE m = 3")
+      require(topDirs == before,
+        "a partition delete must stay manifest-only on a DV lake")
+      // time travel below every delete sees the full snapshot
+      require(s.sql(s"SELECT count(*) FROM glake_q215.`$name` " +
+        "VERSION AS OF 2").head().getLong(0) == total,
+        "time travel below the vectors must not see them")
+      // partition pruning survives DV application
+      val probe = s.table(s"glake_q215.`$name`").filter(col("m") === 1)
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+        .filter(_.contains("/m="))
+      require(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"partition pruning must survive DV application: $scanned")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q215.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -862,13 +862,22 @@ object VersionedLake {
     * reconstructed from the entry names ([[GraftLakePartitions
     * .readEntries]]); on an unpartitioned one this is the plain
     * mergeSchema multi-dir read. The incremental walks' primitive. */
+  /** Read a set of manifest entries. `dvAt` applies deletion vectors
+    * at/below that version — threaded INTO the per-data-dir scans on a
+    * partitioned lake because `_metadata` (the DV join key) resolves
+    * only on a direct file relation, never through the union
+    * [[GraftLakePartitions.readEntries]] builds. */
   private def readEntrySet(spark: SparkSession, dir: String,
-      entries: Seq[String]): DataFrame = {
+      entries: Seq[String], dvAt: Option[Int] = None): DataFrame = {
     val partCols = GraftLakePartitions.of(spark, dir)
     if (partCols.nonEmpty)
-      GraftLakePartitions.readEntries(spark, dir, entries, partCols)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(d => s"$dir/$d"): _*)
+      GraftLakePartitions.readEntries(spark, dir, entries, partCols,
+        dropDvAt = dvAt)
+    else {
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(d => s"$dir/$d"): _*)
+      dvAt.fold(base)(v => dropDvRows(spark, dir, base, v))
+    }
   }
 
   /** One existence probe — the streaming source's offset-planning
@@ -1339,9 +1348,8 @@ object VersionedLake {
     // on a DV lake the dropped dirs' raw bytes still hold rows earlier
     // vectors deleted — they were not part of THIS commit's pre-image
     // and must not surface as spurious delete events
-    val a = tip(spark, dir).filter(_ => dvEnabled(spark, dir))
-      .fold(readEntrySet(spark, dir, dropped))(v =>
-        dropDvRows(spark, dir, readEntrySet(spark, dir, dropped), v))
+    val a = readEntrySet(spark, dir, dropped,
+      dvAt = tip(spark, dir).filter(_ => dvEnabled(spark, dir)))
     val b = if (added.isEmpty) a.limit(0) else readEntrySet(spark, dir, added)
     val diff = snapshotDiff(spark, a, b)
     val tag =
@@ -1566,13 +1574,17 @@ object VersionedLake {
   private[engine] def deleteVectors(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
       rangeBound: Option[(String, Double, Double)],
-      pointLookups: Seq[(String, Seq[Any])] = Seq.empty): Option[Int] = {
+      pointLookups: Seq[(String, Seq[Any])] = Seq.empty,
+      entriesOverride: Option[Seq[String]] = None): Option[Int] = {
     import org.apache.spark.sql.functions.{broadcast, col, lit,
       substring_index}
     val f = fs(spark, dir)
     val tipV = tip(spark, dir).getOrElse(return None)
     val snapshot = readManifest(spark, dir, tipV)
-    val pruned = dvPruneFiles(spark, dir, snapshot, rangeBound,
+    // partition-pruned candidate entries (a partitioned DELETE's
+    // partition conjuncts) — still CAS-anchored against the snapshot
+    val scanEntries = entriesOverride.getOrElse(snapshot)
+    val pruned = dvPruneFiles(spark, dir, scanEntries, rangeBound,
       pointLookups)
     if (pruned.isEmpty) return None
     // serializable anchor: the dirs whose files we record positions
@@ -1582,15 +1594,32 @@ object VersionedLake {
     // vacuum's liveness check and the (entry, file, pos) key both
     // need it, and the immediate parent dir alone would drop the
     // partition leaves
-    val eSegs = GraftLakePartitions.of(spark, dir).length + 1
-    val matched0 = spark.read.option("mergeSchema", "true")
-      .parquet(pruned.map(_._2.toString): _*)
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val eSegs = partCols.length + 1
+    def withDvCols(df: DataFrame): DataFrame = df
       .withColumn("__dv_entry",
         substring_index(substring_index(col("_metadata.file_path"),
           "/", -(eSegs + 1)), "/", eSegs))
       .withColumn("__dv_file", col("_metadata.file_name"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .filter(pred <=> lit(true))
+    // partitioned lakes: partition values live in dir names, not file
+    // bytes — read per data dir with basePath so Spark reconstructs
+    // the `c=v` columns (cast to DECLARED types), or the predicate
+    // could not see them and the change sidecar would ship partial
+    // rows. Union width = touched data dirs, not partitions.
+    val scan0 =
+      if (partCols.isEmpty)
+        withDvCols(spark.read.option("mergeSchema", "true")
+          .parquet(pruned.map(_._2.toString): _*))
+      else pruned.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        .map { case (dd, ps) =>
+          val df = spark.read.option("mergeSchema", "true")
+            .option("basePath", s"$dir/$dd")
+            .parquet(ps.map(_._2.toString): _*)
+          withDvCols(partCols.foldLeft(df)((d, c) =>
+            d.withColumn(c.name, col(c.name).cast(c.dataType))))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val matched0 = scan0.filter(pred <=> lit(true))
     val matched = dvFrame(spark, dir, tipV) match {
       case None => matched0
       case Some(old) =>
@@ -1773,13 +1802,11 @@ object VersionedLake {
           // earlier vectors deleted — they were not part of THIS
           // commit's pre-image and must not surface as spurious
           // delete events (caught by DvFuzzSpec's netted-feed check)
-          def dvAware(df: DataFrame): DataFrame =
-            if (dvEnabled(spark, dir)) dropDvRows(spark, dir, df, v)
-            else df
-          val a0 = dvAware(readEntrySet(spark, dir, removed))
+          val dvAt = if (dvEnabled(spark, dir)) Some(v) else None
+          val a0 = readEntrySet(spark, dir, removed, dvAt)
           val b0 =
             if (added.isEmpty) a0.limit(0)
-            else dvAware(readEntrySet(spark, dir, added))
+            else readEntrySet(spark, dir, added, dvAt)
           steps = steps :+ snapshotDiff(spark, a0, b0)
       }
       prev = cur
@@ -2723,9 +2750,13 @@ object VersionedLake {
     val stageRoot = new Path(s"$dir/_stage")
     if (f.exists(stageRoot))
       f.listStatus(stageRoot).toSeq.filter(_.isDirectory).foreach { qd =>
+        // partitioned task attempts stage DIRECTORY TREES
+        // (taskPrefix/c=v/part-*); quiescence must consider the whole
+        // tree — a top dir's own mtime does not move when a task
+        // writes into a grandchild leaf — and the delete must recurse
         f.listStatus(qd.getPath).toSeq
-          .filter(_.getModificationTime <= cutoff)
-          .foreach(st => f.delete(st.getPath, false))
+          .filter(st => quiescentSince(st.getPath) <= cutoff)
+          .foreach(st => f.delete(st.getPath, st.isDirectory))
         if (f.listStatus(qd.getPath).isEmpty) f.delete(qd.getPath, false)
       }
     // deletion-vector sidecars: one bound to a RETAINED version stays;

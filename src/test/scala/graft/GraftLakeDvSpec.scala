@@ -238,16 +238,17 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
-  test("refusals and guards: deletion_vectors composes with neither " +
-      "PARTITIONED BY nor column_mapping; non-DV-aware library probes " +
-      "refuse; truncate stays the manifest overwrite") {
+  test("refusals and guards: deletion_vectors composes with " +
+      "PARTITIONED BY but not column_mapping; non-DV-aware library " +
+      "probes refuse; truncate stays the manifest overwrite") {
     import spark.implicits._
     val root = tempDir("gldv-refuse")
     withCatalog(root) { cat =>
-      val e1 = intercept[Exception](spark.sql(
+      // PARTITIONED BY + deletion_vectors now composes (see the
+      // partitioned-lake DV test); column_mapping still refuses
+      spark.sql(
         s"CREATE TABLE $cat.p (id BIGINT, m INT) PARTITIONED BY (m) " +
-          "TBLPROPERTIES ('deletion_vectors'='true')"))
-      assert(e1.getMessage.contains("PARTITIONED"), e1.getMessage)
+          "TBLPROPERTIES ('deletion_vectors'='true')")
       val e2 = intercept[Exception](spark.sql(
         s"CREATE TABLE $cat.m2 TBLPROPERTIES " +
           "('deletion_vectors'='true', 'column_mapping'='id') AS " +
@@ -314,6 +315,84 @@ class GraftLakeDvSpec extends AnyFunSuite {
           " and sweep the orphan in the same pass")
       assert(spark.table(s"$cat.t").count() == 120,
         "an orphan sidecar must never delete committed rows")
+    }
+  }
+
+  test("deletion vectors on a PARTITIONED lake: a data-column point " +
+      "DELETE writes positions (no dir rewrite), partition conjuncts " +
+      "prune the position scan to their leaves, partition-decidable " +
+      "deletes stay manifest-only, time travel and OPTIMIZE hold") {
+    val root = tempDir("gldv-part")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, day INT) " +
+        "PARTITIONED BY (day) " +
+        "TBLPROPERTIES ('deletion_vectors'='true')")
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE), CAST(id % 4 AS INT) " +
+        "FROM range(0, 2000)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      // GDPR point delete by key set across partitions: positions
+      // only, zero data dirs written
+      val keys = (0L until 2000L by 100L).map(_ + 3)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (${keys.mkString(",")})")
+      assert(topDirs(dir) == before,
+        "a partitioned DV delete must write NO replacement data dir")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 1980)
+      assert(t.filter(col("id") % 100 === 3).count() == 0)
+      assert(t.agg(sum("id")).head().getLong(0) ==
+        (0L until 2000L).filterNot(_ % 100 == 3).sum)
+      // partition filters still prune the READ down to their leaves
+      val probe = t.filter(col("day") === 1)
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+        .filter(_.contains("/day="))
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/day=1")),
+        s"partition pruning must survive DV application: $scanned")
+      assert(probe.count() == 500 - keys.count(_ % 4 == 1))
+      // a DELETE mixing a partition conjunct with a data conjunct
+      // vectors ONLY within the named partition — and the position
+      // scan reads only that partition's files
+      spark.sql(s"DELETE FROM $cat.t WHERE day = 2 AND id IN (2, 6, 10)")
+      assert(topDirs(dir) == before)
+      assert(spark.table(s"$cat.t").count() == 1977)
+      val side = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      val f = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sidecars = f.listStatus(side).toSeq.map(_.getPath.toString)
+      val entries = spark.read.parquet(sidecars: _*)
+        .select("entry").distinct().collect().map(_.getString(0))
+      assert(entries.forall(_.matches("d-[^/]+/day=\\d")),
+        s"sidecar entries must be FULL partition-leaf entries: " +
+          entries.mkString(", "))
+      // partition-decidable DELETE stays the manifest-only leaf drop
+      spark.sql(s"DELETE FROM $cat.t WHERE day = 3")
+      assert(topDirs(dir) == before,
+        "partition delete must stay manifest-only on a DV lake")
+      assert(spark.table(s"$cat.t").count() == 1977 -
+        (500 - keys.count(_ % 4 == 3)))
+      // time travel below the DV commits sees the full snapshot
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head().getLong(0) == 2000)
+      // OPTIMIZE materializes vectors within partitions (a second
+      // INSERT gives each partition two entries so compaction has
+      // work); counts hold
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE), CAST(id % 4 AS INT) " +
+        "FROM range(2000, 2400)")
+      val expect = 1977 - (500 - keys.count(_ % 4 == 3)) + 400
+      assert(VersionedLake.compactSmall(spark, dir,
+        Long.MaxValue).nonEmpty)
+      val after = spark.table(s"$cat.t")
+      assert(after.count() == expect)
+      assert(after.filter(col("id") < 2000)
+        .filter(col("id") % 100 === 3).count() == 0)
+      assert(after.filter(col("id").isin(2L, 6L, 10L))
+        .filter(col("day") === 2).count() == 0)
+      // vacuum sweeps the materialized-away sidecars
+      VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+      assert(!f.exists(side) || f.listStatus(side).isEmpty,
+        "vacuum must sweep materialized-away partitioned DV sidecars")
+      assert(spark.table(s"$cat.t").count() == expect)
     }
   }
 
