@@ -51,7 +51,23 @@ object DvScale {
       if (f.exists(p)) walk(p) else 0L
     }
 
-    def run(tag: String, dv: Boolean): (Double, Long, Long) = {
+    // full-scan aggregate wall time (one warm-up, then timed): the
+    // DV read-path tax measurement — with the per-file InputPartition
+    // + columnar selection design, a snapshot with ONE live vector
+    // must scan in ~the clean snapshot's time, not pay a snapshot-wide
+    // row-wise downgrade
+    def scanSec(tag: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.table(s"gldvs.$tag").agg(count(lit(1)), sum("value"))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      math.min(once(), once())
+    }
+
+    def run(tag: String, dv: Boolean): (Double, Long, Long, Double, Double) = {
       val dir = s"$root/$tag"
       Lake.delete(spark, dir)
       copyK(0).createOrReplaceTempView("dvscale_seed")
@@ -62,24 +78,37 @@ object DvScale {
         copyK(k).createOrReplaceTempView("dvscale_in")
         spark.sql(s"INSERT INTO gldvs.$tag SELECT * FROM dvscale_in")
       }
+      val cleanScan = scanSec(tag)
       val before = bytesUnder(dir)
       val t0 = System.nanoTime()
       spark.sql(s"DELETE FROM gldvs.$tag WHERE event_id IN " +
         s"(${keys.mkString(",")})")
       val sec = (System.nanoTime() - t0) / 1e9
       val written = bytesUnder(dir) - before
-      (sec, written, spark.table(s"gldvs.$tag").count())
+      val vecScan = scanSec(tag)
+      (sec, written, spark.table(s"gldvs.$tag").count(), cleanScan,
+        vecScan)
     }
 
     // plain (COW) first so JIT warmth, if anything, favors it
-    val (cowSec, cowBytes, cowRows) = run("cow", dv = false)
-    val (dvSec, dvBytes, dvRows) = run("dv", dv = true)
+    val (cowSec, cowBytes, cowRows, _, _) = run("cow", dv = false)
+    val (dvSec, dvBytes, dvRows, cleanScan, vecScan) = run("dv", dv = true)
     require(cowRows == dvRows,
       s"delete results diverged: $cowRows vs $dvRows")
+    val dvFiles = engine.GraftLakeDataSource.filesRead(
+      spark.table("gldvs.dv"))
+    // the executed plan must stay COLUMNAR with vectors live (clean
+    // files pass batches through; DV files pay a zero-copy selection)
+    val plan = spark.table("gldvs.dv").queryExecution.executedPlan
+      .toString
+    require(plan.contains("ColumnarToRow"),
+      "a vectored snapshot must still read columnar")
     println(s"""{"metric":"dv_delete_scale","copies":$copies,""" +
       s""""deleted":${keys.length},"rows":$dvRows,""" +
       s""""dv_sec":${f"$dvSec%.2f"},"cow_sec":${f"$cowSec%.2f"},""" +
-      s""""dv_bytes_written":$dvBytes,"cow_bytes_written":$cowBytes}""")
+      s""""dv_bytes_written":$dvBytes,"cow_bytes_written":$cowBytes,""" +
+      s""""files":$dvFiles,"scan_clean_sec":${f"$cleanScan%.2f"},""" +
+      s""""scan_vectored_sec":${f"$vecScan%.2f"}}""")
     spark.stop()
   }
 }
