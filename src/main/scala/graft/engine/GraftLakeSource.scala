@@ -563,6 +563,34 @@ final class GraftLakeCatalog
         "DV position scan binds columns by name")
   }
 
+  /** `TBLPROPERTIES ('dv_max_ratio' = '0.05')` — the DV maintenance
+    * CONTRACT: when live deleted positions exceed this fraction of
+    * the rows in the files they cover, the delete that crossed the
+    * bound auto-materializes those files' vectors
+    * ([[VersionedLake.materializeVectors]]). Requires
+    * deletion_vectors. */
+  private def dvMaxRatioProp(
+      properties: java.util.Map[String, String]): Option[Double] = {
+    val raw = Option(properties.get("dv_max_ratio")).map(_.trim)
+      .filter(_.nonEmpty)
+    raw.foreach { _ =>
+      require(dvProp(properties),
+        "dv_max_ratio requires 'deletion_vectors' = 'true'")
+    }
+    raw.map { s =>
+      val d =
+        try s.toDouble
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"dv_max_ratio must be a number in (0, 1], got '$s'")
+        }
+      require(d > 0 && d <= 1,
+        s"dv_max_ratio must be in (0, 1], got $d")
+      d
+    }
+  }
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -607,7 +635,8 @@ final class GraftLakeCatalog
       GraftLakePartitions.set(spark, dir, partCols)
     }
     if (mapped) GraftLakeMapping.record(spark, dir, declared)
-    if (dv) VersionedLake.setDeletionVectors(spark, dir)
+    if (dv) VersionedLake.setDeletionVectors(spark, dir,
+      dvMaxRatioProp(properties))
     bloomProp(properties, columns).foreach { c =>
       require(!partCols.exists(_.name == c),
         s"bloom table property names partition column '$c' — " +
@@ -651,7 +680,7 @@ final class GraftLakeCatalog
     new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = false, orCreate = false,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped, dvProp = dv)
+      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties))
   }
 
   override def stageReplace(ident: Identifier,
@@ -693,7 +722,7 @@ final class GraftLakeCatalog
     new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = true, orCreate = true,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped, dvProp = dv)
+      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties))
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` records the widened schema as a
@@ -1493,8 +1522,8 @@ final class GraftLakeWrite(
         entries = Seq(GraftLakePartitions.seedEmpty(spark, lakeDir,
           dataDir, info.schema(), partCols))
       }
-      def indexAll(es: Seq[String]): Unit = es.foreach(e =>
-        VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly))
+      def indexAll(es: Seq[String]): Unit =
+        VersionedLake.indexStagedEntries(spark, lakeDir, es, dataOnly)
       mode match {
         case "append" | "overwrite" =>
           indexAll(entries)

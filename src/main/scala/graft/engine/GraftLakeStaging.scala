@@ -37,7 +37,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     partCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
     cdfProp: Boolean = false,
     mapped: Boolean = false,
-    dvProp: Boolean = false)
+    dvProp: Boolean = false,
+    dvMaxRatio: Option[Double] = None)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -239,7 +240,8 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     if (partCols.nonEmpty)
       GraftLakePartitions.set(spark, lakeDir, partCols)
     if (mapped) GraftLakeMapping.record(spark, lakeDir, stSchema)
-    if (dvProp) VersionedLake.setDeletionVectors(spark, lakeDir)
+    if (dvProp)
+      VersionedLake.setDeletionVectors(spark, lakeDir, dvMaxRatio)
     bloomProp.foreach(c =>
       VersionedLake.setBloomIndex(spark, lakeDir, c)) // accumulates
     if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)

@@ -165,8 +165,8 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
     val entries: Seq[String] =
       if (partCols.isEmpty) Seq(dataDir)
       else kept.map(m => s"$dataDir/${m.partSubpath}").distinct.sorted
-    entries.foreach(e =>
-      VersionedLake.indexStagedDir(spark, lakeDir, e, dataOnly(stamped)))
+    VersionedLake.indexStagedEntries(spark, lakeDir, entries,
+      dataOnly(stamped))
     // the declaration carries the tip's schema forward merged with this
     // write's ([[VersionedLake.publishAll]] carrySchema — computed per
     // CAS attempt, so a racing writer's new column is never hidden)

@@ -1051,11 +1051,12 @@ object VersionedLake {
         readSmall(es)
           .coalesce(outFiles).write.option("compression", codec)
           .parquet(s"$dir/$dataDir/$suffix")
-        val entry = s"$dataDir/$suffix"
-        if (statsCols.nonEmpty) writeStatsFor(spark, dir, entry, statsCols)
-        bloomCol.foreach(c => writeBloomFor(spark, dir, entry, c))
-        entry
+        s"$dataDir/$suffix"
       }
+      // sidecars for ALL compacted leaves in one batched build, not
+      // one driver iteration per partition
+      writeSidecarsBatch(spark, dir, newEntries, statsCols,
+        bloomCol.toSeq)
       return Some(publishReplacing(spark, dir,
         groups.values.flatten.toSet, newEntries,
         checked = true, layoutOnly = true, noDvSince = Some(vs.last)))
@@ -1166,10 +1167,11 @@ object VersionedLake {
       newEntries = Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
         manifestSchema(spark, dir, t.get).getOrElse(
           readAt(spark, dir, t.get).schema), partCols))
-    newEntries.foreach { entry =>
-      writeStatsFor(spark, dir, entry, Seq(aCol, bCol))
-      bloomCol.foreach(c => writeBloomFor(spark, dir, entry, c))
-    }
+    // ONE batched sidecar build for every leaf — the sidecar phase
+    // must not reintroduce the O(partitions)-sequential-jobs term the
+    // single-job rewrite removed
+    writeSidecarsBatch(spark, dir, newEntries, Seq(aCol, bCol),
+      bloomCol.toSeq)
     publishReplacing(spark, dir, observed.toSet, newEntries,
       checked = true, layoutOnly = true, noDvSince = Some(t.get))
   }
@@ -1378,9 +1380,10 @@ object VersionedLake {
   // sidecar dead metadata for vacuum. Delta/Iceberg's deletion-vector
   // design point, realized on the manifest-CAS protocol.
   //
-  // Scope: UNPARTITIONED, UNMAPPED lakes (enforced at CREATE) —
-  // partitioned lakes already delete whole partitions by manifest
-  // reference, which is O(metadata) without any vector.
+  // Scope: UNMAPPED lakes (enforced at CREATE) — the position scan
+  // binds columns by name. Composes with PARTITIONED BY: partition-
+  // decidable deletes keep the manifest-only whole-leaf drop, and
+  // data-column deletes vector within the candidate leaves.
 
   private def dvReg(dir: String) = new Path(s"$dir/_dv")
 
@@ -1388,10 +1391,129 @@ object VersionedLake {
     try fs(spark, dir).exists(dvReg(dir))
     catch { case scala.util.control.NonFatal(_) => false }
 
-  def setDeletionVectors(spark: SparkSession, dir: String): Unit = {
+  def setDeletionVectors(spark: SparkSession, dir: String,
+      maxRatio: Option[Double] = None): Unit = {
+    maxRatio.foreach(r => require(r > 0 && r <= 1,
+      s"dv_max_ratio must be in (0, 1], got $r"))
     val out = fs(spark, dir).create(dvReg(dir), true)
-    try out.write("dv\n".getBytes("UTF-8")) finally out.close()
+    try out.write(("dv\n" +
+      maxRatio.fold("")(r => s"maxRatio\t$r\n")).getBytes("UTF-8"))
+    finally out.close()
   }
+
+  /** The declared DV maintenance bound, if any: when live (pending)
+    * deleted positions exceed this fraction of the rows in the files
+    * they cover, the NEXT DV delete auto-materializes those files'
+    * vectors ([[materializeVectors]]) — turning "the DV tax is
+    * bounded by OPTIMIZE cadence" from policy into mechanism.
+    * Malformed/missing degrades to None (no auto-maintenance). */
+  def dvMaxRatio(spark: SparkSession, dir: String): Option[Double] = {
+    val f = fs(spark, dir)
+    try {
+      if (!f.exists(dvReg(dir))) None
+      else {
+        val in = f.open(dvReg(dir))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+        lines.map(_.split('\t')).collectFirst {
+          case Array("maxRatio", v) => v.toDouble
+        }.filter(r => r > 0 && r <= 1)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Rewrite EXACTLY the entries carrying live deletion vectors, with
+    * the vectors applied — the bounded-maintenance primitive behind
+    * `dv_max_ratio` (and callable directly): O(vectored entries) IO,
+    * never O(lake); untouched entries carry by manifest reference.
+    * Partition leaves rewrite within their own partitions. Returns
+    * the published version, or None when no vector is live. */
+  def materializeVectors(spark: SparkSession, dir: String,
+      codec: String = "snappy"): Option[Int] = {
+    val t = tip(spark, dir).getOrElse(return None)
+    val dv = dvMap(spark, dir, t)
+    if (dv.isEmpty) return None
+    val live = readManifest(spark, dir, t).toSet
+    // entries still live that have at least one vectored file
+    val touched = dv.keysIterator
+      .map(k => k.substring(0, k.lastIndexOf('/')))
+      .toSeq.distinct.filter(live).sorted
+    if (touched.isEmpty) return None
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val newEntries: Seq[String] =
+      if (partCols.isEmpty) {
+        dropDvRows(spark, dir,
+          spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(e => s"$dir/$e"): _*), t)
+          .write.option("compression", codec).parquet(s"$dir/$dataDir")
+        Seq(dataDir)
+      } else {
+        // group vectored leaves by partition suffix; rows never cross
+        // a partition boundary
+        touched.groupBy(_.split('/').drop(1).mkString("/")).toSeq
+          .sortBy(_._1).map { case (suffix, es) =>
+            dropDvRows(spark, dir,
+              spark.read.option("mergeSchema", "true")
+                .parquet(es.map(e => s"$dir/$e"): _*), t)
+              .write.option("compression", codec)
+              .parquet(s"$dir/$dataDir/$suffix")
+            s"$dataDir/$suffix"
+          }
+      }
+    val schema = manifestSchema(spark, dir, t)
+      .map(s => org.apache.spark.sql.types.StructType(s.filterNot(fl =>
+        partCols.exists(_.name.equalsIgnoreCase(fl.name)))))
+      .getOrElse(readAt(spark, dir, t).schema)
+    indexStagedEntries(spark, dir, newEntries, schema)
+    Some(publishReplacing(spark, dir, touched.toSet, newEntries,
+      checked = true, layoutOnly = true, noDvSince = Some(t)))
+  }
+
+  /** `dv_max_ratio` enforcement, called after a DV delete publishes:
+    * live positions vs the rows of the files they cover (both from
+    * metadata — sidecar sizes and parquet footers of ONLY the
+    * vectored files). Exceeding the bound materializes those files'
+    * vectors away, so the planning-side position map and the scan-side
+    * selection tax stay bounded BY CONTRACT, not by operator
+    * discipline. Best-effort: a concurrent rewrite racing the
+    * materialization loses nothing (the next delete re-checks). */
+  private def enforceDvBound(spark: SparkSession, dir: String): Unit =
+    dvMaxRatio(spark, dir).foreach { bound =>
+      val t = tip(spark, dir).getOrElse(return)
+      // LIVE vectors only: a materialized-away sidecar still lists
+      // until vacuum, but its files are gone from the manifest — dead
+      // positions must not re-trigger maintenance forever
+      val live = readManifest(spark, dir, t).toSet
+      val dv = dvMap(spark, dir, t).filter { case (k, _) =>
+        live(k.substring(0, k.lastIndexOf('/'))) }
+      if (dv.isEmpty) return
+      val positions = dv.valuesIterator.map(_.length.toLong).sum
+      val conf = spark.sessionState.newHadoopConf()
+      val rows = dv.keysIterator.map { k =>
+        try {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(s"$dir/$k"), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          } finally reader.close()
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+      if (rows > 0 && positions.toDouble / rows > bound) {
+        // best-effort: a concurrent rewrite racing the maintenance
+        // refuses at ITS cas — the delete that triggered this stays
+        // committed either way, and the next delete re-checks
+        try { materializeVectors(spark, dir); () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"dv_max_ratio maintenance on $dir deferred: $e")
+        }
+      }
+    }
 
   private val DvSidecarName = "^v(\\d+)-([0-9a-f]{12})$".r
 
@@ -1519,7 +1641,7 @@ object VersionedLake {
   private val dvMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, String), Map[String, Array[Long]]]
 
-  private[engine] def dvMap(spark: SparkSession, dir: String,
+  private[graft] def dvMap(spark: SparkSession, dir: String,
       v: Int): Map[String, Array[Long]] = {
     val side = dvSidecars(spark, dir, v)
     if (side.isEmpty) return Map.empty
@@ -1705,6 +1827,9 @@ object VersionedLake {
         }
       }
       writeTipHint(f, dir, committed)
+      // dv_max_ratio maintenance contract: the commit that pushes
+      // pending positions past the bound pays the (scoped) rewrite
+      enforceDvBound(spark, dir)
       Some(committed)
     } finally {
       if (cur ne m) cur.unpersist()
@@ -1986,6 +2111,59 @@ object VersionedLake {
     if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
   }
 
+  /** [[indexStagedDir]] for a MULTI-ENTRY staged commit (partitioned
+    * INSERT, streaming epoch into a partitioned lake): one batched
+    * sidecar build for all entries ([[writeSidecarsBatch]]) instead of
+    * one driver iteration per partition leaf. */
+  private[engine] def indexStagedEntries(spark: SparkSession,
+      dir: String, entries: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      declaredBloom: Seq[String] = Seq.empty): Unit =
+    writeSidecarsBatch(spark, dir, entries,
+      GraftLakeDataSource.numericCols(schema),
+      (declaredBloom ++ bloomIndexCols(spark, dir))
+        .distinct.filter(schema.fieldNames.contains))
+
+  /** Per-file footer-stats lines (`file \t col \t min \t max \t rows`)
+    * — pure function of one parquet footer, safe to evaluate on
+    * EXECUTORS (the batched multi-entry path ships it there). */
+  private[engine] def statsLinesOfFile(file: Path,
+      statsCols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      statsCols.flatMap { c =>
+        val stats = blocks.asScala.toSeq.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c).map(_.getStatistics))
+          .filter(s => s != null && !s.isEmpty)
+        if (stats.isEmpty) {
+          // a ZERO-ROW file gets an explicit empty range (it can
+          // never intersect a probe and must not be conservatively
+          // rewritten/read); a file with rows but no usable stats
+          // gets NO line — conservative on every path
+          if (rows == 0L) Some(s"${file.getName}\t$c\tInfinity\t-Infinity\t0")
+          else None
+        } else {
+          def num(v: Any): Double = v match {
+            case l: java.lang.Long => l.toDouble
+            case i: java.lang.Integer => i.toDouble
+            case d: java.lang.Double => d
+            case fl: java.lang.Float => fl.toDouble
+            case _ => Double.NaN
+          }
+          val mins = stats.map(s => num(s.genericGetMin))
+          val maxs = stats.map(s => num(s.genericGetMax))
+          if (mins.exists(_.isNaN)) None // non-numeric: no skipping
+          else Some(s"${file.getName}\t$c\t${mins.min}\t${maxs.max}\t$rows")
+        }
+      }
+    } finally reader.close()
+  }
+
   /** Footer-stats pass for one data dir (shared by [[commitWithStats]],
     * [[deleteRange]]'s rewrite, and the DSv2 DML commit — the stats are
     * LIFTED from the parquet footers the write already produced, so
@@ -1997,44 +2175,126 @@ object VersionedLake {
     val conf = spark.sessionState.newHadoopConf()
     val lines = f.listStatus(new Path(s"$dir/$dataDir")).toSeq
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .flatMap { file =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-        try {
-          val blocks = reader.getFooter.getBlocks
-          import scala.jdk.CollectionConverters._
-          val rows = blocks.asScala.map(_.getRowCount).sum
-          statsCols.flatMap { c =>
-            val stats = blocks.asScala.toSeq.flatMap(_.getColumns.asScala
-              .filter(_.getPath.toDotString == c).map(_.getStatistics))
-              .filter(s => s != null && !s.isEmpty)
-            if (stats.isEmpty) {
-              // a ZERO-ROW file gets an explicit empty range (it can
-              // never intersect a probe and must not be conservatively
-              // rewritten/read); a file with rows but no usable stats
-              // gets NO line — conservative on every path
-              if (rows == 0L) Some(s"${file.getName}\t$c\tInfinity\t-Infinity\t0")
-              else None
-            } else {
-              def num(v: Any): Double = v match {
-                case l: java.lang.Long => l.toDouble
-                case i: java.lang.Integer => i.toDouble
-                case d: java.lang.Double => d
-                case fl: java.lang.Float => fl.toDouble
-                case _ => Double.NaN
-              }
-              val mins = stats.map(s => num(s.genericGetMin))
-              val maxs = stats.map(s => num(s.genericGetMax))
-              if (mins.exists(_.isNaN)) None // non-numeric: no skipping
-              else Some(s"${file.getName}\t$c\t${mins.min}\t${maxs.max}\t$rows")
-            }
-          }
-        } finally reader.close()
-      }
+      .flatMap(file => statsLinesOfFile(file, statsCols, conf))
     val statsOut = f.create(new Path(s"$dir/_stats/$dataDir.stats"), true)
     try statsOut.write(lines.mkString("\n").getBytes("UTF-8"))
     finally statsOut.close()
     ()
+  }
+
+  /** BATCHED sidecar build for a multi-entry commit (partitioned
+    * INSERT / streaming epoch / OPTIMIZE / z-order): the footer-stats
+    * pass runs as ONE distributed job over every (entry, file) pair —
+    * not one driver loop iteration per entry — and each bloom column
+    * is ONE read over all entries' files, split back per entry by
+    * `input_file_name`. A 1,000-partition z-order's sidecar phase is
+    * O(1) jobs, not O(partitions) sequential footer walks. Per-entry
+    * sidecar FILES still land (the read side probes them by entry),
+    * but those are tiny driver-side metadata writes. */
+  private[engine] def writeSidecarsBatch(spark: SparkSession,
+      dir: String, entries: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String]): Unit = {
+    if (entries.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+      return
+    val f = fs(spark, dir)
+    val filesByEntry: Seq[(String, Seq[Path])] = entries.map { e =>
+      e -> f.listStatus(new Path(s"$dir/$e")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    if (statsCols.nonEmpty) {
+      val pairs = filesByEntry.flatMap { case (e, fps) =>
+        fps.map(p => (e, p.toString)) }
+      val grouped: Map[String, Seq[String]] =
+        if (pairs.isEmpty) Map.empty
+        else if (pairs.length <= 4) {
+          // few files: driver-local beats a job's scheduling overhead
+          val conf = spark.sessionState.newHadoopConf()
+          pairs.groupBy(_._1).map { case (e, ps) =>
+            e -> ps.flatMap(p =>
+              statsLinesOfFile(new Path(p._2), statsCols, conf))
+          }
+        } else {
+          val sconf = new SerializableHadoopConf(
+            spark.sessionState.newHadoopConf())
+          val cols = statsCols
+          spark.sparkContext
+            .parallelize(pairs, math.min(pairs.length,
+              spark.sparkContext.defaultParallelism * 2))
+            .map { case (e, p) =>
+              (e, statsLinesOfFile(new Path(p), cols, sconf.value)) }
+            .collect().toSeq
+            .groupBy(_._1).map { case (e, xs) =>
+              e -> xs.flatMap(_._2).sorted }
+        }
+      filesByEntry.foreach { case (e, _) =>
+        val out = f.create(new Path(s"$dir/_stats/$e.stats"), true)
+        try out.write(grouped.getOrElse(e, Seq.empty)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    if (bloomCols.nonEmpty) {
+      val eSegs = entries.head.count(_ == '/') + 1
+      def entryOfPath(p: String): String = {
+        val t = GraftLakeDvScan.tailSegments(p, eSegs + 1)
+        t.substring(0, t.lastIndexOf('/'))
+      }
+      val nonEmpty = filesByEntry.filter(_._2.nonEmpty).map(_._1)
+      val byEntryCol: Map[(String, String), Seq[String]] =
+        if (nonEmpty.isEmpty) Map.empty
+        else bloomCols.distinct.flatMap { c =>
+          bloomLinesGrouped(spark,
+            nonEmpty.map(e => s"$dir/$e"), c, entryOfPath)
+        }.groupBy(x => (x._1, x._2))
+          .map { case (k, xs) => k -> xs.flatMap(_._3) }
+      filesByEntry.foreach { case (e, fps) =>
+        val names = fps.map(_.getName)
+        val lines = bloomCols.distinct.flatMap { c =>
+          val have = byEntryCol.getOrElse((e, c), Seq.empty)
+          val covered = have.map(_.takeWhile(_ != '\t')).toSet
+          // keyless files (zero rows / all-null keys) get the explicit
+          // all-zero bitmap — same contract as bloomLinesFor
+          have ++ names.filterNot(covered).sorted.map(n =>
+            s"$n\t$c\t${"0" * (BloomBits / 4)}")
+        }
+        val out = f.create(new Path(s"$dir/_bloom/$e.bloom"), true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    ()
+  }
+
+  /** One distributed pass computing bloom lines for `keyCol` over many
+    * entry dirs at once; rows come back tagged (entry, col, lines). */
+  private def bloomLinesGrouped(spark: SparkSession, paths: Seq[String],
+      keyCol: String, entryOfPath: String => String)
+      : Seq[(String, String, Seq[String])] = {
+    import org.apache.spark.sql.functions.{array, col, collect_set,
+      explode, input_file_name, sort_array}
+    val pos = spark.read.option("mergeSchema", "true")
+      .parquet(paths: _*)
+      .filter(col(keyCol).isNotNull)
+      .select(input_file_name().as("f"),
+        col(keyCol).cast("string").as("kv"))
+      .select(col("f"), explode(array((0 until BloomHashes).map(j =>
+        bloomPos(col("kv"), j, BloomBits)): _*)).as("p"))
+      .groupBy(col("f"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .collect() // bounded: one row per file, ≤ m positions each
+    pos.toSeq.map { r =>
+      val full = r.getString(0)
+      val line = {
+        val bits = new java.util.BitSet(BloomBits)
+        r.getSeq[Int](1).foreach(bits.set)
+        val arr = java.util.Arrays.copyOf(bits.toByteArray, BloomBits / 8)
+        s"${new Path(full).getName}\t$keyCol\t${arr
+          .map("%02x".format(_)).mkString}"
+      }
+      (entryOfPath(full), keyCol, Seq(line))
+    }.groupBy(x => (x._1, x._2)).toSeq.map { case ((e, c), xs) =>
+      (e, c, xs.flatMap(_._3).sorted)
+    }
   }
 
   /** Stats lines of one data dir for column `c`, as

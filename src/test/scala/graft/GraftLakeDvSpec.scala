@@ -396,6 +396,60 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("dv_max_ratio turns the maintenance cadence into a contract: " +
+      "below the bound deletes stay merge-on-read; the delete that " +
+      "crosses it auto-materializes EXACTLY the vectored entries") {
+    val root = tempDir("gldv-ratio")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'dv_max_ratio'='0.05') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 2000)")
+      val dir = s"$root/t"
+      // a second commit the maintenance must NOT touch (no vectors)
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(2000, 4000)")
+      val untouched = GraftLakeDataSource.filesReadPaths(
+        spark.table(s"$cat.t").filter(col("id") >= 2000)).toSet
+      val before = topDirs(dir)
+      // 1% of the first commit's rows: below the bound, stays MoR
+      val k1 = (0L until 20L).mkString(",")
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN ($k1)")
+      assert(topDirs(dir) == before, "below the bound: no rewrite")
+      assert(VersionedLake.dvMap(spark, dir,
+        VersionedLake.tip(spark, dir).get).nonEmpty)
+      val tipBefore = VersionedLake.tip(spark, dir).get
+      // push past 5% of the covered files' rows: the crossing delete
+      // pays the scoped materialization
+      val k2 = (20L until 140L).mkString(",")
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN ($k2)")
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(tip == tipBefore + 2,
+        "the crossing delete must publish its vector AND the rewrite")
+      val live = VersionedLake.manifestEntries(spark, dir, tip).toSet
+      assert(VersionedLake.dvMap(spark, dir, tip).keys.forall(k =>
+        !live(k.substring(0, k.lastIndexOf('/')))),
+        "crossing dv_max_ratio must materialize every LIVE vector away")
+      assert(topDirs(dir) != before, "the rewrite stages a fresh dir")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 4000 - 140)
+      assert(t.filter(col("id") < 140).count() == 0)
+      // scoped: the vector-free second commit carried by reference
+      assert(GraftLakeDataSource.filesReadPaths(
+        t.filter(col("id") >= 2000)).toSet == untouched,
+        "materialization must rewrite ONLY vectored entries")
+      // vector-free again: scans columnar, history time-travels
+      assert(t.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+        .head().getLong(0) == 4000)
+      // a misdeclared policy refuses loudly
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.bad TBLPROPERTIES ('dv_max_ratio'='0.1') " +
+          "AS SELECT 1 AS x"))
+      assert(e.getMessage.contains("deletion_vectors"), e.getMessage)
+    }
+  }
+
   test("two RACING overlapping DV DELETEs: disjoint published " +
       "vectors, no duplicate delete events, exact final state") {
     val root = tempDir("gldv-race")

@@ -276,6 +276,43 @@ class GraftLakePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance is O(1) Spark jobs in the partition count: z-order " +
+      "with 3x the partitions runs no more jobs (rewrite is one " +
+      "range-partitioned job, sidecars one batched build)") {
+    def jobsForZOrder(nPart: Int): Int = {
+      val root = tempDir(s"glp-jobs-$nPart")
+      withCatalog(root) { cat =>
+        spark.sql(s"CREATE TABLE $cat.t (id BIGINT, x INT, y INT, " +
+          "m INT) PARTITIONED BY (m) TBLPROPERTIES ('bloom'='id')")
+        spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+          s"CAST(id % 50 AS INT), CAST((id * 7) % 50 AS INT), " +
+          s"CAST(id % $nPart AS INT) FROM range(0, 3000)")
+        val dir = s"$root/t"
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              s: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = { jobs.incrementAndGet(); () }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          VersionedLake.compactZOrder(spark, dir, "x", "y", nFiles = 2,
+            bloomCol = Some("id"))
+          // listener events post asynchronously; every job STARTED
+          // during the synchronous call above, so a short drain
+          // settles the count
+          Thread.sleep(1500)
+          jobs.get()
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+    }
+    val small = jobsForZOrder(4)
+    val large = jobsForZOrder(12)
+    assert(large <= small + 2, // noise margin, NOT an O(partitions) term
+      s"z-order at 12 partitions ran $large jobs vs $small at 4 — " +
+        "the maintenance path must not scale jobs with partitions")
+  }
+
   test("join-driven runtime pruning on the PARTITION column: a filtered " +
       "dimension's keys drop whole partition dirs from manifest " +
       "metadata at execution time (the DPP shape for the fact lake)") {
