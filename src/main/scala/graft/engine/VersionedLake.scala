@@ -561,18 +561,51 @@ object VersionedLake {
     repaired
   }
 
+  /** Stage `df` into `dataDir` honoring the lake's partition spec:
+    * flat lakes write one dir; PARTITIONED lakes route through the
+    * dynamic-partition writer into hive `c=v` leaves (the frame must
+    * carry the partition columns) and publish one entry per leaf —
+    * library/SQL parity: a library append reads back partition-pruned
+    * exactly like an INSERT. Returns the manifest entries to publish
+    * and the written (data-only, on partitioned lakes) schema. */
+  private def stageForCommit(df: DataFrame, dir: String,
+      dataDir: String, codec: String)
+      : (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val spark = df.sparkSession
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val out = withMappedIds(df, dir)
+    if (partCols.isEmpty) {
+      out.write.option("compression", codec).parquet(s"$dir/$dataDir")
+      (Seq(dataDir), out.schema)
+    } else {
+      require(partCols.forall(pc =>
+        out.columns.exists(_.equalsIgnoreCase(pc.name))),
+        "the committed frame lacks the lake's partition columns " +
+          s"(${partCols.map(_.name).mkString(", ")})")
+      out.write.option("compression", codec)
+        .partitionBy(partCols.map(_.name): _*).parquet(s"$dir/$dataDir")
+      val staged = GraftLakePartitions.stagedEntries(spark, dir,
+        dataDir, partCols.length)
+      val entries =
+        if (staged.nonEmpty) staged
+        else Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+          out.schema, partCols))
+      (entries, out.schema)
+    }
+  }
+
   /** Commit `df` as the next version. `mode` "append" carries the
     * previous live set forward plus the new data dir; "overwrite"
-    * replaces it. Returns the published version number. */
+    * replaces it. On a PARTITIONED lake the frame routes through the
+    * dynamic-partition writer and publishes one entry per leaf.
+    * Returns the published version number. */
   def commit(df: DataFrame, dir: String, mode: String = "append",
       codec: String = "snappy"): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
-    requireUnpartitionedLake(df.sparkSession, dir, "VersionedLake.commit")
-    val out = withMappedIds(df, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    out.write.option("compression", codec).parquet(s"$dir/$dataDir")
-    publishAll(df.sparkSession, dir, Seq(dataDir), mode,
-      carrySchema = Some(out.schema))
+    val (entries, schema) = stageForCommit(df, dir, dataDir, codec)
+    publishAll(df.sparkSession, dir, entries, mode,
+      carrySchema = Some(schema))
   }
 
   /** Exactly-once commit for RETRIED writers (foreachBatch replays,
@@ -590,8 +623,6 @@ object VersionedLake {
       mode: String = "append", codec: String = "snappy"): Option[Int] = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe tag $tag")
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
-    requireUnpartitionedLake(df.sparkSession, dir,
-      "VersionedLake.commitTagged")
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val dataDir = s"d-$tag"
@@ -609,21 +640,24 @@ object VersionedLake {
     // there (dirs are never re-added after a drop: names are minted
     // per publish), so no per-version resolution is needed.
     val marker = new Path(s"$dir/_tags/$tag")
+    // partitioned entries are `d-tag/c=v` — the tag's identity is the
+    // FIRST path segment of an entry, not the whole entry
+    def carries(e: String): Boolean =
+      e == dataDir || e.startsWith(s"$dataDir/")
     lazy val inManifests = versionRange(spark, dir).exists {
       case (lo, hi) =>
-        readManifest(spark, dir, lo).contains(dataDir) ||
+        readManifest(spark, dir, lo).exists(carries) ||
           (lo to hi).reverseIterator.exists { v =>
-            val lines = readManifestLines(spark, dir, v)
-            lines.contains(dataDir) || lines.contains(s"+$dataDir")
+            readManifestLines(spark, dir, v).exists(l =>
+              carries(l) || (l.startsWith("+") && carries(l.drop(1))))
           }
     }
     if (f.exists(marker) || inManifests) None
     else {
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
-      val stamped = withMappedIds(df, dir)
-      stamped.write.option("compression", codec).parquet(s"$dir/$dataDir")
-      val v = publishAll(spark, dir, Seq(dataDir), mode,
-        carrySchema = Some(stamped.schema))
+      val (entries, schema) = stageForCommit(df, dir, dataDir, codec)
+      val v = publishAll(spark, dir, entries, mode,
+        carrySchema = Some(schema))
       val out = f.create(marker, true)
       out.close()
       Some(v)
@@ -1134,7 +1168,6 @@ object VersionedLake {
       bloomCol: Option[String], codec: String,
       partCols: Seq[org.apache.spark.sql.types.StructField]): Int = {
     import org.apache.spark.sql.functions.col
-    requireNotMappedLake(spark, dir, "partitioned z-order")
     Seq(aCol, bCol).foreach(c =>
       require(!partCols.exists(_.name.equalsIgnoreCase(c)),
         s"z-order dimension $c is a PARTITION column — constant within " +
@@ -1153,11 +1186,13 @@ object VersionedLake {
     val nParts = math.max(1,
       observed.map(_.split('/').drop(1).mkString("/")).distinct.length)
     val keys = partCols.map(c => col(c.name)) :+ col("_z")
-    readAt(spark, dir, t.get)
-      .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
-      .repartitionByRange(math.max(1, nFiles) * nParts, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .drop("_z")
+    // readAt applies deletion vectors and id-matches mapped lakes;
+    // withMappedIds re-stamps the field ids into the rewrite
+    withMappedIds(readAt(spark, dir, t.get)
+        .withColumn("_z", Lake.zValue(col(aCol), col(bCol), bits))
+        .repartitionByRange(math.max(1, nFiles) * nParts, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("_z"), dir)
       .write.option("compression", codec)
       .partitionBy(partCols.map(_.name): _*)
       .parquet(s"$dir/$dataDir")
@@ -1187,32 +1222,11 @@ object VersionedLake {
     * therefore always TRUE of the published commit: rows(new) ==
     * rows(observed), and any concurrent append's rows survive beside
     * it. */
-  /** Library writers and full-snapshot rewrites stage FLAT data dirs —
-    * on a partitioned lake that would break the entries-are-partition-
-    * leaves invariant every reader depends on. Partitioned lakes are
-    * SQL-first: INSERT / INSERT OVERWRITE / MERGE / partition DELETE
-    * cover the write surface, and OPTIMIZE ([[compactSmall]]) compacts
-    * within partitions. */
-  private def requireUnpartitionedLake(spark: SparkSession, dir: String,
-      op: String): Unit =
-    require(GraftLakePartitions.of(spark, dir).isEmpty,
-      s"$op stages a flat data dir and cannot run on a PARTITIONED " +
-        "lake — use the SQL surface (INSERT / INSERT OVERWRITE " +
-        "PARTITION / MERGE / partition-predicate DELETE) or CALL " +
-        "glake.optimize, which compacts within partitions")
-
-  /** Survivor-rewriting library ops read the live files BY NAME (plain
-    * parquet reads) — on a column-mapping lake a post-rename file's
-    * differently-named column would silently bind to nothing. The
-    * append-shaped commit paths are fine (they stamp field ids,
-    * [[withMappedIds]]); the rewrites stay SQL-first. */
-  private def requireNotMappedLake(spark: SparkSession, dir: String,
-      op: String): Unit =
-    require(!GraftLakeMapping.enabled(spark, dir),
-      s"$op rewrites live files through name-matched reads and cannot " +
-        "run on a COLUMN-MAPPING lake (a renamed column would bind to " +
-        "nothing) — use the SQL surface (DELETE / UPDATE / MERGE / " +
-        "CALL glake.optimize), whose reads match by field id")
+  // (The round-16 refusal helpers requireUnpartitionedLake /
+  // requireNotMappedLake are gone: library commits stage through the
+  // lake's partition spec ([[stageForCommit]]), and every survivor
+  // rewrite reads through [[survivorReader]] — id-matched on mapped
+  // lakes, DV-filtered on deletion-vector lakes.)
 
   /** Field-id stamping for library commits on a COLUMN-MAPPING lake:
     * the id-matching reader only binds files whose footers carry the
@@ -1245,13 +1259,18 @@ object VersionedLake {
   private def compactFullSnapshot(spark: SparkSession, dir: String,
       statsCols: Seq[String], bloomCol: Option[String], codec: String)(
       cluster: DataFrame => DataFrame): Int = {
-    requireUnpartitionedLake(spark, dir, "full-snapshot compaction/zorder")
-    requireNotMappedLake(spark, dir, "full-snapshot compaction/zorder")
+    val partCols = GraftLakePartitions.of(spark, dir)
+    if (partCols.nonEmpty)
+      return compactFullSnapshotPartitioned(spark, dir, statsCols,
+        bloomCol, codec, partCols)(cluster)
     val t = tip(spark, dir)
     require(t.nonEmpty, s"no versions published at $dir")
     val observed = readManifest(spark, dir, t.get)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val w = cluster(readAt(spark, dir, t.get))
+    // readAt routes through the DSv2 seam: deletion vectors apply
+    // (the rewrite materializes them) and column-mapping lakes read
+    // by field id; withMappedIds re-stamps the ids into the rewrite
+    val w = withMappedIds(cluster(readAt(spark, dir, t.get)), dir)
       .write.option("compression", codec)
     bloomCol.fold(w)(c =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -1259,6 +1278,42 @@ object VersionedLake {
     if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
     bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
     publishReplacing(spark, dir, observed.toSet, Seq(dataDir),
+      checked = true, layoutOnly = true, noDvSince = Some(t.get))
+  }
+
+  /** Full-snapshot rewrite of a PARTITIONED lake: every partition's
+    * live rows rewrite into one fresh leaf set under a single data
+    * dir, as ONE dynamic-partition job (never one job per partition);
+    * entries stay partition leaves, sidecars build batched. */
+  private def compactFullSnapshotPartitioned(spark: SparkSession,
+      dir: String, statsCols: Seq[String], bloomCol: Option[String],
+      codec: String,
+      partCols: Seq[org.apache.spark.sql.types.StructField])(
+      cluster: DataFrame => DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    val t = tip(spark, dir)
+    require(t.nonEmpty, s"no versions published at $dir")
+    val observed = readManifest(spark, dir, t.get)
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val keys = partCols.map(c => col(c.name))
+    val nParts = math.max(1,
+      observed.map(_.split('/').drop(1).mkString("/")).distinct.length)
+    val w = withMappedIds(cluster(readAt(spark, dir, t.get))
+        .repartitionByRange(nParts, keys: _*), dir)
+      .write.option("compression", codec)
+      .partitionBy(partCols.map(_.name): _*)
+    bloomCol.fold(w)(c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(s"$dir/$dataDir")
+    var newEntries = GraftLakePartitions.stagedEntries(spark, dir,
+      dataDir, partCols.length)
+    if (newEntries.isEmpty) // empty lake: keep a schema carrier live
+      newEntries = Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+        manifestSchema(spark, dir, t.get).getOrElse(
+          readAt(spark, dir, t.get).schema), partCols))
+    writeSidecarsBatch(spark, dir, newEntries, statsCols,
+      bloomCol.toSeq)
+    publishReplacing(spark, dir, observed.toSet, newEntries,
       checked = true, layoutOnly = true, noDvSince = Some(t.get))
   }
 
@@ -2015,18 +2070,32 @@ object VersionedLake {
       bloomCol: Option[String], mode: String = "append",
       codec: String = "snappy", layoutOnly: Boolean = false): Int = {
     val spark = df.sparkSession
-    requireUnpartitionedLake(spark, dir, "VersionedLake.commitIndexed")
+    val partCols = GraftLakePartitions.of(spark, dir)
     val out = withMappedIds(df, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val w = out.write.option("compression", codec)
+    val w0 = out.write.option("compression", codec)
     // parquet's native row-group bloom rides along whenever the
     // file-level bloom is requested (see commitWithBloom's doc)
-    bloomCol.fold(w)(c =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-      .parquet(s"$dir/$dataDir")
-    if (statsCols.nonEmpty) writeStatsFor(spark, dir, dataDir, statsCols)
-    bloomCol.foreach(c => writeBloomFor(spark, dir, dataDir, c))
-    publishAll(spark, dir, Seq(dataDir), mode, layoutOnly,
+    val w = bloomCol.fold(w0)(c =>
+      w0.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    val entries: Seq[String] =
+      if (partCols.isEmpty) {
+        w.parquet(s"$dir/$dataDir")
+        Seq(dataDir)
+      } else {
+        require(partCols.forall(pc =>
+          out.columns.exists(_.equalsIgnoreCase(pc.name))),
+          "the committed frame lacks the lake's partition columns " +
+            s"(${partCols.map(_.name).mkString(", ")})")
+        w.partitionBy(partCols.map(_.name): _*).parquet(s"$dir/$dataDir")
+        val staged = GraftLakePartitions.stagedEntries(spark, dir,
+          dataDir, partCols.length)
+        if (staged.nonEmpty) staged
+        else Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+          out.schema, partCols))
+      }
+    writeSidecarsBatch(spark, dir, entries, statsCols, bloomCol.toSeq)
+    publishAll(spark, dir, entries, mode, layoutOnly,
       carrySchema = Some(out.schema))
   }
 
@@ -2409,66 +2478,133 @@ object VersionedLake {
     }
   }
 
+  /** Survivor-rewrite read seam, shared by [[deleteRange]] /
+    * [[replaceWhereIn]] / [[compactFullSnapshot]]: on a COLUMN-MAPPING
+    * lake the entries read BY FIELD ID through a derived session with
+    * the declared schema (a name-matched read would null renamed
+    * columns out of pre-rename files, and the rewrite would bake the
+    * nulls in), and on a DV lake rows earlier vectors deleted are
+    * dropped (carrying them would resurrect deletes; the rewrite
+    * materializes the touched entries' vectors). Returns the session
+    * the read plans against (field-id conf scoped to it) and the
+    * entry-set reader. */
+  private def survivorReader(spark: SparkSession, dir: String,
+      tipV: Int): (SparkSession, Seq[String] => DataFrame) = {
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val dvAt = if (dvEnabled(spark, dir)) Some(tipV) else None
+    if (!GraftLakeMapping.enabled(spark, dir)) {
+      (spark, es => {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(es.map(e => s"$dir/$e"): _*)
+        dvAt.fold(base)(v => dropDvRows(spark, dir, base, v))
+      })
+    } else {
+      val declared = manifestSchema(spark, dir, tipV)
+        .map(s => org.apache.spark.sql.types.StructType(s.filterNot(fl =>
+          partCols.exists(_.name.equalsIgnoreCase(fl.name)))))
+        .getOrElse(throw new IllegalStateException(
+          s"column-mapping lake $dir has no declared schema at its " +
+            "tip — cannot id-match the survivor read"))
+      // derived session: the path-based read re-sets fieldId options
+      // from SQLConf, and mutating the caller's session would flip
+      // concurrent queries to id-matched reads (compactSmall pattern)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      (s2, es => {
+        val base = s2.read.schema(declared)
+          .parquet(es.map(e => s"$dir/$e"): _*)
+        dvAt.fold(base)(v => dropDvRows(s2, dir, base, v))
+      })
+    }
+  }
+
   def deleteRange(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double, statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    requireUnpartitionedLake(spark, dir, "deleteRange")
-    requireNotMappedLake(spark, dir, "deleteRange")
-    requireNoDv(spark, dir, "deleteRange")
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
-    val live = readManifest(spark, dir, vs.last)
+    val tipV = vs.last
+    val live = readManifest(spark, dir, tipV)
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val dv = dvEnabled(spark, dir)
     val touched = dirsIntersecting(spark, dir, live, c, lo, hi)
-    if (touched.isEmpty) vs.last
-    else {
-      // NULL-keyed rows are OUTSIDE any range — they must survive, and
-      // a bare !(range) would drop them (three-valued logic: !(NULL) is
-      // NULL, and Filter discards NULL). readSkipping has the matching
-      // property: a NULL never matches a probe but is never destroyed.
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(d => s"$dir/$d"): _*)
-        .filter(col(c).isNull || !(col(c) >= lo && col(c) <= hi))
-      // Min/max ranges cannot see a HOLE a previous delete left, so a
-      // repeated delete would re-rewrite the same dirs forever. When
-      // the touched dirs' stats record their exact row counts, one
-      // count of the survivors proves the delete removes nothing —
-      // no-op without a commit. (Count + write read the touched
-      // fraction twice; the no-op case reads it once.)
-      val touchedRows = touched.map(d =>
-        statsFor(spark, dir, d, c).values.map(_._3).sum)
-      val countsKnown = touched.zip(touchedRows).forall { case (d, _) =>
-        val stats = statsFor(spark, dir, d, c)
-        fs(spark, dir).listStatus(new Path(s"$dir/$d")).toSeq
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-          .forall(p => stats.contains(p.getName))
-      }
-      if (countsKnown && survivors.count() == touchedRows.sum) vs.last
-      else {
-        val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-        survivors.write.parquet(s"$dir/$dataDir")
-        writeStatsFor(spark, dir, dataDir, statsCols)
-        // the survivor dir absorbs rows from bloom-indexed dirs: honor
-        // the lake's declared policy or point lookups stop pruning
-        // over the rewritten fraction (same parity as indexStagedDir)
-        val blooms = bloomIndexCols(spark, dir)
-          .filter(survivors.columns.contains)
-        if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
-        // checked: a concurrent rewrite of a touched dir (another
-        // delete, a compaction) is refused loudly — publishing would
-        // resurrect its removed rows, since they are baked into this
-        // survivor set. Concurrent APPENDS still absorb via the CAS
-        // retry (they are not in `dropped`).
-        val v = publishReplacing(spark, dir, touched.toSet, Seq(dataDir),
-          checked = true)
-        // opt-in row-level CDF: the deleted rows ARE the net diff of
-        // touched-vs-survivors (survivors cancel) — persist them so
-        // feeds deliver O(deleted rows), not the whole touched band
-        if (cdfEnabled(spark, dir))
-          writeChangeSidecar(spark, dir, v,
-            cowChangeRows(spark, dir, touched, Seq(dataDir), "DELETE"))
-        v
-      }
+    if (touched.isEmpty) return tipV
+    require(!partCols.exists(_.name.equalsIgnoreCase(c)) ||
+      partCols.isEmpty,
+      s"deleteRange on partition column '$c' — use the SQL partition " +
+        "DELETE (manifest-only) instead of a survivor rewrite")
+    val (rss, readEs) = survivorReader(spark, dir, tipV)
+    // NULL-keyed rows are OUTSIDE any range — they must survive, and
+    // a bare !(range) would drop them (three-valued logic: !(NULL) is
+    // NULL, and Filter discards NULL). readSkipping has the matching
+    // property: a NULL never matches a probe but is never destroyed.
+    def keep(df: DataFrame): DataFrame =
+      df.filter(col(c).isNull || !(col(c) >= lo && col(c) <= hi))
+    // Min/max ranges cannot see a HOLE a previous delete left, so a
+    // repeated delete would re-rewrite the same dirs forever. When
+    // the touched dirs' stats record their exact row counts, one
+    // count of the survivors proves the delete removes nothing —
+    // no-op without a commit. On a DV lake the expected count nets
+    // out the touched files' LIVE vectored positions (footer counts
+    // include them; the survivor read does not).
+    val touchedRows = touched.map(d =>
+      statsFor(spark, dir, d, c).values.map(_._3).sum)
+    val countsKnown = touched.forall { d =>
+      val stats = statsFor(spark, dir, d, c)
+      fs(spark, dir).listStatus(new Path(s"$dir/$d")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .forall(p => stats.contains(p.getName))
     }
+    val dvPending =
+      if (!dv) 0L
+      else {
+        val ts = touched.toSet
+        dvMap(spark, dir, tipV).collect {
+          case (k, ps) if ts(k.substring(0, k.lastIndexOf('/'))) =>
+            ps.length.toLong
+        }.sum
+      }
+    val survivorsAll = keep(readEs(touched))
+    if (countsKnown &&
+        survivorsAll.count() == touchedRows.sum - dvPending)
+      return tipV
+    val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    val blooms = bloomIndexCols(spark, dir)
+    val newEntries: Seq[String] =
+      if (partCols.isEmpty) {
+        survivorsAll.write.parquet(s"$dir/$dataDir")
+        Seq(dataDir)
+      } else {
+        // partitioned: survivors rewrite WITHIN their own partition
+        // leaves (rows never cross a boundary — the entries-are-
+        // partition-leaves invariant holds by construction)
+        touched.groupBy(_.split('/').drop(1).mkString("/")).toSeq
+          .sortBy(_._1).map { case (suffix, es) =>
+            keep(readEs(es)).write.parquet(s"$dir/$dataDir/$suffix")
+            s"$dataDir/$suffix"
+          }
+      }
+    // the survivor dir absorbs rows from bloom-indexed dirs: honor
+    // the lake's declared policy or point lookups stop pruning
+    // over the rewritten fraction (same parity as indexStagedDir)
+    writeSidecarsBatch(spark, dir, newEntries, statsCols,
+      blooms.filter(survivorsAll.columns.contains))
+    // checked: a concurrent rewrite of a touched dir (another
+    // delete, a compaction) is refused loudly — publishing would
+    // resurrect its removed rows, since they are baked into this
+    // survivor set. Concurrent APPENDS still absorb via the CAS
+    // retry (they are not in `dropped`). On a DV lake a vector
+    // landing after the survivor scan refuses too (noDvSince).
+    val v = publishReplacing(spark, dir, touched.toSet, newEntries,
+      checked = true, noDvSince = if (dv) Some(tipV) else None)
+    // opt-in row-level CDF: the deleted rows ARE the net diff of
+    // touched-vs-survivors (survivors cancel) — persist them so
+    // feeds deliver O(deleted rows), not the whole touched band
+    if (cdfEnabled(spark, dir))
+      writeChangeSidecar(spark, dir, v,
+        cowChangeRows(spark, dir, touched, newEntries, "DELETE"))
+    val _ = rss // scoped field-id session lives for the rewrite only
+    v
   }
 
   /** Targeted partition overwrite — Delta's `replaceWhere` for an
@@ -2489,13 +2625,16 @@ object VersionedLake {
       values: Seq[Long], replacement: DataFrame,
       statsCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    requireUnpartitionedLake(spark, dir, "replaceWhereIn")
-    requireNotMappedLake(spark, dir, "replaceWhereIn")
-    requireNoDv(spark, dir, "replaceWhereIn")
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
-    if (values.isEmpty) return vs.last
+    val tipV = vs.last
+    if (values.isEmpty) return tipV
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val dv = dvEnabled(spark, dir)
+    require(!partCols.exists(_.name.equalsIgnoreCase(c)),
+      s"replaceWhereIn on partition column '$c' — use SQL INSERT " +
+        "OVERWRITE with a partition predicate (manifest-only swap)")
     def intersects(d: String): Boolean = {
       val stats = statsFor(spark, dir, d, c)
       val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
@@ -2504,26 +2643,55 @@ object VersionedLake {
         files.exists(n => stats.get(n)
           .forall { case (mn, mx, _) => values.exists(v => v >= mn && v <= mx) })
     }
-    val touched = readManifest(spark, dir, vs.last).filter(intersects)
-    val survivors =
-      if (touched.isEmpty) replacement.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(d => s"$dir/$d"): _*)
-        .filter(col(c).isNull || !col(c).isin(values: _*))
+    val touched = readManifest(spark, dir, tipV).filter(intersects)
+    val (rss, readEs) = survivorReader(spark, dir, tipV)
+    def keep(df: DataFrame): DataFrame =
+      df.filter(col(c).isNull || !col(c).isin(values: _*))
+    val repl = withMappedIds(replacement, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
-    val combined = survivors.unionByName(replacement,
-      allowMissingColumns = true)
-    combined.write.parquet(s"$dir/$dataDir")
-    writeStatsFor(spark, dir, dataDir, statsCols)
+    val newEntries: Seq[String] =
+      if (partCols.isEmpty) {
+        val survivors =
+          if (touched.isEmpty) repl.limit(0)
+          else keep(readEs(touched))
+        survivors.unionByName(repl, allowMissingColumns = true)
+          .write.parquet(s"$dir/$dataDir")
+        Seq(dataDir)
+      } else {
+        // survivors rewrite within their own leaves; the replacement
+        // routes through the dynamic-partition writer (it must carry
+        // the partition columns)
+        require(partCols.forall(pc =>
+          repl.columns.exists(_.equalsIgnoreCase(pc.name))),
+          "replacement frame lacks the lake's partition columns " +
+            s"(${partCols.map(_.name).mkString(", ")})")
+        touched.groupBy(_.split('/').drop(1).mkString("/")).toSeq
+          .sortBy(_._1).foreach { case (suffix, es) =>
+            keep(readEs(es)).write.mode("append")
+              .parquet(s"$dir/$dataDir/$suffix")
+          }
+        repl.write.partitionBy(partCols.map(_.name): _*)
+          .mode("append").parquet(s"$dir/$dataDir")
+        val staged = GraftLakePartitions.stagedEntries(spark, dir,
+          dataDir, partCols.length)
+        if (staged.nonEmpty) staged
+        else Seq(GraftLakePartitions.seedEmpty(spark, dir, dataDir,
+          repl.schema, partCols))
+      }
     // declared bloom policy carries through the partition swap, like
     // deleteRange and every DML commit path
-    val blooms = bloomIndexCols(spark, dir)
-      .filter(combined.columns.contains)
-    if (blooms.nonEmpty) writeBloomsFor(spark, dir, dataDir, blooms)
+    writeSidecarsBatch(spark, dir, newEntries, statsCols,
+      bloomIndexCols(spark, dir).filter(n =>
+        repl.columns.contains(n) && !partCols.exists(
+          _.name.equalsIgnoreCase(n))))
     // checked for the same reason as deleteRange: survivors of the
     // touched dirs are baked into the new dir, so a concurrent rewrite
-    // of one of them must fail the publish, not resurrect rows
-    publishReplacing(spark, dir, touched.toSet, Seq(dataDir), checked = true)
+    // of one of them must fail the publish, not resurrect rows; a DV
+    // commit landing after the survivor scan refuses too
+    val v = publishReplacing(spark, dir, touched.toSet, newEntries,
+      checked = true, noDvSince = if (dv) Some(tipV) else None)
+    val _ = rss
+    v
   }
 
   /** CAS publish of `live(tip) \ dropped :+ added` — the delete/rewrite

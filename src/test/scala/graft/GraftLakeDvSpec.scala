@@ -396,6 +396,53 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("survivor rewrites on a DV lake are DV-aware: deleteRange and " +
+      "replaceWhereIn exclude vectored rows (materializing them), " +
+      "full-snapshot compactVersions/zorder compact them away") {
+    import spark.implicits._
+    val root = tempDir("gldv-rewrite")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (100, 101, 102)")
+      assert(spark.table(s"$cat.t").count() == 997)
+      // deleteRange of [900, 999]: the survivor rewrite must NOT
+      // resurrect the vectored 100..102
+      VersionedLake.deleteRange(spark, dir, "id", 900, 999, Seq("id"))
+      val t1 = spark.table(s"$cat.t")
+      assert(t1.count() == 897,
+        "deleteRange must materialize vectors, not resurrect them")
+      assert(t1.filter(col("id").isin(100L, 101L, 102L)).count() == 0)
+      // fresh vectors, then replaceWhereIn — same contract
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (200, 201)")
+      val repl = Seq((300L, -5.0)).toDF("id", "v")
+      VersionedLake.replaceWhereIn(spark, dir, "id", Seq(300L), repl,
+        Seq("id"))
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 895)
+      assert(t2.filter(col("id").isin(200L, 201L)).count() == 0,
+        "replaceWhereIn must not resurrect vectored rows")
+      assert(t2.filter(col("id") === 300L).head().getDouble(1) == -5.0)
+      // full-snapshot compaction with a live vector: DV-filtered read,
+      // vectors dead afterwards, scans columnar
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (400, 401)")
+      val v = VersionedLake.compactZOrder(spark, dir, "id", "v",
+        nFiles = 2, bits = 16)
+      assert(VersionedLake.isLayoutOnly(spark, dir, v))
+      val t3 = spark.table(s"$cat.t")
+      assert(t3.count() == 893)
+      assert(t3.filter(col("id").isin(400L, 401L)).count() == 0)
+      val live = VersionedLake.manifestEntries(spark, dir, v).toSet
+      assert(VersionedLake.dvMap(spark, dir, v).keys.forall(k =>
+        !live(k.substring(0, k.lastIndexOf('/')))),
+        "the full-snapshot rewrite must leave no live vector")
+      assert(t3.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"))
+    }
+  }
+
   test("dv_max_ratio turns the maintenance cadence into a contract: " +
       "below the bound deletes stay merge-on-read; the delete that " +
       "crosses it auto-materializes EXACTLY the vectored entries") {

@@ -143,11 +143,14 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       VersionedLake.commit(spark.range(200, 203)
         .selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
       assert(spark.table(s"$cat.m").count() == 103)
-      // survivor rewrites through the library stay refused (their
-      // reads are name-matched)
-      val e3 = intercept[Exception](VersionedLake.deleteRange(
-        spark, dir, "id", 0, 1, Seq("id")))
-      assert(e3.getMessage.contains("name-matched"), e3.getMessage)
+      // survivor rewrites through the library are ID-MATCHED now:
+      // deleteRange reads the touched files by field id and re-stamps
+      // the ids into the survivor rewrite — values survive intact
+      VersionedLake.deleteRange(spark, dir, "id", 0, 1, Seq("id"))
+      assert(spark.table(s"$cat.m").count() == 101)
+      assert(spark.sql(s"SELECT v FROM $cat.m WHERE id = 2")
+        .head().getDouble(0) == 2.0,
+        "the mapped survivor rewrite must keep column values")
       // COW DML works (the overlay write stamps ids) — and a rename
       // AFTER the merge still binds the merged rows
       spark.sql(s"MERGE INTO $cat.m t USING (SELECT 7 AS id) s " +
@@ -162,14 +165,19 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       // metadata DELETE routes to COW on mapped lakes (no id-less
       // survivor rewrite) — and stays correct
       spark.sql(s"DELETE FROM $cat.m WHERE id >= 90")
-      assert(spark.table(s"$cat.m").count() == 90)
+      assert(spark.table(s"$cat.m").count() == 88)
+      // the deleteRange survivor files predate the rename: their
+      // differently-named column still binds BY ID through it
+      assert(spark.sql(s"SELECT w FROM $cat.m WHERE id = 2")
+        .head().getDouble(0) == 2.0,
+        "pre-rename survivor-rewrite files must bind the renamed column")
       // OPTIMIZE stamps field ids into the coalesced files: the
       // renamed column still binds across the compaction, spanning
       // BOTH eras' files (pre-rename names, post-rename names)
       spark.sql(s"INSERT INTO $cat.m VALUES (5000, 1.5)")
       val v = VersionedLake.compactSmall(spark, dir, Long.MaxValue)
       assert(v.nonEmpty, "optimize must coalesce the small dirs")
-      assert(spark.table(s"$cat.m").count() == 91)
+      assert(spark.table(s"$cat.m").count() == 89)
       assert(spark.sql(s"SELECT w FROM $cat.m WHERE id = 7")
         .head().getDouble(0) == 777.0,
         "compacted files must carry ids so the renamed column binds")
@@ -180,11 +188,11 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       VersionedLake.commit(spark.range(300, 301)
         .selectExpr("id", "CAST(9.0 AS DOUBLE) AS w",
           "CAST(1 AS INT) AS extra"), dir)
-      assert(spark.table(s"$cat.m").count() == 92)
+      assert(spark.table(s"$cat.m").count() == 90)
       assert(spark.sql(s"SELECT extra FROM $cat.m WHERE id = 300")
         .head().getInt(0) == 1)
       assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE extra IS NULL")
-        .head().getLong(0) == 91,
+        .head().getLong(0) == 89,
         "pre-widening rows read NULL for the library-added column")
     }
   }

@@ -276,6 +276,93 @@ class GraftLakePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("library/SQL parity on a PARTITIONED lake: commit routes the " +
+      "dynamic-partition writer and SQL reads prune it; commitIndexed " +
+      "leaves range-skippable leaves; deleteRange rewrites only " +
+      "intersecting leaves; replaceWhereIn swaps values in place; " +
+      "commitTagged replays no-op; compactVersions defrags in one job") {
+    import spark.implicits._
+    val root = tempDir("glp-parity")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+        "PARTITIONED BY (m)")
+      val dir = s"$root/t"
+      def rows(from: Long, until: Long) =
+        (from until until).map(i => (i, i * 1.0, (i % 3).toInt))
+          .toDF("id", "v", "m")
+      // two INDEXED library commits with disjoint id ranges (stats
+      // sidecars per leaf), then a plain commit — the parity surface
+      VersionedLake.commitIndexed(rows(0, 450), dir,
+        statsCols = Seq("id"), bloomCol = None)
+      VersionedLake.commitIndexed(rows(450, 900), dir,
+        statsCols = Seq("id"), bloomCol = None)
+      VersionedLake.commit(rows(900, 930), dir)
+      // library-committed data partition-prunes in SQL
+      val probe = spark.table(s"$cat.t").filter(col("m") === 1)
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+        .filter(_.contains("/m="))
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"library-committed data must partition-prune in SQL: $scanned")
+      assert(probe.count() == 310)
+      // stats sidecars per leaf → range probes file-skip within m=0
+      val m0 = spark.table(s"$cat.t").filter(col("m") === 0)
+      val narrow = spark.table(s"$cat.t")
+        .filter(col("m") === 0 && col("id") >= 890)
+      assert(GraftLakeDataSource.filesRead(narrow) <
+        GraftLakeDataSource.filesRead(m0),
+        "library-indexed partitioned leaves must be range-skippable")
+      // deleteRange: only leaves whose stats CAN intersect rewrite
+      // (the unindexed plain commit's leaves touch conservatively;
+      // the first indexed commit's leaves carry by reference)
+      val before = VersionedLake.manifestEntries(spark, dir,
+        VersionedLake.tip(spark, dir).get).toSet
+      val v1 = VersionedLake.deleteRange(spark, dir, "id", 850, 899,
+        Seq("id"))
+      val after = VersionedLake.manifestEntries(spark, dir, v1).toSet
+      assert((before -- after).nonEmpty, "intersecting leaves rewrite")
+      assert((before intersect after).nonEmpty,
+        "non-intersecting leaves must carry by manifest reference")
+      assert(after.forall(_.matches(
+        "d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
+        s"deleteRange must keep entries as partition leaves: $after")
+      val t1 = spark.table(s"$cat.t")
+      assert(t1.count() == 880)
+      assert(t1.filter(col("id").between(850, 899)).count() == 0)
+      // replaceWhereIn: values swap in place, partition layout holds
+      val repl = Seq((100L, -1.0, 1), (101L, -1.0, 2))
+        .toDF("id", "v", "m")
+      val v2 = VersionedLake.replaceWhereIn(spark, dir, "id",
+        Seq(100L, 101L), repl, Seq("id"))
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 880)
+      assert(t2.filter(col("id").isin(100L, 101L))
+        .agg(sum("v")).head().getDouble(0) == -2.0)
+      assert(VersionedLake.manifestEntries(spark, dir, v2)
+        .forall(_.matches(
+          "d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")))
+      // commitTagged: exactly-once by tag, partition-aware
+      assert(VersionedLake.commitTagged(rows(930, 960), dir,
+        "glpparity-b1").nonEmpty)
+      assert(VersionedLake.commitTagged(rows(930, 960), dir,
+        "glpparity-b1").isEmpty, "a replayed tag must no-op")
+      assert(spark.table(s"$cat.t").count() == 910)
+      // full-snapshot compactVersions: every partition defrags into
+      // one fresh leaf set, still partition-pruned afterwards
+      val v3 = VersionedLake.compactVersions(spark, dir,
+        statsCols = Seq("id"))
+      assert(VersionedLake.isLayoutOnly(spark, dir, v3))
+      val entries3 = VersionedLake.manifestEntries(spark, dir, v3)
+      assert(entries3.forall(_.matches(
+        "d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")))
+      assert(entries3.map(_.split('/')(0)).distinct.length == 1,
+        "full compaction must land in ONE data dir")
+      assert(spark.table(s"$cat.t").count() == 910)
+      val probe3 = spark.table(s"$cat.t").filter(col("m") === 2)
+      assert(GraftLakeDataSource.filesReadPaths(probe3)
+        .filter(_.contains("/m=")).forall(_.contains("/m=2")))
+    }
+  }
+
   test("maintenance is O(1) Spark jobs in the partition count: z-order " +
       "with 3x the partitions runs no more jobs (rewrite is one " +
       "range-partitioned job, sidecars one batched build)") {
