@@ -1564,15 +1564,30 @@ final class GraftLakeWrite(
               Some(tableSchema.json), noDvSince = tipV)
             ()
           } else {
-            // partitioned COW: Delta's arbitrary replaceWhere. The
-            // survivor rewrite reads by NAME (readEntries) — on a
-            // column-mapping lake that would misbind renamed columns,
-            // so the composition stays refused
-            require(!GraftLakeMapping.enabled(spark, lakeDir),
-              "replaceWhere with data-column predicates on a " +
-                "PARTITIONED COLUMN-MAPPING lake is not supported — " +
-                "use a partition-decidable condition, or DELETE + " +
-                "INSERT (both id-matching)")
+            // partitioned COW: Delta's arbitrary replaceWhere. On a
+            // COLUMN-MAPPING lake the survivor read id-matches through
+            // a derived session with the DECLARED schema (partition
+            // values still parse from the dir names via basePath) and
+            // the rewrite re-stamps the ids — a name-matched read
+            // would null renamed columns out of pre-rename files.
+            val mapped = GraftLakeMapping.enabled(spark, lakeDir)
+            val readTouched: Seq[String] => org.apache.spark.sql.DataFrame =
+              if (!mapped)
+                es => GraftLakePartitions.readEntries(spark, lakeDir,
+                  es, partCols, dropDvAt = tipV)
+              else {
+                val s2 = spark.newSession()
+                s2.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                  "true")
+                es => es.groupBy(_.takeWhile(_ != '/')).toSeq
+                  .sortBy(_._1).map { case (dd, g) =>
+                    // declared schema carries the field ids; its
+                    // partition columns fill from the `c=v` dir names
+                    s2.read.schema(tableSchema)
+                      .option("basePath", s"$lakeDir/$dd")
+                      .parquet(g.map(e => s"$lakeDir/$e"): _*)
+                  }.reduce(_.unionByName(_))
+              }
             if (!seeded) {
               val bad = GraftLakePartitions.readEntries(spark, lakeDir,
                 entries, partCols).filter(not(pred <=> lit(true))).count()
@@ -1605,8 +1620,7 @@ final class GraftLakeWrite(
               // earlier vectors deleted are NOT survivors — carrying
               // them would resurrect deletes (the rewrite
               // MATERIALIZES the touched entries' vectors away)
-              GraftLakePartitions.readEntries(spark, lakeDir, touched,
-                  partCols, dropDvAt = tipV)
+              readTouched(touched)
                 .filter(not(pred <=> lit(true)))
                 .write.partitionBy(partCols.map(_.name): _*)
                 .mode("append").parquet(s"$lakeDir/$dataDir")

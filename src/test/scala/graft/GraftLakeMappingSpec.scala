@@ -119,6 +119,47 @@ class GraftLakeMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("replaceWhere with a DATA-column condition on a PARTITIONED " +
+      "COLUMN-MAPPING lake: survivors id-match across a rename, the " +
+      "rewrite re-stamps ids, untouched partitions carry by reference") {
+    import spark.implicits._
+    val root = tempDir("glm-partrw")
+    val cat = s"glmprw_${new java.io.File(root).getName.takeRight(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+      "PARTITIONED BY (m) TBLPROPERTIES ('column_mapping'='id')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS DOUBLE), " +
+      "CAST(id % 2 AS INT) FROM range(0, 200)")
+    // rename BEFORE the rewrite: pre-rename files only bind by id
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    val untouched = GraftLakeDataSource.filesReadPaths(
+      spark.table(s"$cat.t").filter(col("m") === 0)).toSet
+    // replace the id >= 150 band within m=1 — survivors (m=1,
+    // id < 150) must keep their RENAMED column's values
+    val repl = Seq((1000L, -1.0, 1)).toDF("id", "w", "m")
+    repl.writeTo(s"$cat.t")
+      .overwrite(col("m") === 1 && col("id") >= 150)
+    val t = spark.table(s"$cat.t")
+    assert(t.count() == 100 + 75 + 1) // m=0 intact, m=1 survivors, +1
+    assert(t.filter(col("m") === 1 && col("id") < 150)
+      .agg(sum("w")).head().getDouble(0) ==
+      (1L until 150L by 2).map(_.toDouble).sum,
+      "the id-matched survivor rewrite must keep renamed-column values")
+    assert(t.filter(col("id") === 1000L).head()
+      .getDouble(t.schema.fieldIndex("w")) == -1.0)
+    assert(GraftLakeDataSource.filesReadPaths(
+      t.filter(col("m") === 0)).toSet == untouched,
+      "partitions outside the partition conjunct must carry by " +
+        "reference")
+    // and a rename AFTER the rewrite still binds the rewritten rows
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN w TO u")
+    assert(spark.sql(s"SELECT SUM(u) FROM $cat.t WHERE m = 1 AND " +
+      "id < 150").head().getDouble(0) ==
+      (1L until 150L by 2).map(_.toDouble).sum)
+  }
+
   test("refusals: rename/drop without mapping; REPLACE of a mapped " +
       "table; library COMMITS on a mapped lake stamp field ids; " +
       "OPTIMIZE on a mapped lake; COW MERGE still works and stamps ids") {
