@@ -558,9 +558,12 @@ final class GraftLakeCatalog
   private def requireDvCompatible(dv: Boolean,
       partCols: Seq[org.apache.spark.sql.types.StructField],
       mapped: Boolean): Unit = {
-    require(!dv || !mapped,
-      "deletion_vectors with column_mapping is not supported — the " +
-        "DV position scan binds columns by name")
+    // deletion_vectors composes with BOTH partitioning and column
+    // mapping now: the position scan id-matches through the declared
+    // schema on mapped lakes, and positions are per-file so partition
+    // dirs change nothing structurally. Nothing left to refuse — the
+    // hook stays for future property combinations.
+    val _ = (dv, partCols, mapped)
   }
 
   /** `TBLPROPERTIES ('dv_max_ratio' = '0.05')` — the DV maintenance
@@ -1031,16 +1034,16 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val partCols = GraftLakePartitions.of(spark, lakeDir)
     if (partCols.isEmpty)
-      // a column-mapping lake routes row deletes to the COW path: the
-      // metadata delete's survivor rewrite would stage files WITHOUT
-      // field ids, unreadable to the id-matching reader. A
-      // DELETION-VECTOR lake takes this path for EVERY exactly-
-      // replayable predicate: the delete records positions, no rewrite
-      !GraftLakeMapping.enabled(spark, lakeDir) &&
-        (GraftLakeDelete.translate(schema(), filters).isDefined ||
-          (VersionedLake.dvEnabled(spark, lakeDir) &&
-            filters.forall(f =>
-              GraftLakeDelete.toColumn(schema(), f).isDefined)))
+      // the metadata-delete survivor rewrite id-matches on mapped
+      // lakes (VersionedLake.survivorReader) and the DV position scan
+      // reads through the declared schema, so neither path excludes
+      // column mapping anymore. A DELETION-VECTOR lake takes this
+      // path for EVERY exactly-replayable predicate: the delete
+      // records positions, no rewrite.
+      GraftLakeDelete.translate(schema(), filters).isDefined ||
+        (VersionedLake.dvEnabled(spark, lakeDir) &&
+          filters.forall(f =>
+            GraftLakeDelete.toColumn(schema(), f).isDefined))
     else {
       // partitioned lakes take the metadata path for partition-
       // decidable predicates (whole entries drop by manifest

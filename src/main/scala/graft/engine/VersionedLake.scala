@@ -1497,11 +1497,11 @@ object VersionedLake {
     if (touched.isEmpty) return None
     val partCols = GraftLakePartitions.of(spark, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+    // id-matched on mapped lakes, DV-filtered by construction
+    val (rss, readEs) = survivorReader(spark, dir, t)
     val newEntries: Seq[String] =
       if (partCols.isEmpty) {
-        dropDvRows(spark, dir,
-          spark.read.option("mergeSchema", "true")
-            .parquet(touched.map(e => s"$dir/$e"): _*), t)
+        readEs(touched)
           .write.option("compression", codec).parquet(s"$dir/$dataDir")
         Seq(dataDir)
       } else {
@@ -1509,14 +1509,13 @@ object VersionedLake {
         // a partition boundary
         touched.groupBy(_.split('/').drop(1).mkString("/")).toSeq
           .sortBy(_._1).map { case (suffix, es) =>
-            dropDvRows(spark, dir,
-              spark.read.option("mergeSchema", "true")
-                .parquet(es.map(e => s"$dir/$e"): _*), t)
+            readEs(es)
               .write.option("compression", codec)
               .parquet(s"$dir/$dataDir/$suffix")
             s"$dataDir/$suffix"
           }
       }
+    val _ = rss
     val schema = manifestSchema(spark, dir, t)
       .map(s => org.apache.spark.sql.types.StructType(s.filterNot(fl =>
         partCols.exists(_.name.equalsIgnoreCase(fl.name)))))
@@ -1779,6 +1778,34 @@ object VersionedLake {
           "/", -(eSegs + 1)), "/", eSegs))
       .withColumn("__dv_file", col("_metadata.file_name"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
+    // COLUMN-MAPPING lakes: the position scan must read BY FIELD ID
+    // (a name-matched read would null renamed columns out of
+    // pre-rename files and the predicate would silently MISS their
+    // rows) — declared schema on a derived fieldId session, the
+    // survivorReader pattern
+    val (prs, declaredOpt) =
+      if (!GraftLakeMapping.enabled(spark, dir)) (spark, None)
+      else {
+        val declared = manifestSchema(spark, dir, tipV)
+          .getOrElse(throw new IllegalStateException(
+            s"column-mapping lake $dir has no declared schema at its " +
+              "tip — cannot id-match the DV position scan"))
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        (s2, Some(declared))
+      }
+    def rawScan(paths: Seq[String], basePath: Option[String]): DataFrame = {
+      val r0 = declaredOpt.fold(
+        prs.read.option("mergeSchema", "true"))(sch =>
+        // full declared schema: data columns id-match from footers,
+        // partition columns fill from the `c=v` dir names (typed by
+        // the declaration, no inference)
+        prs.read.schema(org.apache.spark.sql.types.StructType(
+          sch.filter(f => basePath.isDefined ||
+            !partCols.exists(_.name.equalsIgnoreCase(f.name))))))
+      basePath.fold(r0)(bp => r0.option("basePath", bp))
+        .parquet(paths: _*)
+    }
     // partitioned lakes: partition values live in dir names, not file
     // bytes — read per data dir with basePath so Spark reconstructs
     // the `c=v` columns (cast to DECLARED types), or the predicate
@@ -1786,13 +1813,10 @@ object VersionedLake {
     // rows. Union width = touched data dirs, not partitions.
     val scan0 =
       if (partCols.isEmpty)
-        withDvCols(spark.read.option("mergeSchema", "true")
-          .parquet(pruned.map(_._2.toString): _*))
+        withDvCols(rawScan(pruned.map(_._2.toString), None))
       else pruned.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
         .map { case (dd, ps) =>
-          val df = spark.read.option("mergeSchema", "true")
-            .option("basePath", s"$dir/$dd")
-            .parquet(ps.map(_._2.toString): _*)
+          val df = rawScan(ps.map(_._2.toString), Some(s"$dir/$dd"))
           withDvCols(partCols.foldLeft(df)((d, c) =>
             d.withColumn(c.name, col(c.name).cast(c.dataType))))
         }.reduce(_.unionByName(_, allowMissingColumns = true))

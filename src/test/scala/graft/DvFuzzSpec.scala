@@ -129,4 +129,94 @@ class DvFuzzSpec extends AnyFunSuite {
         s"netted feed sum ${baseS + netS} != model ${model.values.sum}")
     }
   }
+
+  for (seed <- Seq(612L))
+  test("COLUMN-MAPPING × DV interleavings: renames between inserts, " +
+      "DV deletes (by old-era AND new-era column names), updates, " +
+      "optimize, auto-materialize and vacuum always read back as the " +
+      s"model (seed $seed)") {
+    val root = tempDir(s"gldvm-fuzz-$seed")
+    val cat = s"gldvmfz$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // dv_max_ratio makes auto-materialization part of the interleaving
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('deletion_vectors'='true', " +
+      "'column_mapping'='id', 'dv_max_ratio'='0.2')")
+    val dir = s"$root/t"
+    val rnd = new scala.util.Random(seed)
+    val model = scala.collection.mutable.Map.empty[Long, Double]
+    var nextId = 0L
+    var vName = "v"
+    var renames = 0
+
+    def checkTip(label: String): Unit = {
+      val got = spark.table(s"$cat.t")
+        .agg(count(lit(1)), sum(vName)).head()
+      assert(got.getLong(0) == model.size,
+        s"$label: count ${got.getLong(0)} != model ${model.size}")
+      val sumGot = if (got.isNullAt(1)) 0.0 else got.getDouble(1)
+      assert(math.abs(sumGot - model.values.sum) < 1e-6,
+        s"$label: sum $sumGot != model ${model.values.sum}")
+    }
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(7) match {
+        case 0 | 1 => // INSERT a fresh batch under the CURRENT name
+          val n = 40 + rnd.nextInt(120)
+          val rows = (0 until n).map { _ =>
+            val id = nextId; nextId += 1
+            val v = rnd.nextInt(1000).toDouble
+            model(id) = v
+            (id, v)
+          }
+          import spark.implicits._
+          rows.toDF("id", vName).createOrReplaceTempView("gldvmfz_in")
+          spark.sql(s"INSERT INTO $cat.t SELECT * FROM gldvmfz_in")
+        case 2 => // DV point delete by id (spans all column eras)
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(35))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(model.remove)
+            spark.sql(s"DELETE FROM $cat.t WHERE id IN " +
+              s"(${ks.mkString(",")})")
+          }
+        case 3 => // DV delete keyed on the RENAMED value column
+          val live = model.toSeq
+          if (live.nonEmpty) {
+            val (id, v) = live(rnd.nextInt(live.length))
+            val victims = model.collect {
+              case (k, x) if x == v => k }.toSeq
+            victims.foreach(model.remove)
+            spark.sql(s"DELETE FROM $cat.t WHERE $vName IN ($v)")
+            val _ = id
+          }
+        case 4 => // COW update through the current name
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(25))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(k => model(k) = model(k) + 1000.0)
+            spark.sql(s"UPDATE $cat.t SET $vName = $vName + 1000.0 " +
+              s"WHERE id IN (${ks.mkString(",")})")
+          }
+        case 5 => // metadata-only RENAME of the value column
+          renames += 1
+          val next = s"v$renames"
+          spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN $vName TO $next")
+          vName = next
+        case 6 => // OPTIMIZE or VACUUM
+          if (rnd.nextBoolean())
+            VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+          else VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
+          ()
+      }
+      checkTip(s"step $step")
+    }
+    assert(renames > 0, s"seed $seed never renamed — pick another seed")
+  }
 }

@@ -238,22 +238,23 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
-  test("refusals and guards: deletion_vectors composes with " +
-      "PARTITIONED BY but not column_mapping; non-DV-aware library " +
+  test("refusals and guards: deletion_vectors composes with both " +
+      "PARTITIONED BY and column_mapping; non-DV-aware library " +
       "probes refuse; truncate stays the manifest overwrite") {
     import spark.implicits._
     val root = tempDir("gldv-refuse")
     withCatalog(root) { cat =>
-      // PARTITIONED BY + deletion_vectors now composes (see the
-      // partitioned-lake DV test); column_mapping still refuses
+      // the full property matrix composes now (see the dedicated
+      // partitioned-DV and mapped-DV tests)
       spark.sql(
         s"CREATE TABLE $cat.p (id BIGINT, m INT) PARTITIONED BY (m) " +
           "TBLPROPERTIES ('deletion_vectors'='true')")
-      val e2 = intercept[Exception](spark.sql(
+      spark.sql(
         s"CREATE TABLE $cat.m2 TBLPROPERTIES " +
           "('deletion_vectors'='true', 'column_mapping'='id') AS " +
-          "SELECT id FROM range(5)"))
-      assert(e2.getMessage.contains("column_mapping"), e2.getMessage)
+          "SELECT id FROM range(5)")
+      spark.sql(s"DELETE FROM $cat.m2 WHERE id = 3")
+      assert(spark.table(s"$cat.m2").count() == 4)
       spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
         "('deletion_vectors'='true') AS " +
         "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
@@ -393,6 +394,63 @@ class GraftLakeDvSpec extends AnyFunSuite {
       assert(!f.exists(side) || f.listStatus(side).isEmpty,
         "vacuum must sweep materialized-away partitioned DV sidecars")
       assert(spark.table(s"$cat.t").count() == expect)
+    }
+  }
+
+  test("deletion vectors on a COLUMN-MAPPING lake: the position scan " +
+      "id-matches across renames (pre-rename files' rows are found, " +
+      "not nulled past the predicate), and the TRIPLE composition " +
+      "with PARTITIONED BY holds end to end") {
+    val root = tempDir("gldv-mapped")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'column_mapping'='id') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 500)")
+      val dir = s"$root/t"
+      // rename BEFORE the delete: the position scan must bind the
+      // pre-rename files' column BY ID — a name-matched read would
+      // null it and the predicate would silently miss every row
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+      val before = topDirs(dir)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (10, 20, 30)")
+      assert(topDirs(dir) == before,
+        "a mapped DV delete must write NO replacement data dir")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 497,
+        "the id-matched position scan must find pre-rename rows")
+      assert(t.filter(col("id").isin(10L, 20L, 30L)).count() == 0)
+      assert(t.filter(col("id") === 11L).select("w").head()
+        .getDouble(0) == 11.0)
+      // a delete keyed on the RENAMED column also binds
+      spark.sql(s"DELETE FROM $cat.t WHERE w IN (40.0)")
+      assert(spark.table(s"$cat.t").count() == 496)
+      assert(topDirs(dir) == before)
+      // auto-maintenance path id-matches too
+      assert(VersionedLake.materializeVectors(spark, dir).nonEmpty)
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 496)
+      assert(t2.filter(col("id") === 11L).select("w").head()
+        .getDouble(0) == 11.0,
+        "materialization must keep renamed-column values (id-matched)")
+      // TRIPLE: partitioned + mapped + deletion vectors
+      spark.sql(s"CREATE TABLE $cat.tri (id BIGINT, v DOUBLE, m INT) " +
+        "PARTITIONED BY (m) TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'column_mapping'='id')")
+      spark.sql(s"INSERT INTO $cat.tri SELECT id, CAST(id AS DOUBLE), " +
+        "CAST(id % 2 AS INT) FROM range(0, 200)")
+      spark.sql(s"ALTER TABLE $cat.tri RENAME COLUMN v TO w")
+      val triBefore = topDirs(s"$root/tri")
+      spark.sql(s"DELETE FROM $cat.tri WHERE m = 1 AND id IN (1, 3)")
+      assert(topDirs(s"$root/tri") == triBefore)
+      val tri = spark.table(s"$cat.tri")
+      assert(tri.count() == 198)
+      assert(tri.filter(col("m") === 1).count() == 98)
+      assert(tri.filter(col("id") === 5L).select("w").head()
+        .getDouble(0) == 5.0)
+      // partition pruning survives the whole composition
+      val scanned = GraftLakeDataSource.filesReadPaths(
+        tri.filter(col("m") === 0)).filter(_.contains("/m="))
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/m=0")))
     }
   }
 
