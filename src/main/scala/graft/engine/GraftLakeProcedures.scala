@@ -36,7 +36,7 @@ private[engine] object GraftLakeProcedures {
 
   private val names =
     Seq("history", "vacuum", "compact", "zorder", "optimize", "set_index",
-      "checkpoint")
+      "checkpoint", "materialize_dv")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
@@ -179,6 +179,20 @@ private[engine] object GraftLakeProcedures {
           // every later delta-replay walk and lets the next vacuum
           // drop history without writing its own boundary checkpoint
           Array(row(VersionedLake.checkpoint(spark, dir)))
+      }
+
+      case "materialize_dv" => proc("materialize_dv",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = true)))) {
+        (spark, in) =>
+          val dir = dirOf(in.getUTF8String(0).toString)
+          // rewrite EXACTLY the entries carrying live deletion
+          // vectors with the vectors applied — O(vectored entries)
+          // IO, untouched entries carry by manifest reference; null
+          // when no vector is live (no version minted)
+          Array(row(VersionedLake.materializeVectors(spark, dir)
+            .map(Int.box).orNull))
       }
 
       case "zorder" => proc("zorder",

@@ -2714,6 +2714,145 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q215.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q216_dv_maintenance",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE event_id >=
+        |  (SELECT CAST(count(*) * 6 / 10 AS BIGINT) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // DV MAINTENANCE AS A CONTRACT (`dv_max_ratio`): pending deleted
+      // positions are bounded by table property, not operator
+      // discipline — below the bound deletes stay merge-on-read (zero
+      // dirs written); the delete that crosses it auto-materializes
+      // EXACTLY the vectored entries. The fixture hash-partitions on
+      // event_id so every file holds a uniform spread and the
+      // live-position ratio equals the deleted fraction at any SF.
+      // CALL glake.materialize_dv afterwards returns NULL (nothing
+      // live — the SQL maintenance surface is idempotent). The oracle
+      // recomputes survivors from raw events: a position misapplied
+      // or a row lost/resurrected by the auto-rewrite breaks the hash.
+      val root = scratchRoot
+      val name = s"dvmaint_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q216",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q216.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("ev_q216")
+      s.sql(s"""CREATE TABLE glake_q216.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true',
+               |               'dv_max_ratio' = '0.5') AS
+               |SELECT /*+ REPARTITION(4, event_id) */ *
+               |FROM ev_q216""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def topDirs: Set[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      def liveVectors: Boolean = {
+        val t = VersionedLake.tip(s, lake).get
+        val live = VersionedLake.manifestEntries(s, lake, t).toSet
+        VersionedLake.dvMap(s, lake, t).keys.exists(k =>
+          live(k.substring(0, k.lastIndexOf('/'))))
+      }
+      val total = Tables.table(s, dir, "events").count()
+      val before = topDirs
+      // 10% < the 50% bound: merge-on-read, zero dirs written
+      s.sql(s"DELETE FROM glake_q216.`$name` " +
+        s"WHERE event_id < ${total / 10}")
+      require(topDirs == before,
+        "below dv_max_ratio the delete must stay merge-on-read")
+      require(liveVectors, "the vector must be live below the bound")
+      // cumulative 60% > 50%: the crossing delete pays the scoped
+      // materialization — vectors gone, survivors rewritten
+      s.sql(s"DELETE FROM glake_q216.`$name` WHERE event_id >= " +
+        s"${total / 10} AND event_id < ${total * 6 / 10}")
+      require(!liveVectors,
+        "crossing dv_max_ratio must auto-materialize every live vector")
+      require(topDirs != before,
+        "the auto-materialization stages a survivor rewrite")
+      require(s.table(s"glake_q216.`$name`").count() ==
+        total - total * 6 / 10, "survivors must be exact")
+      // SQL maintenance surface: nothing live -> no version minted
+      require(s.sql(s"CALL glake_q216.materialize_dv(`table` => " +
+        s"'$name')").head().isNullAt(0),
+        "materialize_dv on a vector-free lake must publish nothing")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q216.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q217_partitioned_library_parity",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE event_id <
+        |  (SELECT CAST(count(*) * 3 / 4 AS BIGINT) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // LIBRARY/SQL PARITY ON A PARTITIONED LAKE: library commits
+      // stage through the lake's partition spec (dynamic-partition
+      // writer, one manifest entry per leaf), so library-written data
+      // reads back partition-pruned and stats-skippable exactly like
+      // SQL INSERTs, and deleteRange rewrites ONLY the leaves whose
+      // stats intersect the band — non-intersecting leaves carry by
+      // manifest reference (the requires pin both, on the executed
+      // plan's file set and the manifest diff). The oracle recomputes
+      // the survivor aggregate from raw events.
+      val root = scratchRoot
+      val name = s"plibpar_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q217",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q217.root", root)
+      s.sql(s"""CREATE TABLE glake_q217.`$name`
+               |(event_id BIGINT, user_id BIGINT, event_type STRING,
+               | value DOUBLE, m INT)
+               |PARTITIONED BY (m)""".stripMargin)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          pmod(col("user_id"), lit(4L)).cast("int").as("m"))
+      val total = ev.count()
+      // two LIBRARY commits with disjoint event_id bands, per-leaf
+      // stats sidecars (commitIndexed)
+      VersionedLake.commitIndexed(ev.filter(col("event_id") <
+        total / 2), lake, statsCols = Seq("event_id"), bloomCol = None)
+      VersionedLake.commitIndexed(ev.filter(col("event_id") >=
+        total / 2), lake, statsCols = Seq("event_id"), bloomCol = None)
+      // library-committed data partition-prunes in SQL
+      val probe = s.table(s"glake_q217.`$name`").filter(col("m") === 1)
+      val scanned = GraftLakeDataSource.filesReadPaths(probe)
+        .filter(_.contains("/m="))
+      require(scanned.nonEmpty && scanned.forall(_.contains("/m=1")),
+        s"library commits must partition-prune in SQL: $scanned")
+      // deleteRange of the top quarter touches ONLY the second
+      // commit's leaves (stats bound the band); the first commit's
+      // leaves carry by manifest reference
+      val beforeEntries = VersionedLake.manifestEntries(s, lake,
+        VersionedLake.tip(s, lake).get).toSet
+      val v = VersionedLake.deleteRange(s, lake, "event_id",
+        (total * 3 / 4).toDouble, total.toDouble, Seq("event_id"))
+      val afterEntries = VersionedLake.manifestEntries(s, lake, v).toSet
+      require((beforeEntries -- afterEntries).nonEmpty,
+        "intersecting leaves must rewrite")
+      require((beforeEntries intersect afterEntries).nonEmpty,
+        "non-intersecting leaves must carry by manifest reference")
+      require(s.table(s"glake_q217.`$name`").count() ==
+        total * 3 / 4, "the survivor set must be exact")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q217.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------
