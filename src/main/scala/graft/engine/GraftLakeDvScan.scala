@@ -67,6 +67,15 @@ private[engine] object GraftLakeDvScan {
   private def segsOf(dv: Map[String, Array[Long]]): Int =
     dv.keysIterator.next().count(_ == '/') + 1
 
+  /** Decode a possibly URL-ENCODED path string (SparkPath/URI form —
+    * what `FileIndex.inputFiles` and `input_file_name` report) into
+    * the on-disk spelling DV keys use; a string that is not a valid
+    * encoded URI is already decoded and passes through. */
+  def decodedPathString(s: String): String =
+    try org.apache.spark.paths.SparkPath.fromUrlString(s)
+      .toPath.toString
+    catch { case scala.util.control.NonFatal(_) => s }
+
   /** Split `ps` so every DV-carrying file sits alone in a
     * [[GraftLakeDvFilePartition]] holding ITS positions; clean files
     * keep their grouping. Survivor partitions REINDEXED (the RDD

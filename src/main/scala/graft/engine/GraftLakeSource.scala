@@ -972,8 +972,13 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
           // keys are `entry…/fileName` relative paths — match by the
           // same-depth suffix of each live file's full path
           val segs = dv0.keysIterator.next().count(_ == '/') + 1
+          // inputFiles reports URL-ENCODED URI strings; DV keys are
+          // on-disk (decoded) relative paths — normalize before the
+          // suffix match or an encodable partition value (a space, a
+          // '#') would silently filter the vector out of the scan
           val live = delegate.fileIndex.inputFiles
-            .map(p => GraftLakeDvScan.tailSegments(p, segs)).toSet
+            .map(p => GraftLakeDvScan.tailSegments(
+              GraftLakeDvScan.decodedPathString(p), segs)).toSet
           dv0.filter { case (k, _) => live(k) }
         }
       })
@@ -1585,10 +1590,16 @@ final class GraftLakeWrite(
                 es => es.groupBy(_.takeWhile(_ != '/')).toSeq
                   .sortBy(_._1).map { case (dd, g) =>
                     // declared schema carries the field ids; its
-                    // partition columns fill from the `c=v` dir names
-                    s2.read.schema(tableSchema)
-                      .option("basePath", s"$lakeDir/$dd")
-                      .parquet(g.map(e => s"$lakeDir/$e"): _*)
+                    // partition columns fill from the `c=v` dir names.
+                    // Rows earlier deletion vectors deleted are NOT
+                    // survivors here either — the id-matched branch
+                    // must apply them like the unmapped one, or the
+                    // triple composition would resurrect deletes
+                    VersionedLake.dropDvRows(s2, lakeDir,
+                      s2.read.schema(tableSchema)
+                        .option("basePath", s"$lakeDir/$dd")
+                        .parquet(g.map(e => s"$lakeDir/$e"): _*),
+                      tipV.getOrElse(0))
                   }.reduce(_.unionByName(_))
               }
             if (!seeded) {

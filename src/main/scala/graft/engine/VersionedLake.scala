@@ -567,7 +567,10 @@ object VersionedLake {
     * carry the partition columns) and publish one entry per leaf —
     * library/SQL parity: a library append reads back partition-pruned
     * exactly like an INSERT. Returns the manifest entries to publish
-    * and the written (data-only, on partitioned lakes) schema. */
+    * and the FULL frame schema — partition columns included: the
+    * files of a partitioned lake hold only data columns, but the
+    * manifest DECLARATION must carry the partition columns or
+    * readEntries could not reconstruct and cast them. */
   private def stageForCommit(df: DataFrame, dir: String,
       dataDir: String, codec: String)
       : (Seq[String], org.apache.spark.sql.types.StructType) = {
@@ -1640,13 +1643,39 @@ object VersionedLake {
       .select("entry", "file", "pos"))
   }
 
+  /** Every ENCODED URI string Spark may report for this file in
+    * `_metadata.file_path` / `input_file_name`: SparkPath encoding of
+    * the qualified path, plus — for authority-less URIs (file:) — the
+    * null-authority spelling (`file:/x` vs `file:///x`), which differs
+    * per constructing layer. Driver-side lookups key on ALL forms so
+    * the match never depends on which layer built the Path. */
+  private[engine] def encodedForms(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val q = f.makeQualified(p)
+    val u = q.toUri
+    val base = org.apache.spark.paths.SparkPath.fromPath(q).urlEncoded
+    if (u.getAuthority == null || u.getAuthority.isEmpty) {
+      val alt = new java.net.URI(u.getScheme, null, u.getPath,
+        null, null).toString
+      Seq(base, alt).distinct
+    } else Seq(base)
+  }
+
   /** Total on-disk bytes of the DV sidecars applying at `v` — decides
-    * whether the anti-join side is broadcast-safe. */
+    * whether an anti-join side is broadcast-safe. Sidecars are
+    * immutable and uuid-named, so per-sidecar sizes memoize forever
+    * (one getContentSummary each, EVER — not one per planning call). */
+  private val dvBytesMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Long]
+
   private[engine] def dvSidecarBytes(spark: SparkSession, dir: String,
       v: Int): Long = {
     val f = fs(spark, dir)
-    dvSidecars(spark, dir, v)
-      .map(s => f.getContentSummary(s._2).getLength).sum
+    dvSidecars(spark, dir, v).map { s =>
+      if (dvBytesMemo.size > 8192) dvBytesMemo.clear() // bounded
+      dvBytesMemo.getOrElseUpdate((dir, s._2.getName),
+        f.getContentSummary(s._2).getLength)
+    }.sum
   }
 
   /** Broadcast only when the vectors are provably small; past the
@@ -1655,33 +1684,38 @@ object VersionedLake {
   private[engine] val DvBroadcastMaxBytes: Long = 32L * 1024 * 1024
 
   /** Drop the rows of `df` that a deletion vector at/below `v` covers.
-    * `df` must be a FRESH FILE SCAN (`_metadata` is the join key —
-    * the file's RELATIVE path under the lake root + row index, since
-    * bare file names are not guaranteed unique across data dirs).
-    * Identity — zero extra plan nodes — when no vector applies. */
+    * `df` must be a FRESH FILE SCAN (`_metadata` is the join key).
+    * Identity — zero extra plan nodes — when no vector applies.
+    *
+    * The join key is the file's QUALIFIED URI string: `_metadata
+    * .file_path` is URL-ENCODED (SparkPath semantics — a partition
+    * value like `New York` surfaces as `New%20York`), so deriving the
+    * manifest-form entry from it with string surgery silently
+    * mismatches any URI-encodable character. Instead the (decoded)
+    * sidecar keys — already driver-resident and memoized in [[dvMap]],
+    * bounded by the dv_max_ratio contract — are re-qualified through
+    * the filesystem into exactly the encoded form the scan reports. */
   private[engine] def dropDvRows(spark: SparkSession, dir: String,
-      df: DataFrame, v: Int): DataFrame =
-    dvFrame(spark, dir, v) match {
-      case None => df
-      case Some(dv) =>
-        import org.apache.spark.sql.functions.{broadcast, col, concat,
-          lit, substring_index}
-        // entry depth: 1 segment flat, +1 per partition column
-        val eSegs = GraftLakePartitions.of(spark, dir).length + 1
-        val side = dv.select(
-          concat(col("entry"), lit("/"), col("file")).as("__dv_f"),
-          col("pos").as("__dv_p"))
-        val hinted =
-          if (dvSidecarBytes(spark, dir, v) <= DvBroadcastMaxBytes)
-            broadcast(side)
-          else side
-        df.withColumn("__dv_f",
-            substring_index(col("_metadata.file_path"), "/",
-              -(eSegs + 1)))
-          .withColumn("__dv_p", col("_metadata.row_index"))
-          .join(hinted, Seq("__dv_f", "__dv_p"), "left_anti")
-          .drop("__dv_f", "__dv_p")
+      df: DataFrame, v: Int): DataFrame = {
+    val dv = dvMap(spark, dir, v)
+    if (dv.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(spark, dir)
+    val rows: Seq[(String, Long)] = dv.toSeq.flatMap { case (k, ps) =>
+      encodedForms(f, new Path(s"$dir/$k")).flatMap(q =>
+        ps.map(p => (q, p)))
     }
+    import spark.implicits._
+    val side = rows.toDF("__dv_fp", "__dv_p")
+    // a local relation's size is known exactly — broadcast unless the
+    // pending backlog is genuinely large
+    val hinted =
+      if (rows.length <= 2000000) broadcast(side) else side
+    df.withColumn("__dv_fp", col("_metadata.file_path"))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+      .join(hinted, Seq("__dv_fp", "__dv_p"), "left_anti")
+      .drop("__dv_fp", "__dv_p")
+  }
 
   // planning-side driver map: `entry…/fileName` (relative path under
   // the lake root — file names alone are not guaranteed unique across
@@ -1752,8 +1786,7 @@ object VersionedLake {
       rangeBound: Option[(String, Double, Double)],
       pointLookups: Seq[(String, Seq[Any])] = Seq.empty,
       entriesOverride: Option[Seq[String]] = None): Option[Int] = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit,
-      substring_index}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val f = fs(spark, dir)
     val tipV = tip(spark, dir).getOrElse(return None)
     val snapshot = readManifest(spark, dir, tipV)
@@ -1766,18 +1799,22 @@ object VersionedLake {
     // serializable anchor: the dirs whose files we record positions
     // for must still be live at the CAS
     val touched = pruned.map(_._1).distinct
+    val partCols = GraftLakePartitions.of(spark, dir)
+    def withDvCols(df: DataFrame): DataFrame = df
+      .withColumn("__dv_fp", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
     // the FULL manifest entry (`d-x` flat, `d-x/c=v/…` partitioned) —
     // vacuum's liveness check and the (entry, file, pos) key both
-    // need it, and the immediate parent dir alone would drop the
-    // partition leaves
-    val partCols = GraftLakePartitions.of(spark, dir)
-    val eSegs = partCols.length + 1
-    def withDvCols(df: DataFrame): DataFrame = df
-      .withColumn("__dv_entry",
-        substring_index(substring_index(col("_metadata.file_path"),
-          "/", -(eSegs + 1)), "/", eSegs))
-      .withColumn("__dv_file", col("_metadata.file_name"))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
+    // need it. `_metadata.file_path` is URL-ENCODED (SparkPath), so
+    // the entry is NOT derivable from it by string surgery (a value
+    // like `New York` surfaces as `New%20York` and would mismatch the
+    // manifest form forever); instead each pruned file's qualified
+    // URI maps back to its MANIFEST-FORM (entry, file) through a
+    // driver-built broadcast lookup — exact, O(candidate files).
+    val lkRows = pruned.flatMap { case (e, p) =>
+      encodedForms(f, p).map(q => (q, e, p.getName)) }
+    import spark.implicits._
+    val lkDf = lkRows.toDF("__dv_fp", "__dv_entry", "__dv_file")
     // COLUMN-MAPPING lakes: the position scan must read BY FIELD ID
     // (a name-matched read would null renamed columns out of
     // pre-rename files and the predicate would silently MISS their
@@ -1821,10 +1858,19 @@ object VersionedLake {
             d.withColumn(c.name, col(c.name).cast(c.dataType))))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     val matched0 = scan0.filter(pred <=> lit(true))
+      .join(broadcast(lkDf), Seq("__dv_fp"))
+    // broadcast the prior/interleaved vector frames only when their
+    // bytes are provably small (memoized sidecar sizes) — at 100 TB a
+    // pending-position backlog must not be forced driver-side per
+    // DELETE; past the gate the anti-join stays shuffle-side for AQE
+    def dvHint(frame: DataFrame): DataFrame =
+      if (dvSidecarBytes(spark, dir, tipV) <= DvBroadcastMaxBytes)
+        broadcast(frame)
+      else frame
     val matched = dvFrame(spark, dir, tipV) match {
       case None => matched0
       case Some(old) =>
-        matched0.join(broadcast(old.select(
+        matched0.join(dvHint(old.select(
           col("entry").as("__dv_entry"), col("file").as("__dv_file"),
           col("pos").as("__dv_pos"))),
           Seq("__dv_entry", "__dv_file", "__dv_pos"), "left_anti")
@@ -1840,7 +1886,7 @@ object VersionedLake {
       // with the commit (the post-publish v<N> sidecar CDF writes
       // elsewhere is best-effort; here it must not be)
       val changeDir = s"$dir/_changes/dv-$uuid"
-      m.drop("__dv_entry", "__dv_file", "__dv_pos")
+      m.drop("__dv_fp", "__dv_entry", "__dv_file", "__dv_pos")
         .withColumn("_change_type", lit("delete"))
         .write.parquet(changeDir)
       // vectors already subtracted from `cur` reach up to this version
@@ -1869,7 +1915,9 @@ object VersionedLake {
             .select(col("entry").as("__dv_entry"),
               col("file").as("__dv_file"),
               col("pos").as("__dv_pos"))
-          val next0 = cur.join(broadcast(nv),
+          val next0 = cur.join(
+            if (dvSidecarBytes(spark, dir, prevTip) <=
+              DvBroadcastMaxBytes) broadcast(nv) else nv,
             Seq("__dv_entry", "__dv_file", "__dv_pos"), "left_anti")
             .cache()
           if (cur ne m) cur.unpersist()
@@ -1881,7 +1929,7 @@ object VersionedLake {
             f.delete(new Path(changeDir), true)
             return None
           }
-          cur.drop("__dv_entry", "__dv_file", "__dv_pos")
+          cur.drop("__dv_fp", "__dv_entry", "__dv_file", "__dv_pos")
             .withColumn("_change_type", lit("delete"))
             .write.mode("overwrite").parquet(changeDir)
         }
@@ -2327,17 +2375,21 @@ object VersionedLake {
       }
     }
     if (bloomCols.nonEmpty) {
-      val eSegs = entries.head.count(_ == '/') + 1
-      def entryOfPath(p: String): String = {
-        val t = GraftLakeDvScan.tailSegments(p, eSegs + 1)
-        t.substring(0, t.lastIndexOf('/'))
-      }
+      // `input_file_name` reports URL-ENCODED URIs (SparkPath) while
+      // entry names are manifest-form (decoded) — derive each file's
+      // entry through a qualified-URI lookup built from the listing,
+      // never by string surgery on the encoded path (a partition
+      // value like `New York` would mismatch forever)
+      val entryOfUri: Map[String, String] = filesByEntry.flatMap {
+        case (e, fps) =>
+          fps.flatMap(p => encodedForms(f, p).map(_ -> e))
+      }.toMap
       val nonEmpty = filesByEntry.filter(_._2.nonEmpty).map(_._1)
       val byEntryCol: Map[(String, String), Seq[String]] =
         if (nonEmpty.isEmpty) Map.empty
         else bloomCols.distinct.flatMap { c =>
           bloomLinesGrouped(spark,
-            nonEmpty.map(e => s"$dir/$e"), c, entryOfPath)
+            nonEmpty.map(e => s"$dir/$e"), c, entryOfUri)
         }.groupBy(x => (x._1, x._2))
           .map { case (k, xs) => k -> xs.flatMap(_._3) }
       filesByEntry.foreach { case (e, fps) =>
@@ -2361,7 +2413,7 @@ object VersionedLake {
   /** One distributed pass computing bloom lines for `keyCol` over many
     * entry dirs at once; rows come back tagged (entry, col, lines). */
   private def bloomLinesGrouped(spark: SparkSession, paths: Seq[String],
-      keyCol: String, entryOfPath: String => String)
+      keyCol: String, entryOfUri: Map[String, String])
       : Seq[(String, String, Seq[String])] = {
     import org.apache.spark.sql.functions.{array, col, collect_set,
       explode, input_file_name, sort_array}
@@ -2384,7 +2436,10 @@ object VersionedLake {
         s"${new Path(full).getName}\t$keyCol\t${arr
           .map("%02x".format(_)).mkString}"
       }
-      (entryOfPath(full), keyCol, Seq(line))
+      (entryOfUri.getOrElse(full,
+        throw new IllegalStateException(
+          s"bloom batch read an unlisted file: $full")),
+        keyCol, Seq(line))
     }.groupBy(x => (x._1, x._2)).toSeq.map { case ((e, c), xs) =>
       (e, c, xs.flatMap(_._3).sorted)
     }

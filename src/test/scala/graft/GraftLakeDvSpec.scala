@@ -397,6 +397,51 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("URI-ENCODABLE partition values (spaces) survive the whole DV " +
+      "matrix: the sidecar records the manifest-form entry, scans " +
+      "apply the vector, blooms key the right leaves, and " +
+      "maintenance sees it as live") {
+    val root = tempDir("gldv-enc")
+    withCatalog(root) { cat =>
+      // `_metadata.file_path` / `input_file_name` are URL-ENCODED
+      // (`New York` -> `New%20York`) while manifest entries and
+      // Path.toString are decoded; every DV keying path must
+      // normalize or the delete is silently lost (this exact fixture
+      // caught the bug: pre-fix, the DELETE below left count at 20)
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, city STRING) " +
+        "PARTITIONED BY (city) TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'bloom'='id')")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, " +
+        "CASE WHEN id % 2 = 0 THEN 'New York' ELSE 'LA' END " +
+        "FROM range(0, 20)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (0, 2)")
+      assert(topDirs(dir) == before)
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 18, "the scan must apply the vector")
+      assert(t.filter(col("city") === "New York").count() == 8)
+      // the sidecar's entry is the MANIFEST form (decoded) — vacuum
+      // liveness and maintenance both depend on it
+      val tipV = VersionedLake.tip(spark, dir).get
+      val live = VersionedLake.manifestEntries(spark, dir, tipV).toSet
+      val keys = VersionedLake.dvMap(spark, dir, tipV).keys
+      assert(keys.nonEmpty && keys.forall(k =>
+        live(k.substring(0, k.lastIndexOf('/')))),
+        s"sidecar entries must match manifest form: $keys vs $live")
+      // a bloom point probe on the encoded-value leaves still admits
+      // the right file (the batched sidecar build keys by entry)
+      assert(spark.sql(s"SELECT city FROM $cat.t WHERE id = 4")
+        .head().getString(0) == "New York")
+      assert(spark.sql(s"SELECT * FROM $cat.t WHERE id = 0").count() == 0)
+      // maintenance sees the vector as live and materializes it
+      assert(VersionedLake.materializeVectors(spark, dir).nonEmpty)
+      assert(spark.table(s"$cat.t").count() == 18)
+      assert(spark.table(s"$cat.t")
+        .filter(col("id").isin(0L, 2L)).count() == 0)
+    }
+  }
+
   test("deletion vectors on a COLUMN-MAPPING lake: the position scan " +
       "id-matches across renames (pre-rename files' rows are found, " +
       "not nulled past the predicate), and the TRIPLE composition " +
