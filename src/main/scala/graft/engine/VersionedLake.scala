@@ -2916,7 +2916,6 @@ object VersionedLake {
   def readSkipping(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
-    requireNoDv(spark, dir, "readSkipping") // raw file reads would resurrect deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -2932,8 +2931,12 @@ object VersionedLake {
     }
     val snap =
       if (files.isEmpty) readAt(spark, dir, vs.last).limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.toString): _*)
+      // deletion vectors apply to the raw file scan (identity when
+      // none are live) — skipping loses no vectors: a skipped file's
+      // positions cover rows the range filter would drop anyway
+      else dropDvRows(spark, dir,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.toString): _*), vs.last)
     snap.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -3092,7 +3095,6 @@ object VersionedLake {
   def readBloomProbe(spark: SparkSession, dir: String, c: String,
       value: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    requireNoDv(spark, dir, "readBloomProbe") // raw file reads would resurrect deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
@@ -3113,8 +3115,12 @@ object VersionedLake {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           readAt(spark, dir, vs.last).schema)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.toString): _*)
+      // deletion vectors apply to the probe scan too (identity when
+      // none are live) — a bloom admit of a vectored row must not
+      // resurrect it
+      else dropDvRows(spark, dir,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.toString): _*), vs.last)
     snap.filter(col(c) === lit(value))
   }
 

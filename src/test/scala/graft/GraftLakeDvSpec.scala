@@ -260,9 +260,11 @@ class GraftLakeDvSpec extends AnyFunSuite {
         "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
       val dir = s"$root/t"
       spark.sql(s"DELETE FROM $cat.t WHERE id = 50")
-      val e3 = intercept[Exception](
-        VersionedLake.readSkipping(spark, dir, "id", 0, 10).count())
-      assert(e3.getMessage.contains("deletion-vector"), e3.getMessage)
+      // readSkipping applies the vectors now (dropDvRows composes
+      // with any raw file scan); only the metadata-ONLY aggregate
+      // stays refused — footer stats cannot subtract deleted rows
+      assert(VersionedLake.readSkipping(spark, dir, "id", 0, 60)
+        .count() == 60, "readSkipping must apply live vectors")
       val e4 = intercept[Exception](
         VersionedLake.statsAggregate(spark, dir, "id"))
       assert(e4.getMessage.contains("deletion-vector"), e4.getMessage)
@@ -496,6 +498,23 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val scanned = GraftLakeDataSource.filesReadPaths(
         tri.filter(col("m") === 0)).filter(_.contains("/m="))
       assert(scanned.nonEmpty && scanned.forall(_.contains("/m=0")))
+      // replaceWhere on the TRIPLE: the id-matched survivor rewrite
+      // must apply the vectors (pre-fix the mapped branch read raw
+      // and resurrected them) — vector rows 2 and 4 stay dead, the
+      // renamed column keeps its values through the rewrite
+      spark.sql(s"DELETE FROM $cat.tri WHERE m = 0 AND id IN (2, 4)")
+      import spark.implicits._
+      val repl = Seq((1000L, -1.0, 0)).toDF("id", "w", "m")
+      repl.writeTo(s"$cat.tri")
+        .overwrite(col("m") === 0 && col("id") >= 100)
+      val tri2 = spark.table(s"$cat.tri")
+      assert(tri2.count() == 198 - 2 - 50 + 1,
+        "the triple replaceWhere must materialize vectors, not " +
+          "resurrect them")
+      assert(tri2.filter(col("id").isin(2L, 4L)).count() == 0)
+      assert(tri2.filter(col("id") === 6L).select("w").head()
+        .getDouble(0) == 6.0,
+        "the id-matched rewrite must keep renamed-column values")
     }
   }
 
