@@ -441,6 +441,19 @@ class GraftLakeDvSpec extends AnyFunSuite {
       assert(spark.table(s"$cat.t").count() == 18)
       assert(spark.table(s"$cat.t")
         .filter(col("id").isin(0L, 2L)).count() == 0)
+      // the DOUBLE-ENCODED case: '#' hive-escapes to '%23' ON DISK,
+      // whose URI form is '%2523' — a naive single decode/encode
+      // anywhere in the chain corrupts it
+      spark.sql(s"INSERT INTO $cat.t SELECT id, 'A#B' " +
+        "FROM range(20, 30)")
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (21, 23)")
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 26,
+        "hive-escaped partition values must survive DV keying")
+      assert(t2.filter(col("city") === "A#B").count() == 8)
+      assert(t2.filter(col("id").isin(21L, 23L)).count() == 0)
+      assert(VersionedLake.materializeVectors(spark, dir).nonEmpty)
+      assert(spark.table(s"$cat.t").count() == 26)
     }
   }
 
