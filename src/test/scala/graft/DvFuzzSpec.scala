@@ -130,7 +130,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
   }
 
-  for (seed <- Seq(612L))
+  for (seed <- Seq(612L, 4242L))
   test("COLUMN-MAPPING × DV interleavings: renames between inserts, " +
       "DV deletes (by old-era AND new-era column names), updates, " +
       "optimize, auto-materialize and vacuum always read back as the " +

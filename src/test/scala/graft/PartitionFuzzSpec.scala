@@ -140,7 +140,7 @@ class PartitionFuzzSpec extends AnyFunSuite {
       "entries must stay partition leaves across every interleaving")
   }
 
-  for (seed <- Seq(91L))
+  for (seed <- Seq(91L, 20260816L))
   test("PARTITIONED × DELETION-VECTOR interleavings (insert/streamed " +
       "append/partition-delete/DV point delete/mixed delete/update/" +
       "replaceWhere/optimize/zorder/vacuum) always read back as the " +
