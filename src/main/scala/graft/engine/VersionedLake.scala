@@ -1697,20 +1697,28 @@ object VersionedLake {
     * the filesystem into exactly the encoded form the scan reports. */
   private[engine] def dropDvRows(spark: SparkSession, dir: String,
       df: DataFrame, v: Int): DataFrame = {
+    // dvMap is memoized per sidecar set; its KEYS give the DV-carrying
+    // file set — the positions themselves stay in the DISTRIBUTED
+    // sidecar scan below (a driver-built row per position would ship
+    // a duplicated URI string per deleted row; the per-FILE dimension
+    // is O(files))
     val dv = dvMap(spark, dir, v)
     if (dv.isEmpty) return df
     import org.apache.spark.sql.functions.{broadcast, col}
     val f = fs(spark, dir)
-    val rows: Seq[(String, Long)] = dv.toSeq.flatMap { case (k, ps) =>
-      encodedForms(f, new Path(s"$dir/$k")).flatMap(q =>
-        ps.map(p => (q, p)))
-    }
     import spark.implicits._
-    val side = rows.toDF("__dv_fp", "__dv_p")
-    // a local relation's size is known exactly — broadcast unless the
-    // pending backlog is genuinely large
+    val fileDim = dv.keysIterator.flatMap { k =>
+      val cut = k.lastIndexOf('/')
+      encodedForms(f, new Path(s"$dir/$k"))
+        .map(q => (q, k.substring(0, cut), k.substring(cut + 1)))
+    }.toSeq.toDF("__dv_fp", "entry", "file")
+    val side = dvFrame(spark, dir, v).get
+      .join(broadcast(fileDim), Seq("entry", "file"))
+      .select(col("__dv_fp"), col("pos").as("__dv_p"))
     val hinted =
-      if (rows.length <= 2000000) broadcast(side) else side
+      if (dvSidecarBytes(spark, dir, v) <= DvBroadcastMaxBytes)
+        broadcast(side)
+      else side
     df.withColumn("__dv_fp", col("_metadata.file_path"))
       .withColumn("__dv_p", col("_metadata.row_index"))
       .join(hinted, Seq("__dv_fp", "__dv_p"), "left_anti")
