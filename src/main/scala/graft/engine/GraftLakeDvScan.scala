@@ -67,10 +67,15 @@ private[engine] object GraftLakeDvScan {
   private def segsOf(dv: Map[String, Array[Long]]): Int =
     dv.keysIterator.next().count(_ == '/') + 1
 
-  /** Decode a possibly URL-ENCODED path string (SparkPath/URI form —
-    * what `FileIndex.inputFiles` and `input_file_name` report) into
-    * the on-disk spelling DV keys use; a string that is not a valid
-    * encoded URI is already decoded and passes through. */
+  /** Decode a SparkPath-ENCODED URI string — what
+    * `FileIndex.inputFiles` and `input_file_name` report — into the
+    * on-disk spelling DV keys use. CONTRACT: feed ONLY Spark-reported
+    * encoded strings. A decoded `Path.toString` containing a
+    * hive-escaped sequence (`city=A%23B`) is itself a parseable URI
+    * and would be double-decoded here — callers with decoded paths
+    * already hold the on-disk form and must not call this. (The
+    * NonFatal fallback only covers strings no URI parser accepts,
+    * e.g. raw spaces.) */
   def decodedPathString(s: String): String =
     try org.apache.spark.paths.SparkPath.fromUrlString(s)
       .toPath.toString

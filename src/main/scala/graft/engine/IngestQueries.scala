@@ -2756,12 +2756,8 @@ object IngestQueries {
       def topDirs: Set[String] =
         f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
           .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
-      def liveVectors: Boolean = {
-        val t = VersionedLake.tip(s, lake).get
-        val live = VersionedLake.manifestEntries(s, lake, t).toSet
-        VersionedLake.dvMap(s, lake, t).keys.exists(k =>
-          live(k.substring(0, k.lastIndexOf('/'))))
-      }
+      def liveVectors: Boolean = VersionedLake.liveDvKeys(s, lake,
+        VersionedLake.tip(s, lake).get).nonEmpty
       val total = Tables.table(s, dir, "events").count()
       val before = topDirs
       // 10% < the 50% bound: merge-on-read, zero dirs written

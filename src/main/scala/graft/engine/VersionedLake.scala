@@ -1490,13 +1490,10 @@ object VersionedLake {
   def materializeVectors(spark: SparkSession, dir: String,
       codec: String = "snappy"): Option[Int] = {
     val t = tip(spark, dir).getOrElse(return None)
-    val dv = dvMap(spark, dir, t)
-    if (dv.isEmpty) return None
-    val live = readManifest(spark, dir, t).toSet
     // entries still live that have at least one vectored file
-    val touched = dv.keysIterator
+    val touched = liveDvKeys(spark, dir, t)
       .map(k => k.substring(0, k.lastIndexOf('/')))
-      .toSeq.distinct.filter(live).sorted
+      .distinct.sorted
     if (touched.isEmpty) return None
     val partCols = GraftLakePartitions.of(spark, dir)
     val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
@@ -1542,9 +1539,9 @@ object VersionedLake {
       // LIVE vectors only: a materialized-away sidecar still lists
       // until vacuum, but its files are gone from the manifest — dead
       // positions must not re-trigger maintenance forever
-      val live = readManifest(spark, dir, t).toSet
+      val liveKeys = liveDvKeys(spark, dir, t).toSet
       val dv = dvMap(spark, dir, t).filter { case (k, _) =>
-        live(k.substring(0, k.lastIndexOf('/'))) }
+        liveKeys(k) }
       if (dv.isEmpty) return
       val positions = dv.valuesIterator.map(_.length.toLong).sum
       val conf = spark.sessionState.newHadoopConf()
@@ -1661,6 +1658,34 @@ object VersionedLake {
     } else Seq(base)
   }
 
+  // per (lake, version, sidecar-set): the distinct (entry, file) pairs
+  // carrying live vectors — O(DV files) driver rows, never positions
+  private val dvKeysMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), Seq[(String, String)]]
+
+  private[engine] def dvFileKeys(spark: SparkSession, dir: String,
+      v: Int): Seq[(String, String)] = {
+    val side = dvSidecars(spark, dir, v)
+    if (side.isEmpty) return Seq.empty
+    val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
+    if (dvKeysMemo.size > 256) dvKeysMemo.clear()
+    dvKeysMemo.getOrElseUpdate(key,
+      spark.read.parquet(side.map(_._2.toString): _*)
+        .select("entry", "file").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  /** DV keys (`entry/file`) whose ENTRY is still live at `v` — the
+    * single spelling of the liveness invariant maintenance, the
+    * fixtures and the specs all share. */
+  private[graft] def liveDvKeys(spark: SparkSession, dir: String,
+      v: Int): Seq[String] = {
+    val live = readManifest(spark, dir, v).toSet
+    dvFileKeys(spark, dir, v).collect {
+      case (e, f) if live(e) => s"$e/$f"
+    }
+  }
+
   /** Total on-disk bytes of the DV sidecars applying at `v` — decides
     * whether an anti-join side is broadcast-safe. Sidecars are
     * immutable and uuid-named, so per-sidecar sizes memoize forever
@@ -1697,22 +1722,23 @@ object VersionedLake {
     * the filesystem into exactly the encoded form the scan reports. */
   private[engine] def dropDvRows(spark: SparkSession, dir: String,
       df: DataFrame, v: Int): DataFrame = {
-    // dvMap is memoized per sidecar set; its KEYS give the DV-carrying
-    // file set — the positions themselves stay in the DISTRIBUTED
-    // sidecar scan below (a driver-built row per position would ship
-    // a duplicated URI string per deleted row; the per-FILE dimension
-    // is O(files))
-    val dv = dvMap(spark, dir, v)
-    if (dv.isEmpty) return df
+    // ONLY the per-FILE key set comes driver-side (one small distinct
+    // over the sidecar scan — O(DV files), memoized); the positions
+    // themselves stay in the DISTRIBUTED sidecar scan below. Neither
+    // the O(positions) planning map (dvMap) nor a per-position local
+    // relation is forced here: at 100 TB an unbounded pending backlog
+    // must never collect on this path.
+    val side0 = dvFrame(spark, dir, v).getOrElse(return df)
+    val keys = dvFileKeys(spark, dir, v)
+    if (keys.isEmpty) return df
     import org.apache.spark.sql.functions.{broadcast, col}
     val f = fs(spark, dir)
     import spark.implicits._
-    val fileDim = dv.keysIterator.flatMap { k =>
-      val cut = k.lastIndexOf('/')
-      encodedForms(f, new Path(s"$dir/$k"))
-        .map(q => (q, k.substring(0, cut), k.substring(cut + 1)))
-    }.toSeq.toDF("__dv_fp", "entry", "file")
-    val side = dvFrame(spark, dir, v).get
+    val fileDim = keys.flatMap { case (entry, file) =>
+      encodedForms(f, new Path(s"$dir/$entry/$file"))
+        .map(q => (q, entry, file))
+    }.toDF("__dv_fp", "entry", "file")
+    val side = side0
       .join(broadcast(fileDim), Seq("entry", "file"))
       .select(col("__dv_fp"), col("pos").as("__dv_p"))
     val hinted =
@@ -1865,8 +1891,13 @@ object VersionedLake {
           withDvCols(partCols.foldLeft(df)((d, c) =>
             d.withColumn(c.name, col(c.name).cast(c.dataType))))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // LEFT join so a path-form mismatch cannot silently DROP deletes
+    // (an inner join would exclude matched rows whose reported
+    // spelling is absent from encodedForms — on an exotic filesystem
+    // that is a silent partial DELETE); the null check after the
+    // cache refuses loudly instead
     val matched0 = scan0.filter(pred <=> lit(true))
-      .join(broadcast(lkDf), Seq("__dv_fp"))
+      .join(broadcast(lkDf), Seq("__dv_fp"), "left")
     // broadcast the prior/interleaved vector frames only when their
     // bytes are provably small (memoized sidecar sizes) — at 100 TB a
     // pending-position backlog must not be forced driver-side per
@@ -1887,6 +1918,11 @@ object VersionedLake {
     var cur = m
     try {
       if (m.isEmpty) return None
+      require(m.filter(col("__dv_entry").isNull).limit(1).count() == 0,
+        s"DV delete on $dir matched rows whose reported file path " +
+          "has no encoded form in the pruned-file lookup — refusing " +
+          "loudly rather than silently skipping their deletes " +
+          "(filesystem path-spelling mismatch; extend encodedForms)")
       val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
         .take(12)
       // the exact deleted rows, staged BEFORE the publish under the

@@ -426,11 +426,8 @@ class GraftLakeDvSpec extends AnyFunSuite {
       // the sidecar's entry is the MANIFEST form (decoded) — vacuum
       // liveness and maintenance both depend on it
       val tipV = VersionedLake.tip(spark, dir).get
-      val live = VersionedLake.manifestEntries(spark, dir, tipV).toSet
-      val keys = VersionedLake.dvMap(spark, dir, tipV).keys
-      assert(keys.nonEmpty && keys.forall(k =>
-        live(k.substring(0, k.lastIndexOf('/')))),
-        s"sidecar entries must match manifest form: $keys vs $live")
+      assert(VersionedLake.liveDvKeys(spark, dir, tipV).nonEmpty,
+        "sidecar entries must match the manifest form (liveness)")
       // a bloom point probe on the encoded-value leaves still admits
       // the right file (the batched sidecar build keys by entry)
       assert(spark.sql(s"SELECT city FROM $cat.t WHERE id = 4")
@@ -569,9 +566,7 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val t3 = spark.table(s"$cat.t")
       assert(t3.count() == 893)
       assert(t3.filter(col("id").isin(400L, 401L)).count() == 0)
-      val live = VersionedLake.manifestEntries(spark, dir, v).toSet
-      assert(VersionedLake.dvMap(spark, dir, v).keys.forall(k =>
-        !live(k.substring(0, k.lastIndexOf('/')))),
+      assert(VersionedLake.liveDvKeys(spark, dir, v).isEmpty,
         "the full-snapshot rewrite must leave no live vector")
       assert(t3.queryExecution.executedPlan.toString
         .contains("ColumnarToRow"))
@@ -607,9 +602,7 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val tip = VersionedLake.tip(spark, dir).get
       assert(tip == tipBefore + 2,
         "the crossing delete must publish its vector AND the rewrite")
-      val live = VersionedLake.manifestEntries(spark, dir, tip).toSet
-      assert(VersionedLake.dvMap(spark, dir, tip).keys.forall(k =>
-        !live(k.substring(0, k.lastIndexOf('/')))),
+      assert(VersionedLake.liveDvKeys(spark, dir, tip).isEmpty,
         "crossing dv_max_ratio must materialize every LIVE vector away")
       assert(topDirs(dir) != before, "the rewrite stages a fresh dir")
       val t = spark.table(s"$cat.t")
