@@ -1772,13 +1772,26 @@ object VersionedLake {
     // (version, sidecar-set) key per delete — evict wholesale rather
     // than grow forever (a miss costs one small re-read)
     if (dvMemo.size > 256) dvMemo.clear()
-    dvMemo.getOrElseUpdate(key,
-      spark.read.parquet(side.map(_._2.toString): _*)
+    dvMemo.getOrElseUpdate(key, {
+      val m = spark.read.parquet(side.map(_._2.toString): _*)
         .select("entry", "file", "pos").collect()
         .groupBy(r => s"${r.getString(0)}/${r.getString(1)}")
         .map { case (k, rs) =>
           k -> rs.map(_.getLong(2)).distinct.sorted.toArray
-        })
+        }
+      val positions = m.valuesIterator.map(_.length.toLong).sum
+      // the planning map is bounded by maintenance cadence — by
+      // CONTRACT when dv_max_ratio is declared, by discipline
+      // otherwise. Past 10M pending positions, say so loudly before
+      // the driver quietly balloons.
+      if (positions > 10000000L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$dir carries $positions pending deleted positions across " +
+            s"${m.size} files — run CALL materialize_dv / OPTIMIZE, " +
+            "or declare dv_max_ratio to bound this by contract " +
+            "(the planning-side position map grows with the backlog)")
+      m
+    })
   }
 
   /** SQL DELETE on a DV lake: record positions, rewrite nothing.
