@@ -2172,6 +2172,24 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         }
     def entryPaths(dirs: Seq[String]): Seq[Path] =
       dirs.map(d => new Path(s"$lakeDir/$d"))
+    // row-level sidecar dirs on a PARTITIONED lake: plain listing (no
+    // partition spec — the sidecar dir has no `c=v` layout) and the
+    // partition columns read from the FILE BYTES via the widened data
+    // schema; the emitted row layout (data..., cdf..., partition...)
+    // is byte-identical to the normal scan's
+    def planSidecar(p: Path): Seq[
+        org.apache.spark.sql.execution.datasources.FilePartition] =
+      scan.copy(
+        fileIndex = new org.apache.spark.sql.execution.datasources
+          .InMemoryFileIndex(spark, Seq(p), Map.empty, None),
+        partitionFilters = Nil, dataFilters = Nil,
+        readDataSchema = StructType(
+          scan.readDataSchema.fields ++ scan.readPartitionSchema.fields),
+        readPartitionSchema = new StructType())
+        .planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp
+        }
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
     // CDF groups in COMMIT ORDER: (partitions, op, version) — an
     // order-applying consumer must see each commit's deletes before
@@ -2214,6 +2232,14 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
         VersionedLake.changeSidecarPath(spark, lakeDir, v) match {
           case Some(p) if !partitionedLake =>
             cdfGroups += ((planDirs(Seq(p)), "file", v))
+          case Some(p) =>
+            // PARTITIONED lake: sidecar files carry the partition
+            // columns as DATA columns (no hive layout), so they read
+            // through a scan copy whose data schema absorbs the
+            // partition fields — falling through to the dir-granular
+            // path here would deliver NOTHING for a DV commit (no
+            // dirs changed: the delete events would be silently lost)
+            cdfGroups += ((planSidecar(p), "sidecar", v))
           case None if isDv =>
             // a DV commit's sidecar is staged BEFORE its publish; the
             // dir-granular fallback would be silently EMPTY here (no
@@ -2267,10 +2293,22 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     // plainReaderFactory: per-commit replay semantics — deletion
     // vectors arrive as their OWN change events, never retroactively
-    if (cdf)
+    if (cdf) {
+      // partitioned lakes additionally need the SIDECAR factory: same
+      // row layout, partition columns sourced from file bytes (own
+      // hadoop conf copy — factory creation writes its schema there)
+      val sidecarInner =
+        if (GraftLakePartitions.of(spark, lakeDir).isEmpty) None
+        else Some(scan.copy(
+          hadoopConf = new org.apache.hadoop.conf.Configuration(
+            scan.hadoopConf),
+          readDataSchema = StructType(scan.readDataSchema.fields ++
+            scan.readPartitionSchema.fields),
+          readPartitionSchema = new StructType(),
+          pushedAggregate = None).createReaderFactory())
       new GraftLakeCdfReaderFactory(scan.plainReaderFactory(),
-        scan.readSchema())
-    else scan.plainReaderFactory()
+        scan.readSchema(), sidecarInner)
+    } else scan.plainReaderFactory()
 
   override def commit(end: Offset): Unit = ()
 
@@ -2300,7 +2338,9 @@ private[engine] final case class GraftLakeCdfPartition(
   * columns away gets the wrapped reader untouched. */
 private[engine] final class GraftLakeCdfReaderFactory(
     inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
-    readSchema: StructType)
+    readSchema: StructType,
+    sidecarInner: Option[
+      org.apache.spark.sql.connector.read.PartitionReaderFactory] = None)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.{InputPartition,
@@ -2311,7 +2351,9 @@ private[engine] final class GraftLakeCdfReaderFactory(
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[GraftLakeCdfPartition]
-    val r = inner.createReader(cp.inner)
+    val r =
+      (if (cp.op == "sidecar") sidecarInner.getOrElse(inner) else inner)
+        .createReader(cp.inner)
     val ctIdx = readSchema.fieldNames
       .indexOf(GraftLakeDataSource.ChangeTypeCol)
     val cvIdx = readSchema.fieldNames
@@ -2322,7 +2364,7 @@ private[engine] final class GraftLakeCdfReaderFactory(
         Literal, UnsafeProjection}
       val proj = UnsafeProjection.create(
         readSchema.fields.zipWithIndex.map { case (f, i) =>
-          if (i == ctIdx && cp.op != "file")
+          if (i == ctIdx && cp.op != "file" && cp.op != "sidecar")
             Literal(org.apache.spark.unsafe.types.UTF8String
               .fromString(cp.op), f.dataType)
           else if (i == cvIdx)

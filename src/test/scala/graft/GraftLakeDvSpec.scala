@@ -423,6 +423,32 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val t = spark.table(s"$cat.t")
       assert(t.count() == 18, "the scan must apply the vector")
       assert(t.filter(col("city") === "New York").count() == 8)
+      // the CDF STREAM delivers the partitioned DV commit's EXACT
+      // rows, partition values included, read from the sidecar's own
+      // bytes (pre-fix the partitioned branch fell through to the
+      // dir-granular diff, which is EMPTY for a DV commit — the
+      // delete events were silently lost)
+      locally {
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = s"$root/cdf_sink"
+        val q = spark.readStream.format("graftlake")
+          .option(GraftLakeDataSource.ReadChangeFeed, "true").load(dir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cdf_cp")
+          .format("parquet").option("path", sink).start()
+        q.awaitTermination()
+        val feed = spark.read.parquet(sink)
+        val dels = feed.filter(col("_change_type") === "delete")
+        assert(dels.count() == 2,
+          "the partitioned DV commit's delete events must deliver")
+        assert(dels.select("id").collect().map(_.getLong(0)).sorted
+          .toSeq == Seq(0L, 2L))
+        assert(dels.select("city").distinct().head()
+          .getString(0) == "New York",
+          "delete events must carry their partition values")
+        assert(feed.filter(col("_change_type") === "insert")
+          .count() == 20)
+      }
       // the sidecar's entry is the MANIFEST form (decoded) — vacuum
       // liveness and maintenance both depend on it
       val tipV = VersionedLake.tip(spark, dir).get
