@@ -86,11 +86,29 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
   /** Write schema with the table's parquet field ids overlaid when the
     * lake is column-mapped — the analyzer does not reliably carry
     * metadata into `info.schema()`, and an id-less footer would be
-    * unreadable to the id-matching scan. */
+    * unreadable to the id-matching scan (its column reads back NULL:
+    * silent data loss). Ids overlay from the lake's CURRENT declared
+    * schema (the captured `tableSchema` goes stale across an ALTER
+    * TABLE RENAME between stream restarts), and a column the
+    * declaration has never seen gets a FRESH registered id — the same
+    * ADD COLUMN protocol as [[VersionedLake]]'s library commits, so a
+    * stream carrying a new column widens the table instead of writing
+    * invisible bytes. */
   private lazy val stamped: StructType =
-    if (GraftLakeMapping.enabled(spark, lakeDir))
-      GraftLakeMapping.withFieldIds(schema, tableSchema.getOrElse(schema))
-    else schema
+    if (!GraftLakeMapping.enabled(spark, lakeDir)) schema
+    else {
+      val declared = VersionedLake.tip(spark, lakeDir)
+        .flatMap(VersionedLake.manifestSchema(spark, lakeDir, _))
+        .orElse(tableSchema)
+        .getOrElse(schema)
+      val overlaid = GraftLakeMapping.withFieldIds(schema, declared)
+      val out = GraftLakeMapping.assignIds(overlaid,
+        GraftLakeMapping.nextId(spark, lakeDir))
+      if (out.fields.exists(f =>
+          GraftLakeMapping.fieldId(overlaid(f.name)).isEmpty))
+        GraftLakeMapping.record(spark, lakeDir, out)
+      out
+    }
 
   /** Data columns only — partition values live in dir names, exactly
     * like the batch partitioned write. */
@@ -167,11 +185,14 @@ final class GraftLakeStreamingWrite(lakeDir: String, schema: StructType,
       else kept.map(m => s"$dataDir/${m.partSubpath}").distinct.sorted
     VersionedLake.indexStagedEntries(spark, lakeDir, entries,
       dataOnly(stamped))
-    // the declaration carries the tip's schema forward merged with this
-    // write's ([[VersionedLake.publishAll]] carrySchema — computed per
-    // CAS attempt, so a racing writer's new column is never hidden)
+    // the declaration carries the tip's schema forward merged with
+    // THIS WRITE'S ([[VersionedLake.publishAll]] carrySchema —
+    // computed per CAS attempt, so a racing writer's new column is
+    // never hidden). The write schema, NOT the captured table schema:
+    // the capture goes stale across an ALTER TABLE RENAME and would
+    // re-declare the renamed-away name
     VersionedLake.publishAll(spark, lakeDir, entries, mode,
-      carrySchema = Some(tableSchema.getOrElse(stamped)))
+      carrySchema = Some(stamped))
     val out = f.create(marker, true)
     out.close()
   }

@@ -337,6 +337,56 @@ class GraftLakeStreamingWriteSpec extends AnyFunSuite {
     assert(leafFiles.distinct.length == 4)
   }
 
+  test("streaming sink into a COLUMN-MAPPING lake stamps CURRENT field " +
+      "ids: rows bind across a rename, and a stream carrying an " +
+      "unknown column widens the table (ADD COLUMN protocol) instead " +
+      "of writing invisible bytes") {
+    val root = tempDir("glsw-mapped")
+    val cat = "glswmap"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+      "PARTITIONED BY (m) TBLPROPERTIES ('column_mapping'='id')")
+    val lake = s"$root/t"
+    def addInput(from: Long, until: Long): Unit =
+      spark.range(from, until)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v",
+          "CAST(id % 2 AS INT) AS m")
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def src = spark.readStream.schema("id LONG, v DOUBLE, m INT")
+      .parquet(s"$root/in")
+    addInput(0, 100)
+    drain(src, lake, s"$root/ck")
+    assert(spark.table(s"$cat.t").count() == 100)
+    // the streamed files carry field ids: the rename binds them
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    assert(spark.sql(s"SELECT SUM(w) FROM $cat.t").head()
+      .getDouble(0) == (0L until 100L).map(_.toDouble).sum,
+      "pre-rename streamed rows must bind the renamed column by id")
+    // a stream still writing the OLD name after the rename: the name
+    // is UNKNOWN to the declaration now — it lands as a registered
+    // NEW column (the library ADD COLUMN protocol), never as
+    // invisible id-less bytes (pre-fix those rows read NULL for
+    // every era's column: silent data loss)
+    addInput(100, 150)
+    drain(src, lake, s"$root/ck")
+    val t = spark.table(s"$cat.t")
+    assert(t.count() == 150)
+    assert(t.schema.fieldNames.toSet == Set("id", "w", "v", "m"),
+      s"the old-name write must widen the schema: ${t.schema.fieldNames
+        .toList}")
+    assert(spark.sql(s"SELECT SUM(w) FROM $cat.t").head()
+      .getDouble(0) == (0L until 100L).map(_.toDouble).sum)
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.t").head()
+      .getDouble(0) == (100L until 150L).map(_.toDouble).sum,
+      "the widened column's bytes must be readable, not invisible")
+    // partition pruning intact across the whole composition
+    val scanned = GraftLakeDataSource.filesReadPaths(
+      t.filter(col("m") === 1)).filter(_.contains("/m="))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/m=1")))
+  }
+
   test("vacuum sweeps quiescent staging stragglers (crashed attempts) " +
       "but respects the grace window for in-flight epochs") {
     import spark.implicits._
