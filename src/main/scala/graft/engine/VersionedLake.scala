@@ -907,13 +907,45 @@ object VersionedLake {
   private def readEntrySet(spark: SparkSession, dir: String,
       entries: Seq[String], dvAt: Option[Int] = None): DataFrame = {
     val partCols = GraftLakePartitions.of(spark, dir)
-    if (partCols.nonEmpty)
-      GraftLakePartitions.readEntries(spark, dir, entries, partCols,
-        dropDvAt = dvAt)
-    else {
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(d => s"$dir/$d"): _*)
-      dvAt.fold(base)(v => dropDvRows(spark, dir, base, v))
+    if (!GraftLakeMapping.enabled(spark, dir)) {
+      if (partCols.nonEmpty)
+        GraftLakePartitions.readEntries(spark, dir, entries, partCols,
+          dropDvAt = dvAt)
+      else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(entries.map(d => s"$dir/$d"): _*)
+        dvAt.fold(base)(v => dropDvRows(spark, dir, base, v))
+      }
+    } else {
+      // COLUMN-MAPPING: id-matched read through the declared TIP
+      // schema on a derived session — a name-matched read would null
+      // renamed columns out of pre-rename files, corrupting change
+      // feeds and CDF sidecars computed from these frames. Historical
+      // rows surface under the CURRENT names (ids are stable across
+      // renames — Delta's CDF-with-latest-schema shape).
+      import org.apache.spark.sql.functions.col
+      val declared = tip(spark, dir)
+        .flatMap(manifestSchema(spark, dir, _))
+        .getOrElse(throw new IllegalStateException(
+          s"column-mapping lake $dir has no declared schema at its " +
+            "tip — cannot id-match the entry-set read"))
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      if (partCols.isEmpty) {
+        val base = s2.read.schema(declared)
+          .parquet(entries.map(d => s"$dir/$d"): _*)
+        dvAt.fold(base)(v => dropDvRows(s2, dir, base, v))
+      } else {
+        // per data dir with basePath so the `c=v` partition values
+        // fill the declared partition columns
+        entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+          .map { case (dd, es) =>
+            val df0 = s2.read.schema(declared)
+              .option("basePath", s"$dir/$dd")
+              .parquet(es.map(e => s"$dir/$e"): _*)
+            dvAt.fold(df0)(v => dropDvRows(s2, dir, df0, v))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     }
   }
 
@@ -1382,9 +1414,27 @@ object VersionedLake {
     require(changes.columns.contains("_change_type"),
       "a change sidecar needs the _change_type column")
     val f = fs(spark, dir)
+    // COLUMN-MAPPING lakes: sidecar files must carry the declared
+    // field ids or the id-matching CDF read refuses them outright
+    // ("read schema expects field ids"). Overlay ONLY — table columns
+    // get their registered ids; `_change_type` (not a table column)
+    // stays id-less and binds by name, which the partial-id parquet
+    // read supports.
+    val out =
+      if (!GraftLakeMapping.enabled(spark, dir)) changes
+      else {
+        import org.apache.spark.sql.functions.col
+        val declared = tip(spark, dir)
+          .flatMap(manifestSchema(spark, dir, _))
+          .getOrElse(changes.schema)
+        val overlaid =
+          GraftLakeMapping.withFieldIds(changes.schema, declared)
+        changes.select(overlaid.fields.map(fl =>
+          col(s"`${fl.name}`").as(fl.name, fl.metadata)).toSeq: _*)
+      }
     val tmp = new Path(
       s"$dir/_changes/.tmp-${java.util.UUID.randomUUID.toString.take(12)}")
-    changes.write.parquet(tmp.toString)
+    out.write.parquet(tmp.toString)
     if (!f.rename(tmp, changeSidecarDir(dir, v))) {
       // a racing writer of the same version (replayed commit) won the
       // rename — drop the duplicate staging, theirs is identical

@@ -119,6 +119,55 @@ class GraftLakeMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("CDF on a COLUMN-MAPPING lake binds across renames: sidecars " +
+      "carry field ids, the stream and batch feeds deliver pre- AND " +
+      "post-rename commits' exact rows under the CURRENT names") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glm-cdf")
+    val cat = s"glmcdf_${new java.io.File(root).getName.takeRight(6)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+      "PARTITIONED BY (m) TBLPROPERTIES " +
+      "('column_mapping'='id', 'cdf'='true')")
+    val dir = s"$root/t"
+    spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS DOUBLE), " +
+      "CAST(id % 2 AS INT) FROM range(0, 50)")
+    // change sidecar written PRE-rename (old names + field ids)...
+    spark.sql(s"UPDATE $cat.t SET v = v + 100.0 WHERE id IN (1, 3)")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    // ...and one POST-rename
+    spark.sql(s"UPDATE $cat.t SET w = w + 1000.0 WHERE id IN (5)")
+    // the CDF STREAM reads both sidecars id-matched (pre-fix the
+    // id-less sidecar files failed the mapped read outright)
+    val sink = s"$root/sink"
+    val q = spark.readStream.format("graftlake")
+      .option(GraftLakeDataSource.ReadChangeFeed, "true").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp")
+      .format("parquet").option("path", sink).start()
+    q.awaitTermination()
+    val feed = spark.read.parquet(sink)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.count() == 3 && post.count() == 3)
+    assert(post.select("id", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      Seq((1L, 101.0), (3L, 103.0), (5L, 1005.0)),
+      "both eras' change rows must bind the renamed column by id")
+    assert(pre.filter(col("id") === 1L).head()
+      .getDouble(pre.schema.fieldIndex("w")) == 1.0,
+      "the pre-rename sidecar's values must surface under the " +
+        "current name")
+    // batch changes() across the rename nets the same events (the
+    // RENAME itself is a schema-only commit contributing nothing)
+    val ch = VersionedLake.changes(spark, dir, 2,
+      VersionedLake.tip(spark, dir).get)
+    assert(ch.filter(col("op") === "delete").count() == 3)
+    assert(ch.filter(col("op") === "insert").count() == 3)
+  }
+
   test("replaceWhere with a DATA-column condition on a PARTITIONED " +
       "COLUMN-MAPPING lake: survivors id-match across a rename, the " +
       "rewrite re-stamps ids, untouched partitions carry by reference") {
