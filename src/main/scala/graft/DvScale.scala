@@ -109,6 +109,55 @@ object DvScale {
       s""""dv_bytes_written":$dvBytes,"cow_bytes_written":$cowBytes,""" +
       s""""files":$dvFiles,"scan_clean_sec":${f"$cleanScan%.2f"},""" +
       s""""scan_vectored_sec":${f"$vecScan%.2f"}}""")
+
+    // --- planning-state scale point: a MULTI-MILLION-position pending
+    // backlog (dv_max_pending raised so it stays live). What's
+    // measured: the driver's ENTIRE planning-side DV state is the ref
+    // map — O(DV files) entries, a few paths + a count each — never
+    // the positions; the backlog'd snapshot still scans exact (tasks
+    // load only their own file's positions from the sidecar).
+    val blCopies = math.max(copies, 30)
+    val tag = "backlog"
+    val dirB = s"$root/$tag"
+    engine.Lake.delete(spark, dirB)
+    copyK(0).createOrReplaceTempView("dvscale_seed")
+    spark.sql(s"""CREATE TABLE gldvs.$tag TBLPROPERTIES (
+      |'deletion_vectors' = 'true',
+      |'dv_max_pending' = '1000000000') AS
+      |SELECT * FROM dvscale_seed""".stripMargin)
+    (1 until blCopies).foreach { k =>
+      copyK(k).createOrReplaceTempView("dvscale_in")
+      spark.sql(s"INSERT INTO gldvs.$tag SELECT * FROM dvscale_in")
+    }
+    val perCopy = ev0.count()
+    val t0b = System.nanoTime()
+    // one range DELETE covering every copy but the last: the vector
+    // carries (blCopies-1) * perCopy ≈ millions of positions
+    spark.sql(s"DELETE FROM gldvs.$tag WHERE event_id < " +
+      s"${(blCopies - 1).toLong * shift}")
+    val blDelSec = (System.nanoTime() - t0b) / 1e9
+    val tipB = engine.VersionedLake.tip(spark, dirB).get
+    val refs = engine.VersionedLake.dvRefs(spark, dirB, tipB)
+    val pending = refs.valuesIterator.map(_.count).sum
+    require(pending >= (blCopies - 1).toLong * perCopy,
+      s"backlog fixture expected millions pending, got $pending")
+    // the retained planning objects, exhaustively: key + entry + file
+    // + part-path strings and one long per ref — what replaces the
+    // old O(positions) arrays (which would be ~8B × pending here)
+    val refBytes = refs.iterator.map { case (k, r) =>
+      2L * (k.length + r.entry.length + r.file.length +
+        r.parts.map(_.length).sum) + 8L
+    }.sum
+    val blScan = scanSec(tag)
+    val blRows = spark.table(s"gldvs.$tag").count()
+    require(blRows == perCopy,
+      s"backlog scan must net the vector exactly: $blRows vs $perCopy")
+    println(s"""{"metric":"dv_backlog_scale","copies":$blCopies,""" +
+      s""""pending_positions":$pending,"dv_files":${refs.size},""" +
+      s""""planning_ref_bytes":$refBytes,""" +
+      s""""positions_bytes_if_collected":${8L * pending},""" +
+      s""""delete_sec":${f"$blDelSec%.2f"},""" +
+      s""""scan_backlog_sec":${f"$blScan%.2f"},"rows":$blRows}""")
     spark.stop()
   }
 }

@@ -24,11 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `_metadata.row_index`. The wrapper then:
   *
   *  - isolates each DV-carrying file into its own
-  *    [[GraftLakeDvFilePartition]] CARRYING THAT FILE'S POSITIONS —
-  *    tasks receive O(their own file)'s deleted positions, never the
-  *    lake-wide map (at 100 TB, pending positions between OPTIMIZE
-  *    runs can reach tens of MB; shipping them in every task closure
-  *    was the scale ceiling of the first cut);
+  *    [[GraftLakeDvFilePartition]] carrying a [[GraftLakeDvRef]] — the
+  *    SIDECAR REFERENCE (which `_deletes` part files hold this file's
+  *    positions, and how many). The task opens its own positions
+  *    lazily from the referenced sidecar parts (predicate-pushed
+  *    parquet read, sorted task-side), so BOTH the task closure AND
+  *    the driver's planning state are O(DV files), never O(pending
+  *    positions) — Delta's deletion-vector planning shape. (The first
+  *    cut shipped the lake-wide position map in every task closure;
+  *    the second shipped per-file position ARRAYS but still collected
+  *    every pending position to the driver at plan time — at 100 TB
+  *    with heavy delete churn that map ballooned with the backlog.);
   *  - when the inner format reads COLUMNAR (the common path), DV
   *    partitions stay columnar too: the batch's row-index column
   *    drives a selection array and every emitted column is a zero-copy
@@ -64,8 +70,54 @@ private[engine] object GraftLakeDvScan {
     if (idx <= 0) path else path.substring(idx + 1)
   }
 
-  private def segsOf(dv: Map[String, Array[Long]]): Int =
+  private def segsOf(dv: Map[String, GraftLakeDvRef]): Int =
     dv.keysIterator.next().count(_ == '/') + 1
+
+  /** Task-side position load for ONE file: scan exactly the sidecar
+    * part files the ref names, with an `entry = E AND file = F`
+    * parquet filter (row-group stats + dictionary pages skip foreign
+    * keys — the DV delete writes sidecars SORTED by (entry, file,
+    * pos), so a key clusters in few row groups). Cost: O(this file's
+    * positions + skipped-footer overhead), independent of the lake's
+    * pending-position backlog. Positions are unique by the commit
+    * protocol (a DV delete anti-joins every earlier vector before
+    * publishing); sorting happens here so the readers can binary-
+    * search regardless of how the sidecar rows interleaved. */
+  def loadPositions(ref: GraftLakeDvRef,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.and(
+      FilterApi.eq(FilterApi.binaryColumn("entry"),
+        org.apache.parquet.io.api.Binary.fromString(ref.entry)),
+      FilterApi.eq(FilterApi.binaryColumn("file"),
+        org.apache.parquet.io.api.Binary.fromString(ref.file)))
+    var arr = new Array[Long](
+      math.min(math.max(ref.count, 16L), 1L << 26).toInt)
+    var n = 0
+    ref.parts.foreach { part =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(part))
+        .withConf(conf)
+        .withFilter(org.apache.parquet.filter2.compat.FilterCompat
+          .get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (n == arr.length)
+            arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+          arr(n) = g.getLong("pos", 0)
+          n += 1
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val out =
+      if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
+    java.util.Arrays.sort(out)
+    out
+  }
 
   /** Decode a SparkPath-ENCODED URI string — what
     * `FileIndex.inputFiles` and `input_file_name` report — into the
@@ -82,26 +134,26 @@ private[engine] object GraftLakeDvScan {
     catch { case scala.util.control.NonFatal(_) => s }
 
   /** Split `ps` so every DV-carrying file sits alone in a
-    * [[GraftLakeDvFilePartition]] holding ITS positions; clean files
-    * keep their grouping. Survivor partitions REINDEXED (the RDD
+    * [[GraftLakeDvFilePartition]] holding ITS sidecar reference; clean
+    * files keep their grouping. Survivor partitions REINDEXED (the RDD
     * contract: index == array position). */
   def isolate(ps: Seq[FilePartition],
-      dv: Map[String, Array[Long]]): Seq[FilePartition] =
+      dv: Map[String, GraftLakeDvRef]): Seq[FilePartition] =
     if (dv.isEmpty) ps
     else {
       val segs = segsOf(dv)
-      def posOf(f: PartitionedFile): Option[Array[Long]] =
+      def refOf(f: PartitionedFile): Option[GraftLakeDvRef] =
         dv.get(tailSegments(f.toPath.toString, segs))
       val out = Seq.newBuilder[FilePartition]
       var i = 0
       ps.foreach { fp =>
-        val (hit, clean) = fp.files.partition(f => posOf(f).isDefined)
+        val (hit, clean) = fp.files.partition(f => refOf(f).isDefined)
         if (clean.nonEmpty) {
           out += FilePartition(i, clean)
           i += 1
         }
         hit.foreach { f =>
-          out += new GraftLakeDvFilePartition(i, Array(f), posOf(f).get)
+          out += new GraftLakeDvFilePartition(i, Array(f), refOf(f).get)
           i += 1
         }
       }
@@ -109,9 +161,11 @@ private[engine] object GraftLakeDvScan {
     }
 
   /** DV-applying reader factory over `base`'s own machinery. `base`
-    * must be the scan whose partitions were [[isolate]]d — the
-    * positions travel IN the partitions, so the factory closure stays
-    * O(1) regardless of how many deletes are pending. */
+    * must be the scan whose partitions were [[isolate]]d — each DV
+    * partition carries its SIDECAR REFERENCE and the task loads its
+    * own positions, so the factory closure stays O(1) and the driver
+    * never materializes positions, regardless of how many deletes are
+    * pending. */
   def readerFactory(
       base: org.apache.spark.sql.execution.datasources.v2.parquet
         .ParquetScan): PartitionReaderFactory = {
@@ -141,15 +195,41 @@ private[engine] object GraftLakeDvScan {
     new GraftLakeDvReaderFactory(plain, withIdx,
       base.readDataSchema.length,
       ((base.readDataSchema.fields :+ rowIdx) ++
-        base.readPartitionSchema.fields).map(_.dataType))
+        base.readPartitionSchema.fields).map(_.dataType),
+      new GraftLakeSerializableConf(base.hadoopConf))
+  }
+}
+
+/** The sidecar REFERENCE for one DV-carrying file: which `_deletes`
+  * part files hold its deleted positions, and their total count. This
+  * — not the positions — is what planning materializes and tasks
+  * receive: O(bytes of a few paths) per vectored file. */
+private[graft] final case class GraftLakeDvRef(entry: String,
+    file: String, parts: Seq[String], count: Long)
+
+/** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
+  * (the standard Spark idiom) ships it inside the reader factory so
+  * tasks can open their own sidecar parts. */
+private[engine] final class GraftLakeSerializableConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
   }
 }
 
 /** A [[FilePartition]] holding exactly one DV-carrying file and the
-  * SORTED deleted positions of that file — the task-side unit of DV
-  * application (O(this file), never O(lake)). */
+  * sidecar reference to that file's deleted positions — the task-side
+  * unit of DV application (O(this file), never O(lake)). */
 private[engine] final class GraftLakeDvFilePartition(index: Int,
-    files: Array[PartitionedFile], val positions: Array[Long])
+    files: Array[PartitionedFile], val ref: GraftLakeDvRef)
   extends FilePartition(index, files)
 
 /** See [[GraftLakeDvScan]]. `idxAt` is the row-index column's position
@@ -157,7 +237,8 @@ private[engine] final class GraftLakeDvFilePartition(index: Int,
   * partition values); `fullTypes` is that layout's types. */
 private[engine] final class GraftLakeDvReaderFactory(
     plain: PartitionReaderFactory, withIdx: PartitionReaderFactory,
-    idxAt: Int, fullTypes: Array[DataType])
+    idxAt: Int, fullTypes: Array[DataType],
+    conf: GraftLakeSerializableConf)
   extends PartitionReaderFactory {
 
   // Uniform across partitions (Spark's scan exec refuses mixed
@@ -172,14 +253,15 @@ private[engine] final class GraftLakeDvReaderFactory(
       : PartitionReader[ColumnarBatch] = p match {
     case d: GraftLakeDvFilePartition =>
       new GraftLakeDvColumnarReader(withIdx.createColumnarReader(d),
-        d.positions, idxAt, fullTypes.length)
+        GraftLakeDvScan.loadPositions(d.ref, conf.value), idxAt,
+        fullTypes.length)
     case _ => plain.createColumnarReader(p)
   }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
     case d: GraftLakeDvFilePartition =>
-      val positions = d.positions
+      val positions = GraftLakeDvScan.loadPositions(d.ref, conf.value)
       val inner = withIdx.createReader(d)
       val keep = fullTypes.indices.filterNot(_ == idxAt)
       val strip = UnsafeProjection.create(keep.map(i =>

@@ -67,11 +67,40 @@ object GraftLakeMapping {
 
   /** The next never-used field id — from the registry, which never
     * forgets (a dropped column's id stays retired: old files carry it,
-    * and a reused id would bind new reads to the dropped bytes). */
+    * and a reused id would bind new reads to the dropped bytes). Scans
+    * EVERY epoch: a REPLACEd table's old ids stay retired too — its
+    * pre-replace versions are still time-travelable, and a reused id
+    * would bind their files' bytes to an unrelated new column. */
   def nextId(spark: SparkSession, dir: String): Long =
     lines(spark, dir).collect {
       case l if l.startsWith("name\t") => l.split('\t')(1).toLong
     }.foldLeft(0L)(math.max) + 1
+
+  /** The registry's current mapping ERA. `REPLACE TABLE` bumps it
+    * ([[bumpEpoch]]): the replaced table is a NEW id universe layered
+    * over a registry that never forgets, and [[aliases]] must not
+    * merge names across the boundary — a post-replace rename reusing a
+    * pre-replace column's name would otherwise inherit that column's
+    * alias set and probe sidecars through an unrelated column's
+    * history. Lines without an epoch field (pre-epoch registries)
+    * read as era 0. */
+  def currentEpoch(spark: SparkSession, dir: String): Long =
+    lines(spark, dir).collect {
+      case l if l.startsWith("epoch\t") => l.split('\t')(1).toLong
+    }.foldLeft(0L)(math.max)
+
+  /** Open a new mapping era (REPLACE TABLE's commit step). Names
+    * recorded before the bump stay in the registry — they keep their
+    * ids retired ([[nextId]]) — but stop aliasing. */
+  def bumpEpoch(spark: SparkSession, dir: String): Unit = {
+    val keep = lines(spark, dir).filter(l =>
+      l.startsWith("name\t") || l.startsWith("epoch\t")).toSet
+    val all = (keep + s"epoch\t${currentEpoch(spark, dir) + 1}")
+      .toSeq.sorted
+    val out = fs(spark, dir).create(regPath(dir), true)
+    try out.write(("mode\tid" +: all).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   private def lines(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
@@ -86,28 +115,39 @@ object GraftLakeMapping {
 
   /** Persist/refresh the registry: the mode line plus the (id, name)
     * pairs of `schema` merged into the existing history (append-only
-    * set — names are never forgotten, they are the sidecar aliases). */
+    * set — names are never forgotten, they are the sidecar aliases
+    * and the id-retirement record). New names stamp the CURRENT epoch
+    * so alias probing scopes to the live era. */
   def record(spark: SparkSession, dir: String, schema: StructType): Unit = {
+    val epoch = currentEpoch(spark, dir)
     val existing = lines(spark, dir).collect {
-      case l if l.startsWith("name\t") => l
+      case l if l.startsWith("name\t") || l.startsWith("epoch\t") => l
     }.toSet
     val added = schema.fields.flatMap(f =>
-      fieldId(f).map(id => s"name\t$id\t${f.name}"))
+      fieldId(f).map(id =>
+        if (epoch == 0L) s"name\t$id\t${f.name}"
+        else s"name\t$id\t${f.name}\t$epoch"))
     val all = (existing ++ added).toSeq.sorted
     val out = fs(spark, dir).create(regPath(dir), true)
     try out.write(("mode\tid" +: all).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Every name each field id has ever had, keyed by each of those
-    * names — the sidecar probes' alias table. Empty for unmapped
-    * lakes (probe cost: one memoized small read). */
+  /** Every name each field id has had IN THE CURRENT EPOCH, keyed by
+    * each of those names — the sidecar probes' alias table. Pre-era
+    * names are excluded by design: after a REPLACE they belong to a
+    * different id universe, and merging them could probe an unrelated
+    * column's sidecar history (the degradation is conservative — a
+    * missing alias admits the file, never skips it). Empty for
+    * unmapped lakes (probe cost: one memoized small read). */
   def aliases(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
+    val epoch = currentEpoch(spark, dir)
     val byId = lines(spark, dir).collect {
       case l if l.startsWith("name\t") =>
         val a = l.split('\t')
-        (a(1), a(2))
-    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+        (a(1), a(2), if (a.length > 3) a(3).toLong else 0L)
+    }.filter(_._3 == epoch)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
     byId.values.flatMap(names => names.map(n => n -> names)).toMap
   }
 

@@ -58,8 +58,8 @@ final class GraftLakeRowLevelOperation(table: GraftLakeTable,
     * MUST apply them, or the rewrite would write deleted rows back as
     * survivors. The rewrite thereby MATERIALIZES the touched dirs'
     * vectors away. */
-  private[engine] val dvMap: Map[String, Array[Long]] =
-    VersionedLake.dvMap(spark, lakeDir, version)
+  private[engine] val dvRefs: Map[String, GraftLakeDvRef] =
+    VersionedLake.dvRefs(spark, lakeDir, version)
 
   @volatile private[engine] var scannedDirs: Set[String] = snapshotDirs
 
@@ -261,12 +261,12 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
     op.scannedDirs =
       kept.flatMap(_.files).map(f => entryOf(f.toPath.getParent)).toSet
     // DV-carrying files read alone so the reader can bind positions
-    GraftLakeDvScan.isolate(kept, op.dvMap)
+    GraftLakeDvScan.isolate(kept, op.dvRefs)
   }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    if (op.dvMap.isEmpty) super.createReaderFactory()
+    if (op.dvRefs.isEmpty) super.createReaderFactory()
     else GraftLakeDvScan.readerFactory(this)
 }
 

@@ -594,6 +594,33 @@ final class GraftLakeCatalog
     }
   }
 
+  /** `TBLPROPERTIES ('dv_max_pending' = '1000000')` — the ABSOLUTE
+    * pending-positions bound. Unlike the ratio it is always in force:
+    * undeclared tables inherit [[VersionedLake.DvDefaultMaxPending]]
+    * (session-overridable via `spark.graft.dv.maxPendingDefault`), so
+    * declaring this property RAISES or LOWERS the default rather than
+    * opting in. Requires deletion_vectors. */
+  private def dvMaxPendingProp(
+      properties: java.util.Map[String, String]): Option[Long] = {
+    val raw = Option(properties.get("dv_max_pending")).map(_.trim)
+      .filter(_.nonEmpty)
+    raw.foreach { _ =>
+      require(dvProp(properties),
+        "dv_max_pending requires 'deletion_vectors' = 'true'")
+    }
+    raw.map { s =>
+      val n =
+        try s.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"dv_max_pending must be a positive integer, got '$s'")
+        }
+      require(n > 0, s"dv_max_pending must be positive, got $n")
+      n
+    }
+  }
+
   /** Plain `CREATE TABLE` (no AS SELECT): the lake exists from a
     * schema-bearing empty version-1 commit — the same shape a library
     * caller stages before pointing stream writers at a new lake. */
@@ -639,7 +666,7 @@ final class GraftLakeCatalog
     }
     if (mapped) GraftLakeMapping.record(spark, dir, declared)
     if (dv) VersionedLake.setDeletionVectors(spark, dir,
-      dvMaxRatioProp(properties))
+      dvMaxRatioProp(properties), dvMaxPendingProp(properties))
     bloomProp(properties, columns).foreach { c =>
       require(!partCols.exists(_.name == c),
         s"bloom table property names partition column '$c' — " +
@@ -655,15 +682,6 @@ final class GraftLakeCatalog
   // swings the manifest CAS — table-with-data appears atomically or not
   // at all, and REPLACE keeps the old snapshot time-travelable. See
   // [[GraftLakeStagedTable]].
-
-  /** REPLACE on a column-mapping lake would mint a fresh id space over
-    * a registry that never forgets names — alias probing could then
-    * merge unrelated columns. A mapped table is replaced by creating a
-    * new one. */
-  private def requireNotMapped(dir: String, op: String): Unit =
-    require(!GraftLakeMapping.enabled(spark, dir),
-      s"$op on a column-mapping lake is not supported: field ids are " +
-        "assigned once at CREATE — create a new table and backfill")
 
   override def stageCreate(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -683,7 +701,8 @@ final class GraftLakeCatalog
     new GraftLakeStagedTable(ident, dirOf(ident), declared,
       replace = false, orCreate = false,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties))
+      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties),
+      dvMaxPending = dvMaxPendingProp(properties))
   }
 
   override def stageReplace(ident: Identifier,
@@ -695,13 +714,28 @@ final class GraftLakeCatalog
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
-    requireSpecUnchanged(dirOf(ident), partCols)
-    requireNotMapped(dirOf(ident), "REPLACE TABLE")
-    require(!mappingProp(properties),
+    val dir = dirOf(ident)
+    requireSpecUnchanged(dir, partCols)
+    // REPLACE on a MAPPED lake: the new table keeps mapping (old files
+    // are only readable by id, and the registry persists). Its columns
+    // take FRESH ids from the never-reused counter — pre-replace ids
+    // stay retired because pre-replace versions stay time-travelable —
+    // and the commit opens a new mapping EPOCH so alias probing cannot
+    // merge a reused name with a pre-replace column's history.
+    val mapped = GraftLakeMapping.enabled(spark, dir)
+    require(!mappingProp(properties) || mapped,
       "column_mapping is declared at CREATE TABLE, not REPLACE")
-    new GraftLakeStagedTable(ident, dirOf(ident), toStruct(columns),
+    val declared =
+      if (mapped) GraftLakeMapping.assignIds(toStruct(columns),
+        GraftLakeMapping.nextId(spark, dir))
+      else toStruct(columns)
+    new GraftLakeStagedTable(ident, dir, declared,
       replace = true, orCreate = false,
-      bloomProp(properties, columns), partCols, cdfProp(properties))
+      bloomProp(properties, columns), partCols, cdfProp(properties),
+      mapped = mapped, dvProp = dvProp(properties),
+      dvMaxRatio = dvMaxRatioProp(properties),
+      dvMaxPending = dvMaxPendingProp(properties),
+      epochBump = mapped)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -710,22 +744,33 @@ final class GraftLakeCatalog
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = identityPartitionCols(partitions, columns)
-    val mapped = mappingProp(properties)
-    if (tableExists(ident)) {
-      requireSpecUnchanged(dirOf(ident), partCols)
-      requireNotMapped(dirOf(ident), "CREATE OR REPLACE TABLE")
-      require(!mapped,
+    val dir = dirOf(ident)
+    val exists = tableExists(ident)
+    val existingMapped = exists && GraftLakeMapping.enabled(spark, dir)
+    if (exists) {
+      requireSpecUnchanged(dir, partCols)
+      // an UNMAPPED table cannot gain mapping by replace (its existing
+      // files carry no ids); a MAPPED one keeps it, with or without
+      // the property respelled
+      require(!mappingProp(properties) || existingMapped,
         "column_mapping is declared at CREATE TABLE of a NEW table")
     }
+    val mapped = mappingProp(properties) || existingMapped
     val dv = dvProp(properties)
     requireDvCompatible(dv, partCols, mapped)
     val declared =
-      if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
+      if (existingMapped)
+        // fresh-id + epoch discipline, as stageReplace
+        GraftLakeMapping.assignIds(toStruct(columns),
+          GraftLakeMapping.nextId(spark, dir))
+      else if (mapped) GraftLakeMapping.assignIds(toStruct(columns))
       else toStruct(columns)
-    new GraftLakeStagedTable(ident, dirOf(ident), declared,
+    new GraftLakeStagedTable(ident, dir, declared,
       replace = true, orCreate = true,
       bloomProp(properties, columns), partCols, cdfProp(properties),
-      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties))
+      mapped, dvProp = dv, dvMaxRatio = dvMaxRatioProp(properties),
+      dvMaxPending = dvMaxPendingProp(properties),
+      epochBump = existingMapped)
   }
 
   /** `ALTER TABLE … ADD COLUMN(S)` records the widened schema as a
@@ -966,7 +1011,7 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       // materializes every vector away, scans are vectorized again
       // IMMEDIATELY, not only after vacuum sweeps the dead sidecars
       {
-        val dv0 = VersionedLake.dvMap(spark, lakeDir, snapshotVersion)
+        val dv0 = VersionedLake.dvRefs(spark, lakeDir, snapshotVersion)
         if (dv0.isEmpty) dv0
         else {
           // keys are `entry…/fileName` relative paths — match by the
@@ -1755,7 +1800,7 @@ final class GraftLakeScanBuilder(spark: SparkSession,
     fileIndex: PartitioningAwareFileIndex, schema: StructType,
     dataSchema: StructType, options: CaseInsensitiveStringMap,
     lakeDir: String, cdf: Boolean = false,
-    dvMap: Map[String, Array[Long]] = Map.empty)
+    dvRefs: Map[String, GraftLakeDvRef] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet
     .ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
 
@@ -1765,7 +1810,7 @@ final class GraftLakeScanBuilder(spark: SparkSession,
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    if (dvMap.nonEmpty) false else super.pushAggregation(aggregation)
+    if (dvRefs.nonEmpty) false else super.pushAggregation(aggregation)
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
@@ -1800,7 +1845,7 @@ final class GraftLakeScanBuilder(spark: SparkSession,
         .getOrElse(1),
       intOpt(GraftLakeDataSource.MaxVersionsPerTrigger),
       intOpt(GraftLakeDataSource.MaxFilesPerTrigger),
-      skip, cdf, failOnLoss, dvMap)
+      skip, cdf, failOnLoss, dvRefs)
   }
 }
 
@@ -1815,7 +1860,7 @@ final class GraftLakeParquetScan(
     skipChangeCommits: Boolean = false,
     cdf: Boolean = false,
     failOnDataLoss: Boolean = true,
-    dvMap: Map[String, Array[Long]] = Map.empty)
+    dvRefs: Map[String, GraftLakeDvRef] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -1898,12 +1943,12 @@ final class GraftLakeParquetScan(
     }
     // DV-carrying files read alone (per-file positions — see
     // GraftLakeDvScan); clean files keep their grouping
-    GraftLakeDvScan.isolate(admitted, dvMap)
+    GraftLakeDvScan.isolate(admitted, dvRefs)
   }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    if (dvMap.isEmpty) super.createReaderFactory()
+    if (dvRefs.isEmpty) super.createReaderFactory()
     else GraftLakeDvScan.readerFactory(this)
 
   /** The un-vectored factory — the STREAMING replay's reader: a

@@ -38,7 +38,9 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     cdfProp: Boolean = false,
     mapped: Boolean = false,
     dvProp: Boolean = false,
-    dvMaxRatio: Option[Double] = None)
+    dvMaxRatio: Option[Double] = None,
+    dvMaxPending: Option[Long] = None,
+    epochBump: Boolean = false)
   extends StagedTable with SupportsWrite {
 
   private def spark = SparkSession.active
@@ -216,6 +218,17 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
           s"CREATE OR REPLACE lost the create race on $lakeDir and the " +
             "racing CREATE's column-mapping mode differs — re-run " +
             "against the existing table or drop it first")
+        // a MAPPED CREATE OR REPLACE that staged against NO table
+        // assigned ids from 1 — the racing CREATE did too, so the
+        // degrade-to-replace would collide two id universes (old
+        // files' bytes binding to this writer's unrelated columns).
+        // Refuse; the re-run stages against the winner's registry and
+        // takes fresh ids + an epoch bump.
+        require(!mapped,
+          s"CREATE OR REPLACE lost the create race on $lakeDir and " +
+            "both sides assigned fresh column-mapping field ids — " +
+            "re-run (the retry takes never-used ids from the winner's " +
+            "registry)")
         VersionedLake.publishReplaceStrictAll(spark, lakeDir, entries,
           racerTip, Some(stSchema.json))
         ()
@@ -239,9 +252,14 @@ final class GraftLakeStagedTable(ident: Identifier, lakeDir: String,
     // plant its policy in the winner's lake
     if (partCols.nonEmpty)
       GraftLakePartitions.set(spark, lakeDir, partCols)
+    // a mapped REPLACE opens a new mapping ERA before recording its
+    // names: alias probing must not merge a reused name with a
+    // pre-replace column's history ([[GraftLakeMapping.bumpEpoch]])
+    if (mapped && epochBump) GraftLakeMapping.bumpEpoch(spark, lakeDir)
     if (mapped) GraftLakeMapping.record(spark, lakeDir, stSchema)
     if (dvProp)
-      VersionedLake.setDeletionVectors(spark, lakeDir, dvMaxRatio)
+      VersionedLake.setDeletionVectors(spark, lakeDir, dvMaxRatio,
+        dvMaxPending)
     bloomProp.foreach(c =>
       VersionedLake.setBloomIndex(spark, lakeDir, c)) // accumulates
     if (cdfProp) VersionedLake.setChangeDataFeed(spark, lakeDir)

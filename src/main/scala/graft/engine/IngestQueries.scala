@@ -2849,6 +2849,196 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q217.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q218_dv_stats_aggregate",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE NOT (event_id >= (SELECT CAST(count(*) / 5 AS BIGINT)
+        |                        FROM events)
+        |       AND event_id < (SELECT CAST(count(*) / 2 AS BIGINT)
+        |                       FROM events))""".stripMargin) { (s, dir) =>
+      // METADATA AGGREGATION ON A DV LAKE (q139's shape after a point
+      // delete): footer/sidecar stats over-count vectored rows, so
+      // [[VersionedLake.statsAggregate]] moves EXACTLY the files
+      // carrying live vectors to a DV-applying scan and folds the
+      // clean fraction from metadata — post-GDPR-delete count/min/max
+      // stays O(vectored files), never O(lake), instead of refusing.
+      // The fixture range-partitions on event_id so the deleted band
+      // vectors a strict SUBSET of files (asserted inline: the scoped
+      // evidence); the oracle recomputes survivors from raw events, so
+      // a miscounted vector, a double-subtracted row or a min/max
+      // served from a hollowed-out file breaks the hash.
+      val root = scratchRoot
+      val name = s"dvstats_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q218",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q218.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q218")
+      s.sql(s"""CREATE TABLE glake_q218.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT /*+ REPARTITION_BY_RANGE(4, event_id) */ *
+               |FROM ev_q218""".stripMargin)
+      val total = Tables.table(s, dir, "events").count()
+      // pre-delete: the pure-metadata path is in force
+      require(VersionedLake.statsCovered(s, lake, "event_id"),
+        "a vector-free DV lake must stay metadata-covered")
+      // band delete [total/5, total/2): a live vector, no rewrite
+      s.sql(s"DELETE FROM glake_q218.`$name` WHERE event_id >= " +
+        s"${total / 5} AND event_id < ${total / 2}")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.liveDvKeys(s, lake, tip).nonEmpty,
+        "the band delete must stay merge-on-read")
+      require(!VersionedLake.statsCovered(s, lake, "event_id"),
+        "live vectors force their files off the pure-metadata path")
+      // the scoped-scan evidence: the band vectored a strict SUBSET of
+      // the range-partitioned files — the rest still fold from stats
+      val nFiles = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration).listStatus(
+        new org.apache.hadoop.fs.Path(lake)).toSeq
+        .filter(_.getPath.getName.startsWith("d-"))
+        .flatMap(d => d.getPath.getFileSystem(
+          s.sparkContext.hadoopConfiguration).listStatus(d.getPath))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      val vectored = VersionedLake.dvRefs(s, lake, tip).size
+      require(vectored > 0 && vectored < nFiles,
+        s"the band must vector a strict subset ($vectored of $nFiles)")
+      val (n, mn, mx) = VersionedLake.statsAggregate(s, lake, "event_id")
+      import s.implicits._
+      Seq((n, mn.toLong, mx.toLong)).toDF("n_rows", "min_id", "max_id")
+    },
+
+    QuerySpec(
+      "q219_replace_mapped_epoch",
+      """SELECT event_type AS label,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE event_id % 2 = 0
+        |GROUP BY event_type
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      // REPLACE TABLE ON A COLUMN-MAPPING LAKE (id EPOCHS): the
+      // replaced table takes FRESH field ids from the never-reused
+      // counter (pre-replace versions stay time-travelable under their
+      // own ids) and the commit opens a new mapping ERA, so a reused
+      // column name cannot alias — or alias-probe sidecars through —
+      // the unrelated pre-replace column. The fixture reuses the name
+      // 'a' across the replace AND renames on both sides of it; the
+      // oracle recomputes the post-replace table from raw events, so
+      // an id collision (old bytes binding to the new column) or a
+      // rename losing the new era's rows breaks the hash.
+      val root = scratchRoot
+      val name = s"replmap_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q219",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q219.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q219")
+      s.sql(s"""CREATE TABLE glake_q219.`$name`
+               |TBLPROPERTIES ('column_mapping' = 'id') AS
+               |SELECT event_id, event_type AS a, value FROM ev_q219"""
+        .stripMargin)
+      val total = Tables.table(s, dir, "events").count()
+      // era-0 alias history for the name about to be reused
+      s.sql(s"ALTER TABLE glake_q219.`$name` RENAME COLUMN a TO kind")
+      val oldMaxId = s.table(s"glake_q219.`$name`").schema.fields
+        .flatMap(GraftLakeMapping.fieldId).max
+      val preTip = VersionedLake.tip(s, lake).get
+      // REPLACE, reusing 'a' for the same logical column — new id era
+      s.sql(s"""REPLACE TABLE glake_q219.`$name` AS
+               |SELECT event_id, event_type AS a, value FROM ev_q219
+               |WHERE event_id % 2 = 0""".stripMargin)
+      val newIds = s.table(s"glake_q219.`$name`").schema.fields
+        .flatMap(GraftLakeMapping.fieldId)
+      require(newIds.forall(_ > oldMaxId),
+        s"replace must mint never-used ids (old max $oldMaxId, got " +
+          s"${newIds.mkString(",")})")
+      require(GraftLakeMapping.currentEpoch(s, lake) == 1L,
+        "the replace must open a new mapping era")
+      require(GraftLakeMapping.aliases(s, lake)
+        .getOrElse("a", Seq.empty) == Seq("a"),
+        "the reused name must not inherit the pre-replace alias set")
+      // pre-replace snapshot still reads under ITS names
+      require(s.sql(s"SELECT count(*) FROM glake_q219.`$name` " +
+        s"VERSION AS OF $preTip").head().getLong(0) == total,
+        "the replaced snapshot must stay time-travelable")
+      // post-replace rename binds the new era's files by id
+      s.sql(s"ALTER TABLE glake_q219.`$name` RENAME COLUMN a TO label")
+      s.sql(s"""SELECT label, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q219.`$name`
+               |GROUP BY label ORDER BY label""".stripMargin)
+    },
+
+    QuerySpec(
+      "q220_dv_pending_bound",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |WHERE event_id >=
+        |  (SELECT CAST(count(*) / 4 AS BIGINT) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // THE ABSOLUTE DV BACKLOG BOUND (`dv_max_pending`): unlike
+      // dv_max_ratio it is ALWAYS in force (undeclared lakes inherit a
+      // 10M-position default), so the pending backlog — the scan-side
+      // selection tax and the per-task sidecar read — is bounded by
+      // MECHANISM even when nobody declared a maintenance policy.
+      // Here the bound is declared at total/10: a 5% delete stays
+      // merge-on-read, the delete that pushes pending past 10%
+      // auto-materializes every live vector. The oracle recomputes the
+      // survivors from raw events.
+      val root = scratchRoot
+      val name = s"dvpend_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q220",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q220.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q220")
+      val total = Tables.table(s, dir, "events").count()
+      s.sql(s"""CREATE TABLE glake_q220.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true',
+               |               'dv_max_pending' = '${total / 10}') AS
+               |SELECT /*+ REPARTITION(4, event_id) */ *
+               |FROM ev_q220""".stripMargin)
+      require(VersionedLake.dvMaxPending(s, lake) == total / 10,
+        "the declared absolute bound must be readable")
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def topDirs: Set[String] =
+        f.listStatus(new org.apache.hadoop.fs.Path(lake)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      def liveVectors: Boolean = VersionedLake.liveDvKeys(s, lake,
+        VersionedLake.tip(s, lake).get).nonEmpty
+      val before = topDirs
+      // 5% pending <= 10%: merge-on-read
+      s.sql(s"DELETE FROM glake_q220.`$name` " +
+        s"WHERE event_id < ${total / 20}")
+      require(topDirs == before && liveVectors,
+        "below dv_max_pending the delete must stay merge-on-read")
+      // cumulative 25% > 10%: the crossing delete auto-materializes
+      s.sql(s"DELETE FROM glake_q220.`$name` WHERE event_id >= " +
+        s"${total / 20} AND event_id < ${total / 4}")
+      require(!liveVectors,
+        "crossing dv_max_pending must auto-materialize every vector")
+      require(topDirs != before,
+        "the auto-materialization stages a survivor rewrite")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q220.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

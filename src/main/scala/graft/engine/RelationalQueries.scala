@@ -677,25 +677,67 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     },
 
-    // ----- approximate aggregation (scale path: sketch, no exact oracle) ---
-    QuerySpec.noOracle("q23_approx_count_distinct") { (s, dir) =>
-      // HLL++ sketch — the 100 TB answer to COUNT(DISTINCT) when exactness
-      // isn't required: one pass, fixed memory, partial-mergeable.
-      table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+    // ----- approximate aggregation --------------------------------------
+    // Sketch estimates are implementation-specific (DuckDB cannot replay
+    // Spark's HLL register layout or quantile buffers), so these queries
+    // hash-verify the sketches' PUBLISHED CONTRACT instead: each computes
+    // both the estimate and the exact answer, emits the exact answer plus
+    // a boolean "the estimate landed within the algorithm's error bound",
+    // and the oracle recomputes the exact side with the boolean pinned
+    // TRUE. A broken sketch flips the boolean and breaks the hash —
+    // strictly stronger than the old rows-only check (which verified
+    // nothing about the values), while the operator under test is still
+    // the one-pass fixed-memory sketch a 100 TB COUNT(DISTINCT) needs.
+    QuerySpec(
+      "q23_approx_count_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       TRUE AS within_bounds
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // HLL++ at rsd = 0.01; the gate allows 5×rsd (≥5σ of headroom —
+      // deterministic data, so this never flaps) with an absolute floor
+      // of 1 for tiny groups. The sketch and the exact side aggregate
+      // SEPARATELY and join on the (tiny) group key: mixing a DISTINCT
+      // aggregate with non-distinct ones in one Aggregate forces
+      // Catalyst's Expand rewrite (every input row duplicated per
+      // aggregate class — measured 14× slower at sf0.1), while two
+      // independent partial-merge aggregates + a broadcast join keep
+      // both sides one-pass.
+      val li23 = table(s, dir, "lineitem")
+      val sketch = li23.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01)
+          .as("approx_orders"),
           count(lit(1)).as("n_rows"))
+      val exact = li23.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.join(broadcast(sketch), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            greatest(col("exact_orders") * lit(0.05), lit(1.0)))
+            .as("within_bounds"))
         .orderBy(col("l_returnflag"))
     },
 
-    QuerySpec.noOracle("q63_hll_sketch_union") { (s, dir) =>
+    QuerySpec(
+      "q63_hll_sketch_union",
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS within_bounds
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
       // The mergeable-sketch PERSISTENCE pattern — incremental distinct
       // stats at 100 TB: each data slice is sketched once (DataSketches
       // HLL, binary column), sketches land in parquet, and the corpus
       // estimate is an O(sketch-bytes) hll_union_agg over the slice
       // table — new data re-sketches only its slice, history is never
-      // rescanned. Estimates are impl-specific → rows-only; union ==
-      // single-pass equivalence and accuracy are pinned in SketchSpec.
+      // rescanned. The unioned estimate is gated against the exact
+      // count within the sketch's published bound (lgK = 12 → rsd
+      // ≈ 1.63%; 5% ≈ 3σ, deterministic data so it never flaps); union
+      // == single-pass equivalence is separately pinned in SketchSpec.
       // per-PID scratch (not the shared fixtures dir): two concurrent
       // JVMs overwriting one path can tear each other's read-back —
       // the same cross-process discipline as the q93/q89/q94 fixtures
@@ -706,25 +748,64 @@ object RelationalQueries {
         .groupBy(col("slice"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .write.mode("overwrite").parquet(p)
-      s.read.parquet(p)
+      val unioned = s.read.parquet(p)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_users"))
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(broadcast(unioned), Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(4.0)))
+            .as("within_bounds"))
         .orderBy(col("event_type"))
     },
 
-    QuerySpec.noOracle("q24_approx_quantiles") { (s, dir) =>
-      // percentile_approx = mergeable KLL-style sketch; exact percentiles
-      // at 100 TB require a full sort, the sketch does not. Quartiles are
-      // flattened to scalar columns so the rows-only check can sort them.
-      table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    QuerySpec(
+      "q24_approx_quantiles",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // percentile_approx = mergeable GK/KLL-style sketch; exact
+      // percentiles at 100 TB require a full sort, the sketch does not.
+      // Its published contract is a RANK guarantee: with accuracy K the
+      // returned element's rank is within n/K of the target. Verified
+      // by joining the estimates back (broadcast — three doubles per
+      // group) and counting rows strictly-below / at-or-below each:
+      // the target rank p·n must fall inside [cnt_lt − εn, cnt_le + εn]
+      // with ε = 2/K plus a ±2 integer slack for rank rounding.
+      val li = table(s, dir, "lineitem")
+      val est = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
         .select(col("l_returnflag"),
-          round(element_at(col("q"), 1), 2).as("p25"),
-          round(element_at(col("q"), 2), 2).as("p50"),
-          round(element_at(col("q"), 3), 2).as("p75"))
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      def rankOk(p: Double, lt: String, le: String) = {
+        val eps = col("n_rows") * lit(2.0 / 10000) + lit(2.0)
+        val target = col("n_rows") * lit(p)
+        (col(lt) <= target + eps) && (col(le) >= target - eps)
+      }
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(col("l_extendedprice") < col("p25")).as("lt25"),
+          cnt(col("l_extendedprice") <= col("p25")).as("le25"),
+          cnt(col("l_extendedprice") < col("p50")).as("lt50"),
+          cnt(col("l_extendedprice") <= col("p50")).as("le50"),
+          cnt(col("l_extendedprice") < col("p75")).as("lt75"),
+          cnt(col("l_extendedprice") <= col("p75")).as("le75"))
+        .select(col("l_returnflag"), col("n_rows"),
+          rankOk(0.25, "lt25", "le25").as("q25_ok"),
+          rankOk(0.50, "lt50", "le50").as("q50_ok"),
+          rankOk(0.75, "lt75", "le75").as("q75_ok"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -1500,12 +1500,16 @@ object VersionedLake {
     catch { case scala.util.control.NonFatal(_) => false }
 
   def setDeletionVectors(spark: SparkSession, dir: String,
-      maxRatio: Option[Double] = None): Unit = {
+      maxRatio: Option[Double] = None,
+      maxPending: Option[Long] = None): Unit = {
     maxRatio.foreach(r => require(r > 0 && r <= 1,
       s"dv_max_ratio must be in (0, 1], got $r"))
+    maxPending.foreach(n => require(n > 0,
+      s"dv_max_pending must be positive, got $n"))
     val out = fs(spark, dir).create(dvReg(dir), true)
     try out.write(("dv\n" +
-      maxRatio.fold("")(r => s"maxRatio\t$r\n")).getBytes("UTF-8"))
+      maxRatio.fold("")(r => s"maxRatio\t$r\n") +
+      maxPending.fold("")(n => s"maxPending\t$n\n")).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -1529,6 +1533,40 @@ object VersionedLake {
         }.filter(r => r > 0 && r <= 1)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The DEFAULT absolute pending-positions bound, when the table
+    * declares neither `dv_max_ratio` nor `dv_max_pending`: 10M
+    * positions (the old advisory-warning threshold, now mechanism).
+    * Session-overridable so operators can tune it fleet-wide — and so
+    * a spec can exercise the default path without a 10M-row fixture. */
+  private[graft] val DvDefaultMaxPending = 10000000L
+
+  /** The ABSOLUTE pending-positions bound: declared per table
+    * (`dv_max_pending`), else the session default. Unlike the ratio
+    * (opt-in), this bound ALWAYS holds — an undeclared 100 TB lake
+    * with heavy delete churn auto-materializes at the default instead
+    * of growing an unbounded backlog (scan-side selection tax and
+    * per-task sidecar reads are O(backlog); the bound is opt-OUT by
+    * raising it, not opt-in). Malformed lines degrade to the default. */
+  def dvMaxPending(spark: SparkSession, dir: String): Long = {
+    val default =
+      try spark.conf.get("spark.graft.dv.maxPendingDefault",
+        DvDefaultMaxPending.toString).toLong
+      catch { case scala.util.control.NonFatal(_) => DvDefaultMaxPending }
+    val f = fs(spark, dir)
+    try {
+      if (!f.exists(dvReg(dir))) default
+      else {
+        val in = f.open(dvReg(dir))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+        lines.map(_.split('\t')).collectFirst {
+          case Array("maxPending", v) => v.toLong
+        }.filter(_ > 0).getOrElse(default)
+      }
+    } catch { case scala.util.control.NonFatal(_) => default }
   }
 
   /** Rewrite EXACTLY the entries carrying live deletion vectors, with
@@ -1575,25 +1613,38 @@ object VersionedLake {
       checked = true, layoutOnly = true, noDvSince = Some(t)))
   }
 
-  /** `dv_max_ratio` enforcement, called after a DV delete publishes:
-    * live positions vs the rows of the files they cover (both from
-    * metadata — sidecar sizes and parquet footers of ONLY the
-    * vectored files). Exceeding the bound materializes those files'
-    * vectors away, so the planning-side position map and the scan-side
-    * selection tax stay bounded BY CONTRACT, not by operator
-    * discipline. Best-effort: a concurrent rewrite racing the
-    * materialization loses nothing (the next delete re-checks). */
-  private def enforceDvBound(spark: SparkSession, dir: String): Unit =
-    dvMaxRatio(spark, dir).foreach { bound =>
-      val t = tip(spark, dir).getOrElse(return)
-      // LIVE vectors only: a materialized-away sidecar still lists
-      // until vacuum, but its files are gone from the manifest — dead
-      // positions must not re-trigger maintenance forever
-      val liveKeys = liveDvKeys(spark, dir, t).toSet
-      val dv = dvMap(spark, dir, t).filter { case (k, _) =>
-        liveKeys(k) }
-      if (dv.isEmpty) return
-      val positions = dv.valuesIterator.map(_.length.toLong).sum
+  /** DV maintenance-bound enforcement, called after a DV delete
+    * publishes. TWO bounds, either sufficient to trigger:
+    *
+    *  - `dv_max_ratio` (opt-in): live positions vs the rows of the
+    *    files they cover (both from metadata — ref counts and parquet
+    *    footers of ONLY the vectored files);
+    *  - the ABSOLUTE pending-positions bound ([[dvMaxPending]]) —
+    *    ALWAYS in force, defaulting to [[DvDefaultMaxPending]] when
+    *    the table declares nothing: an undeclared lake's backlog (and
+    *    with it the scan-side selection tax) is bounded by MECHANISM,
+    *    not operator discipline.
+    *
+    * Exceeding either materializes the vectored files' deletes away.
+    * Best-effort: a concurrent rewrite racing the materialization
+    * loses nothing (the next delete re-checks). */
+  private def enforceDvBound(spark: SparkSession, dir: String): Unit = {
+    val ratioOpt = dvMaxRatio(spark, dir)
+    val maxPending = dvMaxPending(spark, dir)
+    val t = tip(spark, dir).getOrElse(return)
+    // LIVE vectors only: a materialized-away sidecar still lists
+    // until vacuum, but its files are gone from the manifest — dead
+    // positions must not re-trigger maintenance forever. Counts come
+    // from the O(DV files) ref map; positions never collect.
+    val liveKeys = liveDvKeys(spark, dir, t).toSet
+    val dv = dvRefs(spark, dir, t).filter { case (k, _) =>
+      liveKeys(k) }
+    if (dv.isEmpty) return
+    val positions = dv.valuesIterator.map(_.count).sum
+    val overPending = positions > maxPending
+    // the footer reads are O(vectored files) — paid only when a ratio
+    // is declared and the absolute bound has not already decided
+    val overRatio = !overPending && ratioOpt.exists { bound =>
       val conf = spark.sessionState.newHadoopConf()
       val rows = dv.keysIterator.map { k =>
         try {
@@ -1606,18 +1657,20 @@ object VersionedLake {
           } finally reader.close()
         } catch { case scala.util.control.NonFatal(_) => 0L }
       }.sum
-      if (rows > 0 && positions.toDouble / rows > bound) {
-        // best-effort: a concurrent rewrite racing the maintenance
-        // refuses at ITS cas — the delete that triggered this stays
-        // committed either way, and the next delete re-checks
-        try { materializeVectors(spark, dir); () }
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"dv_max_ratio maintenance on $dir deferred: $e")
-        }
+      rows > 0 && positions.toDouble / rows > bound
+    }
+    if (overPending || overRatio) {
+      // best-effort: a concurrent rewrite racing the maintenance
+      // refuses at ITS cas — the delete that triggered this stays
+      // committed either way, and the next delete re-checks
+      try { materializeVectors(spark, dir); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"DV maintenance bound on $dir deferred: $e")
       }
     }
+  }
 
   private val DvSidecarName = "^v(\\d+)-([0-9a-f]{12})$".r
 
@@ -1708,22 +1761,52 @@ object VersionedLake {
     } else Seq(base)
   }
 
-  // per (lake, version, sidecar-set): the distinct (entry, file) pairs
-  // carrying live vectors — O(DV files) driver rows, never positions
-  private val dvKeysMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), Seq[(String, String)]]
+  // per (lake, version, sidecar-set): one [[GraftLakeDvRef]] per
+  // (entry, file) carrying a vector — O(DV files) driver rows, NEVER
+  // positions. Sidecars are immutable and uuid-named, so the key is
+  // exact; evict wholesale rather than grow forever (a miss costs one
+  // small distributed aggregation).
+  private val dvRefsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), Map[String, GraftLakeDvRef]]
+
+  /** The planning-side DV state: per vectored file, the sidecar part
+    * files holding its positions and their count — `entry…/fileName`
+    * (relative path under the lake root — file names alone are not
+    * guaranteed unique across data dirs) → [[GraftLakeDvRef]].
+    * Computed by ONE distributed aggregation over the sidecar scan
+    * (positions never collect); tasks later open exactly the parts
+    * their ref names ([[GraftLakeDvScan.loadPositions]]). Driver
+    * memory is O(DV files) by construction — no pending-position
+    * backlog can balloon it, so there is no warn-past-N escape hatch
+    * left to need. */
+  private[graft] def dvRefs(spark: SparkSession, dir: String,
+      v: Int): Map[String, GraftLakeDvRef] = {
+    val side = dvSidecars(spark, dir, v)
+    if (side.isEmpty) return Map.empty
+    val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
+    if (dvRefsMemo.size > 256) dvRefsMemo.clear()
+    dvRefsMemo.getOrElseUpdate(key, {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      spark.read.parquet(side.map(_._2.toString): _*)
+        .groupBy(col("entry"), col("file"),
+          col("_metadata.file_path").as("part"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+        .map { case ((e, fl), rs) =>
+          s"$e/$fl" -> GraftLakeDvRef(e, fl,
+            // file_path is URL-ENCODED (SparkPath semantics) — decode
+            // to the on-disk spelling the task-side reader opens
+            rs.map(r => GraftLakeDvScan.decodedPathString(
+              r.getString(2))).toSeq.distinct.sorted,
+            rs.map(_.getLong(3)).sum)
+        }
+    })
+  }
 
   private[engine] def dvFileKeys(spark: SparkSession, dir: String,
-      v: Int): Seq[(String, String)] = {
-    val side = dvSidecars(spark, dir, v)
-    if (side.isEmpty) return Seq.empty
-    val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
-    if (dvKeysMemo.size > 256) dvKeysMemo.clear()
-    dvKeysMemo.getOrElseUpdate(key,
-      spark.read.parquet(side.map(_._2.toString): _*)
-        .select("entry", "file").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq)
-  }
+      v: Int): Seq[(String, String)] =
+    dvRefs(spark, dir, v).values.map(r => (r.entry, r.file)).toSeq
 
   /** DV keys (`entry/file`) whose ENTRY is still live at `v` — the
     * single spelling of the liveness invariant maintenance, the
@@ -1767,17 +1850,17 @@ object VersionedLake {
     * value like `New York` surfaces as `New%20York`), so deriving the
     * manifest-form entry from it with string surgery silently
     * mismatches any URI-encodable character. Instead the (decoded)
-    * sidecar keys — already driver-resident and memoized in [[dvMap]],
-    * bounded by the dv_max_ratio contract — are re-qualified through
-    * the filesystem into exactly the encoded form the scan reports. */
+    * sidecar keys — already driver-resident and memoized in
+    * [[dvRefs]], O(DV files) by construction — are re-qualified
+    * through the filesystem into exactly the encoded form the scan
+    * reports. */
   private[engine] def dropDvRows(spark: SparkSession, dir: String,
       df: DataFrame, v: Int): DataFrame = {
-    // ONLY the per-FILE key set comes driver-side (one small distinct
-    // over the sidecar scan — O(DV files), memoized); the positions
-    // themselves stay in the DISTRIBUTED sidecar scan below. Neither
-    // the O(positions) planning map (dvMap) nor a per-position local
-    // relation is forced here: at 100 TB an unbounded pending backlog
-    // must never collect on this path.
+    // ONLY the per-FILE key set comes driver-side (O(DV files),
+    // memoized); the positions themselves stay in the DISTRIBUTED
+    // sidecar scan below. No per-position driver state is forced
+    // here: at 100 TB an unbounded pending backlog must never collect
+    // on this path.
     val side0 = dvFrame(spark, dir, v).getOrElse(return df)
     val keys = dvFileKeys(spark, dir, v)
     if (keys.isEmpty) return df
@@ -1799,49 +1882,6 @@ object VersionedLake {
       .withColumn("__dv_p", col("_metadata.row_index"))
       .join(hinted, Seq("__dv_fp", "__dv_p"), "left_anti")
       .drop("__dv_fp", "__dv_p")
-  }
-
-  // planning-side driver map: `entry…/fileName` (relative path under
-  // the lake root — file names alone are not guaranteed unique across
-  // data dirs) → sorted deleted positions, memoized per (lake,
-  // version, sidecar set) — sidecars are immutable and uuid-named, so
-  // the key is exact. Bounded by live (uncompacted) deleted rows;
-  // OPTIMIZE materializes vectors away, and tasks never see this map:
-  // each file's positions ship in its OWN InputPartition
-  // ([[GraftLakeDvFilePartition]]), so the map lives only as long as
-  // planning.
-  private val dvMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), Map[String, Array[Long]]]
-
-  private[graft] def dvMap(spark: SparkSession, dir: String,
-      v: Int): Map[String, Array[Long]] = {
-    val side = dvSidecars(spark, dir, v)
-    if (side.isEmpty) return Map.empty
-    val key = (dir, v, side.map(_._2.getName).sorted.mkString(","))
-    // bounded: a long-lived session deleting on a cadence mints a new
-    // (version, sidecar-set) key per delete — evict wholesale rather
-    // than grow forever (a miss costs one small re-read)
-    if (dvMemo.size > 256) dvMemo.clear()
-    dvMemo.getOrElseUpdate(key, {
-      val m = spark.read.parquet(side.map(_._2.toString): _*)
-        .select("entry", "file", "pos").collect()
-        .groupBy(r => s"${r.getString(0)}/${r.getString(1)}")
-        .map { case (k, rs) =>
-          k -> rs.map(_.getLong(2)).distinct.sorted.toArray
-        }
-      val positions = m.valuesIterator.map(_.length.toLong).sum
-      // the planning map is bounded by maintenance cadence — by
-      // CONTRACT when dv_max_ratio is declared, by discipline
-      // otherwise. Past 10M pending positions, say so loudly before
-      // the driver quietly balloons.
-      if (positions > 10000000L)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"$dir carries $positions pending deleted positions across " +
-            s"${m.size} files — run CALL materialize_dv / OPTIMIZE, " +
-            "or declare dv_max_ratio to bound this by contract " +
-            "(the planning-side position map grows with the backlog)")
-      m
-    })
   }
 
   /** SQL DELETE on a DV lake: record positions, rewrite nothing.
@@ -2040,8 +2080,14 @@ object VersionedLake {
             .withColumn("_change_type", lit("delete"))
             .write.mode("overwrite").parquet(changeDir)
         }
+        // SORTED by (entry, file, pos): each vectored file's positions
+        // cluster into few row groups with tight stats, so the
+        // task-side predicate-pushed sidecar read
+        // ([[GraftLakeDvScan.loadPositions]]) skips foreign keys'
+        // pages instead of decoding the whole backlog per task
         val pos = cur.select(col("__dv_entry").as("entry"),
           col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          .sort("entry", "file", "pos")
         val next = prevTip + 1
         val sidecar = new Path(s"$dir/_deletes/v$next-$uuid")
         f.delete(sidecar, true) // our own stale attempt (uuid-unique)
@@ -2071,14 +2117,6 @@ object VersionedLake {
       ()
     }
   }
-
-  /** Guard for library paths whose reads/rewrites are not DV-aware. */
-  private def requireNoDv(spark: SparkSession, dir: String,
-      op: String): Unit =
-    require(!dvEnabled(spark, dir),
-      s"$op is not deletion-vector-aware and cannot run on a DV lake " +
-        "— use the SQL surface (SELECT/DELETE through the graftlake " +
-        "table, CALL glake.optimize to materialize vectors)")
 
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
@@ -2582,29 +2620,58 @@ object VersionedLake {
     * counts, min of mins, max of maxs); dirs without full coverage
     * fall back to one aggregated scan, and the two halves combine —
     * so the answer is always exact and the data read is proportional
-    * to the UNstatsed fraction only. Returns (rows, min, max); min/max
-    * are NaN for an empty snapshot. */
+    * to the UNstatsed fraction only.
+    *
+    * DV lakes: a file carrying a LIVE deletion vector has footer/
+    * sidecar stats that over-count its deleted rows (and a min/max a
+    * vector may have hollowed out), so EXACTLY those files move from
+    * the metadata fold to the scan — which applies the vectors
+    * ([[dropDvRows]]). After a point delete the read cost is
+    * O(vectored files), never O(lake); the clean fraction still
+    * answers from metadata. Returns (rows, min, max); min/max are NaN
+    * for an empty snapshot. */
   def statsAggregate(spark: SparkSession, dir: String, c: String)
       : (Long, Double, Double) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
-    requireNoDv(spark, dir, "statsAggregate") // footer stats over-count deleted rows
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
-    val (meta, scan) = readManifest(spark, dir, vs.last).partition { d =>
+    val tipV = vs.last
+    val snapshot = readManifest(spark, dir, tipV)
+    // files carrying LIVE vectors, per entry — O(DV files) metadata
+    val dvLive: Map[String, Set[String]] =
+      if (!dvEnabled(spark, dir)) Map.empty
+      else {
+        val live = snapshot.toSet
+        dvRefs(spark, dir, tipV).values.toSeq
+          .filter(r => live(r.entry)).groupBy(_.entry)
+          .map { case (e, rs) => e -> rs.map(_.file).toSet }
+      }
+    def vecOf(d: String): Set[String] =
+      dvLive.getOrElse(d, Set.empty)
+    val (meta, scan) = snapshot.partition { d =>
       val stats = statsFor(spark, dir, d, c)
       val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.getName)
       files.nonEmpty && files.forall(stats.contains)
     }
-    val fromMeta = meta.flatMap(d => statsFor(spark, dir, d, c).values)
+    val fromMeta = meta.flatMap(d => statsFor(spark, dir, d, c)
+      .collect { case (fn, s) if !vecOf(d)(fn) => s })
+    val scanPaths = scan.map(d => s"$dir/$d") ++
+      meta.flatMap(d => vecOf(d).toSeq.sorted.map(fn => s"$dir/$d/$fn"))
     val scanAgg =
-      if (scan.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(scan.map(d => s"$dir/$d"): _*)
-        .agg(count(lit(1)), min(col(c).cast("double")),
-          max(col(c).cast("double")))
-        .head())
+      if (scanPaths.isEmpty) None
+      else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(scanPaths: _*)
+        val applied =
+          if (dvLive.isEmpty) base
+          else dropDvRows(spark, dir, base, tipV)
+        Some(applied
+          .agg(count(lit(1)), min(col(c).cast("double")),
+            max(col(c).cast("double")))
+          .head())
+      }
     val rows = fromMeta.map(_._3).sum + scanAgg.map(_.getLong(0)).getOrElse(0L)
     val nonEmpty = fromMeta.filter(_._3 > 0) // empty files carry (∞, −∞)
     val mins = nonEmpty.map(_._1) ++
@@ -2621,7 +2688,11 @@ object VersionedLake {
     * evidence; it is never a correctness precondition. */
   def statsCovered(spark: SparkSession, dir: String, c: String): Boolean = {
     val f = fs(spark, dir)
-    if (dvEnabled(spark, dir)) return false // stats over-count DV-deleted rows
+    // a LIVE vector forces its files onto the scan path (their stats
+    // over-count deleted rows); materialized/vector-free DV lakes are
+    // metadata-served like any other
+    if (dvEnabled(spark, dir) && tip(spark, dir).exists(t =>
+        liveDvKeys(spark, dir, t).nonEmpty)) return false
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     vs.nonEmpty && readManifest(spark, dir, vs.last).forall { d =>
       val stats = statsFor(spark, dir, d, c)
@@ -2745,9 +2816,12 @@ object VersionedLake {
       if (!dv) 0L
       else {
         val ts = touched.toSet
-        dvMap(spark, dir, tipV).collect {
-          case (k, ps) if ts(k.substring(0, k.lastIndexOf('/'))) =>
-            ps.length.toLong
+        // exact by protocol: a DV delete anti-joins every earlier
+        // vector before publishing, so no (entry, file, pos) repeats
+        // across sidecars and the ref counts sum to live positions
+        dvRefs(spark, dir, tipV).collect {
+          case (k, r) if ts(k.substring(0, k.lastIndexOf('/'))) =>
+            r.count
         }.sum
       }
     val survivorsAll = keep(readEs(touched))

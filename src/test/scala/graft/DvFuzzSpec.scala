@@ -219,4 +219,119 @@ class DvFuzzSpec extends AnyFunSuite {
     }
     assert(renames > 0, s"seed $seed never renamed — pick another seed")
   }
+
+  for (seed <- Seq(90210L, 3031L))
+  test("TRIPLE-composition fuzz — PARTITIONED x column_mapping x DV " +
+      "with the STREAMING SINK in the loop: sink epochs, renames, DV " +
+      "deletes, partition deletes, COW updates, auto-materialization, " +
+      s"optimize and vacuum always read back as the model (seed $seed)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir(s"gldvt-fuzz-$seed")
+    val cat = s"gldvtfz$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // dv_max_ratio puts AUTO-materialization into the interleaving;
+    // the partition spec and the id mapping make this the full
+    // three-feature composition the pair fuzzes cannot reach
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+      "PARTITIONED BY (m) TBLPROPERTIES ('deletion_vectors'='true', " +
+      "'column_mapping'='id', 'dv_max_ratio'='0.2')")
+    val dir = s"$root/t"
+    val inDir = s"$root/in"
+    val ck = s"$root/ck"
+    val rnd = new scala.util.Random(seed)
+    // id -> (value, partition)
+    val model = scala.collection.mutable.Map.empty[Long, (Double, Int)]
+    var nextId = 0L
+    var vName = "v"
+    var renames = 0
+    var sinkEpochs = 0
+
+    def freshRows(n: Int): Seq[(Long, Double, Int)] =
+      (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val v = rnd.nextInt(1000).toDouble
+        val m = (id % 3).toInt
+        model(id) = (v, m)
+        (id, v, m)
+      }
+
+    def checkTip(label: String): Unit = {
+      val got = spark.table(s"$cat.t")
+        .agg(count(lit(1)), sum(vName)).head()
+      assert(got.getLong(0) == model.size,
+        s"$label: count ${got.getLong(0)} != model ${model.size}")
+      val sumGot = if (got.isNullAt(1)) 0.0 else got.getDouble(1)
+      val want = model.values.map(_._1).sum
+      assert(math.abs(sumGot - want) < 1e-6,
+        s"$label: sum $sumGot != model $want")
+      // one partition's count — a leaf lost by a rename/epoch/DV
+      // interleaving diverges here even when the totals cancel
+      val got0 = spark.table(s"$cat.t").filter(col("m") === 0).count()
+      assert(got0 == model.values.count(_._2 == 0),
+        s"$label: m=0 count $got0 != model")
+    }
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 => // batch INSERT under the CURRENT name
+          import spark.implicits._
+          freshRows(40 + rnd.nextInt(100))
+            .toDF("id", vName, "m").createOrReplaceTempView("gldvtfz_in")
+          spark.sql(s"INSERT INTO $cat.t SELECT * FROM gldvtfz_in")
+        case 1 | 2 => // STREAMING SINK epoch (append-mode, exactly-once)
+          import spark.implicits._
+          sinkEpochs += 1
+          freshRows(30 + rnd.nextInt(80))
+            .toDF("id", vName, "m").coalesce(1)
+            .write.mode("append").parquet(inDir)
+          val q = spark.readStream
+            .schema(s"id BIGINT, `$vName` DOUBLE, m INT")
+            .parquet(inDir)
+            .writeStream.format("graftlake")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .start(dir)
+          q.awaitTermination()
+        case 3 => // DV point delete by id (spans eras and partitions)
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(35))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(model.remove)
+            spark.sql(s"DELETE FROM $cat.t WHERE id IN " +
+              s"(${ks.mkString(",")})")
+          }
+        case 4 => // manifest-only PARTITION delete
+          val k = rnd.nextInt(3)
+          model.filterInPlace { case (_, (_, m)) => m != k }
+          spark.sql(s"DELETE FROM $cat.t WHERE m = $k")
+        case 5 => // COW update through the current name
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(25))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(k => model(k) = (model(k)._1 + 1000.0, model(k)._2))
+            spark.sql(s"UPDATE $cat.t SET `$vName` = `$vName` + 1000.0 " +
+              s"WHERE id IN (${ks.mkString(",")})")
+          }
+        case 6 => // metadata-only RENAME of the value column
+          renames += 1
+          val next = s"v$renames"
+          spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN `$vName` TO `$next`")
+          vName = next
+        case 7 => // OPTIMIZE or VACUUM
+          if (rnd.nextBoolean())
+            VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+          else VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
+          ()
+      }
+      checkTip(s"step $step")
+    }
+    assert(renames > 0, s"seed $seed never renamed — pick another seed")
+    assert(sinkEpochs > 0, s"seed $seed never streamed — pick another")
+  }
 }

@@ -261,13 +261,17 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val dir = s"$root/t"
       spark.sql(s"DELETE FROM $cat.t WHERE id = 50")
       // readSkipping applies the vectors now (dropDvRows composes
-      // with any raw file scan); only the metadata-ONLY aggregate
-      // stays refused — footer stats cannot subtract deleted rows
+      // with any raw file scan)
       assert(VersionedLake.readSkipping(spark, dir, "id", 0, 60)
         .count() == 60, "readSkipping must apply live vectors")
-      val e4 = intercept[Exception](
-        VersionedLake.statsAggregate(spark, dir, "id"))
-      assert(e4.getMessage.contains("deletion-vector"), e4.getMessage)
+      // statsAggregate is DV-aware too: files carrying live vectors
+      // move to a DV-applying scan (their footer stats over-count),
+      // the clean fraction still folds from metadata — exact, never
+      // refused. statsCovered reports the pure-metadata path gone
+      // while a vector is live.
+      assert(VersionedLake.statsAggregate(spark, dir, "id") ==
+        ((99L, 0.0, 99.0)),
+        "statsAggregate must net live vectors exactly")
       assert(!VersionedLake.statsCovered(spark, dir, "id"))
       // library readAt routes through the DV-aware DSv2 path
       assert(VersionedLake.readLatest(spark, dir).count() == 99)
@@ -618,7 +622,7 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val k1 = (0L until 20L).mkString(",")
       spark.sql(s"DELETE FROM $cat.t WHERE id IN ($k1)")
       assert(topDirs(dir) == before, "below the bound: no rewrite")
-      assert(VersionedLake.dvMap(spark, dir,
+      assert(VersionedLake.dvRefs(spark, dir,
         VersionedLake.tip(spark, dir).get).nonEmpty)
       val tipBefore = VersionedLake.tip(spark, dir).get
       // push past 5% of the covered files' rows: the crossing delete
@@ -699,6 +703,64 @@ class GraftLakeDvSpec extends AnyFunSuite {
       val ids = spark.read.parquet(ch: _*).select("id")
       assert(ids.count() == 150, "CDF must not double-report a row")
       assert(ids.distinct().count() == 150)
+    }
+  }
+
+  test("the pending-positions bound is opt-OUT: an UNDECLARED lake " +
+      "auto-materializes at the (session-overridable) DEFAULT bound; " +
+      "dv_max_pending raises or lowers it per table") {
+    val root = tempDir("gldv-pending")
+    withCatalog(root) { cat =>
+      // the shipped default is the old 10M advisory threshold
+      assert(VersionedLake.DvDefaultMaxPending == 10000000L)
+      // per-table declaration wins over the default
+      spark.sql(s"CREATE TABLE $cat.declared TBLPROPERTIES " +
+        "('deletion_vectors'='true', 'dv_max_pending'='40') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      assert(VersionedLake.dvMaxPending(spark,
+        s"$root/declared") == 40L)
+      val dBefore = topDirs(s"$root/declared")
+      spark.sql(s"DELETE FROM $cat.declared WHERE id < 30")
+      assert(topDirs(s"$root/declared") == dBefore,
+        "30 pending <= 40: merge-on-read, no rewrite")
+      spark.sql(s"DELETE FROM $cat.declared WHERE id >= 30 AND id < 60")
+      assert(VersionedLake.liveDvKeys(spark, s"$root/declared",
+        VersionedLake.tip(spark, s"$root/declared").get).isEmpty,
+        "60 pending > 40: the crossing delete must auto-materialize")
+      assert(spark.table(s"$cat.declared").count() == 940)
+
+      // UNDECLARED lake: the session default bounds the backlog — an
+      // unbounded pending set is no longer reachable by forgetting a
+      // property (lowered here so the spec needs no 10M-row fixture)
+      spark.conf.set("spark.graft.dv.maxPendingDefault", "25")
+      try {
+        spark.sql(s"CREATE TABLE $cat.plain TBLPROPERTIES " +
+          "('deletion_vectors'='true') AS " +
+          "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+        val dir = s"$root/plain"
+        assert(VersionedLake.dvMaxPending(spark, dir) == 25L)
+        val before = topDirs(dir)
+        spark.sql(s"DELETE FROM $cat.plain WHERE id < 20")
+        assert(topDirs(dir) == before,
+          "20 pending <= 25: merge-on-read, no rewrite")
+        assert(VersionedLake.liveDvKeys(spark, dir,
+          VersionedLake.tip(spark, dir).get).nonEmpty)
+        spark.sql(s"DELETE FROM $cat.plain WHERE id >= 20 AND id < 40")
+        assert(VersionedLake.liveDvKeys(spark, dir,
+          VersionedLake.tip(spark, dir).get).isEmpty,
+          "40 pending > 25: the UNDECLARED lake must auto-materialize " +
+            "at the default bound")
+        assert(topDirs(dir) != before)
+        val t = spark.table(s"$cat.plain")
+        assert(t.count() == 960)
+        assert(t.filter(col("id") < 40).count() == 0)
+      } finally spark.conf.unset("spark.graft.dv.maxPendingDefault")
+      // a misdeclared bound refuses loudly
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.bad2 TBLPROPERTIES " +
+          "('deletion_vectors'='true', 'dv_max_pending'='0') " +
+          "AS SELECT 1 AS x"))
+      assert(e.getMessage.contains("dv_max_pending"), e.getMessage)
     }
   }
 }

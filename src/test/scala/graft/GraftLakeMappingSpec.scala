@@ -209,8 +209,8 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       (1L until 150L by 2).map(_.toDouble).sum)
   }
 
-  test("refusals: rename/drop without mapping; REPLACE of a mapped " +
-      "table; library COMMITS on a mapped lake stamp field ids; " +
+  test("refusals: rename/drop without mapping; " +
+      "library COMMITS on a mapped lake stamp field ids; " +
       "OPTIMIZE on a mapped lake; COW MERGE still works and stamps ids") {
     import spark.implicits._
     val root = tempDir("glmap-refuse")
@@ -224,9 +224,6 @@ class GraftLakeMappingSpec extends AnyFunSuite {
         "('column_mapping'='id') AS SELECT id, CAST(id AS DOUBLE) AS v " +
         "FROM range(0, 100)")
       val dir = s"$root/m"
-      val e2 = intercept[Exception](spark.sql(
-        s"REPLACE TABLE $cat.m AS SELECT 1 AS one"))
-      assert(e2.getMessage.contains("column-mapping"), e2.getMessage)
       // LIBRARY commit on a mapped lake: the writer inherits the
       // declared schema's ids (SQL+library use can mix on one lake) —
       // the commit must survive a LATER rename by id like any SQL write
@@ -284,6 +281,67 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE extra IS NULL")
         .head().getLong(0) == 89,
         "pre-widening rows read NULL for the library-added column")
+    }
+  }
+
+  test("REPLACE TABLE on a mapped lake: fresh ids + a new mapping " +
+      "EPOCH — a post-replace rename reusing a pre-replace name " +
+      "cannot merge with the old column; history stays readable") {
+    val root = tempDir("glmap-replace")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id AS a, " +
+        "CAST(id AS DOUBLE) AS b FROM range(0, 50)")
+      val dir = s"$root/t"
+      // give the old era an alias history: a -> cost
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN a TO cost")
+      val oldMaxId = spark.table(s"$cat.t").schema.fields
+        .flatMap(GraftLakeMapping.fieldId).max
+      val preTip = VersionedLake.tip(spark, dir).get
+
+      // REPLACE reuses the OLD name 'a' for an unrelated STRING column
+      spark.sql(s"REPLACE TABLE $cat.t AS " +
+        "SELECT CAST(id AS STRING) AS a, id * 10 AS n FROM range(0, 7)")
+      val t = spark.table(s"$cat.t")
+      assert(t.schema.fieldNames.toSeq == Seq("a", "n"))
+      assert(t.count() == 7)
+      assert(spark.sql(s"SELECT SUM(n) FROM $cat.t").head().getLong(0)
+        == (0 until 7).map(_ * 10L).sum)
+      // fresh id universe: no new id collides with any retired one
+      val newIds = t.schema.fields.flatMap(GraftLakeMapping.fieldId)
+      assert(newIds.forall(_ > oldMaxId),
+        s"replace must take never-used ids (old max $oldMaxId, " +
+          s"got ${newIds.mkString(",")})")
+      // the epoch opened: alias probing sees ONLY the new era — the
+      // reused name must NOT inherit the old column's alias history
+      assert(GraftLakeMapping.currentEpoch(spark, dir) == 1L)
+      assert(GraftLakeMapping.aliases(spark, dir)
+        .getOrElse("a", Seq.empty) == Seq("a"),
+        "post-replace 'a' must not alias the pre-replace a/cost column")
+
+      // post-replace rename still works and stays era-scoped
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN a TO label")
+      assert(spark.sql(s"SELECT label FROM $cat.t WHERE n = 30")
+        .head().getString(0) == "3",
+        "pre-rename (post-replace) files must bind the renamed " +
+          "column by its new-era id")
+      val al = GraftLakeMapping.aliases(spark, dir)
+      assert(al.getOrElse("label", Seq.empty).toSet == Set("a", "label"))
+      assert(!al.getOrElse("label", Seq.empty).contains("cost"),
+        "the new era's aliases must not merge the retired column")
+
+      // the replaced snapshot stays time-travelable under ITS names
+      val old = spark.sql(
+        s"SELECT SUM(cost) FROM $cat.t VERSION AS OF $preTip")
+      assert(old.head().getLong(0) == (0 until 50).map(_.toLong).sum,
+        "pre-replace versions must read by their own era's ids/names")
+
+      // an UNMAPPED lake still cannot gain mapping via REPLACE
+      spark.sql(s"CREATE TABLE $cat.plain2 AS SELECT id FROM range(3)")
+      val e = intercept[Exception](spark.sql(
+        s"CREATE OR REPLACE TABLE $cat.plain2 TBLPROPERTIES " +
+          "('column_mapping'='id') AS SELECT 1 AS x"))
+      assert(e.getMessage.contains("CREATE TABLE"), e.getMessage)
     }
   }
 }
