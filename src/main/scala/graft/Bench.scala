@@ -60,7 +60,30 @@ object Bench {
     val names = queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    def run(name: String, dir: String): Double = {
+    // SPARK_GRAFT_BENCH_REPEATS=N (default 1): time each query N times
+    // and record the MEDIAN — the round-closing artifact's defense
+    // against a noisy host window printing phantom regressions into the
+    // round-over-round record. Repeats re-run the query body only
+    // (fixtures stage once); queries that COMMIT into a lake fixture
+    // are only meaningful at repeats=1 (later repeats measure the
+    // already-applied no-op), so cross-round comparisons should hold
+    // repeats constant. The artifact stamps `_repeats` either way.
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+
+    def run(name: String, dir: String, n: Int): Double = {
+      val times = (0 until n).map(_ => runOnce(name, dir))
+      val ok = times.filter(_ >= 0).sorted
+      if (ok.isEmpty) {
+        // preserve the breaker semantics: a timeout anywhere (zombie
+        // tasks may hold cores) outranks a fast failure
+        if (times.contains(TimedOut)) TimedOut else times.head
+      }
+      else if (ok.length % 2 == 1) ok(ok.length / 2)
+      else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2
+    }
+
+    def runOnce(name: String, dir: String): Double = {
       val fut = Future {
         sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
         try {
@@ -111,8 +134,8 @@ object Bench {
       // with 98 queries the per-query map can push the total past the
       // truncation point — a short summary line survives either way
       System.err.println(
-        s"""[bench-total] {"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures}""")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+        s"""[bench-total] {"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failures":$failures,"repeats":$repeats}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures,"repeats":$repeats}""")
       // belt-and-braces AFTER the full line, on stdout too: a stdout
       // TAIL capture that truncates away the big per-query line (the
       // round-9 archive lost q01-q36 and the headline that way) still
@@ -138,7 +161,7 @@ object Bench {
         val shuffleParts =
           spark.conf.get("spark.sql.shuffle.partitions", "?")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
-          s"""{\n"_total_sec": $total, "_sf": "$sfDir", "_failures": $failures, "_master": "$master", "_shuffle_partitions": "$shuffleParts",\n$body\n}\n""")
+          s"""{\n"_total_sec": $total, "_sf": "$sfDir", "_failures": $failures, "_master": "$master", "_shuffle_partitions": "$shuffleParts", "_repeats": $repeats,\n$body\n}\n""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_last.json write failed: $e")
       }
@@ -157,7 +180,9 @@ object Bench {
     var consecutiveTimeouts = 0
     def runGuarded(name: String, dir: String, record: Boolean): Unit =
       if (consecutiveTimeouts < 3) {
-        val v = run(name, dir)
+        // warmup is codegen-compilation only: one pass regardless of
+        // the timed runs' repeat count
+        val v = run(name, dir, if (record) repeats else 1)
         if (record) results.put(name, math.max(v, -1.0))
         consecutiveTimeouts = if (v == TimedOut) consecutiveTimeouts + 1 else 0
       } else if (record) results.put(name, -1.0)
