@@ -873,12 +873,19 @@ final class GraftLakeCatalog
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row], schema)
         .repartition(1).write.parquet(s"$dir/$dataDir")
+      // index the empty carrier like every other staged dir — without
+      // a stats line its seed file would demote statsCovered (and the
+      // metadata-only aggregate path) FOREVER after any ALTER
+      VersionedLake.indexStagedDir(spark, dir, dataDir, schema)
       VersionedLake.publishAll(spark, dir, Seq(dataDir),
         "append", schemaDdl = Some(schema.json))
     } else {
       val dataDir = s"d-${java.util.UUID.randomUUID.toString.take(12)}"
       val entry = GraftLakePartitions.seedEmpty(spark, dir,
         dataDir, schema, partCols)
+      VersionedLake.indexStagedDir(spark, dir, entry,
+        org.apache.spark.sql.types.StructType(schema.filterNot(f =>
+          partCols.exists(_.name.equalsIgnoreCase(f.name)))))
       VersionedLake.publishAll(spark, dir, Seq(entry), "append",
         schemaDdl = Some(schema.json))
     }

@@ -2613,6 +2613,51 @@ object VersionedLake {
     }
   }
 
+  /** [[statsFor]] merged across every name `c`'s field id has had in
+    * the current mapping era: stats lines are keyed by each FILE's own
+    * column name, so on a COLUMN-MAPPING lake a pre-rename file's
+    * range lives under the OLD name — a name-only lookup would miss it
+    * and silently demote the dir to the scan path (or, worse, leave a
+    * metadata fold that ignores the pre-rename files). `names` is the
+    * alias set computed ONCE per operation ([[GraftLakeMapping
+    * .aliases]]); unmapped callers pass Seq(c). Per-file names are
+    * unique within a sidecar, so the merge cannot collide. */
+  private def statsForNames(spark: SparkSession, dir: String, d: String,
+      names: Seq[String]): Map[String, (Double, Double, Long)] =
+    names.map(statsFor(spark, dir, d, _)).reduce(_ ++ _)
+
+  /** Every name `c`'s field id has had in the current mapping era
+    * (Seq(c) on unmapped lakes) — compute ONCE per operation and
+    * thread through the sidecar lookups; per-dir registry reads would
+    * be O(dirs) metadata RPCs. */
+  private def aliasNamesOf(spark: SparkSession, dir: String,
+      c: String): Seq[String] =
+    if (!GraftLakeMapping.enabled(spark, dir)) Seq(c)
+    else GraftLakeMapping.aliases(spark, dir).getOrElse(c, Seq(c))
+
+  /** Read a specific FILE subset of the lake, BY FIELD ID when the
+    * lake is column-mapped: a name-matched read nulls renamed columns
+    * out of pre-rename files, which silently drops their rows past any
+    * later filter (or skews a min/max) — the library probes' analogue
+    * of the survivorReader discipline. Data columns only (these are
+    * leaf files; partition values live in dir names). Returns the
+    * session the read plans against so DV application joins on it. */
+  private def readFilesIdMatched(spark: SparkSession, dir: String,
+      tipV: Int, files: Seq[String]): (SparkSession, DataFrame) =
+    if (!GraftLakeMapping.enabled(spark, dir))
+      (spark, spark.read.option("mergeSchema", "true").parquet(files: _*))
+    else {
+      val partCols = GraftLakePartitions.of(spark, dir)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val declared = manifestSchema(spark, dir, tipV).map(sch =>
+        org.apache.spark.sql.types.StructType(sch.filterNot(fl =>
+          partCols.exists(_.name.equalsIgnoreCase(fl.name)))))
+      (s2, declared.fold(
+        s2.read.option("mergeSchema", "true"))(sch =>
+        s2.read.schema(sch)).parquet(files: _*))
+    }
+
   /** Metadata-only count/min/max over the latest snapshot — the
     * `SELECT count(*), min(c), max(c)` a log-structured lake answers
     * from its stats without touching a data byte. Dirs whose stats
@@ -2638,6 +2683,12 @@ object VersionedLake {
     require(vs.nonEmpty, s"no versions published at $dir")
     val tipV = vs.last
     val snapshot = readManifest(spark, dir, tipV)
+    // COLUMN-MAPPING lakes: stats lines are keyed by each file's OWN
+    // column name — fold under every name `c`'s id has had (computed
+    // once), and read the scan fraction BY FIELD ID (a name-matched
+    // read would null `c` out of pre-rename files and silently skew
+    // min/max)
+    val cNames = aliasNamesOf(spark, dir, c)
     // files carrying LIVE vectors, per entry — O(DV files) metadata
     val dvLive: Map[String, Set[String]] =
       if (!dvEnabled(spark, dir)) Map.empty
@@ -2650,23 +2701,22 @@ object VersionedLake {
     def vecOf(d: String): Set[String] =
       dvLive.getOrElse(d, Set.empty)
     val (meta, scan) = snapshot.partition { d =>
-      val stats = statsFor(spark, dir, d, c)
+      val stats = statsForNames(spark, dir, d, cNames)
       val files = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.getName)
       files.nonEmpty && files.forall(stats.contains)
     }
-    val fromMeta = meta.flatMap(d => statsFor(spark, dir, d, c)
+    val fromMeta = meta.flatMap(d => statsForNames(spark, dir, d, cNames)
       .collect { case (fn, s) if !vecOf(d)(fn) => s })
     val scanPaths = scan.map(d => s"$dir/$d") ++
       meta.flatMap(d => vecOf(d).toSeq.sorted.map(fn => s"$dir/$d/$fn"))
     val scanAgg =
       if (scanPaths.isEmpty) None
       else {
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(scanPaths: _*)
+        val (prs, base) = readFilesIdMatched(spark, dir, tipV, scanPaths)
         val applied =
           if (dvLive.isEmpty) base
-          else dropDvRows(spark, dir, base, tipV)
+          else dropDvRows(prs, dir, base, tipV)
         Some(applied
           .agg(count(lit(1)), min(col(c).cast("double")),
             max(col(c).cast("double")))
@@ -2693,9 +2743,12 @@ object VersionedLake {
     // metadata-served like any other
     if (dvEnabled(spark, dir) && tip(spark, dir).exists(t =>
         liveDvKeys(spark, dir, t).nonEmpty)) return false
+    // alias-merged on mapped lakes: pre-rename files' stats live under
+    // their own era's name and still count as coverage
+    val cNames = aliasNamesOf(spark, dir, c)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     vs.nonEmpty && readManifest(spark, dir, vs.last).forall { d =>
-      val stats = statsFor(spark, dir, d, c)
+      val stats = statsForNames(spark, dir, d, cNames)
       f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
         .forall(p => stats.contains(p.getName))
@@ -3100,10 +3153,15 @@ object VersionedLake {
     val f = fs(spark, dir)
     val vs = tip(spark, dir).toSeq // O(1+lag) newest-version resolution
     require(vs.nonEmpty, s"no versions published at $dir")
+    // alias-fold on mapped lakes (pre-rename files' ranges live under
+    // their own era's name); the admitted files then read BY FIELD ID
+    // — a name-matched read would null `c` out of pre-rename files and
+    // the range filter would silently drop their rows
+    val cNames = aliasNamesOf(spark, dir, c)
     val files = readManifest(spark, dir, vs.last).flatMap { d =>
       val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-      val ranges = statsFor(spark, dir, d, c) // ONE parser for the format
+      val ranges = statsForNames(spark, dir, d, cNames)
       if (ranges.isEmpty) all
       else
         // a file with no recorded range for c cannot be skipped
@@ -3115,9 +3173,11 @@ object VersionedLake {
       // deletion vectors apply to the raw file scan (identity when
       // none are live) — skipping loses no vectors: a skipped file's
       // positions cover rows the range filter would drop anyway
-      else dropDvRows(spark, dir,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(_.toString): _*), vs.last)
+      else {
+        val (prs, base) = readFilesIdMatched(spark, dir, vs.last,
+          files.map(_.toString))
+        dropDvRows(prs, dir, base, vs.last)
+      }
     snap.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -3281,10 +3341,15 @@ object VersionedLake {
     require(vs.nonEmpty, s"no versions published at $dir")
     val want = (0 until BloomHashes)
       .map(bloomPosLocal(value.toString, _, BloomBits))
+    // alias-fold + id-matched read, as readSkipping: a pre-rename
+    // file's bloom lives under its own era's name, and its rows must
+    // bind `c` by field id or the equality filter silently drops them
+    val cNames = aliasNamesOf(spark, dir, c)
     val files = readManifest(spark, dir, vs.last).flatMap { d =>
       val all = f.listStatus(new Path(s"$dir/$d")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-      val blooms = bloomFor(spark, dir, d, c)
+      val blooms = cNames.map(bloomFor(spark, dir, d, _))
+        .reduce(_ ++ _)
       if (blooms.isEmpty) all
       else all.filter(p => blooms.get(p.getName)
         .forall(b => want.forall(b.get)))
@@ -3299,9 +3364,11 @@ object VersionedLake {
       // deletion vectors apply to the probe scan too (identity when
       // none are live) — a bloom admit of a vectored row must not
       // resurrect it
-      else dropDvRows(spark, dir,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(_.toString): _*), vs.last)
+      else {
+        val (prs, base) = readFilesIdMatched(spark, dir, vs.last,
+          files.map(_.toString))
+        dropDvRows(prs, dir, base, vs.last)
+      }
     snap.filter(col(c) === lit(value))
   }
 

@@ -247,6 +247,7 @@ class DvFuzzSpec extends AnyFunSuite {
     var vName = "v"
     var renames = 0
     var sinkEpochs = 0
+    var replaces = 0
 
     def freshRows(n: Int): Seq[(Long, Double, Int)] =
       (0 until n).map { _ =>
@@ -274,7 +275,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // batch INSERT under the CURRENT name
           import spark.implicits._
           freshRows(40 + rnd.nextInt(100))
@@ -328,10 +329,23 @@ class DvFuzzSpec extends AnyFunSuite {
             VersionedLake.compactSmall(spark, dir, Long.MaxValue)
           else VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
           ()
+        case 8 => // REPLACE TABLE: a new id EPOCH over the same
+          // registries (partition spec kept, dv/mapping persist),
+          // REUSING the current value-column name — the exact alias
+          // hazard the epoch stamp exists for. The sink checkpoint
+          // survives the replace and keeps appending afterwards.
+          import spark.implicits._
+          replaces += 1
+          model.clear()
+          freshRows(20 + rnd.nextInt(40))
+            .toDF("id", vName, "m").createOrReplaceTempView("gldvtfz_rp")
+          spark.sql(s"REPLACE TABLE $cat.t PARTITIONED BY (m) AS " +
+            "SELECT * FROM gldvtfz_rp")
       }
       checkTip(s"step $step")
     }
     assert(renames > 0, s"seed $seed never renamed — pick another seed")
     assert(sinkEpochs > 0, s"seed $seed never streamed — pick another")
+    assert(replaces > 0, s"seed $seed never replaced — pick another")
   }
 }

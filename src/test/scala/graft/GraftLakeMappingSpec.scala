@@ -344,4 +344,61 @@ class GraftLakeMappingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("CREATE TABLE"), e.getMessage)
     }
   }
+
+  test("statsAggregate / statsCovered on a MAPPED lake survive a " +
+      "RENAME: stats fold under every era's name, and the unstatsed " +
+      "fraction scans BY FIELD ID (a name-read would silently null " +
+      "pre-rename files out of min/max)") {
+    val root = tempDir("glmap-stats")
+    withCatalog(root) { cat =>
+      // era-1 data WITH stats (CTAS indexes numeric columns)
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id, CAST(id * 2 AS DOUBLE) " +
+        "AS v FROM range(0, 100)")
+      val dir = s"$root/t"
+      // era-1 data WITHOUT stats (plain library commit) — this dir
+      // must take the SCAN path, over pre-rename files
+      VersionedLake.commit(spark.range(100, 150)
+        .selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v"), dir)
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO amount")
+      // era-2 data with stats under the NEW name
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id * 2 AS DOUBLE) " +
+        "FROM range(150, 160)")
+      // metadata coverage: the statsed dirs' lines live under BOTH
+      // names — covered is about those dirs only if every file is
+      // statsed; the plain commit isn't, so covered must be false
+      assert(!VersionedLake.statsCovered(spark, dir, "amount"))
+      // the aggregate must see every era exactly: a name-matched scan
+      // nulls v out of the unstatsed pre-rename dir (max would come
+      // back 198.0 from era-1 stats alone — silently wrong)
+      assert(VersionedLake.statsAggregate(spark, dir, "amount") ==
+        ((160L, 0.0, 318.0)),
+        "statsAggregate must fold aliased stats AND id-match the scan")
+      // a fully-statsed lake (CTAS + INSERT only): coverage and the
+      // pure-metadata fold must survive the rename through the alias
+      // set — pre-fix, coverage silently dropped to false and the
+      // fold to the scan path the moment a column was renamed
+      spark.sql(s"CREATE TABLE $cat.t2 TBLPROPERTIES " +
+        "('column_mapping'='id') AS SELECT id, CAST(id * 2 AS DOUBLE) " +
+        "AS v FROM range(0, 100)")
+      val dir2 = s"$root/t2"
+      spark.sql(s"ALTER TABLE $cat.t2 RENAME COLUMN v TO amount")
+      spark.sql(s"INSERT INTO $cat.t2 SELECT id, CAST(id * 2 AS " +
+        "DOUBLE) FROM range(100, 110)")
+      assert(VersionedLake.statsCovered(spark, dir2, "amount"),
+        "coverage must fold stats lines from every era's name")
+      assert(VersionedLake.statsAggregate(spark, dir2, "amount") ==
+        ((110L, 0.0, 218.0)),
+        "the metadata fold must see pre-rename files' aliased stats")
+      // the library PROBES id-match too: pre-fix, a name-read nulled
+      // `amount` out of pre-rename files and both probes silently
+      // returned zero of their rows
+      assert(VersionedLake.readSkipping(spark, dir2, "amount", 0, 50)
+        .count() == 26,
+        "readSkipping must bind pre-rename files by field id")
+      assert(VersionedLake.readBloomProbe(spark, dir2, "amount", 44.0)
+        .count() == 1,
+        "readBloomProbe must bind pre-rename files by field id")
+    }
+  }
 }
