@@ -794,8 +794,70 @@ final class GraftLakeCatalog
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    if (adds.size + renames.size + drops.size != changes.size ||
-        changes.isEmpty) readOnly
+    val setProps = changes.collect { case p: TableChange.SetProperty => p }
+    val unsetProps = changes.collect {
+      case p: TableChange.RemoveProperty => p }
+    if (adds.size + renames.size + drops.size + setProps.size +
+        unsetProps.size != changes.size || changes.isEmpty) readOnly
+    // SET/UNSET TBLPROPERTIES: the DV maintenance bounds are the
+    // tunable policy surface (a lake created without one must be
+    // re-boundable without a REPLACE). Registry-only metadata — no
+    // version minted, matching the bloom/cdf policy registries — and
+    // a TIGHTENED bound acts immediately (the enforcement pass runs
+    // here, not just on the next delete). Everything else refuses
+    // loudly: silently accepting an unknown property would let a user
+    // believe e.g. 'column_mapping' was enabled post-CREATE.
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      require(adds.isEmpty && renames.isEmpty && drops.isEmpty,
+        "graftlake ALTER handles property and column changes in " +
+          "separate statements")
+      val dir0 = dirOf(ident)
+      val touched = setProps.map(_.property) ++
+        unsetProps.map(_.property)
+      val allowed = Set("dv_max_ratio", "dv_max_pending")
+      require(touched.forall(allowed.contains),
+        s"graftlake ALTER TABLE SET/UNSET TBLPROPERTIES supports " +
+          s"${allowed.mkString(", ")}; got ${touched.mkString(", ")} " +
+          "(deletion_vectors/column_mapping/bloom/cdf are declared " +
+          "at CREATE TABLE)")
+      require(VersionedLake.dvEnabled(spark, dir0),
+        "the DV maintenance bounds require a 'deletion_vectors' table")
+      var ratio = VersionedLake.dvMaxRatio(spark, dir0)
+      var pending = VersionedLake.dvMaxPendingDeclared(spark, dir0)
+      setProps.foreach { pr =>
+        pr.property match {
+          case "dv_max_ratio" =>
+            ratio = Some(
+              try pr.value.trim.toDouble
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"dv_max_ratio must be a number in (0, 1], got " +
+                      s"'${pr.value}'")
+              })
+          case "dv_max_pending" =>
+            pending = Some(
+              try pr.value.trim.toLong
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"dv_max_pending must be a positive integer, got " +
+                      s"'${pr.value}'")
+              })
+        }
+      }
+      unsetProps.foreach { pr =>
+        pr.property match {
+          case "dv_max_ratio"   => ratio = None
+          case "dv_max_pending" => pending = None
+        }
+      }
+      // setDeletionVectors re-validates ranges; a tightened bound
+      // materializes the backlog NOW
+      VersionedLake.setDeletionVectors(spark, dir0, ratio, pending)
+      VersionedLake.enforceDvBound(spark, dir0)
+      return loadTable(ident)
+    }
     val dir = dirOf(ident)
     val mapped = GraftLakeMapping.enabled(spark, dir)
     if ((renames.nonEmpty || drops.nonEmpty) && !mapped)

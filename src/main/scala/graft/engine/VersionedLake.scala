@@ -1554,9 +1554,17 @@ object VersionedLake {
       try spark.conf.get("spark.graft.dv.maxPendingDefault",
         DvDefaultMaxPending.toString).toLong
       catch { case scala.util.control.NonFatal(_) => DvDefaultMaxPending }
+    dvMaxPendingDeclared(spark, dir).getOrElse(default)
+  }
+
+  /** The PER-TABLE declared absolute bound, if any — distinct from
+    * [[dvMaxPending]]'s declared-or-default resolution so ALTER can
+    * rewrite one bound without clobbering the other's declaredness. */
+  private[engine] def dvMaxPendingDeclared(spark: SparkSession,
+      dir: String): Option[Long] = {
     val f = fs(spark, dir)
     try {
-      if (!f.exists(dvReg(dir))) default
+      if (!f.exists(dvReg(dir))) None
       else {
         val in = f.open(dvReg(dir))
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -1564,9 +1572,9 @@ object VersionedLake {
         finally in.close()
         lines.map(_.split('\t')).collectFirst {
           case Array("maxPending", v) => v.toLong
-        }.filter(_ > 0).getOrElse(default)
+        }.filter(_ > 0)
       }
-    } catch { case scala.util.control.NonFatal(_) => default }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Rewrite EXACTLY the entries carrying live deletion vectors, with
@@ -1628,7 +1636,8 @@ object VersionedLake {
     * Exceeding either materializes the vectored files' deletes away.
     * Best-effort: a concurrent rewrite racing the materialization
     * loses nothing (the next delete re-checks). */
-  private def enforceDvBound(spark: SparkSession, dir: String): Unit = {
+  private[engine] def enforceDvBound(spark: SparkSession,
+      dir: String): Unit = {
     val ratioOpt = dvMaxRatio(spark, dir)
     val maxPending = dvMaxPending(spark, dir)
     val t = tip(spark, dir).getOrElse(return)
@@ -1791,7 +1800,7 @@ object VersionedLake {
         .groupBy(col("entry"), col("file"),
           col("_metadata.file_path").as("part"))
         .agg(count(lit(1)).as("n"))
-        .collect()
+        .collect() // bounded: one row per (vectored file, sidecar part)
         .groupBy(r => (r.getString(0), r.getString(1)))
         .map { case ((e, fl), rs) =>
           s"$e/$fl" -> GraftLakeDvRef(e, fl,

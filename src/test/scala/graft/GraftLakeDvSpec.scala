@@ -763,4 +763,52 @@ class GraftLakeDvSpec extends AnyFunSuite {
       assert(e.getMessage.contains("dv_max_pending"), e.getMessage)
     }
   }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES tunes the DV maintenance " +
+      "bounds post-CREATE: a TIGHTENED bound materializes the backlog " +
+      "immediately; unknown properties and non-DV tables refuse") {
+    val root = tempDir("gldv-alterprops")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      // build a 50-position backlog, far below the 10M default
+      spark.sql(s"DELETE FROM $cat.t WHERE id < 50")
+      assert(VersionedLake.liveDvKeys(spark, dir,
+        VersionedLake.tip(spark, dir).get).nonEmpty)
+      // tighten the absolute bound BELOW the backlog: the ALTER pays
+      // the materialization right away, not on the next delete
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('dv_max_pending' = '20')")
+      assert(VersionedLake.dvMaxPending(spark, dir) == 20L)
+      assert(VersionedLake.liveDvKeys(spark, dir,
+        VersionedLake.tip(spark, dir).get).isEmpty,
+        "a tightened bound must materialize the live backlog NOW")
+      assert(spark.table(s"$cat.t").count() == 950)
+      // both bounds settable/unsettable; UNSET returns to the default
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('dv_max_ratio' = '0.5')")
+      assert(VersionedLake.dvMaxRatio(spark, dir).contains(0.5))
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES " +
+        "('dv_max_ratio', 'dv_max_pending')")
+      assert(VersionedLake.dvMaxRatio(spark, dir).isEmpty)
+      assert(VersionedLake.dvMaxPending(spark, dir) ==
+        VersionedLake.DvDefaultMaxPending)
+      // misdeclared values and unknown properties refuse loudly
+      val e1 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES ('dv_max_ratio'='7')"))
+      assert(e1.getMessage.contains("dv_max_ratio"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+          "('column_mapping'='id')"))
+      assert(e2.getMessage.contains("CREATE TABLE"), e2.getMessage)
+      // the bounds are a DV-table surface
+      spark.sql(s"CREATE TABLE $cat.plainp AS SELECT 1 AS x")
+      val e3 = intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.plainp SET TBLPROPERTIES " +
+          "('dv_max_pending'='5')"))
+      assert(e3.getMessage.contains("deletion_vectors"), e3.getMessage)
+    }
+  }
 }
