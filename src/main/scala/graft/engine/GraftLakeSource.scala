@@ -1039,6 +1039,29 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     GraftLakePartitions.of(spark, lakeDir).map(c =>
       org.apache.spark.sql.connector.expressions.Expressions
         .identity(c.name)).toArray
+  /** Declared feature registries, surfaced so SHOW TBLPROPERTIES /
+    * DESCRIBE EXTENDED reflect what the lake actually enforces —
+    * including maintenance bounds set later via
+    * `ALTER TABLE SET TBLPROPERTIES`. Read fresh from the registries
+    * (the disk is the source of truth; a stale snapshot here could
+    * show a bound an ALTER already changed). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (VersionedLake.dvEnabled(spark, lakeDir)) {
+      m.put("deletion_vectors", "true")
+      VersionedLake.dvMaxRatio(spark, lakeDir)
+        .foreach(r => m.put("dv_max_ratio", r.toString))
+      VersionedLake.dvMaxPendingDeclared(spark, lakeDir)
+        .foreach(n => m.put("dv_max_pending", n.toString))
+    }
+    if (GraftLakeMapping.enabled(spark, lakeDir))
+      m.put("column_mapping", "id")
+    if (VersionedLake.cdfEnabled(spark, lakeDir)) m.put("cdf", "true")
+    val blooms = VersionedLake.bloomIndexCols(spark, lakeDir)
+    if (blooms.nonEmpty) m.put("bloom", blooms.mkString(","))
+    m
+  }
+
   override def columns()
       : Array[org.apache.spark.sql.connector.catalog.Column] =
     // same idempotence as widen(): the delegate may already carry the

@@ -790,6 +790,13 @@ class GraftLakeDvSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
         "('dv_max_ratio' = '0.5')")
       assert(VersionedLake.dvMaxRatio(spark, dir).contains(0.5))
+      // the catalog REPORTS the enforced registries (SHOW reads the
+      // table's properties(), which reads the disk fresh)
+      val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("deletion_vectors").contains("true"), shown)
+      assert(shown.get("dv_max_ratio").contains("0.5"), shown)
+      assert(shown.get("dv_max_pending").contains("20"), shown)
       spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES " +
         "('dv_max_ratio', 'dv_max_pending')")
       assert(VersionedLake.dvMaxRatio(spark, dir).isEmpty)
