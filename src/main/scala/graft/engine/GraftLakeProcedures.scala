@@ -36,7 +36,7 @@ private[engine] object GraftLakeProcedures {
 
   private val names =
     Seq("history", "vacuum", "compact", "zorder", "optimize", "set_index",
-      "checkpoint", "materialize_dv")
+      "checkpoint", "materialize_dv", "restore")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
@@ -192,6 +192,22 @@ private[engine] object GraftLakeProcedures {
           // IO, untouched entries carry by manifest reference; null
           // when no vector is live (no version minted)
           Array(row(VersionedLake.materializeVectors(spark, dir)
+            .map(Int.box).orNull))
+      }
+
+      case "restore" => proc("restore",
+        Array(tableParam,
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = true)))) {
+        (spark, in) =>
+          val dir = dirOf(in.getUTF8String(0).toString)
+          // roll back to a retained version AS A NEW COMMIT (history
+          // stays time-travelable): v's entries carry by manifest
+          // reference; only entries carrying POST-v deletion vectors
+          // rewrite (with v's own vector state). Null when the tip
+          // already IS v (no version minted).
+          Array(row(VersionedLake.restore(spark, dir, in.getInt(1))
             .map(Int.box).orNull))
       }
 

@@ -3039,6 +3039,54 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q220.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q221_restore",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // RESTORE (roll back to a retained version as a NEW commit):
+      // after a DV point delete AND a junk insert, CALL restore back
+      // to v1 must reproduce v1 EXACTLY — the post-v1 vector's entries
+      // rewrite with v1's (vector-free) state, the junk dir drops, the
+      // untouched history stays time-travelable. The oracle recomputes
+      // v1 from raw events, so a row the restore failed to resurrect,
+      // a junk row it failed to drop, or a vector misapplied in the
+      // scoped rewrite breaks the hash.
+      val root = scratchRoot
+      val name = s"restore_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q221",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q221.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q221")
+      s.sql(s"""CREATE TABLE glake_q221.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM ev_q221""".stripMargin)
+      val total = Tables.table(s, dir, "events").count()
+      s.sql(s"DELETE FROM glake_q221.`$name` " +
+        s"WHERE event_id < ${total / 5}")
+      s.sql(s"INSERT INTO glake_q221.`$name` " +
+        s"SELECT event_id + ${10 * total}, event_type, value " +
+        "FROM ev_q221 LIMIT 100")
+      val preTip = VersionedLake.tip(s, lake).get
+      val restored = s.sql(s"CALL glake_q221.restore(" +
+        s"`table` => '$name', version => 1)").head().getInt(0)
+      require(restored == preTip + 1,
+        "restore must publish a NEW commit past the observed tip")
+      require(s.sql(s"SELECT count(*) FROM glake_q221.`$name` " +
+        s"VERSION AS OF $preTip").head().getLong(0) ==
+        total - total / 5 + 100,
+        "the rolled-over tip must stay time-travelable")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q221.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

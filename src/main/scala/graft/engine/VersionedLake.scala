@@ -1621,6 +1621,74 @@ object VersionedLake {
       checked = true, layoutOnly = true, noDvSince = Some(t)))
   }
 
+  /** Roll the lake back to version `v` AS A NEW COMMIT — the rolled-
+    * over history stays time-travelable until vacuum; nothing is
+    * deleted. Metadata-only where possible: v's entries carry by
+    * manifest REFERENCE (their files still exist — v is within
+    * retention, so vacuum has kept every dir v references).
+    *
+    * The one data cost is deletion vectors PUBLISHED AFTER v on
+    * entries that are part of v's snapshot: sidecar applicability is
+    * `sidecarVersion <= readVersion`, so at the restored tip those
+    * post-v deletes would silently stay applied to restored data.
+    * EXACTLY those entries are instead rewritten with v's OWN vector
+    * state ([[survivorReader]] anchored at v — id-matched on mapped
+    * lakes, per-leaf on partitioned ones), which also kills the
+    * post-v sidecars' keys (replaced entries → dead metadata for
+    * vacuum). O(post-v-vectored entries), never O(lake).
+    *
+    * Serializable: publishes strictly against the observed tip — a
+    * concurrent commit refuses loudly rather than being silently
+    * discarded. Returns the new version; None when `v` IS the tip. */
+  def restore(spark: SparkSession, dir: String, v: Int): Option[Int] = {
+    val tipV = tip(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no versions published at $dir"))
+    if (v == tipV) return None
+    requireVersion(spark, dir, v)
+    val want = readManifest(spark, dir, v)
+    val wantSet = want.toSet
+    // entries of v carrying a vector published AFTER v
+    val postV = dvSidecars(spark, dir, tipV).filter(_._1 > v)
+    val affected: Seq[String] =
+      if (postV.isEmpty) Seq.empty
+      else spark.read.parquet(postV.map(_._2.toString): _*)
+        .select("entry").distinct().collect().map(_.getString(0))
+        .filter(wantSet).sorted.toSeq
+    val partCols = GraftLakePartitions.of(spark, dir)
+    val newEntries: Seq[String] =
+      if (affected.isEmpty) Seq.empty
+      else {
+        // v's state of exactly these entries: v's declared schema
+        // (id-matched on mapped lakes) and v's vectors
+        val (rss, readEs) = survivorReader(spark, dir, v)
+        val dataDir =
+          s"d-${java.util.UUID.randomUUID.toString.take(12)}"
+        val es =
+          if (partCols.isEmpty) {
+            readEs(affected).write.parquet(s"$dir/$dataDir")
+            Seq(dataDir)
+          } else {
+            affected.groupBy(_.split('/').drop(1).mkString("/")).toSeq
+              .sortBy(_._1).map { case (suffix, group) =>
+                readEs(group).write.parquet(s"$dir/$dataDir/$suffix")
+                s"$dataDir/$suffix"
+              }
+          }
+        val _ = rss
+        val schema = manifestSchema(spark, dir, v)
+          .map(s => org.apache.spark.sql.types.StructType(s.filterNot(
+            fl => partCols.exists(_.name.equalsIgnoreCase(fl.name)))))
+          .getOrElse(readAt(spark, dir, v).schema)
+        indexStagedEntries(spark, dir, es, schema)
+        es
+      }
+    val entries =
+      want.filterNot(affected.toSet) ++ newEntries
+    Some(publishReplaceStrictAll(spark, dir, entries, tipV,
+      schemaDdl = manifestSchema(spark, dir, v).map(_.json)))
+  }
+
   /** DV maintenance-bound enforcement, called after a DV delete
     * publishes. TWO bounds, either sufficient to trigger:
     *

@@ -818,4 +818,78 @@ class GraftLakeDvSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("deletion_vectors"), e3.getMessage)
     }
   }
+
+  test("CALL restore rolls the lake back to a retained version as a " +
+      "NEW commit: v's entries carry by reference, post-v deletion " +
+      "vectors on them force a scoped rewrite with v's own vector " +
+      "state, and the rolled-over history stays time-travelable") {
+    val root = tempDir("gldv-restore")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 1000)")
+      val dir = s"$root/t"
+      val files1 = GraftLakeDataSource.filesReadPaths(
+        spark.table(s"$cat.t")).toSet
+      // v2: a DV delete; v3: an insert — both AFTER the restore target
+      spark.sql(s"DELETE FROM $cat.t WHERE id < 100")
+      spark.sql(s"INSERT INTO $cat.t " +
+        "SELECT id, CAST(id AS DOUBLE) FROM range(5000, 5100)")
+      assert(spark.table(s"$cat.t").count() == 1000)
+      val preRestoreTip = VersionedLake.tip(spark, dir).get
+
+      // restore to v1: the post-v1 vector's entry REWRITES with v1's
+      // (vector-free) state — the deleted rows reappear; the insert
+      // is gone; history is still readable
+      val restored = spark.sql(s"CALL $cat.restore(`table` => 't', " +
+        "version => 1)").head()
+      assert(!restored.isNullAt(0) && restored.getInt(0) ==
+        preRestoreTip + 1)
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 1000)
+      assert(t.filter(col("id") < 100).count() == 100,
+        "restore must resurrect rows a post-target vector deleted")
+      assert(t.filter(col("id") >= 5000).count() == 0,
+        "restore must drop post-target inserts")
+      assert(t.agg(sum("id")).head().getLong(0) == (0L until 1000L).sum)
+      // the rolled-over pre-restore tip still time-travels
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
+        s"$preRestoreTip").head().getLong(0) == 1000)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
+        s"$preRestoreTip WHERE id >= 5000").head().getLong(0) == 100)
+      // restoring to the tip itself is a no-op (no version minted)
+      val tip2 = VersionedLake.tip(spark, dir).get
+      assert(spark.sql(s"CALL $cat.restore(`table` => 't', " +
+        s"version => $tip2)").head().isNullAt(0))
+      assert(VersionedLake.tip(spark, dir).contains(tip2))
+
+      // metadata-only case: restore to a version with NO post-target
+      // vectors on its entries — every entry carries by REFERENCE
+      // (v2 = the delete; its vector is AT v2, so it applies as part
+      // of v2's state, no rewrite needed)
+      spark.sql(s"CALL $cat.restore(`table` => 't', version => 2)")
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 900)
+      assert(t2.filter(col("id") < 100).count() == 0,
+        "the at-target vector is part of the restored state")
+      assert(GraftLakeDataSource.filesReadPaths(t2).toSet
+        .subsetOf(files1),
+        "a no-vector restore must carry v's files by reference")
+
+      // PARTITIONED lake: a whole-leaf partition delete restores by
+      // manifest reference alone
+      spark.sql(s"CREATE TABLE $cat.p (id BIGINT, m INT) " +
+        "PARTITIONED BY (m) TBLPROPERTIES ('deletion_vectors'='true')")
+      spark.sql(s"INSERT INTO $cat.p " +
+        "SELECT id, CAST(id % 3 AS INT) FROM range(0, 300)")
+      val pdir = s"$root/p"
+      val pv = VersionedLake.tip(spark, pdir).get
+      spark.sql(s"DELETE FROM $cat.p WHERE m = 1")
+      assert(spark.table(s"$cat.p").count() == 200)
+      VersionedLake.restore(spark, pdir, pv)
+      assert(spark.table(s"$cat.p").count() == 300)
+      assert(spark.table(s"$cat.p").filter(col("m") === 1).count()
+        == 100, "the dropped partition leaf must return by reference")
+    }
+  }
 }
