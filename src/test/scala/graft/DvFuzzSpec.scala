@@ -46,7 +46,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 36).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // INSERT a fresh batch
           val n = 50 + rnd.nextInt(150)
           val rows = (0 until n).map { _ =>
@@ -83,6 +83,19 @@ class DvFuzzSpec extends AnyFunSuite {
           ()
         case 5 => // VACUUM (drops history + dead sidecars)
           VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
+        case 6 => // RESTORE to a random still-retained recorded
+          // version: the model resets to that version's snapshot —
+          // post-target vectors must unapply (scoped rewrite), the
+          // target's entries return by reference, and every later
+          // checkTip/time-travel/feed invariant keeps holding
+          val readable = VersionedLake.versions(spark, dir).toSet
+          val targets = recorded.filter(r => readable(r._1))
+          if (targets.nonEmpty) {
+            val (tv, snap) = targets(rnd.nextInt(targets.length))
+            VersionedLake.restore(spark, dir, tv)
+            model.clear()
+            model ++= snap
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
