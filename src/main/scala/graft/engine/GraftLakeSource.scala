@@ -1042,10 +1042,18 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   /** Declared feature registries, surfaced so SHOW TBLPROPERTIES /
     * DESCRIBE EXTENDED reflect what the lake actually enforces —
     * including maintenance bounds set later via
-    * `ALTER TABLE SET TBLPROPERTIES`. Read fresh from the registries
-    * (the disk is the source of truth; a stale snapshot here could
-    * show a bound an ALTER already changed). */
-  override def properties(): java.util.Map[String, String] = {
+    * `ALTER TABLE SET TBLPROPERTIES`. Read from the registries ONCE
+    * PER TABLE INSTANCE: Spark calls properties() repeatedly while
+    * resolving a single plan (and again for DESCRIBE), and each
+    * uncached call costs five registry reads — several metadata RPCs
+    * per plan on an object store. A table instance is minted per
+    * resolution at a pinned snapshot version, so the memo is exactly
+    * as fresh as the snapshot itself: the next statement re-resolves
+    * the table and re-reads the ALTER-visible bounds from disk. */
+  override def properties(): java.util.Map[String, String] =
+    memoizedProperties
+
+  private lazy val memoizedProperties: java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     if (VersionedLake.dvEnabled(spark, lakeDir)) {
       m.put("deletion_vectors", "true")

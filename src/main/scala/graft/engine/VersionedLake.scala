@@ -1506,11 +1506,50 @@ object VersionedLake {
       s"dv_max_ratio must be in (0, 1], got $r"))
     maxPending.foreach(n => require(n > 0,
       s"dv_max_pending must be positive, got $n"))
-    val out = fs(spark, dir).create(dvReg(dir), true)
-    try out.write(("dv\n" +
+    val bytes = ("dv\n" +
       maxRatio.fold("")(r => s"maxRatio\t$r\n") +
-      maxPending.fold("")(n => s"maxPending\t$n\n")).getBytes("UTF-8"))
-    finally out.close()
+      maxPending.fold("")(n => s"maxPending\t$n\n")).getBytes("UTF-8")
+    // NEVER truncate the registry in place: `dvEnabled` is an existence
+    // check, so on a lake with LIVE sidecars a crash between a
+    // truncating create and the content write would silently flip
+    // dvEnabled off — every pending delete resurrects on the next
+    // scan. Fill a tmp file invisibly, swing the name, and verify the
+    // registry is readable before returning (ALTER TABLE SET/UNSET
+    // TBLPROPERTIES routes through here on live tables).
+    val f = fs(spark, dir)
+    val reg = dvReg(dir)
+    val tmp = reg.suffix(
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    f.delete(reg, false) // rename-onto-existing fails on local fs
+    if (!f.rename(tmp, reg)) {
+      f.delete(tmp, false)
+      // racing ALTER won the rename — its registry is in place; fall
+      // through to the readback check either way
+    }
+    // loud verification: the one crash window left (between the delete
+    // and the rename) plus any FS failure must surface HERE, at ALTER
+    // time, never as silently-disabled vectors at scan time
+    val ok =
+      try {
+        val in = f.open(reg)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .nonEmpty
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) {
+      // last-resort direct re-create before giving up
+      val retry = f.create(reg, true)
+      try retry.write(bytes) finally retry.close()
+      val in2 = f.open(reg)
+      val ok2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
+        .getLines().nonEmpty finally in2.close()
+      if (!ok2) throw new java.io.IOException(
+        s"failed to publish deletion-vector registry $reg — the " +
+          "registry is unreadable; live vectors would silently stop " +
+          "applying, refusing instead")
+    }
   }
 
   /** The declared DV maintenance bound, if any: when live (pending)
@@ -1685,6 +1724,18 @@ object VersionedLake {
       }
     val entries =
       want.filterNot(affected.toSet) ++ newEntries
+    // MAPPED lakes: a restore that crosses a REPLACE boundary brings
+    // back columns whose (id, name) pairs live in a PRIOR mapping
+    // epoch — aliases() scopes to the current epoch, so without
+    // re-recording them the restored era's stats/bloom sidecar lines
+    // (keyed under those names) stop matching and every skipping probe
+    // quietly demotes to a full scan. Recording the restored schema
+    // into the CURRENT epoch regains alias coverage; it cannot merge
+    // unrelated histories because field ids are never reused across
+    // epochs ([[GraftLakeMapping.nextId]] scans every era).
+    if (GraftLakeMapping.enabled(spark, dir))
+      manifestSchema(spark, dir, v).foreach(s =>
+        GraftLakeMapping.record(spark, dir, s))
     Some(publishReplaceStrictAll(spark, dir, entries, tipV,
       schemaDdl = manifestSchema(spark, dir, v).map(_.json)))
   }
