@@ -1,0 +1,591 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal,
+  UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference}
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReader, PartitionReaderFactory, ScanBuilder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite,
+  DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{
+  ParquetScanBuilder, ParquetWrite}
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ row-level operations — SQL `UPDATE` / `MERGE INTO` /
+  * rich-predicate `DELETE` on a deletion-vector lake as DELTA writes
+  * (Spark's [[org.apache.spark.sql.connector.write.SupportsDelta]]
+  * seam, the Delta-Lake/Iceberg "position delete" design point):
+  *
+  *  - the operation SCAN emits each row's address — two metadata
+  *    columns, [[GraftLakeDeltaOp.FileCol]] (the row's manifest-
+  *    relative file key) and [[GraftLakeDeltaOp.PosCol]] (its TRUE
+  *    position in that file, from Spark's parquet row-index
+  *    machinery, exact under row-group skipping and splits) — and,
+  *    unlike the copy-on-write scan, may freely accept pushed data
+  *    filters and sidecar file pruning: a file pruned out of a DELTA
+  *    scan simply contributes no matched rows (nothing is replaced);
+  *  - the WRITE receives per-row ops: `delete(id)` buffers the row's
+  *    (entry, file, pos); `update(id, row)` buffers the delete half
+  *    and appends the rewritten row; `insert(row)` appends. Each task
+  *    stages its positions as one sorted parquet part and its data
+  *    rows through Spark's own parquet committer;
+  *  - the COMMIT publishes ONE version: the staged data dir (when any
+  *    row was written) plus a `#dv` marker binding the positions
+  *    sidecar — O(changed rows) bytes written, ZERO data rewritten.
+  *    A <1% UPDATE of a 100 TB lake publishes a small sidecar and a
+  *    small append instead of rewriting whole data dirs (the
+  *    copy-on-write write-amplification this path exists to remove).
+  *
+  * Serializable like the COW publish: the touched entries must still
+  * be live, no dir the snapshot never saw may have appeared (it could
+  * hold rows matching the operation's condition), and no concurrent
+  * DV commit may have landed after the scan (its positions could
+  * overlap). Conflicts refuse loudly; the caller retries.
+  *
+  * Scope: FLAT deletion-vector lakes (DV lakes are unmapped by
+  * construction; partitioned lakes keep the copy-on-write path —
+  * routing decided in [[GraftLakeTable.newRowLevelOperationBuilder]]).
+  *
+  * Reference behavior: monthly corrections to the archive lake
+  * (reference README.md:4 — correction runs over published months)
+  * re-expressed as row-level SQL with bounded write amplification. */
+private[engine] object GraftLakeDeltaOp {
+
+  /** Row-address metadata columns: the file's manifest-relative key
+    * (`entry/fileName`) and the row's position within it. Non-null by
+    * construction — Spark refuses nullable row ids. */
+  val FileCol = "__graft_file"
+  val PosCol = "__graft_pos"
+
+  def isMetaCol(n: String): Boolean = n == FileCol || n == PosCol
+
+  def metadataColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "manifest-relative file of the row (merge-on-read row id)"
+    },
+    new MetadataColumn {
+      override def name: String = PosCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "row position within its file (merge-on-read row id)"
+    })
+}
+
+/** See [[GraftLakeDeltaOp]]. Same construction seam as the COW
+  * operation: snapshot, version and DV refs pinned at build time. */
+final class GraftLakeDeltaOperation(table: GraftLakeTable,
+    spark: SparkSession, lakeDir: String, version: Int,
+    cmd: RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  private[engine] val snapshotDirs: Set[String] =
+    VersionedLake.manifestEntries(spark, lakeDir, version).toSet
+
+  private[engine] def observedVersion: Int = version
+
+  /** Vectors applying to the scanned snapshot: the delta scan MUST
+    * apply them — a row an earlier vector deleted is not addressable,
+    * and re-deleting its position would double-report the delete. */
+  private[engine] val dvRefs: Map[String, GraftLakeDvRef] =
+    VersionedLake.dvRefs(spark, lakeDir, version)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graftlake $cmd merge-on-read (deletion vectors) on $lakeDir @v$version"
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftLakeDeltaOp.FileCol),
+    Expressions.column(GraftLakeDeltaOp.PosCol))
+
+  /** Keep UPDATE as one per-row op: the writer splits it into a
+    * buffered position + an appended row itself — no need for Spark
+    * to double the plan's rows. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    // sidecarPrune = true — SAFE here, unlike the COW scan: a file
+    // statically pruned out of a delta scan is merely a file with no
+    // matched rows, not a silently-dropped replacement unit
+    val idx = new GraftLakeFileIndex(spark, lakeDir,
+      VersionedLake.liveDataDirs(spark, lakeDir, version)
+        .map(new Path(_)))
+    new GraftLakeDeltaScanBuilder(this, spark, idx, table.schema(),
+      table.dataSchema, options, lakeDir)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftLakeDeltaWrite(
+        GraftLakeDeltaOperation.this, table, info, lakeDir)
+    }
+}
+
+/** Pushdown-friendly builder: strips the row-address metadata columns
+  * out of what reaches the parquet reader (they are synthesized by the
+  * reader wrapper, not stored) and remembers which were requested, in
+  * requested order, so [[GraftLakeDeltaScan.readSchema]] matches the
+  * plan's expectations. Data-filter pushdown stays ENABLED — delta
+  * semantics tolerate row-level filtering, and the row index stays
+  * exact under it. */
+final class GraftLakeDeltaScanBuilder(op: GraftLakeDeltaOperation,
+    spark: SparkSession,
+    fileIndex: org.apache.spark.sql.execution.datasources
+      .PartitioningAwareFileIndex,
+    schema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, lakeDir: String)
+  extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
+    options) {
+
+  @volatile private var metaCols: Seq[String] = Seq.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (meta, data) = requiredSchema.fields.partition(f =>
+      GraftLakeDeltaOp.isMetaCol(f.name))
+    metaCols = meta.map(_.name).toSeq
+    super.pruneColumns(StructType(data))
+  }
+
+  /** Footer-stat aggregates over-count DV-deleted rows — same refusal
+    * as the snapshot scan builder (and row-level plans never push
+    * aggregates anyway). */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = false
+
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new GraftLakeDeltaScan(op, super.build(), lakeDir, metaCols)
+}
+
+/** Parquet execution plus (a) one file per partition — the row-address
+  * column is per-file, so a reader must know which file it is inside —
+  * (b) DV application, and (c) the synthesized row-address columns. */
+final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    lakeDir: String, metaCols: Seq[String])
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions) {
+
+  private def metaFields: Seq[StructField] = metaCols.map {
+    case GraftLakeDeltaOp.FileCol =>
+      StructField(GraftLakeDeltaOp.FileCol, StringType, nullable = false)
+    case GraftLakeDeltaOp.PosCol =>
+      StructField(GraftLakeDeltaOp.PosCol, LongType, nullable = false)
+  }
+
+  /** Metadata columns surface BETWEEN data and partition columns; the
+    * V2 pushdown rebuilds its projection by NAME over this schema, so
+    * the order only has to match what the reader emits. */
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ metaFields ++
+      readPartitionSchema.fields)
+
+  override def partitions: Seq[FilePartition] = {
+    // one file per partition: the file key is a per-reader constant
+    val singles = super.partitions.flatMap(_.files).zipWithIndex
+      .map { case (f, i) => FilePartition(i, Array(f)) }
+    GraftLakeDvScan.isolate(singles, op.dvRefs)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rowIdx = StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
+      nullable = true)
+    val withIdx = base.copy(
+      hadoopConf = new org.apache.hadoop.conf.Configuration(
+        base.hadoopConf),
+      readDataSchema = StructType(base.readDataSchema.fields :+ rowIdx),
+      pushedAggregate = None).createReaderFactory()
+    // inner row layout: data columns, the row index, partition values
+    val innerTypes = ((base.readDataSchema.fields :+ rowIdx) ++
+      base.readPartitionSchema.fields).map(_.dataType)
+    new GraftLakeDeltaReaderFactory(withIdx,
+      base.readDataSchema.length, innerTypes, metaCols,
+      1 + GraftLakePartitions.of(base.sparkSession, lakeDir).length + 1,
+      new GraftLakeSerializableConf(base.hadoopConf))
+  }
+}
+
+/** Row-wise reader factory synthesizing the row-address columns: the
+  * file key is a per-partition constant (partitions are single-file),
+  * the position is the parquet row index, DV-deleted rows drop before
+  * emission. Row-wise is fine here: the delta scan reads the MATCHED
+  * fraction (filters pushed), not the lake. */
+private[engine] final class GraftLakeDeltaReaderFactory(
+    withIdx: PartitionReaderFactory, dataLen: Int,
+    innerTypes: Array[DataType], metaCols: Seq[String], segs: Int,
+    conf: GraftLakeSerializableConf)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"delta scan partitions are single-file; got ${fp.files.length}")
+    val relKey = GraftLakeDvScan.tailSegments(
+      fp.files.head.toPath.toString, segs)
+    val positions = p match {
+      case d: GraftLakeDvFilePartition =>
+        GraftLakeDvScan.loadPositions(d.ref, conf.value)
+      case _ => Array.emptyLongArray
+    }
+    val inner = withIdx.createReader(p)
+    val idxAt = dataLen
+    val exprs: Array[org.apache.spark.sql.catalyst.expressions.Expression] =
+      ((0 until dataLen).map(i =>
+        BoundReference(i, innerTypes(i), nullable = true)) ++
+        metaCols.map {
+          case GraftLakeDeltaOp.FileCol =>
+            Literal(UTF8String.fromString(relKey), StringType)
+          case GraftLakeDeltaOp.PosCol =>
+            BoundReference(idxAt, LongType, nullable = true)
+        } ++
+        (dataLen + 1 until innerTypes.length).map(i =>
+          BoundReference(i, innerTypes(i), nullable = true))).toArray
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val row = inner.get()
+          if (positions.isEmpty || java.util.Arrays.binarySearch(
+              positions, row.getLong(idxAt)) < 0) {
+            cur = proj(row)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Task→driver evidence for one delta writer: the inner parquet
+  * commit message (when the task appended rows), the task's staged
+  * positions part (when it buffered deletes), and the counts. */
+private final case class GraftLakeDeltaCommitMsg(
+    inner: Option[WriterCommitMessage], posPart: Option[String],
+    deleted: Long, written: Long) extends WriterCommitMessage
+
+/** The delta write: data rows stage through Spark's own parquet
+  * committer into a fresh `d-*` dir; deleted positions stage as
+  * per-task sorted parquet parts under `_deletes/.stage-<uuid>`; the
+  * driver commit assembles both into ONE serializable publish. */
+final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
+    table: GraftLakeTable, info: LogicalWriteInfo, lakeDir: String)
+  extends DeltaWrite {
+
+  // hex uuid: doubles as the data-dir tag and the sidecar binding
+  private val uuid =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+  private val dataDir = s"d-$uuid"
+  // NOT dot-prefixed: Spark's listings treat hidden path components as
+  // non-data and the driver commit reads the staged parts back with a
+  // plain parquet read. `stage-*` never matches the sidecar pattern,
+  // so readers can't confuse staging with a bound vector; vacuum
+  // sweeps crashed attempts' stagings after the grace window.
+  private val stageDir = s"$lakeDir/_deletes/stage-$uuid"
+
+  override def description(): String =
+    s"graftlake delta ${op.command()} $lakeDir (staging $dataDir)"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    // no inner write for a row-less plan (pure DELETE commands write
+    // no data rows and may arrive with an empty row schema)
+    private val innerBatch =
+      if (info.schema() == null || info.schema().isEmpty) None
+      else Some(ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+        table.formatName, table.supportsDataType _, info).toBatch)
+
+    override def createBatchWriterFactory(p: PhysicalWriteInfo)
+        : DeltaWriterFactory = {
+      val idSchema = info.rowIdSchema().orElseThrow(() =>
+        new IllegalStateException(
+          "delta write planned without a row-id schema"))
+      new GraftLakeDeltaWriterFactory(
+        innerBatch.map(_.createBatchWriterFactory(p)), stageDir,
+        idSchema.fieldIndex(GraftLakeDeltaOp.FileCol),
+        idSchema.fieldIndex(GraftLakeDeltaOp.PosCol),
+        new GraftLakeSerializableConf(SparkSession.active
+          .sessionState.newHadoopConf()))
+    }
+
+    override def useCommitCoordinator: Boolean =
+      innerBatch.forall(_.useCommitCoordinator)
+
+    override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      val f = new Path(lakeDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dms = msgs.map(_.asInstanceOf[GraftLakeDeltaCommitMsg])
+      val innerMsgs = dms.flatMap(_.inner)
+      innerBatch.foreach(b =>
+        if (innerMsgs.nonEmpty) b.commit(innerMsgs.toArray))
+      val staged = new Path(s"$lakeDir/$dataDir")
+      val hasData = f.exists(staged) && f.listStatus(staged)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+      // only parts named in COMMIT MESSAGES are real: a retried task's
+      // dead attempt may have left a torn or duplicate part behind.
+      // Compare by NAME (unique within the stage dir), never by path
+      // string — listings return QUALIFIED paths (`file:/…`) while the
+      // writers recorded unqualified ones, and a string mismatch here
+      // would silently delete every real part as an "orphan".
+      val winners = dms.flatMap(_.posPart)
+        .map(p => new Path(p).getName).toSet
+      val stage = new Path(stageDir)
+      if (f.exists(stage))
+        f.listStatus(stage).map(_.getPath)
+          .filterNot(p => winners(p.getName))
+          .foreach(p => f.delete(p, false))
+      val nDeleted = dms.map(_.deleted).sum
+      if (winners.isEmpty && !hasData) { // true no-op: nothing matched
+        f.delete(stage, true)
+        f.delete(staged, true)
+        return
+      }
+      // the touched entries — the serializable anchor (bounded: one
+      // row per vectored file)
+      val touched: Seq[String] =
+        if (winners.isEmpty) Seq.empty
+        else spark.read.parquet(stageDir).select("entry").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      // the commit's EXACT change rows, staged BEFORE the publish
+      // under the uuid the manifest will bind (changes()/CDF replay a
+      // DV commit from this sidecar — its absence is corruption)
+      if (winners.nonEmpty)
+        stageChangeRows(spark, f, hasData)
+      if (hasData)
+        VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
+          table.schema())
+      try {
+        VersionedLake.publishDvDelta(spark, lakeDir,
+          op.observedVersion, op.snapshotDirs, touched,
+          if (hasData) Seq(dataDir) else Seq.empty,
+          if (winners.isEmpty) None else Some(stage), uuid,
+          Some(table.schema().json))
+      } catch { case e: Throwable =>
+        // a refused publish leaves NOTHING bound: drop the stagings so
+        // they cannot be mistaken for live state (the change dir is
+        // unbound without the manifest marker, but cheap to remove)
+        f.delete(stage, true)
+        f.delete(staged, true)
+        f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+        throw e
+      }
+      VersionedLake.enforceDvBound(spark, lakeDir)
+    }
+
+    /** Pre-image delete rows (the touched files' rows AT the staged
+      * positions) plus the staged dir's rows as the insert side, both
+      * tagged for the change feed. O(touched files + written rows). */
+    private def stageChangeRows(spark: SparkSession,
+        f: org.apache.hadoop.fs.FileSystem, hasData: Boolean): Unit = {
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      import spark.implicits._
+      val pos = spark.read.parquet(stageDir)
+      val files = pos.select("entry", "file").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val lk = files.flatMap { case (e, fl) =>
+        VersionedLake.encodedForms(f, new Path(s"$lakeDir/$e/$fl"))
+          .map(q => (q, e, fl))
+      }.toDF("__fp", "entry", "file")
+      val deletes = spark.read
+        .option("mergeSchema", "true")
+        .parquet(files.map { case (e, fl) => s"$lakeDir/$e/$fl" }: _*)
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(lk), Seq("__fp"))
+        .join(pos.withColumnRenamed("pos", "__pos"),
+          Seq("entry", "file", "__pos"), "left_semi")
+        .drop("__fp", "__pos", "entry", "file")
+      val delTag =
+        if (op.command() == RowLevelOperation.Command.UPDATE)
+          "update_preimage"
+        else "delete"
+      val insTag =
+        if (op.command() == RowLevelOperation.Command.UPDATE)
+          "update_postimage"
+        else "insert"
+      val changes =
+        if (!hasData)
+          deletes.withColumn("_change_type", lit(delTag))
+        else deletes.withColumn("_change_type", lit(delTag))
+          .unionByName(
+            spark.read.parquet(s"$lakeDir/$dataDir")
+              .withColumn("_change_type", lit(insTag)),
+            allowMissingColumns = true)
+      changes.write.parquet(s"$lakeDir/_changes/dv-$uuid")
+    }
+
+    override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      val f = new Path(lakeDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      innerBatch.foreach(b => b.abort(
+        msgs.collect { case m: GraftLakeDeltaCommitMsg
+          if m.inner.isDefined => m.inner.get }))
+      f.delete(new Path(stageDir), true)
+      f.delete(new Path(s"$lakeDir/$dataDir"), true)
+      f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+      ()
+    }
+  }
+}
+
+/** See [[GraftLakeDeltaWrite]]. The factory ships the inner parquet
+  * factory (absent for row-less DELETE plans) plus where to stage the
+  * task's positions part. */
+private final class GraftLakeDeltaWriterFactory(
+    dataFactory: Option[org.apache.spark.sql.connector.write
+      .DataWriterFactory],
+    stageDir: String, idFileAt: Int, idPosAt: Int,
+    conf: GraftLakeSerializableConf)
+  extends DeltaWriterFactory {
+
+  override def createWriter(pid: Int, tid: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+
+    private var dataWriter
+        : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      null
+    // per-file growable position buffers: bounded by the rows of the
+    // files THIS task read (single-file partitions), never the lake
+    private val posBuf =
+      new java.util.HashMap[String, GraftLakeDeltaWriterFactory.LongBuf]()
+    private var deleted = 0L
+    private var written = 0L
+
+    private def record(id: InternalRow): Unit = {
+      val key = id.getUTF8String(idFileAt).toString
+      var b = posBuf.get(key)
+      if (b == null) {
+        b = new GraftLakeDeltaWriterFactory.LongBuf
+        posBuf.put(key, b)
+      }
+      b.add(id.getLong(idPosAt))
+      deleted += 1
+    }
+
+    override def delete(meta: InternalRow, id: InternalRow): Unit =
+      record(id)
+
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit = {
+      record(id)
+      insert(row)
+    }
+
+    override def insert(row: InternalRow): Unit = {
+      if (dataWriter == null)
+        dataWriter = dataFactory.getOrElse(throw new IllegalStateException(
+          "delta writer received a row but the plan declared no row " +
+            "schema")).createWriter(pid, tid)
+      dataWriter.write(row)
+      written += 1
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val innerMsg = Option(dataWriter).map(_.commit())
+      val part =
+        if (posBuf.isEmpty) None
+        else {
+          val p = new Path(s"$stageDir/part-p$pid-t$tid.parquet")
+          GraftLakeDeltaWriterFactory.writePosPart(p, posBuf, conf.value)
+          Some(p.toString)
+        }
+      GraftLakeDeltaCommitMsg(innerMsg, part, deleted, written)
+    }
+
+    override def abort(): Unit = {
+      if (dataWriter != null) dataWriter.abort()
+      val p = new Path(s"$stageDir/part-p$pid-t$tid.parquet")
+      val f = p.getFileSystem(conf.value)
+      if (f.exists(p)) f.delete(p, false)
+      ()
+    }
+
+    override def close(): Unit =
+      if (dataWriter != null) dataWriter.close()
+  }
+}
+
+private object GraftLakeDeltaWriterFactory {
+
+  /** Minimal growable long buffer (no boxing in the per-row path). */
+  final class LongBuf {
+    private var arr = new Array[Long](64)
+    private var n = 0
+    def add(v: Long): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v
+      n += 1
+    }
+    def sorted: Array[Long] = {
+      val out = java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  /** One task's positions part, written SORTED by (entry, file, pos)
+    * so the task-side predicate-pushed sidecar reads
+    * ([[GraftLakeDvScan.loadPositions]]) skip foreign keys' pages —
+    * the same layout contract as the metadata DELETE path. */
+  def writePosPart(p: Path,
+      posBuf: java.util.HashMap[String, LongBuf],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+      GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val mt = MessageTypeParser.parseMessageType(
+      "message graft_dv { required binary entry (UTF8); " +
+        "required binary file (UTF8); required int64 pos; }")
+    val c2 = new org.apache.hadoop.conf.Configuration(conf)
+    GroupWriteSupport.setSchema(mt, c2)
+    val w = ExampleParquetWriter.builder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(p, c2))
+      .withConf(c2).withType(mt).build()
+    try {
+      val keys = new java.util.ArrayList(posBuf.keySet())
+      java.util.Collections.sort(keys)
+      keys.forEach { relKey =>
+        val cut = relKey.lastIndexOf('/')
+        require(cut > 0, s"malformed row-address file key: $relKey")
+        val entry = relKey.substring(0, cut)
+        val file = relKey.substring(cut + 1)
+        posBuf.get(relKey).sorted.foreach { v =>
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(mt)
+          g.append("entry", entry)
+          g.append("file", file)
+          g.append("pos", v)
+          w.write(g)
+        }
+      }
+    } finally w.close()
+  }
+}

@@ -991,7 +991,8 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   private val snapshotVersion = version // FileTable.version() shadows inside the delegate
@@ -1152,7 +1153,27 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new GraftLakeWriteBuilder(this, lakeDir, mergedInfo)
   }
 
-  /** SQL `MERGE INTO` / `UPDATE` / rich-predicate `DELETE` via
+  /** Whether row-level SQL routes MERGE-ON-READ: flat deletion-vector
+    * lakes (DV lakes are unmapped by construction) publish UPDATE /
+    * MERGE / rich-predicate DELETE as positions sidecar + small
+    * append ([[GraftLakeDeltaOperation]]); everything else keeps the
+    * group-based copy-on-write rewrite. */
+  private def deltaCapable: Boolean =
+    VersionedLake.dvEnabled(spark, lakeDir) &&
+      GraftLakePartitions.of(spark, lakeDir).isEmpty &&
+      !GraftLakeMapping.enabled(spark, lakeDir)
+
+  /** Row-address metadata columns — only surfaced when the delta path
+    * can serve them (the COW scan never synthesizes them, and a
+    * metadata column the scan cannot produce would read as nulls). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (deltaCapable) GraftLakeDeltaOp.metadataColumns
+    else Array.empty
+
+  /** SQL `MERGE INTO` / `UPDATE` / rich-predicate `DELETE`: on a flat
+    * deletion-vector lake, MERGE-ON-READ ([[GraftLakeDeltaOperation]]
+    * — O(changed rows) written, zero data rewritten); otherwise
     * group-based copy-on-write ([[GraftLakeRowLevelOperation]]):
     * Spark rewrites each into read-groups → mutate rows → replace-
     * groups, with the sidecars pruning unaffected dirs at runtime. */
@@ -1162,7 +1183,10 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftLakeRowLevelOperation(GraftLakeTable.this, spark,
+        if (deltaCapable)
+          new GraftLakeDeltaOperation(GraftLakeTable.this, spark,
+            lakeDir, snapshotVersion, info.command())
+        else new GraftLakeRowLevelOperation(GraftLakeTable.this, spark,
           lakeDir, snapshotVersion, info.command())
     }
 
@@ -1248,6 +1272,37 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
       touched.toSet, added, snapshot.toSet, Some(schema().json))
     ()
   }
+
+  /** GUARD against Spark's lossy V2→V1 predicate bridge:
+    * `PredicateUtils.toV1` converts `OR(a, b)` with an untranslatable
+    * side into JUST THE OTHER SIDE (a strictly stronger predicate),
+    * and the default `SupportsDelete` bridge's only defense is an
+    * outer array-length check an OR never trips. Unchecked, a
+    * `DELETE WHERE id % 1000 = 1 OR v > 9998.5` arrives at
+    * [[deleteWhere]] as `v > 9998.5` alone — a SILENT partial delete.
+    * Accept a predicate only when its V1 conversion is FAITHFUL:
+    * every OR/AND/NOT node's children must themselves convert (the
+    * default leaf conversion is all-or-nothing, so only the boolean
+    * connectives need the recursion). Refusal falls back to the
+    * row-level plan, which is exact for every predicate. */
+  private def faithfulToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.filter._
+    p match {
+      case o: Or => faithfulToV1(o.left()) && faithfulToV1(o.right())
+      case a: And => faithfulToV1(a.left()) && faithfulToV1(a.right())
+      case n: Not => faithfulToV1(n.child())
+      case leaf =>
+        org.apache.spark.sql.graft.PredicateBridge.toV1(leaf).isDefined
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    predicates.forall(faithfulToV1) && super.canDeleteWhere(predicates)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

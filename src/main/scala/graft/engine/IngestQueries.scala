@@ -3087,6 +3087,71 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q221.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q222_mor_update",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(CASE WHEN event_id % 128 = 7
+        |                      THEN value * 2 ELSE value END), 2)
+        |         AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // MERGE-ON-READ UPDATE ([[GraftLakeDeltaOperation]]): a <1%
+      // UPDATE with an EXPRESSION predicate (no pushed-filter form —
+      // the class that used to force a whole-dir copy-on-write
+      // rewrite) publishes a positions sidecar + ONE small appended
+      // dir; every original dir stays live by manifest reference. The
+      // evidence is asserted inline (bytes appended << snapshot bytes,
+      // #dv binding, sidecar position count == matched rows); the
+      // oracle replays the update as a CASE over raw events, so a row
+      // double-updated, resurrected, or missed breaks the hash.
+      val root = scratchRoot
+      val name = s"morupd_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q222",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q222.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q222")
+      s.sql(s"""CREATE TABLE glake_q222.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM ev_q222""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def dirs(): Set[String] = f.listStatus(
+        new org.apache.hadoop.fs.Path(lake)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      def bytes(d: String): Long = f.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$lake/$d")).getLength
+      val before = dirs()
+      val beforeBytes = before.toSeq.map(bytes).sum
+      val matched = Tables.table(s, dir, "events")
+        .filter(col("event_id") % 128 === 7).count()
+      s.sql(s"UPDATE glake_q222.`$name` SET value = value * 2 " +
+        "WHERE event_id % 128 = 7")
+      val after = dirs()
+      require(before.subsetOf(after),
+        "merge-on-read must keep every original dir live")
+      val added = after.diff(before)
+      require(added.size == 1,
+        s"expected ONE appended rewrite dir, got $added")
+      val addedBytes = bytes(added.head)
+      require(addedBytes * 5 < beforeBytes,
+        s"appended $addedBytes B vs snapshot $beforeBytes B — the " +
+          "UPDATE rewrote data instead of vectoring it")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isDvCommit(s, lake, tip),
+        "the UPDATE commit must bind a positions sidecar")
+      require(VersionedLake.dvRefs(s, lake, tip).values
+        .map(_.count).sum == matched,
+        "sidecar positions must cover exactly the matched rows")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q222.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

@@ -2246,6 +2246,89 @@ object VersionedLake {
     }
   }
 
+  /** The MERGE-ON-READ row-level publish ([[GraftLakeDeltaWrite]]):
+    * ONE version that appends `added` (the UPDATE/MERGE's rewritten +
+    * inserted rows) and binds the staged positions sidecar via the
+    * `#dv` marker (the delete half) — O(changed rows) bytes, zero
+    * data rewritten. Either half may be absent: positions-only is the
+    * pure-DELETE shape ([[deleteVectors]]' commit form), adds-only is
+    * an insert-only MERGE (plain checked append, no marker).
+    *
+    * Serializable with the SAME three refusals as the COW publish,
+    * for the same reasons — the write was computed from a scan that
+    * already happened and cannot absorb concurrency by retrying:
+    *  - a touched entry left the tip (a rewrite carried the rows this
+    *    commit deletes as survivors — publishing resurrects/ghosts);
+    *  - a dir appeared the snapshot never saw (it may hold rows
+    *    matching the operation's condition);
+    *  - a DV commit landed after `observedV` (its positions may
+    *    overlap this commit's — double-reported deletes).
+    * The staged sidecar dir renames to its version-bound name inside
+    * the CAS loop (the name embeds the version); a lost race's next
+    * attempt renames it forward again. */
+  private[graft] def publishDvDelta(spark: SparkSession, dir: String,
+      observedV: Int, snapshot: Set[String], touched: Seq[String],
+      added: Seq[String], stagedPos: Option[Path], uuid: String,
+      schemaDdl: Option[String]): Int = {
+    require(stagedPos.nonEmpty || added.nonEmpty,
+      "publishDvDelta needs positions or added entries")
+    val f = fs(spark, dir)
+    var sidecarAt = stagedPos
+    var committed = -1
+    while (committed < 0) {
+      val prevTip = tip(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no versions published at $dir"))
+      ((observedV + 1) to prevTip).foreach { k =>
+        if (isDvCommit(spark, dir, k))
+          throw new java.util.ConcurrentModificationException(
+            s"merge-on-read conflict on $dir: deletion-vector commit " +
+              s"v$k landed after this operation's scan (its positions " +
+              "may overlap); retry against the new snapshot")
+      }
+      val tip0 = readManifest(spark, dir, prevTip)
+      val gone = touched.toSet.diff(tip0.toSet)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read conflict on $dir: dirs ${gone.mkString(", ")} " +
+            "were rewritten by a concurrent commit after this " +
+            "operation scanned them; retry against the new snapshot")
+      val fresh = tip0.toSet.diff(snapshot)
+      if (fresh.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read conflict on $dir: dirs ${fresh.mkString(", ")} " +
+            "were appended by a concurrent commit after this " +
+            "operation's snapshot — they may hold rows matching the " +
+            "operation's condition; retry against the new snapshot")
+      val next = prevTip + 1
+      sidecarAt.foreach { cur =>
+        val tgt = new Path(s"$dir/_deletes/v$next-$uuid")
+        if (cur != tgt) {
+          f.delete(tgt, true) // our own stale attempt (uuid-unique)
+          if (!f.rename(cur, tgt))
+            throw new java.io.IOException(
+              s"failed to stage DV sidecar $tgt")
+          sidecarAt = Some(tgt)
+        }
+      }
+      val marker = sidecarAt.map(_ => DvMarker + uuid).toSeq
+      val bytes = ((DeltaMarker +: schemaLine(schemaDdl)) ++
+        added.map("+" + _) ++ marker :+ ManifestEnd)
+        .mkString("\n").getBytes("UTF-8")
+      try {
+        val out = f.create(manifestPath(dir, next), false)
+        try out.write(bytes) finally out.close()
+        committed = next
+      } catch {
+        case e: java.io.IOException =>
+          if (!f.exists(manifestPath(dir, next))) throw e
+        // lost race: loop — the next attempt re-checks conflicts and
+        // renames the sidecar forward to the new next version
+      }
+    }
+    writeTipHint(f, dir, committed)
+    committed
+  }
+
   /** Changed rows between two published versions, tagged `op` =
     * insert | delete — the incremental-consumption primitive (CDC by
     * version, the "process only what's new since yesterday's run"
@@ -3673,6 +3756,15 @@ object VersionedLake {
                   .exists(liveDirs)
               else false // in-retention but unbound: crashed attempt
             if (!keepIt && quiescentSince(p) <= cutoff) {
+              f.delete(p, true)
+              ()
+            }
+          case n if n.startsWith("stage-") =>
+            // a merge-on-read write's positions staging
+            // ([[GraftLakeDeltaWrite]]): renamed away at publish, so a
+            // survivor here is a crashed attempt's orphan — swept once
+            // quiescent (the grace window protects an in-flight write)
+            if (quiescentSince(p) <= cutoff) {
               f.delete(p, true)
               ()
             }

@@ -1,0 +1,240 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** Merge-on-read UPDATE / MERGE / rich-predicate DELETE
+  * ([[GraftLakeDeltaOperation]]): on a flat deletion-vector lake the
+  * row-level SQL commands publish a positions sidecar plus a small
+  * append instead of rewriting whole data dirs — O(changed rows)
+  * bytes, the Delta/Iceberg position-delete shape. */
+class GraftLakeDeltaOpSpec extends AnyFunSuite {
+  import TestSpark.{spark, tempDir}
+
+  private def withCatalog[A](root: String)(body: String => A): A = {
+    val cat = s"gldop_${new java.io.File(root).getName.takeRight(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    body(cat)
+  }
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def topDirs(dir: String): Set[String] = {
+    val f = fsOf(dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+  }
+
+  private def dirBytes(dir: String, name: String): Long = {
+    val f = fsOf(dir)
+    f.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$dir/$name")).getLength
+  }
+
+  test("UPDATE on a flat DV lake is merge-on-read: original dirs stay " +
+      "live, ONE small dir is appended, a #dv sidecar binds the " +
+      "delete half, bytes written << the copy-on-write rewrite, and " +
+      "results / time travel / CDF are exact") {
+    val root = tempDir("gldop-upd")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v, " +
+        "CONCAT('s', CAST(id % 7 AS STRING)) AS s FROM range(0, 20000)")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS DOUBLE), " +
+        "CONCAT('s', CAST(id % 7 AS STRING)) FROM range(20000, 40000)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      val beforeBytes = before.toSeq.map(dirBytes(dir, _)).sum
+      // ~1% update with an EXPRESSION predicate (no pushed-filter
+      // form — the class that used to force a whole-dir COW rewrite)
+      spark.sql(s"UPDATE $cat.t SET v = v + 0.5 WHERE id % 100 = 3")
+      val after = topDirs(dir)
+      assert(before.subsetOf(after),
+        "merge-on-read must keep every original dir live")
+      val added = after.diff(before)
+      assert(added.size == 1, s"expected ONE appended dir, got $added")
+      // write amplification: the appended rewrite dir is a small
+      // fraction of what the COW rewrite would have copied
+      val addedBytes = dirBytes(dir, added.head)
+      assert(addedBytes * 10 < beforeBytes,
+        s"appended $addedBytes B vs snapshot $beforeBytes B — " +
+          "not merge-on-read")
+      // the commit carries a deletion-vector marker (the delete half)
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip),
+        "the UPDATE commit must bind a positions sidecar")
+      // exactness
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 40000)
+      assert(t.filter(col("id") % 100 === 3 && col("v") =!=
+        col("id") + 0.5).count() == 0)
+      assert(t.filter(col("id") % 100 =!= 3 && col("v") =!=
+        col("id").cast("double")).count() == 0)
+      assert(t.filter(col("id") === 103).head().getDouble(1) == 103.5)
+      // time travel below the UPDATE sees the pre-images
+      assert(spark.sql(
+        s"SELECT v FROM $cat.t VERSION AS OF ${tip - 1} WHERE id = 103")
+        .head().getDouble(0) == 103.0)
+      // the change feed replays the commit as exact pre/post images
+      val ch = VersionedLake.changes(spark, dir, tip - 1, tip)
+      assert(ch.filter(col("op") === "delete").count() == 400)
+      assert(ch.filter(col("op") === "insert").count() == 400)
+      assert(ch.filter(col("op") === "insert" && col("id") === 103)
+        .head().getAs[Double]("v") == 103.5)
+    }
+  }
+
+  test("MERGE INTO on a flat DV lake: matched UPDATE + matched DELETE " +
+      "+ NOT MATCHED INSERT in one merge-on-read commit; a no-match " +
+      "merge publishes nothing") {
+    val root = tempDir("gldop-mrg")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(0 AS DOUBLE) AS v FROM range(0, 10000)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      spark.range(9990, 10020)
+        .withColumn("v", col("id").cast("double"))
+        .createOrReplaceTempView("gldop_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t AS t USING gldop_src AS s ON t.id = s.id
+           |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET v = s.v
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+           |""".stripMargin)
+      assert(before.subsetOf(topDirs(dir)),
+        "merge-on-read MERGE must keep original dirs live")
+      val t = spark.table(s"$cat.t")
+      // 10000 - 5 deleted (9991..9999 odd) + 20 inserted
+      assert(t.count() == 10000 - 5 + 20)
+      assert(t.filter(col("id") === 9990).head().getDouble(1) == 9990.0)
+      assert(t.filter(col("id") === 9991).count() == 0)
+      assert(t.filter(col("id") === 10019).head().getDouble(1) == 10019.0)
+      assert(t.filter(col("id") < 9990 && col("v") =!= 0.0).count() == 0)
+      // merge-on-read tip carries the vector binding
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip))
+      // a merge matching nothing publishes NO version
+      spark.range(50000, 50000).withColumn("v", lit(0.0))
+        .createOrReplaceTempView("gldop_empty")
+      spark.sql(
+        s"""MERGE INTO $cat.t AS t USING gldop_empty AS s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE
+           |""".stripMargin)
+      assert(VersionedLake.tip(spark, dir).contains(tip),
+        "a no-match MERGE must publish nothing")
+    }
+  }
+
+  test("rich-predicate DELETE on a flat DV lake is positions-only " +
+      "(no new data dir at all); insert-only MERGE is a checked " +
+      "append (no #dv marker)") {
+    val root = tempDir("gldop-del")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 10000)")
+      val dir = s"$root/t"
+      val before = topDirs(dir)
+      // OR across columns: untranslatable for the metadata delete AND
+      // for the one-interval DV delete — used to be a COW rewrite
+      spark.sql(s"DELETE FROM $cat.t WHERE id % 1000 = 1 OR v > 9998.5")
+      assert(topDirs(dir) == before,
+        "a merge-on-read DELETE must write NO data dir")
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip))
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 10000 - 10 - 1)
+      assert(t.filter(col("id") === 2001).count() == 0)
+      assert(t.filter(col("id") === 9999).count() == 0)
+      // insert-only MERGE: adds a dir, binds NO vector
+      spark.range(20000, 20010).withColumn("v", col("id").cast("double"))
+        .createOrReplaceTempView("gldop_ins")
+      spark.sql(
+        s"""MERGE INTO $cat.t AS t USING gldop_ins AS s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+           |""".stripMargin)
+      val tip2 = VersionedLake.tip(spark, dir).get
+      assert(tip2 == tip + 1)
+      assert(!VersionedLake.isDvCommit(spark, dir, tip2),
+        "an insert-only MERGE must not bind a vector")
+      assert(spark.table(s"$cat.t").count() == 10000 - 11 + 10)
+    }
+  }
+
+  test("merge-on-read composes: vectors from DELETE apply inside the " +
+      "UPDATE scan (no resurrection, no double-delete); OPTIMIZE " +
+      "materializes the combined backlog away") {
+    val root = tempDir("gldop-comp")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(0 AS DOUBLE) AS v FROM range(0, 5000)")
+      val dir = s"$root/t"
+      spark.sql(s"DELETE FROM $cat.t WHERE id % 10 = 0") // 500 gone
+      // the UPDATE's condition OVERLAPS deleted rows — they must not
+      // come back as updated survivors
+      spark.sql(s"UPDATE $cat.t SET v = 1.0 WHERE id % 5 = 0")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 4500)
+      assert(t.filter(col("id") % 10 === 0).count() == 0,
+        "UPDATE must not resurrect vectored rows")
+      assert(t.filter(col("v") === 1.0).count() == 500) // id%5=0, id%10!=0
+      // a second UPDATE over already-updated rows: addresses the
+      // APPENDED dir's rows exactly once
+      spark.sql(s"UPDATE $cat.t SET v = v + 1.0 WHERE v = 1.0")
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 4500)
+      assert(t2.filter(col("v") === 2.0).count() == 500)
+      assert(t2.filter(col("v") === 1.0).count() == 0)
+      // OPTIMIZE materializes every pending vector; content unchanged
+      assert(VersionedLake.materializeVectors(spark, dir).nonEmpty)
+      val t3 = spark.table(s"$cat.t")
+      assert(t3.count() == 4500)
+      assert(t3.filter(col("v") === 2.0).count() == 500)
+      assert(VersionedLake.liveDvKeys(spark, dir,
+        VersionedLake.tip(spark, dir).get).isEmpty,
+        "materialization must clear the live vector set (dead sidecar " +
+          "metadata may linger for vacuum)")
+    }
+  }
+
+  test("serializable refusals: a concurrent append (or rewrite) " +
+      "between the delta scan and its publish refuses loudly instead " +
+      "of ghosting rows") {
+    val root = tempDir("gldop-ser")
+    val dir = s"$root/t"
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(0 AS DOUBLE) AS v FROM range(0, 1000)")
+      val observed = VersionedLake.tip(spark, dir).get
+      val snapshot = VersionedLake.manifestEntries(spark, dir, observed)
+      // a concurrent append lands AFTER the (simulated) scan
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(9 AS DOUBLE) " +
+        "FROM range(1000, 1100)")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VersionedLake.publishDvDelta(spark, dir, observed,
+          snapshot.toSet, snapshot, Seq("d-bogus"), None, "abcdef123456",
+          None)
+      }
+      assert(e.getMessage.contains("appended by a concurrent commit"))
+      // and a DV commit after the observed version refuses too
+      val observed2 = VersionedLake.tip(spark, dir).get
+      val snap2 = VersionedLake.manifestEntries(spark, dir, observed2)
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (1, 2, 3)")
+      val e2 = intercept[java.util.ConcurrentModificationException] {
+        VersionedLake.publishDvDelta(spark, dir, observed2, snap2.toSet,
+          snap2, Seq("d-bogus"), None, "abcdef123457", None)
+      }
+      assert(e2.getMessage.contains("deletion-vector commit"))
+    }
+  }
+}
