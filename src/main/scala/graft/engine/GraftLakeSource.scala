@@ -2113,6 +2113,52 @@ final class GraftLakeParquetScan(
   private[engine] def plainReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     super.createReaderFactory()
+
+  /** DV-NET statistics: the inherited file-size estimate counts bytes
+    * of rows pending vectors have already deleted, so join planning on
+    * a heavily-vectored lake over-estimates the build side and a
+    * broadcast-able table shuffles. Subtract each vectored file's
+    * deleted fraction (sidecar position count over footer row count —
+    * both O(DV files), memoized metadata) from the size estimate.
+    * Conservative on any unknown: a failed footer read leaves that
+    * file unadjusted. The default pending bound caps how wrong the
+    * unadjusted estimate could ever get; this makes it right. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = super.estimateStatistics()
+    if (dvRefs.isEmpty || !base.sizeInBytes().isPresent) return base
+    val segs = dvRefs.keysIterator.next().count(_ == '/') + 1
+    val conf = sparkSession.sessionState.newHadoopConf()
+    var total = 0L
+    var deleted = 0.0
+    var deletedRows = 0L
+    fileIndex.allFiles().foreach { f =>
+      val len = f.getLen
+      total += len
+      dvRefs.get(GraftLakeDvScan.tailSegments(f.getPath.toString, segs))
+        .foreach { ref =>
+          val rows = VersionedLake.parquetFileRows(conf, f.getPath)
+          if (rows > 0) {
+            deleted += len.toDouble * math.min(1.0,
+              ref.count.toDouble / rows)
+            deletedRows += math.min(ref.count, rows)
+          }
+        }
+    }
+    if (total <= 0 || deleted <= 0) return base
+    val keep = 1.0 - deleted / total
+    val size = math.max(1L,
+      (base.sizeInBytes().getAsLong * keep).toLong)
+    val rows =
+      if (!base.numRows().isPresent) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(
+        math.max(0L, base.numRows().getAsLong - deletedRows))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 }
 
 /** Version offset: the stream's progress IS a published lake version. */
@@ -2460,7 +2506,7 @@ final class GraftLakeMicroBatchStream(scan: GraftLakeParquetScan,
             s"(layout-only compaction commits are skipped), but " +
             s"version $v ${if (isDv) "deleted rows by deletion vector"
             else "dropped data dirs with data change " +
-              "(overwrite/DML/delete)"} — restart from a fresh checkpoint " +
+              "(overwrite/DML/delete/restore)"} — restart from a fresh checkpoint " +
             s"to reprocess the rewritten snapshot, set " +
             s"${GraftLakeDataSource.SkipChangeCommits}=true to skip " +
             s"data-changing rewrite commits, or consume with " +

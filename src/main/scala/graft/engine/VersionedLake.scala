@@ -1800,6 +1800,29 @@ object VersionedLake {
     }
   }
 
+  // published part files are immutable, so a footer's row count
+  // memoizes forever (bounded sweep like the other metadata memos)
+  private val fileRowsMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+
+  /** Total rows of one parquet file, from its footer — O(1 footer
+    * read), memoized per path (files are immutable once published).
+    * 0 on any read failure (callers treat 0 as "unknown": degrade to
+    * the unadjusted estimate, never throw planning off). */
+  private[engine] def parquetFileRows(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Long =
+    fileRowsMemo.getOrElseUpdate(p.toString, {
+      if (fileRowsMemo.size > 65536) fileRowsMemo.clear()
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    })
+
   private val DvSidecarName = "^v(\\d+)-([0-9a-f]{12})$".r
 
   /** Deletion-vector sidecars applying to reads AT OR BELOW version

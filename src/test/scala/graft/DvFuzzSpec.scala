@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.engine._
 
 /** Model-based fuzz over the deletion-vector surface: a seeded random
-  * sequence of INSERT / DV-DELETE / COW-UPDATE / OPTIMIZE / VACUUM ops
-  * against an in-memory id→value model. After EVERY op the snapshot
+  * sequence of INSERT / DV-DELETE / UPDATE (merge-on-read on the flat
+  * lake, copy-on-write on the partitioned/mapped ones) / RESTORE /
+  * OPTIMIZE / VACUUM ops against an in-memory id→value model. After EVERY op the snapshot
   * must equal the model (count and sum — a misapplied position, a
   * resurrected row, or a vector leaking across a rewrite all diverge
   * here); recorded historical versions must time-travel to their
@@ -146,8 +147,8 @@ class DvFuzzSpec extends AnyFunSuite {
   for (seed <- Seq(612L, 4242L))
   test("COLUMN-MAPPING × DV interleavings: renames between inserts, " +
       "DV deletes (by old-era AND new-era column names), updates, " +
-      "optimize, auto-materialize and vacuum always read back as the " +
-      s"model (seed $seed)") {
+      "RESTORE across rename eras, optimize, auto-materialize and " +
+      s"vacuum always read back as the model (seed $seed)") {
     val root = tempDir(s"gldvm-fuzz-$seed")
     val cat = s"gldvmfz$seed"
     spark.conf.set(s"spark.sql.catalog.$cat",
@@ -163,6 +164,12 @@ class DvFuzzSpec extends AnyFunSuite {
     var nextId = 0L
     var vName = "v"
     var renames = 0
+    var restores = 0
+    // (version, model snapshot, value-column name) at recording time —
+    // a restore rolls the DECLARED SCHEMA back too, so the column name
+    // is part of the restored state
+    val recorded = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Map[Long, Double], String)]
 
     def checkTip(label: String): Unit = {
       val got = spark.table(s"$cat.t")
@@ -175,7 +182,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // INSERT a fresh batch under the CURRENT name
           val n = 40 + rnd.nextInt(120)
           val rows = (0 until n).map { _ =>
@@ -227,16 +234,39 @@ class DvFuzzSpec extends AnyFunSuite {
             VersionedLake.compactSmall(spark, dir, Long.MaxValue)
           else VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
           ()
+        case 7 => // RESTORE to a retained recorded version — on a
+          // MAPPED lake this rolls the declared schema back across
+          // rename eras too (the exact composition class the targeted
+          // specs cannot enumerate): post-target vectors unapply via
+          // the id-matched scoped rewrite, and the restored era's
+          // (id, name) pairs re-record into the current mapping epoch
+          val readable = VersionedLake.versions(spark, dir).toSet
+          val targets = recorded.filter(r => readable(r._1))
+          if (targets.nonEmpty) {
+            val (tv, snap, name) = targets(rnd.nextInt(targets.length))
+            if (VersionedLake.restore(spark, dir, tv).nonEmpty) {
+              restores += 1
+              model.clear()
+              model ++= snap
+              vName = name
+            }
+          }
       }
       checkTip(s"step $step")
+      VersionedLake.tip(spark, dir).foreach { t =>
+        if (recorded.lastOption.forall(_._1 != t))
+          recorded += ((t, model.toMap, vName))
+      }
     }
     assert(renames > 0, s"seed $seed never renamed — pick another seed")
+    assert(restores > 0, s"seed $seed never restored — pick another seed")
   }
 
   for (seed <- Seq(90210L, 3031L))
   test("TRIPLE-composition fuzz — PARTITIONED x column_mapping x DV " +
       "with the STREAMING SINK in the loop: sink epochs, renames, DV " +
-      "deletes, partition deletes, COW updates, auto-materialization, " +
+      "deletes, partition deletes, COW updates, RESTORE across " +
+      "REPLACE/rename/epoch boundaries, auto-materialization, " +
       s"optimize and vacuum always read back as the model (seed $seed)") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tempDir(s"gldvt-fuzz-$seed")
@@ -261,6 +291,13 @@ class DvFuzzSpec extends AnyFunSuite {
     var renames = 0
     var sinkEpochs = 0
     var replaces = 0
+    var restores = 0
+    // (version, model snapshot, value-column name): restore rolls the
+    // declared schema back with the data, possibly across a REPLACE
+    // boundary (a different id epoch) — the composition class where
+    // the last two real bugs hid
+    val recorded = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Map[Long, (Double, Int)], String)]
 
     def freshRows(n: Int): Seq[(Long, Double, Int)] =
       (0 until n).map { _ =>
@@ -287,8 +324,8 @@ class DvFuzzSpec extends AnyFunSuite {
         s"$label: m=0 count $got0 != model")
     }
 
-    (1 to 30).foreach { step =>
-      rnd.nextInt(9) match {
+    (1 to 34).foreach { step =>
+      rnd.nextInt(10) match {
         case 0 => // batch INSERT under the CURRENT name
           import spark.implicits._
           freshRows(40 + rnd.nextInt(100))
@@ -354,11 +391,31 @@ class DvFuzzSpec extends AnyFunSuite {
             .toDF("id", vName, "m").createOrReplaceTempView("gldvtfz_rp")
           spark.sql(s"REPLACE TABLE $cat.t PARTITIONED BY (m) AS " +
             "SELECT * FROM gldvtfz_rp")
+        case 9 => // RESTORE to a retained recorded version — possibly
+          // ACROSS a replace (id epoch) or rename boundary, with sink
+          // epochs, partition leaves and pending vectors in between;
+          // the sink checkpoint survives and keeps appending after
+          val readable = VersionedLake.versions(spark, dir).toSet
+          val targets = recorded.filter(r => readable(r._1))
+          if (targets.nonEmpty) {
+            val (tv, snap, name) = targets(rnd.nextInt(targets.length))
+            if (VersionedLake.restore(spark, dir, tv).nonEmpty) {
+              restores += 1
+              model.clear()
+              model ++= snap
+              vName = name
+            }
+          }
       }
       checkTip(s"step $step")
+      VersionedLake.tip(spark, dir).foreach { t =>
+        if (recorded.lastOption.forall(_._1 != t))
+          recorded += ((t, model.toMap, vName))
+      }
     }
     assert(renames > 0, s"seed $seed never renamed — pick another seed")
     assert(sinkEpochs > 0, s"seed $seed never streamed — pick another")
     assert(replaces > 0, s"seed $seed never replaced — pick another")
+    assert(restores > 0, s"seed $seed never restored — pick another seed")
   }
 }

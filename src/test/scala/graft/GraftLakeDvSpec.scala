@@ -128,6 +128,44 @@ class GraftLakeDvSpec extends AnyFunSuite {
     }
   }
 
+  test("DV-NET scan statistics: a half-vectored lake's size estimate " +
+      "shrinks with its deleted fraction, so join planning broadcasts " +
+      "where the un-vectored estimate would shuffle") {
+    val root = tempDir("gldv-stats")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v, " +
+        "repeat('x', 64) AS pad FROM range(0, 40000)")
+      def est(): Long = spark.table(s"$cat.t")
+        .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      val before = est()
+      // vector HALF the rows away (merge-on-read delete: no rewrite,
+      // the bytes stay on disk — exactly the over-estimate hazard)
+      spark.sql(s"DELETE FROM $cat.t WHERE id % 2 = 0")
+      val after = est()
+      assert(after * 3 < before * 2,
+        s"estimate $after did not shrink with the deleted half of " +
+          s"$before")
+      // planning evidence: with the broadcast threshold BETWEEN the
+      // adjusted and unadjusted estimates, the static plan broadcasts
+      // the vectored lake — the un-vectored estimate would have
+      // planned a shuffle join
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((before + after) / 2).toString)
+      try {
+        val big = spark.range(0, 500000)
+          .withColumn("pad2", lit("y" * 64))
+        val plan = big.join(spark.table(s"$cat.t"), "id")
+          .queryExecution.sparkPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"half-vectored lake did not broadcast:\n$plan")
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
+
   test("COW UPDATE/MERGE on a DV lake does not resurrect vectored rows " +
       "(the rewrite materializes them); replaceWhere survivors exclude " +
       "them; OPTIMIZE compacts them away and vacuum sweeps the sidecar") {

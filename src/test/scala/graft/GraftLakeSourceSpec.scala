@@ -193,6 +193,59 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("RESTORE x streaming source contract: a stream whose next " +
+      "planning cycle crosses a restore commit throws the append-only " +
+      "refusal (naming restore as a cause), and with " +
+      "skipChangeCommits=true skips the restore commit whole while " +
+      "post-restore appends keep delivering exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tempDir("glsrc-stream-restore")
+    val dir = s"$root/lake"
+    VersionedLake.commit(spark.range(0, 10).toDF("id"), dir)   // v1
+    val q1 = spark.readStream.format("graftlake").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp")
+      .format("parquet").option("path", s"$root/sink")
+      .start()
+    q1.awaitTermination()
+    VersionedLake.commit(spark.range(10, 20).toDF("id"), dir)  // v2
+    VersionedLake.restore(spark, dir, 1)                       // v3
+    VersionedLake.commit(spark.range(50, 55).toDF("id"), dir)  // v4
+    // default: the restore commit is a non-append step — the stream
+    // must refuse with the retention-contract-style error, never a
+    // raw missing-path/planning error
+    val q2 = spark.readStream.format("graftlake").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp")
+      .format("parquet").option("path", s"$root/sink")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q2.awaitTermination())
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse(""))
+          .getOrElse("")
+    assert(msg(e).contains("append-only"), s"wrong failure: ${msg(e)}")
+    assert(msg(e).contains("restore"),
+      s"the refusal should name restore as a possible cause: ${msg(e)}")
+    // opting into skipping change commits: the restore commit (v2's
+    // rows dropped, v1's entries re-referenced) is skipped WHOLE —
+    // v2's append (pending at the crossed commit) and v4's append
+    // still deliver, and nothing double-delivers
+    val q3 = spark.readStream.format("graftlake")
+      .option(GraftLakeDataSource.SkipChangeCommits, "true").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/cp")
+      .format("parquet").option("path", s"$root/sink")
+      .start()
+    q3.awaitTermination()
+    val got = spark.read.parquet(s"$root/sink")
+      .as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 20L) ++ (50L until 55L)),
+      s"skipChangeCommits drain delivered $got")
+  }
+
   test("a layout-only compaction mid-history is SKIPPED by the stream: " +
       "no duplicates, no loss, pending dirs keep delivering from their " +
       "original files, and a restart resumes cleanly") {

@@ -157,6 +157,7 @@ class PartitionFuzzSpec extends AnyFunSuite {
     val model = scala.collection.mutable.Map.empty[Long, (Int, Double, Int)]
     var nextId = 0L
     var streamedBatches = 0
+    var restores = 0
     val recorded = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Map[Long, (Int, Double, Int)])]
 
@@ -186,8 +187,8 @@ class PartitionFuzzSpec extends AnyFunSuite {
       }
     }
 
-    (1 to 30).foreach { step =>
-      rnd.nextInt(10) match {
+    (1 to 34).foreach { step =>
+      rnd.nextInt(11) match {
         case 0 | 1 => // INSERT fresh rows across all partitions
           import spark.implicits._
           mkRows(60 + rnd.nextInt(100))
@@ -268,6 +269,21 @@ class PartitionFuzzSpec extends AnyFunSuite {
           ()
         case 9 => // VACUUM
           VersionedLake.vacuum(spark, dir, retain = 6, graceMs = 0)
+        case 10 => // RESTORE to a retained recorded version — the
+          // PARTITIONED branch of restore (per-leaf rewrite of
+          // post-target-vectored entries, partition dirs re-added by
+          // reference) interleaved with sink epochs, partition drops
+          // and pending vectors; the sink checkpoint keeps appending
+          val readable = VersionedLake.versions(spark, dir).toSet
+          val targets = recorded.filter(r => readable(r._1))
+          if (targets.nonEmpty) {
+            val (tv, snap) = targets(rnd.nextInt(targets.length))
+            if (VersionedLake.restore(spark, dir, tv).nonEmpty) {
+              restores += 1
+              model.clear()
+              model ++= snap
+            }
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
@@ -318,5 +334,6 @@ class PartitionFuzzSpec extends AnyFunSuite {
     assert(VersionedLake.manifestEntries(spark, dir, tip).forall(
       _.matches("d-[^/]+/m=(\\d+|__HIVE_DEFAULT_PARTITION__)")),
       "entries must stay partition leaves across every interleaving")
+    assert(restores > 0, s"seed $seed never restored — pick another seed")
   }
 }
