@@ -92,6 +92,17 @@ object Sessions {
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // multi-key COW group filtering: must run AFTER the optimizer's
+    // "PartitionPruning" batch (where Spark builds the struct-IN it
+    // decomposes), and "User Provided Optimizers" is the only batch
+    // back there — no SparkSessionExtensions injection point lands
+    // after PartitionPruning, so this one rule rides the experimental
+    // hook instead of GraftExtensions
+    if (!spark.experimental.extraOptimizations
+        .contains(org.apache.spark.sql.graft.SplitCowGroupFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          org.apache.spark.sql.graft.SplitCowGroupFilter
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -175,29 +175,30 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
   private def entryOf(parent: org.apache.hadoop.fs.Path): String =
     probe.entryOf(parent)
 
-  /** Exactly ONE attribute, and only if the snapshot actually indexes
-    * it: Spark's runtime group filtering builds a single IN over ALL
-    * declared attributes — with more than one that is a struct-IN the
-    * V2 predicate translation rejects (observed: "Can't translate
-    * named_struct(...) IN subquery"), and the filter silently never
-    * arrives. One sidecar-backed column gives a translatable,
-    * provably-correct group filter (every matching row's value is in
-    * the IN set, so a pruned dir cannot contain a match).
+  /** The sidecar-indexed attributes (most selective first, capped):
+    * Spark's row-level runtime group filtering builds ONE pruning
+    * subquery PER declared attribute (single-column IN sets — each
+    * translates through the V2 runtime-filter path, which only
+    * accepts plain column children), and [[partitions]] intersects
+    * them (`ins.forall`): a dir survives only if it can hold a key of
+    * EVERY arriving set, so a MERGE keyed on two indexed dimensions
+    * prunes on both — sound over-approximation per dimension (every
+    * matching row's value is in its IN set; a dir pruned by any
+    * dimension cannot contain a match).
     *
-    * Among several indexed candidates, pick the MOST SELECTIVE by the
-    * sidecars themselves, not the first declared: a bloom-indexed
-    * column is a point-lookup structure (best); for stats columns the
-    * score is the average fraction of the column's global span each
-    * file's [min, max] covers over a bounded dir sample — a clustered
-    * key's files cover slivers (low score, files prune), an
-    * unclustered key's files each span everything (score ~1, nothing
-    * prunes). Choosing the first declared column made pruning an
-    * accident of schema order: a MERGE keyed on the clustered second
-    * column rewrote the whole lake because the unclustered first
-    * column's ranges admitted every dir. Memoized: the planner calls
-    * this repeatedly, and the answer costs driver IO (a bounded
-    * sidecar sample — a column indexed only in unsampled dirs loses
-    * pruning, never rows). */
+    * Ranked MOST SELECTIVE first by the sidecars themselves, not
+    * declaration order: a bloom-indexed column is a point-lookup
+    * structure (best); for stats columns the score is the average
+    * fraction of the column's global span each file's [min, max]
+    * covers over a bounded dir sample — a clustered key's files cover
+    * slivers (low score, files prune), an unclustered key's files
+    * each span everything (score ~1, nothing prunes). Capped: each
+    * declared attribute costs one broadcast subquery over the
+    * matching rows at execution, so unbounded declaration would turn
+    * a wide-keyed MERGE into a subquery fan-out. Memoized: the
+    * planner calls this repeatedly, and the answer costs driver IO
+    * (a bounded sidecar sample — a column indexed only in unsampled
+    * dirs loses pruning, never rows). */
   private lazy val groupFilterAttr
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.types._
@@ -224,9 +225,9 @@ final class GraftLakeCowScan(op: GraftLakeRowLevelOperation,
             else ranges.map(r => (r._2 - r._1) / span).sum / ranges.length
           }
         }
-      val best = candidates.minBy(f => score(f.name))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(best.name))
+      candidates.sortBy(f => score(f.name)).take(3).map(f =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name))
     }
   }
 

@@ -3152,7 +3152,39 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q222.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
-    })
+    },
+
+    QuerySpec.lazyOracle("q223_wide_lake_dv")(q103Oracle) { (s, _) =>
+      // WIDE-SCHEMA × LAKE-SEAM COMPOSITION: the reference's true
+      // 6,037-data-col width (q103's EEG fixture) through the
+      // `graftlake` DSv2 path WITH deletion vectors and stats
+      // sidecars — the composition the reference's actual data shape
+      // implies. The fixture commits the full-width ingest (plus the
+      // 6,037-term row checksum) with per-file Time stats, enables
+      // DVs, and DELETEs the Time < 20 band as a POSITIONS sidecar
+      // (the stats sidecars bound the position scan); the timed probe
+      // is the production shape — a 4-of-6,040-column pruned DSv2
+      // scan whose reader applies the vector through the row-index
+      // machinery at full width. The oracle is q103's: DuckDB re-reads
+      // the same CSV with WHERE Time >= 20, so a vector misapplied at
+      // any of the 6,037 columns' rows breaks the checksum hash.
+      ensureStaged(wideDvLakePath)(stageWideDvLake(s))
+      val lake = wideDvLakePath
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isDvCommit(s, lake, tip),
+        "the wide band delete must be a positions-sidecar commit")
+      s.conf.set("spark.sql.catalog.glake_q223",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q223.root", scratchRoot)
+      s.table(s"glake_q223.${WideDvName}")
+        .groupBy((col("Time") % 4).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("I700_1")), 3).as("s1"),
+          round(sum(col("I700_2")), 3).as("s2"),
+          round(sum(col("row_total")), 3).as("checksum"))
+        .orderBy(col("bucket"))
+    }.withBenchSetup((s, _) =>
+      ensureStaged(wideDvLakePath)(stageWideDvLake(s))))
 
   // q185 staged z-ordered versioned lake ----------------------------------
 
@@ -3339,6 +3371,32 @@ object IngestQueries {
     Lake.append(
       Ingest.ingestFile(s, ensureWideCsv()).withColumn("row_total", checksum),
       lake)
+  }
+
+  private val WideDvName = "wide_dvlake"
+  private def wideDvLakePath: String = s"$scratchRoot/$WideDvName"
+
+  /** q223's fixture: the full-width ingest committed WITH per-file
+    * Time stats sidecars, the DV registry enabled, and the Time < 20
+    * band vectored away through the SQL DELETE's interval path (the
+    * stats sidecars bound its position scan) — wide schema, lake
+    * seam, stats and vectors composed in one table. */
+  private def stageWideDvLake(s: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    val lake = wideDvLakePath
+    Lake.delete(s, lake)
+    val checksum = wideDataCols.grouped(100)
+      .map(g => g.map(col).reduce(_ + _)).reduce(_ + _)
+    VersionedLake.commitIndexed(
+      Ingest.ingestFile(s, ensureWideCsv())
+        .withColumn("row_total", checksum),
+      lake, statsCols = Seq("Time"), bloomCol = None)
+    VersionedLake.setDeletionVectors(s, lake)
+    s.conf.set("spark.sql.catalog.glake_q223",
+      classOf[GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.glake_q223.root", scratchRoot)
+    s.sql(s"DELETE FROM glake_q223.$WideDvName WHERE Time < 20")
+    ()
   }
 
   private def q103Oracle: String = {

@@ -784,6 +784,45 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(rows.filter(col("v") === 2.0).count() == 10)
   }
 
+  test("COW group filtering intersects MULTIPLE indexed attributes: a " +
+      "two-key MERGE prunes on both dimensions, rewriting strictly " +
+      "fewer dirs than either key alone admits") {
+    val root = tempDir("glsrc-cow2d")
+    val dir = s"$root/lake"
+    val cat = "glc2"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // four dirs tiling a 2x2 grid of disjoint (a, b) bands: a MERGE
+    // keyed on (a=5, b=150) matches only the (lowA, highB) tile —
+    // pruning on `a` alone admits TWO dirs, on `b` alone two dirs,
+    // and only their intersection isolates the one
+    def tile(aLo: Long, bLo: Long) =
+      spark.range(0L, 100L).toDF("id")
+        .selectExpr(s"id + $aLo AS a", s"id + $bLo AS b",
+          "CAST(1.0 AS DOUBLE) AS v")
+    Seq((0L, 0L), (0L, 100L), (100L, 0L), (100L, 100L)).foreach {
+      case (aLo, bLo) =>
+        VersionedLake.commitIndexed(tile(aLo, bLo), dir,
+          Seq("a", "b"), None)
+    }
+    val before = VersionedLake.manifestEntries(spark, dir, 4)
+    spark.sql("SELECT 5L AS a, 105L AS b")
+      .createOrReplaceTempView("glc2_src")
+    spark.sql(s"""MERGE INTO $cat.lake AS t USING glc2_src AS s
+                 |ON t.a = s.a AND t.b = s.b
+                 |WHEN MATCHED THEN UPDATE SET v = 2.0""".stripMargin)
+    val after = VersionedLake.manifestEntries(spark, dir, 5)
+    assert(before.count(after.contains) == 3,
+      s"three of four tiles must carry by reference (two-dimension " +
+        s"pruning); before=$before after=$after")
+    val rows = VersionedLake.readLatest(spark, dir)
+    assert(rows.count() == 400)
+    assert(rows.filter(col("v") === 2.0).count() == 1)
+    assert(rows.filter(col("a") === 5L && col("b") === 105L)
+      .head().getAs[Double]("v") == 2.0)
+  }
+
   test("TIMESTAMP AS OF resolves to the newest version published at " +
       "or before the instant; a pre-creation timestamp is an error") {
     import spark.implicits._
