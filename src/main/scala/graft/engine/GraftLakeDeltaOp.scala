@@ -53,9 +53,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * DV commit may have landed after the scan (its positions could
   * overlap). Conflicts refuse loudly; the caller retries.
   *
-  * Scope: FLAT deletion-vector lakes (DV lakes are unmapped by
-  * construction; partitioned lakes keep the copy-on-write path —
-  * routing decided in [[GraftLakeTable.newRowLevelOperationBuilder]]).
+  * Scope: deletion-vector lakes, flat and PARTITIONED (rewritten and
+  * inserted rows route through the dynamic-partition writer into hive
+  * leaves, one manifest entry per leaf; row addresses key by the full
+  * leaf-relative path). Column-mapping lakes keep the copy-on-write
+  * path — routing decided in
+  * [[GraftLakeTable.newRowLevelOperationBuilder]].
   *
   * Reference behavior: monthly corrections to the archive lake
   * (reference README.md:4 — correction runs over published months)
@@ -298,7 +301,8 @@ private final case class GraftLakeDeltaCommitMsg(
   * driver commit assembles both into ONE serializable publish. */
 final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
     table: GraftLakeTable, info: LogicalWriteInfo, lakeDir: String)
-  extends DeltaWrite {
+  extends DeltaWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   // hex uuid: doubles as the data-dir tag and the sidecar binding
   private val uuid =
@@ -311,16 +315,48 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
   // sweeps crashed attempts' stagings after the grace window.
   private val stageDir = s"$lakeDir/_deletes/stage-$uuid"
 
+  private val partCols = GraftLakePartitions.of(SparkSession.active,
+    lakeDir)
+
+  /** The data half's staging write: plain parquet on a flat lake, the
+    * dynamic-partition writer (hive `c=v` leaves, one manifest entry
+    * per leaf) on a PARTITIONED one — rewritten and inserted rows
+    * route to their leaves exactly like an INSERT. Absent for a
+    * row-less plan (pure DELETE commands write no data rows and may
+    * arrive with an empty row schema). */
+  private val innerWrite
+      : Option[org.apache.spark.sql.connector.write.Write] =
+    if (info.schema() == null || info.schema().isEmpty) None
+    else if (partCols.isEmpty)
+      Some(ParquetWrite(Seq(s"$lakeDir/$dataDir"),
+        table.formatName, table.supportsDataType _, info))
+    else Some(new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
+      partCols.map(_.name),
+      s"graftlake delta partitioned $lakeDir (staging $dataDir)"))
+
   override def description(): String =
     s"graftlake delta ${op.command()} $lakeDir (staging $dataDir)"
 
+  // partitioned staging needs rows clustered/sorted by the partition
+  // columns; names resolve against the delta plan's row attributes
+  override def requiredDistribution
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    innerWrite match {
+      case Some(r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering) => r.requiredDistribution
+      case _ => org.apache.spark.sql.connector.distributions
+        .Distributions.unspecified()
+    }
+  override def requiredOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    innerWrite match {
+      case Some(r: org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering) => r.requiredOrdering
+      case _ => Array.empty
+    }
+
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
-    // no inner write for a row-less plan (pure DELETE commands write
-    // no data rows and may arrive with an empty row schema)
-    private val innerBatch =
-      if (info.schema() == null || info.schema().isEmpty) None
-      else Some(ParquetWrite(Seq(s"$lakeDir/$dataDir"),
-        table.formatName, table.supportsDataType _, info).toBatch)
+    private val innerBatch = innerWrite.map(_.toBatch)
 
     override def createBatchWriterFactory(p: PhysicalWriteInfo)
         : DeltaWriterFactory = {
@@ -347,8 +383,18 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
       innerBatch.foreach(b =>
         if (innerMsgs.nonEmpty) b.commit(innerMsgs.toArray))
       val staged = new Path(s"$lakeDir/$dataDir")
-      val hasData = f.exists(staged) && f.listStatus(staged)
-        .exists(_.getPath.getName.endsWith(".parquet"))
+      // flat: parquet parts directly under the staging dir;
+      // partitioned: hive leaves, one manifest entry per leaf
+      val addedEntries: Seq[String] =
+        if (!f.exists(staged)) Seq.empty
+        else if (partCols.isEmpty) {
+          if (f.listStatus(staged)
+            .exists(_.getPath.getName.endsWith(".parquet")))
+            Seq(dataDir)
+          else Seq.empty
+        } else GraftLakePartitions.stagedEntries(spark, lakeDir,
+          dataDir, partCols.length)
+      val hasData = addedEntries.nonEmpty
       // only parts named in COMMIT MESSAGES are real: a retried task's
       // dead attempt may have left a torn or duplicate part behind.
       // Compare by NAME (unique within the stage dir), never by path
@@ -378,14 +424,19 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
       // under the uuid the manifest will bind (changes()/CDF replay a
       // DV commit from this sidecar — its absence is corruption)
       if (winners.nonEmpty)
-        stageChangeRows(spark, f, hasData)
-      if (hasData)
-        VersionedLake.indexStagedDir(spark, lakeDir, dataDir,
-          table.schema())
+        stageChangeRows(spark, f, addedEntries)
+      if (hasData) {
+        // partitioned files hold only data columns; the declaration
+        // keeps the partition columns (readers reconstruct them)
+        val dataOnly = org.apache.spark.sql.types.StructType(
+          table.schema().filterNot(fl =>
+            partCols.exists(_.name.equalsIgnoreCase(fl.name))))
+        VersionedLake.indexStagedEntries(spark, lakeDir, addedEntries,
+          if (partCols.isEmpty) table.schema() else dataOnly)
+      }
       try {
         VersionedLake.publishDvDelta(spark, lakeDir,
-          op.observedVersion, op.snapshotDirs, touched,
-          if (hasData) Seq(dataDir) else Seq.empty,
+          op.observedVersion, op.snapshotDirs, touched, addedEntries,
           if (winners.isEmpty) None else Some(stage), uuid,
           Some(table.schema().json))
       } catch { case e: Throwable =>
@@ -402,11 +453,21 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
 
     /** Pre-image delete rows (the touched files' rows AT the staged
       * positions) plus the staged dir's rows as the insert side, both
-      * tagged for the change feed. O(touched files + written rows). */
+      * tagged for the change feed. O(touched files + written rows).
+      * On a PARTITIONED lake the partition values live in dir names,
+      * not file bytes — both sides read per data dir with `basePath`
+      * so the `c=v` columns reconstruct (cast to the DECLARED types),
+      * and the sidecar carries them as DATA columns (the CDF stream's
+      * sidecar contract). */
     private def stageChangeRows(spark: SparkSession,
-        f: org.apache.hadoop.fs.FileSystem, hasData: Boolean): Unit = {
+        f: org.apache.hadoop.fs.FileSystem,
+        addedEntries: Seq[String]): Unit = {
       import org.apache.spark.sql.functions.{broadcast, col, lit}
       import spark.implicits._
+      def withPartCast(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        partCols.foldLeft(df)((d, c) =>
+          d.withColumn(c.name, col(c.name).cast(c.dataType)))
       val pos = spark.read.parquet(stageDir)
       val files = pos.select("entry", "file").distinct().collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -414,11 +475,27 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         VersionedLake.encodedForms(f, new Path(s"$lakeDir/$e/$fl"))
           .map(q => (q, e, fl))
       }.toDF("__fp", "entry", "file")
-      val deletes = spark.read
-        .option("mergeSchema", "true")
-        .parquet(files.map { case (e, fl) => s"$lakeDir/$e/$fl" }: _*)
+      // the row address columns must materialize BEFORE any union —
+      // `_metadata` is a per-relation pseudo-column that does not
+      // survive a Union/Project
+      def withAddr(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = df
         .withColumn("__fp", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
+      val scan0 =
+        if (partCols.isEmpty)
+          withAddr(spark.read.option("mergeSchema", "true")
+            .parquet(files.map { case (e, fl) =>
+              s"$lakeDir/$e/$fl" }: _*))
+        else files.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+          .map { case (dd, fs2) =>
+            withPartCast(withAddr(
+              spark.read.option("mergeSchema", "true")
+                .option("basePath", s"$lakeDir/$dd")
+                .parquet(fs2.map { case (e, fl) =>
+                  s"$lakeDir/$e/$fl" }: _*)))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val deletes = scan0
         .join(broadcast(lk), Seq("__fp"))
         .join(pos.withColumnRenamed("pos", "__pos"),
           Seq("entry", "file", "__pos"), "left_semi")
@@ -432,13 +509,19 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
           "update_postimage"
         else "insert"
       val changes =
-        if (!hasData)
+        if (addedEntries.isEmpty)
           deletes.withColumn("_change_type", lit(delTag))
-        else deletes.withColumn("_change_type", lit(delTag))
-          .unionByName(
-            spark.read.parquet(s"$lakeDir/$dataDir")
-              .withColumn("_change_type", lit(insTag)),
-            allowMissingColumns = true)
+        else {
+          val ins =
+            if (partCols.isEmpty)
+              spark.read.parquet(s"$lakeDir/$dataDir")
+            else withPartCast(spark.read
+              .option("basePath", s"$lakeDir/$dataDir")
+              .parquet(s"$lakeDir/$dataDir"))
+          deletes.withColumn("_change_type", lit(delTag))
+            .unionByName(ins.withColumn("_change_type", lit(insTag)),
+              allowMissingColumns = true)
+        }
       changes.write.parquet(s"$lakeDir/_changes/dv-$uuid")
     }
 

@@ -1153,14 +1153,15 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new GraftLakeWriteBuilder(this, lakeDir, mergedInfo)
   }
 
-  /** Whether row-level SQL routes MERGE-ON-READ: flat deletion-vector
-    * lakes (DV lakes are unmapped by construction) publish UPDATE /
-    * MERGE / rich-predicate DELETE as positions sidecar + small
-    * append ([[GraftLakeDeltaOperation]]); everything else keeps the
-    * group-based copy-on-write rewrite. */
+  /** Whether row-level SQL routes MERGE-ON-READ: deletion-vector
+    * lakes — flat AND partitioned — publish UPDATE / MERGE /
+    * rich-predicate DELETE as positions sidecar + small append
+    * ([[GraftLakeDeltaOperation]]); COLUMN-MAPPING lakes keep the
+    * group-based copy-on-write rewrite (the delta scan's position
+    * reader binds columns by name; the id-matched variant is the COW
+    * path's survivorReader province). */
   private def deltaCapable: Boolean =
     VersionedLake.dvEnabled(spark, lakeDir) &&
-      GraftLakePartitions.of(spark, lakeDir).isEmpty &&
       !GraftLakeMapping.enabled(spark, lakeDir)
 
   /** Row-address metadata columns — only surfaced when the delta path

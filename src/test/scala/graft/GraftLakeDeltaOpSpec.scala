@@ -206,6 +206,85 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read on a PARTITIONED DV lake: a cross-partition " +
+      "UPDATE publishes per-leaf appends + one positions sidecar with " +
+      "every original leaf live; MERGE inserts a NEW partition leaf; " +
+      "time travel and the change feed stay exact") {
+    val root = tempDir("gldop-part")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE, m INT) " +
+        "PARTITIONED BY (m) TBLPROPERTIES ('deletion_vectors'='true')")
+      spark.range(0, 9000)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v",
+          "CAST(id % 3 AS INT) AS m")
+        .createOrReplaceTempView("gldop_part_in")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM gldop_part_in")
+      val dir = s"$root/t"
+      val before = VersionedLake.manifestEntries(spark, dir,
+        VersionedLake.tip(spark, dir).get)
+      // expression predicate spanning ALL THREE partitions
+      spark.sql(s"UPDATE $cat.t SET v = v + 0.5 WHERE id % 100 = 7")
+      val tip = VersionedLake.tip(spark, dir).get
+      val after = VersionedLake.manifestEntries(spark, dir, tip)
+      assert(before.forall(after.contains),
+        "every original leaf must stay live under merge-on-read")
+      val added = after.filterNot(before.contains)
+      assert(added.size == 3 && added.forall(_.matches("d-[^/]+/m=\\d")),
+        s"expected one appended leaf per touched partition, got $added")
+      assert(VersionedLake.isDvCommit(spark, dir, tip))
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 9000)
+      assert(t.filter(col("id") % 100 === 7 &&
+        col("v") =!= col("id") + 0.5).count() == 0)
+      assert(t.filter(col("id") % 100 =!= 7 &&
+        col("v") =!= col("id").cast("double")).count() == 0)
+      // partition pruning still serves the updated table
+      assert(t.filter(col("m") === 1).count() == 3000)
+      // time travel below the UPDATE sees pre-images
+      assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF ${tip - 1} " +
+        "WHERE id = 107").head().getDouble(0) == 107.0)
+      // the change feed replays exact pre/post images with partition
+      // values as data columns
+      val ch = VersionedLake.changes(spark, dir, tip - 1, tip)
+      assert(ch.filter(col("op") === "delete").count() == 90)
+      assert(ch.filter(col("op") === "insert").count() == 90)
+      assert(ch.filter(col("op") === "insert" && col("id") === 107)
+        .select("m").head().getInt(0) == 2)
+      // MERGE inserting a NEW partition value mints a new leaf; the
+      // matched delete stays positions-only
+      spark.range(8995, 9005)
+        .selectExpr("id", "CAST(0 AS DOUBLE) AS v", "CAST(7 AS INT) AS m")
+        .createOrReplaceTempView("gldop_part_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t AS t USING gldop_part_src AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, v, m) VALUES (s.id, s.v, s.m)
+           |""".stripMargin)
+      val tip2 = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip2))
+      val entries2 = VersionedLake.manifestEntries(spark, dir, tip2)
+      assert(entries2.exists(_.endsWith("/m=7")),
+        s"the NOT MATCHED insert must mint a new partition leaf: $entries2")
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 9000 - 5 + 5)
+      assert(t2.filter(col("m") === 7).count() == 5)
+      assert(t2.filter(col("id") === 8995).count() == 0)
+      // rich-predicate DELETE stays positions-only on the partitioned
+      // lake too (no dirs change)
+      val dirsBefore = VersionedLake.manifestEntries(spark, dir, tip2)
+      spark.sql(s"DELETE FROM $cat.t WHERE id % 1000 = 1 OR v > 9003.5")
+      val tip3 = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.manifestEntries(spark, dir, tip3)
+        .sorted == dirsBefore.sorted,
+        "a partitioned merge-on-read DELETE must change no entries")
+      // fresh read (t2 is pinned at its own resolution snapshot):
+      // ids 1,1001..8001 (9 live originals) + 9001 (the m=7 insert,
+      // 9001 % 1000 = 1) die; no surviving v exceeds 9003.5
+      assert(spark.table(s"$cat.t").count() == 9000 - 10)
+    }
+  }
+
   test("serializable refusals: a concurrent append (or rewrite) " +
       "between the delta scan and its publish refuses loudly instead " +
       "of ghosting rows") {
