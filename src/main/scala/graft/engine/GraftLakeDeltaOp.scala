@@ -230,18 +230,98 @@ final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
   }
 }
 
-/** Row-wise reader factory synthesizing the row-address columns: the
-  * file key is a per-partition constant (partitions are single-file),
-  * the position is the parquet row index, DV-deleted rows drop before
-  * emission. Row-wise is fine here: the delta scan reads the MATCHED
-  * fraction (filters pushed), not the lake. */
+/** Reader factory synthesizing the row-address columns: the file key
+  * is a per-partition constant (partitions are single-file), the
+  * position is the parquet row index, DV-deleted rows drop before
+  * emission. When the inner format vectorizes, batches stay COLUMNAR:
+  * the file key is a constant vector, the position column IS the
+  * row-index vector, and DV survivors remap through the zero-copy
+  * selection view — a MERGE's full-target scan keeps the vectorized
+  * read instead of paying a row-wise downgrade. */
 private[engine] final class GraftLakeDeltaReaderFactory(
     withIdx: PartitionReaderFactory, dataLen: Int,
     innerTypes: Array[DataType], metaCols: Seq[String], segs: Int,
     conf: GraftLakeSerializableConf)
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    withIdx.supportColumnarReads(p)
+
+  /** Output column i ← inner batch column `innerColOf(i)`; -1 marks
+    * the constant file-key column. Inner layout: data…, rowIdx,
+    * partition…; output layout: data…, metaCols…, partition…. */
+  private def innerColOf: Array[Int] =
+    ((0 until dataLen) ++
+      metaCols.map {
+        case GraftLakeDeltaOp.FileCol => -1
+        case GraftLakeDeltaOp.PosCol => dataLen
+      } ++
+      (dataLen + 1 until innerTypes.length)).toArray
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      s"delta scan partitions are single-file; got ${fp.files.length}")
+    val relKey = GraftLakeDvScan.tailSegments(
+      fp.files.head.toPath.toString, segs)
+    val positions = p match {
+      case d: GraftLakeDvFilePartition =>
+        GraftLakeDvScan.loadPositions(d.ref, conf.value)
+      case _ => Array.emptyLongArray
+    }
+    val inner = withIdx.createColumnarReader(p)
+    val mapping = innerColOf
+    val idxAt = dataLen
+    val fileConst = UTF8String.fromString(relKey)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var out: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val n = b.numRows()
+          val sel: Array[Int] =
+            if (positions.isEmpty) null
+            else {
+              val idxCol = b.column(idxAt)
+              val s = new Array[Int](n)
+              var k = 0
+              var i = 0
+              while (i < n) {
+                if (java.util.Arrays.binarySearch(positions,
+                    idxCol.getLong(i)) < 0) {
+                  s(k) = i
+                  k += 1
+                }
+                i += 1
+              }
+              if (k == n) null else java.util.Arrays.copyOf(s, k)
+            }
+          val rows = if (sel == null) n else sel.length
+          if (rows > 0) {
+            val cols = new Array[
+              org.apache.spark.sql.vectorized.ColumnVector](mapping.length)
+            var o = 0
+            while (o < mapping.length) {
+              cols(o) = mapping(o) match {
+                case -1 => new GraftLakeConstantStringVector(fileConst)
+                case j if sel == null => b.column(j)
+                case j => new GraftLakeSelectedVector(b.column(j), sel)
+              }
+              o += 1
+            }
+            out = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols, rows)
+            return true
+          }
+        }
+        false
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = out
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -286,6 +366,45 @@ private[engine] final class GraftLakeDeltaReaderFactory(
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** A non-null constant string vector — the per-file row-address key
+  * in the columnar delta read (one instance per batch, zero storage). */
+private[engine] final class GraftLakeConstantStringVector(
+    value: UTF8String)
+  extends org.apache.spark.sql.vectorized.ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getUTF8String(i: Int): UTF8String = value
+  override def getBoolean(i: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte =
+    throw new UnsupportedOperationException
+  override def getShort(i: Int): Short =
+    throw new UnsupportedOperationException
+  override def getInt(i: Int): Int =
+    throw new UnsupportedOperationException
+  override def getLong(i: Int): Long =
+    throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float =
+    throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double =
+    throw new UnsupportedOperationException
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] = value.getBytes
+  override def getChild(ordinal: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException
 }
 
 /** Task→driver evidence for one delta writer: the inner parquet
