@@ -101,8 +101,9 @@ object Sessions {
     if (!spark.experimental.extraOptimizations
         .contains(org.apache.spark.sql.graft.SplitCowGroupFilter))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          org.apache.spark.sql.graft.SplitCowGroupFilter
+        spark.experimental.extraOptimizations ++ Seq(
+          org.apache.spark.sql.graft.SplitCowGroupFilter,
+          org.apache.spark.sql.graft.InjectDeltaRuntimeFilter)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

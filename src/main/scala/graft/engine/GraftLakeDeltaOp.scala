@@ -180,7 +180,15 @@ final class GraftLakeDeltaScanBuilder(op: GraftLakeDeltaOperation,
 
 /** Parquet execution plus (a) one file per partition — the row-address
   * column is per-file, so a reader must know which file it is inside —
-  * (b) DV application, and (c) the synthesized row-address columns. */
+  * (b) DV application, (c) the synthesized row-address columns, and
+  * (d) JOIN-DRIVEN runtime file pruning: a MERGE's target scan joins
+  * the (usually small, filtered) source, and Spark's dynamic-pruning
+  * rule re-plans this scan at execution with the build side's `IN`
+  * key sets — files whose sidecar stats/bloom exclude every key drop
+  * WITHOUT being read. FILE granularity is safe here, unlike the COW
+  * scan: a pruned file merely contributes no matched rows (nothing is
+  * replaced), so a KB-sized MERGE source touches the files that can
+  * hold its keys, never the lake. */
 final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     lakeDir: String, metaCols: Seq[String])
@@ -188,7 +196,36 @@ final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
-    base.dataFilters, base.pushedVariantExtractions) {
+    base.dataFilters, base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeAdmit
+      : Option[org.apache.hadoop.fs.Path => Boolean] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.types._
+    (readDataSchema.fields ++ readPartitionSchema.fields).collect {
+      case f if (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType => true
+        case _ => false
+      }) => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name)
+    }
+  }
+
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val ins = GraftLakeDataSource.parseInPredicates(predicates, 10000)
+    if (ins.nonEmpty) fileIndex match {
+      case g: GraftLakeFileIndex =>
+        runtimeAdmit = Some(p => ins.forall { case (c, vs) =>
+          g.admitAnyOf(p, c, vs) })
+      case _ => ()
+    }
+  }
 
   private def metaFields: Seq[StructField] = metaCols.map {
     case GraftLakeDeltaOp.FileCol =>
@@ -205,8 +242,14 @@ final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
       readPartitionSchema.fields)
 
   override def partitions: Seq[FilePartition] = {
+    val files0 = super.partitions.flatMap(_.files)
+    // join-driven file pruning (safe for delta — see class doc)
+    val admitted = runtimeAdmit match {
+      case None => files0
+      case Some(adm) => files0.filter(pf => adm(pf.toPath))
+    }
     // one file per partition: the file key is a per-reader constant
-    val singles = super.partitions.flatMap(_.files).zipWithIndex
+    val singles = admitted.zipWithIndex
       .map { case (f, i) => FilePartition(i, Array(f)) }
     GraftLakeDvScan.isolate(singles, op.dvRefs)
   }

@@ -275,7 +275,15 @@ object GraftLakeDataSource {
     * the post-pruning evidence q182 and the spec gate assert on
     * (`DataFrame.inputFiles` reports the index's full listing, BEFORE
     * per-scan filter pruning, so it cannot serve as this witness). */
-  def filesRead(df: DataFrame): Int = {
+  def filesRead(df: DataFrame): Int =
+    filesReadPlan(df.queryExecution.executedPlan)
+
+  /** [[filesRead]] over an already-executed physical plan — the form a
+    * QueryExecutionListener-captured COMMAND plan (MERGE/UPDATE/DELETE)
+    * needs: commands have no DataFrame handle, but their captured plan
+    * still carries the V2 scans whose runtime filters were applied. */
+  def filesReadPlan(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
@@ -289,7 +297,7 @@ object GraftLakeDataSource {
         walk(q.plan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan).collect {
+    walk(plan).collect {
       case b: BatchScanExec => b.scan match {
         case f: FileScan => f.planInputPartitions().map {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>

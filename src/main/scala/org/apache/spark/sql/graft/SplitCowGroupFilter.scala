@@ -57,3 +57,83 @@ object SplitCowGroupFilter extends Rule[LogicalPlan] {
       if (newCond.fastEquals(cond)) f else f.copy(condition = newCond)
   }
 }
+
+/** Inject JOIN-DRIVEN runtime file pruning into MERGE-ON-READ plans.
+  *
+  * Spark gives delta-based row-level plans NO runtime group
+  * filtering: `RowLevelOperationRuntimeGroupFiltering` matches
+  * `ReplaceData` (group-based) only, and the generic
+  * `PartitionPruning` rule does not fire inside `WriteDelta`'s query
+  * — so a KB-sized MERGE source joined to a 100 TB delta target scans
+  * the whole lake. This rule replays `PartitionPruning`'s shape for
+  * exactly that case: for each equi-join key whose lineage lands on a
+  * [[graft.engine.GraftLakeDeltaScan]] relation and whose OTHER side
+  * carries a likely-selective filter, wrap the relation in
+  * `Filter(DynamicPruningSubquery(key, otherSide, …), relation)`.
+  * The physical planner turns the subquery into the standard
+  * `InSubqueryExec` runtime filter; the V2 strategy routes
+  * DynamicPruning conjuncts into the scan's runtime filters (never
+  * row-evaluated), and the delta scan's sidecar probes drop files
+  * whose stats/bloom exclude every build key.
+  *
+  * Sound per key: the subquery produces EVERY value of the join key
+  * on the filtering side, so a pruned file provably holds no matching
+  * row — and a delta scan that misses an unmatched row misses nothing
+  * (unlike the COW scan, nothing is replaced). Pruning the target
+  * side is join-type-safe for Inner/LeftSemi (and RightOuter when the
+  * target is left), the shapes Spark's own `canPruneLeft` allows.
+  * `onlyInBroadcast = false`: the filtering side of a row-level plan
+  * is typically tiny, so running the subquery even without a reusable
+  * broadcast is the right trade at lake scale. Idempotent (fixedPoint
+  * batch): a relation already wrapped by a DynamicPruning filter is
+  * left alone. */
+object InjectDeltaRuntimeFilter extends Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{DynamicPruning,
+    DynamicPruningSubquery, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi, RightOuter}
+
+  private def selective(plan: LogicalPlan): Boolean = plan.exists {
+    case f: Filter => isLikelySelective(f.condition)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(left, right, joinType, Some(cond), _)
+        if (joinType == Inner || joinType == LeftSemi ||
+          joinType == RightOuter) && selective(right) =>
+      var newLeft = left
+      splitConjunctivePredicates(cond).foreach {
+        case EqualTo(a, b) =>
+          val lr: Option[(Expression, Expression)] =
+            if (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) Some((a, b))
+            else if (b.references.subsetOf(left.outputSet) &&
+              a.references.subsetOf(right.outputSet)) Some((b, a))
+            else None
+          lr.foreach { case (lk, rk) =>
+            findExpressionAndTrackLineageDown(lk, newLeft).foreach {
+              case (resExp, r: DataSourceV2ScanRelation)
+                  if r.scan.isInstanceOf[graft.engine.GraftLakeDeltaScan]
+                    && resExp.references.subsetOf(r.outputSet) =>
+                val already = newLeft.exists {
+                  case Filter(c, rel) if rel eq r =>
+                    c.exists(_.isInstanceOf[DynamicPruning])
+                  case _ => false
+                }
+                if (!already)
+                  newLeft = newLeft.transformUp {
+                    case rel: DataSourceV2ScanRelation if rel eq r =>
+                      Filter(DynamicPruningSubquery(resExp, right,
+                        Seq(rk), Seq(0), onlyInBroadcast = false,
+                        NamedExpression.newExprId, None), rel)
+                  }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+      if (newLeft eq left) j else j.copy(left = newLeft)
+  }
+}

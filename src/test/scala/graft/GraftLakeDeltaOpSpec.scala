@@ -285,6 +285,99 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
     }
   }
 
+  test("join-driven runtime file pruning reaches the MERGE target " +
+      "scan: a tiny source's keys prune delta-scan files through the " +
+      "sidecars at execution, results identical to unpruned") {
+    val root = tempDir("gldop-dpp")
+    withCatalog(root) { cat =>
+      val dir = s"$root/t"
+      // four disjoint-range commits, stats+bloom indexed on id, into a
+      // DV-enabled lake registered under the catalog
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('deletion_vectors'='true')")
+      Seq((0L, 2000L), (2000L, 4000L), (4000L, 6000L), (6000L, 8000L))
+        .foreach { case (lo, hi) =>
+          VersionedLake.commitIndexed(
+            spark.range(lo, hi).toDF("id")
+              .withColumn("v", col("id").cast("double")).coalesce(2),
+            dir, Seq("id"), Some("id"))
+        }
+      // FILE-backed source (a local relation's filter folds before the
+      // pruning rule sees it — same lesson as the snapshot-scan DPP
+      // spec) with keys confined to ONE commit's range
+      import spark.implicits._
+      Seq((4100L, -7.0, "x"), (4200L, -7.0, "y"), (99999L, -7.0, "z"))
+        .toDF("k", "nv", "tag").write.parquet(s"$root/src")
+      // capture the MERGE command's executed plan — commands return no
+      // DataFrame handle to walk
+      @volatile var captured
+          : Option[org.apache.spark.sql.execution.SparkPlan] = None
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (qe.executedPlan.getClass.getSimpleName
+              .startsWith("WriteDelta"))
+            captured = Some(qe.executedPlan)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        spark.read.parquet(s"$root/src")
+          .filter(col("tag").isin("x", "y"))
+          .createOrReplaceTempView("gldop_dpp_src")
+        spark.sql(
+          s"""MERGE INTO $cat.t AS t USING gldop_dpp_src AS s
+             |ON t.id = s.k
+             |WHEN MATCHED THEN UPDATE SET v = s.nv
+             |""".stripMargin)
+        // QueryExecutionListener delivery is async; poll briefly
+        val deadline = System.currentTimeMillis() + 10000
+        while (captured.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // correctness first
+        val t = spark.table(s"$cat.t")
+        assert(t.count() == 8000)
+        assert(t.filter(col("v") === -7.0).count() == 2)
+        assert(t.filter(col("id") === 4100L).head().getDouble(1) == -7.0)
+        assert(t.filter(col("v") =!= col("id").cast("double"))
+          .count() == 2, "only the two matched rows may change")
+        // pruning evidence: both keys live in the third commit's range,
+        // so at most that commit's files survive the runtime filter
+        val plan = captured.getOrElse(fail(
+          "listener captured no delta-write plan"))
+        // count ONLY the delta target scan's files (the captured plan
+        // also holds the source's parquet scan)
+        import org.apache.spark.sql.execution.SparkPlan
+        def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => walk(q.plan)
+          case other =>
+            other +: (other.children ++ other.subqueries).flatMap(walk)
+        }
+        val read = walk(plan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec if b.scan.isInstanceOf[GraftLakeDeltaScan] =>
+            b.scan.asInstanceOf[GraftLakeDeltaScan].planInputPartitions()
+              .map {
+                case fp: org.apache.spark.sql.execution.datasources
+                  .FilePartition => fp.files.length
+                case _ => 0
+              }.sum
+        }.sum
+        val total = GraftLakeDataSource.filesRead(spark.table(s"$cat.t"))
+        assert(read < total,
+          s"MERGE target scan pruned nothing: $read/$total")
+        assert(read <= 2,
+          s"expected at most one commit's files, read $read/$total")
+      } finally spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("serializable refusals: a concurrent append (or rewrite) " +
       "between the delta scan and its publish refuses loudly instead " +
       "of ghosting rows") {
