@@ -3184,7 +3184,76 @@ object IngestQueries {
           round(sum(col("row_total")), 3).as("checksum"))
         .orderBy(col("bucket"))
     }.withBenchSetup((s, _) =>
-      ensureStaged(wideDvLakePath)(stageWideDvLake(s))))
+      ensureStaged(wideDvLakePath)(stageWideDvLake(s))),
+
+    QuerySpec(
+      "q224_mor_merge",
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 500 = 7 THEN value * 10
+        |              ELSE value END AS value
+        |  FROM events),
+        |ins AS (
+        |  SELECT DISTINCT -event_id - 1 AS event_id,
+        |         'merged' AS event_type, 1.0 AS value
+        |  FROM events WHERE event_id % 1000 = 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // MERGE-ON-READ MERGE INTO: one commit carries BOTH halves — the
+      // matched updates' delete-half as a positions sidecar and the
+      // updated + NOT-MATCHED-inserted rows as ONE small appended dir;
+      // every original dir stays live by manifest reference (asserted
+      // inline). The oracle replays the merge in DuckDB as a CASE over
+      // raw events plus the synthetic insert set, so a double-applied
+      // update, a resurrected pre-image, or a lost insert breaks the
+      // hash.
+      val root = scratchRoot
+      val name = s"mormrg_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q224",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q224.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q224")
+      s.sql(s"""CREATE TABLE glake_q224.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM ev_q224""".stripMargin)
+      s.sql("""SELECT DISTINCT event_id FROM ev_q224
+              |WHERE event_id % 500 = 7
+              |UNION ALL
+              |SELECT DISTINCT -event_id - 1 AS event_id FROM ev_q224
+              |WHERE event_id % 1000 = 3""".stripMargin)
+        .createOrReplaceTempView("src_q224")
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def dirs(): Set[String] = f.listStatus(
+        new org.apache.hadoop.fs.Path(lake)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      val before = dirs()
+      s.sql(
+        s"""MERGE INTO glake_q224.`$name` AS t USING src_q224 AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = t.value * 10
+           |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+           |  VALUES (s.event_id, 'merged', CAST(1.0 AS DOUBLE))
+           |""".stripMargin)
+      val after = dirs()
+      require(before.subsetOf(after),
+        "merge-on-read MERGE must keep every original dir live")
+      require(after.diff(before).size == 1,
+        s"expected ONE appended dir, got ${after.diff(before)}")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isDvCommit(s, lake, tip),
+        "the MERGE commit must bind a positions sidecar")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q224.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    })
 
   // q185 staged z-ordered versioned lake ----------------------------------
 
