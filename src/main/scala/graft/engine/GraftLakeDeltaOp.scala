@@ -53,11 +53,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * DV commit may have landed after the scan (its positions could
   * overlap). Conflicts refuse loudly; the caller retries.
   *
-  * Scope: deletion-vector lakes, flat and PARTITIONED (rewritten and
+  * Scope: EVERY deletion-vector lake. PARTITIONED: rewritten and
   * inserted rows route through the dynamic-partition writer into hive
   * leaves, one manifest entry per leaf; row addresses key by the full
-  * leaf-relative path). Column-mapping lakes keep the copy-on-write
-  * path — routing decided in
+  * leaf-relative path. COLUMN-MAPPED: the operation scan and the
+  * change-feed pre-image scan bind by field id, and the staged
+  * rewrite carries the id overlay. Copy-on-write remains for lakes
+  * without vectors — routing decided in
   * [[GraftLakeTable.newRowLevelOperationBuilder]].
   *
   * Reference behavior: monthly corrections to the archive lake
@@ -130,8 +132,20 @@ final class GraftLakeDeltaOperation(table: GraftLakeTable,
     val idx = new GraftLakeFileIndex(spark, lakeDir,
       VersionedLake.liveDataDirs(spark, lakeDir, version)
         .map(new Path(_)))
+    // COLUMN-MAPPING lakes: the scan must bind BY FIELD ID — Spark
+    // hands this builder ITS OWN options, and a name-matched read of
+    // pre-rename files would null the renamed column out of exactly
+    // the rows the operation is rewriting (the COW scan's lesson)
+    val opts =
+      if (!GraftLakeMapping.enabled(spark, lakeDir)) options
+      else {
+        val m = new java.util.HashMap[String, String](
+          options.asCaseSensitiveMap())
+        GraftLakeMapping.confOptions.foreach { case (k, v) => m.put(k, v) }
+        new CaseInsensitiveStringMap(m)
+      }
     new GraftLakeDeltaScanBuilder(this, spark, idx, table.schema(),
-      table.dataSchema, options, lakeDir)
+      table.dataSchema, opts, lakeDir)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -479,22 +493,27 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
 
   private val partCols = GraftLakePartitions.of(SparkSession.active,
     lakeDir)
+  private val mapped = GraftLakeMapping.enabled(SparkSession.active,
+    lakeDir)
 
   /** The data half's staging write: plain parquet on a flat lake, the
     * dynamic-partition writer (hive `c=v` leaves, one manifest entry
     * per leaf) on a PARTITIONED one — rewritten and inserted rows
-    * route to their leaves exactly like an INSERT. Absent for a
+    * route to their leaves exactly like an INSERT. MAPPED lakes take
+    * the custom writer too (field-id overlay: a staged file without
+    * ids would be unreadable to the id-matching reader). Absent for a
     * row-less plan (pure DELETE commands write no data rows and may
     * arrive with an empty row schema). */
   private val innerWrite
       : Option[org.apache.spark.sql.connector.write.Write] =
     if (info.schema() == null || info.schema().isEmpty) None
-    else if (partCols.isEmpty)
+    else if (partCols.isEmpty && !mapped)
       Some(ParquetWrite(Seq(s"$lakeDir/$dataDir"),
         table.formatName, table.supportsDataType _, info))
     else Some(new GraftLakePartitionedWrite(s"$lakeDir/$dataDir", info,
       partCols.map(_.name),
-      s"graftlake delta partitioned $lakeDir (staging $dataDir)"))
+      s"graftlake delta partitioned $lakeDir (staging $dataDir)",
+      if (mapped) Some(table.schema()) else None))
 
   override def description(): String =
     s"graftlake delta ${op.command()} $lakeDir (staging $dataDir)"
@@ -637,6 +656,28 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         VersionedLake.encodedForms(f, new Path(s"$lakeDir/$e/$fl"))
           .map(q => (q, e, fl))
       }.toDF("__fp", "entry", "file")
+      // COLUMN-MAPPING lakes: the pre-image scan must read BY FIELD ID
+      // (a name-matched read would null renamed columns out of
+      // pre-rename files and the change feed would ship corrupted
+      // pre-images) — declared schema on a derived fieldId session,
+      // the deleteVectors pattern
+      val (prs, declaredOpt) =
+        if (!mapped) (spark, None)
+        else {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          (s2, Some(table.schema()))
+        }
+      def rawScan(paths: Seq[String], basePath: Option[String])
+          : org.apache.spark.sql.DataFrame = {
+        val r0 = declaredOpt.fold(
+          prs.read.option("mergeSchema", "true"))(sch =>
+          prs.read.schema(org.apache.spark.sql.types.StructType(
+            sch.filter(fl => basePath.isDefined ||
+              !partCols.exists(_.name.equalsIgnoreCase(fl.name))))))
+        basePath.fold(r0)(bp => r0.option("basePath", bp))
+          .parquet(paths: _*)
+      }
       // the row address columns must materialize BEFORE any union —
       // `_metadata` is a per-relation pseudo-column that does not
       // survive a Union/Project
@@ -646,16 +687,13 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         .withColumn("__pos", col("_metadata.row_index"))
       val scan0 =
         if (partCols.isEmpty)
-          withAddr(spark.read.option("mergeSchema", "true")
-            .parquet(files.map { case (e, fl) =>
-              s"$lakeDir/$e/$fl" }: _*))
+          withAddr(rawScan(files.map { case (e, fl) =>
+            s"$lakeDir/$e/$fl" }, None))
         else files.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
           .map { case (dd, fs2) =>
             withPartCast(withAddr(
-              spark.read.option("mergeSchema", "true")
-                .option("basePath", s"$lakeDir/$dd")
-                .parquet(fs2.map { case (e, fl) =>
-                  s"$lakeDir/$e/$fl" }: _*)))
+              rawScan(fs2.map { case (e, fl) => s"$lakeDir/$e/$fl" },
+                Some(s"$lakeDir/$dd"))))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
       val deletes = scan0
         .join(broadcast(lk), Seq("__fp"))

@@ -1161,16 +1161,14 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
     new GraftLakeWriteBuilder(this, lakeDir, mergedInfo)
   }
 
-  /** Whether row-level SQL routes MERGE-ON-READ: deletion-vector
-    * lakes — flat AND partitioned — publish UPDATE / MERGE /
-    * rich-predicate DELETE as positions sidecar + small append
-    * ([[GraftLakeDeltaOperation]]); COLUMN-MAPPING lakes keep the
-    * group-based copy-on-write rewrite (the delta scan's position
-    * reader binds columns by name; the id-matched variant is the COW
-    * path's survivorReader province). */
+  /** Whether row-level SQL routes MERGE-ON-READ: EVERY deletion-vector
+    * lake — flat, partitioned, and column-mapped — publishes UPDATE /
+    * MERGE / rich-predicate DELETE as positions sidecar + small append
+    * ([[GraftLakeDeltaOperation]]; mapped lakes id-match the scan and
+    * overlay field ids on the staged rewrite). Copy-on-write remains
+    * for lakes without vectors. */
   private def deltaCapable: Boolean =
-    VersionedLake.dvEnabled(spark, lakeDir) &&
-      !GraftLakeMapping.enabled(spark, lakeDir)
+    VersionedLake.dvEnabled(spark, lakeDir)
 
   /** Row-address metadata columns — only surfaced when the delta path
     * can serve them (the COW scan never synthesizes them, and a

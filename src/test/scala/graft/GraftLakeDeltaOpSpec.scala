@@ -285,6 +285,71 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read on a COLUMN-MAPPING DV lake: UPDATE/MERGE across " +
+      "a rename era id-match the pre-rename files (no nulled columns), " +
+      "publish positions + a small id-stamped append, and the change " +
+      "feed replays exactly") {
+    val root = tempDir("gldop-map")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('deletion_vectors'='true', 'column_mapping'='id')")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(0, 5000)")
+      val dir = s"$root/t"
+      // metadata-only RENAME: pre-rename files keep the old name on
+      // disk — every later read/write must bind by field id
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO val")
+      spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(5000, 8000)")
+      val before = VersionedLake.manifestEntries(spark, dir,
+        VersionedLake.tip(spark, dir).get)
+      // expression-predicate UPDATE spanning BOTH column eras
+      spark.sql(s"UPDATE $cat.t SET val = val + 0.5 WHERE id % 100 = 7")
+      val tip = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip),
+        "the mapped UPDATE must bind a positions sidecar")
+      val after = VersionedLake.manifestEntries(spark, dir, tip)
+      assert(before.forall(after.contains),
+        "merge-on-read must keep every original dir live")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 8000)
+      // pre-rename-era rows updated correctly (id 7 lives in the first
+      // insert's files, written under the OLD name `v`)
+      assert(t.filter(col("id") === 7).head().getDouble(1) == 7.5)
+      assert(t.filter(col("id") === 5107).head().getDouble(1) == 5107.5)
+      assert(t.filter(col("id") % 100 =!= 7 &&
+        col("val") =!= col("id").cast("double")).count() == 0,
+        "a name-matched read would have nulled pre-rename rows")
+      // the change feed replays exact pre/post images under the
+      // CURRENT name
+      val ch = VersionedLake.changes(spark, dir, tip - 1, tip)
+      assert(ch.filter(col("op") === "delete").count() == 80)
+      assert(ch.filter(col("op") === "insert").count() == 80)
+      assert(ch.filter(col("op") === "delete" && col("id") === 7)
+        .select("val").head().getDouble(0) == 7.0)
+      // MERGE across the rename era too: matched delete + new inserts
+      spark.range(7995, 8005).toDF("k")
+        .createOrReplaceTempView("gldop_map_src")
+      spark.sql(
+        s"""MERGE INTO $cat.t AS t USING gldop_map_src AS s ON t.id = s.k
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, val)
+           |  VALUES (s.k, CAST(-1.0 AS DOUBLE))
+           |""".stripMargin)
+      val t2 = spark.table(s"$cat.t")
+      assert(t2.count() == 8000 - 5 + 5)
+      assert(t2.filter(col("id") === 7996).count() == 0)
+      assert(t2.filter(col("id") === 8004).head().getDouble(1) == -1.0)
+      // a post-merge rename still reads everything (the staged rewrite
+      // carried field ids)
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN val TO w")
+      val t3 = spark.table(s"$cat.t")
+      assert(t3.filter(col("w") === -1.0).count() == 5,
+        "the merge-on-read append must carry field ids")
+      assert(t3.filter(col("id") === 107).head().getDouble(1) == 107.5)
+    }
+  }
+
   test("join-driven runtime file pruning reaches the MERGE target " +
       "scan: a tiny source's keys prune delta-scan files through the " +
       "sidecars at execution, results identical to unpruned") {
