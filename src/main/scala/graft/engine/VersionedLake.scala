@@ -1488,10 +1488,13 @@ object VersionedLake {
   // sidecar dead metadata for vacuum. Delta/Iceberg's deletion-vector
   // design point, realized on the manifest-CAS protocol.
   //
-  // Scope: UNMAPPED lakes (enforced at CREATE) — the position scan
-  // binds columns by name. Composes with PARTITIONED BY: partition-
-  // decidable deletes keep the manifest-only whole-leaf drop, and
-  // data-column deletes vector within the candidate leaves.
+  // Scope: composes with PARTITIONED BY (partition-decidable deletes
+  // keep the manifest-only whole-leaf drop; data-column deletes vector
+  // within the candidate leaves) AND with column mapping (the position
+  // scans read by field id on mapped lakes — see the survivorReader /
+  // deleteVectors mapped branches). UPDATE/MERGE/rich-predicate DELETE
+  // on any DV lake take the SupportsDelta merge-on-read path
+  // ([[GraftLakeDeltaOperation]]).
 
   private def dvReg(dir: String) = new Path(s"$dir/_dv")
 

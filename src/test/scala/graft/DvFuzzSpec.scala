@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.engine._
 
 /** Model-based fuzz over the deletion-vector surface: a seeded random
-  * sequence of INSERT / DV-DELETE / UPDATE (merge-on-read on the flat
-  * lake, copy-on-write on the partitioned/mapped ones) / RESTORE /
+  * sequence of INSERT / DV-DELETE / UPDATE (merge-on-read on every DV
+  * lake — flat, mapped, and the partitioned×mapped triple) / RESTORE /
   * OPTIMIZE / VACUUM ops against an in-memory id→value model. After EVERY op the snapshot
   * must equal the model (count and sum — a misapplied position, a
   * resurrected row, or a vector leaking across a rewrite all diverge
