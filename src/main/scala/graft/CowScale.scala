@@ -44,7 +44,13 @@ object CowScale {
       classOf[GraftLakeCatalog].getName)
     spark.conf.set("spark.sql.catalog.glcs.root", root)
 
-    def run(nameTag: String, indexed: Boolean): (Double, Int, Long) = {
+    /** One merge run; returns (seconds, live dirs after, rows after,
+      * BYTES the merge commit wrote = added entries + any positions
+      * sidecar — the write-amplification witness). `mor = true`
+      * enables deletion vectors so the SAME SQL routes merge-on-read
+      * ([[graft.engine.GraftLakeDeltaOperation]]). */
+    def run(nameTag: String, indexed: Boolean, mor: Boolean = false)
+        : (Double, Int, Long, Long) = {
       val dir = s"$root/$nameTag"
       Lake.delete(spark, dir)
       (0 until copies).foreach { k =>
@@ -53,6 +59,11 @@ object CowScale {
             Some("event_id"))
         else VersionedLake.commit(copyK(k), dir)
       }
+      if (mor) VersionedLake.setDeletionVectors(spark, dir)
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val preTip = VersionedLake.tip(spark, dir).get
+      val pre = VersionedLake.manifestEntries(spark, dir, preTip).toSet
       val t0 = System.nanoTime()
       spark.sql(
         s"""MERGE INTO glcs.$nameTag AS t
@@ -62,20 +73,41 @@ object CowScale {
            |  value) VALUES (s.event_id, s.user_id, s.event_type, s.value)
            |""".stripMargin)
       val sec = (System.nanoTime() - t0) / 1e9
+      val postTip = VersionedLake.tip(spark, dir).get
+      val added = VersionedLake.manifestEntries(spark, dir, postTip)
+        .filterNot(pre)
+      def len(p: String): Long =
+        try f.getContentSummary(new org.apache.hadoop.fs.Path(p))
+          .getLength
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      val sidecarBytes = {
+        val delRoot = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+        if (!f.exists(delRoot)) 0L
+        else f.listStatus(delRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(s"v$postTip-"))
+          .map(p => len(p.toString)).sum
+      }
+      val bytes = added.map(e => len(s"$dir/$e")).sum + sidecarBytes
       val h = VersionedLake.history(spark, dir)
       val rows = VersionedLake.readLatest(spark, dir).count()
-      (sec, h.last._3, rows)
+      (sec, h.last._3, rows, bytes)
     }
 
     // bare first so JIT/codegen warmth, if anything, favors it
-    val (bareSec, bareDirs, bareRows) = run("bare", indexed = false)
-    val (idxSec, idxDirs, idxRows) = run("indexed", indexed = true)
-    require(bareRows == idxRows,
-      s"merge results diverged: $bareRows vs $idxRows")
+    val (bareSec, bareDirs, bareRows, bareBytes) =
+      run("bare", indexed = false)
+    val (idxSec, idxDirs, idxRows, idxBytes) =
+      run("indexed", indexed = true)
+    val (morSec, morDirs, morRows, morBytes) =
+      run("mor", indexed = true, mor = true)
+    require(bareRows == idxRows && idxRows == morRows,
+      s"merge results diverged: $bareRows / $idxRows / $morRows")
     println(s"""{"metric":"cow_merge_scale","copies":$copies,""" +
       s""""rows":$idxRows,"indexed_sec":${f"$idxSec%.2f"},""" +
-      s""""bare_sec":${f"$bareSec%.2f"},"indexed_dirs_live":$idxDirs,""" +
-      s""""bare_dirs_live":$bareDirs}""")
+      s""""bare_sec":${f"$bareSec%.2f"},"mor_sec":${f"$morSec%.2f"},""" +
+      s""""indexed_dirs_live":$idxDirs,"bare_dirs_live":$bareDirs,""" +
+      s""""mor_dirs_live":$morDirs,"indexed_bytes_written":$idxBytes,""" +
+      s""""bare_bytes_written":$bareBytes,"mor_bytes_written":$morBytes}""")
     spark.stop()
   }
 }
