@@ -110,8 +110,14 @@ object Bench {
         val t1 = runOnce(name, dir)
         val repeatable = !SparkEntry.benchSetup.contains(name) &&
           !name.contains("stream")
-        val threshold =
-          math.max(1.0, refTimes.get(name).fold(1.0)(_ * 2.5))
+        // NO reference time (query added this round, or bench_ref.json
+        // missing/unreadable) ⇒ nothing to call a spike against: record
+        // the single run as-is — comparable to later rounds' single
+        // runs — instead of a 1s default threshold that would triple
+        // every heavy new query's bench time and stamp its first round
+        // as an attempts=3 median
+        val threshold = refTimes.get(name)
+          .fold(Double.PositiveInfinity)(r => math.max(1.0, r * 2.5))
         if (!repeatable || t1 < threshold) summarize(Seq(t1))
         else summarize(Seq(t1, runOnce(name, dir), runOnce(name, dir)))
     }

@@ -189,7 +189,7 @@ final class GraftLakeDeltaScanBuilder(op: GraftLakeDeltaOperation,
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
-    new GraftLakeDeltaScan(op, super.build(), lakeDir, metaCols)
+    new GraftLakeDeltaScan(op.dvRefs, super.build(), lakeDir, metaCols)
 }
 
 /** Parquet execution plus (a) one file per partition — the row-address
@@ -202,8 +202,18 @@ final class GraftLakeDeltaScanBuilder(op: GraftLakeDeltaOperation,
   * WITHOUT being read. FILE granularity is safe here, unlike the COW
   * scan: a pruned file merely contributes no matched rows (nothing is
   * replaced), so a KB-sized MERGE source touches the files that can
-  * hold its keys, never the lake. */
-final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
+  * hold its keys, never the lake.
+  *
+  * Constructed from TWO call sites: the row-level operation's scan
+  * builder ([[GraftLakeDeltaScanBuilder]], with the operation's pinned
+  * vectors) and the PLAIN batch read ([[GraftLakeScanBuilder]]) when a
+  * user query projects the row-address metadata columns — `SELECT
+  * __graft_file, __graft_pos FROM cat.t` resolves via the table's
+  * metadataOutput, and only this scan can synthesize those columns
+  * (the parquet files do not store them; an ordinary scan would emit
+  * all-NULLs for columns declared non-nullable). */
+final class GraftLakeDeltaScan(
+    private[engine] val dvRefs: Map[String, GraftLakeDvRef],
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     lakeDir: String, metaCols: Seq[String])
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
@@ -265,7 +275,7 @@ final class GraftLakeDeltaScan(op: GraftLakeDeltaOperation,
     // one file per partition: the file key is a per-reader constant
     val singles = admitted.zipWithIndex
       .map { case (f, i) => FilePartition(i, Array(f)) }
-    GraftLakeDvScan.isolate(singles, op.dvRefs)
+    GraftLakeDvScan.isolate(singles, dvRefs)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

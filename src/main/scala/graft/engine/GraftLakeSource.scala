@@ -1170,16 +1170,19 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   private def deltaCapable: Boolean =
     VersionedLake.dvEnabled(spark, lakeDir)
 
-  /** Row-address metadata columns — only surfaced when the delta path
-    * can serve them (the COW scan never synthesizes them, and a
-    * metadata column the scan cannot produce would read as nulls). */
+  /** Row-address metadata columns — surfaced on every DV lake, served
+    * by BOTH scan paths that can synthesize them: the row-level delta
+    * scan and the plain batch read (which routes through the same
+    * wrapper when a query projects them —
+    * [[GraftLakeScanBuilder.pruneColumns]]). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (deltaCapable) GraftLakeDeltaOp.metadataColumns
     else Array.empty
 
-  /** SQL `MERGE INTO` / `UPDATE` / rich-predicate `DELETE`: on a flat
-    * deletion-vector lake, MERGE-ON-READ ([[GraftLakeDeltaOperation]]
+  /** SQL `MERGE INTO` / `UPDATE` / rich-predicate `DELETE`: on EVERY
+    * deletion-vector lake — flat, partitioned, column-mapped —
+    * MERGE-ON-READ ([[GraftLakeDeltaOperation]]
     * — O(changed rows) written, zero data rewritten); otherwise
     * group-based copy-on-write ([[GraftLakeRowLevelOperation]]):
     * Spark rewrites each into read-groups → mutate rows → replace-
@@ -1968,14 +1971,44 @@ final class GraftLakeScanBuilder(spark: SparkSession,
 
   /** Aggregate pushdown answers from parquet FOOTER stats — which
     * still count DV-deleted rows. With any vector live, the aggregate
-    * must run over the DV-filtered scan instead. */
+    * must run over the DV-filtered scan instead — and never under a
+    * requested row-address column (positions are per row). */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    if (dvRefs.nonEmpty) false else super.pushAggregation(aggregation)
+    if (dvRefs.nonEmpty || metaCols.nonEmpty) false
+    else super.pushAggregation(aggregation)
+
+  /** Row-address metadata columns (`__graft_file`/`__graft_pos`,
+    * advertised on DV lakes via [[GraftLakeTable.metadataColumns]])
+    * requested by THIS query. They are synthesized, not stored: strip
+    * them out of what reaches the parquet reader and route build() to
+    * the delta scan — an ordinary scan would read all-NULLs for
+    * columns declared non-nullable (silently wrong results). */
+  @volatile private var metaCols: Seq[String] = Seq.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (meta, data) = requiredSchema.fields.partition(f =>
+      GraftLakeDeltaOp.isMetaCol(f.name))
+    metaCols = meta.map(_.name).toSeq
+    super.pruneColumns(StructType(data))
+  }
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    if (metaCols.nonEmpty) {
+      // row-address projection: single-file partitions + synthesized
+      // address columns + DV application — the SAME wrapper the
+      // row-level operations scan through. Batch-only by construction
+      // (the streaming source replays versions, where a row's address
+      // is not a stable identity; GraftLakeDeltaScan implements no
+      // toMicroBatchStream, so a readStream projecting __graft_* fails
+      // loudly instead of mis-addressing).
+      require(!cdf, "row-address columns are a snapshot-read surface; " +
+        "the change feed delivers _change_type events instead")
+      return new GraftLakeDeltaScan(dvRefs, super.build(), lakeDir,
+        metaCols)
+    }
     def intOpt(k: String): Option[Int] =
       Option(options.get(k)).map(_.trim.toInt)
     Seq(GraftLakeDataSource.MaxVersionsPerTrigger,

@@ -69,7 +69,7 @@ class DvFuzzSpec extends AnyFunSuite {
             spark.sql(s"DELETE FROM $cat.t WHERE id IN " +
               s"(${ks.mkString(",")})")
           }
-        case 3 => // COW update of a random live key set
+        case 3 => // merge-on-read UPDATE of a random live key set
           val live = model.keys.toArray
           if (live.nonEmpty) {
             val ks = (0 until math.min(live.length,
@@ -214,7 +214,7 @@ class DvFuzzSpec extends AnyFunSuite {
             spark.sql(s"DELETE FROM $cat.t WHERE $vName IN ($v)")
             val _ = id
           }
-        case 4 => // COW update through the current name
+        case 4 => // merge-on-read UPDATE through the current name
           val live = model.keys.toArray
           if (live.nonEmpty) {
             val ks = (0 until math.min(live.length,
@@ -265,7 +265,7 @@ class DvFuzzSpec extends AnyFunSuite {
   for (seed <- Seq(90210L, 3031L))
   test("TRIPLE-composition fuzz — PARTITIONED x column_mapping x DV " +
       "with the STREAMING SINK in the loop: sink epochs, renames, DV " +
-      "deletes, partition deletes, COW updates, RESTORE across " +
+      "deletes, partition deletes, MoR updates, RESTORE across " +
       "REPLACE/rename/epoch boundaries, auto-materialization, " +
       s"optimize and vacuum always read back as the model (seed $seed)") {
     import org.apache.spark.sql.streaming.Trigger
@@ -359,7 +359,7 @@ class DvFuzzSpec extends AnyFunSuite {
           val k = rnd.nextInt(3)
           model.filterInPlace { case (_, (_, m)) => m != k }
           spark.sql(s"DELETE FROM $cat.t WHERE m = $k")
-        case 5 => // COW update through the current name
+        case 5 => // merge-on-read UPDATE through the current name
           val live = model.keys.toArray
           if (live.nonEmpty) {
             val ks = (0 until math.min(live.length,
