@@ -92,18 +92,12 @@ object Sessions {
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // multi-key COW group filtering: must run AFTER the optimizer's
-    // "PartitionPruning" batch (where Spark builds the struct-IN it
-    // decomposes), and "User Provided Optimizers" is the only batch
-    // back there — no SparkSessionExtensions injection point lands
-    // after PartitionPruning, so this one rule rides the experimental
-    // hook instead of GraftExtensions
-    if (!spark.experimental.extraOptimizations
-        .contains(org.apache.spark.sql.graft.SplitCowGroupFilter))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations ++ Seq(
-          org.apache.spark.sql.graft.SplitCowGroupFilter,
-          org.apache.spark.sql.graft.InjectDeltaRuntimeFilter)
+    // multi-key COW group filtering + MoR runtime file pruning ride
+    // the experimental hook (no SparkSessionExtensions batch lands
+    // after PartitionPruning). Installed eagerly here, and ALSO
+    // lazily at GraftLakeTable resolution so sessions built outside
+    // this helper get the same rules — one definition, two triggers.
+    graft.engine.GraftLakeTable.ensureRuntimeRules(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -278,6 +278,16 @@ final class GraftLakeDeltaScan(
     GraftLakeDvScan.isolate(singles, dvRefs)
   }
 
+  /** DV-net sizes for join planning INSIDE row-level plans: a MERGE's
+    * target-side scan otherwise inherits raw file-size stats, and a
+    * half-vectored target over-estimates past the broadcast threshold
+    * (same O(DV files) metadata correction as the snapshot scan —
+    * [[GraftLakeDvScan.netStatistics]]). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftLakeDvScan.netStatistics(super.estimateStatistics(), dvRefs,
+      fileIndex, sparkSession.sessionState.newHadoopConf())
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val rowIdx = StructField(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,

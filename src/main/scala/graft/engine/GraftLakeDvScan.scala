@@ -73,6 +73,57 @@ private[engine] object GraftLakeDvScan {
   private def segsOf(dv: Map[String, GraftLakeDvRef]): Int =
     dv.keysIterator.next().count(_ == '/') + 1
 
+  /** DV-NET scan statistics: the file-size estimate `base` counts
+    * bytes of rows pending vectors have already deleted, so join
+    * planning on a heavily-vectored lake over-estimates the build side
+    * and a broadcast-able table shuffles. Subtract each vectored
+    * file's deleted fraction (sidecar position count over footer row
+    * count — both O(DV files), memoized metadata) from the size
+    * estimate. Conservative on any unknown: a failed footer read
+    * leaves that file unadjusted. Shared by the SNAPSHOT scan and the
+    * row-level DELTA scan — a MERGE's target-side scan feeds the same
+    * join planner, and an unadjusted estimate there flips the same
+    * broadcast decisions inside the row-level plan. */
+  def netStatistics(
+      base: org.apache.spark.sql.connector.read.Statistics,
+      dvRefs: Map[String, GraftLakeDvRef],
+      fileIndex: org.apache.spark.sql.execution.datasources
+        .PartitioningAwareFileIndex,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    if (dvRefs.isEmpty || !base.sizeInBytes().isPresent) return base
+    val segs = segsOf(dvRefs)
+    var total = 0L
+    var deleted = 0.0
+    var deletedRows = 0L
+    fileIndex.allFiles().foreach { f =>
+      val len = f.getLen
+      total += len
+      dvRefs.get(tailSegments(f.getPath.toString, segs))
+        .foreach { ref =>
+          val rows = VersionedLake.parquetFileRows(conf, f.getPath)
+          if (rows > 0) {
+            deleted += len.toDouble * math.min(1.0,
+              ref.count.toDouble / rows)
+            deletedRows += math.min(ref.count, rows)
+          }
+        }
+    }
+    if (total <= 0 || deleted <= 0) return base
+    val keep = 1.0 - deleted / total
+    val size = math.max(1L,
+      (base.sizeInBytes().getAsLong * keep).toLong)
+    val rows =
+      if (!base.numRows().isPresent) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(
+        math.max(0L, base.numRows().getAsLong - deletedRows))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
   /** Task-side position load for ONE file: scan exactly the sidecar
     * part files the ref names, with an `entry = E AND file = F`
     * parquet filter (row-group stats + dictionary pages skip foreign

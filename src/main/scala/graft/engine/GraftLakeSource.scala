@@ -991,6 +991,31 @@ final class GraftLakeCatalog
   * extending keeps that rule from matching, so writes stay on the V2
   * path and land in [[GraftLakeWrite]]'s staged-dir + manifest-CAS
   * protocol. */
+object GraftLakeTable {
+  /** Install the two post-PartitionPruning runtime-pruning rules into
+    * THIS session's experimental hook if absent. They cannot ride
+    * `GraftExtensions`: no SparkSessionExtensions injection point
+    * lands after the optimizer's "PartitionPruning" batch (where Spark
+    * builds the struct-IN that [[org.apache.spark.sql.graft
+    * .SplitCowGroupFilter]] decomposes), and "User Provided
+    * Optimizers" is the only batch back there. A session built outside
+    * [[graft.Sessions]] — a user's own builder with just
+    * `spark.sql.extensions` — would silently lose multi-key COW group
+    * pruning AND join-driven MoR file pruning (correctness unaffected,
+    * but a two-key MERGE rewrites dirs both keys could have pruned).
+    * Called at TABLE RESOLUTION: every query that can hit either rule
+    * resolves a GraftLakeTable first, and the optimizer re-reads
+    * `extraOptimizations` per run, so even the resolving query's own
+    * optimization already sees the rules. */
+  private[graft] def ensureRuntimeRules(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(org.apache.spark.sql.graft.SplitCowGroupFilter))
+      spark.experimental.extraOptimizations = cur ++ Seq(
+        org.apache.spark.sql.graft.SplitCowGroupFilter,
+        org.apache.spark.sql.graft.InjectDeltaRuntimeFilter)
+  }
+}
+
 final class GraftLakeTable(tableName: String, spark: SparkSession,
     options: CaseInsensitiveStringMap, paths: Seq[String],
     userSpecifiedSchema: Option[StructType], lakeDir: String, version: Int,
@@ -1002,6 +1027,8 @@ final class GraftLakeTable(tableName: String, spark: SparkSession,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability
+
+  GraftLakeTable.ensureRuntimeRules(spark)
 
   private val snapshotVersion = version // FileTable.version() shadows inside the delegate
   private val delegate: ParquetTable =
@@ -2164,41 +2191,9 @@ final class GraftLakeParquetScan(
     * file unadjusted. The default pending bound caps how wrong the
     * unadjusted estimate could ever get; this makes it right. */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
-    val base = super.estimateStatistics()
-    if (dvRefs.isEmpty || !base.sizeInBytes().isPresent) return base
-    val segs = dvRefs.keysIterator.next().count(_ == '/') + 1
-    val conf = sparkSession.sessionState.newHadoopConf()
-    var total = 0L
-    var deleted = 0.0
-    var deletedRows = 0L
-    fileIndex.allFiles().foreach { f =>
-      val len = f.getLen
-      total += len
-      dvRefs.get(GraftLakeDvScan.tailSegments(f.getPath.toString, segs))
-        .foreach { ref =>
-          val rows = VersionedLake.parquetFileRows(conf, f.getPath)
-          if (rows > 0) {
-            deleted += len.toDouble * math.min(1.0,
-              ref.count.toDouble / rows)
-            deletedRows += math.min(ref.count, rows)
-          }
-        }
-    }
-    if (total <= 0 || deleted <= 0) return base
-    val keep = 1.0 - deleted / total
-    val size = math.max(1L,
-      (base.sizeInBytes().getAsLong * keep).toLong)
-    val rows =
-      if (!base.numRows().isPresent) java.util.OptionalLong.empty()
-      else java.util.OptionalLong.of(
-        math.max(0L, base.numRows().getAsLong - deletedRows))
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(size)
-      override def numRows(): java.util.OptionalLong = rows
-    }
-  }
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftLakeDvScan.netStatistics(super.estimateStatistics(), dvRefs,
+      fileIndex, sparkSession.sessionState.newHadoopConf())
 }
 
 /** Version offset: the stream's progress IS a published lake version. */

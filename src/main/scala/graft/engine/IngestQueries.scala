@@ -3253,6 +3253,84 @@ object IngestQueries {
                |       ROUND(SUM(value), 2) AS total_value
                |FROM glake_q224.`$name`
                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    QuerySpec(
+      "q225_mor_merge_nmbs",
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 500 = 7 THEN value * 10
+        |              WHEN event_id % 11 = 3 THEN 0.0
+        |              ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 500 = 7 OR event_id % 13 <> 4),
+        |ins AS (
+        |  SELECT DISTINCT -event_id - 1 AS event_id,
+        |         'merged' AS event_type, 1.0 AS value
+        |  FROM events WHERE event_id % 1000 = 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // WHEN NOT MATCHED BY SOURCE on the merge-on-read path: ALL
+      // FIVE clause families in ONE commit — matched update,
+      // not-matched insert, NMBS delete and NMBS update (first-match
+      // clause order: a row deleted by the %13 clause never reaches
+      // the %11 update). Spark plans the target-source join FULL
+      // OUTER for this variant, so no data filter and no join-driven
+      // runtime file pruning reaches the target scan — a pruned
+      // file's rows are all unmatched-by-source and would be silently
+      // skipped (GraftLakeNmbsSpec pins the plan shape; this query
+      // pins the semantics against a DuckDB CASE/WHERE replay, where
+      // a skipped unmatched row breaks the hash).
+      val root = scratchRoot
+      val name = s"mornmbs_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q225",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q225.root", root)
+      Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("ev_q225")
+      s.sql(s"""CREATE TABLE glake_q225.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM ev_q225""".stripMargin)
+      s.sql("""SELECT DISTINCT event_id FROM ev_q225
+              |WHERE event_id % 500 = 7
+              |UNION ALL
+              |SELECT DISTINCT -event_id - 1 AS event_id FROM ev_q225
+              |WHERE event_id % 1000 = 3""".stripMargin)
+        .createOrReplaceTempView("src_q225")
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def dirs(): Set[String] = f.listStatus(
+        new org.apache.hadoop.fs.Path(lake)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      val before = dirs()
+      s.sql(
+        s"""MERGE INTO glake_q225.`$name` AS t USING src_q225 AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = t.value * 10
+           |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+           |  VALUES (s.event_id, 'merged', CAST(1.0 AS DOUBLE))
+           |WHEN NOT MATCHED BY SOURCE AND t.event_id % 13 = 4
+           |  THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.event_id % 11 = 3
+           |  THEN UPDATE SET value = CAST(0.0 AS DOUBLE)
+           |""".stripMargin)
+      val after = dirs()
+      require(before.subsetOf(after),
+        "NMBS merge-on-read must keep every original dir live")
+      require(after.diff(before).size == 1,
+        s"expected ONE appended dir, got ${after.diff(before)}")
+      val tip = VersionedLake.tip(s, lake).get
+      require(VersionedLake.isDvCommit(s, lake, tip),
+        "the NMBS MERGE commit must bind a positions sidecar")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               |       ROUND(SUM(value), 2) AS total_value
+               |FROM glake_q225.`$name`
+               |GROUP BY event_type ORDER BY event_type""".stripMargin)
     })
 
   // q185 staged z-ordered versioned lake ----------------------------------

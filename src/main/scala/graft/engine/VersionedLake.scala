@@ -2280,18 +2280,34 @@ object VersionedLake {
     * pure-DELETE shape ([[deleteVectors]]' commit form), adds-only is
     * an insert-only MERGE (plain checked append, no marker).
     *
-    * Serializable with the SAME three refusals as the COW publish,
-    * for the same reasons — the write was computed from a scan that
-    * already happened and cannot absorb concurrency by retrying:
+    * Concurrency: the write was computed from a scan that already
+    * happened and cannot absorb an arbitrary interleaving by looping,
+    * so two refusals stay unconditional —
     *  - a touched entry left the tip (a rewrite carried the rows this
     *    commit deletes as survivors — publishing resurrects/ghosts);
-    *  - a dir appeared the snapshot never saw (it may hold rows
-    *    matching the operation's condition);
-    *  - a DV commit landed after `observedV` (its positions may
-    *    overlap this commit's — double-reported deletes).
+    *  - a NON-row-level commit changed the live dir set (an append/
+    *    overwrite may hold rows matching the operation's condition).
+    * A concurrent ROW-LEVEL (`#dv`) commit, however, is ADJUDICATED by
+    * footprint instead of refused outright — the frequent-small-
+    * corrections shape (two disjoint-key UPDATEs) serializes without
+    * caller-level retries: its positions are compared to ours (entry-
+    * set screen first — O(touched files) metadata — then an exact
+    * position semi-join only when entries overlap), and its appended
+    * dirs are tolerated in the fresh-dir check. OVERLAPPING positions
+    * still refuse loudly (the concurrent commit deleted/rewrote a row
+    * this operation also acts on — a lost update; the rewritten rows
+    * are already staged and cannot be unpicked without a rescan).
+    * Isolation: position-disjoint commits against a concurrent pure
+    * DELETE serialize exactly; against a concurrent UPDATE/MERGE the
+    * rows IT appended are not re-scanned against our condition —
+    * write-snapshot isolation, Delta's WriteSerializable default.
+    * Attempts are bounded; the final failure is loud.
+    *
     * The staged sidecar dir renames to its version-bound name inside
     * the CAS loop (the name embeds the version); a lost race's next
-    * attempt renames it forward again. */
+    * attempt renames it forward again, and a REFUSAL after a rename
+    * puts it back on the stage path so the caller's cleanup covers it
+    * (a version-named but unbound sidecar would orphan until vacuum). */
   private[graft] def publishDvDelta(spark: SparkSession, dir: String,
       observedV: Int, snapshot: Set[String], touched: Seq[String],
       added: Seq[String], stagedPos: Option[Path], uuid: String,
@@ -2301,26 +2317,80 @@ object VersionedLake {
     val f = fs(spark, dir)
     var sidecarAt = stagedPos
     var committed = -1
+    val ourEntries = touched.toSet
+    // concurrent-commit adjudication state: versions at or below
+    // `adjudicatedTo` have been checked (re-checking per CAS attempt
+    // would be O(attempts x concurrent commits)); `toleratedAdds`
+    // accumulates dirs appended by tolerated row-level commits
+    var adjudicatedTo = observedV
+    val toleratedAdds = scala.collection.mutable.Set.empty[String]
+    var attempts = 0
+    def refuse(msg: String): Nothing = {
+      // ADVICE r19: a lost CAS race may have renamed the sidecar to a
+      // version-bound name already — restore the stage path before
+      // rethrowing so the caller's stage-dir cleanup reaches it
+      (sidecarAt, stagedPos) match {
+        case (Some(cur), Some(orig)) if cur != orig =>
+          if (!f.rename(cur, orig)) f.delete(cur, true)
+          sidecarAt = stagedPos
+        case _ => ()
+      }
+      throw new java.util.ConcurrentModificationException(msg)
+    }
     while (committed < 0) {
+      attempts += 1
+      if (attempts > 32)
+        refuse(s"merge-on-read publish on $dir lost $attempts CAS " +
+          "races — the lake is under write contention this commit " +
+          "cannot outrun; retry the operation")
       val prevTip = tip(spark, dir).getOrElse(
         throw new IllegalStateException(s"no versions published at $dir"))
-      ((observedV + 1) to prevTip).foreach { k =>
-        if (isDvCommit(spark, dir, k))
-          throw new java.util.ConcurrentModificationException(
-            s"merge-on-read conflict on $dir: deletion-vector commit " +
-              s"v$k landed after this operation's scan (its positions " +
-              "may overlap); retry against the new snapshot")
+      ((adjudicatedTo + 1) to prevTip).foreach { k =>
+        val lines = readManifestLines(spark, dir, k)
+        dvUuidOf(lines).foreach { u =>
+          // concurrent row-level commit: tolerable iff its delete
+          // footprint provably cannot overlap ours
+          val overlapCandidates =
+            sidecarAt.nonEmpty && ourEntries.nonEmpty && {
+              val theirEntries = spark.read
+                .parquet(s"$dir/_deletes/v$k-$u")
+                .select("entry").distinct().collect()
+                .map(_.getString(0)).toSet
+              theirEntries.exists(ourEntries)
+            }
+          if (overlapCandidates) {
+            // exact check, shuffle-side (never per-row on the driver):
+            // O(both commits' changed rows)
+            val ours = spark.read.parquet(sidecarAt.get.toString)
+              .select("entry", "file", "pos")
+            val theirs = spark.read.parquet(s"$dir/_deletes/v$k-$u")
+              .select("entry", "file", "pos")
+            if (ours.join(theirs, Seq("entry", "file", "pos"),
+                "left_semi").limit(1).count() > 0)
+              refuse(s"merge-on-read conflict on $dir: row-level " +
+                s"commit v$k deleted or rewrote positions this " +
+                "operation also acts on (a lost update); retry " +
+                "against the new snapshot")
+          }
+          // its appended dirs (rewritten/inserted rows) are tolerated
+          // in the fresh-dir screen below
+          parseManifest(lines)._1 match {
+            case Left((adds, _)) => toleratedAdds ++= adds
+            case Right(_) => ()
+          }
+        }
       }
+      adjudicatedTo = prevTip
       val tip0 = readManifest(spark, dir, prevTip)
       val gone = touched.toSet.diff(tip0.toSet)
       if (gone.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
+        refuse(
           s"merge-on-read conflict on $dir: dirs ${gone.mkString(", ")} " +
             "were rewritten by a concurrent commit after this " +
             "operation scanned them; retry against the new snapshot")
-      val fresh = tip0.toSet.diff(snapshot)
+      val fresh = tip0.toSet.diff(snapshot).diff(toleratedAdds)
       if (fresh.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
+        refuse(
           s"merge-on-read conflict on $dir: dirs ${fresh.mkString(", ")} " +
             "were appended by a concurrent commit after this " +
             "operation's snapshot — they may hold rows matching the " +

@@ -36,7 +36,10 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * `spark.experimental.extraOptimizations` ("User Provided
   * Optimizers" is the one batch that runs AFTER "PartitionPruning",
   * where Spark builds the struct-IN — no SparkSessionExtensions
-  * injection point lands there). */
+  * injection point lands there). Installed by [[graft.Sessions]] AND
+  * lazily at every [[graft.engine.GraftLakeTable]] resolution
+  * (GraftLakeTable.ensureRuntimeRules), so extension-only sessions
+  * get the rule the moment they first touch a lake table. */
 object SplitCowGroupFilter extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {

@@ -32,6 +32,7 @@ class DvFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     val model = scala.collection.mutable.Map.empty[Long, Double]
     var nextId = 0L
+    var merges = 0
     // (version, model snapshot) at recording time
     val recorded = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Map[Long, Double])]
@@ -47,7 +48,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 36).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // INSERT a fresh batch
           val n = 50 + rnd.nextInt(150)
           val rows = (0 until n).map { _ =>
@@ -97,6 +98,39 @@ class DvFuzzSpec extends AnyFunSuite {
             model.clear()
             model ++= snap
           }
+        case 7 => // MERGE: matched-update + matched-delete +
+          // not-matched-insert in ONE merge-on-read commit (both
+          // halves of the publish plus inserts — the hardest commit
+          // path, interleaving with every other op here)
+          val live = model.keys.toArray
+          val picked =
+            if (live.isEmpty) Seq.empty[Long]
+            else (0 until (1 + rnd.nextInt(25)))
+              .map(_ => live(rnd.nextInt(live.length))).distinct
+          val (delKs, updKs) = picked.partition(_ => rnd.nextInt(4) == 0)
+          val insRows = (0 until (5 + rnd.nextInt(25))).map { _ =>
+            val id = nextId; nextId += 1
+            (id, rnd.nextInt(1000).toDouble)
+          }
+          val src = updKs.map(k => (k, model(k) + 5000.0, "u")) ++
+            delKs.map(k => (k, 0.0, "d")) ++
+            insRows.map { case (id, nv) => (id, nv, "i") }
+          if (src.nonEmpty) {
+            merges += 1
+            updKs.foreach(k => model(k) = model(k) + 5000.0)
+            delKs.foreach(model.remove)
+            insRows.foreach { case (id, nv) => model(id) = nv }
+            import spark.implicits._
+            src.toDF("id", "nv", "act")
+              .createOrReplaceTempView("gldvfz_mrg")
+            spark.sql(
+              s"""MERGE INTO $cat.t AS t USING gldvfz_mrg AS s
+                 |ON t.id = s.id
+                 |WHEN MATCHED AND s.act = 'd' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET v = s.nv
+                 |WHEN NOT MATCHED THEN INSERT (id, v)
+                 |VALUES (s.id, s.nv)""".stripMargin)
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
@@ -142,6 +176,7 @@ class DvFuzzSpec extends AnyFunSuite {
       assert(math.abs(baseS + netS - model.values.sum) < 1e-6,
         s"netted feed sum ${baseS + netS} != model ${model.values.sum}")
     }
+    assert(merges > 0, s"seed $seed never merged — pick another seed")
   }
 
   for (seed <- Seq(612L, 4242L))
@@ -165,6 +200,7 @@ class DvFuzzSpec extends AnyFunSuite {
     var vName = "v"
     var renames = 0
     var restores = 0
+    var merges = 0
     // (version, model snapshot, value-column name) at recording time —
     // a restore rolls the DECLARED SCHEMA back too, so the column name
     // is part of the restored state
@@ -182,7 +218,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 | 1 => // INSERT a fresh batch under the CURRENT name
           val n = 40 + rnd.nextInt(120)
           val rows = (0 until n).map { _ =>
@@ -251,6 +287,38 @@ class DvFuzzSpec extends AnyFunSuite {
               vName = name
             }
           }
+        case 8 => // MERGE through the CURRENT column name — both
+          // publish halves + inserts, across rename eras (the scan
+          // and the staged rewrite must both bind by field id)
+          val live = model.keys.toArray
+          val picked =
+            if (live.isEmpty) Seq.empty[Long]
+            else (0 until (1 + rnd.nextInt(20)))
+              .map(_ => live(rnd.nextInt(live.length))).distinct
+          val (delKs, updKs) = picked.partition(_ => rnd.nextInt(4) == 0)
+          val insRows = (0 until (5 + rnd.nextInt(20))).map { _ =>
+            val id = nextId; nextId += 1
+            (id, rnd.nextInt(1000).toDouble)
+          }
+          val src = updKs.map(k => (k, model(k) + 5000.0, "u")) ++
+            delKs.map(k => (k, 0.0, "d")) ++
+            insRows.map { case (id, nv) => (id, nv, "i") }
+          if (src.nonEmpty) {
+            merges += 1
+            updKs.foreach(k => model(k) = model(k) + 5000.0)
+            delKs.foreach(model.remove)
+            insRows.foreach { case (id, nv) => model(id) = nv }
+            import spark.implicits._
+            src.toDF("id", "nv", "act")
+              .createOrReplaceTempView("gldvmfz_mrg")
+            spark.sql(
+              s"""MERGE INTO $cat.t AS t USING gldvmfz_mrg AS s
+                 |ON t.id = s.id
+                 |WHEN MATCHED AND s.act = 'd' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET `$vName` = s.nv
+                 |WHEN NOT MATCHED THEN INSERT (id, `$vName`)
+                 |VALUES (s.id, s.nv)""".stripMargin)
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
@@ -260,6 +328,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
     assert(renames > 0, s"seed $seed never renamed — pick another seed")
     assert(restores > 0, s"seed $seed never restored — pick another seed")
+    assert(merges > 0, s"seed $seed never merged — pick another seed")
   }
 
   for (seed <- Seq(90210L, 3031L))
@@ -292,6 +361,7 @@ class DvFuzzSpec extends AnyFunSuite {
     var sinkEpochs = 0
     var replaces = 0
     var restores = 0
+    var merges = 0
     // (version, model snapshot, value-column name): restore rolls the
     // declared schema back with the data, possibly across a REPLACE
     // boundary (a different id epoch) — the composition class where
@@ -325,7 +395,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 34).foreach { step =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // batch INSERT under the CURRENT name
           import spark.implicits._
           freshRows(40 + rnd.nextInt(100))
@@ -406,6 +476,42 @@ class DvFuzzSpec extends AnyFunSuite {
               vName = name
             }
           }
+        case 10 => // MERGE across partitions, rename eras AND id
+          // epochs: matched-update keeps the row's leaf, matched-
+          // delete vectors it, not-matched-insert routes to its own
+          // leaf — one commit, interleaving with sink epochs,
+          // REPLACE and RESTORE
+          val live = model.keys.toArray
+          val picked =
+            if (live.isEmpty) Seq.empty[Long]
+            else (0 until (1 + rnd.nextInt(20)))
+              .map(_ => live(rnd.nextInt(live.length))).distinct
+          val (delKs, updKs) = picked.partition(_ => rnd.nextInt(4) == 0)
+          val insRows = (0 until (5 + rnd.nextInt(20))).map { _ =>
+            val id = nextId; nextId += 1
+            (id, rnd.nextInt(1000).toDouble, (id % 3).toInt)
+          }
+          val src = updKs.map(k =>
+            (k, model(k)._1 + 5000.0, model(k)._2, "u")) ++
+            delKs.map(k => (k, 0.0, model(k)._2, "d")) ++
+            insRows.map { case (id, nv, m) => (id, nv, m, "i") }
+          if (src.nonEmpty) {
+            merges += 1
+            updKs.foreach(k =>
+              model(k) = (model(k)._1 + 5000.0, model(k)._2))
+            delKs.foreach(model.remove)
+            insRows.foreach { case (id, nv, m) => model(id) = (nv, m) }
+            import spark.implicits._
+            src.toDF("id", "nv", "m", "act")
+              .createOrReplaceTempView("gldvtfz_mrg")
+            spark.sql(
+              s"""MERGE INTO $cat.t AS t USING gldvtfz_mrg AS s
+                 |ON t.id = s.id
+                 |WHEN MATCHED AND s.act = 'd' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET `$vName` = s.nv
+                 |WHEN NOT MATCHED THEN INSERT (id, `$vName`, m)
+                 |VALUES (s.id, s.nv, s.m)""".stripMargin)
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
@@ -417,5 +523,6 @@ class DvFuzzSpec extends AnyFunSuite {
     assert(sinkEpochs > 0, s"seed $seed never streamed — pick another")
     assert(replaces > 0, s"seed $seed never replaced — pick another")
     assert(restores > 0, s"seed $seed never restored — pick another seed")
+    assert(merges > 0, s"seed $seed never merged — pick another seed")
   }
 }

@@ -463,15 +463,166 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
           None)
       }
       assert(e.getMessage.contains("appended by a concurrent commit"))
-      // and a DV commit after the observed version refuses too
+      // a concurrent ROW-LEVEL commit is ADJUDICATED by footprint:
+      // OVERLAPPING positions refuse (a lost update) — and the
+      // refusal restores a version-renamed sidecar to its stage path
+      // so the caller's cleanup covers it (no on-disk orphan)
       val observed2 = VersionedLake.tip(spark, dir).get
       val snap2 = VersionedLake.manifestEntries(spark, dir, observed2)
       spark.sql(s"DELETE FROM $cat.t WHERE id IN (1, 2, 3)")
+      val f = fsOf(dir)
+      val theirSidecar = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_deletes"))
+        .map(_.getPath).filter(_.getName.startsWith("v")).head
+      val theirs = spark.read.parquet(theirSidecar.toString)
+      val mkStage = (name: String, df: org.apache.spark.sql.DataFrame)
+          => {
+        val p = s"$dir/_deletes/stage-$name"
+        df.coalesce(1).write.parquet(p)
+        new org.apache.hadoop.fs.Path(p)
+      }
+      val overlapStage = mkStage("abcdef123457", theirs)
       val e2 = intercept[java.util.ConcurrentModificationException] {
         VersionedLake.publishDvDelta(spark, dir, observed2, snap2.toSet,
-          snap2, Seq("d-bogus"), None, "abcdef123457", None)
+          snap2, Seq.empty, Some(overlapStage), "abcdef123457", None)
       }
-      assert(e2.getMessage.contains("deletion-vector commit"))
+      assert(e2.getMessage.contains("lost update"), e2.getMessage)
+      assert(f.exists(overlapStage),
+        "a refusal must leave the sidecar on its STAGE path")
+      f.delete(overlapStage, true)
+      // DISJOINT positions auto-serialize: the same shape with
+      // non-overlapping positions (real addresses of OTHER rows, via
+      // the row-address metadata columns) publishes WITHOUT a caller
+      // retry
+      val disjointStage = mkStage("abcdef123458",
+        spark.sql(s"SELECT __graft_file AS fkey, __graft_pos AS pos " +
+          s"FROM $cat.t WHERE id IN (501, 502, 503)")
+          .selectExpr("substring_index(fkey, '/', 1) AS entry",
+            "substring_index(fkey, '/', -1) AS file", "pos"))
+      val tipBefore = VersionedLake.tip(spark, dir).get
+      val committed = VersionedLake.publishDvDelta(spark, dir,
+        observed2, snap2.toSet, snap2, Seq.empty, Some(disjointStage),
+        "abcdef123458", None)
+      assert(committed == tipBefore + 1,
+        "disjoint-position row-level commits must auto-serialize")
+      // both vectors applied: ids 1,2,3 (theirs) + 501,502,503 (ours)
+      assert(spark.table(s"$cat.t").count() == 1100 - 6)
+    }
+  }
+
+  test("CONCURRENT disjoint-key UPDATEs both land without caller " +
+      "retries: the merge-on-read publish adjudicates the other's " +
+      "footprint (position semi-join) instead of refusing, and the " +
+      "serialized result is exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tempDir("gldop-race")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 2000)")
+      val dir = s"$root/t"
+      val v0 = VersionedLake.tip(spark, dir).get
+      // the frequent-small-corrections shape: two writers, disjoint
+      // key sets (same files — entry-level screening is NOT enough,
+      // the exact position check must admit them)
+      val race = Future.sequence(Seq(
+        Future(spark.sql(
+          s"UPDATE $cat.t SET v = v + 10000.0 WHERE id % 4 = 0")),
+        Future(spark.sql(
+          s"UPDATE $cat.t SET v = v + 20000.0 WHERE id % 4 = 1"))))
+      Await.result(race, 180.seconds) // either throwing fails the test
+      assert(VersionedLake.tip(spark, dir).get == v0 + 2,
+        "both updates must publish exactly one version each")
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 2000)
+      assert(t.filter(col("id") % 4 === 0 &&
+        col("v") =!= col("id") + 10000.0).count() == 0)
+      assert(t.filter(col("id") % 4 === 1 &&
+        col("v") =!= col("id") + 20000.0).count() == 0)
+      assert(t.filter(col("id") % 4 >= 2 &&
+        col("v") =!= col("id").cast("double")).count() == 0,
+        "untouched keys must keep their values")
+    }
+  }
+
+  test("DV-NET statistics reach the DELTA scan: the optimized " +
+      "row-level plan's target estimate shrinks with the deleted " +
+      "fraction (Spark forbids broadcasting the target itself — " +
+      "no_broadcast_and_replication — so the stats ARE the evidence)") {
+    val root = tempDir("gldop-stats")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v, repeat('x', 64) AS pad " +
+        "FROM range(0, 40000)")
+      spark.range(0, 3000)
+        .selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS nv")
+        .write.parquet(s"$root/src")
+      spark.read.parquet(s"$root/src")
+        .createOrReplaceTempView("gldop_stats_src")
+      @volatile var captured
+          : Option[org.apache.spark.sql.execution.QueryExecution] = None
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (qe.executedPlan.getClass.getSimpleName
+              .startsWith("WriteDelta"))
+            captured = Some(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      // the target-side relation estimate INSIDE the captured
+      // row-level plan, plus the join hint Spark stamps on it
+      def mergeOnce(): (Long, String) = {
+        captured = None
+        spark.sql(s"""MERGE INTO $cat.t AS t USING gldop_stats_src AS s
+                     |ON t.id = s.k
+                     |WHEN MATCHED THEN UPDATE SET v = s.nv
+                     |""".stripMargin)
+        val deadline = System.currentTimeMillis() + 10000
+        while (captured.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        val qe = captured.getOrElse(fail(
+          "listener captured no delta-write plan"))
+        var est = -1L
+        var hint = ""
+        qe.optimizedPlan.foreach {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation
+              if r.scan.isInstanceOf[GraftLakeDeltaScan] =>
+            est = r.stats.sizeInBytes.toLong
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            hint = j.hint.toString
+          case _ => ()
+        }
+        assert(est > 0, "no delta-scan relation in the optimized plan")
+        (est, hint)
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val (rawEst, hint) = mergeOnce()
+        // Spark itself forbids broadcasting/replicating a row-level
+        // TARGET (each replica would re-emit the same row ops) — the
+        // estimate's consumers are everything else join planning
+        // weighs: build-side choice, reorder, AQE thresholds
+        assert(hint.contains("no_broadcast_and_replication"), hint)
+        // vector 90% of the rows away — bytes stay on disk, the
+        // exact over-estimate hazard this override removes
+        spark.sql(s"DELETE FROM $cat.t WHERE id % 10 != 3")
+        val (netEst, _) = mergeOnce()
+        assert(netEst * 5 < rawEst,
+          s"delta-scan estimate did not net the deleted fraction: " +
+            s"$netEst vs raw $rawEst")
+        // and the merges themselves were exact
+        val t = spark.table(s"$cat.t")
+        assert(t.count() == 4000)
+        assert(t.filter(col("id") < 3000 && col("v") =!= -1.0)
+          .count() == 0, "matched rows must carry the merge value")
+      } finally spark.listenerManager.unregister(listener)
     }
   }
 }

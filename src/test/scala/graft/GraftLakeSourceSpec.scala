@@ -1125,4 +1125,55 @@ class GraftLakeSourceSpec extends AnyFunSuite {
         Map(GraftLakeDataSource.MaxVersionsPerTrigger -> "1"))
         .map(_._2) == Seq(10L, 10L, 10L))
   }
+
+  test("EXTENSION-ONLY sessions get the runtime-pruning rules at " +
+      "table resolution: a two-key MERGE on a fresh newSession() — " +
+      "never built by graft.Sessions — still prunes both dimensions") {
+    val root = tempDir("glsrc-extpar")
+    val dir = s"$root/lake"
+    // a session the way a user would build it: extensions conf only,
+    // no call into graft.Sessions — its experimental hook starts EMPTY
+    // (newSession() mints a fresh SessionState, no parent clone)
+    val s2 = spark.newSession()
+    assert(s2.experimental.extraOptimizations.isEmpty,
+      "precondition: a fresh session carries no experimental rules")
+    val cat = "glextp"
+    s2.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // same 2x2 disjoint (a, b) tiling as the multi-attribute COW spec:
+    // only the per-attribute split rule lets the struct-IN translate,
+    // so without the rules a (a, b)-keyed MERGE rewrites extra tiles
+    def tile(aLo: Long, bLo: Long) =
+      spark.range(0L, 100L).toDF("id")
+        .selectExpr(s"id + $aLo AS a", s"id + $bLo AS b",
+          "CAST(1.0 AS DOUBLE) AS v")
+    Seq((0L, 0L), (0L, 100L), (100L, 0L), (100L, 100L)).foreach {
+      case (aLo, bLo) =>
+        VersionedLake.commitIndexed(tile(aLo, bLo), dir,
+          Seq("a", "b"), None)
+    }
+    val before = VersionedLake.manifestEntries(spark, dir, 4)
+    s2.sql("SELECT 5L AS a, 105L AS b")
+      .createOrReplaceTempView("glextp_src")
+    s2.sql(s"""MERGE INTO $cat.lake AS t USING glextp_src AS s
+              |ON t.a = s.a AND t.b = s.b
+              |WHEN MATCHED THEN UPDATE SET v = 2.0""".stripMargin)
+    // the resolution installed BOTH rules into s2's experimental hook
+    assert(s2.experimental.extraOptimizations.contains(
+      org.apache.spark.sql.graft.SplitCowGroupFilter) &&
+      s2.experimental.extraOptimizations.contains(
+        org.apache.spark.sql.graft.InjectDeltaRuntimeFilter),
+      "table resolution must install the runtime-pruning rules")
+    // and the MERGE itself already ran WITH them: three of four tiles
+    // carried by reference (two-dimension pruning), result exact
+    val after = VersionedLake.manifestEntries(spark, dir, 5)
+    assert(before.count(after.contains) == 3,
+      s"two-key pruning must carry three tiles; before=$before " +
+        s"after=$after")
+    val rows = VersionedLake.readLatest(spark, dir)
+    assert(rows.count() == 400)
+    assert(rows.filter(col("a") === 5L && col("b") === 105L)
+      .head().getAs[Double]("v") == 2.0)
+  }
 }
