@@ -500,9 +500,35 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
   extends DeltaWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
+  /** TRANSACTIONAL COMMIT TAG (Delta's txnAppId/txnVersion shape for
+    * SQL DML): when the session conf `spark.graft.lake.commitTag` is
+    * set, this row-level commit joins the lake's tag discipline — the
+    * tag becomes the data-dir name and the sidecar binding, a replay
+    * whose tag already published commits NOTHING (checked against the
+    * `_tags/` marker + manifest membership), and the marker is written
+    * after the publish. This is the exactly-once seam for streaming
+    * CDC apply via MERGE INTO in foreachBatch: tag = f(batchId), and a
+    * checkpoint-replayed batch no-ops at the lake instead of
+    * double-applying. No '-' in tags: the sidecar name parses its
+    * version prefix on '-'. */
+  private val commitTag: Option[String] = {
+    val t = SparkSession.active.conf
+      .get("spark.graft.lake.commitTag", "")
+    if (t.isEmpty) None
+    else {
+      require(t.matches("[A-Za-z0-9_]+"), s"unsafe commit tag '$t' " +
+        "(letters, digits, underscore only)")
+      // the tag's manifest face is a DERIVED stable 12-hex uuid — the
+      // sidecar name contract (`v<N>-<12 hex>`) would silently refuse
+      // a raw tag and the delete half would never apply
+      // ([[VersionedLake.commitTagUuid]])
+      Some(VersionedLake.commitTagUuid(t))
+    }
+  }
+
   // hex uuid: doubles as the data-dir tag and the sidecar binding
-  private val uuid =
-    java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+  private val uuid = commitTag.getOrElse(
+    java.util.UUID.randomUUID.toString.replace("-", "").take(12))
   private val dataDir = s"d-$uuid"
   // NOT dot-prefixed: Spark's listings treat hidden path components as
   // non-data and the driver commit reads the staged parts back with a
@@ -515,6 +541,23 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
     lakeDir)
   private val mapped = GraftLakeMapping.enabled(SparkSession.active,
     lakeDir)
+
+  // a TAGGED write's staging paths are deterministic (the tag, not a
+  // fresh uuid) — sweep a CRASHED earlier attempt's leftovers before
+  // staging, or its torn parts would mix into (or block) this one.
+  // Never when the tag already PUBLISHED: d-<tag> is then live data,
+  // and commit() will no-op the replay without touching it.
+  commitTag.foreach { t =>
+    val spark = SparkSession.active
+    if (!VersionedLake.tagPublished(spark, lakeDir, t)) {
+      val f = new Path(lakeDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      f.delete(new Path(s"$lakeDir/$dataDir"), true)
+      f.delete(new Path(s"$lakeDir/_deletes/stage-$uuid"), true)
+      f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+      ()
+    }
+  }
 
   /** The data half's staging write: plain parquet on a flat lake, the
     * dynamic-partition writer (hive `c=v` leaves, one manifest entry
@@ -579,6 +622,22 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
       val spark = SparkSession.active
       val f = new Path(lakeDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      // exactly-once replay: this tag already published (a checkpoint
+      // replay re-offered the batch) — commit NOTHING. Checked at
+      // commit rather than plan time so the decision is made against
+      // the lake's durable state, not a cache. Clean ONLY the
+      // replay's own residue: its staged positions parts and the
+      // uncommitted task-attempt files under the data dir's
+      // _temporary (the job commit that would move them into place is
+      // exactly what we are skipping). The data dir itself and the
+      // change sidecar are the ORIGINAL commit's LIVE artifacts —
+      // deleting them here would hollow out the published version.
+      if (commitTag.exists(t =>
+          VersionedLake.tagPublished(spark, lakeDir, t))) {
+        f.delete(new Path(s"$lakeDir/_deletes/stage-$uuid"), true)
+        f.delete(new Path(s"$lakeDir/$dataDir/_temporary"), true)
+        return
+      }
       val dms = msgs.map(_.asInstanceOf[GraftLakeDeltaCommitMsg])
       val innerMsgs = dms.flatMap(_.inner)
       innerBatch.foreach(b =>
@@ -640,6 +699,8 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
           op.observedVersion, op.snapshotDirs, touched, addedEntries,
           if (winners.isEmpty) None else Some(stage), uuid,
           Some(table.schema().json))
+        commitTag.foreach(t =>
+          VersionedLake.writeTagMarker(spark, lakeDir, t))
       } catch { case e: Throwable =>
         // a refused publish leaves NOTHING bound: drop the stagings so
         // they cannot be mistaken for live state (the change dir is

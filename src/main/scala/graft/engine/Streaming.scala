@@ -224,6 +224,66 @@ object Streaming {
     drain(q, s"cdc apply into $root")
   }
 
+  /** Streaming CDC apply via SQL `MERGE INTO` on a DELETION-VECTOR
+    * lake — the merge-on-read regime: each micro-batch resolves
+    * per-key winners ([[Cdc.merge]]'s q154 rules: highest seq wins,
+    * delete-over-update, update-after-insert upserts, unknown-update
+    * drops) and applies them as ONE row-level commit — a positions
+    * sidecar plus an O(changed rows) append, never the whole-snapshot
+    * overwrite [[cdcApplyVersioned]] publishes per batch. At 100 TB
+    * this is THE difference between a CDC stream that writes
+    * O(changes) per batch and one that rewrites the lake per batch.
+    * Exactly-once: the batch id becomes the lake's commit tag
+    * (`spark.graft.lake.commitTag`, the Delta txnAppId shape), so a
+    * checkpoint-replayed batch no-ops at the lake — enforced at the
+    * MoR publish itself, not just the foreachBatch screen. */
+  def cdcApplyMergeOnRead(changes: DataFrame, tableRef: String,
+      lake: String, checkpoint: String, keyCol: String, seqCol: String,
+      opCol: String, payloadCols: Seq[String]): Unit = {
+    require(payloadCols.nonEmpty, "apply needs at least one payload column")
+    val q = changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"cdcb$id"
+        // the same derived identity the MoR publish will stamp — the
+        // screen and the publish must agree on what "already applied"
+        // means
+        if (!VersionedLake.tagPublished(spark, lake,
+            VersionedLake.commitTagUuid(tag))) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(col(seqCol).desc)
+          val hasI = batch.filter(col(opCol) === "I")
+            .select(keyCol).distinct().withColumn("_has_i", lit(true))
+          val view = s"graft_cdc_mor_$tag"
+          batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+            .join(broadcast(hasI), Seq(keyCol), "left")
+            .withColumn("_has_i", coalesce(col("_has_i"), lit(false)))
+            .createOrReplaceTempView(view)
+          val sets = payloadCols.map(c => s"$c = s.$c").mkString(", ")
+          val insCols = (keyCol +: payloadCols).mkString(", ")
+          val insVals = (keyCol +: payloadCols).map("s." + _)
+            .mkString(", ")
+          spark.conf.set("spark.graft.lake.commitTag", tag)
+          try spark.sql(
+            s"""MERGE INTO $tableRef AS t USING $view AS s
+               |ON t.$keyCol = s.$keyCol
+               |WHEN MATCHED AND s.$opCol = 'D' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET $sets
+               |WHEN NOT MATCHED AND (s.$opCol = 'I' OR
+               |  (s.$opCol = 'U' AND s._has_i))
+               |  THEN INSERT ($insCols) VALUES ($insVals)
+               |""".stripMargin)
+          finally spark.conf.unset("spark.graft.lake.commitTag")
+          ()
+        }
+      }
+      .start()
+    drain(q, s"cdc merge-on-read apply into $lake")
+  }
+
   /** Shared read tail for both event streams — ONE definition of the
     * schema probe + ts normalization, so the clean and redelivered
     * streams cannot silently diverge (q71 compares them via one

@@ -517,7 +517,101 @@ object StreamingQueries {
       VersionedLake.readLatest(s, s"$root/lake")
         .select(col("k").as("o_orderkey"), col("price_cents"))
         .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "q226_stream_cdc_mor",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |       CASE WHEN k % 3 = 0 THEN (cents * 110) // 100
+        |            WHEN k % 3 = 1 THEN (cents * 120) // 100
+        |            ELSE cents END AS price_cents
+        |FROM o
+        |WHERE (k % 3 = 0 AND k % 4 <> 3 AND k % 6 <> 0)
+        |   OR (k % 3 = 1)
+        |   OR (k % 3 = 2 AND k % 4 <> 3 AND k % 5 <> 0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Streaming CDC apply via MERGE-ON-READ
+      // ([[Streaming.cdcApplyMergeOnRead]]): the SAME three key-
+      // disjoint changelog waves as q156, but each batch applies as
+      // ONE SQL `MERGE INTO` row-level commit on a deletion-vector
+      // lake — a positions sidecar + an O(changed rows) append per
+      // batch, where q156's apply publishes a WHOLE-SNAPSHOT
+      // overwrite per batch. Inline evidence: every base dir carries
+      // by reference across all three waves (nothing rewritten), each
+      // wave commit binds `#dv`, appended bytes stay under the
+      // snapshot it merged into, and a REPLAYED batch tag commits
+      // nothing (the exactly-once seam, enforced at the publish).
+      // Hash-green against q156's closed-form oracle: an over-apply,
+      // double-apply, lost delete, or replay double-commit breaks it.
+      val drops = stagedCdcWaves(s, dir)
+      val root = graft.Sessions.scratchRoot
+      val name = s"cdcmor_${new java.io.File(dir).getName}"
+      val lake = s"$root/$name"
+      Lake.delete(s, lake)
+      s.conf.set("spark.sql.catalog.glake_q226",
+        classOf[GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.glake_q226.root", root)
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long")
+            .as("price_cents"))
+        .filter(col("k") % 4 =!= 3)
+        .createOrReplaceTempView("q226_base")
+      s.sql(s"""CREATE TABLE glake_q226.`$name`
+               |TBLPROPERTIES ('deletion_vectors' = 'true') AS
+               |SELECT * FROM q226_base""".stripMargin)
+      val f = new org.apache.hadoop.fs.Path(lake).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def dirs(): Set[String] = f.listStatus(
+        new org.apache.hadoop.fs.Path(lake)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("d-")).toSet
+      def bytes(d: String): Long = f.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$lake/$d")).getLength
+      val baseDirs = dirs()
+      val baseBytes = baseDirs.toSeq.map(bytes).sum
+      Streaming.cdcApplyMergeOnRead(
+        Streaming.pacedParquetStream(s, drops), s"glake_q226.`$name`",
+        lake, s"$lake-cp", "k", "seq", "op", Seq("price_cents"))
+      // MoR evidence: base dirs never rewritten, one #dv commit per
+      // wave, appended bytes bounded by the snapshot
+      require(baseDirs.subsetOf(dirs()),
+        "every base dir must carry by reference across all waves")
+      val vs = VersionedLake.versions(s, lake)
+      require(vs.size >= 4, s"base + 3 wave commits expected, got $vs")
+      vs.filter(_ > vs.min).foreach(v =>
+        require(VersionedLake.isDvCommit(s, lake, v),
+          s"wave version $v must bind a positions sidecar"))
+      val appended = dirs().diff(baseDirs).toSeq.map(bytes).sum
+      require(appended < baseBytes,
+        s"appended $appended B >= snapshot $baseBytes B — a wave " +
+          "rewrote the snapshot instead of merging on read")
+      // exactly-once at the PUBLISH: a replayed batch tag commits
+      // nothing even when the merge re-runs
+      val tipAfter = VersionedLake.tip(s, lake).get
+      s.conf.set("spark.graft.lake.commitTag", "cdcb0")
+      try s.sql(s"""MERGE INTO glake_q226.`$name` AS t
+                   |USING (SELECT -1L AS k, 0L AS pc) AS s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET price_cents = s.pc
+                   |WHEN NOT MATCHED THEN INSERT (k, price_cents)
+                   |  VALUES (s.k, s.pc)""".stripMargin)
+      finally s.conf.unset("spark.graft.lake.commitTag")
+      require(VersionedLake.tip(s, lake).get == tipAfter,
+        "a replayed commit tag must publish nothing")
+      require(spark_q226_absent(s, name),
+        "a replayed commit tag must not land its rows")
+      VersionedLake.readLatest(s, lake)
+        .select(col("k").as("o_orderkey"), col("price_cents"))
+        .orderBy(col("o_orderkey"))
     })
+
+  private def spark_q226_absent(
+      s: org.apache.spark.sql.SparkSession, name: String): Boolean =
+    s.table(s"glake_q226.`$name`").filter(col("k") === -1L).count() == 0
 
   /** Write-once drop-folder pair with OVERLAPPING content (per-PID
     * stream root, swept by graft.Sessions): drop_a = the user_id<50

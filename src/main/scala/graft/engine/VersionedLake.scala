@@ -642,30 +642,62 @@ object VersionedLake {
     // a dir added before the retained window and still live appears
     // there (dirs are never re-added after a drop: names are minted
     // per publish), so no per-version resolution is needed.
-    val marker = new Path(s"$dir/_tags/$tag")
-    // partitioned entries are `d-tag/c=v` — the tag's identity is the
-    // FIRST path segment of an entry, not the whole entry
-    def carries(e: String): Boolean =
-      e == dataDir || e.startsWith(s"$dataDir/")
-    lazy val inManifests = versionRange(spark, dir).exists {
-      case (lo, hi) =>
-        readManifest(spark, dir, lo).exists(carries) ||
-          (lo to hi).reverseIterator.exists { v =>
-            readManifestLines(spark, dir, v).exists(l =>
-              carries(l) || (l.startsWith("+") && carries(l.drop(1))))
-          }
-    }
-    if (f.exists(marker) || inManifests) None
+    if (tagPublished(spark, dir, tag)) None
     else {
       f.delete(new Path(s"$dir/$dataDir"), true) // orphan from a crash
       val (entries, schema) = stageForCommit(df, dir, dataDir, codec)
       val v = publishAll(spark, dir, entries, mode,
         carrySchema = Some(schema))
-      val out = f.create(marker, true)
-      out.close()
+      writeTagMarker(spark, dir, tag)
       Some(v)
     }
   }
+
+  /** True iff `tag` was ever published at `dir` — the O(1) `_tags/`
+    * marker check plus the exact manifest-membership fallback (the
+    * marker can only UNDER-report; see [[commitTagged]]'s analysis).
+    * Membership covers all three publish shapes a tagged commit can
+    * take: a full-manifest `d-tag` line, a delta `+d-tag` add, and a
+    * `#dv tag` marker (a pure-delete merge-on-read batch adds no data
+    * dir — its tag lives only in the vector binding). */
+  private[graft] def tagPublished(spark: SparkSession, dir: String,
+      tag: String): Boolean = {
+    val f = fs(spark, dir)
+    val dataDir = s"d-$tag"
+    // partitioned entries are `d-tag/c=v` — the tag's identity is the
+    // FIRST path segment of an entry, not the whole entry
+    def carries(e: String): Boolean =
+      e == dataDir || e.startsWith(s"$dataDir/")
+    f.exists(new Path(s"$dir/_tags/$tag")) ||
+      versionRange(spark, dir).exists { case (lo, hi) =>
+        readManifest(spark, dir, lo).exists(carries) ||
+          (lo to hi).reverseIterator.exists { v =>
+            readManifestLines(spark, dir, v).exists(l =>
+              carries(l) || (l.startsWith("+") && carries(l.drop(1))) ||
+                l == DvMarker + tag)
+          }
+      }
+  }
+
+  /** The tag's O(1) replay marker, written AFTER the publish. */
+  private[graft] def writeTagMarker(spark: SparkSession, dir: String,
+      tag: String): Unit = {
+    val out = fs(spark, dir).create(new Path(s"$dir/_tags/$tag"), true)
+    out.close()
+  }
+
+  /** A user commit tag's MANIFEST FACE: the deletion-vector sidecar
+    * name contract is `v<version>-<12 hex chars>` (the strictness
+    * keeps foreign files in `_deletes/` from ever binding), so a
+    * row-level tagged commit cannot put the raw tag in its uuid slot
+    * — it would silently never parse, and the vector would never
+    * apply (deleted rows resurrect). Instead the tag derives a STABLE
+    * 12-hex uuid: deterministic, so a replayed batch computes the
+    * same identity and the tag discipline still dedupes it. */
+  private[graft] def commitTagUuid(tag: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   /** Tags of a version's data dirs (the `d-` prefix stripped) — how
     * tagged writers recover their own progress from the manifest

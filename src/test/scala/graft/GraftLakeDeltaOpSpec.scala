@@ -547,6 +547,132 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
     }
   }
 
+  test("COMMIT TAG (spark.graft.lake.commitTag): a tagged row-level " +
+      "commit publishes once; replaying it commits NOTHING and leaves " +
+      "the published version intact (data dir, vector, change sidecar)") {
+    val root = tempDir("gldop-tag")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 2000)")
+      val dir = s"$root/t"
+      def tagged[A](t: String)(body: => A): A = {
+        spark.conf.set("spark.graft.lake.commitTag", t)
+        try body finally spark.conf.unset("spark.graft.lake.commitTag")
+      }
+      tagged("batch_7") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+      }
+      val tip1 = VersionedLake.tip(spark, dir).get
+      assert(VersionedLake.isDvCommit(spark, dir, tip1))
+      def state() = spark.table(s"$cat.t")
+        .agg(count(lit(1)), sum("v")).head()
+      val s1 = state()
+      assert(s1.getLong(0) == 2000)
+      // the REPLAY: same tag, same (or even different) statement —
+      // the lake must not move, and the published version must not be
+      // hollowed out (the replay's cleanup may touch ONLY its own
+      // staging residue)
+      tagged("batch_7") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+      }
+      assert(VersionedLake.tip(spark, dir).get == tip1,
+        "a replayed commit tag must publish nothing")
+      val s2 = state()
+      assert(s2.getLong(0) == 2000 &&
+        s2.getDouble(1) == s1.getDouble(1),
+        "the replay must leave the published rows intact")
+      // a DIFFERENT tag is a different transaction and lands normally
+      tagged("batch_8") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1.0 WHERE id = 3")
+      }
+      assert(VersionedLake.tip(spark, dir).get == tip1 + 1)
+      assert(spark.table(s"$cat.t").filter(col("id") === 3)
+        .head().getDouble(1) == 4.0)
+      // and the change feed still replays the FIRST commit exactly
+      // (its sidecar survived the replay attempt)
+      val ch = VersionedLake.changes(spark, dir, tip1 - 1, tip1)
+      assert(ch.filter(col("op") === "delete").count() == 400 &&
+        ch.filter(col("op") === "insert").count() == 400,
+        "the tagged commit's change sidecar must survive a replay")
+    }
+  }
+
+  test("MoR MAINTENANCE bounds BOTH tails: N small UPDATEs leave N " +
+      "tiny dirs + N vector sidecars; materialization (dv_max_pending) " +
+      "+ compactSmall + vacuum drain them to O(1) live files with " +
+      "rows exact") {
+    val root = tempDir("gldop-maint")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 20000)")
+      val dir = s"$root/t"
+      val f = fsOf(dir)
+      def liveFiles(): Int = {
+        val tip = VersionedLake.tip(spark, dir).get
+        VersionedLake.manifestEntries(spark, dir, tip).map { e =>
+          f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$e"))
+            .count(_.getPath.getName.endsWith(".parquet"))
+        }.sum
+      }
+      def pendingPositions(): Long = {
+        // LIVE vectors only: a materialized-away sidecar still lists
+        // until vacuum, but its files left the manifest
+        val tip = VersionedLake.tip(spark, dir).get
+        val live = VersionedLake.liveDvKeys(spark, dir, tip).toSet
+        VersionedLake.dvRefs(spark, dir, tip)
+          .filter { case (k, _) => live(k) }.values.map(_.count).sum
+      }
+      val baseFiles = liveFiles()
+      val n = 12
+      (0 until n).foreach { i =>
+        spark.sql(s"UPDATE $cat.t SET v = v + 1.0 " +
+          s"WHERE id % 997 = $i") // ~20 rows per update
+      }
+      // the N-update tail: one tiny dir + one vector commit each
+      val afterN = liveFiles()
+      assert(afterN >= baseFiles + n,
+        s"expected >= $n appended dirs' files, got $afterN vs $baseFiles")
+      assert(pendingPositions() > 0)
+      // maintenance pass 1 — MATERIALIZE: tightening the pending
+      // bound to 1 rewrites the vectored files NOW (the ALTER calls
+      // enforceDvBound itself); a subsequent tiny update may leave at
+      // most its own position (1 is not > 1)
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('dv_max_pending'='1')")
+      assert(pendingPositions() == 0,
+        "a tightened bound must drain the pending backlog now")
+      spark.sql(s"UPDATE $cat.t SET v = v + 1.0 WHERE id = 19999")
+      assert(pendingPositions() <= 1,
+        "post-materialization churn stays within the bound")
+      // maintenance pass 2 — COMPACT the small-dir tail into one dir;
+      // pass 3 — VACUUM sweeps dead sidecars and history
+      VersionedLake.compactSmall(spark, dir, Long.MaxValue)
+      VersionedLake.vacuum(spark, dir, retain = 1, graceMs = 0)
+      val afterMaint = liveFiles()
+      assert(afterMaint <= 2,
+        s"maintenance must bound live files to O(1), got $afterMaint")
+      // no dead sidecar parts survive the vacuum
+      val deletes = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      val sidecarsLeft =
+        if (!f.exists(deletes)) 0 else f.listStatus(deletes).length
+      assert(sidecarsLeft == 0,
+        s"vacuum must sweep dead sidecars, $sidecarsLeft left")
+      // exactness after the whole lifecycle: each id updated once per
+      // matching residue pass
+      val t = spark.table(s"$cat.t")
+      assert(t.count() == 20000)
+      (0 until n).foreach { i =>
+        assert(t.filter(col("id") % 997 === i &&
+          col("v") =!= col("id") + 1.0 &&
+          col("id") =!= 19999).count() == 0, s"residue $i")
+      }
+      assert(t.filter(col("id") === 19999).head().getDouble(1) ==
+        (if (19999 % 997 < n) 20001.0 else 20000.0))
+    }
+  }
+
   test("DV-NET statistics reach the DELTA scan: the optimized " +
       "row-level plan's target estimate shrinks with the deleted " +
       "fraction (Spark forbids broadcasting the target itself — " +
