@@ -814,8 +814,20 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         msgs.collect { case m: GraftLakeDeltaCommitMsg
           if m.inner.isDefined => m.inner.get }))
       f.delete(new Path(stageDir), true)
-      f.delete(new Path(s"$lakeDir/$dataDir"), true)
-      f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+      // a REPLAYED tagged write aborting mid-job must not touch the
+      // data dir or change sidecar: under a published tag those are
+      // the ORIGINAL commit's live artifacts (same durable check as
+      // commit()'s no-op branch), and deleting them would hollow out
+      // the published version. Only the replay's own residue — the
+      // staged positions above and the uncommitted task-attempt files
+      // under _temporary — may go.
+      if (commitTag.exists(t =>
+          VersionedLake.tagPublished(spark, lakeDir, t)))
+        f.delete(new Path(s"$lakeDir/$dataDir/_temporary"), true)
+      else {
+        f.delete(new Path(s"$lakeDir/$dataDir"), true)
+        f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+      }
       ()
     }
   }

@@ -595,6 +595,84 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
       assert(ch.filter(col("op") === "delete").count() == 400 &&
         ch.filter(col("op") === "insert").count() == 400,
         "the tagged commit's change sidecar must survive a replay")
+      // RESTORE x tag: restoring to BEFORE the tagged commit does not
+      // reset the tag — the marker is durable, so a replay after the
+      // restore still publishes nothing. Deliberate at-most-once
+      // semantics (Delta's transaction-identifier caveat has the same
+      // shape): the lake refuses to double-apply even when the
+      // restored state no longer carries the batch; re-applying is a
+      // NEW decision that needs a new tag, not a replay.
+      VersionedLake.restore(spark, dir, tip1 - 1)
+      val restoredSum = spark.table(s"$cat.t").agg(sum("v"))
+        .head().getDouble(0)
+      tagged("batch_7") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+      }
+      assert(spark.table(s"$cat.t").agg(sum("v")).head().getDouble(0)
+        == restoredSum,
+        "a tag must stay consumed across RESTORE (at-most-once)")
+    }
+  }
+
+  test("COMMIT TAG replay that FAILS mid-job: abort must not hollow " +
+      "out the published version (data dir + change sidecar are the " +
+      "ORIGINAL commit's live artifacts under a published tag)") {
+    val root = tempDir("gldop-tagabort")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 2000)")
+      val dir = s"$root/t"
+      def tagged[A](t: String)(body: => A): A = {
+        spark.conf.set("spark.graft.lake.commitTag", t)
+        try body finally spark.conf.unset("spark.graft.lake.commitTag")
+      }
+      tagged("batch_3") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+      }
+      val tip1 = VersionedLake.tip(spark, dir).get
+      val s1 = spark.table(s"$cat.t").agg(count(lit(1)), sum("v")).head()
+      // the REPLAY (same tag) fails DURING the write job — a UDF that
+      // throws per-row, so planning succeeds, tasks fail, and Spark
+      // calls BatchWrite.abort. The abort may clean ONLY the replay's
+      // own staging residue; d-<tag> and _changes/dv-<tag> are live.
+      spark.udf.register("gldop_boom", (i: Long) =>
+        if (i >= 0) throw new RuntimeException("gldop boom") else i)
+      val thrown = intercept[Exception] {
+        tagged("batch_3") {
+          spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 " +
+            "WHERE id % 5 = 0 AND id = gldop_boom(id)")
+        }
+      }
+      assert(thrown.getMessage != null)
+      assert(VersionedLake.tip(spark, dir).get == tip1,
+        "a failed replay must publish nothing")
+      val s2 = spark.table(s"$cat.t").agg(count(lit(1)), sum("v")).head()
+      assert(s2.getLong(0) == 2000 &&
+        s2.getDouble(1) == s1.getDouble(1),
+        "the failed replay's abort deleted live published data")
+      val ch = VersionedLake.changes(spark, dir, tip1 - 1, tip1)
+      assert(ch.filter(col("op") === "delete").count() == 400 &&
+        ch.filter(col("op") === "insert").count() == 400,
+        "the failed replay's abort deleted the live change sidecar")
+      // and a FRESH failed write (unpublished tag) still cleans fully
+      val before = topDirs(dir)
+      val t2 = intercept[Exception] {
+        tagged("batch_4") {
+          spark.sql(s"UPDATE $cat.t SET v = v + 1.0 " +
+            "WHERE id % 5 = 1 AND id = gldop_boom(id)")
+        }
+      }
+      assert(t2.getMessage != null)
+      assert(VersionedLake.tip(spark, dir).get == tip1)
+      assert(topDirs(dir) == before,
+        "an aborted unpublished tagged write must leave no data dir")
+      val f = fsOf(dir)
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      val residue = if (!f.exists(stage)) Seq.empty
+        else f.listStatus(stage).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("stage-"))
+      assert(residue.isEmpty, s"staging residue left: $residue")
     }
   }
 
