@@ -49,13 +49,7 @@ object MorMaintScale {
       spark.sql(s"""CREATE TABLE glmms.$name
                    |TBLPROPERTIES ('deletion_vectors'='true') AS
                    |SELECT * FROM glmms_src_$n""".stripMargin)
-      def liveFiles(): Int = {
-        val tip = VersionedLake.tip(spark, dir).get
-        VersionedLake.manifestEntries(spark, dir, tip).map { e =>
-          f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$e"))
-            .count(_.getPath.getName.endsWith(".parquet"))
-        }.sum
-      }
+      def liveFiles(): Int = VersionedLake.liveDataFileCount(spark, dir)
       val t0 = System.nanoTime()
       // N disjoint small corrections (the monthly-corrections shape)
       (0 until n).foreach(i => spark.sql(

@@ -542,21 +542,35 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
   private val mapped = GraftLakeMapping.enabled(SparkSession.active,
     lakeDir)
 
+  /** Durable answer, read ONCE at write construction: is this a
+    * REPLAY of an already-published tag? Published state cannot
+    * revert mid-query (same-tag concurrent writers are out of
+    * contract), so every later decision — the staging sweep, the
+    * no-op task writers, commit's no-op branch, abort's cleanup
+    * scope — reuses this answer instead of re-walking the manifest
+    * history per decision point. */
+  private val replayOfPublished: Boolean = commitTag.exists(t =>
+    VersionedLake.tagPublished(SparkSession.active, lakeDir, t))
+
+  /** Flipped the instant publishDvDelta returns: from that point this
+    * write's data dir and change sidecar are manifest-referenced LIVE
+    * state, and no failure after it (tag-marker write, enforceDvBound,
+    * Spark's commit-failure → abort bridge) may delete them. */
+  @volatile private var publishedDurably = false
+
   // a TAGGED write's staging paths are deterministic (the tag, not a
   // fresh uuid) — sweep a CRASHED earlier attempt's leftovers before
   // staging, or its torn parts would mix into (or block) this one.
   // Never when the tag already PUBLISHED: d-<tag> is then live data,
   // and commit() will no-op the replay without touching it.
-  commitTag.foreach { t =>
+  if (commitTag.isDefined && !replayOfPublished) {
     val spark = SparkSession.active
-    if (!VersionedLake.tagPublished(spark, lakeDir, t)) {
-      val f = new Path(lakeDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      f.delete(new Path(s"$lakeDir/$dataDir"), true)
-      f.delete(new Path(s"$lakeDir/_deletes/stage-$uuid"), true)
-      f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
-      ()
-    }
+    val f = new Path(lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$lakeDir/$dataDir"), true)
+    f.delete(new Path(s"$lakeDir/_deletes/stage-$uuid"), true)
+    f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
+    ()
   }
 
   /** The data half's staging write: plain parquet on a flat lake, the
@@ -612,7 +626,13 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         idSchema.fieldIndex(GraftLakeDeltaOp.FileCol),
         idSchema.fieldIndex(GraftLakeDeltaOp.PosCol),
         new GraftLakeSerializableConf(SparkSession.active
-          .sessionState.newHadoopConf()))
+          .sessionState.newHadoopConf()),
+        // a REPLAY's tasks write NOTHING: commit() will no-op anyway,
+        // and inert writers mean no committer (of ANY algorithm —
+        // v2 moves committed task files straight into the live
+        // published dir, where a _temporary sweep would miss them)
+        // can leak replay output into the original commit's data dir
+        noop = replayOfPublished)
     }
 
     override def useCommitCoordinator: Boolean =
@@ -623,19 +643,23 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
       val f = new Path(lakeDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       // exactly-once replay: this tag already published (a checkpoint
-      // replay re-offered the batch) — commit NOTHING. Checked at
-      // commit rather than plan time so the decision is made against
-      // the lake's durable state, not a cache. Clean ONLY the
-      // replay's own residue: its staged positions parts and the
-      // uncommitted task-attempt files under the data dir's
-      // _temporary (the job commit that would move them into place is
-      // exactly what we are skipping). The data dir itself and the
+      // replay re-offered the batch) — commit NOTHING. The answer was
+      // read from durable state at write construction
+      // ([[replayOfPublished]]); published state cannot revert within
+      // the query. Clean ONLY the replay's own residue — a crashed
+      // PRE-publish attempt's stage parts and anything under the data
+      // dir's _temporary (this replay's writers were inert, so only
+      // older residue can exist there). The data dir itself and the
       // change sidecar are the ORIGINAL commit's LIVE artifacts —
       // deleting them here would hollow out the published version.
-      if (commitTag.exists(t =>
-          VersionedLake.tagPublished(spark, lakeDir, t))) {
+      if (replayOfPublished) {
         f.delete(new Path(s"$lakeDir/_deletes/stage-$uuid"), true)
         f.delete(new Path(s"$lakeDir/$dataDir/_temporary"), true)
+        // heal the crash window: published-but-unmarked (the original
+        // attempt died between publish and marker) would otherwise
+        // pay the manifest-membership walk on every future check
+        commitTag.foreach(t =>
+          VersionedLake.writeTagMarker(spark, lakeDir, t))
         return
       }
       val dms = msgs.map(_.asInstanceOf[GraftLakeDeltaCommitMsg])
@@ -699,8 +723,6 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
           op.observedVersion, op.snapshotDirs, touched, addedEntries,
           if (winners.isEmpty) None else Some(stage), uuid,
           Some(table.schema().json))
-        commitTag.foreach(t =>
-          VersionedLake.writeTagMarker(spark, lakeDir, t))
       } catch { case e: Throwable =>
         // a refused publish leaves NOTHING bound: drop the stagings so
         // they cannot be mistaken for live state (the change dir is
@@ -710,6 +732,15 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         f.delete(new Path(s"$lakeDir/_changes/dv-$uuid"), true)
         throw e
       }
+      // PUBLISH BARRIER: the manifest now references this write's
+      // artifacts. Anything below (marker write, DV-bound upkeep) may
+      // still fail and bubble into Spark's commit-failure → abort()
+      // bridge, so abort consults this flag and never deletes
+      // published state; a tag left unmarked here is healed by the
+      // next replay's no-op branch.
+      publishedDurably = true
+      commitTag.foreach(t =>
+        VersionedLake.writeTagMarker(spark, lakeDir, t))
       VersionedLake.enforceDvBound(spark, lakeDir)
     }
 
@@ -814,15 +845,13 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         msgs.collect { case m: GraftLakeDeltaCommitMsg
           if m.inner.isDefined => m.inner.get }))
       f.delete(new Path(stageDir), true)
-      // a REPLAYED tagged write aborting mid-job must not touch the
-      // data dir or change sidecar: under a published tag those are
-      // the ORIGINAL commit's live artifacts (same durable check as
-      // commit()'s no-op branch), and deleting them would hollow out
-      // the published version. Only the replay's own residue — the
-      // staged positions above and the uncommitted task-attempt files
-      // under _temporary — may go.
-      if (commitTag.exists(t =>
-          VersionedLake.tagPublished(spark, lakeDir, t)))
+      // once the data dir and change sidecar are PUBLISHED they may
+      // never be deleted from a failure path — either this write is a
+      // replay of a published tag (the originals are live), or THIS
+      // write's own publish succeeded and a later commit step failed
+      // (Spark routes commit failures through abort too). Only the
+      // staging residue above and _temporary leftovers may go.
+      if (replayOfPublished || publishedDurably)
         f.delete(new Path(s"$lakeDir/$dataDir/_temporary"), true)
       else {
         f.delete(new Path(s"$lakeDir/$dataDir"), true)
@@ -835,16 +864,30 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
 
 /** See [[GraftLakeDeltaWrite]]. The factory ships the inner parquet
   * factory (absent for row-less DELETE plans) plus where to stage the
-  * task's positions part. */
+  * task's positions part. With `noop` (a replay of a published commit
+  * tag) the writers are INERT — no data files, no positions parts —
+  * so no output-committer algorithm can move replay bytes into the
+  * originally-published data dir. */
 private final class GraftLakeDeltaWriterFactory(
     dataFactory: Option[org.apache.spark.sql.connector.write
       .DataWriterFactory],
     stageDir: String, idFileAt: Int, idPosAt: Int,
-    conf: GraftLakeSerializableConf)
+    conf: GraftLakeSerializableConf, noop: Boolean = false)
   extends DeltaWriterFactory {
 
   override def createWriter(pid: Int, tid: Long)
-      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+      : DeltaWriter[InternalRow] =
+    if (noop) new DeltaWriter[InternalRow] {
+      override def delete(m: InternalRow, id: InternalRow): Unit = ()
+      override def update(m: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = ()
+      override def insert(row: InternalRow): Unit = ()
+      override def commit(): WriterCommitMessage =
+        GraftLakeDeltaCommitMsg(None, None, 0L, 0L)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+    else new DeltaWriter[InternalRow] {
 
     private var dataWriter
         : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =

@@ -1007,13 +1007,20 @@ object GraftLakeTable {
     * resolves a GraftLakeTable first, and the optimizer re-reads
     * `extraOptimizations` per run, so even the resolving query's own
     * optimization already sees the rules. */
-  private[graft] def ensureRuntimeRules(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(org.apache.spark.sql.graft.SplitCowGroupFilter))
-      spark.experimental.extraOptimizations = cur ++ Seq(
+  private[graft] def ensureRuntimeRules(spark: SparkSession): Unit =
+    // check-then-act on a shared mutable field: concurrent table
+    // resolutions on one session (the supported disjoint-key writer
+    // race) would otherwise append the pair twice — each duplicate
+    // costs optimizer time on every later query's fixedPoint batch
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      val missing = Seq(
         org.apache.spark.sql.graft.SplitCowGroupFilter,
         org.apache.spark.sql.graft.InjectDeltaRuntimeFilter)
-  }
+        .filterNot(cur.contains)
+      if (missing.nonEmpty)
+        spark.experimental.extraOptimizations = cur ++ missing
+    }
 }
 
 final class GraftLakeTable(tableName: String, spark: SparkSession,
@@ -1999,12 +2006,21 @@ final class GraftLakeScanBuilder(spark: SparkSession,
   /** Aggregate pushdown answers from parquet FOOTER stats — which
     * still count DV-deleted rows. With any vector live, the aggregate
     * must run over the DV-filtered scan instead — and never under a
-    * requested row-address column (positions are per row). */
+    * requested row-address column (positions are per row; that case
+    * cannot arise today because V2ScanRelationPushDown pushes
+    * aggregates BEFORE pruneColumns populates metaCols, so build()
+    * enforces the invariant where both facts are finally known). */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
     if (dvRefs.nonEmpty || metaCols.nonEmpty) false
-    else super.pushAggregation(aggregation)
+    else {
+      val pushed = super.pushAggregation(aggregation)
+      aggPushed ||= pushed
+      pushed
+    }
+
+  @volatile private var aggPushed = false
 
   /** Row-address metadata columns (`__graft_file`/`__graft_pos`,
     * advertised on DV lakes via [[GraftLakeTable.metadataColumns]])
@@ -2024,6 +2040,12 @@ final class GraftLakeScanBuilder(spark: SparkSession,
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     if (metaCols.nonEmpty) {
+      // a footer-stat aggregate under a synthesized row-address
+      // column would answer per-FILE where the query asks per-ROW —
+      // fail loudly if Spark's pushdown ordering ever lets both in
+      require(!aggPushed, "aggregate pushdown cannot combine with " +
+        "row-address metadata columns (footer stats are per file, " +
+        "addresses are per row)")
       // row-address projection: single-file partitions + synthesized
       // address columns + DV application — the SAME wrapper the
       // row-level operations scan through. Batch-only by construction

@@ -237,16 +237,31 @@ object Streaming {
     * (`spark.graft.lake.commitTag`, the Delta txnAppId shape), so a
     * checkpoint-replayed batch no-ops at the lake — enforced at the
     * MoR publish itself, not just the foreachBatch screen. */
+  /** The per-batch commit tag: STREAM identity (the checkpoint path —
+    * what makes two restarts the same stream and two streams
+    * different) plus the batch id. Delta's txnAppId/txnVersion split
+    * exists for exactly this: a bare batch id would collide across
+    * two different CDC streams applying into the same lake, and the
+    * second stream's batches 0..N would silently no-op against the
+    * first stream's tags. */
+  def cdcBatchTag(checkpoint: String, batchId: Long): String = {
+    val sid = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"cdc${sid}b$batchId"
+  }
+
   def cdcApplyMergeOnRead(changes: DataFrame, tableRef: String,
       lake: String, checkpoint: String, keyCol: String, seqCol: String,
-      opCol: String, payloadCols: Seq[String]): Unit = {
+      opCol: String, payloadCols: Seq[String],
+      maxBroadcastKeys: Int = 16 << 20): Unit = {
     require(payloadCols.nonEmpty, "apply needs at least one payload column")
     val q = changes.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val tag = s"cdcb$id"
+        val tag = cdcBatchTag(checkpoint, id)
         // the same derived identity the MoR publish will stamp — the
         // screen and the publish must agree on what "already applied"
         // means
@@ -256,10 +271,18 @@ object Streaming {
             .partitionBy(keyCol).orderBy(col(seqCol).desc)
           val hasI = batch.filter(col(opCol) === "I")
             .select(keyCol).distinct().withColumn("_has_i", lit(true))
+          // [[Cdc.merge]]'s broadcast guard: "changelog-sized" is a
+          // distribution assumption — a bulk-backfill batch with more
+          // distinct keys than a broadcast survives drops the hint
+          // and lets the planner shuffle (same result, no forced
+          // driver-sized collect)
+          val fits = batch.select(keyCol).distinct()
+            .limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+          val hasIb = if (fits) broadcast(hasI) else hasI
           val view = s"graft_cdc_mor_$tag"
           batch.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
-            .join(broadcast(hasI), Seq(keyCol), "left")
+            .join(hasIb, Seq(keyCol), "left")
             .withColumn("_has_i", coalesce(col("_has_i"), lit(false)))
             .createOrReplaceTempView(view)
           val sets = payloadCols.map(c => s"$c = s.$c").mkString(", ")

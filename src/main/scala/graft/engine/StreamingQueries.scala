@@ -592,7 +592,8 @@ object StreamingQueries {
       // exactly-once at the PUBLISH: a replayed batch tag commits
       // nothing even when the merge re-runs
       val tipAfter = VersionedLake.tip(s, lake).get
-      s.conf.set("spark.graft.lake.commitTag", "cdcb0")
+      s.conf.set("spark.graft.lake.commitTag",
+        Streaming.cdcBatchTag(s"$lake-cp", 0))
       try s.sql(s"""MERGE INTO glake_q226.`$name` AS t
                    |USING (SELECT -1L AS k, 0L AS pc) AS s
                    |ON t.k = s.k

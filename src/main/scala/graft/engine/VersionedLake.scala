@@ -3354,6 +3354,19 @@ object VersionedLake {
   private[graft] def manifestEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] = readManifest(spark, dir, v)
 
+  /** Parquet data files the TIP manifest references — the read tax a
+    * scan pays per query, and the number maintenance must bound (the
+    * MoR churn tail grows by one per small row-level commit). Shared
+    * by the maintenance spec and the MorMaintScale measurement so the
+    * two cannot drift on what "live" means. */
+  private[graft] def liveDataFileCount(spark: SparkSession,
+      dir: String): Int = {
+    val f = fs(spark, dir)
+    manifestEntries(spark, dir, tip(spark, dir).get).map(e =>
+      f.listStatus(new Path(s"$dir/$e"))
+        .count(_.getPath.getName.endsWith(".parquet"))).sum
+  }
+
   /** [[publishReplacing]] with a SERIALIZABLE conflict check for the
     * copy-on-write row-level writes, which computed their result from
     * a SCAN that already happened and cannot recompute. Two races are

@@ -676,6 +676,65 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
     }
   }
 
+  test("POST-PUBLISH failure (marker write blocked): commit reports " +
+      "the failure but the PUBLISHED version survives Spark's " +
+      "commit-failure abort; the replay no-ops off manifest " +
+      "membership and heals the missing marker") {
+    val root = tempDir("gldop-postpub")
+    withCatalog(root) { cat =>
+      spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES " +
+        "('deletion_vectors'='true') AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 2000)")
+      val dir = s"$root/t"
+      val f = fsOf(dir)
+      val tip0 = VersionedLake.tip(spark, dir).get
+      def tagged[A](t: String)(body: => A): A = {
+        spark.conf.set("spark.graft.lake.commitTag", t)
+        try body finally spark.conf.unset("spark.graft.lake.commitTag")
+      }
+      // BLOCK the marker write: a regular FILE where the _tags
+      // directory must be created — publishDvDelta succeeds, then
+      // writeTagMarker throws, commit() throws AFTER the publish, and
+      // Spark routes the failure through BatchWrite.abort
+      val tagsPath = new org.apache.hadoop.fs.Path(s"$dir/_tags")
+      f.create(tagsPath, true).close()
+      val thrown = intercept[Exception] {
+        tagged("batch_9") {
+          spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+        }
+      }
+      assert(thrown.getMessage != null)
+      // the publish is durable: tip advanced, the vector bound, the
+      // updated rows visible — abort must NOT have deleted the data
+      // dir or change sidecar the new manifest references
+      assert(VersionedLake.tip(spark, dir).get == tip0 + 1,
+        "the publish preceded the failure and must survive it")
+      assert(VersionedLake.isDvCommit(spark, dir, tip0 + 1))
+      val s1 = spark.table(s"$cat.t").agg(count(lit(1)), sum("v")).head()
+      assert(s1.getLong(0) == 2000,
+        "post-publish abort deleted live published data")
+      assert(s1.getDouble(1) ==
+        (0 until 2000).map(_.toDouble).sum + 400 * 1000.0)
+      val ch = VersionedLake.changes(spark, dir, tip0, tip0 + 1)
+      assert(ch.filter(col("op") === "delete").count() == 400,
+        "post-publish abort deleted the live change sidecar")
+      // UNBLOCK and replay the same tag: the marker is missing but
+      // manifest membership answers published — the replay publishes
+      // nothing and HEALS the marker for O(1) future checks
+      f.delete(tagsPath, false)
+      tagged("batch_9") {
+        spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE id % 5 = 0")
+      }
+      assert(VersionedLake.tip(spark, dir).get == tip0 + 1,
+        "the unmarked-but-published tag must still refuse a replay")
+      assert(spark.table(s"$cat.t").agg(sum("v")).head().getDouble(0)
+        == s1.getDouble(1))
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_tags/${VersionedLake.commitTagUuid("batch_9")}")),
+        "the replay's no-op branch must heal the missing marker")
+    }
+  }
+
   test("MoR MAINTENANCE bounds BOTH tails: N small UPDATEs leave N " +
       "tiny dirs + N vector sidecars; materialization (dv_max_pending) " +
       "+ compactSmall + vacuum drain them to O(1) live files with " +
@@ -687,13 +746,7 @@ class GraftLakeDeltaOpSpec extends AnyFunSuite {
         "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 20000)")
       val dir = s"$root/t"
       val f = fsOf(dir)
-      def liveFiles(): Int = {
-        val tip = VersionedLake.tip(spark, dir).get
-        VersionedLake.manifestEntries(spark, dir, tip).map { e =>
-          f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$e"))
-            .count(_.getPath.getName.endsWith(".parquet"))
-        }.sum
-      }
+      def liveFiles(): Int = VersionedLake.liveDataFileCount(spark, dir)
       def pendingPositions(): Long = {
         // LIVE vectors only: a materialized-away sidecar still lists
         // until vacuum, but its files left the manifest
