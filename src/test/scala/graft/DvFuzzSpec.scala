@@ -48,7 +48,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 36).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 | 1 => // INSERT a fresh batch
           val n = 50 + rnd.nextInt(150)
           val rows = (0 until n).map { _ =>
@@ -131,6 +131,26 @@ class DvFuzzSpec extends AnyFunSuite {
                  |WHEN NOT MATCHED THEN INSERT (id, v)
                  |VALUES (s.id, s.nv)""".stripMargin)
           }
+        case 8 => // TAGGED merge-on-read commit + an immediate REPLAY
+          // of the same tag: the exactly-once seam interleaving with
+          // every other op here — the replay must publish nothing, so
+          // the model applies the update ONCE (a double-apply breaks
+          // checkTip, the time-travel sweep AND the netted feed)
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(20))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(k => model(k) = model(k) + 7000.0)
+            def run(): Unit = {
+              spark.conf.set("spark.graft.lake.commitTag", s"fz$step")
+              try spark.sql(s"UPDATE $cat.t SET v = v + 7000.0 " +
+                s"WHERE id IN (${ks.mkString(",")})")
+              finally spark.conf.unset("spark.graft.lake.commitTag")
+            }
+            run()
+            run() // checkpoint-style replay: must no-op at the lake
+          }
       }
       checkTip(s"step $step")
       VersionedLake.tip(spark, dir).foreach { t =>
@@ -179,7 +199,7 @@ class DvFuzzSpec extends AnyFunSuite {
     assert(merges > 0, s"seed $seed never merged — pick another seed")
   }
 
-  for (seed <- Seq(612L, 4242L))
+  for (seed <- Seq(808L, 4242L))
   test("COLUMN-MAPPING × DV interleavings: renames between inserts, " +
       "DV deletes (by old-era AND new-era column names), updates, " +
       "RESTORE across rename eras, optimize, auto-materialize and " +
@@ -218,7 +238,7 @@ class DvFuzzSpec extends AnyFunSuite {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // INSERT a fresh batch under the CURRENT name
           val n = 40 + rnd.nextInt(120)
           val rows = (0 until n).map { _ =>
@@ -318,6 +338,26 @@ class DvFuzzSpec extends AnyFunSuite {
                  |WHEN MATCHED THEN UPDATE SET `$vName` = s.nv
                  |WHEN NOT MATCHED THEN INSERT (id, `$vName`)
                  |VALUES (s.id, s.nv)""".stripMargin)
+          }
+        case 9 => // TAGGED update through the CURRENT name + an
+          // immediate REPLAY: exactly-once must hold across rename
+          // eras too (the replay's inert write still resolves the
+          // current schema; the tag's derived uuid is era-free)
+          val live = model.keys.toArray
+          if (live.nonEmpty) {
+            val ks = (0 until math.min(live.length,
+              1 + rnd.nextInt(15))).map(_ => live(rnd.nextInt(live.length)))
+              .distinct
+            ks.foreach(k => model(k) = model(k) + 7000.0)
+            def run(): Unit = {
+              spark.conf.set("spark.graft.lake.commitTag", s"fzm$step")
+              try spark.sql(
+                s"UPDATE $cat.t SET `$vName` = `$vName` + 7000.0 " +
+                  s"WHERE id IN (${ks.mkString(",")})")
+              finally spark.conf.unset("spark.graft.lake.commitTag")
+            }
+            run()
+            run() // replay across the current mapping era: no-op
           }
       }
       checkTip(s"step $step")
