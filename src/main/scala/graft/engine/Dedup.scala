@@ -394,11 +394,19 @@ object Dedup {
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("t"))
-    val h = Kmv.point(col("t"))
+    // Bind the md5-prefix hash to a COLUMN before aggregating — the
+    // [[minhashSignatures]] discipline: each of the 60 bit-sum aggregates
+    // references the hash, and an inlined expression would re-digest the
+    // token once per bit (60 md5 calls per token occurrence; codegen's
+    // subexpression elimination does not reach across aggregate update
+    // functions). CollapseProject keeps a non-trivial producer referenced
+    // 60 times materialized, so the digest runs once per row.
+    val hashed = toks.select(col("id"), Kmv.point(col("t")).as("hv"))
+    val h = col("hv")
     val aggs = (0 until SimhashBits).map(i =>
       sum(when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$i"))
-    val sums = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sums = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     sums.select(col("id"),
       (0 until SimhashBits).map(i =>
         when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
