@@ -12,8 +12,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunOne <queryName> [sfDir] [repeats]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: RunOne <name[,name2,...]> [sfDir] [repeats]")
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1
     val spark = Sessions.local("graft-runone")
@@ -33,6 +33,22 @@ object RunOne {
         }
       }
     })
+    // SPARK_GRAFT_RUNONE_BATCHES=1: per-micro-batch durationMs breakdown
+    // (triggerExecution, queryPlanning, walCommit, addBatch, ...) — where
+    // a streaming drain's driver time goes.
+    if (sys.env.contains("SPARK_GRAFT_RUNONE_BATCHES"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val d = p.durationMs
+            println(s"[runone-batch] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=$d")
+          }
+        })
     if (sys.env.contains("SPARK_GRAFT_RUNONE_JOBS")) {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -50,26 +66,36 @@ object RunOne {
         }
       })
     }
-    // SPARK_GRAFT_RUNONE_WARM=1: one untimed pass at sf0.001 first — the
-    // bench's codegen/JIT warmup — so a query that is NOT repeatable in
-    // one JVM (catalog DDL fixtures) still gets one warm timed run.
-    if (sys.env.contains("SPARK_GRAFT_RUNONE_WARM")) {
-      val warmDir = "/root/testdata/sf0.001"
-      SparkEntry.benchSetup.get(name).foreach(_(spark, warmDir))
-      SparkEntry.queries(name)(spark, warmDir)
-        .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-    }
-    (1 to reps).foreach { i =>
-      SparkEntry.benchSetup.get(name).foreach(_(spark, sfDir))
-      val (c0, g0, r0) = (cpuNs.get, gcMs.get, runMs.get)
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[runone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-        f"  cpu=${(cpuNs.get - c0) / 1e9}%.2f s gc=${(gcMs.get - g0) / 1e3}%.2f s" +
-        f" taskrun=${(runMs.get - r0) / 1e3}%.2f s")
-      spark.catalog.clearCache()
+    names.foreach { name =>
+      // SPARK_GRAFT_RUNONE_WARM=1: one untimed pass at sf0.001 first — the
+      // bench's codegen/JIT warmup — so a query that is NOT repeatable in
+      // one JVM (catalog DDL fixtures) still gets one warm timed run.
+      if (sys.env.contains("SPARK_GRAFT_RUNONE_WARM")) {
+        val warmDir = "/root/testdata/sf0.001"
+        try {
+          SparkEntry.benchSetup.get(name).foreach(_(spark, warmDir))
+          SparkEntry.queries(name)(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[runone] $name warmup failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
+      (1 to reps).foreach { i =>
+        try {
+          SparkEntry.benchSetup.get(name).foreach(_(spark, sfDir))
+          val (c0, g0, r0) = (cpuNs.get, gcMs.get, runMs.get)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[runone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            f"  cpu=${(cpuNs.get - c0) / 1e9}%.2f s gc=${(gcMs.get - g0) / 1e3}%.2f s" +
+            f" taskrun=${(runMs.get - r0) / 1e3}%.2f s")
+        } catch { case e: Throwable =>
+          println(s"[runone] $name run $i FAILED: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

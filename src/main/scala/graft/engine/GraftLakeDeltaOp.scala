@@ -698,17 +698,24 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
         f.delete(staged, true)
         return
       }
-      // the touched entries — the serializable anchor (bounded: one
-      // row per vectored file)
-      val touched: Seq[String] =
+      // the touched (entry, file) pairs — ONE bounded collect (a row
+      // per vectored file) shared by the serializable anchor below and
+      // the change-row pre-image scan, which previously re-read the
+      // stage dir and collected again (two jobs + two schema probes
+      // per commit). The stage schema is this writer's own fixed
+      // layout ([[GraftLakeDeltaOp.writePosPart]]) — passing it skips
+      // the per-read footer-inference job too.
+      val touchedPairs: Seq[(String, String)] =
         if (winners.isEmpty) Seq.empty
-        else spark.read.parquet(stageDir).select("entry").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        else readStagePositions(spark).select("entry", "file").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val touched: Seq[String] =
+        touchedPairs.map(_._1).distinct.sorted
       // the commit's EXACT change rows, staged BEFORE the publish
       // under the uuid the manifest will bind (changes()/CDF replay a
       // DV commit from this sidecar — its absence is corruption)
       if (winners.nonEmpty)
-        stageChangeRows(spark, f, addedEntries)
+        stageChangeRows(spark, f, addedEntries, touchedPairs)
       if (hasData) {
         // partitioned files hold only data columns; the declaration
         // keeps the partition columns (readers reconstruct them)
@@ -752,18 +759,27 @@ final class GraftLakeDeltaWrite(op: GraftLakeDeltaOperation,
       * so the `c=v` columns reconstruct (cast to the DECLARED types),
       * and the sidecar carries them as DATA columns (the CDF stream's
       * sidecar contract). */
+    /** The staged positions sidecar under its writer-known schema —
+      * no footer-inference job per read. */
+    private def readStagePositions(spark: SparkSession)
+        : org.apache.spark.sql.DataFrame =
+      spark.read.schema(StructType(Seq(
+        StructField("entry", StringType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false))))
+        .parquet(stageDir)
+
     private def stageChangeRows(spark: SparkSession,
         f: org.apache.hadoop.fs.FileSystem,
-        addedEntries: Seq[String]): Unit = {
+        addedEntries: Seq[String],
+        files: Seq[(String, String)]): Unit = {
       import org.apache.spark.sql.functions.{broadcast, col, lit}
       import spark.implicits._
       def withPartCast(df: org.apache.spark.sql.DataFrame)
           : org.apache.spark.sql.DataFrame =
         partCols.foldLeft(df)((d, c) =>
           d.withColumn(c.name, col(c.name).cast(c.dataType)))
-      val pos = spark.read.parquet(stageDir)
-      val files = pos.select("entry", "file").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val pos = readStagePositions(spark)
       val lk = files.flatMap { case (e, fl) =>
         VersionedLake.encodedForms(f, new Path(s"$lakeDir/$e/$fl"))
           .map(q => (q, e, fl))

@@ -275,8 +275,13 @@ object Streaming {
           // distribution assumption — a bulk-backfill batch with more
           // distinct keys than a broadcast survives drops the hint
           // and lets the planner shuffle (same result, no forced
-          // driver-sized collect)
-          val fits = batch.select(keyCol).distinct()
+          // driver-sized collect). Screened on ROW count, not distinct
+          // keys: rows ≥ distinct keys, so the row bound is sufficient
+          // for safety and the check is a map-only early-exit limit —
+          // no per-batch shuffle+distinct job just to decide a hint
+          // (a many-duplicates bulk batch merely loses the hint, the
+          // conservative direction).
+          val fits = batch.select(keyCol)
             .limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
           val hasIb = if (fits) broadcast(hasI) else hasI
           val view = s"graft_cdc_mor_$tag"

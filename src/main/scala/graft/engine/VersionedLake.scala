@@ -922,8 +922,20 @@ object VersionedLake {
       return spark.read.format("graftlake")
         .option(GraftLakeDataSource.VersionAsOf, v).load(dir)
     val dirs = readManifest(spark, dir, v)
-    spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$dir/$d"): _*)
+    // A DECLARED schema (the manifest's own union of every commit's
+    // columns, as of v — time travel keeps the era's declaration) makes
+    // the footer-merge pass redundant: mergeSchema reads EVERY file's
+    // footer in a distributed job per read, O(live files) at scale and
+    // one extra Spark job per snapshot read at any scale. Undeclared
+    // lakes (never committed with a schema) keep the footer merge —
+    // the union is unknowable without it.
+    manifestSchema(spark, dir, v) match {
+      case Some(declared) =>
+        spark.read.schema(declared).parquet(dirs.map(d => s"$dir/$d"): _*)
+      case None =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$dir/$d"): _*)
+    }
   }
 
   /** Read an arbitrary ENTRY set of version-agnostic lake dirs —
@@ -944,6 +956,10 @@ object VersionedLake {
         GraftLakePartitions.readEntries(spark, dir, entries, partCols,
           dropDvAt = dvAt)
       else {
+        // NO declared-schema fast path here (unlike [[readAt]]): an
+        // entry-set read's schema is scoped to THESE entries — the tip
+        // declaration may carry columns added after they were written,
+        // which would leak null columns into change feeds.
         val base = spark.read.option("mergeSchema", "true")
           .parquet(entries.map(d => s"$dir/$d"): _*)
         dvAt.fold(base)(v => dropDvRows(spark, dir, base, v))
