@@ -90,6 +90,17 @@ object Sessions {
       // other's warehouse files mid-query
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
+      // FileOutputCommitter v2: task commits move files straight into
+      // the destination instead of the v1 double-rename (task dir →
+      // job dir → final), halving the rename round-trips every commit
+      // pays. Safe under this engine's publish protocols: a data dir
+      // is invisible until the manifest CAS references it, and sidecar
+      // completeness is judged by the job-level _SUCCESS marker (still
+      // written under v2) — partially-moved task files are unreachable
+      // either way. Matters most for the per-micro-batch commit
+      // cadence (streaming sinks) and at object-store latencies.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // multi-key COW group filtering + MoR runtime file pruning ride

@@ -1742,7 +1742,7 @@ object VersionedLake {
     val postV = dvSidecars(spark, dir, tipV).filter(_._1 > v)
     val affected: Seq[String] =
       if (postV.isEmpty) Seq.empty
-      else spark.read.parquet(postV.map(_._2.toString): _*)
+      else readDvParquet(spark, postV.map(_._2.toString))
         .select("entry").distinct().collect().map(_.getString(0))
         .filter(wantSet).sorted.toSeq
     val partCols = GraftLakePartitions.of(spark, dir)
@@ -1935,13 +1935,30 @@ object VersionedLake {
     }.sortBy(_._1)
   }
 
+  /** The positions sidecar's FIXED layout (every writer emits exactly
+    * this triple — [[GraftLakeDeltaOp.writePosPart]] and the metadata
+    * DELETE path) — passed to every sidecar read so none pays a
+    * footer-inference job. */
+  private[engine] val DvSidecarSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("entry",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private[engine] def readDvParquet(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    spark.read.schema(DvSidecarSchema).parquet(paths: _*)
+
   /** All deleted (entry, file, pos) rows applying at `v` — the
     * anti-join side for DV-aware library reads and rewrites. */
   private[engine] def dvFrame(spark: SparkSession, dir: String,
       v: Int): Option[DataFrame] = {
     val side = dvSidecars(spark, dir, v)
     if (side.isEmpty) None
-    else Some(spark.read.parquet(side.map(_._2.toString): _*)
+    else Some(readDvParquet(spark, side.map(_._2.toString))
       .select("entry", "file", "pos"))
   }
 
@@ -1989,7 +2006,7 @@ object VersionedLake {
     if (dvRefsMemo.size > 256) dvRefsMemo.clear()
     dvRefsMemo.getOrElseUpdate(key, {
       import org.apache.spark.sql.functions.{col, count, lit}
-      spark.read.parquet(side.map(_._2.toString): _*)
+      readDvParquet(spark, side.map(_._2.toString))
         .groupBy(col("entry"), col("file"),
           col("_metadata.file_path").as("part"))
         .agg(count(lit(1)).as("n"))
@@ -2400,8 +2417,8 @@ object VersionedLake {
           // footprint provably cannot overlap ours
           val overlapCandidates =
             sidecarAt.nonEmpty && ourEntries.nonEmpty && {
-              val theirEntries = spark.read
-                .parquet(s"$dir/_deletes/v$k-$u")
+              val theirEntries = readDvParquet(spark,
+                Seq(s"$dir/_deletes/v$k-$u"))
                 .select("entry").distinct().collect()
                 .map(_.getString(0)).toSet
               theirEntries.exists(ourEntries)
@@ -2409,9 +2426,11 @@ object VersionedLake {
           if (overlapCandidates) {
             // exact check, shuffle-side (never per-row on the driver):
             // O(both commits' changed rows)
-            val ours = spark.read.parquet(sidecarAt.get.toString)
+            val ours = readDvParquet(spark,
+              Seq(sidecarAt.get.toString))
               .select("entry", "file", "pos")
-            val theirs = spark.read.parquet(s"$dir/_deletes/v$k-$u")
+            val theirs = readDvParquet(spark,
+              Seq(s"$dir/_deletes/v$k-$u"))
               .select("entry", "file", "pos")
             if (ours.join(theirs, Seq("entry", "file", "pos"),
                 "left_semi").limit(1).count() > 0)
@@ -3908,7 +3927,7 @@ object VersionedLake {
               if (retainedDvUuids(uuid)) true
               else if (n.toInt < lo)
                 // below retention: alive while its entries are
-                spark.read.parquet(p.toString).select("entry")
+                readDvParquet(spark, Seq(p.toString)).select("entry")
                   .distinct().collect().map(_.getString(0))
                   .exists(liveDirs)
               else false // in-retention but unbound: crashed attempt
