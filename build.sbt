@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev profiling hook: SPARK_GRAFT_JFR=/path/out.jfr records the forked
+  // JVM with Flight Recorder (profile settings) for driver-side analysis
+  sys.env.get("SPARK_GRAFT_JFR").toSeq.map(f =>
+    s"-XX:StartFlightRecording=filename=$f,settings=profile")

@@ -33,6 +33,23 @@ object RunOne {
         }
       }
     })
+    // SPARK_GRAFT_RUNONE_PHASES=1: per-execution Catalyst phase times
+    // (analysis/optimization/planning) from the QueryPlanningTracker —
+    // where driver-bound fixtures (many small DML statements) spend.
+    if (sys.env.contains("SPARK_GRAFT_RUNONE_PHASES"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val ph = qe.tracker.phases.map { case (k, v) =>
+              s"$k=${v.endTimeMs - v.startTimeMs}" }.mkString(" ")
+            println(f"[runone-exec] $funcName ${durationNs / 1e9}%6.3f s  $ph")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
     // SPARK_GRAFT_RUNONE_BATCHES=1: per-micro-batch durationMs breakdown
     // (triggerExecution, queryPlanning, walCommit, addBatch, ...) — where
     // a streaming drain's driver time goes.

@@ -101,6 +101,16 @@ object Sessions {
       // cadence (streaming sinks) and at object-store latencies.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         "2")
+      // file:// with permission-chmod suppressed: without native
+      // libhadoop every permission-carrying create/mkdir forks a
+      // `chmod` subprocess (measured: 441 forks in one lake-heavy
+      // query — the dominant driver-side cost of small commits). See
+      // [[graft.engine.GraftLocalFileSystem]]; overridable like any
+      // hadoop conf where real permission enforcement matters.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.engine.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.engine.GraftLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // multi-key COW group filtering + MoR runtime file pruning ride
