@@ -250,7 +250,13 @@ object GraftLakePartitions {
     require(entries.nonEmpty, "readEntries needs at least one entry")
     entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       .map { case (dd, es) =>
-        val df0 = spark.read.option("mergeSchema", "true")
+        // no mergeSchema WITHIN a data dir: every dir is one commit's
+        // single write frame (SQL insert, library commit, stream
+        // batch, rewrite — all one schema), so the union is exact from
+        // one footer and the per-dir distributed footer-merge job is
+        // redundant. CROSS-dir evolution is still honored by the
+        // unionByName(allowMissingColumns) below.
+        val df0 = spark.read
           .option("basePath", s"$lakeDir/$dd")
           .parquet(es.map(e => s"$lakeDir/$e"): _*)
         // deletion vectors apply HERE, per relation: `_metadata` (the
